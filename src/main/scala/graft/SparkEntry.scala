@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.MrQueries
+import graft.kv.{Kv, ShardCtrler}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +24,31 @@ object SparkEntry {
     "q_indexer" -> ((s, dir) => MrQueries.invertedIndex(s, dir)),
     "q_profile" -> ((s, dir) => MrQueries.scalarProfile(s, dir)),
     "q_filecount" -> ((s, dir) => MrQueries.perFileCount(s, dir)),
+    // ---- §2.3 KV / sharding semantics as data processing (K1-K9) ----
+    "k_replay" -> ((s, dir) => Kv.replay(Kv.opsFromEvents(s, dir)).toDF()),
+    "k_replay_dedup" -> ((s, dir) =>
+      Kv.replay(Kv.opsFromEvents(s, dir), exactlyOnce = true).toDF()),
+    "k_getlog" -> ((s, dir) => Kv.getLog(Kv.opsFromEvents(s, dir)).toDF()),
+    "k_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Kv.shardAssignment(
+        s.read.parquet(s"$dir/part.parquet").select(col("p_name")), "p_name")
+    }),
+    "k_config_history" -> ((s, dir) =>
+      ShardCtrler.historyDf(s, ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))),
   )
+
+  /** Shared events→KvOp projection, kept textually identical across the
+    * KV oracles (FIXTURES.md §2 mapping). */
+  private val kvOpsCte: String =
+    """ops AS (
+      |  SELECT event_id AS seq,
+      |         CASE event_type WHEN 'click' THEN 'append'
+      |              WHEN 'purchase' THEN 'put' WHEN 'signup' THEN 'put'
+      |              ELSE 'get' END AS op,
+      |         'u' || CAST(user_id % 97 AS VARCHAR) AS key,
+      |         'v' || CAST(event_id AS VARCHAR) || ';' AS value
+      |  FROM events)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +78,37 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS word
         |      FROM documents)
         |WHERE length(word) > 0 GROUP BY doc_id""".stripMargin,
+    "k_replay" -> kvReplaySql,
+    "k_replay_dedup" -> kvReplaySql, // events have unique (client, clientSeq)
+    "k_getlog" ->
+      s"""WITH $kvOpsCte,
+         |st AS (
+         |  SELECT *,
+         |    count(CASE WHEN op = 'put' THEN 1 END)
+         |      OVER (PARTITION BY key ORDER BY seq ROWS UNBOUNDED PRECEDING) AS era
+         |  FROM ops),
+         |run AS (
+         |  SELECT key, seq, op,
+         |    coalesce(string_agg(CASE WHEN op IN ('put','append') THEN value END, '')
+         |      OVER (PARTITION BY key, era ORDER BY seq ROWS UNBOUNDED PRECEDING), '')
+         |      AS observed
+         |  FROM st)
+         |SELECT key, seq, observed FROM run WHERE op = 'get'""".stripMargin,
+    "k_shard" ->
+      """SELECT DISTINCT p_name AS key, ascii(substr(p_name, 1, 1)) % 10 AS shard
+        |FROM part""".stripMargin,
+    // k_config_history: pure fold, not SQL-expressible → rows-only check
   )
+
+  private def kvReplaySql: String =
+    s"""WITH $kvOpsCte,
+       |writes AS (SELECT * FROM ops WHERE op IN ('put','append')),
+       |lp AS (SELECT key, max(seq) FILTER (WHERE op = 'put') AS p
+       |       FROM writes GROUP BY key)
+       |SELECT k.key,
+       |       coalesce(string_agg(w.value, '' ORDER BY w.seq), '') AS state
+       |FROM (SELECT DISTINCT key FROM ops) k
+       |LEFT JOIN lp ON k.key = lp.key
+       |LEFT JOIN writes w ON w.key = k.key AND w.seq >= coalesce(lp.p, -1)
+       |GROUP BY k.key""".stripMargin
 }
