@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.MrQueries
+import graft.queries.{MrQueries, RelQueries}
 import graft.kv.{Kv, ShardCtrler}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,6 +36,14 @@ object SparkEntry {
     }),
     "k_config_history" -> ((s, dir) =>
       ShardCtrler.historyDf(s, ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))),
+    // ---- §7 phase-7 relational extensions (TPC-H-ish) ----
+    "rel_pricing" -> ((s, dir) => RelQueries.pricingSummary(s, dir)),
+    "rel_shipping_priority" -> ((s, dir) => RelQueries.shippingPriority(s, dir)),
+    "rel_local_volume" -> ((s, dir) => RelQueries.localSupplierVolume(s, dir)),
+    "rel_top_orders" -> ((s, dir) => RelQueries.topOrders(s, dir)),
+    "rel_first_orders" -> ((s, dir) => RelQueries.firstOrdersPerCustomer(s, dir)),
+    "rel_events_daily" -> ((s, dir) => RelQueries.eventsDaily(s, dir)),
+    "rel_distinct_users" -> ((s, dir) => RelQueries.distinctUsers(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -98,6 +106,54 @@ object SparkEntry {
       """SELECT DISTINCT p_name AS key, ascii(substr(p_name, 1, 1)) % 10 AS shard
         |FROM part""".stripMargin,
     // k_config_history: pure fold, not SQL-expressible → rows-only check
+    "rel_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM region, nation, customer, supplier, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "rel_top_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "rel_first_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "rel_events_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 
   private def kvReplaySql: String =

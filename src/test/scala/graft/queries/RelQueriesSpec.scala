@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class RelQueriesSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pricing summary: filter pushed to parquet scan, partial aggregation") {
+    val df = RelQueries.pricingSummary(spark, sf())
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    assert(df.queryExecution.optimizedPlan.toString.contains("partial_sum") ||
+      plan.contains("partial_sum") || plan.toLowerCase.contains("partial"),
+      "expected map-side partial aggregation")
+  }
+
+  test("shipping priority: customer side broadcast, no shuffle of the dim") {
+    val plan = physicalPlan(RelQueries.shippingPriority(spark, sf()))
+    assert(plan.contains("BroadcastHashJoin"), s"customer join not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 should avoid global sort")
+  }
+
+  test("local supplier volume: every dimension join is broadcast") {
+    val plan = physicalPlan(RelQueries.localSupplierVolume(spark, sf()))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast:\n$plan")
+    // the single allowed shuffle join: lineitem ⋈ orders on orderkey
+    val nShuffleJoin = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+    assert(nShuffleJoin <= 1, s"more than one shuffled join:\n$plan")
+  }
+
+  test("top orders uses TakeOrderedAndProject (no global sort)") {
+    val plan = physicalPlan(RelQueries.topOrders(spark, sf()))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort shuffle present:\n$plan")
+  }
+
+  test("column pruning: pricing scan reads only needed columns") {
+    val plan = physicalPlan(RelQueries.pricingSummary(spark, sf()))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan reads unused columns: $readSchema")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+  }
+
+  test("events daily: ns→µs conversion is integer-exact at e18 scale") {
+    import spark.implicits._
+    // 2024-01-30T23:59:59.999999999 in ns; float division would land on
+    // the wrong microsecond (2^53 < 1.7e18)
+    val ns = 1706659199999999999L
+    val got = Seq(ns).toDF("ts")
+      .selectExpr("timestamp_micros(ts div 1000) AS t")
+      .selectExpr("date_format(t, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS s")
+      .head().getString(0)
+    assert(got === "2024-01-30 23:59:59.999999")
+  }
+
+  test("rel query results are non-empty and well-typed at sf0.001") {
+    val qs = Seq(
+      RelQueries.pricingSummary(spark, sf()),
+      RelQueries.shippingPriority(spark, sf()),
+      RelQueries.localSupplierVolume(spark, sf()),
+      RelQueries.topOrders(spark, sf()),
+      RelQueries.firstOrdersPerCustomer(spark, sf()),
+      RelQueries.eventsDaily(spark, sf()),
+      RelQueries.distinctUsers(spark, sf()))
+    qs.foreach(df => assert(df.count() > 0, df.columns.mkString(",")))
+  }
+}
