@@ -44,6 +44,12 @@ object SparkEntry {
     "rel_first_orders" -> ((s, dir) => RelQueries.firstOrdersPerCustomer(s, dir)),
     "rel_events_daily" -> ((s, dir) => RelQueries.eventsDaily(s, dir)),
     "rel_distinct_users" -> ((s, dir) => RelQueries.distinctUsers(s, dir)),
+    // ---- dedup family (training-data pipeline extensions) ----
+    "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
+    "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
+    "dedup_minhash" -> ((s, dir) => graft.dedup.Dedup.minhashLsh(s, dir)),
+    "dedup_simhash" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(s, dir)),
+    "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosine(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -154,7 +160,43 @@ object SparkEntry {
     "rel_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram" -> ngramJaccardSql,
+    // MinHash LSH (16 bands x 4 rows, 64 perms) has per-pair recall
+    // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
+    // output must equal the exact operator's — same oracle.
+    "dedup_minhash" -> ngramJaccardSql,
+    // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
   )
+
+  private def ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j FROM common
+      |JOIN cnt ca ON ca.doc_id = i
+      |JOIN cnt cb ON cb.doc_id = j
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin
 
   private def kvReplaySql: String =
     s"""WITH $kvOpsCte,

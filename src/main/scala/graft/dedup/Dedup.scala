@@ -1,0 +1,195 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the north-star extensions beyond reference parity (SURVEY §7
+  * phase 7). All operate on the `documents` table (doc_id, text) or
+  * `embeddings` (vec_id, embedding).
+  *
+  * Scale design (100 TB posture):
+  *  - Exact dedup groups on md5(text), not text: the shuffle carries a
+  *    16-byte key instead of whole documents.
+  *  - Near-dup (MinHash/LSH) is the scale path: candidate generation
+  *    is a band-bucket shuffle (linear), with a bucket-size cap so a
+  *    degenerate bucket can't go quadratic; only candidates pay the
+  *    exact-verification join.
+  *  - The exact n-gram Jaccard operator joins on shingle (linear in
+  *    total postings × per-shingle df), never materializing the
+  *    all-pairs cross product.
+  */
+object Dedup {
+
+  private def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Ordered lower-case alpha tokens (order preserved for shingling). */
+  private val toksExpr = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+
+  /** Distinct word-3-gram shingles per document; empty for docs with
+    * fewer than 3 tokens. Spark SQL array indexing `a[i]` is 0-based. */
+  private val shinglesExpr =
+    s"""CASE WHEN size($toksExpr) >= 3 THEN
+       |  array_distinct(transform(sequence(0, size($toksExpr) - 3),
+       |    i -> concat($toksExpr[i], ' ', $toksExpr[i+1], ' ', $toksExpr[i+2])))
+       |ELSE array() END""".stripMargin
+
+  /** Exact dedup: canonical representative (min doc_id) + copy count
+    * per distinct text, keyed by md5 so the shuffle key is 16 bytes. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct shingle postings: (doc_id, shingle). */
+  private def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold `tau`), computed by
+    * joining on shared shingles — |A∩B| from the join, |A∪B| from
+    * per-doc counts. Integer arithmetic end-to-end until the final
+    * ratio of ints, which is engine-exact. */
+  def ngramJaccard(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
+    val sh = shinglePostings(spark, sfDir).alias("a")
+    val sh2 = shinglePostings(spark, sfDir).alias("b")
+    val counts = shinglePostings(spark, sfDir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.join(sh2,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= tau)
+      .select(col("i"), col("j"))
+  }
+
+  /** MinHash signature: 64 permutations simulated as
+    * min(xxhash64(p, shingle)) over the shingle set, p = 0..63. */
+  private val minhashSigExpr =
+    s"""transform(sequence(0, 63),
+       |  p -> array_min(transform(sh, s -> xxhash64(p, s))))""".stripMargin
+
+  /** MinHash + LSH near-dup: 16 bands × 4 rows over a 64-perm
+    * signature, candidates = docs sharing a band bucket, then exact
+    * Jaccard verification at `tau`. With tau=0.5 and the planted
+    * near-dups at J≥0.9, per-pair recall is 1-(1-J^4)^16 ≈ 1-4e-8, so
+    * the output equals the exact operator's (the oracle asserts that).
+    *
+    * @param maxBucket degenerate-bucket cap: buckets larger than this
+    *   are dropped from candidate generation (standard LSH guard; at
+    *   100 TB a hot bucket would otherwise go quadratic). Dropped
+    *   buckets only LOSE candidates, which the recall math already
+    *   accounts for at sane caps.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val sigs = documents(spark, sfDir)
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr(minhashSigExpr).as("sig"))
+    val buckets = sigs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS h))"))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.h"))
+    val candidates = buckets
+      .groupBy(col("band"), col("h"))
+      .agg(collect_set(col("doc_id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(array_sort(members), (x, xi) ->
+          |  transform(slice(array_sort(members), xi + 2, size(members)), y -> struct(x AS i, y AS j))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i"), col("p.j"))
+      .distinct()
+    // exact verification join against shingle sets
+    val shs = documents(spark, sfDir)
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+    candidates
+      .join(shs.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(shs.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= tau)
+      .select(col("i"), col("j"))
+  }
+
+  /** 64-bit SimHash of a feature set: bit b of the signature is the
+    * sign of Σ_features (±1 per bit of the feature hash). Features are
+    * the distinct word-3-gram shingles (not raw tokens: with a tiny
+    * vocabulary, token-count features leave the per-bit sums hovering
+    * near zero and the signature unstable). Near-dup = Hamming ≤
+    * `maxHamming`, blocked by 8 × 8-bit bands (any pair within
+    * distance 7 shares at least one exact band). With few features per
+    * doc the signature is noisy — J≈0.97 pairs land at Hamming 5-10 —
+    * so the default radius is 7, the largest the banding covers. */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val acc = new Array[Long](64)
+    tokens.foreach { t =>
+      // two 32-bit murmurs with distinct seeds → 64 bits (no cross-
+      // engine parity required; this operator has no SQL oracle)
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) { acc(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L); b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  final case class SimhashRow(doc_id: Long, sig: Long)
+
+  /** SimHash near-dup pairs at Hamming ≤ maxHamming (default 7).
+    * 8-bit bands bucket coarsely, so the same degenerate-bucket cap as
+    * MinHash LSH guards the candidate join at scale. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 7,
+      maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val sigs = documents(spark, sfDir)
+      .select(col("doc_id"), expr(shinglesExpr).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
+      .toDF()
+    // 8 bands × 8 bits: Hamming ≤ 7 guarantees ≥1 identical band
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 7), b -> struct(b AS band, shiftright(sig, b*8) & 255 AS h))")).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
+    val candidates = banded
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(array_sort(members), (x, xi) ->
+          |  transform(slice(array_sort(members), xi + 2, size(members)),
+          |    y -> struct(x.doc_id AS i, y.doc_id AS j,
+          |                bit_count(x.sig ^ y.sig) AS dist))))""".stripMargin)).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.dist"))
+      .distinct()
+    candidates.filter(col("dist") <= maxHamming).select(col("i"), col("j"))
+  }
+
+  /** Embedding cosine near-dup pairs at `tau`. Brute-force self-join —
+    * correct baseline; the LSH-bucketed scale path lives in
+    * `graft.sim.Similarity`. All math in double with sequential
+    * summation for engine parity. */
+  def embeddingCosine(spark: SparkSession, sfDir: String, tau: Double = 0.45): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .select(col("vec_id"), col("v"),
+        expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))").as("nrm"))
+    val a = e.alias("a"); val b = e.alias("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+        (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+  }
+}
