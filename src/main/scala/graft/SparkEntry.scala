@@ -50,6 +50,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => graft.dedup.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosine(s, dir)),
+    // ---- similarity search ----
+    "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
+    "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -176,6 +179,18 @@ object SparkEntry {
         |SELECT a.vec_id AS i, b.vec_id AS j
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
+        |  FROM q, e WHERE e.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
   )
 
   private def ngramJaccardSql: String =
