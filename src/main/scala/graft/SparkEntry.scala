@@ -53,6 +53,11 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
+    // ---- text analysis ----
+    "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
+    "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
+    "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
+    "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -191,6 +196,48 @@ object SparkEntry {
         |  FROM q, e WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
     // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  length(regexp_replace(lower(text), '[^a-z]', '', 'g')) // 4 AS n_subwords_est
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop, n_punct, n_alpha,
+        |  CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
+        |    AS is_quality
+        |FROM q""".stripMargin,
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('the','and','of','with'))) AS c_en,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('der','die','das','und'))) AS c_de,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('el','los','las','y'))) AS c_es,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('le','les','et','une'))) AS c_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |    WHEN c_es >= c_fr THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |FROM c""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
   )
 
   private def ngramJaccardSql: String =

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data pipeline extensions (language ID, quality scoring,
+  * token counting, fingerprinting). All built from codegen'd built-in
+  * functions (no UDFs): one narrow pass per operator, no shuffle — the
+  * ideal 100 TB shape (map-only, column-pruned scan).
+  *
+  * Every output is integer/string-typed so cross-engine compares are
+  * exact (no float ratios; ratio thresholds use integer cross-
+  * multiplication).
+  */
+object TextAnalysis {
+
+  private def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace token count + char count (BPE-ish subword count is the
+    * alpha-char count / 4 heuristic — kept integer). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(regexp_replace(lower(col("text")), "[^a-z]", "")) / lit(4))
+        .cast("long").as("n_subwords_est"))
+
+  /** Quality signals: token/stopword/punctuation/alpha counts and an
+    * integer quality flag (length window + stopword ratio >= 5%,
+    * compared via cross-multiplication to stay in integers). */
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").cast("long").as("n_tokens"),
+        expr("size(filter(split(lower(text), '[^a-z]+'), " +
+          "x -> x IN ('the','a','of','and','to','is','in')))").cast("long").as("n_stop"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long").as("n_punct"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"), col("n_alpha"),
+        (col("n_tokens").between(5, 10000) && col("n_stop") * 20 >= col("n_tokens"))
+          .cast("int").as("is_quality"))
+
+  /** n-gram-heuristic language ID: count per-language marker tokens,
+    * argmax with a fixed priority tiebreak (en>de>es>fr) via a CASE
+    * cascade (each branch requires >= all later counts; equivalent to
+    * priority-tiebroken argmax and expressible identically in DuckDB,
+    * whose `greatest` cannot compare structs). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def cnt(words: String) =
+      s"size(filter(split(lower(text), '[^a-z]+'), x -> x IN ($words)))"
+    val (en, de, es, fr) = (cnt("'the','and','of','with'"), cnt("'der','die','das','und'"),
+      cnt("'el','los','las','y'"), cnt("'le','les','et','une'"))
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      expr(
+        s"""CASE
+           |  WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+           |  WHEN $de >= $es AND $de >= $fr THEN 'de'
+           |  WHEN $es >= $fr THEN 'es'
+           |  ELSE 'fr' END""".stripMargin).as("lang_pred"))
+  }
+
+  /** Document fingerprint: md5 of case/whitespace/punctuation-
+    * normalized text — robust exact-dup key across formatting noise. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token/char counts are consistent") {
+    val df = TextAnalysis.tokenCount(spark, sf()).collect()
+    val nchars = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.foreach { r =>
+      assert(r.getAs[Long]("n_chars") === nchars(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_tokens") >= 0)
+    }
+  }
+
+  test("quality flag follows its integer definition") {
+    TextAnalysis.quality(spark, sf()).collect().foreach { r =>
+      val expect = r.getAs[Long]("n_tokens") >= 5 && r.getAs[Long]("n_tokens") <= 10000 &&
+        r.getAs[Long]("n_stop") * 20 >= r.getAs[Long]("n_tokens")
+      assert(r.getAs[Int]("is_quality") === (if (expect) 1 else 0))
+    }
+  }
+
+  test("langid emits a language for every doc") {
+    val langs = TextAnalysis.langId(spark, sf()).collect()
+      .map(_.getAs[String]("lang_pred")).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr")))
+  }
+
+  test("fingerprint collapses case/whitespace/punct variants") {
+    import spark.implicits._
+    val df = Seq("Hello, World!", "hello   world", "HELLO-WORLD", "other text")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val fps = df.select(
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1) && fps(1) === fps(2))
+    assert(fps(3) !== fps(0))
+  }
+
+  test("RollingHash: reference values, codegen path, order sensitivity") {
+    import spark.implicits._
+    // h("ab") = (('a'+1) + ('b'+1)*257) % 1e9+7
+    val expectAb = ((('a' + 1) + ('b' + 1) * 257L) % RollingHash.Mod)
+    assert(RollingHash.hash("ab".getBytes("UTF-8")) === expectAb)
+    assert(RollingHash.hash("ba".getBytes("UTF-8")) !==
+      RollingHash.hash("ab".getBytes("UTF-8")))
+    assert(RollingHash.hash(Array.emptyByteArray) === 0L)
+    val got = Seq("ab", "ba", "").toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got(0) === expectAb)
+    assert(got(2) === 0L)
+  }
+}
