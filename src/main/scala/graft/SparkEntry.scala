@@ -29,6 +29,12 @@ object SparkEntry {
     "k_replay_dedup" -> ((s, dir) =>
       Kv.replay(Kv.opsFromEvents(s, dir), exactlyOnce = true).toDF()),
     "k_getlog" -> ((s, dir) => Kv.getLog(Kv.opsFromEvents(s, dir)).toDF()),
+    "k_replay_stream" -> ((s, dir) => {
+      // the streaming state machine run in batch mode: same fold, same oracle
+      import org.apache.spark.sql.functions.col
+      graft.streaming.KvStream.replayStream(Kv.opsFromEvents(s, dir))
+        .toDF().select(col("key"), col("state"))
+    }),
     "k_shard" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       Kv.shardAssignment(
@@ -102,6 +108,7 @@ object SparkEntry {
         |WHERE length(word) > 0 GROUP BY doc_id""".stripMargin,
     "k_replay" -> kvReplaySql,
     "k_replay_dedup" -> kvReplaySql, // events have unique (client, clientSeq)
+    "k_replay_stream" -> kvReplaySql, // stream fold ≡ batch fold on ordered log
     "k_getlog" ->
       s"""WITH $kvOpsCte,
          |st AS (

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.kv.{KvOp, KvState}
+
+/** Online (Structured Streaming) version of the KV op-log fold — the
+  * reference's live server path re-expressed as stateful stream
+  * processing (SURVEY §3.3: proposal→log→apply ≡ append op to ordered
+  * log → fold into state).
+  *
+  * State per key: current value + the exactly-once ledger — highest
+  * applied clientSeq per client (`src/kvraft` requires duplicate client
+  * retries to apply once) + the highest applied global seq (late/replayed
+  * ops below it are dropped, making the fold idempotent under at-least-
+  * once delivery per key).
+  *
+  * Ordering contract: ops are folded in `seq` order WITHIN each
+  * micro-batch; ACROSS batches delivery must be per-key in-order
+  * (the reference's Raft log gives exactly that). This mirrors the
+  * lab's semantics rather than inventing event-time watermarking the
+  * reference does not have (SURVEY §7 phase-5 note).
+  *
+  * Scale: state is per-key O(value + #clients); the streaming shuffle
+  * partitions by key exactly like the batch replay, and the HDFS/RocksDB
+  * state store handles key counts far beyond executor memory.
+  */
+object KvStream {
+
+  final case class KvLedgerState(
+      value: String,
+      lastSeq: Long,
+      clientMax: Map[Long, Long])
+
+  /** Streaming output row: key state plus the highest applied seq —
+    * consumers pick a key's latest snapshot with max_by(state, seq). */
+  final case class KvSnapshot(key: String, state: String, seq: Long)
+
+  /** Fold one sorted run of ops into the ledgered state. */
+  private[streaming] def applyOps(st: KvLedgerState, ops: Seq[KvOp]): KvLedgerState =
+    ops.sortBy(_.seq).foldLeft(st) { (s, o) =>
+      if (o.seq <= s.lastSeq) s // late replay of an applied op
+      else if (s.clientMax.get(o.clientId).exists(o.clientSeq <= _)) s // client retry
+      else {
+        val v = o.op match {
+          case "put"    => o.value
+          case "append" => s.value + o.value
+          case _        => s.value
+        }
+        KvLedgerState(v, o.seq, s.clientMax.updated(o.clientId, o.clientSeq))
+      }
+    }
+
+  /** Streaming state machine: emits the key's post-batch snapshot every
+    * time the key sees traffic (OutputMode.Update). */
+  def replayStream(ops: Dataset[KvOp]): Dataset[KvSnapshot] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState[KvLedgerState, KvSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[KvOp], state: GroupState[KvLedgerState]) =>
+          val st0 = state.getOption.getOrElse(KvLedgerState("", -1L, Map.empty))
+          val st1 = applyOps(st0, batch.toSeq)
+          state.update(st1)
+          Iterator.single(KvSnapshot(key, st1.value, st1.lastSeq))
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.kv.{Kv, KvOp}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class Ev(ts: Long, event_type: String, value: Double)
+
+class KvStreamSpec extends SparkSpec {
+
+  private def randomLog(seed: Long, n: Int): Vector[KvOp] = {
+    val rnd = new scala.util.Random(seed)
+    val keys = Vector("a", "b", "zz", "k9")
+    val kinds = Vector("get", "put", "append")
+    Vector.tabulate(n) { i =>
+      KvOp(i.toLong, rnd.nextInt(5).toLong, i.toLong, kinds(rnd.nextInt(3)),
+        keys(rnd.nextInt(keys.size)), s"v$i.")
+    }
+  }
+
+  private def finalStates(sink: String): Map[String, String] =
+    spark.table(sink)
+      .groupBy(col("key")).agg(expr("max_by(state, seq)").as("state"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("streaming fold equals batch replay on every prefix (3 batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ops = randomLog(11, 90)
+    val chunks = ops.grouped(30).toVector
+    val input = MemoryStream[KvOp]
+    val q = KvStream.replayStream(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("kvout").start()
+    try {
+      var consumed = Vector.empty[KvOp]
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+        consumed ++= chunk
+        val batchResult = Kv.replay(consumed.toDS()).collect()
+          .map(s => s.key -> s.state).toMap
+        // streaming table holds one row per (key, batch-it-saw-traffic);
+        // latest row per key must equal the batch fold of the prefix
+        val streamResult = finalStates("kvout")
+        assert(streamResult === batchResult, s"prefix of ${consumed.size} ops")
+      }
+    } finally q.stop()
+  }
+
+  test("exactly-once ledger drops client retries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KvOp]
+    val q = KvStream.replayStream(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("kvdedup").start()
+    try {
+      input.addData(Seq(
+        KvOp(0, 1, 0, "put", "k", "A"),
+        KvOp(1, 1, 1, "append", "k", "B")))
+      q.processAllAvailable()
+      // retry of clientSeq=1 arrives in a LATER batch with a new seq
+      input.addData(Seq(
+        KvOp(2, 1, 1, "append", "k", "B"),
+        KvOp(3, 2, 0, "append", "k", "C")))
+      q.processAllAvailable()
+      assert(finalStates("kvdedup")("k") === "ABC")
+    } finally q.stop()
+  }
+
+  test("windowed streaming aggregation matches batch on the events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().map(t => Ev(t._1, t._2, t._3))
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("evagg").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("evagg")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.queries.RelQueries.eventsDaily(spark, sf())
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
