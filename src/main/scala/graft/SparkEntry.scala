@@ -64,6 +64,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
+    // ---- multimodal (stubbed decode; real plumbing) ----
+    "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
+    "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -245,7 +248,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // media payload = ASCII text bytes, so byte_len == length(text) and
+    // the stub-decode arithmetic is reproducible in SQL
+    "mm_features" -> mmFeaturesSql,
+    "mm_kind_summary" ->
+      s"""SELECT kind, count(*) AS n,
+         |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+         |  max(width) AS max_width
+         |FROM ($mmFeaturesSql) GROUP BY kind""".stripMargin,
   )
+
+  private def mmFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  length(text) AS byte_len,
+      |  64 + (length(text) * 7919) % 1856 AS width,
+      |  64 + (length(text) * 104729) % 1016 AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 240 ELSE 1 END AS n_frames,
+      |  CASE doc_id % 3 WHEN 1 THEN length(text) * 8
+      |       WHEN 2 THEN (1 + length(text) % 240) * 40 ELSE 0 END AS duration_ms
+      |FROM documents""".stripMargin
 
   private def ngramJaccardSql: String =
     """WITH toks AS (

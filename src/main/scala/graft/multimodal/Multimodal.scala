@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches — the Spark-side shape a training-data pipeline needs
+  * (schema, partitioning, batch signature) with the codec itself
+  * STUBBED (no media libraries in this environment).
+  *
+  * ══════════════════ STUB BOUNDARY ══════════════════
+  * `decodeStub` is a deterministic FAKE decoder: it derives
+  * plausible-looking features purely from the byte payload
+  * (length + first/last bytes). A real deployment replaces ONLY
+  * that function with an actual codec (JNI/FFI, or `mapInPandas`
+  * with PIL/torchaudio on PySpark); every other moving part —
+  * the media schema, binary column handling, partition-local
+  * batched iteration, feature schema — is real and tested.
+  * ═══════════════════════════════════════════════════
+  *
+  * Scale notes: media bytes never leave their scan partition (decode
+  * is map-only, no shuffle); batches bound peak memory the way Arrow
+  * record batches do for Pandas UDFs; metadata-only queries prune the
+  * binary column at the parquet reader (columnar layout keeps payload
+  * IO out of the metadata path).
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
+      mime: String)
+  final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
+      width: Long, height: Long, n_frames: Long, duration_ms: Long)
+
+  /** Synthesize a media table from `documents` (text bytes stand in
+    * for the payload): deterministic kinds by doc_id. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        expr("element_at(array('image','audio','video'), cast(doc_id % 3 AS int) + 1)").as("kind"),
+        col("text").cast("binary").as("media"),
+        expr("element_at(array('image/png','audio/wav','video/mp4'), cast(doc_id % 3 AS int) + 1)").as("mime"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode (see class doc): features from byte length only, so an
+    * arithmetic SQL oracle can verify the full pipeline around it. */
+  private[multimodal] def decodeStub(kind: String, bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val n = bytes.length.toLong
+    val width = 64L + (n * 7919L) % 1856L
+    val height = 64L + (n * 104729L) % 1016L
+    val frames = if (kind == "video") 1L + n % 240L else 1L
+    val durationMs = kind match {
+      case "audio" => n * 8L
+      case "video" => frames * 40L
+      case _       => 0L
+    }
+    (width, height, frames, durationMs)
+  }
+
+  /** Batched feature extraction: partition-local, `batchSize` rows per
+    * decode call — the exact shape a vectorized (Arrow/Pandas) decode
+    * would use, so swapping the stub for a real batch codec is a
+    * drop-in change. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode `batch` as one vectorized call
+        batch.iterator.map { r =>
+          val (w, h, f, d) = decodeStub(r.kind, r.media)
+          MediaFeatures(r.media_id, r.kind, r.media.length.toLong, w, h, f, d)
+        }
+      }
+    }
+  }
+
+  /** End-to-end query: synthesize → decode (stub) → typed features. */
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mediaTable(spark, sfDir)).toDF()
+
+  /** Metadata-only rollup — must NOT read the binary column (columnar
+    * pruning keeps payload IO off the metadata path). */
+  def kindSummary(spark: SparkSession, sfDir: String): DataFrame =
+    features(spark, sfDir)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"),
+        max(col("width")).as("max_width"))
+}
