@@ -27,13 +27,23 @@ object Dedup {
   /** Ordered lower-case alpha tokens (order preserved for shingling). */
   private val toksExpr = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
 
-  /** Distinct word-3-gram shingles per document; empty for docs with
-    * fewer than 3 tokens. Spark SQL array indexing `a[i]` is 0-based. */
-  private val shinglesExpr =
-    s"""CASE WHEN size($toksExpr) >= 3 THEN
-       |  array_distinct(transform(sequence(0, size($toksExpr) - 3),
-       |    i -> concat($toksExpr[i], ' ', $toksExpr[i+1], ' ', $toksExpr[i+2])))
-       |ELSE array() END""".stripMargin
+  /** Distinct word-3-gram shingles from a materialized `toks` ARRAY
+    * COLUMN. The tokenization must be its own projection: inlining it
+    * here would re-evaluate the regex split at every lambda element
+    * (higher-order lambdas re-evaluate captured non-attribute
+    * expressions per element — O(tokens²) regex work, measured as a
+    * 10-30× slowdown at sf0.1). Spark SQL `a[i]` is 0-based. */
+  private val shinglesFromToks =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(0, size(toks) - 3),
+      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+      |ELSE array() END""".stripMargin
+
+  /** (doc_id, sh: array<string>) — two-step projection, see above. */
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), expr(shinglesFromToks).as("sh"))
 
   /** Exact dedup: canonical representative (min doc_id) + copy count
     * per distinct text, keyed by md5 so the shuffle key is 16 bytes. */
@@ -42,10 +52,19 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc distinct shingle postings: (doc_id, shingle). */
+  /** Per-doc distinct shingle postings: (doc_id, shingle).
+    *
+    * explode_OUTER + null-filter, not plain explode: for a non-outer
+    * Generate the optimizer infers `size(sh) > 0` and pushes it below
+    * the projections, INLINING the whole shingle pipeline into a
+    * pre-scan filter whose lambda re-evaluates the inlined tokenizer
+    * per element — measured 20 s of redundant regex splitting at sf0.1
+    * vs 0.7 s for the projections themselves. The null-filter sits on
+    * the generated attribute, which cannot be pushed through. */
   private def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+    docShingles(spark, sfDir)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
 
   /** Exact n-gram Jaccard near-dup pairs (threshold `tau`), computed by
     * joining on shared shingles — |A∩B| from the join, |A∪B| from
@@ -67,11 +86,12 @@ object Dedup {
       .select(col("i"), col("j"))
   }
 
-  /** MinHash signature: 64 permutations simulated as
-    * min(xxhash64(p, shingle)) over the shingle set, p = 0..63. */
-  private val minhashSigExpr =
-    s"""transform(sequence(0, 63),
-       |  p -> array_min(transform(sh, s -> xxhash64(p, s))))""".stripMargin
+  // (MinHash signatures are built as 64 explicit min-aggregates over the
+  // exploded shingle postings, NOT as a nested higher-order lambda over a
+  // shingle-array column: a lambda body re-evaluates captured expressions
+  // once per outer element — 64× the shingling work per row, measured as
+  // a 20× slowdown at sf0.1 — and the aggregate form additionally gets
+  // map-side partial min combine, the right shape at scale.)
 
   /** MinHash + LSH near-dup: 16 bands × 4 rows over a 64-perm
     * signature, candidates = docs sharing a band bucket, then exact
@@ -88,10 +108,10 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val sigs = documents(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), expr(minhashSigExpr).as("sig"))
+    val sigs = shinglePostings(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(array((0 until 64).map(p =>
+        min(xxhash64(lit(p), col("s")))): _*).as("sig"))
     val buckets = sigs.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS h))"))
@@ -108,8 +128,7 @@ object Dedup {
       .select(col("p.i"), col("p.j"))
       .distinct()
     // exact verification join against shingle sets
-    val shs = documents(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+    val shs = docShingles(spark, sfDir)
     candidates
       .join(shs.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
       .join(shs.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
@@ -152,8 +171,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 7,
       maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val sigs = documents(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("toks"))
+    val sigs = docShingles(spark, sfDir)
       .as[(Long, Seq[String])]
       .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
       .toDF()
@@ -176,20 +194,34 @@ object Dedup {
     candidates.filter(col("dist") <= maxHamming).select(col("i"), col("j"))
   }
 
-  /** Embedding cosine near-dup pairs at `tau`. Brute-force self-join —
-    * correct baseline; the LSH-bucketed scale path lives in
-    * `graft.sim.Similarity`. All math in double with sequential
-    * summation for engine parity. */
+  /** Embedding cosine near-dup pairs at `tau`: each partition compares
+    * its rows against the broadcast upper triangle (id > local id) with
+    * tight double loops — a nested-loop JOIN with an interpreted
+    * higher-order cosine predicate costs ~20× more per pair. Sequential
+    * summation keeps parity with the DuckDB oracle. Brute force is the
+    * correct baseline at moderate N; the bucketed scale path (corpus
+    * too big to broadcast) lives in `graft.sim.Similarity.topKIvf`. */
   def embeddingCosine(spark: SparkSession, sfDir: String, tau: Double = 0.45): DataFrame = {
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .select(col("vec_id"), col("v"),
-        expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))").as("nrm"))
-    val a = e.alias("a"); val b = e.alias("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .filter(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-        (col("a.nrm") * col("b.nrm")) >= tau)
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+    import spark.implicits._
+    val vecs = graft.sim.Similarity.loadVectors(spark, sfDir)
+    val all = vecs.collect().sortBy(_.vec_id)
+    val bc = spark.sparkContext.broadcast(all)
+    vecs.mapPartitions { rows =>
+      val everyone = bc.value
+      rows.flatMap { r =>
+        // binary search for the first id > r.vec_id (upper triangle)
+        var lo = 0; var hi = everyone.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (everyone(mid).vec_id <= r.vec_id) lo = mid + 1 else hi = mid
+        }
+        Iterator.range(lo, everyone.length).flatMap { bi =>
+          val b = everyone(bi)
+          if (graft.sim.Similarity.cosine(r, b) >= tau)
+            Iterator.single((r.vec_id, b.vec_id))
+          else Iterator.empty
+        }
+      }
+    }.toDF("i", "j")
   }
 }

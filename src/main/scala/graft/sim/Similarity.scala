@@ -33,7 +33,8 @@ object Similarity {
     }
   }
 
-  private[sim] def cosine(a: Vec, b: Vec): Double = {
+  /** Sequential-summation cosine (engine-parity order; see Dedup). */
+  def cosine(a: Vec, b: Vec): Double = {
     var dot = 0.0
     var i = 0
     val av = a.v; val bv = b.v
