@@ -24,6 +24,7 @@ object SparkEntry {
     "q_indexer" -> ((s, dir) => MrQueries.invertedIndex(s, dir)),
     "q_profile" -> ((s, dir) => MrQueries.scalarProfile(s, dir)),
     "q_filecount" -> ((s, dir) => MrQueries.perFileCount(s, dir)),
+    "q_wc_salted" -> ((s, dir) => MrQueries.wordCountSalted(s, dir)),
     // ---- §2.3 KV / sharding semantics as data processing (K1-K9) ----
     "k_replay" -> ((s, dir) => Kv.replay(Kv.opsFromEvents(s, dir)).toDF()),
     "k_replay_dedup" -> ((s, dir) =>
@@ -42,6 +43,11 @@ object SparkEntry {
     }),
     "k_config_history" -> ((s, dir) =>
       ShardCtrler.historyDf(s, ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))),
+    "k_route" -> ((s, dir) => {
+      val history = ShardCtrler.historyDf(s,
+        ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))
+      Kv.routeOps(Kv.opsFromEvents(s, dir), history, epochLen = 100L)
+    }),
     // ---- §7 phase-7 relational extensions (TPC-H-ish) ----
     "rel_pricing" -> ((s, dir) => RelQueries.pricingSummary(s, dir)),
     "rel_shipping_priority" -> ((s, dir) => RelQueries.shippingPriority(s, dir)),
@@ -81,13 +87,18 @@ object SparkEntry {
       |         'v' || CAST(event_id AS VARCHAR) || ';' AS value
       |  FROM events)""".stripMargin
 
+  private val wcSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents)
+      |WHERE length(word) > 0 GROUP BY word""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_wc" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents)
-        |WHERE length(word) > 0 GROUP BY word""".stripMargin,
+    "q_wc" -> wcSql,
+    // two-phase salted aggregation must be bit-identical to the direct one
+    "q_wc_salted" -> wcSql,
+    // k_route: joins a Scala-fold config history → rows-only check
     "q_indexer" ->
       """WITH t AS (
         |  SELECT DISTINCT printf('%09d', doc_id) AS doc,

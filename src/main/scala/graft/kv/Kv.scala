@@ -111,4 +111,24 @@ object Kv {
   def shardAssignment(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).as("key")).distinct()
       .select(col("key"), key2shard(col("key")).cast("int").as("shard"))
+
+  /** K9 — reconfig-aware routing: each op joins the config epoch active
+    * at its position in the log and routes to the group owning its
+    * shard there (the data-follows-shards semantics of
+    * `src/shardkv/client.go:62-122`, re-expressed as a broadcast join
+    * against the config history instead of client retry loops).
+    *
+    * The log is partitioned into equal-length config epochs
+    * (`epochLen` ops per config, the deterministic stand-in for "the
+    * reconfiguration happened at log position N"). Config history rows
+    * are tiny (numConfigs × 10 shards) → always broadcast; the fact
+    * stream never shuffles. */
+  def routeOps(ops: Dataset[KvOp], history: DataFrame, epochLen: Long): DataFrame = {
+    val maxNum = history.agg(max(col("config_num"))).head().getInt(0)
+    ops.toDF()
+      .select(col("seq"), col("key"), key2shard(col("key")).cast("int").as("shard"),
+        least(floor(col("seq") / epochLen), lit(maxNum)).cast("int").as("config_num"))
+      .join(broadcast(history), Seq("config_num", "shard"), "left")
+      .select(col("seq"), col("key"), col("shard"), col("config_num"), col("gid"))
+  }
 }

@@ -77,6 +77,14 @@ object MrQueries {
       .agg(concat_ws(" ", sort_array(collect_list(col("value")))).as("profile"))
   }
 
+  /** Q1 wc via explicit two-phase salting (`core.Skew`) — identical
+    * result to [[wordCount]] (same oracle), demonstrating the hot-key
+    * path for Zipfian corpora where one post-combine key still
+    * overwhelms a single reducer. */
+  def wordCountSalted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Skew.saltedCount(tokens(spark, sfDir), col("word"), col("doc_id"))
+      .withColumnRenamed("key", "word")
+
   /** Q6 early_exit — per-file count (`src/mrapps/early_exit.go:19-36`):
     * Map emits (filename, "1") once per file; Reduce counts. Extended to
     * the more useful per-document token count so the aggregation is
