@@ -56,6 +56,11 @@ object SparkEntry {
     "rel_first_orders" -> ((s, dir) => RelQueries.firstOrdersPerCustomer(s, dir)),
     "rel_events_daily" -> ((s, dir) => RelQueries.eventsDaily(s, dir)),
     "rel_distinct_users" -> ((s, dir) => RelQueries.distinctUsers(s, dir)),
+    "rel_approx_users" -> ((s, dir) => RelQueries.approxDistinctUsers(s, dir)),
+    "rel_rollup" -> ((s, dir) => RelQueries.pricingRollup(s, dir)),
+    "rel_anti" -> ((s, dir) => RelQueries.customersWithoutOrders(s, dir)),
+    "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
+    "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
@@ -189,6 +194,36 @@ object SparkEntry {
     "rel_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    // rel_approx_users: HLL estimate, engine-specific → rows-only
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "rel_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "rel_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    user_id % (SELECT count(*) FROM customer) AS user_key,
+        |    DATE '1995-01-01' + INTERVAL ((event_id % 2500)) DAY AS day
+        |  FROM events),
+        |ord AS (
+        |  SELECT o_custkey AS user_key, CAST(o_orderdate AS DATE) AS day,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_key, strftime(e.day, '%Y-%m-%d') AS day,
+        |  o.o_orderkey
+        |FROM ev e ASOF LEFT JOIN ord o
+        |  ON e.user_key = o.user_key AND e.day >= o.day""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

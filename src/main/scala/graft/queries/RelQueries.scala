@@ -127,4 +127,58 @@ object RelQueries {
     t(spark, sfDir, "events")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** HLL-sketch distinct counts — the 100 TB path (constant memory per
+    * group vs a distinct-set shuffle). No SQL oracle (sketch estimates
+    * are engine-specific); RelQueriesSpec pins the error band. */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"))
+
+  /** ROLLUP pricing totals: per (flag, status), per flag, grand total —
+    * null grouping slots coalesced to 'ALL' for engine-neutral output. */
+  def pricingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+
+  /** Anti join: customers that never ordered (left_anti — no fact
+    * shuffle when the dim side is the probe side and orders is keyed). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer").select(col("c_custkey"))
+      .join(t(spark, sfDir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+
+  /** Set operation: customers active in 1996 but not 1997 (EXCEPT). */
+  def lapsedCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    def active(year: Int) = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    active(1996).except(active(1997))
+  }
+
+  /** As-of join: each (synthetic-dated) event matched to the user's
+    * latest order on-or-before that date — `operators.AsOfJoin`. */
+  def eventOrderAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val nCust = t(spark, sfDir, "customer").count()
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(nCust)).as("user_key"),
+        date_add(lit("1995-01-01").cast("date"),
+          pmod(col("event_id"), lit(2500)).cast("int")).as("day"))
+    val ord = t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("user_key"),
+        col("o_orderdate").cast("date").as("day"),
+        col("o_orderkey"))
+    graft.operators.AsOfJoin.asof(ev, ord, key = "user_key", t = "day",
+        payload = "o_orderkey")
+      .select(col("event_id"), col("user_key"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("o_orderkey"))
+  }
 }

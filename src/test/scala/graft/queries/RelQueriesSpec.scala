@@ -59,6 +59,24 @@ class RelQueriesSpec extends SparkSpec {
     assert(got === "2024-01-30 23:59:59.999999")
   }
 
+  test("approx distinct users within 5% of exact") {
+    val exact = RelQueries.distinctUsers(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    RelQueries.approxDistinctUsers(spark, sf()).collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getLong(1).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("rollup: grand total row equals sum of leaf rows") {
+    val rows = RelQueries.pricingRollup(spark, sf()).collect()
+    val grand = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(leaves.map(_.getAs[Long]("sum_qty")).sum === grand.getAs[Long]("sum_qty"))
+    assert(leaves.map(_.getAs[Long]("n")).sum === grand.getAs[Long]("n"))
+  }
+
   test("rel query results are non-empty and well-typed at sf0.001") {
     val qs = Seq(
       RelQueries.pricingSummary(spark, sf()),
