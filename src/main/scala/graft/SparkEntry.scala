@@ -61,6 +61,8 @@ object SparkEntry {
     "rel_anti" -> ((s, dir) => RelQueries.customersWithoutOrders(s, dir)),
     "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
     "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
+    "rel_sessions" -> ((s, dir) => RelQueries.sessionize(s, dir)),
+    "rel_median" -> ((s, dir) => RelQueries.medianValue(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
@@ -224,6 +226,36 @@ object SparkEntry {
         |  o.o_orderkey
         |FROM ev e ASOF LEFT JOIN ord o
         |  ON e.user_key = o.user_key AND e.day >= o.day""".stripMargin,
+    "rel_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |marked AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+    "rel_median" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, cents AS median_cents
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -163,6 +163,43 @@ object RelQueries {
     active(1996).except(active(1997))
   }
 
+  /** Gap-based sessionization of the event stream: a session breaks
+    * after 30 min of user inactivity. session index = running count of
+    * gap-breaks per user (one shuffle on user_id; windows run inside
+    * the partition). Integer outputs only. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+    val gapMarked = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("brk",
+        (col("prev_us").isNull || col("us") - col("prev_us") > lit(30L * 60 * 1000000)).cast("long"))
+      .withColumn("session_idx", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    gapMarked
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+  }
+
+  /** Discrete per-group median (lower middle element) via row_number —
+    * deterministic and identical across engines, unlike interpolated /
+    * sketched quantiles. At scale this is one shuffle; for the
+    * approximate 100 TB path use percentile_approx on the same column. */
+  def medianValue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("median_cents"))
+  }
+
   /** As-of join: each (synthetic-dated) event matched to the user's
     * latest order on-or-before that date — `operators.AsOfJoin`. */
   def eventOrderAsof(spark: SparkSession, sfDir: String): DataFrame = {
