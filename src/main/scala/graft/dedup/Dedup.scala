@@ -86,12 +86,34 @@ object Dedup {
       .select(col("i"), col("j"))
   }
 
-  // (MinHash signatures are built as 64 explicit min-aggregates over the
-  // exploded shingle postings, NOT as a nested higher-order lambda over a
-  // shingle-array column: a lambda body re-evaluates captured expressions
-  // once per outer element — 64× the shingling work per row, measured as
-  // a 20× slowdown at sf0.1 — and the aggregate form additionally gets
-  // map-side partial min combine, the right shape at scale.)
+  /** 64-perm MinHash signature of a shingle set, computed in one tight
+    * narrow pass (no shuffle): base 64-bit hash per shingle, then 64
+    * cheap splitmix64-style derived permutations. Formulations tried
+    * and rejected: a nested higher-order lambda re-evaluates the
+    * captured shingle pipeline per permutation (64×, ~685 s at sf0.1);
+    * 64 explicit min-aggregates are shuffle-shaped correctly but pay
+    * ~10 s of one-time whole-stage-codegen (janino) compilation for
+    * the 64-wide aggregate. Plain Scala is ~17M mixes ≈ instant. */
+  private[dedup] def minhashSig(shingles: Seq[String]): Array[Long] = {
+    val sig = Array.fill(64)(Long.MaxValue)
+    shingles.foreach { s =>
+      val base = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 0xe6546b64).toLong & 0xffffffffL)
+      var p = 0
+      while (p < 64) {
+        // splitmix64 finalizer over base + odd-constant stream index
+        var z = base + (p.toLong * 0x9e3779b97f4a7c15L)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < sig(p)) sig(p) = z
+        p += 1
+      }
+    }
+    sig
+  }
+
+  final case class MinhashRow(doc_id: Long, sig: Array[Long])
 
   /** MinHash + LSH near-dup: 16 bands × 4 rows over a 64-perm
     * signature, candidates = docs sharing a band bucket, then exact
@@ -108,10 +130,11 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val sigs = shinglePostings(spark, sfDir)
-      .groupBy(col("doc_id"))
-      .agg(array((0 until 64).map(p =>
-        min(xxhash64(lit(p), col("s")))): _*).as("sig"))
+    val sigs = docShingles(spark, sfDir)
+      .as[(Long, Seq[String])]
+      .filter(_._2.nonEmpty)
+      .map { case (id, sh) => MinhashRow(id, minhashSig(sh)) }
+      .toDF()
     val buckets = sigs.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS h))"))
