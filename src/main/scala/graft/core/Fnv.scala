@@ -37,6 +37,21 @@ case class FnvHash31(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fnv_hash31"
 }
 
+/** RDD-level partitioner with bit-exact reference bucket assignment:
+  * partition = ihash(key) % numPartitions (`src/mr/worker.go:140`) —
+  * for when per-FILE output parity with the reference matters, not
+  * just content parity (SURVEY §2.1 E3). */
+class FnvPartitioner(override val numPartitions: Int)
+    extends org.apache.spark.Partitioner {
+  override def getPartition(key: Any): Int =
+    FnvHash31.hash(key.toString.getBytes("UTF-8")) % numPartitions
+  override def equals(other: Any): Boolean = other match {
+    case p: FnvPartitioner => p.numPartitions == numPartitions
+    case _ => false
+  }
+  override def hashCode: Int = numPartitions
+}
+
 object FnvHash31 {
   /** FNV-1a over UTF-8 bytes, & 0x7fffffff, as Go's
     * `fnv.New32a().Write(key); h.Sum32() & 0x7fffffff`. */

@@ -68,6 +68,40 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000000 // µs
+    def ev(h: Long): Ev = Ev(h * hour * 1000, "click", 1.0) // ts in ns
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late").start()
+    try {
+      input.addData(Seq(ev(1), ev(1), ev(2)))
+      q.processAllAvailable()
+      // advance event time far enough to close the h=1 and h=2 windows
+      input.addData(Seq(ev(6)))
+      q.processAllAvailable()
+      // a straggler for h=1 arrives after the watermark passed: dropped
+      input.addData(Seq(ev(1)))
+      input.addData(Seq(ev(9)))
+      q.processAllAvailable()
+      val counts = spark.table("late")
+        .select(hour_of(col("window.start")).as("h"), col("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts.get(1L) === Some(2L), s"late event must not reopen h=1: $counts")
+      assert(counts.get(2L) === Some(1L))
+    } finally q.stop()
+  }
+
+  private def hour_of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (unix_timestamp(c) / 3600).cast("long")
+
   test("windowed streaming aggregation matches batch on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
