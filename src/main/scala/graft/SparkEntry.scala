@@ -63,11 +63,14 @@ object SparkEntry {
     "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
     "rel_sessions" -> ((s, dir) => RelQueries.sessionize(s, dir)),
     "rel_median" -> ((s, dir) => RelQueries.medianValue(s, dir)),
+    "rel_semi" -> ((s, dir) => RelQueries.latePriorityCounts(s, dir)),
+    "rel_quantiles" -> ((s, dir) => RelQueries.valueQuantiles(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => graft.dedup.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(s, dir)),
+    "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosine(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
@@ -256,6 +259,28 @@ object SparkEntry {
         |  FROM v)
         |SELECT event_type, cents AS median_cents
         |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+    "rel_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "rel_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v)
+        |SELECT event_type, CAST(q AS BIGINT) AS q, cents
+        |FROM r CROSS JOIN (SELECT unnest([25, 50, 75]) AS q)
+        |WHERE rn = CAST(ceil(n * q / 100.0) AS BIGINT)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

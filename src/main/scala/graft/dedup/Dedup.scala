@@ -160,6 +160,36 @@ object Dedup {
       .select(col("i"), col("j"))
   }
 
+  /** Scale variant of [[ngramJaccard]]: shingles with document
+    * frequency above `maxDf` are dropped from the candidate join (a
+    * shingle shared by d docs contributes d² join pairs — ubiquitous
+    * shingles make the exact join quadratic at 100 TB and carry almost
+    * no discriminative signal). Dropped shingles still count toward
+    * |A|, |B| and |A∩B| is recovered from the FULL sets during
+    * verification, so the jaccard values are exact; only pairs whose
+    * EVERY common shingle is ubiquitous can be missed. Rows-only gate
+    * (deliberate recall trade); DedupSpec pins the planted-dup recall. */
+  def ngramJaccardCapped(spark: SparkSession, sfDir: String, tau: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val post = shinglePostings(spark, sfDir)
+    val rare = post.join(
+      post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"),
+      "s")
+    val a = rare.alias("a"); val b = rare.alias("b")
+    val candidates = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val shs = docShingles(spark, sfDir)
+    candidates
+      .join(shs.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
+      .join(shs.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= tau)
+      .select(col("i"), col("j"))
+  }
+
   /** 64-bit SimHash of a feature set: bit b of the signature is the
     * sign of Σ_features (±1 per bit of the feature hash). Features are
     * the distinct word-3-gram shingles (not raw tokens: with a tiny

@@ -163,6 +163,39 @@ object RelQueries {
     active(1996).except(active(1997))
   }
 
+  /** Semi join (TPC-H Q4 shape): order-priority counts over orders
+    * having at least one "late" lineitem (shipped > 90 days after the
+    * order date). left_semi — the fact scan is filtered, never
+    * duplicated by the 1:N join. */
+  def latePriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val late = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late,
+        ord("o_orderkey") === late("l_orderkey") &&
+          late("l_shipdate") > date_add(ord("o_orderdate"), 90), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Discrete per-group quantiles (p25/p50/p75 as the element at
+    * rank ceil(q·n)) — engine-exact, same row_number machinery as the
+    * median. */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    Seq(25, 50, 75).map { q =>
+      ranked.filter(col("rn") === expr(s"cast(ceil(n * $q / 100.0) as bigint)"))
+        .select(col("event_type"), lit(q.toLong).as("q"), col("cents"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Gap-based sessionization of the event stream: a session breaks
     * after 30 min of user inactivity. session index = running count of
     * gap-breaks per user (one shuffle on user_id; windows run inside

@@ -33,6 +33,14 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("df-capped ngram variant keeps all planted near-dup pairs at this scale") {
+    val exact = Dedup.ngramJaccard(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardCapped(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact, s"missing=${exact -- capped} spurious=${capped -- exact}")
+  }
+
   test("pairs are canonical (i < j) and duplicate-free") {
     for (df <- Seq(Dedup.ngramJaccard(spark, sf()), Dedup.simhashPairs(spark, sf()),
         Dedup.embeddingCosine(spark, sf(), tau = 0.4))) {

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import Sessionize._
+
+class SessionizeSpec extends SparkSpec {
+
+  // offset well past epoch 0: a timestamp of exactly 0 ms is silently
+  // dropped by the event-time watermark machinery (ts < initial watermark)
+  private val Base = 1000000L
+  private def ts(min: Long): Timestamp = new Timestamp((Base + min) * 60000)
+
+  test("sessions close on gap or watermark timeout; results are final") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(
+        input.toDS().withWatermark("t", "1 minute"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess").start()
+    try {
+      // user 1: events at minute 0, 10 (one session), then 60 (new session)
+      // user 2: single event at minute 5
+      input.addData(Seq(
+        SessionEvent(1, ts(0)), SessionEvent(1, ts(10)), SessionEvent(2, ts(5))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(1, ts(60))))
+      q.processAllAvailable()
+      // advance watermark far beyond every open session's gap
+      input.addData(Seq(SessionEvent(3, ts(500))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(3, ts(1000))))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 60000 - Base,
+          r.getLong(2) / 60000 - Base, r.getLong(3))).toSet
+      assert(got.contains((1L, 0L, 10L, 2L)), s"user1 first session: $got")
+      assert(got.contains((1L, 60L, 60L, 1L)), s"user1 second session: $got")
+      assert(got.contains((2L, 5L, 5L, 1L)), s"user2 session: $got")
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree on session counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set: 3 users × sessions separated by >30min
+    val evs = for {
+      u <- 1L to 3L
+      s <- 0 until 4
+      i <- 0 until 3
+    } yield SessionEvent(u, ts(s * 100 + i * 5 + u))
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(input.toDS().withWatermark("t", "1 minute"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess2").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      // flush the last open session per user with a far-future event
+      input.addData(Seq(SessionEvent(99, ts(100000))))
+      q.processAllAvailable()
+      val streamed = spark.table("sess2")
+        .filter(col("user_id") <= 3)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("n_events")))
+      assert(streamed.length === 12, streamed.mkString(","))
+      assert(streamed.forall(_._3 === 3L))
+    } finally q.stop()
+  }
+}
