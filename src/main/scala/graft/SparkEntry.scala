@@ -25,6 +25,7 @@ object SparkEntry {
     "q_profile" -> ((s, dir) => MrQueries.scalarProfile(s, dir)),
     "q_filecount" -> ((s, dir) => MrQueries.perFileCount(s, dir)),
     "q_wc_salted" -> ((s, dir) => MrQueries.wordCountSalted(s, dir)),
+    "q_profile_udaf" -> ((s, dir) => MrQueries.scalarProfileUdaf(s, dir)),
     // ---- §2.3 KV / sharding semantics as data processing (K1-K9) ----
     "k_replay" -> ((s, dir) => Kv.replay(Kv.opsFromEvents(s, dir)).toDF()),
     "k_replay_dedup" -> ((s, dir) =>
@@ -65,6 +66,7 @@ object SparkEntry {
     "rel_median" -> ((s, dir) => RelQueries.medianValue(s, dir)),
     "rel_semi" -> ((s, dir) => RelQueries.latePriorityCounts(s, dir)),
     "rel_quantiles" -> ((s, dir) => RelQueries.valueQuantiles(s, dir)),
+    "rel_pivot" -> ((s, dir) => RelQueries.eventTypePivot(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
@@ -97,6 +99,16 @@ object SparkEntry {
       |         'v' || CAST(event_id AS VARCHAR) || ';' AS value
       |  FROM events)""".stripMargin
 
+  private val profileSql: String =
+    """WITH d AS (SELECT printf('%09d', doc_id) AS name, text FROM documents),
+      |pairs AS (
+      |  SELECT 'a' AS key, name AS value FROM d
+      |  UNION ALL SELECT 'b', CAST(length(name) AS VARCHAR) FROM d
+      |  UNION ALL SELECT 'c', CAST(length(text) AS VARCHAR) FROM d
+      |  UNION ALL SELECT 'd', 'xyzzy' FROM d)
+      |SELECT key, string_agg(value, ' ' ORDER BY value) AS profile
+      |FROM pairs GROUP BY key""".stripMargin
+
   private val wcSql: String =
     """SELECT word, count(*) AS cnt
       |FROM (SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS word FROM documents)
@@ -116,15 +128,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n_docs, string_agg(doc, ',' ORDER BY doc) AS docs
         |FROM t WHERE length(word) > 0 GROUP BY word""".stripMargin,
-    "q_profile" ->
-      """WITH d AS (SELECT printf('%09d', doc_id) AS name, text FROM documents),
-        |pairs AS (
-        |  SELECT 'a' AS key, name AS value FROM d
-        |  UNION ALL SELECT 'b', CAST(length(name) AS VARCHAR) FROM d
-        |  UNION ALL SELECT 'c', CAST(length(text) AS VARCHAR) FROM d
-        |  UNION ALL SELECT 'd', 'xyzzy' FROM d)
-        |SELECT key, string_agg(value, ' ' ORDER BY value) AS profile
-        |FROM pairs GROUP BY key""".stripMargin,
+    "q_profile" -> profileSql,
+    "q_profile_udaf" -> profileSql, // typed Aggregator path, same semantics
     "q_filecount" ->
       """SELECT doc_id, count(*) AS n_tokens
         |FROM (SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS word
@@ -259,6 +264,14 @@ object SparkEntry {
         |  FROM v)
         |SELECT event_type, cents AS median_cents
         |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+    "rel_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
     "rel_semi" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

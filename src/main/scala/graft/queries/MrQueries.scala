@@ -85,6 +85,20 @@ object MrQueries {
     graft.core.Skew.saltedCount(tokens(spark, sfDir), col("word"), col("doc_id"))
       .withColumnRenamed("key", "word")
 
+  /** [[scalarProfile]] computed through the typed [[graft.functions.SortedConcat]]
+    * Aggregator (udaf path) instead of the declarative
+    * sort_array(collect_list) — identical output, same oracle. */
+  def scalarProfileUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val sortedConcat = udaf(graft.functions.SortedConcat)
+    val d = documents(spark, sfDir)
+      .select(format_string("%09d", col("doc_id")).as("name"), col("text"))
+    val pairs = d.select(lit("a").as("key"), col("name").as("value"))
+      .unionAll(d.select(lit("b").as("key"), length(col("name")).cast("string").as("value")))
+      .unionAll(d.select(lit("c").as("key"), length(col("text")).cast("string").as("value")))
+      .unionAll(d.select(lit("d").as("key"), lit("xyzzy").as("value")))
+    pairs.groupBy(col("key")).agg(sortedConcat(col("value")).as("profile"))
+  }
+
   /** Q6 early_exit — per-file count (`src/mrapps/early_exit.go:19-36`):
     * Map emits (filename, "1") once per file; Reduce counts. Extended to
     * the more useful per-document token count so the aggregation is

@@ -196,6 +196,15 @@ object RelQueries {
     }.reduce(_ unionAll _)
   }
 
+  /** Pivot: per-user-decile event counts spread across event types
+    * (conditional aggregation — one pass, one shuffle on the decile). */
+  def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_decile"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Gap-based sessionization of the event stream: a session breaks
     * after 30 min of user inactivity. session index = running count of
     * gap-breaks per user (one shuffle on user_id; windows run inside
