@@ -140,17 +140,29 @@ object Dedup {
           "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS h))"))
           .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.h"))
-    val candidates = buckets
+    val candidates = bucketPairs(buckets
       .groupBy(col("band"), col("h"))
       .agg(collect_set(col("doc_id")).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(size(col("members")).between(2, maxBucket)))
+    verifyJaccard(spark, sfDir, candidates, tau)
+  }
+
+  /** Canonical i<j pairs from bucket member sets (shared by the LSH
+    * and df-capped candidate generators): one grouped pass, pairs
+    * exploded per bucket. */
+  private def bucketPairs(grouped: DataFrame): DataFrame =
+    grouped
       .select(explode(expr(
         """flatten(transform(array_sort(members), (x, xi) ->
           |  transform(slice(array_sort(members), xi + 2, size(members)), y -> struct(x AS i, y AS j))))"""
           .stripMargin)).as("p"))
       .select(col("p.i"), col("p.j"))
       .distinct()
-    // exact verification join against shingle sets
+
+  /** Exact-jaccard verification of candidate (i, j) pairs against the
+    * full shingle sets. */
+  private def verifyJaccard(spark: SparkSession, sfDir: String,
+      candidates: DataFrame, tau: Double): DataFrame = {
     val shs = docShingles(spark, sfDir)
     candidates
       .join(shs.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
@@ -161,33 +173,25 @@ object Dedup {
   }
 
   /** Scale variant of [[ngramJaccard]]: shingles with document
-    * frequency above `maxDf` are dropped from the candidate join (a
-    * shingle shared by d docs contributes d² join pairs — ubiquitous
-    * shingles make the exact join quadratic at 100 TB and carry almost
-    * no discriminative signal). Dropped shingles still count toward
-    * |A|, |B| and |A∩B| is recovered from the FULL sets during
-    * verification, so the jaccard values are exact; only pairs whose
-    * EVERY common shingle is ubiquitous can be missed. Rows-only gate
-    * (deliberate recall trade); DedupSpec pins the planted-dup recall. */
+    * frequency above `maxDf` generate no candidates (a shingle shared
+    * by d docs contributes d² join pairs — ubiquitous shingles make
+    * the exact join quadratic at 100 TB and carry almost no
+    * discriminative signal). |A∩B| is still recovered from the FULL
+    * sets during verification, so reported jaccard values are exact;
+    * only pairs whose EVERY common shingle is ubiquitous can be
+    * missed. One grouped pass (the df cap IS the bucket-size filter),
+    * not a df-join whose expensive posting subplan would be
+    * recomputed on both sides of a self-join. Rows-only gate
+    * (deliberate recall trade); DedupSpec pins the planted-dup
+    * recall. */
   def ngramJaccardCapped(spark: SparkSession, sfDir: String, tau: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
-    val post = shinglePostings(spark, sfDir)
-    val rare = post.join(
-      post.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("s"),
-      "s")
-    val a = rare.alias("a"); val b = rare.alias("b")
-    val candidates = a.join(b,
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    val shs = docShingles(spark, sfDir)
-    candidates
-      .join(shs.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
-      .join(shs.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-        size(array_union(col("sa"), col("sb"))) >= tau)
-      .select(col("i"), col("j"))
+    val candidates = bucketPairs(
+      shinglePostings(spark, sfDir)
+        .groupBy(col("s"))
+        .agg(collect_set(col("doc_id")).as("members"))
+        .filter(size(col("members")).between(2, maxDf)))
+    verifyJaccard(spark, sfDir, candidates, tau)
   }
 
   /** 64-bit SimHash of a feature set: bit b of the signature is the
