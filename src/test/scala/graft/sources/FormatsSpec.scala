@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FormatsSpec extends SparkSpec {
+
+  test("documents round-trip identically through parquet, csv, json") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val schema = docs.schema
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    docs.write.mode("overwrite").parquet(s"$base/p")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(s"$base/c")
+    docs.write.mode("overwrite").json(s"$base/j")
+    def wcOver(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(explode(split(col("text"), "[^\\p{L}]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromParquet = wcOver(Formats.readAs(spark, "parquet", s"$base/p", schema))
+    val fromCsv = wcOver(Formats.readAs(spark, "csv", s"$base/c", schema))
+    val fromJson = wcOver(Formats.readAs(spark, "json", s"$base/j", schema))
+    assert(fromCsv === fromParquet)
+    assert(fromJson === fromParquet)
+  }
+
+  test("date-partitioned layout prunes partitions for day filters") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    Formats.writeDatePartitioned(events, col("us"), out)
+    val pruned = spark.read.parquet(out).filter(col("p_day") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_day"), plan)
+    // only one day's directory is read
+    val scanned = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
+    assert(scanned.contains("p_day"), scanned)
+    assert(pruned.count() > 0)
+    val total = spark.read.parquet(out).count()
+    assert(pruned.count() < total)
+  }
+}
