@@ -94,6 +94,22 @@ object MapReduce {
       .write.mode("overwrite").text(outDir)
   }
 
+  /** Text sink with PER-FILE parity: output file R holds exactly the
+    * keys with `ihash(key) % nReduce == R`, key-sorted — the
+    * `mr-out-R` bucket layout itself (`src/mr/worker.go:140, 219`),
+    * for byte-level diffing of individual output files against a
+    * reference run. Uses the RDD path because file↔partition identity
+    * must be pinned to the FNV partitioner, which DataFrame exchanges
+    * do not expose. */
+  def writeTextSinkFnvParity(kv: Dataset[KeyValue], outDir: String,
+      numPartitions: Int = 10): Unit =
+    kv.rdd.map(r => r.key -> r.value)
+      .partitionBy(new FnvPartitioner(numPartitions))
+      .mapPartitions(
+        it => it.toVector.sortBy(_._1).iterator.map { case (k, v) => s"$k $v" },
+        preservesPartitioning = true)
+      .saveAsTextFile(outDir)
+
   /** Sequential oracle: the semantic definition of a job, mirroring
     * `src/main/mrsequential.go:28-90` (read all → flatMap → global sort →
     * adjacent-group fold → one output). Pure Scala, no Spark — used by

@@ -44,6 +44,30 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(sinkLines(3) === sinkLines(10))
   }
 
+  test("FNV-parity sink: file R holds exactly the ihash%R bucket, sorted") {
+    import spark.implicits._
+    val kv = MapReduce.run(spark,
+      MapReduce.documentsAsFiles(spark, sf()), wcMap, wcReduce, 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-fnv").toString + "/o"
+    MapReduce.writeTextSinkFnvParity(kv, out, numPartitions = 4)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length === 4)
+    parts.zipWithIndex.foreach { case (f, r) =>
+      val lines = scala.io.Source.fromFile(f).getLines().toVector
+      val keys = lines.map(_.split(" ")(0))
+      assert(keys === keys.sorted, s"file $r not key-sorted")
+      keys.foreach(k =>
+        assert(FnvHash31.hash(k.getBytes("UTF-8")) % 4 === r, s"$k in wrong bucket $r"))
+    }
+    // content parity with the DataFrame sink
+    val allLines = parts.flatMap(f => scala.io.Source.fromFile(f).getLines()).sorted
+    val dfOut = java.nio.file.Files.createTempDirectory("graft-dfsink").toString + "/o"
+    MapReduce.writeTextSink(kv, dfOut, 4)
+    val dfLines = spark.read.text(dfOut).as[String].collect().sorted
+    assert(allLines.toSeq === dfLines.toSeq)
+  }
+
   test("FnvPartitioner: bit-exact reference bucket assignment on RDDs") {
     val rdd = spark.sparkContext
       .parallelize(Seq("the" -> 1, "a" -> 2, "xyzzy" -> 3, "b" -> 4))
