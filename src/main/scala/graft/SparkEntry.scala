@@ -77,6 +77,7 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
+    "ann_pq" -> ((s, dir) => graft.sim.Pq.topKPq(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),

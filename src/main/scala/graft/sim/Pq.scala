@@ -1,0 +1,149 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Similarity.{Vec, Hit, cosine}
+
+/** Product-quantization ANN — the memory-compressed scale path: the
+  * corpus is stored as M=8 one-byte codes per vector (64× smaller than
+  * float64), queries scan codes with an asymmetric-distance lookup
+  * table, and only a small re-rank set is scored exactly.
+  *
+  * Pipeline: L2-normalize (cosine ≡ monotone in L2² on normalized
+  * vectors) → train per-subspace codebooks (deterministic Lloyd's
+  * k-means: first-K init, fixed iterations, lowest-index tie-break) on
+  * a driver-side sample → encode corpus in one narrow pass → per
+  * partition, ADC-score codes against the query tables into bounded
+  * heaps → re-rank the candidate union with exact cosine.
+  *
+  * At 100 TB: codebooks are KB-sized broadcast state; encoding is
+  * map-only; a query touches 8 bytes + 8 table lookups per corpus
+  * vector instead of 64 float multiplies, and only `rerank` full
+  * vectors are ever fetched. */
+object Pq {
+
+  final case class Codebooks(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private def sub(v: Array[Double], j: Int, dsub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd's k-means: init = first k sample points,
+    * `iters` fixed iterations, empty clusters keep their previous
+    * centroid, nearest-centroid ties break to the lowest index. */
+  private[sim] def kmeans(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = points.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](points.head.length))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = sqDist(p, cents(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < p.length) { s(i) += p(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  private[sim] def train(sample: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 10): Codebooks = {
+    val dsub = sample.head.length / m
+    val books = Array.tabulate(m)(j => kmeans(sample.map(sub(_, j, dsub)), ksub, iters))
+    Codebooks(m, dsub, books)
+  }
+
+  private[sim] def encode(cb: Codebooks, v: Array[Double]): Array[Byte] =
+    Array.tabulate(cb.m) { j =>
+      val s = sub(v, j, cb.dsub)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.centroids(j).length) {
+        val d = sqDist(s, cb.centroids(j)(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+      }
+      best.toByte
+    }
+
+  /** ADC table: adc(j)(c) = ||q_sub_j - centroid_jc||². */
+  private[sim] def adcTable(cb: Codebooks, q: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(cb.m)(j => cb.centroids(j).map(c => sqDist(sub(q, j, cb.dsub), c)))
+
+  def topKPq(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 50, sampleSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val corpus = Similarity.loadVectors(spark, sfDir)
+      .map(v => Vec(v.vec_id, l2normalize(v.v), 1.0))
+    val sample = corpus.filter(col("vec_id") < sampleSize).collect()
+      .sortBy(_.vec_id).map(_.v)
+    val cb = train(sample, m, ksub)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val queries = corpus.filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcTables = spark.sparkContext.broadcast(queries.map(q => adcTable(cb, q.v)))
+    // one pass: encode + ADC-score into per-query bounded heaps
+    val candidates = corpus.mapPartitions { rows =>
+      val cbv = bcCb.value; val qs = bcQ.value; val tables = bcTables.value
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)]) // max-heap: worst (largest dist) on top
+      rows.foreach { r =>
+        val code = encode(cbv, r.v)
+        var qi = 0
+        while (qi < qs.length) {
+          if (r.vec_id != qs(qi).vec_id) {
+            val t = tables(qi)
+            var d = 0.0
+            var j = 0
+            while (j < cbv.m) { d += t(j)(code(j) & 0xff); j += 1 }
+            val h = heaps(qi)
+            if (h.size < rerank) h.enqueue((d, r.vec_id))
+            else if (d < h.head._1 || (d == h.head._1 && r.vec_id < h.head._2)) {
+              h.dequeue(); h.enqueue((d, r.vec_id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => (qs(qi).vec_id, id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    // exact re-rank of the candidate union (≤ |Q|·rerank·partitions rows)
+    val byId = corpus.alias("c")
+    val rescored = candidates
+      .join(byId, col("neighbor_id") === col("c.vec_id"))
+      .as[(Long, Long, Double, Long, Array[Double], Double)]
+      .map { case (q, n, _, _, v, _) =>
+        val qv = bcQ.value(bcQ.value.indexWhere(_.vec_id == q))
+        Hit(q, n, cosine(qv, Vec(n, v, 1.0)))
+      }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -34,6 +34,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ (8x16 codebooks + exact re-rank) recall@5 vs exact") {
+    val exact = Similarity.topKExact(spark, sf(), k = 5, numQueries = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = Pq.topKPq(spark, sf(), k = 5, numQueries = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      pq.get(q).map(c => (ex intersect c).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ mean recall@5 = $mean")
+    assert(mean >= 0.6, s"PQ recall collapsed: $mean")
+    pq.values.foreach(s => assert(s.size === 5))
+  }
+
+  test("PQ kmeans is deterministic and codebooks reproduce") {
+    val pts = Array.tabulate(100)(i => Array.tabulate(8)(d => ((i * 31 + d * 7) % 97).toDouble))
+    val a = Pq.kmeans(pts, 16, 10).map(_.toSeq).toSeq
+    val b = Pq.kmeans(pts, 16, 10).map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("IVF recall@5 against exact top-5 is substantial; scan is pruned") {
     val exact = Similarity.topKExact(spark, sf(), k = 5, numQueries = 10).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

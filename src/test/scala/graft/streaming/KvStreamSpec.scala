@@ -68,6 +68,33 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KV state machine runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the disk-backed store is the 100 TB state path (key counts far
+    // beyond executor memory); same fold, same results
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ops = randomLog(77, 60)
+      val input = MemoryStream[KvOp]
+      val q = KvStream.replayStream(input.toDS()).toDF()
+        .writeStream.outputMode("update").format("memory").queryName("kvrocks").start()
+      try {
+        ops.grouped(20).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+        val streamResult = finalStates("kvrocks")
+        val batchResult = Kv.replay(ops.toDS()).collect().map(s => s.key -> s.state).toMap
+        assert(streamResult === batchResult)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
