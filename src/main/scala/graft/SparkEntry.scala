@@ -67,6 +67,8 @@ object SparkEntry {
     "rel_semi" -> ((s, dir) => RelQueries.latePriorityCounts(s, dir)),
     "rel_quantiles" -> ((s, dir) => RelQueries.valueQuantiles(s, dir)),
     "rel_pivot" -> ((s, dir) => RelQueries.eventTypePivot(s, dir)),
+    "rel_intersect" -> ((s, dir) => RelQueries.retainedCustomers(s, dir)),
+    "rel_above_avg" -> ((s, dir) => RelQueries.aboveAverageOrders(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
@@ -273,6 +275,23 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1""".stripMargin,
+    "rel_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "rel_above_avg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, o_custkey, c,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY o_custkey) AS BIGINT) AS s
+        |  FROM o)
+        |SELECT o_orderkey, o_custkey FROM w WHERE c * n > s""".stripMargin,
     "rel_semi" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -196,6 +196,30 @@ object RelQueries {
     }.reduce(_ unionAll _)
   }
 
+  /** Set operation: customers active in BOTH 1996 and 1997 (INTERSECT). */
+  def retainedCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    def active(year: Int) = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    active(1996).intersect(active(1997))
+  }
+
+  /** Orders priced above their customer's average — the correlated-
+    * aggregate pattern, computed as one window pass. The comparison is
+    * integer cross-multiplication (price·n > Σprices in cents): a
+    * float average would make boundary rows engine-dependent. */
+  def aboveAverageOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .filter(col("c") * col("n") > col("s"))
+      .select(col("o_orderkey"), col("o_custkey"))
+  }
+
   /** Pivot: per-user-decile event counts spread across event types
     * (conditional aggregation — one pass, one shuffle on the decile). */
   def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame =
