@@ -389,8 +389,7 @@ object SparkEntry {
     "mm_features" -> mmFeaturesSql,
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
-         |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-         |  max(width) AS max_width
+         |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
          |FROM ($mmFeaturesSql) GROUP BY kind""".stripMargin,
   )
 

@@ -61,7 +61,7 @@ object Dedup {
     * per element — measured 20 s of redundant regex splitting at sf0.1
     * vs 0.7 s for the projections themselves. The null-filter sits on
     * the generated attribute, which cannot be pushed through. */
-  private def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
+  private[dedup] def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
     docShingles(spark, sfDir)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
@@ -71,10 +71,15 @@ object Dedup {
     * per-doc counts. Integer arithmetic end-to-end until the final
     * ratio of ints, which is engine-exact. */
   def ngramJaccard(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
-    val sh = shinglePostings(spark, sfDir).alias("a")
-    val sh2 = shinglePostings(spark, sfDir).alias("b")
-    val counts = shinglePostings(spark, sfDir)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // NOTE the self-join + counts still execute the postings subplan
+    // three times (Spark does not share subplans across join sides);
+    // the production path for repeated runs is the bucketed persisted
+    // layout demonstrated in BucketedPostingsSpec, which also removes
+    // the exchange.
+    val post = shinglePostings(spark, sfDir)
+    val sh = post.alias("a")
+    val sh2 = post.alias("b")
+    val counts = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.join(sh2,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -230,6 +235,9 @@ object Dedup {
     import spark.implicits._
     val sigs = docShingles(spark, sfDir)
       .as[(Long, Seq[String])]
+      // docs with no shingles would all share signature 0 and be
+      // reported as mutual near-dups (same guard as minhashLsh)
+      .filter(_._2.nonEmpty)
       .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
       .toDF()
     // 8 bands × 8 bits: Hamming ≤ 7 guarantees ≥1 identical band

@@ -127,7 +127,9 @@ object Kv {
     val maxNum = history.agg(max(col("config_num"))).head().getInt(0)
     ops.toDF()
       .select(col("seq"), col("key"), key2shard(col("key")).cast("int").as("shard"),
-        least(floor(col("seq") / epochLen), lit(maxNum)).cast("int").as("config_num"))
+        // integer div, not `/`: float division corrupts log positions
+        // beyond 2^53 (same rule as RelQueries.eventDay)
+        least(expr(s"seq div $epochLen"), lit(maxNum.toLong)).cast("int").as("config_num"))
       .join(broadcast(history), Seq("config_num", "shard"), "left")
       .select(col("seq"), col("key"), col("shard"), col("config_num"), col("gid"))
   }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
-      mime: String)
+      mime: String, byte_len: Long)
   final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
       width: Long, height: Long, n_frames: Long, duration_ms: Long)
 
@@ -41,7 +41,10 @@ object Multimodal {
         col("doc_id").as("media_id"),
         expr("element_at(array('image','audio','video'), cast(doc_id % 3 AS int) + 1)").as("kind"),
         col("text").cast("binary").as("media"),
-        expr("element_at(array('image/png','audio/wav','video/mp4'), cast(doc_id % 3 AS int) + 1)").as("mime"))
+        expr("element_at(array('image/png','audio/wav','video/mp4'), cast(doc_id % 3 AS int) + 1)").as("mime"),
+        // payload size recorded as METADATA at ingest so size rollups
+        // never have to touch the binary column
+        length(col("text")).cast("long").as("byte_len"))
       .as[MediaRow]
   }
 
@@ -81,11 +84,14 @@ object Multimodal {
   def features(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir)).toDF()
 
-  /** Metadata-only rollup — must NOT read the binary column (columnar
-    * pruning keeps payload IO off the metadata path). */
+  /** Metadata-only rollup: aggregates ONLY ingest-time metadata columns
+    * (kind, byte_len), so column pruning drops the binary payload at
+    * the scan — asserted in MultimodalSpec. Feature rollups that need
+    * decoded values (width etc.) go through [[features]] and pay the
+    * payload IO by construction. */
   def kindSummary(spark: SparkSession, sfDir: String): DataFrame =
-    features(spark, sfDir)
+    mediaTable(spark, sfDir).toDF()
+      .select(col("kind"), col("byte_len"))
       .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"),
-        max(col("width")).as("max_width"))
+      .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"))
 }

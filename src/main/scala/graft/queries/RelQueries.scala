@@ -186,14 +186,15 @@ object RelQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("cents"), col("event_id"))
-    val ranked = t(spark, sfDir, "events")
+    // one window pass; the quantile fan-out is an explode over the row,
+    // NOT a 3-branch union that would re-execute the ranked subplan
+    t(spark, sfDir, "events")
       .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    Seq(25, 50, 75).map { q =>
-      ranked.filter(col("rn") === expr(s"cast(ceil(n * $q / 100.0) as bigint)"))
-        .select(col("event_type"), lit(q.toLong).as("q"), col("cents"))
-    }.reduce(_ unionAll _)
+      .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
+      .filter(col("rn") === expr("cast(ceil(n * q / 100.0) as bigint)"))
+      .select(col("event_type"), col("q"), col("cents"))
   }
 
   /** Set operation: customers active in BOTH 1996 and 1997 (INTERSECT). */

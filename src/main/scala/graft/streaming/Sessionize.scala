@@ -41,7 +41,12 @@ object Sessionize {
               val ms = e.t.getTime
               open match {
                 case Some(s) if ms - s.lastMs <= GapMs =>
-                  open = Some(OpenSession(s.startMs, ms, s.n + 1))
+                  // an out-of-order event the watermark still admits may
+                  // have ms < lastMs (it falls INSIDE the session):
+                  // bounds only widen, never move backward — otherwise a
+                  // later event would measure its gap against the stale
+                  // minimum and mis-split the session
+                  open = Some(OpenSession(math.min(s.startMs, ms), math.max(s.lastMs, ms), s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.startMs, s.lastMs, s.n)
                   open = Some(OpenSession(ms, ms, 1))

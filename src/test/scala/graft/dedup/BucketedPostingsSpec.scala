@@ -16,17 +16,8 @@ class BucketedPostingsSpec extends SparkSpec {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      // the postings relation as the dedup pipeline computes it
-      spark.read.parquet(s"${sf()}/documents.parquet")
-        .select(col("doc_id"),
-          expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
-        .select(col("doc_id"), expr(
-          """CASE WHEN size(toks) >= 3 THEN
-            |  array_distinct(transform(sequence(0, size(toks) - 3),
-            |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-            |ELSE array() END""".stripMargin).as("sh"))
-        .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-        .filter(col("s").isNotNull)
+      // the postings relation EXACTLY as the dedup pipeline computes it
+      Dedup.shinglePostings(spark, sf())
         .write.mode("overwrite")
         .bucketBy(8, "s").sortBy("s")
         .saveAsTable(s"$db.postings")

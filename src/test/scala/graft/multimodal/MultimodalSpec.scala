@@ -36,10 +36,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("metadata rollup covers all kinds") {
-    val rows = Multimodal.kindSummary(spark, sf()).collect()
+  test("metadata rollup covers all kinds and never touches the payload") {
+    val df = Multimodal.kindSummary(spark, sf())
+    val rows = df.collect()
     assert(rows.map(_.getString(0)).toSet === Set("image", "audio", "video"))
     assert(rows.map(_.getAs[Long]("n")).sum ===
       spark.read.parquet(s"${sf()}/documents.parquet").count())
+    // the binary column must be pruned out of the plan entirely
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("AS media"), s"payload column not pruned:\n$plan")
   }
 }

@@ -44,6 +44,33 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order event inside the session does not move bounds backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(input.toDS().withWatermark("t", "2 hours"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessooo").start()
+    try {
+      input.addData(Seq(SessionEvent(1, ts(0)), SessionEvent(1, ts(20))))
+      q.processAllAvailable()
+      // a late event at minute 10 (admitted by the 2h watermark) falls
+      // INSIDE the open session; lastMs must stay 20
+      input.addData(Seq(SessionEvent(1, ts(10))))
+      q.processAllAvailable()
+      // minute 45: gap vs 20 is 25min <= 30 → SAME session (a buggy
+      // fold measuring vs the stale minimum 10 would split here)
+      input.addData(Seq(SessionEvent(1, ts(45))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(9, ts(5000)))) // flush via watermark
+      q.processAllAvailable()
+      val got = spark.table("sessooo").filter(col("user_id") === 1)
+        .select(col("start_ms"), col("end_ms"), col("n_events")).collect()
+        .map(r => (r.getLong(0) / 60000 - Base, r.getLong(1) / 60000 - Base, r.getLong(2)))
+      assert(got.toSeq === Seq((0L, 45L, 4L)), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
