@@ -30,6 +30,25 @@ object Formats {
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 
+  /** Fault-tolerant JSON ingestion: malformed records are captured in
+    * `_corrupt_record` instead of failing the job (PERMISSIVE mode) —
+    * at 100 TB some records WILL be broken and a pipeline must
+    * quarantine rather than crash. Returns (good, quarantined). */
+  def readJsonQuarantined(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // Spark requires caching before filtering on _corrupt_record
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (good, bad)
+  }
+
   /** Write `df` partitioned by a derived date column — the layout that
     * makes day-ranged queries prune at the directory level. */
   def writeDatePartitioned(df: DataFrame, tsMicros: org.apache.spark.sql.Column,

@@ -26,6 +26,24 @@ class FormatsSpec extends SparkSpec {
     assert(fromJson === fromParquet)
   }
 
+  test("malformed JSON records are quarantined, not fatal") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bad")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"doc_id": 1, "text": "good record"}
+        |{"doc_id": oops not json
+        |{"doc_id": 3, "text": "another good one"}
+        |garbage line
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (good, bad) = Formats.readJsonQuarantined(spark, dir.toString, schema)
+    assert(good.count() === 2)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    assert(bad.count() === 2)
+    assert(bad.collect().map(_.getString(0)).exists(_.contains("garbage")))
+  }
+
   test("date-partitioned layout prunes partitions for day filters") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
