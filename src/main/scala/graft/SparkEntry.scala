@@ -69,6 +69,8 @@ object SparkEntry {
     "rel_pivot" -> ((s, dir) => RelQueries.eventTypePivot(s, dir)),
     "rel_intersect" -> ((s, dir) => RelQueries.retainedCustomers(s, dir)),
     "rel_above_avg" -> ((s, dir) => RelQueries.aboveAverageOrders(s, dir)),
+    "rel_outer" -> ((s, dir) => RelQueries.nationCoverage(s, dir)),
+    "text_sample" -> ((s, dir) => graft.text.Sampling.sampleDocuments(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
@@ -275,6 +277,16 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1""".stripMargin,
+    "rel_outer" ->
+      """SELECT nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) s
+        |USING (nationkey)""".stripMargin,
+    // text_sample: hash-based sampling is engine-specific → rows-only
     "rel_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'

@@ -221,6 +221,21 @@ object RelQueries {
       .select(col("o_orderkey"), col("o_custkey"))
   }
 
+  /** Full outer join: per-nation customer vs supplier presence —
+    * nations may have either, both, or neither side. */
+  def nationCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val supp = t(spark, sfDir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
   /** Pivot: per-user-decile event counts spread across event types
     * (conditional aggregation — one pass, one shuffle on the decile). */
   def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,39 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("hash sample: deterministic, layout-independent, ~fraction sized") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must not depend on physical layout")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.15 && a.size < n * 0.45, s"${a.size} of $n")
+  }
+
+  test("nested sample property: smaller fraction is a subset of larger") {
+    val small = Sampling.hashSample(docs, "doc_id", 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val large = Sampling.hashSample(docs, "doc_id", 0.4).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "threshold sampling must nest")
+  }
+
+  test("stratified sample honors per-stratum fractions") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.05, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.5))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val deRate = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(enRate < deRate, s"en $enRate should be sampled far below de $deRate")
+  }
+}
