@@ -87,6 +87,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
+    "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
@@ -396,6 +397,22 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END AS bigrams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                      x -> x <> '') AS t
+        |        FROM documents))
+        |SELECT doc_id,
+        |  len(bigrams) AS n_bigrams,
+        |  len(list_distinct(bigrams)) AS n_distinct,
+        |  CAST((len(bigrams) - len(list_distinct(bigrams))) * 10 >= len(bigrams)
+        |       AND len(bigrams) > 0 AS INT) AS is_repetitive
+        |FROM b""".stripMargin,
     // media payload = ASCII text bytes, so byte_len == length(text) and
     // the stub-decode arithmetic is reproducible in SQL
     "mm_features" -> mmFeaturesSql,

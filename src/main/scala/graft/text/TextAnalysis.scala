@@ -63,6 +63,27 @@ object TextAnalysis {
            |  ELSE 'fr' END""".stripMargin).as("lang_pred"))
   }
 
+  /** Within-document repetition signal (C4-style quality filter): how
+    * many word-bigram slots repeat an earlier bigram. Integer outputs;
+    * the flag fires when ≥10% of bigram slots are repeats (integer
+    * cross-multiplication). Tokenizer in its own projection — see
+    * graft.dedup.Dedup on lambda capture. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(toks) >= 2 THEN
+                |  transform(sequence(0, size(toks) - 2),
+                |    i -> concat(toks[i], ' ', toks[i+1]))
+                |ELSE array() END""".stripMargin).as("bigrams"))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        ((col("n_bigrams") - col("n_distinct")) * 10 >= col("n_bigrams") &&
+          col("n_bigrams") > 0).cast("int").as("is_repetitive"))
+
   /** Document fingerprint: md5 of case/whitespace/punctuation-
     * normalized text — robust exact-dup key across formatting noise. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
