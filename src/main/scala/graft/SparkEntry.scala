@@ -88,6 +88,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
+    "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),

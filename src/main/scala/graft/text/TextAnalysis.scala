@@ -84,6 +84,28 @@ object TextAnalysis {
         ((col("n_bigrams") - col("n_distinct")) * 10 >= col("n_bigrams") &&
           col("n_bigrams") > 0).cast("int").as("is_repetitive"))
 
+  /** Unigram language-model score per document: mean log-probability
+    * of its tokens under the corpus unigram distribution — the
+    * perplexity-style quality signal used to filter training corpora
+    * (low mean logprob = out-of-distribution / junk).
+    *
+    * Two passes: global token counts (tiny for any real vocabulary —
+    * broadcast), then a map-side join + aggregation. Float outputs →
+    * no SQL oracle (summation-order sensitivity); determinism and
+    * ordering sanity pinned in TextAnalysisSpec. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = lit(toks.count().toDouble)
+    toks.join(broadcast(freqs), "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(log(col("cnt") / total)) / count(lit(1))).as("mean_logprob"))
+  }
+
   /** Document fingerprint: md5 of case/whitespace/punctuation-
     * normalized text — robust exact-dup key across formatting noise. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =

@@ -41,6 +41,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(3) !== fps(0))
   }
 
+  test("LM score: deterministic, bounded, common-word docs score higher") {
+    val a = TextAnalysis.lmScore(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.lmScore(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a === b, "must be reproducible run-to-run")
+    assert(a.values.forall(v => v < 0 && !v.isNaN && !v.isInfinite))
+    // a doc made entirely of the corpus's most common token would score
+    // log(p_max); every doc's mean must be <= that bound
+    val pMax = {
+      import org.apache.spark.sql.functions._
+      val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+        .select(explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("t"))
+      val total = toks.count().toDouble
+      toks.groupBy("t").count().agg(max("count")).head().getLong(0) / total
+    }
+    assert(a.values.max <= math.log(pMax) + 1e-9)
+  }
+
   test("RollingHash: reference values, codegen path, order sensitivity") {
     import spark.implicits._
     // h("ab") = (('a'+1) + ('b'+1)*257) % 1e9+7
