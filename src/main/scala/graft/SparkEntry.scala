@@ -70,6 +70,7 @@ object SparkEntry {
     "rel_intersect" -> ((s, dir) => RelQueries.retainedCustomers(s, dir)),
     "rel_above_avg" -> ((s, dir) => RelQueries.aboveAverageOrders(s, dir)),
     "rel_outer" -> ((s, dir) => RelQueries.nationCoverage(s, dir)),
+    "rel_funnel" -> ((s, dir) => RelQueries.signupFunnel(s, dir)),
     "text_sample" -> ((s, dir) => graft.text.Sampling.sampleDocuments(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
@@ -288,6 +289,18 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
         |      FROM supplier GROUP BY 1) s
         |USING (nationkey)""".stripMargin,
+    "rel_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_signup) AS n_signup,
+        |  count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_click,
+        |  count(CASE WHEN t_click > t_signup AND t_purchase > t_click
+        |        THEN 1 END) AS n_full_funnel
+        |FROM m""".stripMargin,
     // text_sample: hash-based sampling is engine-specific → rows-only
     "rel_intersect" ->
       """SELECT o_custkey FROM orders

@@ -221,6 +221,24 @@ object RelQueries {
       .select(col("o_orderkey"), col("o_custkey"))
   }
 
+  /** Ordered funnel: users who signed up, then (strictly later)
+    * clicked, then purchased. One pass: per-user min event time per
+    * stage (conditional min), then integer µs comparisons — no joins,
+    * no floats. */
+  def signupFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("us"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+      .agg(
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_click") > col("t_signup"), lit(1))).as("n_signup_click"),
+        count(when(col("t_click") > col("t_signup") &&
+          col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"))
+
   /** Full outer join: per-nation customer vs supplier presence —
     * nations may have either, both, or neither side. */
   def nationCoverage(spark: SparkSession, sfDir: String): DataFrame = {
