@@ -37,6 +37,43 @@ class ShardCtrlerSpec extends SparkSpec {
     }
   }
 
+  test("randomized join/leave/move sequences keep all invariants (8 seeds)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed * 13)
+      var cfg = initial
+      var live = Set.empty[Int]
+      for (i <- 1 to 40) {
+        val roll = rnd.nextInt(10)
+        val cmd: Cmd =
+          if (live.isEmpty || (roll < 4 && live.size < 9)) {
+            val g = 200 + seed * 100 + i
+            live += g; Join(Map(g -> Seq(s"s$g")))
+          } else if (roll < 7 && live.size > 1) {
+            val g = live.toSeq.sorted.apply(rnd.nextInt(live.size))
+            live -= g; Leave(Seq(g))
+          } else {
+            Move(rnd.nextInt(NShards), live.toSeq.sorted.apply(rnd.nextInt(live.size)))
+          }
+        val prev = cfg
+        cfg = step(cfg, cmd)
+        assert(cfg.num === prev.num + 1, s"seed=$seed step=$i must bump num")
+        assert(cfg.groups.keySet === live, s"seed=$seed step=$i")
+        cmd match {
+          case Move(shard, gid) =>
+            assert(cfg.shards(shard) === gid, s"seed=$seed move not honored")
+          case _ =>
+            // rebalance invariants hold after join/leave (a Move may
+            // legitimately unbalance until the next join/leave)
+            if (cfg.groups.nonEmpty) {
+              assert(cfg.shards.forall(cfg.groups.contains), s"seed=$seed step=$i")
+              val loads = cfg.groups.keys.map(g => cfg.shards.count(_ == g))
+              assert(loads.max - loads.min <= 1, s"seed=$seed step=$i loads=$loads")
+            }
+        }
+      }
+    }
+  }
+
   test("minimal movement: a join only moves shards into the new group") {
     // mirrors src/shardctrler/test_test.go:211-231
     var cfg = step(initial, Join(Map(1 -> Seq("a"))))

@@ -28,6 +28,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.head.getAs[Long]("p") === 9L)
   }
 
+  test("asof matches a brute-force oracle on random data (8 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Vector("a", "b", "c")
+      val left = Vector.tabulate(60)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(100).toLong, i.toLong))
+      val right = Vector.tabulate(40)(i =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(100).toLong, i.toLong + 1000))
+      val got = AsOfJoin.asof(left.toDF("k", "t", "lid"), right.toDF("k", "t", "p"),
+          "k", "t", "p").collect()
+        .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("p"))).toMap
+      left.foreach { case (k, t, lid) =>
+        val want = right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(lid) === want, s"seed=$seed left=($k,$t,$lid)")
+      }
+    }
+  }
+
   test("asof plan: single exchange on the key (no range join explosion)") {
     import spark.implicits._
     val left = (1 to 100).map(i => (s"k${i % 5}", i.toLong, i.toLong)).toDF("k", "t", "lid")
