@@ -301,7 +301,8 @@ object SparkEntry {
         |  count(CASE WHEN t_click > t_signup AND t_purchase > t_click
         |        THEN 1 END) AS n_full_funnel
         |FROM m""".stripMargin,
-    // text_sample: hash-based sampling is engine-specific → rows-only
+    // text_sample: md5-prefix threshold — byte-identical across engines
+    "text_sample" -> graft.text.Sampling.sampleDocumentsOracleSql,
     "rel_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -349,6 +350,31 @@ object SparkEntry {
     // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
     // output must equal the exact operator's — same oracle.
     "dedup_minhash" -> ngramJaccardSql,
+    // capped variant: Jaccard over the df<=100 discriminative-shingle
+    // universe — integer counts + one exact int-ratio compare, so the
+    // scale path is fully oracle-checkable too
+    "dedup_ngram_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |capped AS (
+        |  SELECT doc_id, s FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY s) <= 100),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j FROM common
+        |JOIN cnt ca ON ca.doc_id = i
+        |JOIN cnt cb ON cb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
     // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id,
@@ -369,6 +395,20 @@ object SparkEntry {
         |  FROM q, e WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
     // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
+    // micro-unit quantization absorbs summation order + last-ulp ln()
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(round(sum(ln(cnt / CAST(total AS DOUBLE))) / count(*) * 1000000)
+        |       AS BIGINT) AS score_micro
+        |FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
@@ -427,8 +467,9 @@ object SparkEntry {
         |  CAST((len(bigrams) - len(list_distinct(bigrams))) * 10 >= len(bigrams)
         |       AND len(bigrams) > 0 AS INT) AS is_repetitive
         |FROM b""".stripMargin,
-    // media payload = ASCII text bytes, so byte_len == length(text) and
-    // the stub-decode arithmetic is reproducible in SQL
+    // media payload = UTF-8 text bytes; strlen (DuckDB byte length)
+    // mirrors octet_length on the Spark side, so the stub-decode
+    // arithmetic is reproducible in SQL even for non-ASCII text
     "mm_features" -> mmFeaturesSql,
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
@@ -439,12 +480,12 @@ object SparkEntry {
   private def mmFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  length(text) AS byte_len,
-      |  64 + (length(text) * 7919) % 1856 AS width,
-      |  64 + (length(text) * 104729) % 1016 AS height,
-      |  CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 240 ELSE 1 END AS n_frames,
-      |  CASE doc_id % 3 WHEN 1 THEN length(text) * 8
-      |       WHEN 2 THEN (1 + length(text) % 240) * 40 ELSE 0 END AS duration_ms
+      |  strlen(text) AS byte_len,
+      |  64 + (strlen(text) * 7919) % 1856 AS width,
+      |  64 + (strlen(text) * 104729) % 1016 AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS n_frames,
+      |  CASE doc_id % 3 WHEN 1 THEN strlen(text) * 8
+      |       WHEN 2 THEN (1 + strlen(text) % 240) * 40 ELSE 0 END AS duration_ms
       |FROM documents""".stripMargin
 
   private def ngramJaccardSql: String =

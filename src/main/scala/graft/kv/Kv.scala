@@ -124,12 +124,15 @@ object Kv {
     * are tiny (numConfigs × 10 shards) → always broadcast; the fact
     * stream never shuffles. */
   def routeOps(ops: Dataset[KvOp], history: DataFrame, epochLen: Long): DataFrame = {
-    val maxNum = history.agg(max(col("config_num"))).head().getInt(0)
+    // empty history → no epochs: clamp every op to config 0 (getInt on
+    // the null max would NPE); cast tolerates int- or long-typed nums
+    val maxNum = Option(history.agg(max(col("config_num")).cast("long")).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
     ops.toDF()
       .select(col("seq"), col("key"), key2shard(col("key")).cast("int").as("shard"),
         // integer div, not `/`: float division corrupts log positions
         // beyond 2^53 (same rule as RelQueries.eventDay)
-        least(expr(s"seq div $epochLen"), lit(maxNum.toLong)).cast("int").as("config_num"))
+        least(expr(s"seq div $epochLen"), lit(maxNum)).cast("int").as("config_num"))
       .join(broadcast(history), Seq("config_num", "shard"), "left")
       .select(col("seq"), col("key"), col("shard"), col("config_num"), col("gid"))
   }

@@ -43,8 +43,9 @@ object Multimodal {
         col("text").cast("binary").as("media"),
         expr("element_at(array('image/png','audio/wav','video/mp4'), cast(doc_id % 3 AS int) + 1)").as("mime"),
         // payload size recorded as METADATA at ingest so size rollups
-        // never have to touch the binary column
-        length(col("text")).cast("long").as("byte_len"))
+        // never have to touch the binary column; octet_length (bytes,
+        // not characters) so it equals media.length for non-ASCII text
+        octet_length(col("text")).cast("long").as("byte_len"))
       .as[MediaRow]
   }
 

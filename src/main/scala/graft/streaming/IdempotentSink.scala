@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Exactly-once effective output under re-delivery — the engine
@@ -15,11 +16,20 @@ import org.apache.spark.sql.DataFrame
   * a committed batch are no-ops. */
 object IdempotentSink {
 
-  /** For use as `.writeStream.foreachBatch(IdempotentSink.appendOnce(dir) _)`. */
+  /** For use as `.writeStream.foreachBatch(IdempotentSink.appendOnce(dir) _)`.
+    *
+    * The commit probe resolves `dir` through the Hadoop FileSystem API,
+    * so the guard holds on HDFS/S3A/GCS paths, not just the driver's
+    * local disk. Concurrency: Spark runs foreachBatch for a given
+    * query serially (one micro-batch at a time) and replays a batch id
+    * only after failure recovery, so check-then-write is not racy
+    * within a query; two INDEPENDENT queries pointed at the same dir
+    * are a caller error (same as two jobs sharing an output path). */
   def appendOnce(dir: String)(df: DataFrame, batchId: Long): Unit = {
-    val target = new java.io.File(s"$dir/batch=$batchId")
-    val committed = new java.io.File(target, "_SUCCESS")
-    if (!committed.exists()) {
+    val target = new Path(s"$dir/batch=$batchId")
+    val fs = target.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(target, "_SUCCESS"))) {
       df.write.mode("overwrite").parquet(target.toString)
     }
   }

@@ -1,43 +1,80 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-data subsampling operators. Random sampling is inherently
-  * engine-specific, so there is no SQL oracle — but every sample here
-  * is DETERMINISTIC for a fixed seed (reruns of a pipeline must
-  * reproduce their corpus), which the specs pin.
+/** Training-data subsampling operators. Every sample here is
+  * DETERMINISTIC for a fixed seed (reruns of a pipeline must reproduce
+  * their corpus) and CROSS-ENGINE reproducible: the sampling predicate
+  * is a lexicographic threshold on an md5-hex prefix, which any engine
+  * with md5 evaluates identically — so even the sampling queries get a
+  * full SQL oracle.
   *
-  * For hash-based sampling the unit is the DOCUMENT (hash of a stable
-  * id), never the row position: position-based samples change under
-  * repartitioning; id-hash samples are stable across any layout —
-  * the property that matters at 100 TB where partitioning is fluid. */
+  * The unit is the DOCUMENT (hash of a stable id), never the row
+  * position: position-based samples change under repartitioning;
+  * id-hash samples are stable across any layout — the property that
+  * matters at 100 TB where partitioning is fluid. md5 costs a bit more
+  * than xxhash64 per row, but the filter sits next to the scan and is
+  * dwarfed by IO; portability wins.
+  */
 object Sampling {
 
-  /** Deterministic ~fraction sample by stable id hash — layout-
-    * independent and joinable (the same doc is in/out everywhere). */
-  def hashSample(df: DataFrame, idCol: String, fraction: Double,
-      seed: Long = 42L): DataFrame =
-    df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) <
-      lit((fraction * 1000000L).toLong))
-
-  /** Stratified sample: per-stratum fractions (e.g. downweight a
-    * dominant language), same id-hash determinism. */
-  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
-      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
-    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(v)).otherwise(acc)
-    }
-    df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") <
-      frac * 1000000.0)
+  /** 15-hex-digit lowercase threshold: an md5 prefix compares below it
+    * with probability `fraction` (15 hex digits = 60 bits, uniform). */
+  def hexThreshold(fraction: Double): String = {
+    val f = math.min(1.0, math.max(0.0, fraction))
+    val t = math.round(f * (1L << 60)).min(1L << 60)
+    // fraction 1.0 exceeds the 15-digit space: 'g' sorts above every
+    // hex digit, keeping the all-f prefix (p = 1) selected
+    if (t >= (1L << 60)) "g" else f"$t%015x"
   }
 
-  /** documents sample query (rows-only gate): 20% global + language
-    * stratification keeping half the English share. */
+  /** Sampling key: md5 hex of "id:seed" (id rendered as a string). */
+  private def hashKey(idCol: Column, seed: Long): Column =
+    substring(md5(concat(idCol.cast("string"), lit(s":$seed"))), 1, 15)
+
+  /** Deterministic ~fraction sample by stable id hash — layout-
+    * independent, joinable (the same doc is in/out everywhere), and
+    * nested (fraction a ⊆ fraction b for a ≤ b: same key, higher
+    * threshold). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(hashKey(col(idCol), seed) < lit(hexThreshold(fraction)))
+
+  /** Stratified sample: per-stratum fractions (e.g. downweight a
+    * dominant language), same id-hash determinism. Strata absent from
+    * `fractions` are sampled at `defaultFraction` (default 0.0 =
+    * dropped — pass 1.0 to keep unlisted strata whole). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L,
+      defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(hexThreshold(v))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol), seed) < threshold)
+  }
+
+  /** The per-language fractions of the [[sampleDocuments]] query:
+    * English downweighted to 10%, the other corpus languages at 20%
+    * (single source of truth for the query AND its SQL oracle). */
+  val documentFractions: Map[String, Double] =
+    Map("en" -> 0.1, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+
+  /** documents sample query: language-stratified id-hash sample at
+    * [[documentFractions]] (unlisted languages dropped). */
   def sampleDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    stratifiedSample(docs, "doc_id", "lang",
-      Map("en" -> 0.1, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))
+    stratifiedSample(docs, "doc_id", "lang", documentFractions)
       .select(col("doc_id"), col("lang"))
+  }
+
+  /** DuckDB oracle for [[sampleDocuments]] — byte-identical predicate. */
+  def sampleDocumentsOracleSql: String = {
+    val cases = documentFractions.toSeq.sorted
+      .map { case (k, v) => s"WHEN '$k' THEN '${hexThreshold(v)}'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) <
+       |  CASE lang $cases ELSE '${hexThreshold(0.0)}' END""".stripMargin
   }
 }

@@ -90,9 +90,11 @@ object TextAnalysis {
     * (low mean logprob = out-of-distribution / junk).
     *
     * Two passes: global token counts (tiny for any real vocabulary —
-    * broadcast), then a map-side join + aggregation. Float outputs →
-    * no SQL oracle (summation-order sensitivity); determinism and
-    * ordering sanity pinned in TextAnalysisSpec. */
+    * broadcast), then a map-side join + aggregation. The score is
+    * quantized to integer micro-units (round(mean·1e6)) so the output
+    * is insensitive to float summation order and last-ulp ln()
+    * differences — which makes even this float pipeline SQL-oracle
+    * comparable. */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = documents(spark, sfDir)
       .select(col("doc_id"),
@@ -103,7 +105,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        (sum(log(col("cnt") / total)) / count(lit(1))).as("mean_logprob"))
+        round(sum(log(col("cnt") / total)) / count(lit(1)) * 1e6)
+          .cast("long").as("score_micro"))
   }
 
   /** Document fingerprint: md5 of case/whitespace/punctuation-
