@@ -59,6 +59,7 @@ object SparkEntry {
     "rel_distinct_users" -> ((s, dir) => RelQueries.distinctUsers(s, dir)),
     "rel_approx_users" -> ((s, dir) => RelQueries.approxDistinctUsers(s, dir)),
     "rel_rollup" -> ((s, dir) => RelQueries.pricingRollup(s, dir)),
+    "rel_cube" -> ((s, dir) => RelQueries.orderPriorityCube(s, dir)),
     "rel_anti" -> ((s, dir) => RelQueries.customersWithoutOrders(s, dir)),
     "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
     "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosine(s, dir)),
+    "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -90,6 +92,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
     "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
+    "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
@@ -219,6 +222,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE o_orderpriority END AS priority,
+        |  CASE WHEN GROUPING(o_year) = 1 THEN -1 ELSE o_year END AS o_year,
+        |  count(*) AS n, CAST(sum(c) AS BIGINT) AS total_cents
+        |FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |      FROM orders)
+        |GROUP BY CUBE (o_orderpriority, o_year)""".stripMargin,
     "rel_anti" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
@@ -375,6 +388,20 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = i
         |JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
+    // connected components: recursive closure over the ngram pairs;
+    // cluster id = min doc_id reachable (matches hash-min propagation)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+         |e AS (SELECT i AS a, j AS b FROM pairs
+         |      UNION ALL SELECT j, i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin,
     // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id,
@@ -409,6 +436,28 @@ object SparkEntry {
         |       AS BIGINT) AS score_micro
         |FROM toks JOIN freqs USING (tok) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // rank over the QUANTIZED score both sides → integer-exact ordering
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
+        |      AS score_micro
+        |  FROM tf JOIN idf USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score_micro DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score_micro
+        |FROM r WHERE rank <= 3""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,

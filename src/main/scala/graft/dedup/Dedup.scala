@@ -289,6 +289,56 @@ object Dedup {
     candidates.filter(col("dist") <= maxHamming).select(col("i"), col("j"))
   }
 
+  /** Near-dup CLUSTERS: connected components over a near-dup pair
+    * graph, the stage that turns pairwise matches into keep/drop
+    * decisions (cluster id = min doc_id of the component; the min doc
+    * is the canonical copy, everything else in the cluster is a drop).
+    *
+    * Distributed hash-min label propagation: every doc starts as its
+    * own component; each round takes the min of its own label and its
+    * neighbors' labels; converges in O(component diameter) rounds.
+    * Near-dup components are almost-cliques (diameter ≤ ~2), so 2-3
+    * rounds suffice at any corpus size; `maxIters` bounds adversarial
+    * graphs. Per-round lineage is truncated with localCheckpoint —
+    * an iterative algorithm otherwise compounds its plan each round.
+    * The per-round work is one shuffle of the EDGE list (not the
+    * corpus): at 100 TB the pair graph is tiny next to the data.
+    *
+    * Output: (doc_id, cluster_id) for every document in `docs`
+    * (singletons map to themselves). */
+  def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.alias("n").join(labels.alias("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** Cluster assignment for the documents table from the exact n-gram
+    * Jaccard pairs — the full dedup pipeline end to end (pairs →
+    * components → canonical mapping). */
+  def ngramClusters(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    connectedComponents(
+      documents(spark, sfDir).select(col("doc_id")),
+      "doc_id",
+      ngramJaccard(spark, sfDir, tau))
+
   /** Embedding cosine near-dup pairs at `tau`: each partition compares
     * its rows against the broadcast upper triangle (id > local id) with
     * tight double loops — a nested-loop JOIN with an interpreted

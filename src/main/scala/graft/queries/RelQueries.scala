@@ -147,6 +147,25 @@ object RelQueries {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("n"))
 
+  /** CUBE grouping sets: order counts and value by priority × year,
+    * all four grouping combinations in one pass (Spark expands the
+    * grouping sets before the partial aggregate, so the fact table is
+    * still read once). grouping() disambiguates a NULL dimension value
+    * from a cube subtotal row — coalesce alone can't. */
+  def orderPriorityCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("o_year"),
+        cents(col("o_totalprice")).as("c"))
+      .cube(col("o_orderpriority"), col("o_year"))
+      // grouping() is only resolvable inside the cube's own Aggregate,
+      // so the subtotal markers are emitted here and mapped after
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("total_cents"),
+        grouping(col("o_orderpriority")).as("gp"), grouping(col("o_year")).as("gy"))
+      .select(
+        when(col("gp") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        when(col("gy") === 1, lit(-1L)).otherwise(col("o_year").cast("long")).as("o_year"),
+        col("n"), col("total_cents"))
+
   /** Anti join: customers that never ordered (left_anti — no fact
     * shuffle when the dim side is the probe side and orders is keyed). */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =

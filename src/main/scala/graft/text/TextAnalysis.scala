@@ -109,6 +109,35 @@ object TextAnalysis {
           .cast("long").as("score_micro"))
   }
 
+  /** Top-3 TF-IDF terms per document — the keyword-extraction /
+    * relevance-weighting primitive (tf·ln(N/df), scores quantized to
+    * micro-units like [[lmScore]] so the ranking and the values are
+    * cross-engine exact). The rank window orders by the QUANTIZED
+    * score (ties broken by term), so engines that differ in the last
+    * ulp of ln() still rank identically. df is a per-term aggregate
+    * (tiny for any real vocabulary — broadcast); the window partitions
+    * by doc_id, so the big shuffle is one exchange of (doc, term)
+    * pairs. */
+  def tfIdfTop(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, sfDir)
+    val n = lit(docs.count().toDouble)
+    val toks = docs.select(col("doc_id"),
+      explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(n / col("df")) * 1e6).cast("long").as("score_micro"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
+        col("score_micro"))
+  }
+
   /** Document fingerprint: md5 of case/whitespace/punctuation-
     * normalized text — robust exact-dup key across formatting noise. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =

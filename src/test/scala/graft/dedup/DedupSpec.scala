@@ -41,6 +41,37 @@ class DedupSpec extends SparkSpec {
     assert(capped === exact, s"missing=${exact -- capped} spurious=${capped -- exact}")
   }
 
+  test("connected components: clusters cover the pairs, singletons map to self") {
+    val pairs = Dedup.ngramJaccard(spark, sf())
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.ngramClusters(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc is assigned, cluster id is a member's min
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(clusters.keySet === docs.toSet)
+    // paired docs share a component
+    pairSet.foreach { case (i, j) =>
+      assert(clusters(i) === clusters(j), s"pair ($i,$j) split across clusters")
+    }
+    // docs in no pair are their own cluster
+    val inPairs = pairSet.flatMap(p => Seq(p._1, p._2)).toSet
+    docs.filterNot(inPairs).foreach(d => assert(clusters(d) === d))
+    // cluster id is the min member
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min)
+    }
+  }
+
+  test("connected components: transitive chain a-b, b-c collapses to one cluster") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("pairs are canonical (i < j) and duplicate-free") {
     for (df <- Seq(Dedup.ngramJaccard(spark, sf()), Dedup.simhashPairs(spark, sf()),
         Dedup.embeddingCosine(spark, sf(), tau = 0.4))) {

@@ -77,6 +77,20 @@ class RelQueriesSpec extends SparkSpec {
     assert(leaves.map(_.getAs[Long]("n")).sum === grand.getAs[Long]("n"))
   }
 
+  test("cube: all four grouping sets present; grand total matches orders count") {
+    val rows = RelQueries.orderPriorityCube(spark, sf()).collect()
+    val nOrders = spark.read.parquet(s"${sf()}/orders.parquet").count()
+    val grand = rows.find(r => r.getString(0) == "ALL" && r.getLong(1) == -1L).get
+    assert(grand.getAs[Long]("n") === nOrders)
+    // priority-only subtotals sum to the grand total, as do year-only
+    val byPriority = rows.filter(r => r.getString(0) != "ALL" && r.getLong(1) == -1L)
+    val byYear = rows.filter(r => r.getString(0) == "ALL" && r.getLong(1) != -1L)
+    assert(byPriority.map(_.getAs[Long]("n")).sum === nOrders)
+    assert(byYear.map(_.getAs[Long]("n")).sum === nOrders)
+    assert(byPriority.map(_.getAs[Long]("total_cents")).sum ===
+      grand.getAs[Long]("total_cents"))
+  }
+
   test("rel query results are non-empty and well-typed at sf0.001") {
     val qs = Seq(
       RelQueries.pricingSummary(spark, sf()),

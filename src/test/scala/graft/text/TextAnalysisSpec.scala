@@ -60,6 +60,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.values.max <= math.round(math.log(pMax) * 1e6) + 1)
   }
 
+  test("TF-IDF top terms: dense ranks 1..k per doc, scores non-increasing") {
+    val rows = TextAnalysis.tfIdfTop(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      // score non-increasing with rank
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+    // every doc with at least one token gets ranked terms
+    assert(byDoc.size > 0)
+  }
+
   test("RollingHash: reference values, codegen path, order sensitivity") {
     import spark.implicits._
     // h("ab") = (('a'+1) + ('b'+1)*257) % 1e9+7
