@@ -60,6 +60,8 @@ object SparkEntry {
     "rel_approx_users" -> ((s, dir) => RelQueries.approxDistinctUsers(s, dir)),
     "rel_rollup" -> ((s, dir) => RelQueries.pricingRollup(s, dir)),
     "rel_cube" -> ((s, dir) => RelQueries.orderPriorityCube(s, dir)),
+    "rel_upsert" -> ((s, dir) => RelQueries.changelogSnapshot(s, dir)),
+    "rel_range" -> ((s, dir) => RelQueries.valueBandCounts(s, dir)),
     "rel_anti" -> ((s, dir) => RelQueries.customersWithoutOrders(s, dir)),
     "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
     "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
@@ -232,6 +234,31 @@ object SparkEntry {
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS c
         |      FROM orders)
         |GROUP BY CUBE (o_orderpriority, o_year)""".stripMargin,
+    // arg_max ≡ max_by; version (event_id) is unique per key
+    "rel_upsert" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS version,
+        |    event_type = 'error' AS is_delete,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id,
+        |    arg_max(version, version) AS version,
+        |    arg_max(is_delete, version) AS is_delete,
+        |    arg_max(value_cents, version) AS value_cents
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, version, value_cents FROM last
+        |WHERE NOT is_delete""".stripMargin,
+    // the oracle states the range join declaratively; the engine's
+    // binned rewrite must produce identical band aggregates
+    "rel_range" ->
+      """WITH bands AS (
+        |  SELECT j AS band_id, j * 2500 AS lo, j * 2500 + 5000 AS hi
+        |  FROM range(20) t(j)),
+        |pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT band_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM bands JOIN pts ON cents >= lo AND cents < hi
+        |GROUP BY band_id""".stripMargin,
     "rel_anti" ->
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

@@ -318,13 +318,14 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      // carry the previous label through the pass so convergence is
+      // read off the materialized round, not via an extra self-join
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.alias("n").join(labels.alias("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("comp") =!= col("prev")).limit(1).count() == 0
+      labels = next.select(col("id"), col("comp"))
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))

@@ -166,6 +166,39 @@ object RelQueries {
         when(col("gy") === 1, lit(-1L)).otherwise(col("o_year").cast("long")).as("o_year"),
         col("n"), col("total_cents"))
 
+  /** Changelog compaction (SCD-1 snapshot): apply an ordered upsert/
+    * delete log and keep each key's latest surviving row. events stands
+    * in as the changelog — key = user_id, version = event_id, 'error'
+    * = delete, anything else upserts the event's value. max_by inside
+    * a hash aggregate, NOT a row_number window: the aggregate gets
+    * map-side partial combine (each partition reduces to one candidate
+    * per key before the shuffle), where a window must shuffle + sort
+    * every changelog row. */
+  def changelogSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id").as("version"),
+        (col("event_type") === "error").as("is_delete"),
+        cents(col("value")).as("value_cents"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("version"), col("is_delete"), col("value_cents")),
+        col("version")).as("last"))
+      .filter(!col("last.is_delete"))
+      .select(col("user_id"), col("last.version").as("version"),
+        col("last.value_cents").as("value_cents"))
+
+  /** Pure range join (no equi key): event values vs overlapping price
+    * bands, via [[graft.operators.RangeJoin.binned]] — a hash join on
+    * bin ids instead of the O(n·m) nested loop Spark would otherwise
+    * plan for an inequality-only condition. */
+  def valueBandCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = spark.range(20).select(col("id").as("band_id"),
+      (col("id") * 2500L).as("lo"), (col("id") * 2500L + 5000L).as("hi"))
+    val pts = t(spark, sfDir, "events").select(cents(col("value")).as("cents"))
+    graft.operators.RangeJoin.binned(pts, "cents", bands, "lo", "hi", binWidth = 2500L)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** Anti join: customers that never ordered (left_anti — no fact
     * shuffle when the dim side is the probe side and orders is keyed). */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =

@@ -91,6 +91,28 @@ class RelQueriesSpec extends SparkSpec {
       grand.getAs[Long]("total_cents"))
   }
 
+  test("changelog snapshot keeps exactly the keys whose last op is not a delete") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val lastOps = ev.withColumn("rn",
+        row_number().over(Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), (col("event_type") === "error").as("deleted"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val snap = RelQueries.changelogSnapshot(spark, sf()).collect()
+      .map(_.getLong(0)).toSet
+    assert(snap === lastOps.filterNot(_._2).keySet)
+  }
+
+  test("changelog snapshot plan uses partial aggregation, not a window sort") {
+    val plan = RelQueries.changelogSnapshot(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
+      plan.toLowerCase.contains("partial"), plan.take(2000))
+  }
+
   test("rel query results are non-empty and well-typed at sf0.001") {
     val qs = Seq(
       RelQueries.pricingSummary(spark, sf()),
