@@ -95,6 +95,48 @@ class KvStreamSpec extends SparkSpec {
     }
   }
 
+  test("rate-source soak: thousands of ops through RocksDB state equal batch replay") {
+    import spark.implicits._
+    // ops derived purely from the rate source's monotonic `value`, so
+    // the batch side can regenerate exactly the consumed prefix
+    def opOf(i: Long): KvOp = KvOp(i, i % 5, i, Seq("put", "append", "get")((i % 3).toInt),
+      s"k${i % 7}", s"v$i.")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ops = spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000).option("rampUpTime", "0s")
+        .load()
+        .select(col("value"))
+        .as[Long].map(opOf)
+      val q = KvStream.replayStream(ops).toDF()
+        .writeStream.outputMode("update").format("memory").queryName("kvsoak").start()
+      try {
+        // soak until a few thousand ops are committed (bounded wait)
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        var maxSeq = -1L
+        while (maxSeq < 3000 && System.nanoTime() < deadline) {
+          Thread.sleep(500)
+          q.processAllAvailable()
+          val m = spark.table("kvsoak").agg(max(col("seq"))).head()
+          if (!m.isNullAt(0)) maxSeq = m.getLong(0)
+        }
+        q.stop()
+        assert(maxSeq >= 3000, s"soak produced only ${maxSeq + 1} ops in 60s")
+        // rate batches are offset prefixes: everything <= maxSeq applied
+        val batchResult = Kv.replay((0L to maxSeq).map(opOf).toDS())
+          .collect().map(s => s.key -> s.state).toMap
+        assert(finalStates("kvsoak") === batchResult, s"prefix of ${maxSeq + 1} ops")
+      } finally if (q.isActive) q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
