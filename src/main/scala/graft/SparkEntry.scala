@@ -95,6 +95,7 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
     "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
     "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
+    "text_pack" -> ((s, dir) => graft.text.SequencePacking.packDocuments(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
@@ -485,6 +486,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score_micro
         |FROM r WHERE rank <= 3""".stripMargin,
+    // the oracle's single-partition window cumsum IS the semantics;
+    // the engine computes it as a two-pass distributed prefix sum
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(pre // 1024 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,

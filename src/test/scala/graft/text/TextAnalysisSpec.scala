@@ -78,6 +78,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc.size > 0)
   }
 
+  test("sequence packing: distributed prefix sum equals single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SequencePacking.packDocuments(spark, sf(), budget = 256L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // ground truth: the (non-scalable) global window formulation
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n_tokens"))
+    val expected = docs.withColumn("pre",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), expr("pre div 256").as("pack_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got === expected)
+    // the Verify writer coalesces to one file: a single-task pipeline
+    // must not collapse the per-partition offsets (TaskContext ids do)
+    val coalesced = SequencePacking.packDocuments(spark, sf(), budget = 256L, partitions = 7)
+      .coalesce(1).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(coalesced === expected)
+    // packs are contiguous in doc order and start at 0
+    assert(got.head._3 === 0L)
+    assert(got.sliding(2).forall {
+      case Array(a, b) => b._3 >= a._3
+      case _ => true
+    })
+  }
+
   test("RollingHash: reference values, codegen path, order sensitivity") {
     import spark.implicits._
     // h("ab") = (('a'+1) + ('b'+1)*257) % 1e9+7
