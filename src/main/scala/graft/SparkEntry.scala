@@ -96,9 +96,13 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
     "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
     "text_pack" -> ((s, dir) => graft.text.SequencePacking.packDocuments(s, dir)),
+    "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
+    "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
+    "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
+    "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -500,6 +504,64 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, CAST(pre // 1024 AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    "text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes_in,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://[^\s]+', '<url>', 'g'),
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text, bytes_in,
+        |  CAST(strlen(clean_text) AS BIGINT) AS bytes_out
+        |FROM c""".stripMargin,
+    "text_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+        |agg AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles, count(b.s) AS n_hit
+        |  FROM sh LEFT JOIN bench b ON sh.s = b.s
+        |  WHERE sh.doc_id % 37 <> 0 GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_hit,
+        |  CAST(n_hit * 100 >= n_shingles * 10 AS INT) AS contaminated
+        |FROM agg""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+        |syms AS (
+        |  SELECT cnt, list_append(
+        |    list_transform(range(1, strlen(w) + 1), i -> substr(w, CAST(i AS INT), 1)),
+        |    '</w>') AS s
+        |  FROM wc),
+        |pairs AS (
+        |  SELECT cnt, unnest(list_transform(range(1, len(s)),
+        |    i -> s[i] || ' ' || s[i+1])) AS pair
+        |  FROM syms)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair""".stripMargin,
+    "mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, 1 + strlen(text) % 240 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id,
+        |    unnest(range(0, nf, CAST((nf + 7) // 8 AS BIGINT))) AS frame_idx
+        |  FROM v)
+        |SELECT media_id, frame_idx,
+        |  (media_id * 31 + frame_idx * 7) % 256 AS luma
+        |FROM f""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,

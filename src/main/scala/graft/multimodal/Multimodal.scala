@@ -85,6 +85,22 @@ object Multimodal {
   def features(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir)).toDF()
 
+  /** Frame sampling for video rows: up to `maxFrames` evenly-strided
+    * frame indices per video (stride = ceil(n_frames / maxFrames)),
+    * each with a stub per-frame feature — the decode-side shape of a
+    * vision-language ingest (a real codec replaces the luma formula,
+    * exactly like [[decodeStub]]). Map-only after the stub decode:
+    * the explode multiplies rows by ≤ maxFrames, never shuffles. */
+  def frameSample(spark: SparkSession, sfDir: String, maxFrames: Int = 8): DataFrame =
+    extractFeatures(mediaTable(spark, sfDir)).toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        expr(s"(n_frames + ${maxFrames - 1}) div $maxFrames").as("stride"))
+      .select(col("media_id"),
+        explode(expr("sequence(0, n_frames - 1, stride)")).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        expr("(media_id * 31 + frame_idx * 7) % 256").as("luma"))
+
   /** Metadata-only rollup: aggregates ONLY ingest-time metadata columns
     * (kind, byte_len), so column pruning drops the binary payload at
     * the scan — asserted in MultimodalSpec. Feature rollups that need

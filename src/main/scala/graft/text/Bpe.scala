@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding primitives: the adjacent-symbol-pair counting
+  * that drives BPE vocabulary induction, plus the iterative merge
+  * loop itself — tokenizer TRAINING as a distributed query.
+  *
+  * Scale design (100 TB posture): the corpus-sized pass is the word
+  * count — one map-side-combined aggregation whose key space is the
+  * DISTINCT vocabulary (millions of rows for web-scale text, i.e.
+  * tiny next to the corpus). Everything after — symbolization, pair
+  * explosion, the k-round merge loop — runs on that distinct-word
+  * table weighted by counts, so each BPE iteration costs a scan of
+  * the vocabulary, not of the corpus. This is exactly how production
+  * BPE trainers stay tractable: corpus → word histogram once, then
+  * iterate on the histogram.
+  */
+object Bpe {
+
+  final case class WordSyms(syms: Seq[String], cnt: Long)
+
+  /** Distinct-word histogram (the one corpus-sized aggregation). */
+  def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbolization: characters plus a terminal '</w>' marker
+    * (distinguishes word-final from word-internal pairs, as in the
+    * original BPE formulation). Kept as its own projection so the
+    * pair lambda below captures a bound attribute (graft.dedup.Dedup
+    * documents the per-element re-evaluation pathology). */
+  private def symbolized(wc: DataFrame): DataFrame =
+    wc.select(col("cnt"), expr(
+      "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('</w>'))"
+    ).as("syms"))
+
+  /** Adjacent-pair counts over the weighted vocabulary: the score
+    * table of one BPE iteration. Pair rendered as "left right". */
+  def pairCounts(spark: SparkSession, sfDir: String): DataFrame =
+    pairCountsOf(symbolized(wordCounts(spark, sfDir)))
+
+  private def pairCountsOf(syms: DataFrame): DataFrame =
+    syms
+      .select(col("cnt"), expr(
+        """CASE WHEN size(syms) >= 2 THEN
+          |  transform(sequence(0, size(syms) - 2),
+          |    i -> concat(syms[i], ' ', syms[i + 1]))
+          |ELSE array() END""".stripMargin).as("ps"))
+      .select(col("cnt"), explode_outer(col("ps")).as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Greedy left-to-right non-overlapping merge of one (a, b) pair
+    * inside a symbol sequence — the per-word step of a BPE round. */
+  private[text] def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** k rounds of BPE training: each round counts pairs over the
+    * weighted vocabulary (distributed), picks the argmax (count desc,
+    * pair asc — a DETERMINISTIC tiebreak, so training is reproducible
+    * across cluster layouts), and rewrites the vocabulary with the
+    * merge applied. Only the winning pair crosses to the driver each
+    * round. Returns the merge list, most-frequent first. */
+  def trainMerges(spark: SparkSession, sfDir: String, k: Int): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    var vocab: Dataset[WordSyms] = symbolized(wordCounts(spark, sfDir))
+      .select(col("syms"), col("cnt")).as[WordSyms]
+      .localCheckpoint() // cut lineage: each round re-reads the small vocab, not the corpus
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until k) {
+      val top = pairCountsOf(vocab.toDF())
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .collect().headOption
+      top.foreach { r =>
+        val Array(a, b) = r.getString(0).split(" ", 2)
+        merges += ((a, b, r.getLong(1)))
+        vocab = vocab.map(w => WordSyms(mergePair(w.syms, a, b), w.cnt))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+}

@@ -36,6 +36,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling: videos only, <= 8 evenly-strided frames, full span") {
+    val frames = Multimodal.frameSample(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(frames.nonEmpty)
+    val nFrames = Multimodal.features(spark, sf())
+      .filter(col("kind") === "video").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_frames")).toMap
+    val byVideo = frames.groupBy(_._1)
+    assert(byVideo.keySet === nFrames.keySet) // every video sampled, nothing else
+    byVideo.foreach { case (id, fs) =>
+      val n = nFrames(id)
+      val stride = (n + 7) / 8
+      val idx = fs.map(_._2).sorted.toSeq
+      assert(idx === (0L until n by stride).toSeq)
+      assert(idx.size <= 8)
+      fs.foreach { case (_, i, luma) =>
+        assert(luma === (id * 31 + i * 7) % 256)
+      }
+    }
+  }
+
   test("metadata rollup covers all kinds and never touches the payload") {
     val df = Multimodal.kindSummary(spark, sf())
     val rows = df.collect()

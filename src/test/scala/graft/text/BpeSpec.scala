@@ -1,0 +1,77 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  /** Pure-Scala BPE reference (independent oracle, mrsequential-style):
+    * word histogram → char+terminal symbols → k merge rounds with the
+    * same (count desc, pair asc) tiebreak. */
+  private def referenceMerges(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    val wc = texts
+      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[Seq[String], Long] =
+      wc.map { case (w, c) => (w.map(_.toString) :+ "</w>") -> c }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, s"$x $y") }
+        merges += ((a, b, c))
+        vocab = vocab.groupMapReduce {
+          case (syms, _) => Bpe.mergePair(syms, a, b)
+        } { case (_, c2) => c2 }(_ + _)
+      }
+    }
+    merges.result()
+  }
+
+  test("pair counts equal an independent in-memory count") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val expected = {
+      val wc = texts.flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      val pairs = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        val syms = w.map(_.toString) :+ "</w>"
+        syms.sliding(2).foreach {
+          case Seq(a, b) => val p = s"$a $b"; pairs(p) = pairs.getOrElse(p, 0L) + c
+          case _ =>
+        }
+      }
+      pairs.toMap
+    }
+    val got = Bpe.pairCounts(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("trainMerges matches the pure-Scala reference trainer") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val got = Bpe.trainMerges(spark, sf(), k = 6)
+    val expected = referenceMerges(texts, k = 6)
+    assert(got === expected)
+    // merge counts are non-increasing only per greedy step guarantee?
+    // no — later merges can exceed earlier ones after symbol fusion;
+    // assert instead that every merged pair had positive support
+    assert(got.forall(_._3 > 0L))
+  }
+
+  test("mergePair: greedy non-overlapping left-to-right") {
+    assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(Bpe.mergePair(Seq("x"), "a", "b") === Seq("x"))
+    assert(Bpe.mergePair(Nil, "a", "b") === Nil)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CleaningSpec extends SparkSpec {
+
+  test("clean scrubs URLs and emails, collapses whitespace") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "see https://example.com/a?b=c#d and http://t.co now"),
+      (2L, "mail bob.smith+x@sub.example.org  or\tALICE@EX.AM.PLE.io today"),
+      (3L, "  spaced    out \n lines  "),
+      (4L, "no noise here")
+    ).toDF("doc_id", "text")
+    val got = Cleaning.cleanText(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "see <url> and <url> now")
+    assert(got(2L) === "mail <email> or <email> today")
+    assert(got(3L) === "spaced out lines")
+    assert(got(4L) === "no noise here")
+  }
+
+  test("clean byte accounting and corpus no-op invariance") {
+    val out = Cleaning.clean(spark, sf()).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("bytes_out") ===
+        r.getAs[String]("clean_text").getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("bytes_out") <= r.getAs[Long]("bytes_in"))
+    }
+  }
+
+  test("contamination: benchmark docs excluded, hits bounded, planted dups detected") {
+    val out = Cleaning.contamination(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 37 !== 0L)
+      val (n, hit) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"))
+      assert(hit >= 0L && hit <= n)
+      assert(r.getAs[Int]("contaminated") === (if (hit * 100 >= n * 10) 1 else 0))
+    }
+    assert(Cleaning.contamination(spark, sf()).columns.toSeq ===
+      Seq("doc_id", "n_shingles", "n_hit", "contaminated"))
+  }
+
+  test("contamination of a planted benchmark copy flags 100% overlap") {
+    import spark.implicits._
+    // direct unit check of the plan shape on synthetic data: doc 0 is
+    // benchmark (0 % 37 == 0); doc 5 repeats its text verbatim; doc 7
+    // shares nothing
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (0L, base),
+      (5L, base),
+      (7L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    rows.write.mode("overwrite").parquet("/tmp/graft_cleaning_docs/documents.parquet")
+    val out = Cleaning.contamination(spark, "/tmp/graft_cleaning_docs")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(5L)._3 === 1 && out(5L)._1 === out(5L)._2) // full overlap
+    assert(out(7L)._2 === 0L && out(7L)._3 === 0)          // no overlap
+  }
+}
