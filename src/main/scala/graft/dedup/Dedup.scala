@@ -71,12 +71,14 @@ object Dedup {
     * per-doc counts. Integer arithmetic end-to-end until the final
     * ratio of ints, which is engine-exact. */
   def ngramJaccard(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
-    // NOTE the self-join + counts still execute the postings subplan
-    // three times (Spark does not share subplans across join sides);
-    // the production path for repeated runs is the bucketed persisted
-    // layout demonstrated in BucketedPostingsSpec, which also removes
-    // the exchange.
-    val post = shinglePostings(spark, sfDir)
+    // The self-join + counts consume the postings subplan three times,
+    // and Spark does not share subplans across join sides — so the
+    // postings are materialized ONCE (localCheckpoint) and every
+    // consumer reads the cached partitions. (On a cluster the same
+    // role is played by persisting postings; the production path for
+    // REPEATED dedup runs is the bucketed persisted layout in
+    // BucketedPostingsSpec, which also removes the join exchange.)
+    val post = shinglePostings(spark, sfDir).localCheckpoint()
     val sh = post.alias("a")
     val sh2 = post.alias("b")
     val counts = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -294,24 +296,69 @@ object Dedup {
     * decisions (cluster id = min doc_id of the component; the min doc
     * is the canonical copy, everything else in the cluster is a drop).
     *
-    * Distributed hash-min label propagation: every doc starts as its
-    * own component; each round takes the min of its own label and its
-    * neighbors' labels; converges in O(component diameter) rounds.
-    * Near-dup components are almost-cliques (diameter ≤ ~2), so 2-3
-    * rounds suffice at any corpus size; `maxIters` bounds adversarial
-    * graphs. Per-round lineage is truncated with localCheckpoint —
-    * an iterative algorithm otherwise compounds its plan each round.
-    * The per-round work is one shuffle of the EDGE list (not the
-    * corpus): at 100 TB the pair graph is tiny next to the data.
+    * The component computation runs over the EDGE GRAPH'S VERTICES
+    * ONLY, never the corpus: a document with no near-dup pair can
+    * never change label, so singletons stay out entirely and rejoin
+    * once at the end (broadcast — the converged label table is
+    * graph-sized). Two regimes behind one API:
+    *
+    *  - Edge lists up to `driverMaxEdges` collapse to a DRIVER
+    *    union-find (path-halving): the near-dup graph of even a
+    *    petabyte corpus is usually megabytes, and a driver pass costs
+    *    milliseconds where each distributed round costs a full
+    *    scheduling+shuffle cycle. This is the common case.
+    *  - Larger graphs run distributed hash-min label propagation:
+    *    each round joins the edge list with the label table and takes
+    *    the neighborhood min; converges in O(component diameter)
+    *    rounds (near-dup components are almost-cliques, diameter ≤ ~2;
+    *    `maxIters` bounds adversarial graphs). Per-round lineage is
+    *    truncated with localCheckpoint — an iterative algorithm
+    *    otherwise compounds its plan each round.
     *
     * Output: (doc_id, cluster_id) for every document in `docs`
     * (singletons map to themselves). */
   def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverMaxEdges: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp"))
+    val labels =
+      if (edges.count() <= driverMaxEdges * 2) driverUnionFind(edges)
+      else hashMinLabels(edges, maxIters)
+    docs.select(col(idCol).as("doc_id"))
+      .join(broadcast(labels), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Small-graph path: collect the edge list, union-find with path
+    * halving + min-id canonical roots, return (id, comp) rows. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by min id keeps the canonical-copy semantics explicit
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+  }
+
+  /** Large-graph path: distributed hash-min label propagation. */
+  private def hashMinLabels(edges: DataFrame, maxIters: Int): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var converged = false
     var it = 0
@@ -328,7 +375,7 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       it += 1
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    labels.select(col("id"), col("comp"))
   }
 
   /** Cluster assignment for the documents table from the exact n-gram

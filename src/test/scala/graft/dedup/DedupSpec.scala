@@ -63,13 +63,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("connected components: transitive chain a-b, b-c collapses to one cluster") {
+  test("connected components: transitive chain a-b, b-c collapses to one cluster (both regimes)") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("i", "j")
-    val got = Dedup.connectedComponents(docs, "doc_id", pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    // driver union-find path (default threshold)
+    val uf = Dedup.connectedComponents(docs, "doc_id", pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(uf === expected)
+    // distributed hash-min path (threshold forced to zero)
+    val hm = Dedup.connectedComponents(docs, "doc_id", pairs, driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm === expected)
+  }
+
+  test("connected components regimes agree on the corpus pair graph") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id")
+    val pairs = Dedup.ngramJaccard(spark, sf())
+    val uf = Dedup.connectedComponents(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hm = Dedup.connectedComponents(docs, "doc_id", pairs, driverMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf === hm)
   }
 
   test("pairs are canonical (i < j) and duplicate-free") {
