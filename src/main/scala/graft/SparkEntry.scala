@@ -26,6 +26,7 @@ object SparkEntry {
     "q_filecount" -> ((s, dir) => MrQueries.perFileCount(s, dir)),
     "q_wc_salted" -> ((s, dir) => MrQueries.wordCountSalted(s, dir)),
     "q_profile_udaf" -> ((s, dir) => MrQueries.scalarProfileUdaf(s, dir)),
+    "q_wc_cms" -> ((s, dir) => graft.functions.CountMin.wordEstimates(s, dir)),
     // ---- §2.3 KV / sharding semantics as data processing (K1-K9) ----
     "k_replay" -> ((s, dir) => Kv.replay(Kv.opsFromEvents(s, dir)).toDF()),
     "k_replay_dedup" -> ((s, dir) =>
@@ -87,6 +88,8 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
     "ann_pq" -> ((s, dir) => graft.sim.Pq.topKPq(s, dir)),
+    "ann_ivf_trained" -> ((s, dir) => graft.sim.Kmeans.topKIvfTrained(s, dir)),
+    "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),

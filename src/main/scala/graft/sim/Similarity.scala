@@ -105,14 +105,17 @@ object Similarity {
   }
 
   /** IVF-style ANN: corpus bucketed by nearest of `nCells` centroids
-    * (deterministically the first nCells vectors); a query scans only
-    * its `nprobe` nearest cells. Approximate — recall measured in
-    * SimilaritySpec; no SQL oracle (rows-only check). */
+    * (default: deterministically the first nCells vectors; pass
+    * `centroidsOpt` for a trained codebook — see graft.sim.Kmeans);
+    * a query scans only its `nprobe` nearest cells. Approximate —
+    * recall measured in SimilaritySpec; no SQL oracle (rows-only). */
   def topKIvf(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10,
-      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+      nCells: Int = 16, nprobe: Int = 4,
+      centroidsOpt: Option[Array[Vec]] = None): DataFrame = {
     import spark.implicits._
     val corpus = loadVectors(spark, sfDir)
-    val centroids = corpus.filter(col("vec_id") < nCells).collect().sortBy(_.vec_id)
+    val centroids = centroidsOpt.getOrElse(
+      corpus.filter(col("vec_id") < nCells).collect().sortBy(_.vec_id))
     val bcCent = spark.sparkContext.broadcast(centroids)
     def nearestCells(v: Vec, n: Int): Array[Int] =
       bcCent.value.map(c => cosine(v, c)).zipWithIndex

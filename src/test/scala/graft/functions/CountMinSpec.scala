@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+
+
+class CountMinSpec extends SparkSpec {
+
+  private val cms = udaf(CountMin.sketchAgg)
+
+  test("CMS bounds: true <= est <= true + eps*N for every word") {
+    import spark.implicits._
+    val words = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(explode(expr(
+        "filter(split(lower(text), '[^\\\\p{L}]+'), x -> x != '')")).as("word"))
+    val exact = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val epsN = math.ceil(math.E / CountMin.Width * n).toLong
+    val est = CountMin.wordEstimates(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (w, e) =>
+      assert(e >= exact(w), s"underestimate for $w")
+      assert(e <= exact(w) + epsN, s"overestimate beyond eps*N for $w")
+    }
+  }
+
+  test("CMS merge is order/partition invariant (deterministic sketch)") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => s"w${i % 37}")
+    val a = data.toDS().repartition(1)
+      .select(cms(col("value"))).head().getSeq[Long](0).toVector
+    val b = data.reverse.toDS().repartition(7)
+      .select(cms(col("value"))).head().getSeq[Long](0).toVector
+    assert(a === b)
+  }
+
+  test("point estimate of an absent key is bounded by collisions only") {
+    import spark.implicits._
+    val sketch = (1 to 100).map(_.toString).toDS()
+      .select(cms(col("value")))
+      .head().getAs[Seq[Long]](0).toArray
+    // absent keys can collide but never exceed eps*N with slack
+    assert(CountMin.estimate(sketch, "definitely-absent-key") <= 5L)
+  }
+}
