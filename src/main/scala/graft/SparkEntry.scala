@@ -102,6 +102,7 @@ object SparkEntry {
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
+    "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),

@@ -67,6 +67,31 @@ object Bpe {
     out.result()
   }
 
+  /** Tokenize the corpus with a trained merge list: per word, start
+    * from chars+'</w>' and apply the merges in training order (the
+    * standard BPE apply). Merges broadcast; one narrow pass over the
+    * corpus — training cost is amortized over the vocabulary, apply
+    * cost over the corpus, exactly the production split. */
+  def encode(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val merges = trainMerges(spark, sfDir, k).map(m => (m._1, m._2))
+    val bc = spark.sparkContext.broadcast(merges)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        var n = 0L
+        ws.foreach { w =>
+          var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+          bc.value.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+          n += syms.length
+        }
+        (id, n)
+      }
+      .toDF("doc_id", "n_bpe_tokens")
+  }
+
   /** k rounds of BPE training: each round counts pairs over the
     * weighted vocabulary (distributed), picks the argmax (count desc,
     * pair asc — a DETERMINISTIC tiebreak, so training is reproducible

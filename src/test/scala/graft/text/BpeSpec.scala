@@ -68,6 +68,23 @@ class BpeSpec extends SparkSpec {
     assert(got.forall(_._3 > 0L))
   }
 
+  test("encode: zero merges = chars+terminal; more merges never increase tokens") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val zero = Bpe.encode(spark, sf(), k = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eight = Bpe.encode(spark, sf(), k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseline = docs.selectExpr("doc_id",
+      "aggregate(transform(filter(split(lower(text), '[^a-z]+'), x -> x != ''), " +
+        "w -> length(w) + 1), 0L, (acc, x) -> acc + x) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === baseline)
+    assert(eight.keySet === zero.keySet)
+    eight.foreach { case (id, n) => assert(n <= zero(id) && n > 0L) }
+    // with 8 merges something must actually have merged
+    assert(eight.values.sum < zero.values.sum)
+  }
+
   test("mergePair: greedy non-overlapping left-to-right") {
     assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(Bpe.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
