@@ -26,7 +26,7 @@ object Similarity {
 
   /** PriorityQueue ordering whose MAX (head) is the worst candidate:
     * lowest sim, then highest neighbor id. */
-  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+  private[sim] val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(b._1, a._1)
       if (c != 0) c else java.lang.Long.compare(a._2, b._2)
@@ -53,7 +53,7 @@ object Similarity {
 
   /** Per-partition top-k accumulation against a broadcast query set,
     * then a final global rank over the tiny candidate union. */
-  private def partialTopK(corpus: Dataset[Vec], queries: Array[Vec], k: Int): Dataset[Hit] = {
+  private[sim] def partialTopK(corpus: Dataset[Vec], queries: Array[Vec], k: Int): Dataset[Hit] = {
     import corpus.sparkSession.implicits._
     val bc = corpus.sparkSession.sparkContext.broadcast(queries)
     corpus.mapPartitions { rows =>
@@ -83,7 +83,7 @@ object Similarity {
     }
   }
 
-  private def rankHits(hits: Dataset[Hit], k: Int): DataFrame = {
+  private[sim] def rankHits(hits: Dataset[Hit], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

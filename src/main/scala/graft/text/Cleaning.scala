@@ -33,18 +33,21 @@ object Cleaning {
   def clean(spark: SparkSession, sfDir: String): DataFrame =
     cleanText(documents(spark, sfDir))
 
+  /** The scrub as a column expression — composable into other
+    * pipelines (e.g. streaming ingest) on any text column. */
+  def scrub(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(c, urlRe, "<url>"), emailRe, "<email>"),
+      "\\s+", " "))
+
   /** [[clean]] on any (doc_id, text) frame (unit tests feed synthetic
     * rows with real URLs/emails; the driver corpus has none, which the
     * oracle compare then confirms end-to-end). */
   def cleanText(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("text"),
-        regexp_replace(regexp_replace(col("text"), urlRe, "<url>"),
-          emailRe, "<email>").as("scrubbed"))
-      .select(col("doc_id"),
-        trim(regexp_replace(col("scrubbed"), "\\s+", " ")).as("clean_text"),
-        octet_length(col("text")).cast("long").as("bytes_in"))
-      .select(col("doc_id"), col("clean_text"), col("bytes_in"),
+      .select(col("doc_id"), col("text"), scrub(col("text")).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        octet_length(col("text")).cast("long").as("bytes_in"),
         octet_length(col("clean_text")).cast("long").as("bytes_out"))
 
   /** Word-`n`-gram shingles from a materialized token array column
