@@ -92,13 +92,79 @@ object Bpe {
       .toDF("doc_id", "n_bpe_tokens")
   }
 
-  /** k rounds of BPE training: each round counts pairs over the
-    * weighted vocabulary (distributed), picks the argmax (count desc,
-    * pair asc — a DETERMINISTIC tiebreak, so training is reproducible
-    * across cluster layouts), and rewrites the vocabulary with the
-    * merge applied. Only the winning pair crosses to the driver each
-    * round. Returns the merge list, most-frequent first. */
-  def trainMerges(spark: SparkSession, sfDir: String, k: Int): Seq[(String, String, Long)] = {
+  /** k rounds of BPE training. Two regimes behind one API, chosen by
+    * vocabulary size (the CC-style hybrid: the corpus-sized work is
+    * the histogram; training itself is vocabulary-sized):
+    *
+    *  - vocabularies up to `driverMaxVocab` distinct words collapse
+    *    to an INCREMENTAL driver trainer: pair counts and a
+    *    pair→words index are maintained in memory, and each merge
+    *    touches only the words containing the merged pair — the
+    *    standard production BPE trainer shape, making large-k
+    *    training cheap;
+    *  - larger vocabularies run the distributed recount
+    *    ([[trainMergesDistributed]]).
+    *
+    * Both use the same deterministic tiebreak (count desc, pair asc),
+    * so they produce IDENTICAL merge lists — differentially tested. */
+  def trainMerges(spark: SparkSession, sfDir: String, k: Int,
+      driverMaxVocab: Long = 1L << 22): Seq[(String, String, Long)] = {
+    val wc = wordCounts(spark, sfDir)
+    if (wc.count() <= driverMaxVocab) {
+      import spark.implicits._
+      trainMergesDriver(wc.as[(String, Long)].collect(), k)
+    } else trainMergesDistributed(spark, sfDir, k)
+  }
+
+  /** Incremental in-memory trainer over a collected word histogram. */
+  private[text] def trainMergesDriver(wc: Array[(String, Long)],
+      k: Int): Seq[(String, String, Long)] = {
+    // mutable word list (symbol arrays scaled by word count)
+    val words = wc.sortBy(_._1).map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer.from(w.map(_.toString) :+ "</w>"), c)
+    }
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val where = scala.collection.mutable.Map.empty[(String, String),
+      scala.collection.mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        val n = counts.getOrElse(p, 0L) + sign * c
+        if (n == 0L) counts.remove(p) else counts(p) = n
+        if (sign > 0)
+          where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+        i += 1
+      }
+      // retraction leaves stale index entries behind; that is harmless
+      // (a stale "affected" word retracts and re-adds identical pairs,
+      // a no-op) and avoids a full index sweep per merge
+    }
+    words.indices.foreach(addWord(_, 1L))
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until k if counts.nonEmpty) {
+      val ((a, b), c) = counts.toSeq
+        .minBy { case ((x, y), n) => (-n, s"$x $y") }
+      merges += ((a, b, c))
+      val affected = where.getOrElse((a, b), Set.empty).toSeq.sorted
+      affected.foreach { wi =>
+        addWord(wi, -1L) // retract old pairs
+        val merged = mergePair(words(wi)._1.toSeq, a, b)
+        words(wi)._1.clear()
+        words(wi)._1 ++= merged
+        addWord(wi, 1L) // add new pairs
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed recount path: each round counts pairs over the
+    * weighted vocabulary, picks the argmax, and rewrites the
+    * vocabulary with the merge applied. Only the winning pair crosses
+    * to the driver each round. */
+  def trainMergesDistributed(spark: SparkSession, sfDir: String,
+      k: Int): Seq[(String, String, Long)] = {
     import spark.implicits._
     var vocab: Dataset[WordSyms] = symbolized(wordCounts(spark, sfDir))
       .select(col("syms"), col("cnt")).as[WordSyms]

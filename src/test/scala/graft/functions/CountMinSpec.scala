@@ -37,6 +37,29 @@ class CountMinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("streaming sketch (complete mode) equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    // global sketch aggregation: partial (map-side) sketches merge into
+    // one constant-size state — the shape that holds at any stream rate
+    val q = input.toDS().toDF("word")
+      .groupBy().agg(cms(col("word")).as("sketch"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    try {
+      val b1 = Seq("a", "b", "a", "c")
+      val b2 = Seq("a", "d", "b")
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .head().getSeq[Long](0).toVector
+      val batch = (b1 ++ b2).toDF("word")
+        .select(cms(col("word"))).head().getSeq[Long](0).toVector
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("point estimate of an absent key is bounded by collisions only") {
     import spark.implicits._
     val sketch = (1 to 100).map(_.toString).toDS()

@@ -62,6 +62,9 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.trainMerges(spark, sf(), k = 6)
     val expected = referenceMerges(texts, k = 6)
     assert(got === expected)
+    // regime equivalence: incremental driver == distributed recount
+    val dist = Bpe.trainMergesDistributed(spark, sf(), k = 6)
+    assert(dist === got)
     // merge counts are non-increasing only per greedy step guarantee?
     // no — later merges can exceed earlier ones after symbol fusion;
     // assert instead that every merged pair had positive support
@@ -83,6 +86,17 @@ class BpeSpec extends SparkSpec {
     eight.foreach { case (id, n) => assert(n <= zero(id) && n > 0L) }
     // with 8 merges something must actually have merged
     assert(eight.values.sum < zero.values.sum)
+  }
+
+  test("incremental driver trainer at large k matches the reference") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    // k large enough to exhaust most of this corpus's pair space —
+    // exercises retraction, stale-index no-ops, merged-symbol pairs
+    val got = Bpe.trainMerges(spark, sf(), k = 60)
+    val expected = referenceMerges(texts, k = 60)
+    assert(got === expected)
+    assert(got.size === 60 || got.size === expected.size)
   }
 
   test("mergePair: greedy non-overlapping left-to-right") {
