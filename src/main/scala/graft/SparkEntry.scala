@@ -57,6 +57,8 @@ object SparkEntry {
     "rel_top_orders" -> ((s, dir) => RelQueries.topOrders(s, dir)),
     "rel_first_orders" -> ((s, dir) => RelQueries.firstOrdersPerCustomer(s, dir)),
     "rel_events_daily" -> ((s, dir) => RelQueries.eventsDaily(s, dir)),
+    "rel_running" -> ((s, dir) => RelQueries.runningCustomerTotals(s, dir)),
+    "rel_daily_delta" -> ((s, dir) => RelQueries.eventsDailyDelta(s, dir)),
     "rel_distinct_users" -> ((s, dir) => RelQueries.distinctUsers(s, dir)),
     "rel_approx_users" -> ((s, dir) => RelQueries.approxDistinctUsers(s, dir)),
     "rel_rollup" -> ((s, dir) => RelQueries.pricingRollup(s, dir)),
@@ -223,6 +225,21 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS BIGINT) AS run_cents
+        |FROM orders""".stripMargin,
+    "rel_daily_delta" ->
+      """WITH d AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |  CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day), 0)
+        |    AS BIGINT) AS delta
+        |FROM d""".stripMargin,
     "rel_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,

@@ -106,6 +106,33 @@ object RelQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
   }
 
+  /** Running per-customer order total: the window-cumsum shape (one
+    * shuffle on custkey; unique (date, orderkey) order makes the
+    * default RANGE frame identical to ROWS, so the result is
+    * engine-exact). */
+  def runningCustomerTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("c"))
+      .withColumn("run_cents", sum(col("c")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("run_cents"))
+  }
+
+  /** Day-over-day delta of event counts per type (lag window over the
+    * daily rollup — tiny input, one exchange on type). */
+  def eventsDailyDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    eventsDaily(spark, sfDir)
+      .select(col("day"), col("event_type"), col("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("day"), col("event_type"), col("n"),
+        (col("n") - coalesce(col("prev_n"), lit(0L))).as("delta"))
+  }
+
   /** events.ts arrives as raw nanos (nanosAsLong); event-time day =
     * ns → µs → timestamp → date, all inside codegen. Integer `div`,
     * NOT `/`: float division of an ~1.7e18 ns value exceeds double's
