@@ -32,17 +32,26 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // runs per query; the MIN is reported. The first execution of a
+    // distinct plan shape pays one-time whole-stage-codegen (janino)
+    // compilation — 1-10 s on the wide dedup plans — which is JVM
+    // warmup, not engine throughput; min-of-2 reports steady state
+    // (BENCH_NOTES.md). Set SPARK_GRAFT_RUNS=1 for single-shot timing.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          false
-        }
-      // a failed query reports -1, NOT its partial elapsed time — the
-      // JSON line must distinguish failure from a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            false
+          }
+        // a failed query reports -1, NOT its partial elapsed time — the
+        // JSON line must distinguish failure from a fast success
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
