@@ -45,6 +45,38 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(outPath)
 
+  /** Compact a directory of small parquet files (the residue of
+    * micro-batched streaming sinks) into ~`targetFileBytes` files,
+    * optionally sorted so min/max pruning survives compaction. At
+    * scale this is the maintenance job that keeps file counts —
+    * and thus driver planning time and open-file pressure — bounded:
+    * a day of 1-minute micro-batches is 1440 directories of
+    * partition-count files each; compaction folds them into
+    * size-targeted files in one job.
+    *
+    * Reads the CURRENT total size from the file index (no extra
+    * pass), writes to `outPath`, returns (filesBefore, filesAfter). */
+  def compact(df: DataFrame, outPath: String, targetFileBytes: Long,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
+    val spark = df.sparkSession
+    val files = df.inputFiles
+    val totalBytes = {
+      val conf = spark.sessionState.newHadoopConf()
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    laid.write.mode("overwrite").parquet(outPath)
+    (files.length, spark.read.parquet(outPath).inputFiles.length)
+  }
+
   /** Per-file (min, max) envelopes of two columns — the statistics a
     * stats-based pruner consults; used to MEASURE layout quality. */
   def fileEnvelopes(df: DataFrame, x: String, y: String): Array[(Long, Long, Long, Long)] =

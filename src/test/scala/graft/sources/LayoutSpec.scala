@@ -26,6 +26,39 @@ class LayoutSpec extends SparkSpec {
     assert(plan.trim.startsWith("*("), plan) // '*' = whole-stage-codegen stage marker
   }
 
+  test("compaction folds micro-batch file sprawl into size-targeted files") {
+    import spark.implicits._
+    // simulate 12 micro-batches of 4-partition writes: 48 tiny files
+    val src = "/tmp/graft_compact_src"
+    val dst = "/tmp/graft_compact_dst"
+    scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    for (b <- 0 until 12) {
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"row$i"))
+        .toDF("id", "payload").repartition(4)
+        .write.mode("append").parquet(src)
+    }
+    val before = spark.read.parquet(src)
+    val nSmall = before.inputFiles.length
+    assert(nSmall >= 40, s"fixture produced only $nSmall files")
+    val (nBefore, nAfter) =
+      Layout.compact(before, dst, targetFileBytes = 64 * 1024, sortCols = Seq("id"))
+    info(s"compacted $nBefore files -> $nAfter")
+    assert(nBefore === nSmall)
+    assert(nAfter < nSmall / 4)
+    // content is preserved exactly
+    val a = spark.read.parquet(src).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = spark.read.parquet(dst).collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(a.toSeq === b.toSeq)
+    // sorted compaction keeps disjoint id envelopes (pruning survives)
+    val envs = spark.read.parquet(dst).groupBy(input_file_name())
+      .agg(min(col("id")), max(col("id"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    envs.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlapping envelopes: ${envs.toSeq}")
+      case _ =>
+    }
+  }
+
   test("z-order layout prunes box queries that linear order cannot") {
     import spark.implicits._
     // two independent uniform dimensions, 16k rows
