@@ -206,11 +206,14 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     // df ≤ maxDf groups (df-1 groups still count toward |A|: they are
     // in the capped universe even though they generate no pairs)
+    // materialized once: both consumers (per-doc counts + pair
+    // generation) would otherwise re-execute postings + groupBy
     val groups = shinglePostings(spark, sfDir)
       .groupBy(col("s"))
       .agg(collect_set(col("doc_id")).as("members"))
       .filter(size(col("members")) <= maxDf)
       .select(sort_array(col("members")).as("m"))
+      .localCheckpoint()
     val counts = groups
       .select(explode(col("m")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
