@@ -548,13 +548,18 @@ object SparkEntry {
         |      i -> array_to_string(t[i:i+7], ' '))) AS s
         |  FROM toks WHERE len(t) >= 8),
         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
-        |agg AS (
+        |hits AS (
         |  SELECT sh.doc_id, count(*) AS n_shingles, count(b.s) AS n_hit
         |  FROM sh LEFT JOIN bench b ON sh.s = b.s
-        |  WHERE sh.doc_id % 37 <> 0 GROUP BY sh.doc_id)
-        |SELECT doc_id, n_shingles, n_hit,
-        |  CAST(n_hit * 100 >= n_shingles * 10 AS INT) AS contaminated
-        |FROM agg""".stripMargin,
+        |  WHERE sh.doc_id % 37 <> 0 GROUP BY sh.doc_id),
+        |base AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0)
+        |SELECT base.doc_id,
+        |  CAST(coalesce(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(h.n_shingles, 0) > 0
+        |    AND coalesce(h.n_hit, 0) * 100 >= coalesce(h.n_shingles, 0) * 10
+        |    AS INT) AS contaminated
+        |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id""".stripMargin,
     "text_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

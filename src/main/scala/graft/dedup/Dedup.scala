@@ -27,23 +27,24 @@ object Dedup {
   /** Ordered lower-case alpha tokens (order preserved for shingling). */
   private val toksExpr = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
 
-  /** Distinct word-3-gram shingles from a materialized `toks` ARRAY
-    * COLUMN. The tokenization must be its own projection: inlining it
-    * here would re-evaluate the regex split at every lambda element
+  /** Distinct word-`n`-gram shingles from a materialized `toks` ARRAY
+    * COLUMN (shared by the dedup family and Cleaning.contamination).
+    * The tokenization must be its own projection: inlining it here
+    * would re-evaluate the regex split at every lambda element
     * (higher-order lambdas re-evaluate captured non-attribute
     * expressions per element — O(tokens²) regex work, measured as a
-    * 10-30× slowdown at sf0.1). Spark SQL `a[i]` is 0-based. */
-  private val shinglesFromToks =
-    """CASE WHEN size(toks) >= 3 THEN
-      |  array_distinct(transform(sequence(0, size(toks) - 3),
-      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
-      |ELSE array() END""".stripMargin
+    * 10-30× slowdown at sf0.1). Spark SQL slice() is 1-based. */
+  private[graft] def shinglesFromToks(n: Int): String =
+    s"""CASE WHEN size(toks) >= $n THEN
+       |  array_distinct(transform(sequence(0, size(toks) - $n),
+       |    i -> concat_ws(' ', slice(toks, i + 1, $n))))
+       |ELSE array() END""".stripMargin
 
   /** (doc_id, sh: array<string>) — two-step projection, see above. */
   private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .select(col("doc_id"), expr(shinglesFromToks).as("sh"))
+      .select(col("doc_id"), expr(shinglesFromToks(3)).as("sh"))
 
   /** Exact dedup: canonical representative (min doc_id) + copy count
     * per distinct text, keyed by md5 so the shuffle key is 16 bytes. */
@@ -325,11 +326,13 @@ object Dedup {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
-    val labels =
-      if (edges.count() <= driverMaxEdges * 2) driverUnionFind(edges)
-      else hashMinLabels(edges, maxIters)
+    val small = edges.count() <= driverMaxEdges * 2
+    val labels = if (small) driverUnionFind(edges) else hashMinLabels(edges, maxIters)
+    // broadcast only the driver-sized result; the large-regime label
+    // table is exactly what must NOT be collected to the driver
+    val joined = if (small) broadcast(labels) else labels
     docs.select(col(idCol).as("doc_id"))
-      .join(broadcast(labels), col("doc_id") === col("id"), "left")
+      .join(joined, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 

@@ -22,14 +22,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * catches stragglers). */
 object IngestPipeline {
 
-  /** Streaming transform: input must carry (doc_id, text, t). */
+  /** Streaming transform: input must carry (doc_id, text, t).
+    *
+    * dropDuplicatesWithinWatermark, NOT dropDuplicates(fp): with only
+    * the fingerprint in the key set, Spark never evicts dedup state
+    * (eviction requires the event-time column among the keys) and the
+    * store grows one entry per distinct document forever. The
+    * within-watermark variant keys on fp but expires entries once the
+    * watermark passes them — bounded state, duplicates beyond the
+    * delay fall through to the periodic batch dedup. */
   def cleaned(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .select(col("doc_id"), col("t"),
         graft.text.Cleaning.scrub(col("text")).as("clean_text"))
       .withColumn("fp", md5(col("clean_text")))
       .withWatermark("t", watermarkDelay)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Start the pipeline into `outDir` (one subdir per micro-batch,
     * exactly once per batch id) with checkpointing at `checkpointDir`. */

@@ -109,11 +109,14 @@ object Bpe {
     * so they produce IDENTICAL merge lists — differentially tested. */
   def trainMerges(spark: SparkSession, sfDir: String, k: Int,
       driverMaxVocab: Long = 1L << 22): Seq[(String, String, Long)] = {
-    val wc = wordCounts(spark, sfDir)
-    if (wc.count() <= driverMaxVocab) {
-      import spark.implicits._
+    import spark.implicits._
+    // the ONE corpus-sized aggregation, materialized so the regime-
+    // selection count and the chosen trainer reuse it (re-deriving it
+    // would scan the corpus twice)
+    val wc = wordCounts(spark, sfDir).localCheckpoint()
+    if (wc.count() <= driverMaxVocab)
       trainMergesDriver(wc.as[(String, Long)].collect(), k)
-    } else trainMergesDistributed(spark, sfDir, k)
+    else trainMergesOnVocab(wc, k)
   }
 
   /** Incremental in-memory trainer over a collected word histogram. */
@@ -164,9 +167,13 @@ object Bpe {
     * vocabulary with the merge applied. Only the winning pair crosses
     * to the driver each round. */
   def trainMergesDistributed(spark: SparkSession, sfDir: String,
-      k: Int): Seq[(String, String, Long)] = {
+      k: Int): Seq[(String, String, Long)] =
+    trainMergesOnVocab(wordCounts(spark, sfDir), k)
+
+  private def trainMergesOnVocab(wc: DataFrame, k: Int): Seq[(String, String, Long)] = {
+    val spark = wc.sparkSession
     import spark.implicits._
-    var vocab: Dataset[WordSyms] = symbolized(wordCounts(spark, sfDir))
+    var vocab: Dataset[WordSyms] = symbolized(wc)
       .select(col("syms"), col("cnt")).as[WordSyms]
       .localCheckpoint() // cut lineage: each round re-reads the small vocab, not the corpus
     val merges = Seq.newBuilder[(String, String, Long)]

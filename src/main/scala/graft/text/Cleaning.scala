@@ -50,21 +50,15 @@ object Cleaning {
         octet_length(col("text")).cast("long").as("bytes_in"),
         octet_length(col("clean_text")).cast("long").as("bytes_out"))
 
-  /** Word-`n`-gram shingles from a materialized token array column
-    * named `toks` (tokenizer must live in its OWN projection — see
-    * graft.dedup.Dedup on lambda re-evaluation). */
-  private def shinglesExpr(n: Int): String =
-    s"""CASE WHEN size(toks) >= $n THEN
-       |  array_distinct(transform(sequence(0, size(toks) - $n),
-       |    i -> concat_ws(' ', slice(toks, i + 1, $n))))
-       |ELSE array() END""".stripMargin
-
   /** Benchmark decontamination: flag corpus documents sharing too many
     * word-`n`-grams with a benchmark (eval) set. The benchmark here is
     * the deterministic stand-in `doc_id % benchMod = 0` — a real
     * deployment passes its own eval corpus; the plan is identical.
     *
-    * Output per non-benchmark doc: distinct shingle count, distinct
+    * Output per non-benchmark doc — INCLUDING docs too short to carry
+    * a single n-gram, which report (0, 0, not-contaminated) rather
+    * than silently vanishing (downstream joins must distinguish
+    * "clean" from "never evaluated"): distinct shingle count, distinct
     * shingles also present in ANY benchmark doc, and a contaminated
     * flag at ≥`pctThreshold`% overlap (integer cross-multiplication —
     * no float ratios). */
@@ -73,21 +67,22 @@ object Cleaning {
     val sh = documents(spark, sfDir)
       .select(col("doc_id"),
         expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
-      .select(col("doc_id"), expr(shinglesExpr(n)).as("sh"))
-      // explode_outer + null-filter: a plain explode lets the optimizer
-      // push an inferred size()>0 filter below the projections and
-      // re-inline the tokenizer into a per-element lambda (see Dedup)
+      .select(col("doc_id"), expr(graft.dedup.Dedup.shinglesFromToks(n)).as("sh"))
+      // explode_OUTER and NO null-filter: the null row keeps short docs
+      // in the aggregation (count(s) skips it), and a plain explode
+      // would let the optimizer push an inferred size()>0 filter below
+      // the projections, re-inlining the tokenizer per element (Dedup)
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-    val bench = sh.filter(col("doc_id") % benchMod === 0)
+    val bench = sh.filter(col("s").isNotNull && col("doc_id") % benchMod === 0)
       .select(col("s")).distinct()
       .withColumn("hit", lit(1))
     sh.filter(col("doc_id") % benchMod =!= 0)
-      .join(broadcast(bench), Seq("s"), "left")
+      .join(broadcast(bench), Seq("s"), "left") // null s never matches
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .agg(count(col("s")).as("n_shingles"), count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        (col("n_hit") * 100 >= col("n_shingles") * pctThreshold)
+        (col("n_shingles") > 0 &&
+          col("n_hit") * 100 >= col("n_shingles") * pctThreshold)
           .cast("int").as("contaminated"))
   }
 }

@@ -54,16 +54,18 @@ object SequencePacking {
     val offsets = (0 until partitions)
       .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
     val bc = spark.sparkContext.broadcast(offsets)
-    // rows within one upstream partition share a pid, so the running
-    // sum initializes lazily from the first row's stored pid — correct
-    // even when a later coalesce concatenates partitions into one task
+    // rows within one upstream partition share a pid and stay
+    // contiguous; the running sum re-initializes from the broadcast
+    // offsets on EVERY pid change — correct under any downstream
+    // coalesce, including one that concatenates non-adjacent parents
+    // (init-once-from-first-row would silently shift later parents)
     parts.select(col("doc_id"), col("n_tokens"), col("pid"))
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
         var run = 0L
-        var init = false
+        var curPid = -1
         it.map { case (id, n, pid) =>
-          if (!init) { run = bc.value(pid); init = true }
+          if (pid != curPid) { run = bc.value(pid); curPid = pid }
           val before = run
           run += n
           PackedDoc(id, n, before / budget)

@@ -55,8 +55,10 @@ class IngestPipelineSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val input = MemoryStream[(Long, String, Timestamp)]
+    // delay covering the fixture's whole event-time span: within the
+    // watermark the within-watermark dedup equals global distinct
     val streamed = IngestPipeline.cleaned(
-        input.toDS().toDF("doc_id", "text", "t"))
+        input.toDS().toDF("doc_id", "text", "t"), watermarkDelay = "600 minutes")
       .writeStream.outputMode("append").format("memory")
       .queryName("ingest_eq").start()
     try {

@@ -52,7 +52,8 @@ class CleaningSpec extends SparkSpec {
     val rows = Seq(
       (0L, base),
       (5L, base),
-      (7L, "one two three four five six seven eight nine ten")
+      (7L, "one two three four five six seven eight nine ten"),
+      (9L, "too short for any shingle")
     ).toDF("doc_id", "text")
     rows.write.mode("overwrite").parquet("/tmp/graft_cleaning_docs/documents.parquet")
     val out = Cleaning.contamination(spark, "/tmp/graft_cleaning_docs")
@@ -60,5 +61,7 @@ class CleaningSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
     assert(out(5L)._3 === 1 && out(5L)._1 === out(5L)._2) // full overlap
     assert(out(7L)._2 === 0L && out(7L)._3 === 0)          // no overlap
+    // short docs stay represented as evaluated-and-clean, not dropped
+    assert(out(9L) === ((0L, 0L, 0)))
   }
 }
