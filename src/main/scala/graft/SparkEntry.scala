@@ -13,9 +13,12 @@ import graft.kv.{Kv, ShardCtrler}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed corpus-prep pipeline (scrub → quality floor
+    * → exact dedup → sequence packing) — the end-to-end shape this
+    * engine exists for; oracle-checked as `text_pipeline`. */
   def entry(spark: SparkSession): DataFrame =
-    MrQueries.wordCount(spark, "/root/testdata/sf0.001")
+    graft.text.CorpusPipeline.prepare(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,6 +108,7 @@ object SparkEntry {
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
+    "text_pipeline" -> ((s, dir) => graft.text.CorpusPipeline.prepare(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
@@ -560,6 +564,31 @@ object SparkEntry {
         |    AND coalesce(h.n_hit, 0) * 100 >= coalesce(h.n_shingles, 0) * 10
         |    AS INT) AS contaminated
         |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id""".stripMargin,
+    // the composed corpus-prep pipeline: same stages chained as CTEs
+    "text_pipeline" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https?://[^\s]+', '<url>', 'g'),
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |      '\s+', ' ', 'g')) AS ct
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, ct,
+        |    len(list_filter(string_split_regex(ct, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM c),
+        |q AS (SELECT * FROM t WHERE n_tokens >= 5),
+        |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(ct)),
+        |k AS (SELECT q.doc_id, q.n_tokens FROM q JOIN d ON q.doc_id = d.doc_id),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM k)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(pre // 512 AS BIGINT) AS pack_id
+        |FROM p""".stripMargin,
     "text_bpe_pairs" ->
       """WITH words AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

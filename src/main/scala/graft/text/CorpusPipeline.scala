@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-preparation pipeline — the flagship shape a
+  * training-data engine exists for, as ONE declarative program:
+  *
+  *   raw documents
+  *     → scrub (URL/email, whitespace)             map-only
+  *     → token count + quality floor               map-only
+  *     → exact dedup (md5 of cleaned text,         1 shuffle on a
+  *       first doc_id wins)                        16-byte key
+  *     → sequence packing at a token budget        2 narrow passes
+  *
+  * Every stage is the already-tested operator; the composition is
+  * itself oracle-checked end to end (the DuckDB twin chains the same
+  * CTEs), which is the point: operators that compose without escape
+  * hatches are what make the library usable.
+  */
+object CorpusPipeline {
+
+  /** (doc_id, n_tokens, pack_id) for the cleaned, quality-filtered,
+    * deduplicated corpus, packed at `budget` tokens. */
+  def prepare(spark: SparkSession, sfDir: String, budget: Long = 512L,
+      minTokens: Long = 5L, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = Cleaning.cleanText(docs)
+      .select(col("doc_id"), col("clean_text"),
+        expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+    // keep the first (min doc_id) copy of each distinct cleaned text;
+    // the shuffle key is the 16-byte digest, never the text
+    val keep = toks
+      .groupBy(md5(col("clean_text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = toks.select(col("doc_id"), col("n_tokens"))
+      .join(keep, Seq("doc_id"), "left_semi")
+      .as[SequencePacking.DocTokens]
+    SequencePacking.packByPrefixSum(kept, budget, partitions).toDF()
+  }
+}
