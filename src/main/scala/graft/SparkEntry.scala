@@ -94,6 +94,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
     "ann_pq" -> ((s, dir) => graft.sim.Pq.topKPq(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => graft.sim.Kmeans.topKIvfTrained(s, dir)),
+    "ann_ivfpq" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPq(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),

@@ -52,4 +52,100 @@ object IvfIndex {
     // same bounded per-partition heaps + final rank as the in-memory path
     Similarity.rankHits(Similarity.partialTopK(probed, queries, k), k)
   }
+
+  final case class PqIndexModel(cents: Array[Kmeans.Centroid], cb: Pq.Codebooks)
+
+  /** IVF-PQ index: the production ANN layout. Vectors are stored
+    * L2-NORMALIZED with their 8-byte PQ code, partitioned by trained
+    * IVF cell. A probe then composes THREE prunings:
+    *   1. partition pruning — only nprobe/nCells directories read;
+    *   2. column pruning — the ADC scan reads (vec_id, code), never
+    *      the float vectors (the plan-asserted 8-bytes-per-vector
+    *      scan that makes 1e9-vector search feasible);
+    *   3. candidate pruning — only the rerank set's full vectors are
+    *      fetched, via a broadcast semi-join back to the index. */
+  def buildPq(spark: SparkSession, sfDir: String, indexPath: String,
+      nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 1000): PqIndexModel = {
+    import spark.implicits._
+    val corpus = Similarity.loadVectors(spark, sfDir)
+      .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    val cents = Kmeans.train(corpus, nCells, iters)
+    val sample = corpus.filter(col("vec_id") < sampleSize).collect()
+      .sortBy(_.vec_id).map(_.v)
+    val cb = Pq.train(sample, m, ksub)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    corpus.map(r => (r.vec_id, r.v, Pq.encode(bcCb.value, r.v),
+        Kmeans.nearest(r, bcC.value)))
+      .toDF("vec_id", "v", "code", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    PqIndexModel(cents, cb)
+  }
+
+  /** Build-and-probe convenience for the query surface (driver gate):
+    * index under /tmp, first `numQueries` vectors as the query set. */
+  def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val path = "/tmp/graft_ivfpq_query_index"
+    val idx = buildPq(spark, sfDir, path)
+    val qs = Similarity.loadVectors(spark, sfDir)
+      .filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
+      .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    probePq(spark, path, qs, idx, k)
+  }
+
+  /** Top-k IVF-PQ probe; `queries` must be L2-normalized (as stored). */
+  def probePq(spark: SparkSession, indexPath: String, queries: Array[Vec],
+      idx: PqIndexModel, k: Int = 5, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    import spark.implicits._
+    val cells = queries.flatMap { q =>
+      idx.cents.map(c => (cosine(q, Vec(-1, c.v, 1.0)), c.cell))
+        .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+    }.distinct.sorted
+    val probed = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    // ADC scan: codes only — the float vectors are pruned at the reader
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcT = spark.sparkContext.broadcast(queries.map(q => Pq.adcTable(idx.cb, q.v)))
+    val m = idx.cb.m
+    val candidates = probed.select(col("vec_id"), col("code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val qs = bcQ.value; val tables = bcT.value
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+        rows.foreach { case (id, code) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (id != qs(qi).vec_id) {
+              val t = tables(qi)
+              var d = 0.0; var j = 0
+              while (j < m) { d += t(j)(code(j) & 0xff); j += 1 }
+              val h = heaps(qi)
+              if (h.size < rerank) h.enqueue((d, id))
+              else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((d, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (_, id) => (qs(qi).vec_id, id) }
+        }
+      }.toDF("query_id", "neighbor_id").distinct()
+    // fetch ONLY the candidates' vectors for the exact re-rank
+    val rescored = candidates
+      .join(probed.select(col("vec_id"), col("v")),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (q, n, v) =>
+        val qv = bcQ.value(bcQ.value.indexWhere(_.vec_id == q))
+        Similarity.Hit(q, n, cosine(qv, Vec(n, v, 1.0)))
+      }
+    Similarity.rankHits(rescored, k)
+  }
 }

@@ -21,6 +21,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIndex === exact)
   }
 
+  test("IVF-PQ: code-only ADC scan (plan-asserted), recall holds") {
+    val path = "/tmp/graft_ivfpq_index"
+    val idx = IvfIndex.buildPq(spark, sf(), path)
+    val qs = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10).collect().sortBy(_.vec_id)
+      .map(v => Similarity.Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    // the ADC scan must read (vec_id, code) and NOT the float vectors
+    val scanPlan = spark.read.parquet(path)
+      .select(col("vec_id"), col("code"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("ReadSchema") && !scanPlan.contains("v:array"),
+      s"vector column not pruned from ADC scan:\n$scanPlan")
+    val got = IvfIndex.probePq(spark, path, qs, idx, k = 5, nprobe = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Similarity.topKExact(spark, sf(), k = 5, numQueries = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      got.get(q).map(g => (ex intersect g).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF-PQ mean recall@5 = $mean")
+    assert(mean >= 0.4)
+    got.values.foreach(s => assert(s.size === 5))
+  }
+
   test("narrow probe reads only the probed partitions and keeps recall") {
     val cents = IvfIndex.build(spark, sf(), IndexPath, nCells = 16, iters = 2)
     val qs = queries(10)
