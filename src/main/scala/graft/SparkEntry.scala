@@ -81,6 +81,7 @@ object SparkEntry {
     "rel_outer" -> ((s, dir) => RelQueries.nationCoverage(s, dir)),
     "rel_funnel" -> ((s, dir) => RelQueries.signupFunnel(s, dir)),
     "text_sample" -> ((s, dir) => graft.text.Sampling.sampleDocuments(s, dir)),
+    "text_sample_topk" -> ((s, dir) => graft.text.Sampling.sampleTopKDocuments(s, dir)),
     // ---- dedup family (training-data pipeline extensions) ----
     "dedup_exact" -> ((s, dir) => graft.dedup.Dedup.exact(s, dir)),
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
@@ -374,6 +375,14 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // text_sample: md5-prefix threshold — byte-identical across engines
     "text_sample" -> graft.text.Sampling.sampleDocumentsOracleSql,
+    "text_sample_topk" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15),
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin,
     "rel_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'

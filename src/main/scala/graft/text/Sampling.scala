@@ -68,6 +68,29 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Deterministic per-stratum top-`k`: rank docs inside each stratum
+    * by their id-hash (a reproducible pseudo-random order) and keep
+    * the first k — the corpus-BALANCING primitive (exactly k docs per
+    * language regardless of skew), complementing the per-stratum
+    * FRACTIONS of [[stratifiedSample]]. One shuffle on the stratum;
+    * rank within partitions. The hash rank makes it engine-exact. */
+  def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(idCol), seed), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** documents query: 20 docs per language, hash-ranked. */
+  def sampleTopKDocuments(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    topKPerStratum(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "lang", k)
+      .select(col("doc_id"), col("lang"))
+
   /** DuckDB oracle for [[sampleDocuments]] — byte-identical predicate. */
   def sampleDocumentsOracleSql: String = {
     val cases = documentFractions.toSeq.sorted

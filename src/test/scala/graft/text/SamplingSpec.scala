@@ -36,4 +36,23 @@ class SamplingSpec extends SparkSpec {
     val deRate = byLang.getOrElse("de", 0L).toDouble / totals("de")
     assert(enRate < deRate, s"en $enRate should be sampled far below de $deRate")
   }
+
+  test("per-stratum top-k: exactly k per language, deterministic, nested in hash order") {
+    val a = Sampling.sampleTopKDocuments(spark, sf(), k = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = Sampling.sampleTopKDocuments(spark, sf(), k = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.toSeq === b.sorted.toSeq) // deterministic
+    val langSizes = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = a.groupBy(_._2).view.mapValues(_.length).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) === math.min(20L, n).toInt, s"lang $lang")
+    }
+    // k=10 is a prefix of k=20 within each stratum (same hash order)
+    val small = Sampling.sampleTopKDocuments(spark, sf(), k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(small.subsetOf(a.toSet))
+  }
 }
