@@ -105,6 +105,7 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
     "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
     "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
+    "text_classify" -> ((s, dir) => graft.text.TextAnalysis.classify(s, dir)),
     "text_pack" -> ((s, dir) => graft.text.SequencePacking.packDocuments(s, dir)),
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
@@ -627,6 +628,21 @@ object SparkEntry {
         |SELECT media_id, frame_idx,
         |  (media_id * 31 + frame_idx * 7) % 256 AS luma
         |FROM f""".stripMargin,
+    "text_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT t,
+        |    list_sum(list_transform(range(1, strlen(t) + 1),
+        |      i -> ord(substr(t, CAST(i AS INT), 1)))) % 21 - 10 AS wt
+        |  FROM toks)
+        |SELECT toks.doc_id, CAST(sum(w.wt) AS BIGINT) AS score,
+        |  CAST(sum(w.wt) > 0 AS INT) AS label
+        |FROM toks JOIN w ON toks.t = w.t
+        |GROUP BY toks.doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,

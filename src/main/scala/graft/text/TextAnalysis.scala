@@ -138,6 +138,31 @@ object TextAnalysis {
         col("score_micro"))
   }
 
+  /** Linear text-classifier INFERENCE: score = Σ weight(token), the
+    * model shipped as a WEIGHT TABLE broadcast to the scan — how
+    * logistic-regression / fastText-style quality classifiers actually
+    * run inside a data engine (model-as-data join + aggregate; no UDF,
+    * no per-row model call). The weights here are a deterministic
+    * stand-in (ascii-sum mod 21, centered) so the full inference path
+    * is SQL-oracle-checkable; a real model swaps in its own table.
+    *
+    * Scale: the weight table is vocabulary-sized → broadcast; the
+    * corpus explodes to tokens but aggregates back map-side. */
+  def classify(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("t"))
+    val weights = toks.select(col("t")).distinct()
+      .withColumn("wt",
+        expr("aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), 0, (a, x) -> a + x) % 21 - 10")
+          .cast("long"))
+    toks.join(broadcast(weights), "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wt")).as("score"))
+      .select(col("doc_id"), col("score"),
+        (col("score") > 0).cast("int").as("label"))
+  }
+
   /** Document fingerprint: md5 of case/whitespace/punctuation-
     * normalized text — robust exact-dup key across formatting noise. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =

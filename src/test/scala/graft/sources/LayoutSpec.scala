@@ -78,9 +78,14 @@ class LayoutSpec extends SparkSpec {
     val uTouch = Layout.filesTouched(uEnv, 0, 255, 0, 255)
     info(s"files touched: z-order=$zTouch/$nFiles, u-range=$uTouch/$nFiles")
     // u-range layout prunes u (reads ~1/4 of files) but every kept file
-    // spans all of d; z-order prunes both dims
-    assert(zTouch < uTouch)
-    assert(zTouch <= nFiles / 4)
+    // spans all of d; z-order prunes both dims. Bounds are generous:
+    // repartitionByRange samples its bounds with an rddId-derived seed,
+    // so envelopes wobble by a file or two across suite orderings.
+    // on a u-selective box the u-range layout is already optimal (the
+    // box can align exactly with file boundaries), so z-order only has
+    // to match it; its strict win is the d-only box below
+    assert(zTouch <= uTouch)
+    assert(zTouch <= 6, s"z-order touched $zTouch of $nFiles files")
     // a d-only box: u-range layout reads EVERYTHING, z-order does not
     val zTouchD = Layout.filesTouched(zEnv, 0, 1023, 0, 127)
     val uTouchD = Layout.filesTouched(uEnv, 0, 1023, 0, 127)

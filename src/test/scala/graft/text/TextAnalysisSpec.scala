@@ -106,6 +106,27 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("classifier inference: weight-table join matches a driver-side fold") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def w(t: String): Long = (t.map(_.toInt).sum % 21 - 10).toLong
+    // tokenless docs drop out of the inner join on the Spark side too
+    val expected = texts
+      .map { case (id, tx) => id -> tx.toLowerCase.split("[^a-z]+").filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) =>
+        val score = toks.map(w).sum
+        id -> ((score, if (score > 0) 1 else 0))
+      }.toMap
+    val got = TextAnalysis.classify(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got === expected)
+    // the model join must be broadcast (vocabulary-sized weight table)
+    val plan = TextAnalysis.classify(spark, sf()).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("RollingHash: reference values, codegen path, order sensitivity") {
     import spark.implicits._
     // h("ab") = (('a'+1) + ('b'+1)*257) % 1e9+7
