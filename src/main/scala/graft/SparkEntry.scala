@@ -53,6 +53,13 @@ object SparkEntry {
         ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))
       Kv.routeOps(Kv.opsFromEvents(s, dir), history, epochLen = 100L)
     }),
+    "k_migrations" -> ((s, dir) => {
+      val history = ShardCtrler.historyDf(s,
+        ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))
+      graft.streaming.ShardMigration.migrations(
+        graft.streaming.ShardMigration.shardOps(
+          Kv.routeOps(Kv.opsFromEvents(s, dir), history, epochLen = 100L))).toDF()
+    }),
     // ---- §7 phase-7 relational extensions (TPC-H-ish) ----
     "rel_pricing" -> ((s, dir) => RelQueries.pricingSummary(s, dir)),
     "rel_shipping_priority" -> ((s, dir) => RelQueries.shippingPriority(s, dir)),
