@@ -13,7 +13,11 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[N, maxFailures]: task retry is ON (2 attempts) so the
+      // crash-recovery differential (CrashRecoverySpec) can exercise
+      // Spark's re-execution guarantee — spark.task.maxFailures is
+      // ignored by the local scheduler, only the master string counts.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
