@@ -95,7 +95,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => graft.dedup.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
-    "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosine(s, dir)),
+    "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
+    "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
@@ -478,6 +479,7 @@ object SparkEntry {
          |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
          |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin,
     // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
+    // dedup_embed_ivf: approximate (recall measured in DedupEmbedSpec) → rows-only
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -393,13 +393,109 @@ object Dedup {
       "doc_id",
       ngramJaccard(spark, sfDir, tau))
 
-  /** Embedding cosine near-dup pairs at `tau`: each partition compares
-    * its rows against the broadcast upper triangle (id > local id) with
-    * tight double loops — a nested-loop JOIN with an interpreted
-    * higher-order cosine predicate costs ~20× more per pair. Sequential
-    * summation keeps parity with the DuckDB oracle. Brute force is the
-    * correct baseline at moderate N; the bucketed scale path (corpus
-    * too big to broadcast) lives in `graft.sim.Similarity.topKIvf`. */
+  /** EXACT embedding cosine near-dup pairs at `tau`, distributed with
+    * BOUNDED task memory: grid-blocked θ-join (the Okcan & Riedewald
+    * theta-join partitioning). Vectors are hashed into `nBlocks` id
+    * blocks; unordered block pair (p ≤ q) is one reduce task holding
+    * only blocks p and q (2·N/nBlocks·dim doubles), comparing its
+    * upper triangle (p == q) or full cross (p < q) with tight double
+    * loops. Every vector is replicated to exactly `nBlocks` tasks, so
+    * shuffle volume is N·nBlocks rows while compute stays the exact
+    * N²/2 the semantics demand — and, unlike the broadcast baseline
+    * below, neither the driver nor any single task ever holds the
+    * corpus. Scale knob: pick nBlocks so a block fits an executor
+    * (memory/task = 2·N·dim·8 / nBlocks bytes); more blocks = more
+    * parallelism at unchanged total compute.
+    *
+    * Each qualifying pair is emitted by exactly ONE task (its block
+    * pair), so no distinct/dedup pass is needed.
+    *
+    * This is the gate formulation of `dedup_embed`. For HIGH-threshold
+    * true near-dup at corpus scale, the pruned approximate path is
+    * [[embeddingCosineIvf]]; exact all-pairs at a loose τ is
+    * irreducibly quadratic, which is the honest cost of this oracle. */
+  def embeddingCosineBlocked(spark: SparkSession, sfDir: String,
+      tau: Double = 0.45, nBlocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val vecs = graft.sim.Similarity.loadVectors(spark, sfDir)
+    val grid = vecs.flatMap { v =>
+      val b = (java.lang.Long.hashCode(v.vec_id * 0x9e3779b97f4a7c15L) & 0x7fffffff) % nBlocks
+      // side 0 = "row block" in tasks (b, q≥b); side 1 = "col block" in (p<b, b)
+      Iterator.range(b, nBlocks).map(q => (b * nBlocks + q, 0, v)) ++
+        Iterator.range(0, b).map(p => (p * nBlocks + b, 1, v))
+    }
+    grid.groupByKey(_._1).flatMapGroups { (task, it) =>
+      val p = task / nBlocks; val q = task % nBlocks
+      val left = scala.collection.mutable.ArrayBuffer.empty[graft.sim.Similarity.Vec]
+      val right = scala.collection.mutable.ArrayBuffer.empty[graft.sim.Similarity.Vec]
+      it.foreach { case (_, side, v) => (if (side == 0) left else right) += v }
+      val la = left.sortBy(_.vec_id).toArray
+      if (p == q) {
+        for {
+          i <- Iterator.range(0, la.length)
+          j <- Iterator.range(i + 1, la.length)
+          if graft.sim.Similarity.cosine(la(i), la(j)) >= tau
+        } yield (la(i).vec_id, la(j).vec_id)
+      } else {
+        val ra = right.sortBy(_.vec_id).toArray
+        for {
+          i <- Iterator.range(0, la.length)
+          j <- Iterator.range(0, ra.length)
+          if graft.sim.Similarity.cosine(la(i), ra(j)) >= tau
+        } yield (math.min(la(i).vec_id, ra(j).vec_id),
+                 math.max(la(i).vec_id, ra(j).vec_id))
+      }
+    }.toDF("i", "j")
+  }
+
+  /** APPROXIMATE embedding near-dup at `tau` with IVF-cell blocking —
+    * the pruned scale path for the high-threshold regime where true
+    * near-duplicates are tight (cos ≥ ~0.8) and candidate pairs are
+    * rare. Cells come from [[graft.sim.Kmeans.train]] (broadcast
+    * k·dim doubles); each vector lands in the block of its primary
+    * cell and the blocks of its `nprobe` nearest cells; a pair is
+    * compared when one side's PRIMARY cell appears among the other's
+    * probes. Task memory = cell block ≈ N·nprobe/k vectors; compute
+    * is Σ|block|² ≪ N² once τ is tight enough that probes localize.
+    * Recall is a measured property (DedupEmbedSpec): 1.0 at
+    * nprobe = 6 on sf0.001/sf0.01 at the loose gate τ = 0.45, rising
+    * to exact at nprobe = k; pairs can surface in two cells, hence
+    * the final distinct. `comparisons` (optional accumulator) lets
+    * specs prove the candidate set is actually pruned vs N²/2. */
+  def embeddingCosineIvf(spark: SparkSession, sfDir: String,
+      tau: Double = 0.45, k: Int = 16, nprobe: Int = 6, iters: Int = 3,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val vecs = graft.sim.Similarity.loadVectors(spark, sfDir)
+    val cents = graft.sim.Kmeans.train(vecs, k, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = vecs.flatMap { v =>
+      val cs = bc.value
+      val sims = cs.map { c =>
+        var dot = 0.0; var i = 0
+        while (i < v.v.length) { dot += v.v(i) * c.v(i); i += 1 }
+        (c.cell, dot / v.nrm)
+      }.sortBy(-_._2)
+      Iterator.range(0, math.min(nprobe, sims.length))
+        .map(r => (sims(r)._1, r == 0, v))
+    }
+    assigned.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(_._3.vec_id)
+      for {
+        i <- Iterator.range(0, rows.length)
+        j <- Iterator.range(i + 1, rows.length)
+        if rows(i)._2 || rows(j)._2 // one side primary here → pair owned by ≤2 cells
+        _ = comparisons.foreach(_.add(1))
+        if graft.sim.Similarity.cosine(rows(i)._3, rows(j)._3) >= tau
+      } yield (rows(i)._3.vec_id, rows(j)._3.vec_id)
+    }.distinct().toDF("i", "j")
+  }
+
+  /** Broadcast all-pairs baseline, DEMOTED to a spec-only differential
+    * oracle: collects the corpus to the driver, which caps it at
+    * moderate N — the gate path is [[embeddingCosineBlocked]] and the
+    * pruned path is [[embeddingCosineIvf]]. Kept because a third,
+    * independently-shaped formulation is a cheap cross-check. */
   def embeddingCosine(spark: SparkSession, sfDir: String, tau: Double = 0.45): DataFrame = {
     import spark.implicits._
     val vecs = graft.sim.Similarity.loadVectors(spark, sfDir)
