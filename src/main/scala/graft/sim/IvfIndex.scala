@@ -65,15 +65,14 @@ object IvfIndex {
     *   3. candidate pruning — only the rerank set's full vectors are
     *      fetched, via a broadcast semi-join back to the index. */
   def buildPq(spark: SparkSession, sfDir: String, indexPath: String,
-      nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16,
-      sampleSize: Int = 1000): PqIndexModel = {
+      nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16): PqIndexModel = {
     import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
       .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
     val cents = Kmeans.train(corpus, nCells, iters)
-    val sample = corpus.filter(col("vec_id") < sampleSize).collect()
-      .sortBy(_.vec_id).map(_.v)
-    val cb = Pq.train(sample, m, ksub)
+    // codebooks trained distributed over the full corpus — no
+    // driver-side vector sample anywhere in the build path
+    val cb = Pq.trainDistributed(corpus, m, ksub)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcCb = spark.sparkContext.broadcast(cb)
     corpus.map(r => (r.vec_id, r.v, Pq.encode(bcCb.value, r.v),
@@ -84,11 +83,14 @@ object IvfIndex {
   }
 
   /** Build-and-probe convenience for the query surface (driver gate):
-    * index under /tmp, first `numQueries` vectors as the query set. */
+    * index under a per-session, per-corpus path (concurrent
+    * Verify/Bench/test runs on one machine must not clobber each
+    * other's index mid-read), first `numQueries` vectors as queries. */
   def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
       numQueries: Int = 10): DataFrame = {
     import spark.implicits._
-    val path = "/tmp/graft_ivfpq_query_index"
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val path = s"/tmp/graft_ivfpq_${tag}_${spark.sparkContext.applicationId}"
     val idx = buildPq(spark, sfDir, path)
     val qs = Similarity.loadVectors(spark, sfDir)
       .filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)

@@ -12,7 +12,8 @@ import Similarity.{Vec, Hit, cosine}
   * Pipeline: L2-normalize (cosine ≡ monotone in L2² on normalized
   * vectors) → train per-subspace codebooks (deterministic Lloyd's
   * k-means: first-K init, fixed iterations, lowest-index tie-break) on
-  * a driver-side sample → encode corpus in one narrow pass → per
+  * the full corpus DISTRIBUTED (no driver sample; see
+  * [[trainDistributed]]) → encode corpus in one narrow pass → per
   * partition, ADC-score codes against the query tables into bounded
   * heaps → re-rank the candidate union with exact cosine.
   *
@@ -75,6 +76,79 @@ object Pq {
     Codebooks(m, dsub, books)
   }
 
+  /** DISTRIBUTED per-subspace codebook training — no corpus sample
+    * ever reaches the driver. All `m` subspaces train simultaneously:
+    * each Lloyd round broadcasts the current codebooks (m·ksub·dsub
+    * doubles — KB), one narrow pass accumulates per-partition
+    * (subspace, centroid) sum/count partials locally (m·ksub rows per
+    * PARTITION cross the wire, never per-vector contributions), a
+    * 128-group reduce merges them, and the driver rebuilds centroids
+    * from m·ksub·dsub doubles of state. Same deterministic rules as
+    * the driver-side [[kmeans]]: first-ksub-by-id init, fixed
+    * iterations, empty clusters keep their centroid, nearest ties to
+    * the lowest index — so on a corpus small enough that the driver
+    * path's sample IS the corpus, the two trainers agree up to
+    * float-summation order (PqTrainSpec). `corpus` must already be
+    * L2-normalized, as in [[topKPq]]. */
+  private[sim] def trainDistributed(corpus: org.apache.spark.sql.Dataset[Vec],
+      m: Int, ksub: Int, iters: Int = 10): Codebooks = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // cache for the training loop: `iters` passes over one materialized
+    // copy instead of re-running the scan+normalize lineage per round
+    // (MEMORY_AND_DISK: spills rather than OOMs at corpus scale)
+    val cached = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = cached.filter(col("vec_id") < ksub).collect().sortBy(_.vec_id).map(_.v)
+    val dim = seed.head.length
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seed.map(sub(_, j, dsub)))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(Codebooks(m, dsub, books))
+      val partials = cached.mapPartitions { rows =>
+        val cb = bc.value
+        val k = cb.centroids(0).length
+        val sums = Array.ofDim[Double](cb.m, k, cb.dsub)
+        val counts = Array.ofDim[Long](cb.m, k)
+        rows.foreach { r =>
+          var j = 0
+          while (j < cb.m) {
+            val s = sub(r.v, j, cb.dsub)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              val d = sqDist(s, cb.centroids(j)(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            counts(j)(best) += 1
+            val acc = sums(j)(best)
+            var i = 0
+            while (i < cb.dsub) { acc(i) += s(i); i += 1 }
+            j += 1
+          }
+        }
+        for {
+          j <- Iterator.range(0, cb.m)
+          c <- Iterator.range(0, k) if counts(j)(c) > 0
+        } yield (j, c, sums(j)(c), counts(j)(c))
+      }
+      val agg = partials.groupByKey(t => (t._1, t._2))
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](a._3.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._3(i) + b._3(i); i += 1 }
+          (a._1, a._2, s, a._4 + b._4)
+        }.map(_._2).collect()
+      val next = books.map(_.map(_.clone))
+      agg.foreach { case (j, c, s, n) => next(j)(c) = s.map(_ / n) }
+      books = next
+      bc.destroy()
+    }
+    cached.unpersist(blocking = false)
+    Codebooks(m, dsub, books)
+  }
+
   private[sim] def encode(cb: Codebooks, v: Array[Double]): Array[Byte] =
     Array.tabulate(cb.m) { j =>
       val s = sub(v, j, cb.dsub)
@@ -91,13 +165,11 @@ object Pq {
     Array.tabulate(cb.m)(j => cb.centroids(j).map(c => sqDist(sub(q, j, cb.dsub), c)))
 
   def topKPq(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 50, sampleSize: Int = 1000): DataFrame = {
+      m: Int = 8, ksub: Int = 16, rerank: Int = 50): DataFrame = {
     import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
       .map(v => Vec(v.vec_id, l2normalize(v.v), 1.0))
-    val sample = corpus.filter(col("vec_id") < sampleSize).collect()
-      .sortBy(_.vec_id).map(_.v)
-    val cb = train(sample, m, ksub)
+    val cb = trainDistributed(corpus, m, ksub)
     val bcCb = spark.sparkContext.broadcast(cb)
     val queries = corpus.filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
     val bcQ = spark.sparkContext.broadcast(queries)
