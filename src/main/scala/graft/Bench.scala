@@ -32,6 +32,19 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Inter-query hygiene: a 70+-query suite in one JVM otherwise
+    // inflates later queries up to 10× vs isolated runs (round-2
+    // adjudication) — accumulated cache/broadcast blocks and deferred
+    // ContextCleaner work (which only drains after a GC) bill one
+    // query's garbage to the next query's clock. Clearing the cache
+    // and forcing a GC between timed runs makes suite numbers track
+    // SPARK_GRAFT_ONLY singles.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(150) // let the ContextCleaner drain its GC-triggered queue
+    }
+
     // runs per query; the MIN is reported. The first execution of a
     // distinct plan shape pays one-time whole-stage-codegen (janino)
     // compilation — 1-10 s on the wide dedup plans — which is JVM
@@ -40,6 +53,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
+        quiesce()
         val t0 = System.nanoTime()
         val ok =
           try { force(fn(spark, sfDir)); true }

@@ -36,9 +36,11 @@ object SparkEntry {
       Kv.replay(Kv.opsFromEvents(s, dir), exactlyOnce = true).toDF()),
     "k_getlog" -> ((s, dir) => Kv.getLog(Kv.opsFromEvents(s, dir)).toDF()),
     "k_replay_stream" -> ((s, dir) => {
-      // the streaming state machine run in batch mode: same fold, same oracle
+      // the streaming machine's semantics executed in batch mode via the
+      // sorted-group scan (no per-key log buffer); stream ≡ batch is
+      // asserted in KvStreamSpec, same oracle as k_replay
       import org.apache.spark.sql.functions.col
-      graft.streaming.KvStream.replayStream(Kv.opsFromEvents(s, dir))
+      graft.streaming.KvStream.replayBatch(Kv.opsFromEvents(s, dir))
         .toDF().select(col("key"), col("state"))
     }),
     "k_shard" -> ((s, dir) => {
@@ -56,7 +58,7 @@ object SparkEntry {
     "k_migrations" -> ((s, dir) => {
       val history = ShardCtrler.historyDf(s,
         ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))
-      graft.streaming.ShardMigration.migrations(
+      graft.streaming.ShardMigration.migrationsBatch(
         graft.streaming.ShardMigration.shardOps(
           Kv.routeOps(Kv.opsFromEvents(s, dir), history, epochLen = 100L))).toDF()
     }),

@@ -36,20 +36,43 @@ object KvStream {
     * consumers pick a key's latest snapshot with max_by(state, seq). */
   final case class KvSnapshot(key: String, state: String, seq: Long)
 
-  /** Fold one sorted run of ops into the ledgered state. */
-  private[streaming] def applyOps(st: KvLedgerState, ops: Seq[KvOp]): KvLedgerState =
-    ops.sortBy(_.seq).foldLeft(st) { (s, o) =>
-      if (o.seq <= s.lastSeq) s // late replay of an applied op
-      else if (s.clientMax.get(o.clientId).exists(o.clientSeq <= _)) s // client retry
-      else {
-        val v = o.op match {
-          case "put"    => o.value
-          case "append" => s.value + o.value
-          case _        => s.value
-        }
-        KvLedgerState(v, o.seq, s.clientMax.updated(o.clientId, o.clientSeq))
+  /** One op transition — the single definition of the ledgered fold,
+    * shared by the streaming machine (micro-batch-bounded buffer) and
+    * the batch sorted-group scan (no buffer at all). */
+  private[streaming] def applyOp(s: KvLedgerState, o: KvOp): KvLedgerState =
+    if (o.seq <= s.lastSeq) s // late replay of an applied op
+    else if (s.clientMax.get(o.clientId).exists(o.clientSeq <= _)) s // client retry
+    else {
+      val v = o.op match {
+        case "put"    => o.value
+        case "append" => s.value + o.value
+        case _        => s.value
       }
+      KvLedgerState(v, o.seq, s.clientMax.updated(o.clientId, o.clientSeq))
     }
+
+  /** Fold one sorted run of ops into the ledgered state. The sort is
+    * bounded by a MICRO-BATCH (streaming path only — the batch path
+    * is [[replayBatch]], which never buffers a group). */
+  private[streaming] def applyOps(st: KvLedgerState, ops: Seq[KvOp]): KvLedgerState =
+    ops.sortBy(_.seq).foldLeft(st)(applyOp)
+
+  /** BATCH execution of the same state machine: one shuffle on key,
+    * `flatMapSortedGroups(seq)` — Spark's sort-based shuffle delivers
+    * the group already seq-ordered, so the ledger fold is a streaming
+    * O(state)-memory scan over the iterator. In batch mode one "group"
+    * is the key's ENTIRE log; buffering it (as the micro-batch path's
+    * `toSeq.sortBy` would) is O(log) per key and dies on hot keys at
+    * 100 TB — this path never holds more than the current op plus the
+    * ledger. Differential vs the streaming machine in KvStreamSpec. */
+  def replayBatch(ops: Dataset[KvOp]): Dataset[KvSnapshot] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .flatMapSortedGroups(org.apache.spark.sql.functions.col("seq")) { (key, it) =>
+        val st = it.foldLeft(KvLedgerState("", -1L, Map.empty[Long, Long]))(applyOp)
+        Iterator.single(KvSnapshot(key, st.value, st.lastSeq))
+      }
+  }
 
   /** Streaming state machine: emits the key's post-batch snapshot every
     * time the key sees traffic (OutputMode.Update). */

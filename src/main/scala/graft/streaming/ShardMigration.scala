@@ -38,8 +38,20 @@ object ShardMigration {
       .as[ShardOp]
   }
 
-  /** Works identically on a batch or streaming input (the spec runs
-    * both and compares). */
+  /** One op transition: next state plus the handoff record if the
+    * shard changed owners at this op — shared by the streaming
+    * machine and the batch sorted-group scan. */
+  private[streaming] def step(shard: Int, st: ShardState,
+      o: ShardOp): (ShardState, Option[Migration]) = {
+    val mig =
+      if (st.gid != o.gid && st.gid != -1L)
+        Some(Migration(shard, o.seq, st.gid, o.gid, st.keys.size.toLong))
+      else None
+    (ShardState(o.gid, st.keys + o.key), mig)
+  }
+
+  /** Streaming state machine (true streams: the sort is bounded by a
+    * micro-batch; batch executions go through [[migrationsBatch]]). */
   def migrations(ops: Dataset[ShardOp]): Dataset[Migration] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.shard)
@@ -49,12 +61,31 @@ object ShardMigration {
           var st = state.getOption.getOrElse(ShardState(-1L, Set.empty))
           val out = Seq.newBuilder[Migration]
           batch.toSeq.sortBy(_.seq).foreach { o =>
-            if (st.gid != o.gid && st.gid != -1L)
-              out += Migration(shard, o.seq, st.gid, o.gid, st.keys.size.toLong)
-            st = ShardState(o.gid, st.keys + o.key)
+            val (next, mig) = step(shard, st, o)
+            mig.foreach(out += _)
+            st = next
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** BATCH execution of the same machine via `flatMapSortedGroups` —
+    * the shuffle delivers each shard's ops already seq-ordered, so
+    * the walk holds only the current owner + key population, never
+    * the whole log (in batch mode one "group" is the shard's entire
+    * history; the micro-batch path's toSeq.sortBy would buffer it).
+    * Differential vs streaming + window oracle in ShardMigrationSpec. */
+  def migrationsBatch(ops: Dataset[ShardOp]): Dataset[Migration] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.shard)
+      .flatMapSortedGroups(col("seq")) { (shard, it) =>
+        var st = ShardState(-1L, Set.empty)
+        it.flatMap { o =>
+          val (next, mig) = step(shard, st, o)
+          st = next
+          mig.iterator
+        }
       }
   }
 

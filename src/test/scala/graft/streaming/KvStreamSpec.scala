@@ -24,6 +24,37 @@ class KvStreamSpec extends SparkSpec {
       .groupBy(col("key")).agg(expr("max_by(state, seq)").as("state"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("batch sorted-group scan (replayBatch) equals the streaming machine and Kv.replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ops = randomLog(17, 120)
+    // ledgered batch scan vs plain batch replay (randomLog has unique
+    // (clientId, clientSeq) per op, so the ledger drops nothing)
+    val batch = KvStream.replayBatch(ops.toDS()).collect()
+      .map(s => s.key -> s.state).toMap
+    val plain = Kv.replay(ops.toDS()).collect().map(s => s.key -> s.state).toMap
+    assert(batch === plain)
+    // vs the streaming machine over the same log
+    val input = MemoryStream[KvOp]
+    val q = KvStream.replayStream(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("kvbatcheq").start()
+    try {
+      input.addData(ops); q.processAllAvailable()
+      assert(finalStates("kvbatcheq") === batch)
+    } finally q.stop()
+    // ledger semantics preserved: a client retry is dropped by both paths
+    val retry = Seq(
+      KvOp(0, 1, 0, "put", "k", "A"),
+      KvOp(1, 1, 1, "append", "k", "B"),
+      KvOp(2, 1, 1, "append", "k", "B")) // same (client, clientSeq): retry
+    val ledgered = KvStream.replayBatch(retry.toDS()).collect()
+    assert(ledgered.map(s => s.key -> s.state).toMap === Map("k" -> "AB"))
+    // plan shape: MapGroups with a per-group sort order fed by SortExec —
+    // Spark delivers the group seq-ordered; no user-side buffer exists
+    val plan = KvStream.replayBatch(retry.toDS()).queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups") && plan.contains("seq") && plan.contains("Sort ["))
+  }
+
   test("streaming fold equals batch replay on every prefix (3 batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -29,6 +29,30 @@ class ShardMigrationSpec extends SparkSpec {
       Migration(1, 5L, 20L, 10L, 3L)))
   }
 
+  test("batch sorted-group scan equals the window oracle and the unit fixture") {
+    import spark.implicits._
+    // corpus: same handoffs as the lag-window oracle
+    val expected = migrationsBatchOracle(routed()).collect()
+      .map(r => Migration(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = migrationsBatch(shardOps(routed())).collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // unit fixture: same records as the streaming machine's unit test
+    val ops = Seq(
+      ShardOp(1, 1L, "a", 10L), ShardOp(1, 2L, "b", 10L),
+      ShardOp(1, 3L, "a", 20L), ShardOp(1, 4L, "c", 20L),
+      ShardOp(1, 5L, "c", 10L), ShardOp(2, 1L, "z", 10L)).toDS()
+    assert(migrationsBatch(ops).collect().toSet === Set(
+      Migration(1, 3L, 10L, 20L, 2L),
+      Migration(1, 5L, 20L, 10L, 3L)))
+    // and the plan really is the sorted-group shape: MapGroups with a
+    // per-group [seq ASC] order fed by SortExec, not a user-side buffer
+    val plan = migrationsBatch(ops).queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"), plan.take(400))
+    assert(plan.contains("Sort ["), plan.take(400))
+  }
+
   test("streaming migrations equal the batch window oracle on routed corpus ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
