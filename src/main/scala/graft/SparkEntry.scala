@@ -48,20 +48,17 @@ object SparkEntry {
       Kv.shardAssignment(
         s.read.parquet(s"$dir/part.parquet").select(col("p_name")), "p_name")
     }),
-    "k_config_history" -> ((s, dir) =>
-      ShardCtrler.historyDf(s, ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))),
-    "k_route" -> ((s, dir) => {
-      val history = ShardCtrler.historyDf(s,
-        ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))
-      Kv.routeOps(Kv.opsFromEvents(s, dir), history, epochLen = 100L)
-    }),
-    "k_migrations" -> ((s, dir) => {
-      val history = ShardCtrler.historyDf(s,
-        ShardCtrler.history(ShardCtrler.cmdsFromNation(s, dir)))
+    // the three history consumers materialize the fold to the oracle
+    // side path (ShardCtrler.historyWithSideDump) so DuckDB can join it
+    "k_config_history" -> ((s, dir) => ShardCtrler.historyWithSideDump(s, dir)),
+    "k_route" -> ((s, dir) =>
+      Kv.routeOps(Kv.opsFromEvents(s, dir),
+        ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L)),
+    "k_migrations" -> ((s, dir) =>
       graft.streaming.ShardMigration.migrationsBatch(
         graft.streaming.ShardMigration.shardOps(
-          Kv.routeOps(Kv.opsFromEvents(s, dir), history, epochLen = 100L))).toDF()
-    }),
+          Kv.routeOps(Kv.opsFromEvents(s, dir),
+            ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
     // ---- §7 phase-7 relational extensions (TPC-H-ish) ----
     "rel_pricing" -> ((s, dir) => RelQueries.pricingSummary(s, dir)),
     "rel_shipping_priority" -> ((s, dir) => RelQueries.shippingPriority(s, dir)),
@@ -196,7 +193,48 @@ object SparkEntry {
     "k_shard" ->
       """SELECT DISTINCT p_name AS key, ascii(substr(p_name, 1, 1)) % 10 AS shard
         |FROM part""".stripMargin,
-    // k_config_history: pure fold, not SQL-expressible → rows-only check
+    // The rebalance fold itself is not SQL-expressible, but the query
+    // closures materialize it to /tmp/graft_oracle_side (the gate runs
+    // at sf0.01 — the path below), which upgrades the history and both
+    // downstream consumers to hash gates: k_config_history pins the
+    // dump's schema/values through an independent IO path, while
+    // k_route / k_migrations RE-DERIVE routing and handoffs in SQL
+    // (epoch assignment, shard function, lag windows) against it.
+    "k_config_history" ->
+      """SELECT config_num, shard, gid, servers
+        |FROM read_parquet('/tmp/graft_oracle_side/config_history_sf0.01/*.parquet')""".stripMargin,
+    "k_route" -> s"""WITH $kvOpsCte,
+       |hist AS (SELECT config_num, shard, gid
+       |  FROM read_parquet('/tmp/graft_oracle_side/config_history_sf0.01/*.parquet')),
+       |mx AS (SELECT max(config_num) AS m FROM hist),
+       |r AS (SELECT seq, key, ascii(substr(key, 1, 1)) % 10 AS shard,
+       |        least(seq // 100, (SELECT m FROM mx)) AS config_num
+       |      FROM ops)
+       |SELECT r.seq, r.key, r.shard, r.config_num, h.gid
+       |FROM r LEFT JOIN hist h
+       |  ON h.config_num = r.config_num AND h.shard = r.shard""".stripMargin,
+    "k_migrations" -> s"""WITH $kvOpsCte,
+       |hist AS (SELECT config_num, shard, gid
+       |  FROM read_parquet('/tmp/graft_oracle_side/config_history_sf0.01/*.parquet')),
+       |mx AS (SELECT max(config_num) AS m FROM hist),
+       |routed AS (
+       |  SELECT o.seq, o.key, o.shard2 AS shard, h.gid
+       |  FROM (SELECT seq, key, ascii(substr(key, 1, 1)) % 10 AS shard2,
+       |          least(seq // 100, (SELECT m FROM mx)) AS config_num FROM ops) o
+       |  JOIN hist h ON h.config_num = o.config_num AND h.shard = o.shard2),
+       |seqd AS (
+       |  SELECT shard, seq, gid,
+       |    lag(gid) OVER (PARTITION BY shard ORDER BY seq) AS prev_gid,
+       |    CASE WHEN row_number() OVER (PARTITION BY shard, key ORDER BY seq) = 1
+       |         THEN 1 ELSE 0 END AS first_k
+       |  FROM routed),
+       |pop AS (
+       |  SELECT *, coalesce(sum(first_k) OVER (PARTITION BY shard ORDER BY seq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_keys
+       |  FROM seqd)
+       |SELECT shard, seq AS at_seq, prev_gid AS from_gid, gid AS to_gid,
+       |  CAST(n_keys AS BIGINT) AS n_keys
+       |FROM pop WHERE prev_gid IS NOT NULL AND prev_gid <> gid""".stripMargin,
     "rel_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -103,6 +103,24 @@ object ShardCtrler {
     }).toDF("config_num", "shard", "gid", "servers")
   }
 
+  /** The corpus's config history, MATERIALIZED to a deterministic
+    * side path so the DuckDB oracle can join it: the rebalance fold
+    * itself is not SQL-expressible, but once its output is parquet,
+    * everything DOWNSTREAM of it (epoch assignment, routing joins,
+    * handoff windows — k_route / k_migrations) becomes a real SQL
+    * differential instead of a rows-only check. Path is keyed by the
+    * corpus dir's basename (the correctness gate always runs at
+    * sf0.01, which the oracle SQL hardcodes; other SFs write their
+    * own files and never clobber the gate's). Content per path is
+    * deterministic, so concurrent writers are benign. */
+  def historyWithSideDump(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = historyDf(spark, history(cmdsFromNation(spark, sfDir)))
+    val base = new java.io.File(sfDir).getName
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"/tmp/graft_oracle_side/config_history_$base")
+    df
+  }
+
   /** Deterministic demo command log derived from the nation table: join
     * a group per nation (batches of varying size), then leave a third
     * of them, then a manual move — exercising every command kind. */
