@@ -23,9 +23,17 @@ object CorpusPipeline {
   /** (doc_id, n_tokens, pack_id) for the cleaned, quality-filtered,
     * deduplicated corpus, packed at `budget` tokens. */
   def prepare(spark: SparkSession, sfDir: String, budget: Long = 512L,
+      minTokens: Long = 5L, partitions: Int = 32): DataFrame =
+    prepareDf(spark.read.parquet(s"$sfDir/documents.parquet"),
+      budget, minTokens, partitions)
+
+  /** [[prepare]] on any (doc_id, text) frame — the batch twin the
+    * streaming pipeline (graft.streaming.StreamingCorpusPipeline) is
+    * differential-tested against on every consumed prefix. */
+  def prepareDf(docs: DataFrame, budget: Long = 512L,
       minTokens: Long = 5L, partitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = Cleaning.cleanText(docs)
       .select(col("doc_id"), col("clean_text"),
         expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")
