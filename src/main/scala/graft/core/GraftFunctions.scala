@@ -12,5 +12,8 @@ object GraftFunctions {
       "fnv_hash31", exprs => FnvHash31(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "rolling_hash", exprs => graft.text.RollingHash(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "hilbert_index",
+      exprs => graft.sources.HilbertIndex(exprs(0), exprs(1)), "built-in")
   }
 }

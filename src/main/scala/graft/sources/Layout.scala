@@ -25,25 +25,52 @@ object Layout {
 
   /** Morton interleave of two non-negative int-ish columns
     * (`bits` low bits each, default 21 → fits one signed long). */
-  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
-    val xs = x.cast("long"); val ys = y.cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(xs, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave: bit `i` of column `j` lands at
+    * position `i·N + j`. `N·bits` must fit a signed long (≤ 63) —
+    * 3 columns at the default 21 bits exactly fills it; more columns
+    * trade per-column resolution (e.g. 6 cols × 10 bits), which is the
+    * right trade anyway: beyond ~4 dims every curve's box quality
+    * degrades and coarse bits carry all the pruning power. Built from
+    * shift/AND/OR column expressions — stays in whole-stage codegen. */
+  def zValueN(cols: Seq[Column], bits: Int = 21): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"${cols.size} cols × $bits bits exceeds a signed long")
+    val n = cols.size
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      val cl = c.cast("long")
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(shiftrightunsigned(cl, i).bitwiseAND(lit(1L)), n * i + j))
+      }
     }
   }
 
-  /** Cluster `df` into `numFiles` files z-ordered on (x, y); the sort
-    * key is dropped before the write (pruning works off the data
-    * columns' own min/max stats). */
+  /** Hilbert-curve key of two non-negative int-ish columns — tighter
+    * file envelopes than [[zValue]] on box workloads (no Z-diagonal
+    * jumps); measured against Z in LayoutCurveSpec. */
+  def hilbertValue(x: Column, y: Column, order: Int = 21): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(HilbertIndex(
+      bridge.expression(x.cast("long")), bridge.expression(y.cast("long")), order))
+  }
+
+  /** Cluster `df` into `numFiles` files ordered by an arbitrary curve
+    * key; the key is dropped before the write (pruning works off the
+    * data columns' own min/max stats — no reader cooperation). */
+  def writeKeyClustered(df: DataFrame, key: Column, outPath: String,
+      numFiles: Int): Unit =
+    df.withColumn("_ck", key)
+      .repartitionByRange(numFiles, col("_ck"))
+      .sortWithinPartitions(col("_ck"))
+      .drop("_ck")
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Cluster `df` into `numFiles` files z-ordered on (x, y). */
   def writeZOrdered(df: DataFrame, x: String, y: String, outPath: String,
       numFiles: Int): Unit =
-    df.withColumn("_z", zValue(col(x), col(y)))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(outPath)
+    writeKeyClustered(df, zValue(col(x), col(y)), outPath, numFiles)
 
   /** Compact a directory of small parquet files (the residue of
     * micro-batched streaming sinks) into ~`targetFileBytes` files,
@@ -92,4 +119,20 @@ object Layout {
     envs.count { case (x0, x1, y0, y1) =>
       x1 >= xLo && x0 <= xHi && y1 >= yLo && y0 <= yHi
     }
+
+  /** Per-file (min, max) envelopes over ANY column set — the N-dim
+    * generalization of [[fileEnvelopes]]. envelope(f)(j) = (min, max)
+    * of column j in file f. */
+  def fileEnvelopesN(df: DataFrame, cols: Seq[String]): Array[Array[(Long, Long)]] =
+    df.groupBy(input_file_name())
+      .agg(min(col(cols.head)).cast("long"), (max(col(cols.head)).cast("long") +:
+        cols.tail.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*)
+      .collect()
+      .map(r => cols.indices.map(j => (r.getLong(1 + 2 * j), r.getLong(2 + 2 * j))).toArray)
+
+  /** How many files a min/max pruner must read for an N-dim box. */
+  def filesTouchedN(envs: Array[Array[(Long, Long)]], box: Seq[(Long, Long)]): Int =
+    envs.count(env => env.zip(box).forall { case ((lo, hi), (qLo, qHi)) =>
+      hi >= qLo && lo <= qHi
+    })
 }
