@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_pq" -> ((s, dir) => graft.sim.Pq.topKPq(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => graft.sim.Kmeans.topKIvfTrained(s, dir)),
     "ann_ivfpq" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPq(s, dir)),
+    "ann_ivfpq_adaptive" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqAdaptive(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
@@ -539,6 +540,7 @@ object SparkEntry {
         |  FROM q, e WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
     // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
+    // ann_ivfpq_adaptive: approximate, adaptive probe depth → rows-only
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->
       """WITH toks AS (

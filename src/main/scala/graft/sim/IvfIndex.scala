@@ -98,6 +98,142 @@ object IvfIndex {
     probePq(spark, path, qs, idx, k)
   }
 
+  /** Build-and-probe with the ADAPTIVE prober (gate surface). */
+  def topKIvfPqAdaptive(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val path = s"/tmp/graft_ivfpq_adp_${tag}_${spark.sparkContext.applicationId}"
+    val idx = buildPq(spark, sfDir, path)
+    val qs = Similarity.loadVectors(spark, sfDir)
+      .filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
+      .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    probePqAdaptive(spark, path, qs, idx, k)
+  }
+
+  /** ADAPTIVE-nprobe IVF-PQ probe: cells are visited in decreasing
+    * query-affinity order, ONE RANK PER ROUND, and a query stops
+    * probing once an extra cell stops improving its candidate set —
+    * the recall/latency knob turned automatically instead of fixed
+    * up front. Convergence rule per query: if the k-th best ADC
+    * distance improves by less than `epsMicro` (×1e-6, relative) for
+    * `patience` consecutive rounds, the query goes inactive; the
+    * round loop ends when every query is inactive or `maxProbe` ranks
+    * are exhausted.
+    *
+    * Shape per round: ONE scan filtered to the union of the active
+    * queries' rank-r cells (partition-pruned directories, codes-only
+    * columns). Scoring is OPPORTUNISTIC: every active query scores
+    * every scanned row, not just its own cell's — those rows are
+    * already paid for, and the free cross-candidates are what fixed
+    * multi-query probing gets implicitly. Per-partition bounded heaps,
+    * then a driver merge of |activeQ|·rerank candidate rows — the
+    * driver never holds more than the per-query candidate heaps (the
+    * standard ANN serving state). Easy queries stop at 1-2 cells;
+    * hard ones keep probing; total IO adapts to the query set instead
+    * of the worst case. Exact re-rank finishes, as in [[probePq]]. */
+  def probePqAdaptive(spark: SparkSession, indexPath: String,
+      queries: Array[Vec], idx: PqIndexModel, k: Int = 5, maxProbe: Int = 16,
+      patience: Int = 1, epsMicro: Long = 1000L, rerank: Int = 50,
+      probedCellsOut: Option[Array[Int]] = None): DataFrame = {
+    import spark.implicits._
+    val m = idx.cb.m
+    val ranked: Array[Array[Int]] = queries.map { q =>
+      idx.cents.map(c => (cosine(q, Vec(-1, c.v, 1.0)), c.cell))
+        .sortBy { case (s, i) => (-s, i) }.map(_._2)
+    }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcT = spark.sparkContext.broadcast(queries.map(q => Pq.adcTable(idx.cb, q.v)))
+    // driver state: per-query candidate heap (worst on top), kth-best trace
+    val heaps = Array.fill(queries.length)(
+      scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+    val kthBest = Array.fill(queries.length)(Double.MaxValue)
+    val stalled = new Array[Int](queries.length)
+    val active = Array.fill(queries.length)(true)
+    val probed = new Array[Int](queries.length)
+    var r = 0
+    val maxR = math.min(maxProbe, idx.cents.length)
+    while (r < maxR && active.exists(identity)) {
+      // rank-r cell of each still-active query (deduped across queries)
+      val cells = queries.indices.filter(active).map(qi => ranked(qi)(r)).distinct
+      val activeQis = queries.indices.filter(active).toArray
+      val bcActive = spark.sparkContext.broadcast(activeQis)
+      val roundRows = spark.read.parquet(indexPath)
+        .filter(col("cell").isin(cells: _*))
+        .select(col("vec_id"), col("code"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          val qs = bcQ.value; val tables = bcT.value; val qis = bcActive.value
+          val local = scala.collection.mutable.Map.empty[Int,
+            scala.collection.mutable.PriorityQueue[(Double, Long)]]
+          rows.foreach { case (id, code) =>
+            var a = 0
+            while (a < qis.length) {
+              val qi = qis(a)
+              if (id != qs(qi).vec_id) {
+                val t = tables(qi)
+                var d = 0.0; var j = 0
+                while (j < m) { d += t(j)(code(j) & 0xff); j += 1 }
+                val h = local.getOrElseUpdate(qi,
+                  scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+                if (h.size < rerank) h.enqueue((d, id)) // bounded local heap
+                else if (d < h.head._1) { h.dequeue(); h.enqueue((d, id)) }
+              }
+              a += 1
+            }
+          }
+          local.iterator.flatMap { case (qi, h) =>
+            h.iterator.map { case (d, id) => (qi, id, d) }
+          }
+        }.collect()
+      bcActive.destroy()
+      // merge round candidates into the driver heaps; convergence check
+      val byQ = roundRows.groupBy(_._1)
+      queries.indices.foreach { qi =>
+        if (active(qi)) {
+          probed(qi) += 1
+          // rerank budget grows with probe depth (mirrors probePq's
+          // per-partition heaps: more cells scanned → more candidates
+          // survive to the exact re-rank; a flat ADC-top-rerank cap
+          // measurably loses neighbors the coarse ADC misranks)
+          val cap = rerank * probed(qi)
+          byQ.getOrElse(qi, Array.empty).foreach { case (_, id, d) =>
+            val h = heaps(qi)
+            if (!h.exists(_._2 == id)) {
+              if (h.size < cap) h.enqueue((d, id))
+              else if (d < h.head._1) { h.dequeue(); h.enqueue((d, id)) }
+            }
+          }
+          val kth = heaps(qi).clone().dequeueAll.reverse
+            .take(k).lastOption.map(_._1).getOrElse(Double.MaxValue)
+          val improved = kth < kthBest(qi) * (1.0 - epsMicro / 1e6) ||
+            heaps(qi).size < k
+          if (improved) { kthBest(qi) = kth; stalled(qi) = 0 }
+          else {
+            stalled(qi) += 1
+            if (stalled(qi) >= patience) active(qi) = false
+          }
+        }
+      }
+      r += 1
+    }
+    probedCellsOut.foreach(out => Array.copy(probed, 0, out, 0, probed.length))
+    // exact re-rank of the surviving candidate union (≤ |Q|·rerank rows)
+    val cand = queries.indices.flatMap { qi =>
+      heaps(qi).iterator.map { case (_, id) => (queries(qi).vec_id, id) }
+    }.toDF("query_id", "neighbor_id")
+    val rescored = cand
+      .join(spark.read.parquet(indexPath).select(col("vec_id"), col("v")),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (q, n, v) =>
+        val qv = bcQ.value(bcQ.value.indexWhere(_.vec_id == q))
+        Similarity.Hit(q, n, cosine(qv, Vec(n, v, 1.0)))
+      }
+    Similarity.rankHits(rescored, k)
+  }
+
   /** Top-k IVF-PQ probe; `queries` must be L2-normalized (as stored). */
   def probePq(spark: SparkSession, indexPath: String, queries: Array[Vec],
       idx: PqIndexModel, k: Int = 5, nprobe: Int = 4, rerank: Int = 50): DataFrame = {

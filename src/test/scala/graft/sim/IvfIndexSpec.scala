@@ -46,6 +46,46 @@ class IvfIndexSpec extends SparkSpec {
     got.values.foreach(s => assert(s.size === 5))
   }
 
+  test("adaptive probe: recall >= fixed nprobe=2, probes fewer cells than max, full-probe = exact-candidate parity") {
+    val path = "/tmp/graft_ivfpq_adp_spec"
+    val idx = IvfIndex.buildPq(spark, sf(), path)
+    val qs = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10).collect().sortBy(_.vec_id)
+      .map(v => Similarity.Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.topKExact(spark, sf(), k = 5, numQueries = 10))
+    def recall(got: Map[Long, Set[Long]]): Double = exact.map { case (q, ex) =>
+      got.get(q).map(g => (ex intersect g).size.toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+
+    val probedN = new Array[Int](qs.length)
+    val adaptive = topSets(IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = 1, probedCellsOut = Some(probedN)))
+    val fixed2 = topSets(IvfIndex.probePq(spark, path, qs, idx, k = 5, nprobe = 2))
+    val rAdp = recall(adaptive); val rF2 = recall(fixed2)
+    info(s"adaptive recall@5 = $rAdp (fixed-2 = $rF2), probes/query = ${probedN.toVector}")
+    assert(rAdp >= 0.8, "adaptive probe with default budget lost too much recall")
+    assert(probedN.forall(p => p >= 2 && p <= 16))
+    assert(probedN.sum < 16 * qs.length,
+      "adaptive probe never stopped early — convergence rule is dead")
+    // apples-to-apples vs fixed nprobe=2: at this corpus scale probePq's
+    // per-partition heaps keep essentially every scanned row for the
+    // exact re-rank, so give the adaptive prober the same candidate
+    // budget; same probed coverage + same budget must match or beat it
+    val matched = topSets(IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = 1, rerank = 300))
+    val rM = recall(matched)
+    info(s"adaptive (matched budget) recall@5 = $rM")
+    assert(rM >= rF2 - 1e-9, "matched-budget adaptive probe lost recall vs fixed nprobe=2")
+    // patience = forever → probes every cell; candidate set covers the
+    // corpus, so re-ranked top-k must equal exact brute force
+    val full = topSets(IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = Int.MaxValue,
+      rerank = 600)) // rerank > corpus: exhaustive candidates
+    assert(recall(full) === 1.0, "full adaptive probe with corpus-wide rerank must be exact")
+  }
+
   test("narrow probe reads only the probed partitions and keeps recall") {
     val cents = IvfIndex.build(spark, sf(), IndexPath, nCells = 16, iters = 2)
     val qs = queries(10)
