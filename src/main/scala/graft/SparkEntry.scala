@@ -105,6 +105,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPq(s, dir)),
     "ann_ivfpq_adaptive" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqAdaptive(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
+    "ann_sq8" -> ((s, dir) => graft.sim.Sq.topKSq(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
@@ -541,6 +542,7 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
     // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
     // ann_ivfpq_adaptive: approximate, adaptive probe depth → rows-only
+    // ann_sq8: approximate (recall measured in SqSpec) → rows-only
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->
       """WITH toks AS (
