@@ -72,11 +72,21 @@ object Bpe {
     * standard BPE apply). Merges broadcast; one narrow pass over the
     * corpus — training cost is amortized over the vocabulary, apply
     * cost over the corpus, exactly the production split. */
-  def encode(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+  def encode(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    encodeDocs(spark.read.parquet(s"$sfDir/documents.parquet"),
+      trainMerges(spark, sfDir, k).map(m => (m._1, m._2)))
+
+  /** The apply as a stateless transform over any (doc_id, text) frame —
+    * BATCH OR STREAMING: merges are broadcast and the pass is map-only,
+    * so the exact same code tokenizes a live document stream (training
+    * stays batch — the production split: vocabularies change on
+    * retrain cadence, corpora arrive continuously). Stream ≡ batch is
+    * asserted in BpeStreamSpec. */
+  def encodeDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val merges = trainMerges(spark, sfDir, k).map(m => (m._1, m._2))
     val bc = spark.sparkContext.broadcast(merges)
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    docs
       .select(col("doc_id"), expr(
         "filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("ws"))
       .as[(Long, Seq[String])]
