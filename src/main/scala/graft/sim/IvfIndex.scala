@@ -32,6 +32,28 @@ object IvfIndex {
     cents
   }
 
+  /** INCREMENTAL index maintenance: append a batch of new vectors to
+    * an existing cell layout WITHOUT rebuilding — assign each to its
+    * nearest existing centroid and append into the matching `cell=`
+    * directories (one narrow pass + partitioned append; the write
+    * touches only the cells that received vectors). The centroids are
+    * deliberately NOT moved: probes stay consistent with everything
+    * already stored, which is the invariant an incremental index must
+    * keep. Returns the appended batch's assignment cohesion
+    * (mean cosine to assigned centroid, ×1e6) — the RETRAIN SIGNAL:
+    * when fresh data's cohesion degrades versus the build-time
+    * cohesion, the cells no longer describe the distribution and a
+    * periodic rebuild (the batch path) is due. */
+  def append(spark: SparkSession, indexPath: String,
+      cents: Array[Kmeans.Centroid], newVecs: org.apache.spark.sql.Dataset[Vec]): Long = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    newVecs.map(r => (r.vec_id, r.v, Kmeans.nearest(r, bc.value)))
+      .toDF("vec_id", "v", "cell")
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+    Kmeans.cohesionMicro(newVecs, cents)
+  }
+
   /** Top-k probe against the persisted index: the `cell IN (...)`
     * filter is a PARTITION filter — only the probed directories are
     * read. Query vectors come from the caller (tiny, broadcast). */

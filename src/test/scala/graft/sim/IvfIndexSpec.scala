@@ -46,6 +46,43 @@ class IvfIndexSpec extends SparkSpec {
     got.values.foreach(s => assert(s.size === 5))
   }
 
+  test("incremental append: probes see appended vectors, layout intact, drift signal sane") {
+    import spark.implicits._
+    val path = "/tmp/graft_ivf_incr_index"
+    val corpus = Similarity.loadVectors(spark, sf())
+    // build on the first 400 vectors only, then append the rest
+    val head = corpus.filter(col("vec_id") < 400)
+    val tail = corpus.filter(col("vec_id") >= 400)
+    val bcHold = head.collect() // force both sides split deterministically
+    assert(bcHold.length === 400)
+    val cents = {
+      val c = Kmeans.train(head, 16, 2)
+      val bc = spark.sparkContext.broadcast(c)
+      head.map(r => (r.vec_id, r.v, Kmeans.nearest(r, bc.value)))
+        .toDF("vec_id", "v", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      c
+    }
+    val buildCohesion = Kmeans.cohesionMicro(head, cents)
+    val appendCohesion = IvfIndex.append(spark, path, cents, tail)
+    // same distribution → the drift signal stays in the same band
+    info(s"cohesion (micro): build=$buildCohesion appended=$appendCohesion")
+    assert(math.abs(appendCohesion - buildCohesion) < buildCohesion / 2)
+    // layout invariant: every row still lives under a cell= directory,
+    // and the index now holds the whole corpus
+    val all = spark.read.parquet(path)
+    assert(all.count() === 500)
+    assert(all.inputFiles.forall(_.contains("/cell=")))
+    // a FULL probe of the appended index equals exact brute force over
+    // the whole corpus — appended vectors are really searchable
+    val viaIndex = IvfIndex.probe(spark, path, queries(10), cents,
+        k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.topKExact(spark, sf(), k = 5, numQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex === exact)
+  }
+
   test("adaptive probe: recall >= fixed nprobe=2, probes fewer cells than max, full-probe = exact-candidate parity") {
     val path = "/tmp/graft_ivfpq_adp_spec"
     val idx = IvfIndex.buildPq(spark, sf(), path)
