@@ -38,12 +38,15 @@ class DedupEmbedSpec extends SparkSpec {
   }
 
   test("IVF-blocked path: full recall at nprobe=6 on the gate corpus, exact at nprobe=k") {
-    val exact = pairs(Dedup.embeddingCosineBlocked(spark, sf(), 0.45))
-    val ivf6 = pairs(Dedup.embeddingCosineIvf(spark, sf(), 0.45, k = 16, nprobe = 6))
-    assert(ivf6.subsetOf(exact), "IVF emitted a pair the exact path did not (precision must be 1)")
-    assert(ivf6 === exact, s"recall < 1 at nprobe=6: missing ${exact -- ivf6}")
+    for (dir <- Seq(sf(), sf("sf0.01"))) { // both correctness-gate corpora
+      val exact = pairs(Dedup.embeddingCosineBlocked(spark, dir, 0.45))
+      val ivf6 = pairs(Dedup.embeddingCosineIvf(spark, dir, 0.45, k = 16, nprobe = 6))
+      assert(ivf6.subsetOf(exact), s"$dir: IVF emitted a pair the exact path did not")
+      assert(ivf6 === exact, s"$dir: recall < 1 at nprobe=6: missing ${exact -- ivf6}")
+    }
     val ivfAll = pairs(Dedup.embeddingCosineIvf(spark, sf(), 0.45, k = 16, nprobe = 16))
-    assert(ivfAll === exact, "nprobe=k must be exhaustive over candidate blocks")
+    assert(ivfAll === pairs(Dedup.embeddingCosineBlocked(spark, sf(), 0.45)),
+      "nprobe=k must be exhaustive over candidate blocks")
   }
 
   test("IVF-blocked path actually prunes the comparison space") {
