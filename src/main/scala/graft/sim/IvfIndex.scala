@@ -77,6 +77,54 @@ object IvfIndex {
 
   final case class PqIndexModel(cents: Array[Kmeans.Centroid], cb: Pq.Codebooks)
 
+  /** Persist the index MODEL (centroids + codebooks) under
+    * `<indexPath>/_model` — underscore-prefixed, so the parquet reader
+    * ignores it when scanning the data. Without this, an index
+    * survives the session but its probes don't: centroid affinity and
+    * ADC tables need the model. KB-sized. */
+  def saveModel(spark: SparkSession, indexPath: String, idx: PqIndexModel): Unit = {
+    import spark.implicits._
+    idx.cents.toSeq.map(c => (c.cell, c.v.toSeq))
+      .toDF("cell", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_model/cents")
+    (for {
+      j <- idx.cb.centroids.indices
+      c <- idx.cb.centroids(j).indices
+    } yield (j, c, idx.cb.centroids(j)(c).toSeq))
+      .toDF("subspace", "code", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_model/books")
+  }
+
+  def loadModel(spark: SparkSession, indexPath: String): PqIndexModel = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/_model/cents")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map { case (cell, v) => Kmeans.Centroid(cell, v.toArray) }
+    val books = spark.read.parquet(s"$indexPath/_model/books")
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = books.map(_._1).max + 1
+    val grouped = books.groupBy(_._1).map { case (j, rows) =>
+      j -> rows.sortBy(_._2).map(_._3.toArray)
+    }
+    val centroids = Array.tabulate(m)(grouped)
+    PqIndexModel(cents, Pq.Codebooks(m, centroids(0)(0).length, centroids))
+  }
+
+  /** Load the model if this path already holds one (same-session
+    * reuse: build once, probe many), else build + persist. */
+  def buildOrLoadPq(spark: SparkSession, sfDir: String, indexPath: String,
+      nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16): PqIndexModel = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_model/books")))
+      loadModel(spark, indexPath)
+    else {
+      val idx = buildPq(spark, sfDir, indexPath, nCells, iters, m, ksub)
+      saveModel(spark, indexPath, idx)
+      idx
+    }
+  }
+
   /** IVF-PQ index: the production ANN layout. Vectors are stored
     * L2-NORMALIZED with their 8-byte PQ code, partitioned by trained
     * IVF cell. A probe then composes THREE prunings:
@@ -108,29 +156,37 @@ object IvfIndex {
     * index under a per-session, per-corpus path (concurrent
     * Verify/Bench/test runs on one machine must not clobber each
     * other's index mid-read), first `numQueries` vectors as queries. */
-  def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
-      numQueries: Int = 10): DataFrame = {
-    import spark.implicits._
+  /** Session-scoped index path: keyed by corpus dir + application id,
+    * SHARED by the fixed and adaptive probers so the second gate query
+    * in a session reuses the first's build (build once, probe many —
+    * the index lifecycle). Fresh sessions get fresh paths, so
+    * concurrent runs never clobber each other mid-read. */
+  private def sessionPath(spark: SparkSession, sfDir: String): String = {
     val tag = Integer.toHexString(sfDir.hashCode)
-    val path = s"/tmp/graft_ivfpq_${tag}_${spark.sparkContext.applicationId}"
-    val idx = buildPq(spark, sfDir, path)
-    val qs = Similarity.loadVectors(spark, sfDir)
-      .filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
-      .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
-    probePq(spark, path, qs, idx, k)
+    s"/tmp/graft_ivfpq_${tag}_${spark.sparkContext.applicationId}"
   }
 
-  /** Build-and-probe with the ADAPTIVE prober (gate surface). */
-  def topKIvfPqAdaptive(spark: SparkSession, sfDir: String, k: Int = 5,
-      numQueries: Int = 10): DataFrame = {
+  private def gateQueries(spark: SparkSession, sfDir: String,
+      numQueries: Int): Array[Vec] = {
     import spark.implicits._
-    val tag = Integer.toHexString(sfDir.hashCode)
-    val path = s"/tmp/graft_ivfpq_adp_${tag}_${spark.sparkContext.applicationId}"
-    val idx = buildPq(spark, sfDir, path)
-    val qs = Similarity.loadVectors(spark, sfDir)
+    Similarity.loadVectors(spark, sfDir)
       .filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
       .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
-    probePqAdaptive(spark, path, qs, idx, k)
+  }
+
+  def topKIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    val path = sessionPath(spark, sfDir)
+    probePq(spark, path, gateQueries(spark, sfDir, numQueries),
+      buildOrLoadPq(spark, sfDir, path), k)
+  }
+
+  /** Build-or-load and probe with the ADAPTIVE prober (gate surface). */
+  def topKIvfPqAdaptive(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    val path = sessionPath(spark, sfDir)
+    probePqAdaptive(spark, path, gateQueries(spark, sfDir, numQueries),
+      buildOrLoadPq(spark, sfDir, path), k)
   }
 
   /** ADAPTIVE-nprobe IVF-PQ probe: cells are visited in decreasing

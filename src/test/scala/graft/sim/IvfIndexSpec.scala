@@ -46,6 +46,33 @@ class IvfIndexSpec extends SparkSpec {
     got.values.foreach(s => assert(s.size === 5))
   }
 
+  test("model persistence: loaded model probes identically; underscore dirs invisible to the data scan") {
+    val path = "/tmp/graft_ivfpq_model_spec"
+    val built = IvfIndex.buildPq(spark, sf(), path)
+    IvfIndex.saveModel(spark, path, built)
+    val loaded = IvfIndex.loadModel(spark, path)
+    // byte-level model round-trip
+    assert(loaded.cents.map(_.cell).toSeq === built.cents.map(_.cell).toSeq)
+    loaded.cents.zip(built.cents).foreach { case (a, b) => assert(a.v.toSeq === b.v.toSeq) }
+    assert(loaded.cb.m === built.cb.m && loaded.cb.dsub === built.cb.dsub)
+    for (j <- 0 until built.cb.m; c <- built.cb.centroids(j).indices)
+      assert(loaded.cb.centroids(j)(c).toSeq === built.cb.centroids(j)(c).toSeq)
+    // identical probes through the loaded model
+    val qs = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10).collect().sortBy(_.vec_id)
+      .map(v => Similarity.Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    val a = IvfIndex.probePq(spark, path, qs, built, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = IvfIndex.probePq(spark, path, qs, loaded, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    // the data scan must not pick up _model rows
+    assert(spark.read.parquet(path).columns.toSet === Set("vec_id", "v", "code", "cell"))
+    // buildOrLoadPq now takes the load path (no rebuild)
+    val reloaded = IvfIndex.buildOrLoadPq(spark, sf(), path)
+    assert(reloaded.cents.map(_.cell).toSeq === built.cents.map(_.cell).toSeq)
+  }
+
   test("incremental append: probes see appended vectors, layout intact, drift signal sane") {
     import spark.implicits._
     val path = "/tmp/graft_ivf_incr_index"
