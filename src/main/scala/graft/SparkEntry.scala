@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
+    "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -477,6 +478,11 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram" -> ngramJaccardSql,
+    "dedup_split_leakage" ->
+      s"""WITH pairs AS ($ngramJaccardSql)
+         |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
+         |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
+         |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin,
     // MinHash LSH (16 bands x 4 rows, 64 perms) has per-pair recall
     // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
     // output must equal the exact operator's — same oracle.

@@ -393,6 +393,26 @@ object Dedup {
       "doc_id",
       ngramJaccard(spark, sfDir, tau))
 
+  /** Train/val split leakage — the decontamination check a held-out
+    * set needs before any eval is trusted: a deterministic id-hash
+    * split (doc_id mod 10 == 0 → val, 10%) and the near-duplicate
+    * pairs that CROSS the boundary. A val doc with a train near-dup
+    * is a leaked answer; the output (train_doc, val_doc) is exactly
+    * the removal list. Composes the exact n-gram Jaccard pair
+    * generator — the pair set is tiny, so the split annotation is a
+    * map-only pass over it, no extra shuffle. */
+  def splitLeakage(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir, tau)
+    pairs
+      .select(col("i"), col("j"),
+        (pmod(col("i"), lit(10)) === 0).as("i_val"),
+        (pmod(col("j"), lit(10)) === 0).as("j_val"))
+      .filter(col("i_val") =!= col("j_val"))
+      .select(
+        when(col("i_val"), col("j")).otherwise(col("i")).as("train_doc"),
+        when(col("i_val"), col("i")).otherwise(col("j")).as("val_doc"))
+  }
+
   /** EXACT embedding cosine near-dup pairs at `tau`, distributed with
     * BOUNDED task memory: grid-blocked θ-join (the Okcan & Riedewald
     * theta-join partitioning). Vectors are hashed into `nBlocks` id

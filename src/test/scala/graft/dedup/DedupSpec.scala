@@ -97,6 +97,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("split leakage: crossing near-dup pairs exactly, oriented train->val") {
+    val rows = Dedup.splitLeakage(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "fixture should contain leaking pairs")
+    rows.foreach { case (train, v) =>
+      assert(v % 10 === 0, s"val_doc $v not in the val split")
+      assert(train % 10 !== 0, s"train_doc $train not in the train split")
+    }
+    // exactly the crossing subset of the near-dup pair graph
+    val allPairs = Dedup.ngramJaccard(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = allPairs.filter { case (i, j) => (i % 10 == 0) != (j % 10 == 0) }
+      .map { case (i, j) => if (i % 10 == 0) (j, i) else (i, j) }.toSet
+    assert(rows.toSet === expected)
+  }
+
   test("embedding cosine threshold is monotone") {
     val loose = Dedup.embeddingCosine(spark, sf(), tau = 0.3).count()
     val tight = Dedup.embeddingCosine(spark, sf(), tau = 0.5).count()
