@@ -15,5 +15,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "hilbert_index",
       exprs => graft.sources.HilbertIndex(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "hilbert_index_n", // arity-adaptive resolution: n·bits must fit a long
+      exprs => graft.sources.HilbertNIndex(exprs, 63 / math.max(1, exprs.length)),
+      "built-in")
   }
 }

@@ -1,7 +1,9 @@
 package graft.sources
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, EmptyBlock, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -42,6 +44,53 @@ object HilbertCurve {
   }
 }
 
+/** N-DIMENSIONAL Hilbert index via Skilling's transpose algorithm
+  * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — the
+  * standard public formulation): undo-excess-work pass, Gray decode,
+  * then interleave the transposed bits MSB-across-axes. Generalizes
+  * [[HilbertCurve.index]] (whose 2-D curve is a reflection of this
+  * one — same locality, different labeling). `n·bits ≤ 63`. */
+object HilbertN {
+
+  def index(coords: Array[Long], bits: Int): Long = {
+    val n = coords.length
+    val X = java.util.Arrays.copyOf(coords, n)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((X(i) & q) != 0) X(0) ^= p
+        else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { X(i) ^= X(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((X(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { X(i) ^= t; i += 1 }
+    // transposed → scalar: bit b of axis j lands at b·n + (n-1-j)
+    var d = 0L
+    var b = 0
+    while (b < bits) {
+      var j = 0
+      while (j < n) {
+        d |= ((X(j) >>> b) & 1L) << (b * n + (n - 1 - j))
+        j += 1
+      }
+      b += 1
+    }
+    d
+  }
+}
+
 /** `hilbert_index(x, y)`: codegen'd Catalyst expression over two long
   * columns (callers cast; Layout.hilbertValue does). Stays inside
   * whole-stage codegen, so curve clustering costs one static call per
@@ -69,4 +118,60 @@ case class HilbertIndex(left: Expression, right: Expression, order: Int = 21)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "hilbert_index"
+}
+
+/** `hilbert_index_n(x1, …, xn)`: the N-ary curve key as a codegen'd
+  * Catalyst expression — one static [[HilbertN.index]] call per row,
+  * coords gathered into a stack array in generated code. */
+case class HilbertNIndex(children: Seq[Expression], bits: Int)
+    extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.nonEmpty && children.forall(_.dataType == LongType) &&
+        children.length * bits <= 63)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"hilbert_index_n requires 1..${63 / bits} bigint columns at $bits bits, " +
+          s"got ${children.map(_.dataType).mkString(", ")}")
+
+  override def eval(input: InternalRow): Any = {
+    val arr = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    HilbertN.index(arr, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = children.length
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("coords")
+    val anyNull =
+      if (nullable) evals.map(e => s"${e.isNull}").mkString(" || ") else "false"
+    val fill = evals.zipWithIndex
+      .map { case (e, i) => s"$arr[$i] = ${e.value};" }.mkString("\n")
+    ev.copy(code = code"""
+      ${evals.map(_.code).fold(EmptyBlock)(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        long[] $arr = new long[$n];
+        $fill
+        ${ev.value} = graft.sources.HilbertN.index($arr, $bits);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HilbertNIndex =
+    copy(children = newChildren)
+
+  override def prettyName: String = "hilbert_index_n"
 }

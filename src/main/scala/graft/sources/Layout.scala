@@ -56,6 +56,15 @@ object Layout {
       bridge.expression(x.cast("long")), bridge.expression(y.cast("long")), order))
   }
 
+  /** N-dimensional Hilbert key (Skilling transform) — the
+    * locality-preserving alternative to [[zValueN]] for 3+ clustering
+    * columns; `N·bits ≤ 63`. */
+  def hilbertValueN(cols: Seq[Column], bits: Int = 21): Column = {
+    import org.apache.spark.sql.graftbridge.bridge
+    bridge.column(HilbertNIndex(
+      cols.map(c => bridge.expression(c.cast("long"))), bits))
+  }
+
   /** Cluster `df` into `numFiles` files ordered by an arbitrary curve
     * key; the key is dropped before the write (pruning works off the
     * data columns' own min/max stats — no reader cooperation). */

@@ -85,6 +85,48 @@ class LayoutCurveSpec extends SparkSpec {
     assert(h <= z * 1.25, f"hilbert ($h%.1f) should not lose to z-order ($z%.1f) by >25%%")
   }
 
+  test("hilbertN unit: bijective with unit steps in 2-D and 3-D") {
+    // n=2, 16x16 exhaustive
+    val seen2 = for { x <- 0 until 16; y <- 0 until 16 }
+      yield HilbertN.index(Array(x.toLong, y.toLong), 4)
+    assert(seen2.toSet === (0L until 256L).toSet)
+    val byD2 = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield HilbertN.index(Array(x.toLong, y.toLong), 4) -> (x, y)).toMap
+    for (d <- 0L until 255L) {
+      val (x0, y0) = byD2(d); val (x1, y1) = byD2(d + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) === 1, s"2-D jump at d=$d")
+    }
+    // n=3, 8x8x8 exhaustive
+    val all3 = for { x <- 0 until 8; y <- 0 until 8; z <- 0 until 8 }
+      yield HilbertN.index(Array(x.toLong, y.toLong, z.toLong), 3) -> (x, y, z)
+    assert(all3.map(_._1).toSet === (0L until 512L).toSet)
+    val byD3 = all3.toMap
+    for (d <- 0L until 511L) {
+      val (a, b) = (byD3(d), byD3(d + 1))
+      val manhattan = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) + math.abs(a._3 - b._3)
+      assert(manhattan === 1, s"3-D jump at d=$d: $a -> $b")
+    }
+  }
+
+  test("hilbertN expression matches the static function through codegen") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("i")
+      .select(pmod(col("i") * 7919L, lit(512L)).as("x"),
+        pmod(col("i") * 104729L, lit(512L)).as("y"),
+        pmod(col("i") * 15485863L, lit(512L)).as("z"))
+    df.select(col("x"), col("y"), col("z"),
+        Layout.hilbertValueN(Seq(col("x"), col("y"), col("z")), bits = 9).as("h"))
+      .collect().foreach { r =>
+        assert(r.getLong(3) === HilbertN.index(
+          Array(r.getLong(0), r.getLong(1), r.getLong(2)), 9))
+      }
+    graft.core.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hilbert_index_n(CAST(5 AS BIGINT), CAST(9 AS BIGINT), CAST(2 AS BIGINT))")
+      .head().getLong(0)
+    assert(viaSql === HilbertN.index(Array(5L, 9L, 2L), 21))
+  }
+
   test("3-D boxes: zValueN prunes all dimensions; 1-column range layout cannot") {
     import spark.implicits._
     val n = 40000
@@ -95,6 +137,9 @@ class LayoutCurveSpec extends SparkSpec {
     Layout.writeKeyClustered(data, col("x"), s"$dir/xrange", nFiles)
     Layout.writeKeyClustered(data,
       Layout.zValueN(Seq(col("x"), col("y"), col("z")), bits = 10), s"$dir/z3", nFiles)
+    Layout.writeKeyClustered(data,
+      Layout.hilbertValueN(Seq(col("x"), col("y"), col("z")), bits = 10),
+      s"$dir/h3", nFiles)
 
     def avgTouched(path: String): Double = {
       val envs = Layout.fileEnvelopesN(spark.read.parquet(path), Seq("x", "y", "z"))
@@ -108,10 +153,13 @@ class LayoutCurveSpec extends SparkSpec {
 
     val xr = avgTouched(s"$dir/xrange")
     val z3 = avgTouched(s"$dir/z3")
-    info(f"avg files touched (of ~$nFiles): x-range=$xr%.1f z3=$z3%.1f")
+    val h3 = avgTouched(s"$dir/h3")
+    info(f"avg files touched (of ~$nFiles): x-range=$xr%.1f z3=$z3%.1f hilbert3=$h3%.1f")
     // x-range prunes only x: a 192/1024 slice of files, ~6 of 32, but
     // EVERY one of those spans all of y and z; the 3-D interleave
     // must beat it because it prunes the other two dimensions too
     assert(z3 < xr, f"3-D morton ($z3%.1f) should beat 1-col range ($xr%.1f)")
+    assert(h3 < xr, f"3-D hilbert ($h3%.1f) should beat 1-col range ($xr%.1f)")
+    assert(h3 <= z3 * 1.25, f"3-D hilbert ($h3%.1f) should not lose to morton ($z3%.1f) by >25%%")
   }
 }
