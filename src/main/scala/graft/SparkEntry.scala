@@ -140,6 +140,11 @@ object SparkEntry {
       |         'v' || CAST(event_id AS VARCHAR) || ';' AS value
       |  FROM events)""".stripMargin
 
+  /** This run's config-history side dump (the gate runs at sf0.01) —
+    * see ShardCtrler.sideDumpToken for why the path is run-scoped. */
+  private def sideDumpGlob: String =
+    s"${ShardCtrler.sideDumpPath("sf0.01")}/*.parquet"
+
   private val profileSql: String =
     """WITH d AS (SELECT printf('%09d', doc_id) AS name, text FROM documents),
       |pairs AS (
@@ -197,18 +202,40 @@ object SparkEntry {
       """SELECT DISTINCT p_name AS key, ascii(substr(p_name, 1, 1)) % 10 AS shard
         |FROM part""".stripMargin,
     // The rebalance fold itself is not SQL-expressible, but the query
-    // closures materialize it to /tmp/graft_oracle_side (the gate runs
-    // at sf0.01 — the path below), which upgrades the history and both
-    // downstream consumers to hash gates: k_config_history pins the
-    // dump's schema/values through an independent IO path, while
-    // k_route / k_migrations RE-DERIVE routing and handoffs in SQL
-    // (epoch assignment, shard function, lag windows) against it.
+    // closures materialize it to a RUN-SCOPED side path (the token in
+    // ShardCtrler.sideDumpPath ties this SQL — emitted by the same JVM
+    // that ran the queries — to this run's dump, so a stale dump can
+    // never be compared). k_route / k_migrations RE-DERIVE routing and
+    // handoffs in SQL (epoch assignment, shard function, lag windows)
+    // against the dump; k_config_history itself verifies the FOLD'S
+    // INVARIANTS independently in SQL — balance (max−min load ≤ 1 over
+    // assigned groups), liveness (every assigned gid carries servers),
+    // config-0 all-unassigned, and per-config shard completeness — and
+    // returns ZERO rows (failing the gate) if any is violated, so it
+    // checks the rebalance semantics, not just an IO round-trip.
     "k_config_history" ->
-      """SELECT config_num, shard, gid, servers
-        |FROM read_parquet('/tmp/graft_oracle_side/config_history_sf0.01/*.parquet')""".stripMargin,
+      s"""WITH h AS (SELECT config_num, shard, gid, servers
+         |  FROM read_parquet('$sideDumpGlob')),
+         |loads AS (SELECT config_num, gid, count(*) AS n
+         |  FROM h WHERE gid <> 0 GROUP BY 1, 2),
+         |bal_viol AS (SELECT count(*) AS v FROM (
+         |  SELECT config_num FROM loads GROUP BY config_num
+         |  HAVING max(n) - min(n) > 1)),
+         |live_viol AS (SELECT count(*) AS v FROM h
+         |  WHERE gid <> 0 AND (servers IS NULL OR servers = '')),
+         |zero_viol AS (SELECT count(*) AS v FROM h
+         |  WHERE config_num = 0 AND gid <> 0),
+         |shape_viol AS (SELECT count(*) AS v FROM (
+         |  SELECT config_num FROM h GROUP BY config_num
+         |  HAVING count(*) <> 10 OR min(shard) <> 0 OR max(shard) <> 9))
+         |SELECT config_num, shard, gid, servers FROM h
+         |WHERE (SELECT v FROM bal_viol) = 0
+         |  AND (SELECT v FROM live_viol) = 0
+         |  AND (SELECT v FROM zero_viol) = 0
+         |  AND (SELECT v FROM shape_viol) = 0""".stripMargin,
     "k_route" -> s"""WITH $kvOpsCte,
        |hist AS (SELECT config_num, shard, gid
-       |  FROM read_parquet('/tmp/graft_oracle_side/config_history_sf0.01/*.parquet')),
+       |  FROM read_parquet('$sideDumpGlob')),
        |mx AS (SELECT max(config_num) AS m FROM hist),
        |r AS (SELECT seq, key, ascii(substr(key, 1, 1)) % 10 AS shard,
        |        least(seq // 100, (SELECT m FROM mx)) AS config_num
@@ -218,7 +245,7 @@ object SparkEntry {
        |  ON h.config_num = r.config_num AND h.shard = r.shard""".stripMargin,
     "k_migrations" -> s"""WITH $kvOpsCte,
        |hist AS (SELECT config_num, shard, gid
-       |  FROM read_parquet('/tmp/graft_oracle_side/config_history_sf0.01/*.parquet')),
+       |  FROM read_parquet('$sideDumpGlob')),
        |mx AS (SELECT max(config_num) AS m FROM hist),
        |routed AS (
        |  SELECT o.seq, o.key, o.shard2 AS shard, h.gid

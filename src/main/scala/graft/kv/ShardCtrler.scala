@@ -103,22 +103,50 @@ object ShardCtrler {
     }).toDF("config_num", "shard", "gid", "servers")
   }
 
-  /** The corpus's config history, MATERIALIZED to a deterministic
-    * side path so the DuckDB oracle can join it: the rebalance fold
-    * itself is not SQL-expressible, but once its output is parquet,
+  /** Process-scoped token for the oracle side-dump path: the queries
+    * write the dump under this token and `SparkEntry.oracleSql` (built
+    * in the same JVM, after the queries ran) embeds the same token, so
+    * the DuckDB compare can only ever read THIS run's fold output —
+    * a stale dump from an older run, code version, or different SF can
+    * never be silently compared. */
+  val sideDumpToken: String = java.util.UUID.randomUUID.toString.take(8)
+
+  /** Side-dump path for a corpus dir basename (`sf0.01` in the gate). */
+  def sideDumpPath(base: String): String =
+    s"/tmp/graft_oracle_side/config_history_${base}_$sideDumpToken"
+
+  /** The corpus's config history, MATERIALIZED to a run-scoped side
+    * path so the DuckDB oracle can join it: the rebalance fold itself
+    * is not SQL-expressible, but once its output is parquet,
     * everything DOWNSTREAM of it (epoch assignment, routing joins,
     * handoff windows — k_route / k_migrations) becomes a real SQL
-    * differential instead of a rows-only check. Path is keyed by the
-    * corpus dir's basename (the correctness gate always runs at
-    * sf0.01, which the oracle SQL hardcodes; other SFs write their
-    * own files and never clobber the gate's). Content per path is
-    * deterministic, so concurrent writers are benign. */
+    * differential instead of a rows-only check. The path carries the
+    * corpus dir's basename (so SFs never collide) plus
+    * [[sideDumpToken]] (so RUNS never collide or go stale); dumps from
+    * dead runs are pruned by age on the next write. */
   def historyWithSideDump(spark: SparkSession, sfDir: String): DataFrame = {
     val df = historyDf(spark, history(cmdsFromNation(spark, sfDir)))
     val base = new java.io.File(sfDir).getName
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(s"/tmp/graft_oracle_side/config_history_$base")
+    pruneStaleDumps()
+    df.coalesce(1).write.mode("overwrite").parquet(sideDumpPath(base))
     df
+  }
+
+  /** Delete side-dump dirs from other runs older than a day — the
+    * token makes them unreachable garbage, not a correctness hazard. */
+  private def pruneStaleDumps(): Unit = {
+    val root = new java.io.File("/tmp/graft_oracle_side")
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+      if (d.getName.startsWith("config_history_") &&
+          !d.getName.endsWith(sideDumpToken) && d.lastModified() < cutoff) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }
   }
 
   /** Deterministic demo command log derived from the nation table: join

@@ -29,6 +29,22 @@ object RelQueries {
   /** round(x*100) as bigint — exact cents, identical in DuckDB. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Overflow-CHECKED bigint sum: accumulates in decimal(38,0) — which
+    * cannot overflow for any physical row count times cents-scale
+    * values — and raises instead of wrapping if the total leaves long
+    * range. Same output schema (BIGINT) and same values as `sum(long)`
+    * whenever that sum is in range, so oracles are unaffected; at
+    * 100 TB a single hot group CAN exceed 2^63 cents, and a silent
+    * wraparound is the one failure mode worse than an error. */
+  private[queries] def sumLongChecked(c: Column): Column = {
+    val d = sum(c.cast("decimal(38,0)"))
+    when(d.isNull, lit(null).cast("long"))
+      .when(d > lit(Long.MaxValue) || d < lit(Long.MinValue),
+        raise_error(concat(lit("bigint sum overflow: "), d.cast("string")))
+          .cast("long"))
+      .otherwise(d.cast("long"))
+  }
+
   /** Q1-style pricing summary: one pass over lineitem, partial+final
     * hash aggregation, no joins. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
@@ -36,9 +52,9 @@ object RelQueries {
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
-        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
-        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        sumLongChecked(col("l_quantity").cast("long")).as("sum_qty"),
+        sumLongChecked(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sumLongChecked(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
         count(lit(1)).as("count_order"))
 
   /** Q3-style shipping priority: broadcast customer, shuffle join
@@ -380,12 +396,17 @@ object RelQueries {
   }
 
   /** As-of join: each (synthetic-dated) event matched to the user's
-    * latest order on-or-before that date — `operators.AsOfJoin`. */
+    * latest order on-or-before that date — `operators.AsOfJoin`. The
+    * customer count folds into the plan as a broadcast single-row
+    * cross join (one job total, instead of a separate driver-side
+    * count() action per invocation). */
   def eventOrderAsof(spark: SparkSession, sfDir: String): DataFrame = {
-    val nCust = t(spark, sfDir, "customer").count()
+    val nCust = broadcast(
+      t(spark, sfDir, "customer").agg(count(lit(1)).as("n_cust")))
     val ev = t(spark, sfDir, "events")
+      .crossJoin(nCust)
       .select(col("event_id"),
-        pmod(col("user_id"), lit(nCust)).as("user_key"),
+        pmod(col("user_id"), col("n_cust")).as("user_key"),
         date_add(lit("1995-01-01").cast("date"),
           pmod(col("event_id"), lit(2500)).cast("int")).as("day"))
     val ord = t(spark, sfDir, "orders")

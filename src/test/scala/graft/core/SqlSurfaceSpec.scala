@@ -22,6 +22,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(fp.collect().forall(_.getLong(0) >= 0L))
   }
 
+  test("wrong arity raises a proper analysis error, not a resolver crash") {
+    GraftCatalog.registerAll(spark, sf())
+    for (bad <- Seq("SELECT hilbert_index(1)", "SELECT hilbert_index(1, 2, 3)",
+        "SELECT fnv_hash31()", "SELECT rolling_hash('a', 'b')",
+        "SELECT hilbert_index_n()")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).collect())
+      assert(e.getMessage.contains("parameters"), s"$bad: ${e.getMessage}")
+    }
+    // correct arities still resolve
+    assert(spark.sql("SELECT hilbert_index(3L, 5L) AS h").collect().nonEmpty)
+    assert(spark.sql("SELECT hilbert_index_n(3L, 5L, 7L) AS h").collect().nonEmpty)
+  }
+
   test("GraftExtensions installs the same functions at session build time") {
     // applying the extensions object must register both builders
     // (behavioral coverage of the injected functions themselves lives

@@ -113,6 +113,46 @@ class RelQueriesSpec extends SparkSpec {
       plan.toLowerCase.contains("partial"), plan.take(2000))
   }
 
+  test("checked sum: exact at the long boundary, raises past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // exactly Long.MaxValue: must succeed and equal the true total
+    val atMax = Seq(Long.MaxValue - 10, 7L, 3L).toDF("v")
+      .agg(RelQueries.sumLongChecked(col("v")).as("s")).head().getLong(0)
+    assert(atMax === Long.MaxValue)
+    // one past the boundary: the checked sum raises with a clear message
+    // in BOTH ANSI modes (Spark 4's ANSI-on default makes plain sum(long)
+    // throw on intermediate overflow too, but the decimal accumulation
+    // only fails when the FINAL total is out of range, and keeps failing
+    // loudly in sessions that run with ansi off)
+    val e = intercept[Exception] {
+      Seq(Long.MaxValue, 1L).toDF("v")
+        .agg(RelQueries.sumLongChecked(col("v")).as("s")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflow")), msgs(e).mkString(" | "))
+    // negative boundary, and seeded randoms agree with plain sum in range
+    val atMin = Seq(Long.MinValue + 5, -5L).toDF("v")
+      .agg(RelQueries.sumLongChecked(col("v")).as("s")).head().getLong(0)
+    assert(atMin === Long.MinValue)
+    val rnd = new scala.util.Random(42)
+    val vs = Seq.fill(1000)(rnd.nextLong() >> 20)
+    val both = vs.toDF("v")
+      .agg(sum(col("v")).as("a"), RelQueries.sumLongChecked(col("v")).as("b"))
+      .head()
+    assert(both.getLong(0) === both.getLong(1))
+  }
+
+  test("asof query folds the customer count into one plan (no side action)") {
+    val df = RelQueries.eventOrderAsof(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // the count appears as a broadcast single-row join, not a collected literal
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("rel query results are non-empty and well-typed at sf0.001") {
     val qs = Seq(
       RelQueries.pricingSummary(spark, sf()),
