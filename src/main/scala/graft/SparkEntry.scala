@@ -79,6 +79,10 @@ object SparkEntry {
     "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
     "rel_sessions" -> ((s, dir) => RelQueries.sessionize(s, dir)),
     "rel_median" -> ((s, dir) => RelQueries.medianValue(s, dir)),
+    // sketch-based scale paths of the two exact rank queries; approx
+    // values are engine-specific → rows-only gates, error-band spec
+    "rel_median_approx" -> ((s, dir) => RelQueries.medianValueApprox(s, dir)),
+    "rel_quantiles_approx" -> ((s, dir) => RelQueries.valueQuantilesApprox(s, dir)),
     "rel_semi" -> ((s, dir) => RelQueries.latePriorityCounts(s, dir)),
     "rel_quantiles" -> ((s, dir) => RelQueries.valueQuantiles(s, dir)),
     "rel_pivot" -> ((s, dir) => RelQueries.eventTypePivot(s, dir)),

@@ -275,8 +275,9 @@ object RelQueries {
   }
 
   /** Discrete per-group quantiles (p25/p50/p75 as the element at
-    * rank ceil(q·n)) — engine-exact, same row_number machinery as the
-    * median. */
+    * rank ceil(q·n)) — engine-exact, same row_number machinery (and
+    * same LOW-CARDINALITY PARTITION BOUND) as [[medianValue]]; the
+    * 100 TB path is [[valueQuantilesApprox]]. */
   def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
@@ -381,8 +382,13 @@ object RelQueries {
 
   /** Discrete per-group median (lower middle element) via row_number —
     * deterministic and identical across engines, unlike interpolated /
-    * sketched quantiles. At scale this is one shuffle; for the
-    * approximate 100 TB path use percentile_approx on the same column. */
+    * sketched quantiles.
+    *
+    * SCALE BOUND: `Window.partitionBy(event_type)` over a ~5-value key
+    * funnels the whole fact table onto ~5 reduce tasks, each sorting
+    * and buffering N/5 rows — exact and oracle-checkable, but only
+    * viable while a single group's rows fit one task. The 100 TB path
+    * is [[medianValueApprox]] (mergeable sketch, no per-group sort). */
   def medianValue(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
@@ -394,6 +400,37 @@ object RelQueries {
       .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("event_type"), col("cents").as("median_cents"))
   }
+
+  /** APPROXIMATE per-group median — the scale path for [[medianValue]]:
+    * `percentile_approx` is a mergeable KLL-style sketch aggregate, so
+    * the plan is one hash aggregation with map-side partials — each
+    * task folds its rows into a constant-size sketch and only sketches
+    * cross the shuffle. A 5-value grouping key costs 5 sketch merges,
+    * not 5 tasks × N/5 buffered-and-sorted rows. `accuracy` bounds the
+    * rank error at n/accuracy. Rows-only gate (sketch internals are
+    * engine-specific); RelQueriesSpec bounds the achieved rank error
+    * against the exact operator. */
+  def medianValueApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"), lit(0.5), lit(accuracy))
+        .as("median_cents"))
+
+  /** APPROXIMATE per-group p25/p50/p75 — the scale path for
+    * [[valueQuantiles]]; one sketch per group serves all three ranks
+    * (same output schema as the exact operator). */
+  def valueQuantilesApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "cents")))
+      .select(col("event_type"),
+        ((col("pos") + 1) * 25).cast("long").as("q"), col("cents"))
 
   /** As-of join: each (synthetic-dated) event matched to the user's
     * latest order on-or-before that date — `operators.AsOfJoin`. The

@@ -113,6 +113,40 @@ class RelQueriesSpec extends SparkSpec {
       plan.toLowerCase.contains("partial"), plan.take(2000))
   }
 
+  test("approx median/quantiles: rank error within sketch bound, no window sort") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val groups = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rank of each approx value inside its group vs the target rank:
+    // percentile_approx(accuracy=10000) guarantees error <= n/10000;
+    // assert a 10x-slack band (n/1000) to stay robust to ties
+    def rankOf(tpe: String, v: Long): Long =
+      ev.filter(col("event_type") === tpe && col("cents") <= v).count()
+    RelQueries.medianValueApprox(spark, sf()).collect().foreach { r =>
+      val (tpe, v) = (r.getString(0), r.getLong(1))
+      val n = groups(tpe)
+      assert(math.abs(rankOf(tpe, v) - n / 2.0) <= math.max(1.0, n / 1000.0),
+        s"$tpe: approx median $v at rank ${rankOf(tpe, v)} of $n")
+    }
+    RelQueries.valueQuantilesApprox(spark, sf()).collect().foreach { r =>
+      val (tpe, q, v) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val n = groups(tpe)
+      assert(math.abs(rankOf(tpe, v) - n * q / 100.0) <= math.max(1.0, n / 1000.0),
+        s"$tpe p$q: approx $v at rank ${rankOf(tpe, v)} of $n")
+    }
+    // the scale property: a sketch aggregation, not a per-group sort
+    for (df <- Seq(RelQueries.medianValueApprox(spark, sf()),
+        RelQueries.valueQuantilesApprox(spark, sf()))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan.take(2000))
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate") ||
+        plan.contains("HashAggregate"), plan.take(2000))
+      assert(plan.toLowerCase.contains("partial"), plan.take(2000))
+    }
+  }
+
   test("checked sum: exact at the long boundary, raises past it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
