@@ -386,23 +386,38 @@ object Dedup {
 
   /** Cluster assignment for the documents table from the exact n-gram
     * Jaccard pairs — the full dedup pipeline end to end (pairs →
-    * components → canonical mapping). */
+    * components → canonical mapping). Exact-pair generation is
+    * quadratic in per-shingle document frequency; the SCALE
+    * composition of the same pipeline is [[ngramClustersLsh]]. */
   def ngramClusters(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
     connectedComponents(
       documents(spark, sfDir).select(col("doc_id")),
       "doc_id",
       ngramJaccard(spark, sfDir, tau))
 
+  /** SCALE-PATH cluster assignment: the same components + canonical
+    * mapping over the BANDED, BUCKET-CAPPED MinHash-LSH pair generator
+    * — candidate generation is linear in corpus size instead of
+    * quadratic in per-shingle df. At the verification threshold
+    * (tau = 0.5) against the planted J ≥ 0.9 near-dups, per-pair LSH
+    * recall is 1−(1−J⁴)¹⁶ ≈ 1−4e-8, so the pair set — and therefore
+    * the clustering — equals the exact operator's, which is why this
+    * query shares `dedup_clusters`' recursive-CTE hash oracle. */
+  def ngramClustersLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    connectedComponents(
+      documents(spark, sfDir).select(col("doc_id")),
+      "doc_id",
+      minhashLsh(spark, sfDir, tau))
+
   /** Train/val split leakage — the decontamination check a held-out
     * set needs before any eval is trusted: a deterministic id-hash
     * split (doc_id mod 10 == 0 → val, 10%) and the near-duplicate
     * pairs that CROSS the boundary. A val doc with a train near-dup
     * is a leaked answer; the output (train_doc, val_doc) is exactly
-    * the removal list. Composes the exact n-gram Jaccard pair
-    * generator — the pair set is tiny, so the split annotation is a
-    * map-only pass over it, no extra shuffle. */
-  def splitLeakage(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir, tau)
+    * the removal list. The pair source is PLUGGABLE — the split
+    * annotation is a map-only pass over whatever near-dup pair frame
+    * is supplied, no extra shuffle. */
+  def splitLeakageFrom(pairs: DataFrame): DataFrame =
     pairs
       .select(col("i"), col("j"),
         (pmod(col("i"), lit(10)) === 0).as("i_val"),
@@ -411,7 +426,16 @@ object Dedup {
       .select(
         when(col("i_val"), col("j")).otherwise(col("i")).as("train_doc"),
         when(col("i_val"), col("i")).otherwise(col("j")).as("val_doc"))
-  }
+
+  /** Leakage over the exact n-gram Jaccard pairs (oracle formulation). */
+  def splitLeakage(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    splitLeakageFrom(ngramJaccard(spark, sfDir, tau))
+
+  /** Leakage over the LSH pair generator — the scale composition;
+    * shares the exact oracle for the same recall reason as
+    * [[ngramClustersLsh]]. */
+  def splitLeakageLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    splitLeakageFrom(minhashLsh(spark, sfDir, tau))
 
   /** EXACT embedding cosine near-dup pairs at `tau`, distributed with
     * BOUNDED task memory: grid-blocked θ-join (the Okcan & Riedewald

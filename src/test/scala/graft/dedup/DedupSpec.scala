@@ -118,4 +118,20 @@ class DedupSpec extends SparkSpec {
     val tight = Dedup.embeddingCosine(spark, sf(), tau = 0.5).count()
     assert(tight <= loose)
   }
+
+  test("LSH-pair compositions equal the exact ones (clusters + leakage)") {
+    // at the planted J>=0.9 dups, LSH per-pair recall is 1-4e-8, so the
+    // scale compositions must produce byte-identical outputs here
+    val exactClusters = Dedup.ngramClusters(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val lshClusters = Dedup.ngramClustersLsh(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(lshClusters === exactClusters)
+    val exactLeak = Dedup.splitLeakage(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val lshLeak = Dedup.splitLeakageLsh(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(lshLeak === exactLeak)
+    assert(exactLeak.nonEmpty && exactClusters.nonEmpty)
+  }
 }
