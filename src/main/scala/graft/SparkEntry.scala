@@ -102,6 +102,11 @@ object SparkEntry {
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
+    // scale compositions over the banded/capped LSH pair generator;
+    // at the planted J>=0.9 dups LSH pairs equal exact pairs (recall
+    // 1-4e-8), so both share the exact operators' hash oracles
+    "dedup_clusters_lsh" -> ((s, dir) => graft.dedup.Dedup.ngramClustersLsh(s, dir)),
+    "dedup_split_leakage_lsh" -> ((s, dir) => graft.dedup.Dedup.splitLeakageLsh(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -125,6 +130,11 @@ object SparkEntry {
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
+    // token-id product surface: per-position ids + the vocab table
+    // (BPE apply is not SQL-expressible -> rows-only; BpeSpec carries
+    // the sequential-oracle differential and vocab round-trip)
+    "text_bpe_ids" -> ((s, dir) => graft.text.Bpe.encodeIds(s, dir)),
+    "text_bpe_vocab" -> ((s, dir) => graft.text.Bpe.vocabDf(s, dir)),
     "text_pipeline" -> ((s, dir) => graft.text.CorpusPipeline.prepare(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
@@ -509,11 +519,9 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram" -> ngramJaccardSql,
-    "dedup_split_leakage" ->
-      s"""WITH pairs AS ($ngramJaccardSql)
-         |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
-         |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
-         |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin,
+    "dedup_split_leakage" -> splitLeakageSql,
+    // LSH pair recall at the planted dups is 1-4e-8 → same oracles
+    "dedup_split_leakage_lsh" -> splitLeakageSql,
     // MinHash LSH (16 bands x 4 rows, 64 perms) has per-pair recall
     // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
     // output must equal the exact operator's — same oracle.
@@ -545,18 +553,8 @@ object SparkEntry {
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
     // connected components: recursive closure over the ngram pairs;
     // cluster id = min doc_id reachable (matches hash-min propagation)
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
-         |e AS (SELECT i AS a, j AS b FROM pairs
-         |      UNION ALL SELECT j, i FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         |m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
-         |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_lsh" -> dedupClustersSql,
     // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
     // dedup_embed_ivf: approximate (recall measured in DedupEmbedSpec) → rows-only
     "dedup_embed" ->
@@ -831,6 +829,25 @@ object SparkEntry {
       |JOIN cnt ca ON ca.doc_id = i
       |JOIN cnt cb ON cb.doc_id = j
       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin
+
+  private def splitLeakageSql: String =
+    s"""WITH pairs AS ($ngramJaccardSql)
+       |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
+       |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
+       |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+       |e AS (SELECT i AS a, j AS b FROM pairs
+       |      UNION ALL SELECT j, i FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+       |m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin
 
   private def kvReplaySql: String =
     s"""WITH $kvOpsCte,

@@ -102,6 +102,60 @@ object Bpe {
       .toDF("doc_id", "n_bpe_tokens")
   }
 
+  /** Deterministic BPE vocabulary for a trained merge list: ids 0–25
+    * are 'a'…'z', 26 is the terminal '</w>', and 27+i is the i-th
+    * merge's output token — the id space any two runs of the same
+    * training agree on, so persisted token-id corpora stay decodable. */
+  def vocabOf(merges: Seq[(String, String)]): Seq[(Int, String)] = {
+    val base = ('a' to 'z').map(_.toString) :+ "</w>"
+    (base ++ merges.map { case (a, b) => a + b }).zipWithIndex.map(_.swap)
+  }
+
+  /** Vocab as a DataFrame (token_id, token) — the lookup table a
+    * downstream trainer ships with the token-id corpus. */
+  def vocabDf(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    vocabOf(trainMerges(spark, sfDir, k).map(m => (m._1, m._2)))
+      .toDF("token_id", "token")
+  }
+
+  /** Tokenize to TOKEN-ID SEQUENCES — what a training-data pipeline
+    * actually feeds a model (the count in [[encodeDocs]] is a QC
+    * metric; the ids are the product). Per doc: words in order, each
+    * word's merged symbols mapped through [[vocabOf]]'s id space and
+    * concatenated. Same stateless broadcast-merges shape as
+    * [[encodeDocs]], so it serves batch and streaming alike. */
+  def encodeIdsDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toId = vocabOf(merges).map { case (id, tok) => tok -> id }.toMap
+    val bc = spark.sparkContext.broadcast((merges, toId))
+    docs
+      .select(col("doc_id"), expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val (ms, ids) = bc.value
+        val out = Seq.newBuilder[Int]
+        ws.foreach { w =>
+          var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+          ms.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+          syms.foreach(s => out += ids(s))
+        }
+        (id, out.result())
+      }
+      .toDF("doc_id", "token_ids")
+  }
+
+  /** Gate surface: token ids flattened to one row per position —
+    * (doc_id, pos, token_id), a deterministic serialization of the
+    * per-doc id arrays. */
+  def encodeIds(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    encodeIdsDocs(spark.read.parquet(s"$sfDir/documents.parquet"),
+        trainMerges(spark, sfDir, k).map(m => (m._1, m._2)))
+      .select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+
   /** k rounds of BPE training. Two regimes behind one API, chosen by
     * vocabulary size (the CC-style hybrid: the corpus-sized work is
     * the histogram; training itself is vocabulary-sized):

@@ -150,6 +150,9 @@ class RelQueriesSpec extends SparkSpec {
   test("checked sum: exact at the long boundary, raises past it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // the hot aggregates rely on the ANSI-on default to make plain
+    // sum(long) fail loudly on overflow — pin that assumption here
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
     // exactly Long.MaxValue: must succeed and equal the true total
     val atMax = Seq(Long.MaxValue - 10, 7L, 3L).toDF("v")
       .agg(RelQueries.sumLongChecked(col("v")).as("s")).head().getLong(0)

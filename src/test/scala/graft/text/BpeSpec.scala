@@ -99,6 +99,52 @@ class BpeSpec extends SparkSpec {
     assert(got.size === 60 || got.size === expected.size)
   }
 
+  test("token ids: vocab round-trip reconstructs the word sequence") {
+    import spark.implicits._
+    val merges = Bpe.trainMerges(spark, sf(), k = 8).map(m => (m._1, m._2))
+    val vocab = Bpe.vocabOf(merges).toMap
+    val ids = Bpe.encodeIdsDocs(
+        spark.read.parquet(s"${sf()}/documents.parquet"), merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(ids.keySet === texts.map(_._1).toSet)
+    texts.take(50).foreach { case (docId, text) =>
+      // decode: concatenate tokens, split words at the '</w>' terminal
+      val decoded = ids(docId).map(vocab).mkString
+        .split("</w>", -1).filter(_.nonEmpty).toSeq
+      val expected = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      assert(decoded === expected, s"doc $docId")
+    }
+    // every id is in vocab; per-doc id count equals the QC token count
+    val counts = Bpe.encode(spark, sf(), k = 8)
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { case (docId, seq) =>
+      assert(seq.forall(vocab.contains))
+      assert(seq.length.toLong === counts(docId), s"doc $docId")
+    }
+  }
+
+  test("token ids match a sequential pure-Scala BPE apply") {
+    import spark.implicits._
+    val merges = Bpe.trainMerges(spark, sf(), k = 8).map(m => (m._1, m._2))
+    val toId = Bpe.vocabOf(merges).map(_.swap).toMap
+    val got = Bpe.encodeIdsDocs(
+        spark.read.parquet(s"${sf()}/documents.parquet"), merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .take(30).foreach { case (docId, text) =>
+        val expected = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+          .toSeq.flatMap { w =>
+            var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+            merges.foreach { case (a, b) => syms = Bpe.mergePair(syms, a, b) }
+            syms.map(toId)
+          }
+        assert(got(docId) === expected, s"doc $docId")
+      }
+  }
+
   test("mergePair: greedy non-overlapping left-to-right") {
     assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(Bpe.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
