@@ -59,6 +59,21 @@ object SparkEntry {
         graft.streaming.ShardMigration.shardOps(
           Kv.routeOps(Kv.opsFromEvents(s, dir),
             ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
+    // Challenge1Delete twin: state dropped at handoff, so n_keys counts
+    // the outgoing owner's era only — per-era distinct counts are
+    // window SQL, hence a hash gate of its own
+    "k_migrations_evict" -> ((s, dir) =>
+      graft.streaming.ShardMigration.migrationsEvictingBatch(
+        graft.streaming.ShardMigration.shardOps(
+          Kv.routeOps(Kv.opsFromEvents(s, dir),
+            ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
+    // bounded-state ledger fold: tail + total length are SQL over the
+    // uncompacted fold (the fnv digest column is engine-side only)
+    "k_replay_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.KvStream.replayBatchCompacting(Kv.opsFromEvents(s, dir))
+        .toDF().select(col("key"), col("state_tail"), col("total_len"))
+    }),
     // ---- §7 phase-7 relational extensions (TPC-H-ish) ----
     "rel_pricing" -> ((s, dir) => RelQueries.pricingSummary(s, dir)),
     "rel_shipping_priority" -> ((s, dir) => RelQueries.shippingPriority(s, dir)),
@@ -279,6 +294,37 @@ object SparkEntry {
        |SELECT shard, seq AS at_seq, prev_gid AS from_gid, gid AS to_gid,
        |  CAST(n_keys AS BIGINT) AS n_keys
        |FROM pop WHERE prev_gid IS NOT NULL AND prev_gid <> gid""".stripMargin,
+    "k_migrations_evict" -> s"""WITH $kvOpsCte,
+       |hist AS (SELECT config_num, shard, gid
+       |  FROM read_parquet('$sideDumpGlob')),
+       |mx AS (SELECT max(config_num) AS m FROM hist),
+       |routed AS (
+       |  SELECT o.seq, o.key, o.shard2 AS shard, h.gid
+       |  FROM (SELECT seq, key, ascii(substr(key, 1, 1)) % 10 AS shard2,
+       |          least(seq // 100, (SELECT m FROM mx)) AS config_num FROM ops) o
+       |  JOIN hist h ON h.config_num = o.config_num AND h.shard = o.shard2),
+       |seqd AS (
+       |  SELECT shard, seq, key, gid,
+       |    lag(gid) OVER (PARTITION BY shard ORDER BY seq) AS prev_gid
+       |  FROM routed),
+       |erad AS (
+       |  SELECT *, sum(CASE WHEN prev_gid IS NULL OR prev_gid <> gid
+       |                     THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY shard ORDER BY seq ROWS UNBOUNDED PRECEDING) AS era
+       |  FROM seqd),
+       |era_pop AS (
+       |  SELECT shard, era, count(DISTINCT key) AS pop FROM erad GROUP BY 1, 2)
+       |SELECT e.shard, e.seq AS at_seq, e.prev_gid AS from_gid,
+       |  e.gid AS to_gid, CAST(p.pop AS BIGINT) AS n_keys
+       |FROM erad e JOIN era_pop p ON p.shard = e.shard AND p.era = e.era - 1
+       |WHERE e.prev_gid IS NOT NULL AND e.prev_gid <> e.gid""".stripMargin,
+    "k_replay_compact" ->
+      s"""WITH base AS ($kvReplaySql)
+         |SELECT key,
+         |  CASE WHEN length(state) > 500
+         |       THEN substr(state, length(state) - 499) ELSE state END AS state_tail,
+         |  CAST(length(state) AS BIGINT) AS total_len
+         |FROM base""".stripMargin,
     "rel_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -74,6 +74,100 @@ object KvStream {
       }
   }
 
+  // ---- bounded-state (compacting) variant ----------------------------
+  //
+  // The plain ledger state grows with `state + value` on every append —
+  // a long-running append-heavy stream eventually dies on one hot key.
+  // The reference explicitly BOUNDS its per-key state (raft log <=
+  // 8*maxraftstate, snapshot <= 500 B including a huge appended value:
+  // /root/reference/src/kvraft/test_test.go:352-358,653-686); this is
+  // the analogue: values longer than `maxValueBytes` keep only the tail
+  // in the state store, with the evicted prefix folded into a running
+  // FNV-1a digest + length so nothing is silently lost — the snapshot
+  // still pins the FULL value (tail + digest + total length identify it
+  // uniquely up to hash collision), but state per key is O(maxValueBytes
+  // + #clients) forever. Default cap mirrors the reference's 500 B
+  // snapshot bound.
+
+  final case class KvCompactState(
+      tail: String,
+      droppedLen: Long,
+      droppedFnv: Long,
+      lastSeq: Long,
+      clientMax: Map[Long, Long])
+
+  /** Compacted snapshot: the state tail plus (total_len, dropped_fnv),
+    * which together witness the full logical value. */
+  final case class KvCompactSnapshot(key: String, state_tail: String,
+      total_len: Long, dropped_fnv: Long, seq: Long)
+
+  /** 64-bit FNV-1a folded char-by-char (shared with the specs, which
+    * recompute digests from the uncompacted batch fold). */
+  private[streaming] def fnv64(h0: Long, s: String): Long = {
+    var h = if (h0 == 0L) 0xcbf29ce484222325L else h0
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private[streaming] def applyOpCompact(max: Int)(s: KvCompactState,
+      o: KvOp): KvCompactState =
+    if (o.seq <= s.lastSeq) s
+    else if (s.clientMax.get(o.clientId).exists(o.clientSeq <= _)) s
+    else {
+      val (tail0, dLen0, dFnv0) = o.op match {
+        case "put"    => (o.value, 0L, 0L) // put resets the logical value
+        case "append" => (s.tail + o.value, s.droppedLen, s.droppedFnv)
+        case _        => (s.tail, s.droppedLen, s.droppedFnv)
+      }
+      val (tail, dLen, dFnv) =
+        if (tail0.length <= max) (tail0, dLen0, dFnv0)
+        else {
+          val cut = tail0.length - max
+          (tail0.substring(cut), dLen0 + cut, fnv64(dFnv0, tail0.substring(0, cut)))
+        }
+      KvCompactState(tail, dLen, dFnv, o.seq,
+        s.clientMax.updated(o.clientId, o.clientSeq))
+    }
+
+  /** Streaming ledger fold with BOUNDED per-key state (see above). */
+  def replayStreamCompacting(ops: Dataset[KvOp],
+      maxValueBytes: Int = 500): Dataset[KvCompactSnapshot] = {
+    import ops.sparkSession.implicits._
+    val step = applyOpCompact(maxValueBytes) _
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState[KvCompactState, KvCompactSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[KvOp], state: GroupState[KvCompactState]) =>
+          val st0 = state.getOption.getOrElse(
+            KvCompactState("", 0L, 0L, -1L, Map.empty))
+          val st1 = batch.toSeq.sortBy(_.seq).foldLeft(st0)(step)
+          state.update(st1)
+          Iterator.single(KvCompactSnapshot(key, st1.tail,
+            st1.droppedLen + st1.tail.length, st1.droppedFnv, st1.lastSeq))
+      }
+  }
+
+  /** Batch twin of the compacting fold (sorted-group scan, no per-key
+    * buffer) — `k_replay_compact`'s gate surface: tail and total length
+    * are plain SQL over the uncompacted fold, so this carries a hash
+    * oracle. */
+  def replayBatchCompacting(ops: Dataset[KvOp],
+      maxValueBytes: Int = 500): Dataset[KvCompactSnapshot] = {
+    import ops.sparkSession.implicits._
+    val step = applyOpCompact(maxValueBytes) _
+    ops.groupByKey(_.key)
+      .flatMapSortedGroups(org.apache.spark.sql.functions.col("seq")) { (key, it) =>
+        val st = it.foldLeft(KvCompactState("", 0L, 0L, -1L, Map.empty))(step)
+        Iterator.single(KvCompactSnapshot(key, st.tail,
+          st.droppedLen + st.tail.length, st.droppedFnv, st.lastSeq))
+      }
+  }
+
   /** Streaming state machine: emits the key's post-batch snapshot every
     * time the key sees traffic (OutputMode.Update). */
   def replayStream(ops: Dataset[KvOp]): Dataset[KvSnapshot] = {

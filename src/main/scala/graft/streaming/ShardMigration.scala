@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.functions.Hll
 
 /** Streaming shard-migration tracker — the live half of K9
   * (data-follows-shards, `src/shardkv/test_test.go:95-146` of the
@@ -12,23 +13,45 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * record carrying how much state moves.
   *
   * Keyed by SHARD (10 keys — the reference's fixed NShards), state =
-  * current owner + the shard's key population so far; an op whose
-  * epoch maps the shard to a different gid than the previous op's
-  * epoch emits `(shard, at_seq, from_gid, to_gid, n_keys)` — the
+  * current owner + a BOUNDED tally of the shard's key population; an
+  * op whose epoch maps the shard to a different gid than the previous
+  * op's epoch emits `(shard, at_seq, from_gid, to_gid, n_keys)` — the
   * exact "shard S with K keys moves from group A to group B at log
   * position N" event a reconfiguration executor would act on.
   *
+  * STATE BOUND: the tally is a hybrid — an exact key set up to
+  * [[MaxExactKeys]] entries (hash gates and small shards stay exact),
+  * converting to a fixed 4 KiB HyperLogLog past it. State per shard is
+  * therefore O(min(population, MaxExactKeys) + 4 KiB) forever, however
+  * many keys a 100 TB stream pushes through the shard; `n_keys`
+  * degrades from exact to a ±1.6% estimate at the crossover, which is
+  * all a reconfiguration planner needs from a population count.
+  *
+  * EVICTION (the `TestChallenge1Delete` analogue,
+  * `/root/reference/src/shardkv/test_test.go:732-814`: a group must
+  * DELETE state for shards it no longer owns, bounding total state):
+  * the `*Evicting` variants drop the tally at every handoff, so a
+  * state row never retains a previous owner's population — `n_keys`
+  * then counts the OUTGOING OWNER'S ERA only, which is exactly the
+  * state that group hands off and deletes.
+  *
   * Ordering contract matches KvStream: seq order within a batch,
   * per-shard in-order delivery across batches (the reference's log
-  * order). State is O(keys-per-shard); at 100 TB the key POPULATION
-  * count (not values) is what's tracked — swap the Set for an HLL
-  * sketch when exact populations stop fitting. */
+  * order). */
 object ShardMigration {
 
   final case class ShardOp(shard: Int, seq: Long, key: String, gid: Long)
-  final case class ShardState(gid: Long, keys: Set[String])
+
+  /** State-store row: owner + hybrid tally (`exact` holds the keys
+    * while small; `regs` is the HLL after conversion, at which point
+    * `exact` is empty). */
+  final case class ShardState(gid: Long, exact: Seq[String], regs: Array[Byte])
+
   final case class Migration(shard: Int, at_seq: Long, from_gid: Long,
       to_gid: Long, n_keys: Long)
+
+  /** Exact-set size above which a tally converts to the HLL. */
+  val MaxExactKeys = 1024
 
   /** Routed ops (graft.kv.Kv.routeOps output) → typed shard stream. */
   def shardOps(routed: DataFrame): Dataset[ShardOp] = {
@@ -38,56 +61,109 @@ object ShardMigration {
       .as[ShardOp]
   }
 
-  /** One op transition: next state plus the handoff record if the
-    * shard changed owners at this op — shared by the streaming
-    * machine and the batch sorted-group scan. */
-  private[streaming] def step(shard: Int, st: ShardState,
-      o: ShardOp): (ShardState, Option[Migration]) = {
-    val mig =
-      if (st.gid != o.gid && st.gid != -1L)
-        Some(Migration(shard, o.seq, st.gid, o.gid, st.keys.size.toLong))
-      else None
-    (ShardState(o.gid, st.keys + o.key), mig)
+  /** Mutable per-group walker — ONE definition of the fold, shared by
+    * the streaming machine (micro-batch-bounded buffer) and the batch
+    * sorted-group scan. `evict` selects the Challenge1Delete-style
+    * reset-on-handoff semantics. */
+  private[streaming] final class Walker(evict: Boolean) {
+    private var gid = -1L
+    private var set: scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+    private var regs: Array[Byte] = null
+
+    def load(st: ShardState): Unit = {
+      gid = st.gid
+      regs = st.regs
+      set = if (regs == null) scala.collection.mutable.Set.from(st.exact)
+            else scala.collection.mutable.Set.empty
+    }
+
+    def snapshot: ShardState =
+      ShardState(gid, if (regs == null) set.toSeq else Seq.empty, regs)
+
+    private def count: Long =
+      if (regs == null) set.size.toLong else Hll.estimate(regs)
+
+    private def addKey(k: String): Unit =
+      if (regs != null) Hll.add(regs, Hll.hashString(k))
+      else if (!set.contains(k)) {
+        if (set.size < MaxExactKeys) set += k
+        else { // crossover: fold the exact set into a fresh sketch
+          regs = Hll.empty
+          set.foreach(s => Hll.add(regs, Hll.hashString(s)))
+          Hll.add(regs, Hll.hashString(k))
+          set = scala.collection.mutable.Set.empty
+        }
+      }
+
+    /** Advance by one op; the population is read BEFORE the op's own
+      * key lands (the handoff carries what the old owner held). */
+    def onOp(shard: Int, o: ShardOp): Option[Migration] = {
+      val mig =
+        if (gid != o.gid && gid != -1L) {
+          val m = Some(Migration(shard, o.seq, gid, o.gid, count))
+          if (evict) { // old owner's state deleted at handoff
+            set = scala.collection.mutable.Set.empty
+            regs = null
+          }
+          m
+        } else None
+      gid = o.gid
+      addKey(o.key)
+      mig
+    }
   }
 
-  /** Streaming state machine (true streams: the sort is bounded by a
-    * micro-batch; batch executions go through [[migrationsBatch]]). */
-  def migrations(ops: Dataset[ShardOp]): Dataset[Migration] = {
+  private def streamMachine(ops: Dataset[ShardOp],
+      evict: Boolean): Dataset[Migration] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.shard)
       .flatMapGroupsWithState[ShardState, Migration](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (shard: Int, batch: Iterator[ShardOp], state) =>
-          var st = state.getOption.getOrElse(ShardState(-1L, Set.empty))
+          val w = new Walker(evict)
+          w.load(state.getOption.getOrElse(ShardState(-1L, Seq.empty, null)))
           val out = Seq.newBuilder[Migration]
-          batch.toSeq.sortBy(_.seq).foreach { o =>
-            val (next, mig) = step(shard, st, o)
-            mig.foreach(out += _)
-            st = next
-          }
-          state.update(st)
+          batch.toSeq.sortBy(_.seq).foreach(o => w.onOp(shard, o).foreach(out += _))
+          state.update(w.snapshot)
           out.result().iterator
       }
   }
 
-  /** BATCH execution of the same machine via `flatMapSortedGroups` —
-    * the shuffle delivers each shard's ops already seq-ordered, so
-    * the walk holds only the current owner + key population, never
-    * the whole log (in batch mode one "group" is the shard's entire
-    * history; the micro-batch path's toSeq.sortBy would buffer it).
-    * Differential vs streaming + window oracle in ShardMigrationSpec. */
-  def migrationsBatch(ops: Dataset[ShardOp]): Dataset[Migration] = {
+  private def batchMachine(ops: Dataset[ShardOp],
+      evict: Boolean): Dataset[Migration] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.shard)
       .flatMapSortedGroups(col("seq")) { (shard, it) =>
-        var st = ShardState(-1L, Set.empty)
-        it.flatMap { o =>
-          val (next, mig) = step(shard, st, o)
-          st = next
-          mig.iterator
-        }
+        val w = new Walker(evict)
+        w.load(ShardState(-1L, Seq.empty, null))
+        it.flatMap(o => w.onOp(shard, o).iterator)
       }
   }
+
+  /** Streaming state machine (true streams: the sort is bounded by a
+    * micro-batch; batch executions go through [[migrationsBatch]]). */
+  def migrations(ops: Dataset[ShardOp]): Dataset[Migration] =
+    streamMachine(ops, evict = false)
+
+  /** Streaming machine with state eviction on handoff. */
+  def migrationsEvicting(ops: Dataset[ShardOp]): Dataset[Migration] =
+    streamMachine(ops, evict = true)
+
+  /** BATCH execution of the same machine via `flatMapSortedGroups` —
+    * the shuffle delivers each shard's ops already seq-ordered, so
+    * the walk holds only the current owner + bounded tally, never the
+    * whole log (in batch mode one "group" is the shard's entire
+    * history; the micro-batch path's toSeq.sortBy would buffer it).
+    * Differential vs streaming + window oracle in ShardMigrationSpec. */
+  def migrationsBatch(ops: Dataset[ShardOp]): Dataset[Migration] =
+    batchMachine(ops, evict = false)
+
+  /** Batch execution of the evicting machine — `k_migrations_evict`'s
+    * per-era key counts are exact SQL (windows over era boundaries),
+    * so this variant carries its own hash gate. */
+  def migrationsEvictingBatch(ops: Dataset[ShardOp]): Dataset[Migration] =
+    batchMachine(ops, evict = true)
 
   /** Batch oracle: the same handoff walk as a window fold (lag over
     * per-shard seq order), for differential testing. */

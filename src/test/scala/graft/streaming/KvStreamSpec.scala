@@ -99,6 +99,52 @@ class KvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compacting fold: bounded state, witnesses reconstruct the full value") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val max = 64
+    // append-heavy hot-key log: the uncompacted value grows far past max
+    val hot = Vector.tabulate(400) { i =>
+      val op = if (i == 0) "put" else if (i % 20 == 7) "get" else "append"
+      KvOp(i.toLong, (i % 3).toLong, i.toLong, op, s"h${i % 2}", s"v$i;")
+    }
+    val full = KvStream.replayBatch(hot.toDS()).collect()
+      .map(s => s.key -> s.state).toMap
+    assert(full.values.exists(_.length > 4 * max), "fixture must outgrow the cap")
+    // batch compacting twin: tail + digest + length witness the value
+    val compact = KvStream.replayBatchCompacting(hot.toDS(), max).collect()
+    compact.foreach { c =>
+      val v = full(c.key)
+      assert(c.state_tail.length <= max, s"${c.key}: state not bounded")
+      assert(c.state_tail === v.takeRight(math.min(max, v.length)))
+      assert(c.total_len === v.length.toLong)
+      val droppedLen = v.length - c.state_tail.length
+      assert(c.dropped_fnv ===
+        (if (droppedLen == 0) 0L else KvStream.fnv64(0L, v.substring(0, droppedLen))))
+    }
+    // streaming machine agrees with the batch twin, batch by batch
+    val input = MemoryStream[KvOp]
+    val q = KvStream.replayStreamCompacting(input.toDS(), max).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("kvcompact").start()
+    try {
+      hot.grouped(100).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val got = spark.table("kvcompact")
+        .groupBy(col("key")).agg(expr("max_by(state_tail, seq)").as("t"),
+          expr("max_by(total_len, seq)").as("l"), expr("max_by(dropped_fnv, seq)").as("f"))
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      compact.foreach { c =>
+        assert(got(c.key) === ((c.state_tail, c.total_len, c.dropped_fnv)))
+      }
+    } finally q.stop()
+    // a put RESETS the logical value (and the dropped prefix with it)
+    val reset = Vector(
+      KvOp(0, 1, 0, "put", "k", "A" * 100),
+      KvOp(1, 1, 1, "append", "k", "B" * 100),
+      KvOp(2, 1, 2, "put", "k", "short"))
+    val r = KvStream.replayBatchCompacting(reset.toDS(), max).collect().head
+    assert(r.state_tail === "short" && r.total_len === 5L && r.dropped_fnv === 0L)
+  }
+
   test("KV state machine runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
