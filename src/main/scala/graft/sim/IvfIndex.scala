@@ -47,11 +47,40 @@ object IvfIndex {
   def append(spark: SparkSession, indexPath: String,
       cents: Array[Kmeans.Centroid], newVecs: org.apache.spark.sql.Dataset[Vec]): Long = {
     import spark.implicits._
+    // guard: a PQ index stores (vec_id, v, code, cell); appending plain
+    // rows would leave `code` null and crash the codes-only ADC probes
+    // at read time — fail here, at the write, with the fix named
+    if (hasPqModel(spark, indexPath))
+      throw new IllegalArgumentException(
+        s"append: $indexPath is a PQ index (has _model); plain rows would " +
+          "break its codes-only probes — use appendPq")
     val bc = spark.sparkContext.broadcast(cents)
     newVecs.map(r => (r.vec_id, r.v, Kmeans.nearest(r, bc.value)))
       .toDF("vec_id", "v", "cell")
       .write.mode("append").partitionBy("cell").parquet(indexPath)
     Kmeans.cohesionMicro(newVecs, cents)
+  }
+
+  /** PQ-encoding incremental append: same frozen-centroid contract as
+    * [[append]], plus L2-normalization and PQ codes so the appended
+    * rows are indistinguishable from build-time rows to every probe. */
+  def appendPq(spark: SparkSession, indexPath: String, idx: PqIndexModel,
+      newVecs: org.apache.spark.sql.Dataset[Vec]): Long = {
+    import spark.implicits._
+    val normalized = newVecs.map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    val bcC = spark.sparkContext.broadcast(idx.cents)
+    val bcCb = spark.sparkContext.broadcast(idx.cb)
+    normalized.map(r => (r.vec_id, r.v, Pq.encode(bcCb.value, r.v),
+        Kmeans.nearest(r, bcC.value)))
+      .toDF("vec_id", "v", "code", "cell")
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+    Kmeans.cohesionMicro(normalized, idx.cents)
+  }
+
+  private def hasPqModel(spark: SparkSession, indexPath: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_model"))
   }
 
   /** Top-k probe against the persisted index: the `cell IN (...)`
@@ -160,10 +189,31 @@ object IvfIndex {
     * SHARED by the fixed and adaptive probers so the second gate query
     * in a session reuses the first's build (build once, probe many —
     * the index lifecycle). Fresh sessions get fresh paths, so
-    * concurrent runs never clobber each other mid-read. */
+    * concurrent runs never clobber each other mid-read. The tag is an
+    * md5 of the FULL corpus path (a 32-bit hashCode could collide two
+    * corpus dirs within one session and silently reuse the wrong
+    * index), and every path registers for shutdown-hook deletion so
+    * repeated sessions don't accumulate corpus-sized /tmp garbage. */
+  private val sessionPaths = scala.collection.mutable.Set.empty[String]
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sessionPaths.synchronized(sessionPaths.toSeq).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+    true
+  }
+
   private def sessionPath(spark: SparkSession, sfDir: String): String = {
-    val tag = Integer.toHexString(sfDir.hashCode)
-    s"/tmp/graft_ivfpq_${tag}_${spark.sparkContext.applicationId}"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val p = s"/tmp/graft_ivfpq_${tag}_${spark.sparkContext.applicationId}"
+    require(cleanupHookInstalled)
+    sessionPaths.synchronized { sessionPaths += p }
+    p
   }
 
   private def gateQueries(spark: SparkSession, sfDir: String,
@@ -190,8 +240,8 @@ object IvfIndex {
   }
 
   /** ADAPTIVE-nprobe IVF-PQ probe: cells are visited in decreasing
-    * query-affinity order, ONE RANK PER ROUND, and a query stops
-    * probing once an extra cell stops improving its candidate set —
+    * query-affinity order, `rankBatch` RANKS PER ROUND, and a query
+    * stops probing once extra cells stop improving its candidate set —
     * the recall/latency knob turned automatically instead of fixed
     * up front. Convergence rule per query: if the k-th best ADC
     * distance improves by less than `epsMicro` (×1e-6, relative) for
@@ -199,21 +249,32 @@ object IvfIndex {
     * round loop ends when every query is inactive or `maxProbe` ranks
     * are exhausted.
     *
+    * `rankBatch` exists because each round is one Spark job — a
+    * driver round-trip of scheduling latency. Batching the next few
+    * affinity ranks per round prefetches cells the still-active
+    * queries would almost certainly probe next, trading a little
+    * possibly-wasted IO on the final round for halved (at the default
+    * 2) job count; IvfIndexSpec measures rounds saved at equal recall.
+    *
     * Shape per round: ONE scan filtered to the union of the active
-    * queries' rank-r cells (partition-pruned directories, codes-only
-    * columns). Scoring is OPPORTUNISTIC: every active query scores
-    * every scanned row, not just its own cell's — those rows are
-    * already paid for, and the free cross-candidates are what fixed
-    * multi-query probing gets implicitly. Per-partition bounded heaps,
-    * then a driver merge of |activeQ|·rerank candidate rows — the
-    * driver never holds more than the per-query candidate heaps (the
-    * standard ANN serving state). Easy queries stop at 1-2 cells;
-    * hard ones keep probing; total IO adapts to the query set instead
-    * of the worst case. Exact re-rank finishes, as in [[probePq]]. */
+    * queries' next-rank cells (partition-pruned directories,
+    * codes-only columns). Scoring is OPPORTUNISTIC: every active
+    * query scores every scanned row, not just its own cells' — those
+    * rows are already paid for, and the free cross-candidates are what
+    * fixed multi-query probing gets implicitly. Per-partition bounded
+    * heaps, then a driver merge of |activeQ|·rerank candidate rows —
+    * the driver never holds more than the per-query candidate heaps
+    * (the standard ANN serving state). Easy queries stop after one
+    * round; hard ones keep probing; total IO adapts to the query set
+    * instead of the worst case. Exact re-rank finishes as in
+    * [[probePq]], reading ONLY the union of probed cells (the
+    * candidates all came from them, so an unfiltered scan would read
+    * the whole index for nothing). */
   def probePqAdaptive(spark: SparkSession, indexPath: String,
       queries: Array[Vec], idx: PqIndexModel, k: Int = 5, maxProbe: Int = 16,
       patience: Int = 1, epsMicro: Long = 1000L, rerank: Int = 50,
-      probedCellsOut: Option[Array[Int]] = None): DataFrame = {
+      rankBatch: Int = 2, probedCellsOut: Option[Array[Int]] = None,
+      roundsOut: Option[Array[Int]] = None): DataFrame = {
     import spark.implicits._
     val m = idx.cb.m
     val ranked: Array[Array[Int]] = queries.map { q =>
@@ -229,11 +290,16 @@ object IvfIndex {
     val stalled = new Array[Int](queries.length)
     val active = Array.fill(queries.length)(true)
     val probed = new Array[Int](queries.length)
+    val probedCellUnion = scala.collection.mutable.Set.empty[Int]
+    var rounds = 0
     var r = 0
     val maxR = math.min(maxProbe, idx.cents.length)
     while (r < maxR && active.exists(identity)) {
-      // rank-r cell of each still-active query (deduped across queries)
-      val cells = queries.indices.filter(active).map(qi => ranked(qi)(r)).distinct
+      val batch = math.min(rankBatch, maxR - r)
+      // next `batch` affinity-rank cells of each still-active query
+      val cells = queries.indices.filter(active)
+        .flatMap(qi => ranked(qi).slice(r, r + batch)).distinct
+      probedCellUnion ++= cells
       val activeQis = queries.indices.filter(active).toArray
       val bcActive = spark.sparkContext.broadcast(activeQis)
       val roundRows = spark.read.parquet(indexPath)
@@ -269,7 +335,7 @@ object IvfIndex {
       val byQ = roundRows.groupBy(_._1)
       queries.indices.foreach { qi =>
         if (active(qi)) {
-          probed(qi) += 1
+          probed(qi) += batch
           // rerank budget grows with probe depth (mirrors probePq's
           // per-partition heaps: more cells scanned → more candidates
           // survive to the exact re-rank; a flat ADC-top-rerank cap
@@ -293,15 +359,21 @@ object IvfIndex {
           }
         }
       }
-      r += 1
+      r += batch
+      rounds += 1
     }
     probedCellsOut.foreach(out => Array.copy(probed, 0, out, 0, probed.length))
-    // exact re-rank of the surviving candidate union (≤ |Q|·rerank rows)
+    roundsOut.foreach(out => out(0) = rounds)
+    // exact re-rank of the surviving candidate union (≤ |Q|·rerank rows),
+    // reading only the probed cells' partitions — candidates can't live
+    // anywhere else, and the filter keeps the fetch partition-pruned
     val cand = queries.indices.flatMap { qi =>
       heaps(qi).iterator.map { case (_, id) => (queries(qi).vec_id, id) }
     }.toDF("query_id", "neighbor_id")
     val rescored = cand
-      .join(spark.read.parquet(indexPath).select(col("vec_id"), col("v")),
+      .join(spark.read.parquet(indexPath)
+          .filter(col("cell").isin(probedCellUnion.toSeq.sorted: _*))
+          .select(col("vec_id"), col("v")),
         col("neighbor_id") === col("vec_id"))
       .select(col("query_id"), col("neighbor_id"), col("v"))
       .as[(Long, Long, Array[Double])]

@@ -150,6 +150,80 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall(full) === 1.0, "full adaptive probe with corpus-wide rerank must be exact")
   }
 
+  test("adaptive probe batches ranks: fewer jobs at equal recall; cell-pruned rerank") {
+    val path = "/tmp/graft_ivfpq_batch_spec"
+    val idx = IvfIndex.buildPq(spark, sf(), path)
+    val qs = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10).collect().sortBy(_.vec_id)
+      .map(v => Similarity.Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.topKExact(spark, sf(), k = 5, numQueries = 10))
+    def recall(got: Map[Long, Set[Long]]): Double = exact.map { case (q, ex) =>
+      got.get(q).map(g => (ex intersect g).size.toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+    // (a) exhaustive regime — identical result set, half the jobs: with
+    // patience=forever both variants probe all 16 cells and re-rank the
+    // whole corpus, so outputs are equal and the job count is the only
+    // difference
+    val ex1 = Array(0); val ex2 = Array(0)
+    val full1 = topSets(IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = Int.MaxValue, rerank = 600,
+      rankBatch = 1, roundsOut = Some(ex1)))
+    val full2 = topSets(IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = Int.MaxValue, rerank = 600,
+      rankBatch = 2, roundsOut = Some(ex2)))
+    info(s"exhaustive rounds: batch1=${ex1(0)} batch2=${ex2(0)}")
+    assert(full1 === full2, "same probed universe must give the same top-k")
+    assert(ex2(0) * 2 === ex1(0), "rank batching must halve the job count")
+    // (b) early-stop regime — batching prefetches a superset per round,
+    // so recall must not drop, and each job must cover >1 probed cell
+    val probed2 = new Array[Int](qs.length)
+    val rounds1 = Array(0); val rounds2 = Array(0)
+    val one = topSets(IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = 1, rankBatch = 1, roundsOut = Some(rounds1)))
+    val df2 = IvfIndex.probePqAdaptive(spark, path, qs, idx,
+      k = 5, maxProbe = 16, patience = 1, rankBatch = 2,
+      probedCellsOut = Some(probed2), roundsOut = Some(rounds2))
+    val two = topSets(df2)
+    info(s"early-stop rounds: batch1=${rounds1(0)} batch2=${rounds2(0)}; " +
+      s"recall: batch1=${recall(one)} batch2=${recall(two)}; " +
+      s"cells/query (batch2) = ${probed2.toVector}")
+    assert(recall(two) >= recall(one) - 1e-9,
+      "batched prefetch must not lose recall (it probes a superset per round)")
+    assert(rounds2(0) < probed2.max,
+      "each batched job must cover more than one probed cell")
+    // the exact re-rank reads only the probed cells' partitions
+    val plan = df2.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(plan).isDefined ||
+      plan.contains("PartitionFilters: [cell"),
+      s"rerank scan not partition-pruned:\n${plan.take(3000)}")
+  }
+
+  test("plain append refuses a PQ index; appendPq keeps it probe-able") {
+    import spark.implicits._
+    val path = "/tmp/graft_ivfpq_append_spec"
+    val idx = IvfIndex.buildPq(spark, sf(), path)
+    IvfIndex.saveModel(spark, path, idx)
+    val extra = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10)
+      .map(v => Similarity.Vec(v.vec_id + 10000L, v.v, v.nrm))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, path, idx.cents, extra)
+    }
+    assert(e.getMessage.contains("appendPq"))
+    // the PQ-encoding append: appended exact copies of the query
+    // vectors must surface as their own (cosine 1) neighbors
+    IvfIndex.appendPq(spark, path, idx, extra)
+    val qs = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10).collect().sortBy(_.vec_id)
+      .map(v => Similarity.Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    val got = IvfIndex.probePq(spark, path, qs, idx, k = 5, nprobe = 16)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qs.foreach(q => assert(got(q.vec_id).contains(q.vec_id + 10000L),
+      s"appended clone of ${q.vec_id} not found: ${got(q.vec_id)}"))
+  }
+
   test("narrow probe reads only the probed partitions and keeps recall") {
     val cents = IvfIndex.build(spark, sf(), IndexPath, nCells = 16, iters = 2)
     val qs = queries(10)
