@@ -67,6 +67,14 @@ object SparkEntry {
         graft.streaming.ShardMigration.shardOps(
           Kv.routeOps(Kv.opsFromEvents(s, dir),
             ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
+    // Challenge2 twin: serving-during-reconfiguration timing — ops on
+    // shards not in an in-flight handoff apply immediately; the
+    // whole defer/apply schedule is re-derived in SQL (hash gate)
+    "k_serve" -> ((s, dir) =>
+      graft.streaming.ShardServe.serveBatch(
+        graft.streaming.ShardMigration.shardOps(
+          Kv.routeOps(Kv.opsFromEvents(s, dir),
+            ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
     // bounded-state ledger fold: tail + total length are SQL over the
     // uncompacted fold (the fnv digest column is engine-side only)
     "k_replay_compact" -> ((s, dir) => {
@@ -318,6 +326,38 @@ object SparkEntry {
        |  e.gid AS to_gid, CAST(p.pop AS BIGINT) AS n_keys
        |FROM erad e JOIN era_pop p ON p.shard = e.shard AND p.era = e.era - 1
        |WHERE e.prev_gid IS NOT NULL AND e.prev_gid <> e.gid""".stripMargin,
+    "k_serve" -> s"""WITH $kvOpsCte,
+       |hist AS (SELECT config_num, shard, gid
+       |  FROM read_parquet('$sideDumpGlob')),
+       |mx AS (SELECT max(config_num) AS m FROM hist),
+       |routed AS (
+       |  SELECT o.seq, o.shard2 AS shard, h.gid
+       |  FROM (SELECT seq, ascii(substr(key, 1, 1)) % 10 AS shard2,
+       |          least(seq // 100, (SELECT m FROM mx)) AS config_num FROM ops) o
+       |  JOIN hist h ON h.config_num = o.config_num AND h.shard = o.shard2),
+       |hand AS (
+       |  SELECT shard, seq AS h FROM (
+       |    SELECT shard, seq, gid,
+       |      lag(gid) OVER (PARTITION BY shard ORDER BY seq) AS pg
+       |    FROM routed)
+       |  WHERE pg IS NOT NULL AND pg <> gid),
+       |deferred AS (
+       |  SELECT r.shard, r.seq, min(h.h) AS h
+       |  FROM routed r JOIN hand h
+       |    ON h.shard = r.shard AND r.seq >= h.h AND r.seq < h.h + 50
+       |  GROUP BY 1, 2),
+       |trig AS (
+       |  SELECT d.shard, d.h, min(r2.seq) AS t
+       |  FROM (SELECT DISTINCT shard, h FROM deferred) d
+       |  LEFT JOIN routed r2 ON r2.shard = d.shard AND r2.seq >= d.h + 50
+       |  GROUP BY 1, 2)
+       |SELECT r.shard, r.seq,
+       |  CAST(CASE WHEN d.seq IS NOT NULL THEN 1 ELSE 0 END AS INT) AS deferred,
+       |  CASE WHEN d.seq IS NOT NULL THEN coalesce(t.t, d.h + 50)
+       |       ELSE r.seq END AS applied_at
+       |FROM routed r
+       |LEFT JOIN deferred d ON d.shard = r.shard AND d.seq = r.seq
+       |LEFT JOIN trig t ON t.shard = d.shard AND t.h = d.h""".stripMargin,
     "k_replay_compact" ->
       s"""WITH base AS ($kvReplaySql)
          |SELECT key,

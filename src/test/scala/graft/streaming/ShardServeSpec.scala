@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.kv.Kv
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import ShardMigration.ShardOp
+import ShardServe.Applied
+
+class ShardServeSpec extends SparkSpec {
+
+  private def routed() = {
+    val history = graft.kv.ShardCtrler.historyDf(spark,
+      graft.kv.ShardCtrler.history(graft.kv.ShardCtrler.cmdsFromNation(spark, sf())))
+    Kv.routeOps(Kv.opsFromEvents(spark, sf()), history, epochLen = 100L)
+  }
+
+  test("unit: only the transferring shard defers; applied at catch-up or hold end") {
+    import spark.implicits._
+    val ops = Seq(
+      ShardOp(1, 1L, "a", 10L), ShardOp(1, 2L, "b", 10L),
+      ShardOp(1, 3L, "a", 20L),  // handoff at 3: hold [3, 53)
+      ShardOp(1, 10L, "c", 20L), // inside the window
+      ShardOp(1, 60L, "d", 20L), // catch-up: flushes 3 and 10
+      ShardOp(2, 5L, "z", 10L), ShardOp(2, 20L, "z", 10L), // unaffected
+      ShardOp(3, 1L, "x", 10L),
+      ShardOp(3, 2L, "x", 20L)   // handoff at 2, log ends inside window
+    ).toDS()
+    val got = ShardServe.serveBatch(ops).collect().toSet
+    assert(got === Set(
+      Applied(1, 1L, 0, 1L), Applied(1, 2L, 0, 2L),
+      Applied(1, 3L, 1, 60L), Applied(1, 10L, 1, 60L), Applied(1, 60L, 0, 60L),
+      Applied(2, 5L, 0, 5L), Applied(2, 20L, 0, 20L),
+      Applied(3, 1L, 0, 1L), Applied(3, 2L, 1, 52L)))
+  }
+
+  test("availability: unaffected shards are served WHILE a handoff is in flight") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ShardOp]
+    val q = ShardServe.serve(input.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("serve").start()
+    try {
+      // round 1: shard 1 enters a handoff; shard 2 sees normal traffic
+      input.addData(Seq(
+        ShardOp(1, 1L, "a", 10L), ShardOp(1, 3L, "a", 20L),
+        ShardOp(1, 10L, "c", 20L), ShardOp(2, 5L, "z", 10L)))
+      q.processAllAvailable()
+      val r1 = spark.table("serve").as[Applied].collect().toSet
+      // the Challenge2 property: shard 2's op emitted THIS round, while
+      // shard 1's in-transfer ops are not yet applied
+      assert(r1.contains(Applied(2, 5L, 0, 5L)),
+        "op on the unaffected shard stalled behind the handoff")
+      assert(r1.contains(Applied(1, 1L, 0, 1L)))
+      assert(!r1.exists(a => a.shard == 1 && a.seq >= 3L),
+        s"in-transfer ops applied too early: $r1")
+      // round 2: the shard catches up — buffered ops apply now
+      input.addData(Seq(ShardOp(1, 60L, "d", 20L)))
+      q.processAllAvailable()
+      val r2 = spark.table("serve").as[Applied].collect().toSet
+      assert(r2.contains(Applied(1, 3L, 1, 60L)))
+      assert(r2.contains(Applied(1, 10L, 1, 60L)))
+      assert(r2.contains(Applied(1, 60L, 0, 60L)))
+    } finally q.stop()
+  }
+
+  test("streaming equals batch on corpus ops (sentinels force final flush)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = ShardMigration.shardOps(routed()).collect().toSeq.sortBy(_.seq)
+    // one sentinel per shard, far past any hold window, same final gid:
+    // both modes then flush everything and must agree exactly
+    val sentinels = base.groupBy(_.shard).map { case (shard, ops) =>
+      val last = ops.maxBy(_.seq)
+      ShardOp(shard, 10000000L + shard, "sentinel", last.gid)
+    }.toSeq
+    val all = base ++ sentinels
+    val expected = ShardServe.serveBatch(all.toDS()).collect().toSet
+    val input = MemoryStream[ShardOp]
+    val q = ShardServe.serve(input.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("serve_diff").start()
+    try {
+      all.sortBy(_.seq).grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("serve_diff").as[Applied].collect().toSet
+      assert(got === expected)
+      assert(expected.exists(_.deferred == 1), "fixture produced no deferrals")
+    } finally q.stop()
+  }
+}
