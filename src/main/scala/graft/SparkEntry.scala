@@ -106,6 +106,11 @@ object SparkEntry {
     // values are engine-specific → rows-only gates, error-band spec
     "rel_median_approx" -> ((s, dir) => RelQueries.medianValueApprox(s, dir)),
     "rel_quantiles_approx" -> ((s, dir) => RelQueries.valueQuantilesApprox(s, dir)),
+    // exact two-pass histogram selection (scale-safe for bounded value
+    // domains) — reproduces the exact operators' outputs bit-for-bit,
+    // so both share the exact hash oracles
+    "rel_median_hist" -> ((s, dir) => RelQueries.medianValueHist(s, dir)),
+    "rel_quantiles_hist" -> ((s, dir) => RelQueries.valueQuantilesHist(s, dir)),
     "rel_semi" -> ((s, dir) => RelQueries.latePriorityCounts(s, dir)),
     "rel_quantiles" -> ((s, dir) => RelQueries.valueQuantiles(s, dir)),
     "rel_pivot" -> ((s, dir) => RelQueries.eventTypePivot(s, dir)),
@@ -510,19 +515,10 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us
         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
-    "rel_median" ->
-      """WITH v AS (
-        |  SELECT event_type, event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |r AS (
-        |  SELECT event_type, cents,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY cents, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM v)
-        |SELECT event_type, cents AS median_cents
-        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+    "rel_median" -> relMedianSql,
+    // exact histogram selection reproduces the exact median/quantiles
+    "rel_median_hist" -> relMedianSql,
+    "rel_quantiles_hist" -> relQuantilesSql,
     "rel_pivot" ->
       """SELECT user_id % 10 AS user_decile,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -587,20 +583,7 @@ object SparkEntry {
         |  WHERE l_orderkey = o_orderkey
         |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
-    "rel_quantiles" ->
-      """WITH v AS (
-        |  SELECT event_type, event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |r AS (
-        |  SELECT event_type, cents,
-        |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY cents, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM v)
-        |SELECT event_type, CAST(q AS BIGINT) AS q, cents
-        |FROM r CROSS JOIN (SELECT unnest([25, 50, 75]) AS q)
-        |WHERE rn = CAST(ceil(n * q / 100.0) AS BIGINT)""".stripMargin,
+    "rel_quantiles" -> relQuantilesSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
@@ -915,6 +898,35 @@ object SparkEntry {
       |JOIN cnt ca ON ca.doc_id = i
       |JOIN cnt cb ON cb.doc_id = j
       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin
+
+  private def relMedianSql: String =
+    """WITH v AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY cents, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, cents AS median_cents
+      |FROM r WHERE rn = (n + 1) // 2""".stripMargin
+
+  private def relQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY cents, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, CAST(q AS BIGINT) AS q, cents
+      |FROM r CROSS JOIN (SELECT unnest([25, 50, 75]) AS q)
+      |WHERE rn = CAST(ceil(n * q / 100.0) AS BIGINT)""".stripMargin
 
   private def splitLeakageSql: String =
     s"""WITH pairs AS ($ngramJaccardSql)

@@ -442,6 +442,50 @@ object RelQueries {
       .select(col("event_type"),
         ((col("pos") + 1) * 25).cast("long").as("q"), col("cents"))
 
+  /** EXACT distributed median via a two-pass selection — the third
+    * point on the median trade-off surface: [[medianValue]] is exact
+    * but buffers N/5 rows per task; [[medianValueApprox]] scales but
+    * estimates; this is exact AND scale-safe whenever the VALUE DOMAIN
+    * is bounded. Pass 1 collapses the fact table to a per-group value
+    * histogram (hash aggregation, map-side partials); pass 2 walks the
+    * histogram's cumulative counts to the bucket containing rank
+    * (n+1)/2. The window runs over DISTINCT VALUES per group — for
+    * cents-scale metrics thousands of rows, not billions — so the
+    * low-cardinality partition bound moves from O(N/groups) to
+    * O(domain). Same output as [[medianValue]], so it shares the
+    * exact hash oracle. */
+  def medianValueHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val all = Window.partitionBy(col("event_type"))
+    t(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .withColumn("r", expr("(sum(c) over (partition by event_type) + 1) div 2"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("cents").as("median_cents"))
+  }
+
+  /** Exact distributed p25/p50/p75 over the same per-group histogram
+    * (one window pass, quantile fan-out by explode) — shares
+    * [[valueQuantiles]]' hash oracle. */
+  def valueQuantilesHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    t(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
+      .withColumn("r", expr("cast(ceil(n * q / 100.0) as bigint)"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("q"), col("cents"))
+  }
+
   /** As-of join: each (synthetic-dated) event matched to the user's
     * latest order on-or-before that date — `operators.AsOfJoin`. The
     * customer count folds into the plan as a broadcast single-row

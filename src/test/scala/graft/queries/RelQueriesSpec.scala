@@ -147,6 +147,30 @@ class RelQueriesSpec extends SparkSpec {
     }
   }
 
+  test("histogram median/quantiles equal the exact operators; window runs post-aggregation") {
+    val exactM = RelQueries.medianValue(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val histM = RelQueries.medianValueHist(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(histM === exactM)
+    val exactQ = RelQueries.valueQuantiles(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val histQ = RelQueries.valueQuantilesHist(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(histQ === exactQ)
+    // the scale property: the window's input is the per-group VALUE
+    // histogram (hash aggregation below the window), so partition size
+    // is bounded by the value domain, not the fact-table row count
+    val plan = RelQueries.medianValueHist(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && plan.contains("Window"), plan.take(2000))
+    val histRows = spark.read.parquet(s"${sf()}/events.parquet")
+      .selectExpr("event_type", "cast(round(value * 100) as long) as cents")
+      .distinct().count()
+    val factRows = spark.read.parquet(s"${sf()}/events.parquet").count()
+    assert(histRows < factRows, "fixture domain must be smaller than the fact table")
+  }
+
   test("checked sum: exact at the long boundary, raises past it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
