@@ -164,6 +164,9 @@ object SparkEntry {
     "text_bpe_ids" -> ((s, dir) => graft.text.Bpe.encodeIds(s, dir)),
     "text_bpe_vocab" -> ((s, dir) => graft.text.Bpe.vocabDf(s, dir)),
     "text_pipeline" -> ((s, dir) => graft.text.CorpusPipeline.prepare(s, dir)),
+    // the pipeline emitting the real artifact: BPE-id counts + packs
+    // (BPE apply not SQL-expressible -> rows-only; spec-differential)
+    "text_pipeline_ids" -> ((s, dir) => graft.text.CorpusPipeline.prepareIds(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),

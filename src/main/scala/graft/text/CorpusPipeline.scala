@@ -27,6 +27,37 @@ object CorpusPipeline {
     prepareDf(spark.read.parquet(s"$sfDir/documents.parquet"),
       budget, minTokens, partitions)
 
+  /** The pipeline upgraded to the ACTUAL training artifact: after
+    * scrub → quality → dedup, documents are tokenized to BPE TOKEN IDS
+    * (vocabulary trained once on the corpus histogram — the same
+    * corpus-sized pass the count-based pipeline already pays) and
+    * packed by ID COUNT, the budget a trainer actually fills. Output
+    * (doc_id, n_bpe_tokens, pack_id) is rows-only (BPE apply is not
+    * SQL-expressible); CorpusPipelineSpec pins it to the manual stage
+    * composition and to the standalone BPE-id operator. */
+  def prepareIds(spark: SparkSession, sfDir: String, budget: Long = 512L,
+      minTokens: Long = 5L, merges: Int = 8, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ms = Bpe.trainMerges(spark, sfDir, merges).map(m => (m._1, m._2))
+    val toks = Cleaning.cleanText(docs)
+      .select(col("doc_id"), col("clean_text"),
+        expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+    val keep = toks
+      .groupBy(md5(col("clean_text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = toks.join(keep, Seq("doc_id"), "left_semi")
+    val ids = Bpe.encodeIdsDocs(
+        kept.select(col("doc_id"), col("clean_text").as("text")), ms)
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
+      .as[SequencePacking.DocTokens]
+    SequencePacking.packByPrefixSum(ids, budget, partitions).toDF()
+      .select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"), col("pack_id"))
+  }
+
   /** [[prepare]] on any (doc_id, text) frame — the batch twin the
     * streaming pipeline (graft.streaming.StreamingCorpusPipeline) is
     * differential-tested against on every consumed prefix. */
