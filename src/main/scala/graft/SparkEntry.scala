@@ -125,6 +125,9 @@ object SparkEntry {
     "dedup_ngram" -> ((s, dir) => graft.dedup.Dedup.ngramJaccard(s, dir)),
     "dedup_minhash" -> ((s, dir) => graft.dedup.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.dedup.Dedup.simhashPairs(s, dir)),
+    // radius-1 multi-probe: Hamming radius 15 from the same 8 bands
+    "dedup_simhash_multiprobe" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairsMultiProbe(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
@@ -154,6 +157,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
     "text_classify" -> ((s, dir) => graft.text.TextAnalysis.classify(s, dir)),
     "text_pack" -> ((s, dir) => graft.text.SequencePacking.packDocuments(s, dir)),
+    // deterministic seeded training-order permutation of the packs,
+    // computed via the distributed global-rank primitive
+    "text_pack_order" -> ((s, dir) =>
+      graft.text.SequencePacking.shuffledPackOrder(s, dir)),
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
@@ -700,6 +707,22 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, CAST(pre // 1024 AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    "text_pack_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t),
+        |packs AS (SELECT DISTINCT CAST(pre // 1024 AS BIGINT) AS pack_id FROM c)
+        |SELECT pack_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(pack_id AS VARCHAR) || ':42'), pack_id) - 1
+        |    AS BIGINT) AS train_order
+        |FROM packs""".stripMargin,
     "text_clean" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes_in,

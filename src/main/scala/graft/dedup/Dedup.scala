@@ -260,25 +260,28 @@ object Dedup {
 
   final case class SimhashRow(doc_id: Long, sig: Long)
 
-  /** SimHash near-dup pairs at Hamming ≤ maxHamming (default 7).
-    * 8-bit bands bucket coarsely, so the same degenerate-bucket cap as
-    * MinHash LSH guards the candidate join at scale. */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 7,
-      maxBucket: Int = 1000): DataFrame = {
+  /** Corpus SimHash signatures (docs with no shingles dropped — they
+    * would all share signature 0 and pair with each other). */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sigs = docShingles(spark, sfDir)
+    docShingles(spark, sfDir)
       .as[(Long, Seq[String])]
-      // docs with no shingles would all share signature 0 and be
-      // reported as mutual near-dups (same guard as minhashLsh)
       .filter(_._2.nonEmpty)
       .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
       .toDF()
-    // 8 bands × 8 bits: Hamming ≤ 7 guarantees ≥1 identical band
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(expr(
-        "transform(sequence(0, 7), b -> struct(b AS band, shiftright(sig, b*8) & 255 AS h))")).as("bk"))
+  }
+
+  /** (doc_id, sig, band, h) — the 8 × 8-bit band postings of a
+    * signature frame. */
+  private def simhashBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS band, shiftright(sig, b*8) & 255 AS h))")).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
-    val candidates = banded
+
+  /** Exact-band candidate pairs (i, j, dist) from a signature frame. */
+  private[dedup] def simhashBandPairs(sigs: DataFrame, maxBucket: Int): DataFrame =
+    simhashBanded(sigs)
       .groupBy(col("band"), col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -292,7 +295,56 @@ object Dedup {
           |                bit_count(x.sig ^ y.sig) AS dist))))""".stripMargin)).as("p"))
       .select(col("p.i"), col("p.j"), col("p.dist"))
       .distinct()
-    candidates.filter(col("dist") <= maxHamming).select(col("i"), col("j"))
+
+  /** SimHash near-dup pairs at Hamming ≤ maxHamming (default 7).
+    * 8-bit bands bucket coarsely, so the same degenerate-bucket cap as
+    * MinHash LSH guards the candidate join at scale. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 7,
+      maxBucket: Int = 1000): DataFrame =
+    // 8 bands × 8 bits: Hamming ≤ 7 guarantees ≥1 identical band
+    simhashBandPairs(simhashSigs(spark, sfDir), maxBucket)
+      .filter(col("dist") <= maxHamming).select(col("i"), col("j"))
+
+  /** MULTI-PROBE SimHash (Lv et al., "Multi-Probe LSH", VLDB 2007,
+    * adapted to banded Hamming space): each doc additionally probes
+    * the 8 radius-1 perturbations of every band byte, so two docs
+    * collide whenever SOME band differs by ≤ 1 bit — which pigeonhole
+    * guarantees for Hamming ≤ 15 over 8 bands, doubling the exact-band
+    * radius (≤ 7) without adding bands or signature bits. Cost: 8×
+    * more probe rows into the same bucket join (the buckets themselves
+    * — and the cap — are unchanged), the standard multi-probe trade of
+    * a little query fan-out for a lot of table memory.
+    * Candidate pairs still pay an exact bit_count verification. */
+  def simhashPairsMultiProbe(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame =
+    simhashPairsMultiProbeOf(simhashSigs(spark, sfDir), maxHamming, maxBucket)
+
+  private[dedup] def simhashPairsMultiProbeOf(sigs0: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    // three consumers (buckets, probes, exact-band pairs) — materialize
+    // the narrow signature pass once
+    val sigs = sigs0.localCheckpoint()
+    val banded = simhashBanded(sigs)
+    val buckets = banded
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(1, maxBucket))
+    // radius-1 probes: flip each of the 8 bits of the band byte
+    val probes = banded.select(col("doc_id"), col("sig"), col("band"),
+      explode(expr(
+        "transform(sequence(0, 7), p -> h ^ shiftleft(1L, p))")).as("h"))
+    val viaProbe = probes.join(buckets, Seq("band", "h"))
+      .select(col("doc_id").as("a"), col("sig").as("siga"),
+        explode(col("members")).as("m"))
+      .filter(col("a") =!= col("m.doc_id"))
+      .select(least(col("a"), col("m.doc_id")).as("i"),
+        greatest(col("a"), col("m.doc_id")).as("j"),
+        expr("bit_count(siga ^ m.sig)").as("dist"))
+    simhashBandPairs(sigs, maxBucket)
+      .union(viaProbe)
+      .filter(col("dist") <= maxHamming)
+      .select(col("i"), col("j"))
+      .distinct()
   }
 
   /** Near-dup CLUSTERS: connected components over a near-dup pair

@@ -164,10 +164,18 @@ object IvfIndex {
     *   3. candidate pruning — only the rerank set's full vectors are
     *      fetched, via a broadcast semi-join back to the index. */
   def buildPq(spark: SparkSession, sfDir: String, indexPath: String,
-      nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16): PqIndexModel = {
+      nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16): PqIndexModel =
+    buildPqOf(spark, Similarity.loadVectors(spark, sfDir), indexPath,
+      nCells, iters, m, ksub)
+
+  /** [[buildPq]] over any vector dataset — the seed-build half of the
+    * streaming maintenance loop (build on the backfill, then
+    * `foreachBatch(appendPq)` the live stream; IvfIndexSpec runs it). */
+  def buildPqOf(spark: SparkSession, corpus0: org.apache.spark.sql.Dataset[Vec],
+      indexPath: String, nCells: Int = 16, iters: Int = 2, m: Int = 8,
+      ksub: Int = 16): PqIndexModel = {
     import spark.implicits._
-    val corpus = Similarity.loadVectors(spark, sfDir)
-      .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    val corpus = corpus0.map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
     val cents = Kmeans.train(corpus, nCells, iters)
     // codebooks trained distributed over the full corpus — no
     // driver-side vector sample anywhere in the build path

@@ -85,4 +85,64 @@ object SequencePacking {
       .as[DocTokens]
     packByPrefixSum(toks, budget, partitions).toDF()
   }
+
+  /** DISTRIBUTED GLOBAL RANK: append a zero-based `rank` column in
+    * `sortCols` order — the primitive behind any "give every row its
+    * position" need (training order, stable ids). The naive
+    * `row_number() OVER (ORDER BY ...)` plans a SINGLE-partition
+    * window (the same 100 TB cliff packing avoids); this is the same
+    * two-pass shape as [[packByPrefixSum]] generalized to arbitrary
+    * sort keys and weight 1: range-partition + local sort, per-
+    * partition counts cumulated on the driver (numPartitions longs),
+    * then a narrow pass adds the broadcast start offset. The caller's
+    * sortCols must be a TOTAL order (add a unique tiebreak column)
+    * for the rank to be deterministic. */
+  def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val parts = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts.groupBy("pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions)
+      .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+    val bc = parts.sparkSession.sparkContext.broadcast(offsets)
+    val pidIdx = parts.schema.fieldIndex("pid")
+    val outSchema = StructType(parts.schema.filterNot(_.name == "pid"))
+      .add("rank", LongType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    parts.mapPartitions { it =>
+      var run = 0L
+      var curPid = -1
+      it.map { row =>
+        val pid = row.getInt(pidIdx)
+        if (pid != curPid) { run = bc.value(pid); curPid = pid }
+        val r = run
+        run += 1
+        val vals = row.toSeq.zipWithIndex.collect {
+          case (v, i) if i != pidIdx => v
+        } :+ r
+        org.apache.spark.sql.Row.fromSeq(vals)
+      }
+    }(enc)
+  }
+
+  /** Deterministic TRAINING-ORDER shuffle of the packed corpus: packs
+    * are permuted by a seeded hash (md5 of "pack_id:seed") — the
+    * data-loader epoch order, reproducible across runs and engines,
+    * with no driver-side randomness. One row per pack:
+    * (pack_id, train_order). Built on [[globalRank]], so the
+    * permutation is computed distributed, not in one window task. */
+  def shuffledPackOrder(spark: SparkSession, sfDir: String,
+      budget: Long = 1024L, seed: Long = 42L, partitions: Int = 32): DataFrame = {
+    val packs = packDocuments(spark, sfDir, budget, partitions)
+      .select(col("pack_id")).distinct()
+      .withColumn("shuffle_key",
+        md5(concat(col("pack_id").cast("string"), lit(":"), lit(seed.toString))))
+    globalRank(packs, Seq(col("shuffle_key"), col("pack_id")), partitions)
+      .select(col("pack_id"), col("rank").as("train_order"))
+  }
 }

@@ -119,6 +119,37 @@ class DedupSpec extends SparkSpec {
     assert(tight <= loose)
   }
 
+  test("multi-probe simhash: radius-15 guarantee holds, radius-16 spread is out of reach") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial hamming-15 spread: 2 bits differ in each of bands
+    // 0-6, 1 bit in band 7 — NO exact band match (plain banding blind),
+    // but band 7 is within the radius-1 probe
+    def spread(bitsPerBand: Seq[Int]): Long =
+      bitsPerBand.zipWithIndex.map { case (k, band) =>
+        (0 until k).map(b => 1L << (band * 8 + b)).sum
+      }.sum
+    val h15 = spread(Seq(2, 2, 2, 2, 2, 2, 2, 1))
+    val h16 = spread(Seq(2, 2, 2, 2, 2, 2, 2, 2))
+    val sigs = Seq((1L, 0L), (2L, h15), (3L, h16 ^ -1L)).toDF("doc_id", "sig")
+    val got = Dedup.simhashPairsMultiProbeOf(sigs, maxHamming = 15, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "hamming-15 pair with one radius-1 band missed")
+    // doc 3 is hamming 48 from doc 1 and far from 2: never a candidate
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // an even 2-bits-per-band hamming-16 pair has no band within
+    // radius 1 — deterministically unreachable (the honest boundary)
+    val sigs16 = Seq((1L, 0L), (2L, h16)).toDF("doc_id", "sig")
+    assert(Dedup.simhashPairsMultiProbeOf(sigs16, 16, 100).count() === 0L)
+    // corpus: multi-probe at radius 7 is a superset of plain banding,
+    // and every plain pair survives (probing only ADDS candidates)
+    val plain = Dedup.simhashPairs(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.simhashPairsMultiProbe(spark, sf(), maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(multi))
+  }
+
   test("LSH-pair compositions equal the exact ones (clusters + leakage)") {
     // at the planted J>=0.9 dups, LSH per-pair recall is 1-4e-8, so the
     // scale compositions must produce byte-identical outputs here

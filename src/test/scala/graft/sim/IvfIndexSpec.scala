@@ -224,6 +224,42 @@ class IvfIndexSpec extends SparkSpec {
       s"appended clone of ${q.vec_id} not found: ${got(q.vec_id)}"))
   }
 
+  test("streaming index maintenance: foreachBatch appendPq stays probe-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = "/tmp/graft_ivfpq_stream_spec"
+    val corpus = Similarity.loadVectors(spark, sf())
+    // seed build on the backfill (first 300), stream the rest in
+    // micro-batches through the PQ-encoding incremental append
+    val idx = IvfIndex.buildPqOf(spark, corpus.filter(col("vec_id") < 300), path)
+    IvfIndex.saveModel(spark, path, idx)
+    val live = corpus.filter(col("vec_id") >= 300).collect().sortBy(_.vec_id)
+    val input = MemoryStream[Similarity.Vec]
+    val q = input.toDS().writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Similarity.Vec], _: Long) =>
+        IvfIndex.appendPq(spark, path, idx, ds); ()
+      }.start()
+    try {
+      live.grouped(80).foreach { chunk => input.addData(chunk.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val all = spark.read.parquet(path)
+    assert(all.count() === 500)
+    assert(all.filter(col("code").isNull).count() === 0L,
+      "appended rows must carry PQ codes")
+    assert(all.inputFiles.forall(_.contains("/cell=")), "cell layout broken")
+    // full probe + corpus-wide rerank over the maintained index equals
+    // exact brute force — streamed vectors are first-class citizens
+    val qs = Similarity.loadVectors(spark, sf())
+      .filter(col("vec_id") < 10).collect().sortBy(_.vec_id)
+      .map(v => Similarity.Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
+    val got = IvfIndex.probePq(spark, path, qs, idx, k = 5, nprobe = 16, rerank = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.topKExact(spark, sf(), k = 5, numQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exact)
+  }
+
   test("narrow probe reads only the probed partitions and keeps recall") {
     val cents = IvfIndex.build(spark, sf(), IndexPath, nCells = 16, iters = 2)
     val qs = queries(10)

@@ -106,6 +106,34 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("globalRank: distributed rank equals a single-partition window; pack shuffle is a permutation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arbitrary frame with a total order (v, id); compare vs row_number
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(100))).toDF("id", "v")
+    val got = SequencePacking.globalRank(df, Seq(col("v"), col("id")), partitions = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = df.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, v), i) => (id, v, i.toLong) }
+    assert(got.sortBy(_._3).toSeq === expected.toSeq)
+    // seeded pack shuffle: a permutation of all pack ids, seed-stable,
+    // different seeds give different orders
+    val a = SequencePacking.shuffledPackOrder(spark, sf(), seed = 42L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = SequencePacking.shuffledPackOrder(spark, sf(), seed = 42L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = SequencePacking.shuffledPackOrder(spark, sf(), seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "same seed must reproduce the same order")
+    assert(a.values.toSeq.sorted === (0L until a.size).toSeq, "not a permutation")
+    assert(a !== c, "different seeds should permute differently")
+    val packIds = SequencePacking.packDocuments(spark, sf())
+      .select("pack_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(a.keySet === packIds)
+  }
+
   test("classifier inference: weight-table join matches a driver-side fold") {
     val texts = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
