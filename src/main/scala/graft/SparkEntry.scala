@@ -138,6 +138,9 @@ object SparkEntry {
     // 1-4e-8), so both share the exact operators' hash oracles
     "dedup_clusters_lsh" -> ((s, dir) => graft.dedup.Dedup.ngramClustersLsh(s, dir)),
     "dedup_split_leakage_lsh" -> ((s, dir) => graft.dedup.Dedup.splitLeakageLsh(s, dir)),
+    // windowed exact-substring dedup (Lee et al. 2022, Spark-first)
+    "dedup_passages" -> ((s, dir) => graft.dedup.Dedup.duplicatePassages(s, dir)),
+    "dedup_passage_spans" -> ((s, dir) => graft.dedup.Dedup.duplicatePassageSpans(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -163,6 +166,8 @@ object SparkEntry {
       graft.text.SequencePacking.shuffledPackOrder(s, dir)),
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
+    "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
+    "text_mixture" -> ((s, dir) => graft.text.Sampling.sourceMixture(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
     // token-id product surface: per-position ids + the vocab table
@@ -601,6 +606,21 @@ object SparkEntry {
     "dedup_split_leakage" -> splitLeakageSql,
     // LSH pair recall at the planted dups is 1-4e-8 → same oracles
     "dedup_split_leakage_lsh" -> splitLeakageSql,
+    "dedup_passages" ->
+      s"""WITH $passagePdCte,
+         |nd AS (SELECT h, count(*) AS n_docs FROM pd GROUP BY h)
+         |SELECT pd.doc_id,
+         |  CAST(sum(pd.occ) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(sum(CASE WHEN nd.n_docs >= 2 THEN pd.occ END), 0)
+         |       AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(sum(CASE WHEN nd.n_docs >= 2 THEN pd.occ END), 0) * 5
+         |       >= sum(pd.occ) AS INT) AS is_dup_heavy
+         |FROM pd JOIN nd ON pd.h = nd.h
+         |GROUP BY pd.doc_id""".stripMargin,
+    "dedup_passage_spans" ->
+      s"""WITH $passagePdCte
+         |SELECT h, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+         |FROM pd GROUP BY h HAVING count(*) >= 2""".stripMargin,
     // MinHash LSH (16 bands x 4 rows, 64 perms) has per-pair recall
     // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
     // output must equal the exact operator's — same oracle.
@@ -758,6 +778,46 @@ object SparkEntry {
         |    AND coalesce(h.n_hit, 0) * 100 >= coalesce(h.n_shingles, 0) * 10
         |    AS INT) AS contaminated
         |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id""".stripMargin,
+    // text_pii: identical deterministic PII planted in SQL; counts on
+    // the planted text, then the same email → ipv4 → phone replacement
+    // order (regexes restricted to the Java/RE2-identical subset)
+    "text_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    printf('%s Contact alice.%d@example.com or 10.0.%d.%d tel 555-867-%04d.',
+        |      text, doc_id, doc_id % 256, (doc_id * 7) % 256, doc_id % 10000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<ip>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<phone>', 'g')) AS red_md5
+        |FROM p""".stripMargin,
+    // text_mixture: sqrt is IEEE correctly-rounded (unlike pow), so the
+    // α=0.5 temperature weight is bit-exact cross-engine; the ppm split
+    // is bigint-only arithmetic after that
+    "text_mixture" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS score
+        |  FROM s),
+        |t AS (SELECT *, CAST(sum(score) OVER () AS BIGINT) AS total FROM w)
+        |SELECT source, n_docs, n_tokens, score,
+        |  (2000000 * score + total) // (2 * total) AS weight_ppm
+        |FROM t""".stripMargin,
     // the composed corpus-prep pipeline: same stages chained as CTEs
     "text_pipeline" ->
       """WITH c AS (
@@ -924,6 +984,21 @@ object SparkEntry {
       |JOIN cnt ca ON ca.doc_id = i
       |JOIN cnt cb ON cb.doc_id = j
       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin
+
+  /** Shared passage-dedup CTE: per-(doc, 8-token-window md5)
+    * occurrence counts. range(1, len-6) = window starts 1..len-7;
+    * t[i:i+7] is DuckDB's inclusive 1-based slice = 8 tokens. */
+  private def passagePdCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 6),
+      |      i -> md5(array_to_string(t[i:i+7], ' ')))) AS h
+      |  FROM toks WHERE len(t) >= 8),
+      |pd AS (SELECT doc_id, h, count(*) AS occ FROM w GROUP BY doc_id, h)""".stripMargin
 
   private def relMedianSql: String =
     """WITH v AS (

@@ -615,4 +615,84 @@ object Dedup {
       }
     }.toDF("i", "j")
   }
+
+  // ── Cross-document duplicate-passage detection ────────────────────
+  //
+  // The exact-substring training-data dedup of Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better"),
+  // re-expressed Spark-first: instead of a global suffix array (which
+  // needs a monolithic sort over the concatenated corpus), hash every
+  // k-token sliding window and group by the 16-byte digest. A passage
+  // duplicated across documents shows up as one window hash held by
+  // ≥2 distinct doc_ids; a span of length L shared verbatim yields
+  // L−k+1 consecutive flagged windows. This trades the suffix array's
+  // exact maximal spans for fixed-k granularity, and in exchange every
+  // stage is a uniform, linear shuffle on a 16-byte key — the shape
+  // that survives 100 TB (the suffix-array build does not, without a
+  // dedicated DC3/pDC3 implementation).
+
+  /** All k-token sliding windows of a materialized `toks` column,
+    * joined to strings (1-based slice; same projection discipline as
+    * [[shinglesFromToks]] — the tokenizer must NOT be inlined into the
+    * lambda or it re-evaluates per element). NOT distinct: within-doc
+    * repeats are occurrences, they matter for the occurrence totals. */
+  private def windowsFromToks(k: Int): String =
+    s"""CASE WHEN size(toks) >= $k THEN
+       |  transform(sequence(0, size(toks) - $k),
+       |    i -> concat_ws(' ', slice(toks, i + 1, $k)))
+       |ELSE array() END""".stripMargin
+
+  /** (doc_id, h, occ): per-document occurrence counts of each distinct
+    * window digest. First shuffle of the passage pipeline; key is
+    * (doc_id, 32-hex md5). localCheckpoint'd because every consumer
+    * below reads it 2-3× and Spark does not share subplans. */
+  private def passageWindowCounts(spark: SparkSession, sfDir: String,
+                                  k: Int): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), expr(windowsFromToks(k)).as("w"))
+      .select(col("doc_id"), explode_outer(col("w")).as("win"))
+      .filter(col("win").isNotNull)
+      .groupBy(col("doc_id"), md5(col("win")).as("h"))
+      .agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
+
+  /** The passage "delete list": window digests appearing in ≥2
+    * distinct documents, with document and occurrence counts. This is
+    * the artifact a passage-dedup pass joins against to drop or
+    * rewrite duplicated spans. Pure two-level aggregation — partial
+    * map-side combine, one uniform shuffle on the digest. */
+  def duplicatePassageSpans(spark: SparkSession, sfDir: String,
+                            k: Int = 8): DataFrame =
+    passageWindowCounts(spark, sfDir, k)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document duplication profile: how many of a document's
+    * k-token windows are shared verbatim with at least one OTHER
+    * document (within-doc repetition alone does not flag — that is
+    * [[graft.text.TextAnalysis.repetition]]'s job). `is_dup_heavy`
+    * fires at ≥20% shared windows, integer cross-multiplied. Join is
+    * digest-to-digest (uniform); a boilerplate digest shared by
+    * millions of docs costs its honest postings size here, bounded by
+    * n_docs ≤ corpus size — cap via spans.filter(n_docs < cap) when
+    * composing a removal pass at scale. Docs shorter than k tokens
+    * have no windows and are excluded (same rule in the oracle). */
+  def duplicatePassages(spark: SparkSession, sfDir: String,
+                        k: Int = 8): DataFrame = {
+    val perDoc = passageWindowCounts(spark, sfDir, k)
+    val shared = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val dupPerDoc = perDoc.join(shared, "h")
+      .groupBy(col("doc_id")).agg(sum(col("occ")).as("n_dup_windows"))
+    perDoc.groupBy(col("doc_id")).agg(sum(col("occ")).as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("is_dup_heavy",
+        (col("n_dup_windows") * 5 >= col("n_windows")).cast("int"))
+  }
 }

@@ -50,6 +50,47 @@ object Cleaning {
         octet_length(col("text")).cast("long").as("bytes_in"),
         octet_length(col("clean_text")).cast("long").as("bytes_out"))
 
+  // ── PII redaction ─────────────────────────────────────────────────
+  // Same cross-engine regex discipline as [[scrub]]: Java and RE2
+  // agree on every construct used (no backrefs/lookaround), so the
+  // redaction is reproducible in the SQL oracle. All three patterns
+  // are counted on the ORIGINAL text (independent, deterministic),
+  // then applied in a fixed order (email → ipv4 → phone) — an email's
+  // digits disappear before the looser numeric patterns run.
+
+  private val ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The redaction as a composable column expression (map-only,
+    * codegen'd regexp_replace chain — no UDF). */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, emailRe, "<email>"), ipv4Re, "<ip>"),
+      phoneRe, "<phone>")
+
+  /** Per-doc PII profile over any (doc_id, text) frame: match counts
+    * per category + the digest of the redacted text (the digest keeps
+    * the gate exact without shipping full redacted bodies through the
+    * compare). Map-only; at 100 TB this is a narrow pass whose scan
+    * reads two columns. */
+  def piiProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      md5(redactPii(col("text"))).as("red_md5"))
+
+  /** Gate query: [[piiProfile]] over documents with PII planted
+    * DETERMINISTICALLY from doc_id (the synthetic corpus contains no
+    * real PII, which would make a raw-text gate vacuous — the oracle
+    * plants the identical suffix in SQL, so the gate genuinely
+    * exercises match counting and replacement order). */
+  def pii(spark: SparkSession, sfDir: String): DataFrame =
+    piiProfile(documents(spark, sfDir).select(col("doc_id"),
+      format_string("%s Contact alice.%d@example.com or 10.0.%d.%d tel 555-867-%04d.",
+        col("text"), col("doc_id"), col("doc_id") % 256,
+        (col("doc_id") * 7) % 256, col("doc_id") % 10000).as("text")))
+
   /** Benchmark decontamination: flag corpus documents sharing too many
     * word-`n`-grams with a benchmark (eval) set. The benchmark here is
     * the deterministic stand-in `doc_id % benchMod = 0` — a real

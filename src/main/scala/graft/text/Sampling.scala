@@ -91,6 +91,40 @@ object Sampling {
       "doc_id", "lang", k)
       .select(col("doc_id"), col("lang"))
 
+  /** Temperature-based source mixture weights — the sampling-weight
+    * table a multi-source training run draws from (UnifiedQA/GPT-3
+    * style: w_i ∝ n_i^α with α<1 upweighting small sources). Per
+    * source: doc count, token count, and the α-tempered weight in
+    * parts-per-million.
+    *
+    * Exactness: α defaults to 0.5 because IEEE-754 REQUIRES sqrt to be
+    * correctly rounded — so `round(sqrt(n)*1000)` is bit-identical in
+    * any engine, and the ppm split is then pure bigint arithmetic
+    * (`div`), giving this float-flavored operator a fully exact SQL
+    * oracle. Other α use pow (1-ulp engine variance; rows-only check).
+    *
+    * Scale: one map-side-combined aggregation to #sources rows; the
+    * all-rows window runs on those few rows, not the corpus. */
+  def sourceMixture(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score =
+      if (alpha == 0.5) round(sqrt(col("n_tokens")) * 1000).cast("long")
+      else round(pow(col("n_tokens"), alpha) * 1000).cast("long")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("score", score)
+      .withColumn("total", sum(col("score")).over(Window.partitionBy()))
+      // round-half-up integer split: (2·10^6·s + t) div 2t, all bigint
+      .withColumn("weight_ppm",
+        expr("(2000000 * score + total) div (2 * total)"))
+      .drop("total")
+  }
+
   /** DuckDB oracle for [[sampleDocuments]] — byte-identical predicate. */
   def sampleDocumentsOracleSql: String = {
     val cases = documentFractions.toSeq.sorted

@@ -165,4 +165,52 @@ class DedupSpec extends SparkSpec {
     assert(lshLeak === exactLeak)
     assert(exactLeak.nonEmpty && exactClusters.nonEmpty)
   }
+
+  test("duplicate passages: planted shared span flagged, short docs excluded") {
+    import spark.implicits._
+    // a 12-token passage shared verbatim by docs 1 and 2 yields
+    // 12-8+1 = 5 shared 8-token windows in each; doc 3 is disjoint;
+    // doc 4 is too short to carry a window; doc 5 repeats ITS OWN
+    // 8-gram twice (within-doc only — must NOT flag)
+    val span = "zero one two three four five six seven eight nine ten eleven"
+    val selfRep = "aa bb cc dd ee ff gg hh aa bb cc dd ee ff gg hh"
+    val rows = Seq(
+      (1L, s"intro words here $span trailing bits"),
+      (2L, s"different opening $span other ending"),
+      (3L, "nothing shared with anyone in this document at all today friends"),
+      (4L, "too short"),
+      (5L, selfRep)
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_passage_docs"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val prof = Dedup.duplicatePassages(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Int]("is_dup_heavy")))).toMap
+    assert(!prof.contains(4L)) // < 8 tokens → no windows
+    assert(prof(1L)._2 === 5L && prof(2L)._2 === 5L) // the 5 shared windows
+    assert(prof(3L)._2 === 0L && prof(3L)._3 === 0)
+    assert(prof(5L)._2 === 0L, "within-doc repetition must not flag")
+    // doc 2: 'different opening <span> other ending' = 16 tokens → 9
+    // windows, 5 shared → 5*5 >= 9 → dup-heavy
+    assert(prof(2L)._1 === 9L && prof(2L)._3 === 1)
+
+    val spans = Dedup.duplicatePassageSpans(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(spans.length === 5) // exactly the 5 shared window digests
+    assert(spans.forall { case (_, nDocs, nOcc) => nDocs === 2L && nOcc === 2L })
+  }
+
+  test("duplicate passages on the corpus: planted near-dups share spans") {
+    val prof = Dedup.duplicatePassages(spark, sf()).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // dup windows ≤ windows
+    }
+    // the corpus carries planted near-verbatim copies → some cross-doc
+    // spans must exist, and flagged docs must come in groups of ≥2
+    val spans = Dedup.duplicatePassageSpans(spark, sf()).collect()
+    assert(spans.nonEmpty)
+    spans.foreach(r => assert(r.getLong(1) >= 2L))
+  }
 }

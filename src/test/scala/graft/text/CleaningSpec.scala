@@ -64,4 +64,38 @@ class CleaningSpec extends SparkSpec {
     // short docs stay represented as evaluated-and-clean, not dropped
     assert(out(9L) === ((0L, 0L, 0)))
   }
+
+  test("piiProfile counts and redacts emails, ipv4s, phones in order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to jane.doe+spam@mail.example.co.uk today"),
+      (2L, "server at 192.168.0.1 and 10.0.255.7, call 555-123-4567"),
+      (3L, "version 1.2 of 3.4.5 is not an ip; 12-34-5678 no phone"),
+      (4L, "clean text only")
+    ).toDF("doc_id", "text")
+    val got = Cleaning.piiProfile(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, 0L, 0L)))
+    assert(got(2L) === ((0L, 2L, 1L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+    // redaction text-level check (md5 in the profile keeps the gate
+    // small; here assert on the actual replaced string)
+    val red = rows.select(col("doc_id"), Cleaning.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "write to <email> today")
+    assert(red(2L) === "server at <ip> and <ip>, call <phone>")
+    assert(red(3L) === rows.collect().find(_.getLong(0) == 3L).get.getString(1))
+  }
+
+  test("pii gate query plants one of each PII kind per document") {
+    val out = Cleaning.pii(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1L)
+      assert(r.getAs[Long]("n_ips") >= 1L)
+      assert(r.getAs[Long]("n_phones") >= 1L)
+      assert(r.getAs[String]("red_md5").length === 32)
+    }
+  }
 }

@@ -55,4 +55,31 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(small.subsetOf(a.toSet))
   }
+
+  test("source mixture: weights cover all sources, sum to ~1e6, temper the skew") {
+    val out = Sampling.sourceMixture(spark, sf()).collect()
+    val srcs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source").distinct().count()
+    assert(out.length === srcs.toInt)
+    val wsum = out.map(_.getAs[Long]("weight_ppm")).sum
+    // each source's ppm rounds independently: off by at most n/2 total
+    assert(math.abs(wsum - 1000000L) <= out.length)
+    // α=0.5 tempering: the weight RATIO between the largest and
+    // smallest source must be the sqrt of the token ratio (flatter
+    // than proportional sampling), and ordering must be preserved
+    val byTokens = out.sortBy(_.getAs[Long]("n_tokens"))
+    val (lo, hi) = (byTokens.head, byTokens.last)
+    assert(lo.getAs[Long]("weight_ppm") <= hi.getAs[Long]("weight_ppm"))
+    if (lo.getAs[Long]("n_tokens") < hi.getAs[Long]("n_tokens")) {
+      val tokRatio = hi.getAs[Long]("n_tokens").toDouble / lo.getAs[Long]("n_tokens")
+      val wRatio = hi.getAs[Long]("weight_ppm").toDouble / lo.getAs[Long]("weight_ppm")
+      assert(math.abs(wRatio - math.sqrt(tokRatio)) / math.sqrt(tokRatio) < 0.01)
+    }
+    // score really is the correctly-rounded sqrt — the property the
+    // exact SQL oracle rests on
+    out.foreach { r =>
+      assert(r.getAs[Long]("score") ===
+        math.round(math.sqrt(r.getAs[Long]("n_tokens").toDouble) * 1000))
+    }
+  }
 }

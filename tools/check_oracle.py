@@ -26,7 +26,11 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracle:
         print(f"[rows-only] {name}: rows={len(got)}")
         continue
-    exp = con.execute(oracle[name]).df()
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as ex:  # e.g. k_config_history's sf0.01-scoped side dump
+        print(f"[ERR-oracle] {name}: {str(ex).splitlines()[0][:120]}")
+        continue
     def canon(df):
         df = df.reindex(sorted(df.columns), axis=1)
         df = df.astype(str)
