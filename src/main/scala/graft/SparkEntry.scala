@@ -148,6 +148,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, dir) => graft.sim.Kmeans.topKIvfTrained(s, dir)),
     "ann_ivfpq" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPq(s, dir)),
     "ann_ivfpq_adaptive" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqAdaptive(s, dir)),
+    "ann_ivfpq_graph" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqGraph(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     "ann_sq8" -> ((s, dir) => graft.sim.Sq.topKSq(s, dir)),
     // ---- text analysis ----

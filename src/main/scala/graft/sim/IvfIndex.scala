@@ -239,6 +239,20 @@ object IvfIndex {
       buildOrLoadPq(spark, sfDir, path), k)
   }
 
+  /** Build-or-load and probe with the GRAPH prober (gate surface).
+    * At the gate's 16 cells the default beam is exhaustive, so this
+    * equals [[topKIvfPq]] exactly — the scale benefit (sub-linear cell
+    * selection) is measured on the 1024-cell fixture in
+    * CentroidGraphSpec. */
+  def topKIvfPqGraph(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    val path = sessionPath(spark, sfDir)
+    val idx = buildOrLoadPq(spark, sfDir, path)
+    val g = CentroidGraph.build(idx.cents)
+    CentroidGraph.probePqGraph(spark, path,
+      gateQueries(spark, sfDir, numQueries), idx, g, k)
+  }
+
   /** Build-or-load and probe with the ADAPTIVE prober (gate surface). */
   def topKIvfPqAdaptive(spark: SparkSession, sfDir: String, k: Int = 5,
       numQueries: Int = 10): DataFrame = {
@@ -395,11 +409,21 @@ object IvfIndex {
   /** Top-k IVF-PQ probe; `queries` must be L2-normalized (as stored). */
   def probePq(spark: SparkSession, indexPath: String, queries: Array[Vec],
       idx: PqIndexModel, k: Int = 5, nprobe: Int = 4, rerank: Int = 50): DataFrame = {
-    import spark.implicits._
     val cells = queries.flatMap { q =>
       idx.cents.map(c => (cosine(q, Vec(-1, c.v, 1.0)), c.cell))
         .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
     }.distinct.sorted
+    probePqCells(spark, indexPath, queries, idx, cells, k, rerank)
+  }
+
+  /** The scan/ADC/re-rank core of [[probePq]], with the probe-order
+    * decision (which cells to read) supplied by the caller — the seam
+    * [[CentroidGraph.probePqGraph]] plugs its beam-searched cell set
+    * into. */
+  private[sim] def probePqCells(spark: SparkSession, indexPath: String,
+      queries: Array[Vec], idx: PqIndexModel, cells: Array[Int],
+      k: Int, rerank: Int): DataFrame = {
+    import spark.implicits._
     val probed = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     // ADC scan: codes only — the float vectors are pruned at the reader
