@@ -168,6 +168,10 @@ object SparkEntry {
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
+    // trained quality classifier: learned float weights → not SQL-
+    // expressible; rows-only gate, accuracy/agreement asserted in
+    // QualityClassifierSpec
+    "text_quality_clf" -> ((s, dir) => graft.text.QualityClassifier.classifyTrained(s, dir)),
     "text_mixture" -> ((s, dir) => graft.text.Sampling.sourceMixture(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
