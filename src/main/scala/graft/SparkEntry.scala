@@ -660,14 +660,13 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersSql,
     // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
-    // dedup_embed_ivf: approximate (recall measured in DedupEmbedSpec) → rows-only
-    "dedup_embed" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT a.vec_id AS i, b.vec_id AS j
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+    "dedup_embed" -> dedupEmbedSql,
+    // IVF pruning only PRUNES candidates — verification is still exact
+    // cosine ≥ τ, so precision is 1 by construction, and DedupEmbedSpec
+    // measures recall 1.0 at the gate's (k=16, nprobe=6, τ=0.45) on the
+    // gate corpus → the output EQUALS the exact set and shares its
+    // oracle (the same upgrade the LSH cluster/leakage gates got).
+    "dedup_embed_ivf" -> dedupEmbedSql,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1039,6 +1038,14 @@ object SparkEntry {
        |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
        |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
        |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin
+
+  private def dedupEmbedSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT a.vec_id AS i, b.vec_id AS j
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin
 
   private def dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
