@@ -151,6 +151,9 @@ object SparkEntry {
     "ann_ivfpq_graph" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqGraph(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     "ann_sq8" -> ((s, dir) => graft.sim.Sq.topKSq(s, dir)),
+    "ann_topk_l2" -> ((s, dir) => graft.sim.Pca.topKL2(s, dir)),
+    "ann_pca_topk" -> ((s, dir) => graft.sim.Pca.topKL2Pca(s, dir)),
+    "ann_pca_reduced" -> ((s, dir) => graft.sim.Pca.topKL2PcaReduced(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
@@ -678,6 +681,13 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
         |  FROM q, e WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    // Euclidean top-k baseline, and the same search THROUGH full-rank
+    // PCA: centering + orthogonal rotation preserve L2 distances (to
+    // ~1e-13, far under the corpus' smallest top-k gap ~4e-5), so both
+    // share this exact oracle — the PCA gate hash-proves the entire
+    // fit/eigen/project stack. ann_pca_reduced: lossy by design → rows-only.
+    "ann_topk_l2" -> annTopkL2Sql,
+    "ann_pca_topk" -> annTopkL2Sql,
     // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
     // ann_ivfpq_adaptive: approximate, adaptive probe depth → rows-only
     // ann_sq8: approximate (recall measured in SqSpec) → rows-only
@@ -1038,6 +1048,18 @@ object SparkEntry {
        |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
        |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
        |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin
+
+  private def annTopkL2Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 10)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_distance(q.v, e.v), e.vec_id) AS rank
+      |  FROM q, e WHERE e.vec_id <> q.vec_id)
+      |WHERE rank <= 5""".stripMargin
 
   private def dedupEmbedSql: String =
     """WITH e AS (SELECT vec_id,
