@@ -670,17 +670,12 @@ object SparkEntry {
     // gate corpus → the output EQUALS the exact set and shares its
     // oracle (the same upgrade the LSH cluster/leakage gates got).
     "dedup_embed_ivf" -> dedupEmbedSql,
-    "ann_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 10)
-        |SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
-        |  FROM q, e WHERE e.vec_id <> q.vec_id)
-        |WHERE rank <= 5""".stripMargin,
+    "ann_topk" -> annTopkCosineSql,
+    // SQ8's distortion is bounded by one 1/255 step per dimension and
+    // its candidate budget (rerank = 50 ≫ k = 5) is re-scored with
+    // EXACT cosine — SqSpec asserts the output is set-identical to the
+    // exact path on the gate corpora, so it shares the exact oracle.
+    "ann_sq8" -> annTopkCosineSql,
     // Euclidean top-k baseline, and the same search THROUGH full-rank
     // PCA: centering + orthogonal rotation preserve L2 distances (to
     // ~1e-13, far under the corpus' smallest top-k gap ~4e-5), so both
@@ -688,9 +683,8 @@ object SparkEntry {
     // fit/eigen/project stack. ann_pca_reduced: lossy by design → rows-only.
     "ann_topk_l2" -> annTopkL2Sql,
     "ann_pca_topk" -> annTopkL2Sql,
-    // ann_ivf: approximate (recall measured in SimilaritySpec) → rows-only
-    // ann_ivfpq_adaptive: approximate, adaptive probe depth → rows-only
-    // ann_sq8: approximate (recall measured in SqSpec) → rows-only
+    // ann_ivf/ann_pq/ann_ivfpq*: genuinely approximate at gate config
+    // (measured set-recall 0.76–0.98 < 1) → rows-only + recall specs
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->
       """WITH toks AS (
@@ -1048,6 +1042,18 @@ object SparkEntry {
        |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
        |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
        |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin
+
+  private def annTopkCosineSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 10)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
+      |  FROM q, e WHERE e.vec_id <> q.vec_id)
+      |WHERE rank <= 5""".stripMargin
 
   private def annTopkL2Sql: String =
     """WITH e AS (SELECT vec_id,

@@ -37,4 +37,20 @@ class SqSpec extends SparkSpec {
     assert(mean >= 0.95, s"SQ8 should be near-exact, got $mean")
     sq.values.foreach(s => assert(s.size === 5))
   }
+
+  test("SQ8 output is EXACTLY the exact top-k on the gate corpora") {
+    // This equality is what lets ann_sq8 share ann_topk's SQL oracle:
+    // the candidate budget (rerank = 50 ≫ k = 5) plus ≤1-step/dim
+    // distortion keeps every true top-5 neighbor in the candidate set,
+    // and the exact-cosine re-rank then reproduces ranks verbatim. If
+    // this ever breaks (data change, budget cut), THIS test fails
+    // before the driver's hash gate does.
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = rows(Similarity.topKExact(spark, sf(d), k = 5, numQueries = 10))
+      val sq = rows(Sq.topKSq(spark, sf(d), k = 5, numQueries = 10))
+      assert(sq === exact, s"SQ8 diverged from exact top-k at $d")
+    }
+  }
 }
