@@ -170,6 +170,7 @@ object SparkEntry {
       graft.text.SequencePacking.shuffledPackOrder(s, dir)),
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
+    "text_decontam_bloom" -> ((s, dir) => graft.text.Cleaning.contaminationBloom(s, dir)),
     "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
     // trained quality classifier: learned float weights → not SQL-
     // expressible; rows-only gate, accuracy/agreement asserted in
@@ -763,29 +764,11 @@ object SparkEntry {
         |SELECT doc_id, clean_text, bytes_in,
         |  CAST(strlen(clean_text) AS BIGINT) AS bytes_out
         |FROM c""".stripMargin,
-    "text_decontam" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(t) - 6),
-        |      i -> array_to_string(t[i:i+7], ' '))) AS s
-        |  FROM toks WHERE len(t) >= 8),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
-        |hits AS (
-        |  SELECT sh.doc_id, count(*) AS n_shingles, count(b.s) AS n_hit
-        |  FROM sh LEFT JOIN bench b ON sh.s = b.s
-        |  WHERE sh.doc_id % 37 <> 0 GROUP BY sh.doc_id),
-        |base AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0)
-        |SELECT base.doc_id,
-        |  CAST(coalesce(h.n_shingles, 0) AS BIGINT) AS n_shingles,
-        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-        |  CAST(coalesce(h.n_shingles, 0) > 0
-        |    AND coalesce(h.n_hit, 0) * 100 >= coalesce(h.n_shingles, 0) * 10
-        |    AS INT) AS contaminated
-        |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id""".stripMargin,
+    "text_decontam" -> textDecontamSql,
+    // Bloom prefilter + exact verify join: false positives die in the
+    // join, so the output is exact BY CONSTRUCTION (fpp only tunes
+    // shuffle volume) — shares the exact oracle outright.
+    "text_decontam_bloom" -> textDecontamSql,
     // text_pii: identical deterministic PII planted in SQL; counts on
     // the planted text, then the same email → ipv4 → phone replacement
     // order (regexes restricted to the Java/RE2-identical subset)
@@ -1042,6 +1025,30 @@ object SparkEntry {
        |SELECT CASE WHEN i % 10 = 0 THEN j ELSE i END AS train_doc,
        |       CASE WHEN i % 10 = 0 THEN i ELSE j END AS val_doc
        |FROM pairs WHERE (i % 10 = 0) <> (j % 10 = 0)""".stripMargin
+
+  private def textDecontamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 6),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS s
+      |  FROM toks WHERE len(t) >= 8),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+      |hits AS (
+      |  SELECT sh.doc_id, count(*) AS n_shingles, count(b.s) AS n_hit
+      |  FROM sh LEFT JOIN bench b ON sh.s = b.s
+      |  WHERE sh.doc_id % 37 <> 0 GROUP BY sh.doc_id),
+      |base AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0)
+      |SELECT base.doc_id,
+      |  CAST(coalesce(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(coalesce(h.n_shingles, 0) > 0
+      |    AND coalesce(h.n_hit, 0) * 100 >= coalesce(h.n_shingles, 0) * 10
+      |    AS INT) AS contaminated
+      |FROM base LEFT JOIN hits h ON base.doc_id = h.doc_id""".stripMargin
 
   private def annTopkCosineSql: String =
     """WITH e AS (SELECT vec_id,

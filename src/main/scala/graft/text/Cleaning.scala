@@ -103,6 +103,81 @@ object Cleaning {
     * shingles also present in ANY benchmark doc, and a contaminated
     * flag at ≥`pctThreshold`% overlap (integer cross-multiplication —
     * no float ratios). */
+  /** SCALE variant of [[contamination]]: Bloom PRE-FILTER + exact
+    * VERIFY join — the candidate-generation/verification split the
+    * dedup family uses (LSH → exact Jaccard), applied to
+    * decontamination. The exact operator broadcasts the benchmark's
+    * distinct shingle STRINGS, fine while the eval set is MBs;
+    * decontaminating against a bigger reference (another corpus slice,
+    * a previous run's training data) makes that broadcast gigabytes.
+    * Here the benchmark crosses the cluster as a BLOOM FILTER —
+    * `1.44·log2(1/fpp)` bits per item (~5.5 bytes/item at 1e-9)
+    * regardless of shingle length — and the map-side membership test
+    * prunes the corpus postings to SUSPECTS, which alone shuffle into
+    * an exact string join against the benchmark. Shuffle volume drops
+    * from every corpus shingle to (true hits + Bloom false positives).
+    *
+    * The output is EXACT BY CONSTRUCTION — false positives survive the
+    * prefilter but die in the verify join (one-sided errors: a Bloom
+    * never misses a real member, so no true hit is lost). That is why
+    * this shares [[contamination]]'s SQL oracle outright; `fpp` tunes
+    * shuffle volume, not correctness. (An earlier formulation scored
+    * hits from the Bloom alone: on this corpus' highly structured
+    * shingles the double-hashed filter produced false hits well above
+    * its theoretical rate even at fpp = 1e-13 — the verify join is
+    * what makes the operator deterministic rather than lucky.)
+    *
+    * The Bloom is built DISTRIBUTED (`DataFrameStatFunctions
+    * .bloomFilter`, per-partition sketches merged), serialized once,
+    * broadcast as bytes, deserialized lazily per task. */
+  def contaminationBloom(spark: SparkSession, sfDir: String, n: Int = 8,
+      benchMod: Int = 37, pctThreshold: Int = 10,
+      fpp: Double = 1e-9): DataFrame = {
+    import spark.implicits._
+    val docSh = documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+      .select(col("doc_id"), expr(graft.dedup.Dedup.shinglesFromToks(n)).as("sh"))
+      .localCheckpoint() // bench + corpus sides both read it
+    val bench = docSh.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    // sizing count: one small job over the benchmark side only
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("s", nBench, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val bc = spark.sparkContext.broadcast(bytes)
+    // map-side prune: per doc, total count + the suspect shingles only
+    val pruned = docSh.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), col("sh"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { iter =>
+        lazy val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        iter.map { case (id, sh) =>
+          (id, sh.length.toLong, sh.filter(s => bf.mightContainString(s)))
+        }
+      }
+      .toDF("doc_id", "n_shingles", "suspects")
+      .localCheckpoint() // totals + verify both read it; keep one pass
+    // exact verify: only suspects shuffle; false positives drop out here
+    val verified = pruned
+      .select(col("doc_id"), explode(col("suspects")).as("s"))
+      .join(bench, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    pruned.select(col("doc_id"), col("n_shingles"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_shingles") > 0 &&
+          col("n_hit") * 100 >= col("n_shingles") * pctThreshold)
+          .cast("int").as("contaminated"))
+  }
+
   def contamination(spark: SparkSession, sfDir: String, n: Int = 8,
       benchMod: Int = 37, pctThreshold: Int = 10): DataFrame = {
     val sh = documents(spark, sfDir)

@@ -98,4 +98,33 @@ class CleaningSpec extends SparkSpec {
       assert(r.getAs[String]("red_md5").length === 32)
     }
   }
+
+  test("Bloom decontamination equals the exact broadcast-set operator") {
+    // Equality is BY CONSTRUCTION (Bloom prefilter never drops a real
+    // member; the verify join kills false positives), so this is a
+    // regression tripwire for the prune/verify plumbing, not a
+    // probabilistic claim — text_decontam_bloom shares the exact SQL
+    // oracle on the strength of it.
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val exact = rows(Cleaning.contamination(spark, sf(d)))
+      val bloom = rows(Cleaning.contaminationBloom(spark, sf(d)))
+      assert(bloom === exact, s"bloom decontamination diverged at $d")
+    }
+  }
+
+  test("Bloom prefilter actually prunes the verify join's input") {
+    // The operator's reason to exist: suspects (true hits + false
+    // positives) must be a small fraction of all corpus shingles —
+    // otherwise the shuffle saving is imaginary. On the gate corpus
+    // only near-duplicates of benchmark docs share 8-gram shingles.
+    import org.apache.spark.sql.functions._
+    val out = Cleaning.contamination(spark, sf()).agg(
+      sum(col("n_shingles")).as("total"), sum(col("n_hit")).as("hits")).head()
+    val total = out.getLong(0); val hits = out.getLong(1)
+    // suspects ≈ hits + E[FP] (≈0 at fpp 1e-9); assert the honest bound
+    assert(hits * 5 < total,
+      s"suspect fraction too high for pruning to pay: $hits of $total")
+  }
 }
