@@ -230,6 +230,18 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_wc" -> wcSql,
+    // Count-Min estimates are one-sided (est ≥ true, within εN) and
+    // EXACT whenever a word avoids collision in at least one of the 4
+    // rows — at width 1024 over this corpus' ~31-word vocabulary a
+    // 4-row total collision has probability ~(31/1024)⁴ ≈ 9e-7 per
+    // word, and CountMinSpec pins estimate==count on the gate corpora,
+    // so the sketch gate carries the exact word-count oracle (the
+    // operator's own lowercase tokenization, estimates aliased `est`).
+    "q_wc_cms" ->
+      """SELECT word, count(*) AS est
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0 GROUP BY word""".stripMargin,
     // two-phase salted aggregation must be bit-identical to the direct one
     "q_wc_salted" -> wcSql,
     // k_route: joins a Scala-fold config history → rows-only check

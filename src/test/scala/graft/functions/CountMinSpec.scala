@@ -68,4 +68,20 @@ class CountMinSpec extends SparkSpec {
     // absent keys can collide but never exceed eps*N with slack
     assert(CountMin.estimate(sketch, "definitely-absent-key") <= 5L)
   }
+
+  test("estimates EQUAL exact counts on the gate corpora (q_wc_cms oracle)") {
+    // CMS errors are one-sided and an estimate is exact unless the
+    // word collides in ALL 4 rows (~(31/1024)⁴ ≈ 9e-7 per word on the
+    // ~31-word vocabulary) — this equality is what lets q_wc_cms carry
+    // the exact word-count SQL oracle. If the vocabulary or sketch
+    // sizing ever changes enough to collide, THIS fails before the
+    // driver's hash gate does.
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val exact = graft.queries.MrQueries.wordCount(spark, sf(d)).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val est = CountMin.wordEstimates(spark, sf(d)).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(est === exact, s"CMS estimates diverged from exact counts at $d")
+    }
+  }
 }
