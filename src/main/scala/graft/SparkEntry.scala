@@ -171,6 +171,7 @@ object SparkEntry {
     "text_clean" -> ((s, dir) => graft.text.Cleaning.clean(s, dir)),
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_decontam_bloom" -> ((s, dir) => graft.text.Cleaning.contaminationBloom(s, dir)),
+    "text_entropy" -> ((s, dir) => graft.text.TextAnalysis.tokenEntropy(s, dir)),
     "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
     // trained quality classifier: learned float weights → not SQL-
     // expressible; rows-only gate, accuracy/agreement asserted in
@@ -776,6 +777,23 @@ object SparkEntry {
         |SELECT doc_id, clean_text, bytes_in,
         |  CAST(strlen(clean_text) AS BIGINT) AS bytes_out
         |FROM c""".stripMargin,
+    // token entropy: H = ln(n) − Σ c·ln(c)/n in micro-nats; the
+    // micro-round absorbs last-ulp ln()/summation differences (the
+    // lm_score discipline)
+    "text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+        |h AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * ln(cnt)) AS clogc
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(round((ln(h.n) - h.clogc / h.n) * 1000000), 0) AS BIGINT)
+        |    AS entropy_micro
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "text_decontam" -> textDecontamSql,
     // Bloom prefilter + exact verify join: false positives die in the
     // join, so the output is exact BY CONSTRUCTION (fpp only tunes

@@ -169,4 +169,30 @@ object TextAnalysis {
     documents(spark, sfDir).select(
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+
+  /** Token-distribution Shannon entropy per document — the lexical-
+    * diversity quality signal (low entropy = keyword stuffing, boiler-
+    * plate, generated spam; cf. the entropy filters in C4/Gopher-style
+    * cleaning stacks). Computed as H = ln(n) − (Σ c_w·ln(c_w))/n over
+    * the doc's token counts, so the whole thing is two map-side-
+    * combinable aggregations: (doc, token) counts, then per-doc fold —
+    * the uniform-shuffle shape that survives 100 TB. Quantized to
+    * integer micro-nats ([[lmScore]] discipline) for an exact SQL
+    * oracle despite ln(). Empty docs report entropy 0 (and survive —
+    * downstream must see them to drop them). */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(col("tok")).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * log(col("cnt"))).as("clogc"))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(
+          round((log(col("n_tokens")) - col("clogc") / col("n_tokens")) * 1e6),
+          lit(0.0)).cast("long").as("entropy_micro"))
+  }
 }

