@@ -139,6 +139,7 @@ object SparkEntry {
     "dedup_clusters_lsh" -> ((s, dir) => graft.dedup.Dedup.ngramClustersLsh(s, dir)),
     "dedup_split_leakage_lsh" -> ((s, dir) => graft.dedup.Dedup.splitLeakageLsh(s, dir)),
     // windowed exact-substring dedup (Lee et al. 2022, Spark-first)
+    "dedup_incremental" -> ((s, dir) => graft.dedup.LshIndex.dedupIncremental(s, dir)),
     "dedup_passages" -> ((s, dir) => graft.dedup.Dedup.duplicatePassages(s, dir)),
     "dedup_passage_spans" -> ((s, dir) => graft.dedup.Dedup.duplicatePassageSpans(s, dir)),
     // ---- similarity search ----
@@ -647,6 +648,14 @@ object SparkEntry {
     // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
     // output must equal the exact operator's — same oracle.
     "dedup_minhash" -> ngramJaccardSql,
+    // incremental probe of a persisted LSH index: same banding scheme
+    // as dedup_minhash (recall 1−4e-8 at the planted J ≥ 0.9), output
+    // restricted to pairs touching the "new batch" split — the exact
+    // oracle carries the same restriction
+    "dedup_incremental" ->
+      s"""WITH pairs AS ($ngramJaccardSql)
+         |SELECT i, j FROM pairs
+         |WHERE i % 10 = 0 OR j % 10 = 0""".stripMargin,
     // capped variant: Jaccard over the df<=100 discriminative-shingle
     // universe — integer counts + one exact int-ratio compare, so the
     // scale path is fully oracle-checkable too

@@ -41,7 +41,7 @@ object Dedup {
        |ELSE array() END""".stripMargin
 
   /** (doc_id, sh: array<string>) — two-step projection, see above. */
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[dedup] def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), expr(shinglesFromToks(3)).as("sh"))
@@ -177,7 +177,7 @@ object Dedup {
 
   /** Exact-jaccard verification of candidate (i, j) pairs against the
     * full shingle sets. */
-  private def verifyJaccard(spark: SparkSession, sfDir: String,
+  private[dedup] def verifyJaccard(spark: SparkSession, sfDir: String,
       candidates: DataFrame, tau: Double): DataFrame = {
     val shs = docShingles(spark, sfDir)
     candidates
