@@ -48,6 +48,31 @@ class LshIndexSpec extends SparkSpec {
     assert(a.nonEmpty, "planted near-dups should cross the batch split")
   }
 
+  test("streaming ingestion: foreachBatch append grows the index probe-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Dedup.docShingles(spark, sf())
+    val idxDocs = all.filter(col("doc_id") % 10 =!= 0)
+    val batch = all.filter(col("doc_id") % 10 === 0)
+    // seed build on a backfill slice, stream the rest in micro-batches
+    val pStream = tmp("stream"); val pBatch = tmp("batchref")
+    LshIndex.build(idxDocs.filter(col("doc_id") < 250), pStream)
+    val live = idxDocs.filter(col("doc_id") >= 250)
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[String])]
+    val q = input.toDS().toDF("doc_id", "sh").writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+        LshIndex.append(ds, pStream); ()
+      }.start()
+    try {
+      live.grouped(100).foreach { chunk => input.addData(chunk.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    LshIndex.build(idxDocs, pBatch)
+    assert(pairs(LshIndex.probe(spark, sf(), pStream, batch)) ===
+      pairs(LshIndex.probe(spark, sf(), pBatch, batch)))
+  }
+
   test("index stores fixed-size keys, not shingles (16 rows per doc)") {
     val all = Dedup.docShingles(spark, sf())
     val path = tmp("shape")
