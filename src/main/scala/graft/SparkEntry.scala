@@ -96,6 +96,7 @@ object SparkEntry {
     "rel_rollup" -> ((s, dir) => RelQueries.pricingRollup(s, dir)),
     "rel_cube" -> ((s, dir) => RelQueries.orderPriorityCube(s, dir)),
     "rel_upsert" -> ((s, dir) => RelQueries.changelogSnapshot(s, dir)),
+    "rel_scd2" -> ((s, dir) => RelQueries.scd2History(s, dir)),
     "rel_range" -> ((s, dir) => RelQueries.valueBandCounts(s, dir)),
     "rel_anti" -> ((s, dir) => RelQueries.customersWithoutOrders(s, dir)),
     "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
@@ -503,6 +504,18 @@ object SparkEntry {
         |  FROM c GROUP BY user_id)
         |SELECT user_id, version, value_cents FROM last
         |WHERE NOT is_delete""".stripMargin,
+    "rel_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS version,
+        |    CAST(event_type = 'error' AS INT) AS is_delete,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events)
+        |SELECT user_id, version, is_delete, value_cents,
+        |  coalesce(lead(version) OVER (PARTITION BY user_id ORDER BY version),
+        |           -1) AS valid_to,
+        |  CAST(coalesce(lead(version) OVER (PARTITION BY user_id ORDER BY version),
+        |                -1) = -1 AND is_delete = 0 AS INT) AS is_current
+        |FROM c""".stripMargin,
     // the oracle states the range join declaratively; the engine's
     // binned rewrite must produce identical band aggregates
     "rel_range" ->

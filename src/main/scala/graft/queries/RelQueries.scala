@@ -239,6 +239,26 @@ object RelQueries {
       .select(col("user_id"), col("last.version").as("version"),
         col("last.value_cents").as("value_cents"))
 
+  /** SCD2 (slowly-changing-dimension type 2) history from the same
+    * change log [[changelogSnapshot]] collapses: every change becomes
+    * a VERSIONED dimension row with its validity window
+    * [version, next-version), `valid_to = -1` for the open edge.
+    * Deletes keep their row (flagged) so the history is complete —
+    * `is_current` marks the one live version per surviving key.
+    * One window pass partitioned by user_id — a high-cardinality
+    * partition key, so the shuffle spreads; nothing global. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id").as("version"),
+        (col("event_type") === "error").cast("int").as("is_delete"),
+        cents(col("value")).as("value_cents"))
+      .withColumn("valid_to", coalesce(lead(col("version"), 1).over(w), lit(-1L)))
+      .withColumn("is_current",
+        (col("valid_to") === -1L && col("is_delete") === 0).cast("int"))
+  }
+
   /** Pure range join (no equi key): event values vs overlapping price
     * bands, via [[graft.operators.RangeJoin.binned]] — a hash join on
     * bin ids instead of the O(n·m) nested loop Spark would otherwise

@@ -214,6 +214,38 @@ class RelQueriesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("SCD2 history: windows chain, one current version per live key") {
+    import org.apache.spark.sql.functions._
+    val hist = RelQueries.scd2History(spark, sf()).cache()
+    try {
+      // exactly one open window per key, and it is the max version
+      val open = hist.filter(col("valid_to") === -1L)
+      assert(open.groupBy(col("user_id")).count()
+        .filter(col("count") =!= 1L).count() === 0L)
+      // windows chain: every non-open valid_to is another version of the
+      // same key, and intervals never overlap (valid_to > version)
+      assert(hist.filter(col("valid_to") =!= -1L &&
+        col("valid_to") <= col("version")).count() === 0L)
+      val chained = hist.filter(col("valid_to") =!= -1L).alias("a")
+        .join(hist.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.valid_to") === col("b.version"), "left_anti")
+      assert(chained.count() === 0L, "dangling valid_to pointer")
+      // is_current ⇔ open window and not a delete
+      assert(hist.filter(
+        (col("is_current") === 1) =!=
+          (col("valid_to") === -1L && col("is_delete") === 0)).count() === 0L)
+      // the current rows are exactly the SCD1 snapshot (rel_upsert twin)
+      val snap = RelQueries.changelogSnapshot(spark, sf())
+        .select(col("user_id"), col("version"), col("value_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val cur = hist.filter(col("is_current") === 1)
+        .select(col("user_id"), col("version"), col("value_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cur === snap)
+    } finally { hist.unpersist(); () }
+  }
+
   test("rel query results are non-empty and well-typed at sf0.001") {
     val qs = Seq(
       RelQueries.pricingSummary(spark, sf()),
