@@ -180,6 +180,7 @@ object SparkEntry {
     // QualityClassifierSpec
     "text_quality_clf" -> ((s, dir) => graft.text.QualityClassifier.classifyTrained(s, dir)),
     "text_mixture" -> ((s, dir) => graft.text.Sampling.sourceMixture(s, dir)),
+    "text_sample_weighted" -> ((s, dir) => graft.text.Sampling.weightedSample(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
     // token-id product surface: per-position ids + the vocab table
@@ -948,6 +949,36 @@ object SparkEntry {
         |  CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
         |    AS is_quality
         |FROM q""".stripMargin,
+    // quality-weighted sample: the quality CTE is text_quality's, the
+    // predicate is the byte-identical md5-prefix threshold per flag
+    "text_sample_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
+        |      AS is_quality FROM q)
+        |SELECT doc_id, is_quality FROM f
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) <
+        |  CASE WHEN is_quality = 1 THEN 'ccccccccccccd00' ELSE '1999999999999a0' END""".stripMargin,
+    // quality-weighted sample: the quality CTE is text_quality's, the
+    // predicate is the byte-identical md5-prefix threshold per flag
+    "text_sample_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
+        |      AS is_quality FROM q)
+        |SELECT doc_id, is_quality FROM f
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) <
+        |  CASE WHEN is_quality = 1 THEN 'ccccccccccccd00' ELSE '1999999999999a0' END""".stripMargin,
     "text_langid" ->
       """WITH c AS (
         |  SELECT doc_id,

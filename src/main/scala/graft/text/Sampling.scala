@@ -125,6 +125,25 @@ object Sampling {
       .drop("total")
   }
 
+  /** Quality-weighted deterministic sampling — the importance-
+    * resampling step (DSIR/DoReMi-flavored, with a binary signal):
+    * per-document keep probability comes from a quality column instead
+    * of one global fraction — quality docs kept at `hiFrac`, the rest
+    * at `loFrac`. Same md5-prefix predicate as [[hashSample]], so the
+    * sample is layout-independent, nested in each stratum, and fully
+    * SQL-oracle-checkable; the quality signal is computed inline
+    * ([[TextAnalysis.quality]]'s integer definition), keeping the
+    * whole operator one map-only pass — no join, no shuffle. */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      hiFrac: Double = 0.8, loFrac: Double = 0.1,
+      seed: Long = 42L): DataFrame = {
+    val threshold = when(col("is_quality") === 1, lit(hexThreshold(hiFrac)))
+      .otherwise(lit(hexThreshold(loFrac)))
+    TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("is_quality"))
+      .filter(hashKey(col("doc_id"), seed) < threshold)
+  }
+
   /** DuckDB oracle for [[sampleDocuments]] — byte-identical predicate. */
   def sampleDocumentsOracleSql: String = {
     val cases = documentFractions.toSeq.sorted

@@ -82,4 +82,27 @@ class SamplingSpec extends SparkSpec {
         math.round(math.sqrt(r.getAs[Long]("n_tokens").toDouble) * 1000))
     }
   }
+
+  test("weighted sample: per-flag rates honored, deterministic, quality-enriched") {
+    import org.apache.spark.sql.functions._
+    val quality = TextAnalysis.quality(spark, sf())
+      .select(col("doc_id"), col("is_quality"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kept = Sampling.weightedSample(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // flags pass through unchanged
+    kept.foreach { case (id, q) => assert(q === quality(id)) }
+    // per-stratum rates land near their targets (hi 0.8, lo 0.1)
+    val hiTotal = quality.count(_._2 == 1); val hiKept = kept.count(_._2 == 1)
+    val loTotal = quality.count(_._2 == 0); val loKept = kept.count(_._2 == 0)
+    assert(hiTotal > 0 && loTotal > 0, "corpus must have both strata")
+    assert(math.abs(hiKept.toDouble / hiTotal - 0.8) < 0.1,
+      s"hi rate ${hiKept.toDouble / hiTotal}")
+    assert(math.abs(loKept.toDouble / loTotal - 0.1) < 0.1,
+      s"lo rate ${loKept.toDouble / loTotal}")
+    // determinism
+    val again = Sampling.weightedSample(spark, sf()).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(again === kept.keySet)
+  }
 }
