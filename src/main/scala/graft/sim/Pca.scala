@@ -44,11 +44,19 @@ object Pca {
     }
   }
 
-  /** One-pass covariance fit: partition partials, driver fold in
-    * partition order (fixed float summation order), Jacobi eigen. */
-  def fit(corpus: Dataset[Vec]): Model = {
+  /** One-pass covariance fit: partition partials folded in PARTITION
+    * ORDER (fixed float summation order → bit-reproducible), Jacobi
+    * eigen. The fold is HIERARCHICAL past `fanIn` partitions: with P
+    * partitions the driver would otherwise collect P·d(d+3)/2 doubles
+    * (≈13 GB at 800k partitions × d = 64) — extra deterministic
+    * reduce levels (group = pid / fanIn, fold sorted by pid) cap the
+    * collect at fanIn partials. At gate scale (P ≤ 32 < fanIn) zero
+    * extra stages run, so the tree costs nothing where it isn't
+    * needed. */
+  def fit(corpus: Dataset[Vec], fanIn: Int = 64): Model = {
     import corpus.sparkSession.implicits._
-    val partials = corpus.mapPartitions { rows =>
+    require(fanIn >= 2, "fit: fanIn must be >= 2")
+    val raw = corpus.mapPartitions { rows =>
       var n = 0L
       var d = -1
       var sum: Array[Double] = null
@@ -74,20 +82,36 @@ object Pca {
       if (n == 0) Iterator.empty
       else Iterator.single(
         (org.apache.spark.TaskContext.getPartitionId(), n, sum, tri))
-    }.collect()
-    require(partials.nonEmpty, "fit: empty corpus")
-    val sorted = partials.sortBy(_._1)
-    val d = sorted.head._3.length
-    var n = 0L
-    val sum = new Array[Double](d)
-    val tri = new Array[Double](d * (d + 1) / 2)
-    sorted.foreach { case (_, pn, ps, pt) =>
-      n += pn
-      var i = 0
-      while (i < d) { sum(i) += ps(i); i += 1 }
-      i = 0
-      while (i < tri.length) { tri(i) += pt(i); i += 1 }
     }
+    def foldSorted(partials: Array[(Int, Long, Array[Double], Array[Double])])
+        : (Long, Array[Double], Array[Double]) = {
+      val sorted = partials.sortBy(_._1)
+      val d = sorted.head._3.length
+      var n = 0L
+      val sum = new Array[Double](d)
+      val tri = new Array[Double](d * (d + 1) / 2)
+      sorted.foreach { case (_, pn, ps, pt) =>
+        n += pn
+        var i = 0
+        while (i < d) { sum(i) += ps(i); i += 1 }
+        i = 0
+        while (i < tri.length) { tri(i) += pt(i); i += 1 }
+      }
+      (n, sum, tri)
+    }
+    var cur = raw
+    var bound = corpus.rdd.getNumPartitions
+    while (bound > fanIn) {
+      cur = cur.groupByKey(_._1 / fanIn).mapGroups { (g, it) =>
+        val (n, sum, tri) = foldSorted(it.toArray)
+        (g, n, sum, tri)
+      }
+      bound = (bound + fanIn - 1) / fanIn
+    }
+    val partials = cur.collect()
+    require(partials.nonEmpty, "fit: empty corpus")
+    val (n, sum, tri) = foldSorted(partials)
+    val d = sum.length
     val mean = sum.map(_ / n)
     // cov = E[xxᵀ] − μμᵀ (population covariance; the ML convention)
     val cov = Array.ofDim[Double](d, d)

@@ -106,26 +106,47 @@ object QualityClassifier {
 
   /** Full-batch gradient descent, `iters` one-pass rounds. Returns
     * the trained model and the per-iteration mean log-loss trace
-    * (computed in the SAME pass as the gradient — no extra job). */
+    * (computed in the SAME pass as the gradient — no extra job).
+    *
+    * Driver load is bounded like [[graft.sim.Pca.fit]]: past `fanIn`
+    * partitions the per-partition (dim+3)-double partials fold through
+    * deterministic tree levels (group = pid / fanIn, fold sorted by
+    * pid) before the collect — at dim 4096 and 800k partitions the
+    * flat collect would be ~26 GB per iteration; the tree caps it at
+    * fanIn partials. Zero extra stages at gate scale (P < fanIn). */
   def train(ex: Dataset[Example], dim: Int, iters: Int = 30,
       lr: Double = 8.0, l2: Double = 1e-6,
-      momentum: Double = 0.95): (Model, Array[Double]) = {
+      momentum: Double = 0.95, fanIn: Int = 64): (Model, Array[Double]) = {
     import ex.sparkSession.implicits._
     val spark = ex.sparkSession
+    require(fanIn >= 2, "train: fanIn must be >= 2")
     val cached = ex.cache()
     val n = cached.count().toDouble
     require(n > 0, "train: empty example set")
+    val numParts = cached.rdd.getNumPartitions
     var m = Model(dim, new Array[Double](dim), 0.0)
     val losses = new Array[Double](iters)
     // heavy-ball momentum: full-batch GD on a convex loss converges
     // an order of magnitude faster with it, and it stays deterministic
     val vel = new Array[Double](dim)
     var velB = 0.0
+    def foldSorted(partials: Array[(Int, Array[Double], Double, Double, Long)])
+        : (Array[Double], Double, Double, Long) = {
+      val sorted = partials.sortBy(_._1)
+      val g = new Array[Double](dim)
+      var gb = 0.0; var loss = 0.0; var cnt = 0L
+      sorted.foreach { case (_, pg, pgb, pl, pc) =>
+        var i = 0
+        while (i < dim) { g(i) += pg(i); i += 1 }
+        gb += pgb; loss += pl; cnt += pc
+      }
+      (g, gb, loss, cnt)
+    }
     for (it <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(m)
       // one narrow pass: per-partition (partitionId, gradient, biasGrad,
-      // loss, count) — dim+3 doubles per partition cross to the driver
-      val partials = cached.mapPartitions { rows =>
+      // loss, count) — dim+3 doubles per partition
+      var cur = cached.mapPartitions { rows =>
         val mod = bc.value
         val g = new Array[Double](mod.dim)
         var gb = 0.0; var loss = 0.0; var cnt = 0L
@@ -143,16 +164,17 @@ object QualityClassifier {
           cnt += 1
         }
         Iterator.single((org.apache.spark.TaskContext.getPartitionId(), g, gb, loss, cnt))
-      }.collect()
-      // fixed summation order: sort by partition id, fold left
-      val sorted = partials.sortBy(_._1)
-      val grad = new Array[Double](dim)
-      var gradB = 0.0; var lossSum = 0.0
-      sorted.foreach { case (_, g, gb, l, _) =>
-        var i = 0
-        while (i < dim) { grad(i) += g(i); i += 1 }
-        gradB += gb; lossSum += l
       }
+      var bound = numParts
+      while (bound > fanIn) {
+        cur = cur.groupByKey(_._1 / fanIn).mapGroups { (grp, itr) =>
+          val (g, gb, l, c) = foldSorted(itr.toArray)
+          (grp, g, gb, l, c)
+        }
+        bound = (bound + fanIn - 1) / fanIn
+      }
+      // fixed summation order end to end: sorted fold per level + here
+      val (grad, gradB, lossSum, _) = foldSorted(cur.collect())
       losses(it) = lossSum / n
       var i = 0
       while (i < dim) {

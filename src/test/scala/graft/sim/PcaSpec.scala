@@ -90,6 +90,24 @@ class PcaSpec extends SparkSpec {
       assert(again.basis(c).toSeq === model.basis(c).toSeq)
   }
 
+  test("hierarchical fold: bit-reproducible at fixed fanIn, agrees with flat") {
+    // force the tree path (9 partitions > fanIn 2 → two reduce levels)
+    val wide = corpus.repartition(9)
+    val a = Pca.fit(wide, fanIn = 2)
+    val b = Pca.fit(wide, fanIn = 2)
+    assert(a.n === b.n)
+    assert(a.mean.toSeq === b.mean.toSeq, "tree fold must be deterministic")
+    assert(a.eigvals.toSeq === b.eigvals.toSeq)
+    // tree vs flat differ only in float summation grouping — ~1e-12 rel
+    val flat = Pca.fit(wide, fanIn = 64)
+    a.mean.zip(flat.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)))
+    }
+    a.eigvals.zip(flat.eigvals).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)))
+    }
+  }
+
   test("gate: full-rank PCA L2 top-k equals the raw L2 top-k exactly") {
     val raw = Pca.topKL2(spark, sf(), k = 5, numQueries = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -74,6 +74,25 @@ class QualityClassifierSpec extends SparkSpec {
     assert(l1.toSeq == l2.toSeq, "loss traces differ between identical runs")
   }
 
+  test("hierarchical gradient fold: bit-reproducible, agrees with flat") {
+    import spark.implicits._
+    val docs = syntheticDocs(100, seed = 23L).toDF("doc_id", "text", "label")
+    val dim = 256
+    // 9 partitions > fanIn 2 → two deterministic reduce levels per pass
+    val wide = QualityClassifier.examples(docs, dim).repartition(9)
+    val (m1, l1) = QualityClassifier.train(wide, dim, iters = 10, fanIn = 2)
+    val (m2, _) = QualityClassifier.train(wide, dim, iters = 10, fanIn = 2)
+    assert(m1.w.toSeq == m2.w.toSeq && m1.bias == m2.bias,
+      "tree-fold training must be deterministic")
+    // tree vs flat: float grouping differs, convex GD keeps them close
+    val (mf, lf) = QualityClassifier.train(wide, dim, iters = 10, fanIn = 64)
+    assert(math.abs(l1.last - lf.last) <= 1e-9 * math.max(1.0, lf.last),
+      s"tree (${l1.last}) vs flat (${lf.last}) final loss diverged")
+    m1.w.zip(mf.w).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)))
+    }
+  }
+
   test("gate surface: distillation agrees with the weak labels it trained on") {
     val verdicts = QualityClassifier.classifyTrained(spark, sf())
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
