@@ -97,6 +97,7 @@ object SparkEntry {
     "rel_cube" -> ((s, dir) => RelQueries.orderPriorityCube(s, dir)),
     "rel_upsert" -> ((s, dir) => RelQueries.changelogSnapshot(s, dir)),
     "rel_scd2" -> ((s, dir) => RelQueries.scd2History(s, dir)),
+    "rel_json_props" -> ((s, dir) => RelQueries.jsonPropsStats(s, dir)),
     "rel_range" -> ((s, dir) => RelQueries.valueBandCounts(s, dir)),
     "rel_anti" -> ((s, dir) => RelQueries.customersWithoutOrders(s, dir)),
     "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
@@ -505,6 +506,14 @@ object SparkEntry {
         |  FROM c GROUP BY user_id)
         |SELECT user_id, version, value_cents FROM last
         |WHERE NOT is_delete""".stripMargin,
+    "rel_json_props" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "rel_scd2" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS version,

@@ -239,6 +239,25 @@ object RelQueries {
       .select(col("user_id"), col("last.version").as("version"),
         col("last.value_cents").as("value_cents"))
 
+  /** Semi-structured extraction: `events.props` is a JSON property
+    * bag; the numeric payload comes out with a codegen'd JSON-path
+    * expression (`get_json_object` — per-row parse, map-only, no
+    * UDF) and aggregates per event type. This is schema-on-read for
+    * property bags; at 100 TB the right long-term move is promoting
+    * hot keys to real columns at ingest, and this aggregate is
+    * exactly the audit (coverage + range per key) that decides which
+    * keys earn promotion. */
+  def jsonPropsStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** SCD2 (slowly-changing-dimension type 2) history from the same
     * change log [[changelogSnapshot]] collapses: every change becomes
     * a VERSIONED dimension row with its validity window

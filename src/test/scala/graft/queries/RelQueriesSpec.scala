@@ -246,6 +246,28 @@ class RelQueriesSpec extends SparkSpec {
     } finally { hist.unpersist(); () }
   }
 
+  test("JSON props extraction: coverage totals and a driver cross-check") {
+    import org.apache.spark.sql.functions._
+    val out = RelQueries.jsonPropsStats(spark, sf()).collect()
+    assert(out.nonEmpty)
+    val totalEvents = out.map(_.getAs[Long]("n_events")).sum
+    // driver cross-check of one aggregate via a plain string parse
+    val expected = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_type"), col("props")).collect()
+      .map(r => (r.getString(0),
+        """"k":\s*(-?\d+)""".r.findFirstMatchIn(r.getString(1)).map(_.group(1).toLong)))
+    assert(totalEvents === expected.length)
+    val sumByType = expected.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.flatMap(_._2).sum)).toMap
+    out.foreach { r =>
+      val (n, s) = sumByType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("sum_k") === s)
+      assert(r.getAs[Long]("n_with_k") === n, "every event carries props.k")
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+    }
+  }
+
   test("rel query results are non-empty and well-typed at sf0.001") {
     val qs = Seq(
       RelQueries.pricingSummary(spark, sf()),
