@@ -154,6 +154,7 @@ object SparkEntry {
     "ann_ivfpq_graph" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqGraph(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     "ann_sq8" -> ((s, dir) => graft.sim.Sq.topKSq(s, dir)),
+    "ann_pq_opq" -> ((s, dir) => graft.sim.Opq.topKPqOpq(s, dir)),
     "ann_topk_l2" -> ((s, dir) => graft.sim.Pca.topKL2(s, dir)),
     "ann_pca_topk" -> ((s, dir) => graft.sim.Pca.topKL2Pca(s, dir)),
     "ann_pca_reduced" -> ((s, dir) => graft.sim.Pca.topKL2PcaReduced(s, dir)),
@@ -729,7 +730,7 @@ object SparkEntry {
     // fit/eigen/project stack. ann_pca_reduced: lossy by design → rows-only.
     "ann_topk_l2" -> annTopkL2Sql,
     "ann_pca_topk" -> annTopkL2Sql,
-    // ann_ivf/ann_pq/ann_ivfpq*: genuinely approximate at gate config
+    // ann_ivf/ann_pq/ann_pq_opq/ann_ivfpq*: genuinely approximate at gate config
     // (measured set-recall 0.76–0.98 < 1) → rows-only + recall specs
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->

@@ -169,9 +169,21 @@ object Pq {
     import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
       .map(v => Vec(v.vec_id, l2normalize(v.v), 1.0))
+    val queries = corpus.filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
+    topKPqCore(corpus, queries, k, m, ksub, rerank)
+  }
+
+  /** Train + encode + ADC-scan + exact-rerank over an arbitrary
+    * (already L2-normalized) corpus and query set — shared by the
+    * plain gate path above and the OPQ-rotated path ([[Opq]]), which
+    * differ only in the space the codes live in. */
+  private[sim] def topKPqCore(corpus: org.apache.spark.sql.Dataset[Vec],
+      queries: Array[Vec], k: Int, m: Int, ksub: Int,
+      rerank: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cb = trainDistributed(corpus, m, ksub)
     val bcCb = spark.sparkContext.broadcast(cb)
-    val queries = corpus.filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
     val bcQ = spark.sparkContext.broadcast(queries)
     val bcTables = spark.sparkContext.broadcast(queries.map(q => adcTable(cb, q.v)))
     // one pass: encode + ADC-score into per-query bounded heaps
