@@ -25,7 +25,7 @@ object Pq {
 
   final case class Codebooks(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
 
-  private[sim] def l2normalize(v: Array[Double]): Array[Double] = {
+  private[graft] def l2normalize(v: Array[Double]): Array[Double] = {
     var ss = 0.0
     var i = 0
     while (i < v.length) { ss += v(i) * v(i); i += 1 }
