@@ -78,6 +78,9 @@ object LshIndex {
         sort_array(collect_set(when(col("is_batch"), col("doc_id")))).as("mb"))
       .filter(size(col("mb")) >= 1 &&
         (size(col("mi")) + size(col("mb"))).between(2, maxBucket))
+      // cross and within both read this; Spark does not share subplans,
+      // so materialize the bucket shuffle once
+      .localCheckpoint()
     // batch×index cross + batch-internal upper triangle, one explode each;
     // both operate on bound sorted attributes (the lambda-capture rule —
     // see Dedup.upperTrianglePairs)
