@@ -45,6 +45,9 @@ object CorpusPipeline {
         expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= minTokens)
+      // dedup keys AND the semi-join probe read this; materialize the
+      // regex-heavy scrub once instead of twice
+      .localCheckpoint()
     val keep = toks
       .groupBy(md5(col("clean_text")).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -70,6 +73,7 @@ object CorpusPipeline {
         expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")
           .cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= minTokens)
+      .localCheckpoint() // two consumers, one scrub (see prepareIds)
     // keep the first (min doc_id) copy of each distinct cleaned text;
     // the shuffle key is the 16-byte digest, never the text
     val keep = toks
