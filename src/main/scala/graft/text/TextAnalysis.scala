@@ -99,6 +99,9 @@ object TextAnalysis {
     val toks = documents(spark, sfDir)
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("tok"))
+      // three consumers (total count, frequency table, scoring join):
+      // materialize the tokenize+explode once
+      .localCheckpoint()
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = lit(toks.count().toDouble)
     toks.join(broadcast(freqs), "tok")
@@ -124,6 +127,9 @@ object TextAnalysis {
     val n = lit(docs.count().toDouble)
     val toks = docs.select(col("doc_id"),
       explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("term"))
+    // tf and df each re-run the explode — measured CHEAPER than
+    // materializing the full postings for only two consumers (unlike
+    // lmScore's three): checkpoint write+read ≈ the recompute here
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(df), "term")
