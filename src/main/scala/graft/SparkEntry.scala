@@ -54,8 +54,11 @@ object SparkEntry {
     "k_route" -> ((s, dir) =>
       Kv.routeOps(Kv.opsFromEvents(s, dir),
         ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L)),
+    // segmented (two-level) fold: shards × ranges task parallelism
+    // instead of the NShards=10 ceiling; identical records to the
+    // sorted-group walker (differential in ShardMigrationSpec)
     "k_migrations" -> ((s, dir) =>
-      graft.streaming.ShardMigration.migrationsBatch(
+      graft.streaming.ShardMigration.migrationsBatchSegmented(
         graft.streaming.ShardMigration.shardOps(
           Kv.routeOps(Kv.opsFromEvents(s, dir),
             ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
@@ -63,7 +66,7 @@ object SparkEntry {
     // the outgoing owner's era only — per-era distinct counts are
     // window SQL, hence a hash gate of its own
     "k_migrations_evict" -> ((s, dir) =>
-      graft.streaming.ShardMigration.migrationsEvictingBatch(
+      graft.streaming.ShardMigration.migrationsEvictingBatchSegmented(
         graft.streaming.ShardMigration.shardOps(
           Kv.routeOps(Kv.opsFromEvents(s, dir),
             ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
@@ -71,7 +74,7 @@ object SparkEntry {
     // shards not in an in-flight handoff apply immediately; the
     // whole defer/apply schedule is re-derived in SQL (hash gate)
     "k_serve" -> ((s, dir) =>
-      graft.streaming.ShardServe.serveBatch(
+      graft.streaming.ShardServe.serveBatchSegmented(
         graft.streaming.ShardMigration.shardOps(
           Kv.routeOps(Kv.opsFromEvents(s, dir),
             ShardCtrler.historyWithSideDump(s, dir), epochLen = 100L))).toDF()),
@@ -959,21 +962,6 @@ object SparkEntry {
         |  CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
         |    AS is_quality
         |FROM q""".stripMargin,
-    // quality-weighted sample: the quality CTE is text_quality's, the
-    // predicate is the byte-identical md5-prefix threshold per flag
-    "text_sample_weighted" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop
-        |  FROM documents),
-        |f AS (SELECT doc_id,
-        |    CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
-        |      AS is_quality FROM q)
-        |SELECT doc_id, is_quality FROM f
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) <
-        |  CASE WHEN is_quality = 1 THEN 'ccccccccccccd00' ELSE '1999999999999a0' END""".stripMargin,
     // quality-weighted sample: the quality CTE is text_quality's, the
     // predicate is the byte-identical md5-prefix threshold per flag
     "text_sample_weighted" ->

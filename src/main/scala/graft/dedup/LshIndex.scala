@@ -98,7 +98,11 @@ object LshIndex {
           |  transform(slice(m, xi + 2, size(m)), y -> struct(x AS i, y AS j))))"""
           .stripMargin)).as("p"))
       .select(col("p.i"), col("p.j"))
-    Dedup.verifyJaccard(spark, sfDir, cross.union(within).distinct(), tau)
+    // a doc present on BOTH sides (a batch probed after it was appended)
+    // would surface as a self-pair (i,i) from least/greatest collapsing
+    // — trivially Jaccard-1, never a real duplicate; drop before verify
+    val pairs = cross.union(within).distinct().filter(col("i") =!= col("j"))
+    Dedup.verifyJaccard(spark, sfDir, pairs, tau)
   }
 
   // ── gate surface ───────────────────────────────────────────────────
@@ -136,8 +140,15 @@ object LshIndex {
       tau: Double = 0.5): DataFrame = {
     val path = sessionPath(spark, sfDir)
     val all = Dedup.docShingles(spark, sfDir)
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      build(all.filter(col("doc_id") % 10 =!= 0), path)
+    // existence via Hadoop FS (the parquet write goes through Spark's
+    // default filesystem, which need not be the driver's local disk),
+    // and build-once synchronized against concurrent gate invocations
+    sessionPaths.synchronized {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+        build(all.filter(col("doc_id") % 10 =!= 0), path)
+    }
     probe(spark, sfDir, path, all.filter(col("doc_id") % 10 === 0), tau)
   }
 }

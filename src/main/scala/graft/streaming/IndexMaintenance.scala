@@ -45,12 +45,18 @@ object IndexMaintenance {
       idx: IvfIndex.PqIndexModel, baselineMicro: Long, driftPpm: Long,
       onMetric: BatchMetric => Unit)(
       batch: Dataset[Similarity.Vec], batchId: Long): Unit = {
-    if (!batch.isEmpty) {
+    // three consumers (count, append's write, cohesion pass) — persist
+    // for the body's duration so the micro-batch source is read once,
+    // and gate emptiness on the count itself rather than a 4th action
+    batch.persist()
+    try {
       val n = batch.count()
-      val cohesion = IvfIndex.appendPq(spark, indexPath, idx, batch)
-      val retrain =
-        (baselineMicro - cohesion) * 1000000L > driftPpm * baselineMicro
-      onMetric(BatchMetric(batchId, n, cohesion, baselineMicro, retrain))
-    }
+      if (n > 0) {
+        val cohesion = IvfIndex.appendPq(spark, indexPath, idx, batch)
+        val retrain =
+          (baselineMicro - cohesion) * 1000000L > driftPpm * baselineMicro
+        onMetric(BatchMetric(batchId, n, cohesion, baselineMicro, retrain))
+      }
+    } finally { batch.unpersist(); () }
   }
 }

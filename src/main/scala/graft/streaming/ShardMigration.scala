@@ -73,7 +73,10 @@ object ShardMigration {
 
     def load(st: ShardState): Unit = {
       gid = st.gid
-      regs = st.regs
+      // clone: the walker mutates regs in place, and the segmented
+      // path hands out seeds via broadcast — a task retry (or local
+      // mode's same-JVM broadcast) must never see a half-folded seed
+      regs = if (st.regs == null) null else st.regs.clone()
       set = if (regs == null) scala.collection.mutable.Set.from(st.exact)
             else scala.collection.mutable.Set.empty
     }
@@ -164,6 +167,147 @@ object ShardMigration {
     * so this variant carries its own hash gate. */
   def migrationsEvictingBatch(ops: Dataset[ShardOp]): Dataset[Migration] =
     batchMachine(ops, evict = true)
+
+  // ------------------------------------------------------------------
+  // Segmented (two-level) batch fold — removes the NShards(=10)-task
+  // wall-clock ceiling of [[batchMachine]]. The reference fixes the
+  // shard count, so a per-shard sorted-group scan can never use more
+  // than 10 tasks however large the cluster: at a 100 TB log that is
+  // the suite's bottleneck. The walker state is mergeable (owner gid +
+  // a tally whose two forms both merge: exact sets by union, HLL
+  // registers by max), so the classic segmented-scan shape applies:
+  //   pass 1  range-partition each shard's log by seq and fold every
+  //           (shard, range) independently to a boundary summary;
+  //   stitch  prefix-merge the (≤ NShards × ranges, tiny) summaries in
+  //           seq order into a seed state per range;
+  //   pass 2  re-fold each range from its stitched seed, emitting
+  //           migrations.
+  // Wall-clock drops from O(log/NShards) to O(log/(NShards·ranges));
+  // both passes spread over shards × ranges tasks. Equality with the
+  // sequential walker is exact, not approximate: HLL registers are a
+  // pure function of the distinct-key set (register = max over key
+  // hashes, order-free), and the exact→HLL crossover rule is the same
+  // on both paths (sketch iff distinct keys > MaxExactKeys) — proven
+  // by the differential in ShardMigrationSpec across the crossover.
+  // ------------------------------------------------------------------
+
+  private[streaming] final case class RangedOp(
+      shard: Int, range: Int, seq: Long, key: String, gid: Long)
+
+  /** Per-(shard, range) boundary summary from the neutral-seed fold:
+    * `changed` records whether any handoff happened INSIDE the range
+    * (seed-independent — gid comparisons between in-range neighbours);
+    * (exact, regs) is the walker tally at range end under that seed. */
+  private[streaming] final case class RangeSummary(shard: Int, range: Int,
+      firstGid: Long, lastGid: Long, changed: Boolean,
+      exact: Seq[String], regs: Array[Byte])
+
+  /** Uniform-width seq bucketing: one cheap min/max agg, then a pure
+    * map — no per-shard window sort (which would reintroduce the very
+    * 10-task ceiling this path removes). Log seqs are dense positions,
+    * so uniform widths are balanced by construction. */
+  private[streaming] def rangedBySeq(ops: Dataset[ShardOp],
+      ranges: Int): Dataset[RangedOp] = {
+    import ops.sparkSession.implicits._
+    val bounds = ops.agg(min(col("seq")), max(col("seq"))).head()
+    if (bounds.isNullAt(0)) ops.sparkSession.emptyDataset[RangedOp]
+    else {
+      val mn = bounds.getLong(0)
+      val width = math.max(1L, (bounds.getLong(1) - mn) / math.max(1, ranges) + 1)
+      ops.map(o => RangedOp(o.shard, ((o.seq - mn) / width).toInt, o.seq, o.key, o.gid))
+    }
+  }
+
+  /** Merge two walker tallies under the sequential crossover rule:
+    * exact∪exact stays exact up to [[MaxExactKeys]] then folds into a
+    * sketch; any HLL side forces an HLL union (register-wise max —
+    * lossless, so the segmented estimate equals the sequential one). */
+  private[streaming] def mergeTally(aExact: Seq[String], aRegs: Array[Byte],
+      bExact: Seq[String], bRegs: Array[Byte]): (Seq[String], Array[Byte]) =
+    if (aRegs == null && bRegs == null) {
+      val u = aExact.toSet ++ bExact
+      if (u.size <= MaxExactKeys) (u.toSeq, null)
+      else {
+        val regs = Hll.empty
+        u.foreach(k => Hll.add(regs, Hll.hashString(k)))
+        (Seq.empty, regs)
+      }
+    } else {
+      val regs = Hll.empty
+      def fold(e: Seq[String], r: Array[Byte]): Unit =
+        if (r == null) e.foreach(k => Hll.add(regs, Hll.hashString(k)))
+        else { var i = 0; while (i < Hll.M) { if (r(i) > regs(i)) regs(i) = r(i); i += 1 } }
+      fold(aExact, aRegs); fold(bExact, bRegs)
+      (Seq.empty, regs)
+    }
+
+  private def segmentedMachine(ops: Dataset[ShardOp], evict: Boolean,
+      ranges: Int): Dataset[Migration] = {
+    import ops.sparkSession.implicits._
+    // three consumers of the op source (min/max bounds, pass 1, pass 2)
+    // — materialize the routed log once; the checkpoint write is one
+    // log-sized spill, cheaper than recomputing the route per pass and
+    // lineage-free for task retries
+    val ranged = rangedBySeq(ops.localCheckpoint(), ranges)
+
+    // pass 1: neutral-seed fold of every range (shards × ranges tasks)
+    val summaries = ranged.groupByKey(r => (r.shard, r.range))
+      .flatMapSortedGroups(col("seq")) { case ((shard, range), it) =>
+        val w = new Walker(evict)
+        w.load(ShardState(-1L, Seq.empty, null))
+        var firstGid = -1L
+        var first = true
+        var changed = false
+        it.foreach { r =>
+          if (first) { firstGid = r.gid; first = false }
+          if (w.onOp(shard, ShardOp(r.shard, r.seq, r.key, r.gid)).isDefined)
+            changed = true
+        }
+        val st = w.snapshot
+        Iterator.single(RangeSummary(shard, range, firstGid, st.gid, changed,
+          st.exact, st.regs))
+      }.collect() // ≤ NShards × ranges rows, each ≤ max(exact set, 4 KiB)
+
+    // stitch: prefix-merge summaries per shard in range order. With
+    // eviction, a handoff inside the range (or at its first op, seen
+    // from the seed gid) resets the tally, so the range's own tail
+    // tally IS the outgoing state; otherwise tallies accumulate.
+    val seeds = scala.collection.mutable.Map.empty[(Int, Int), ShardState]
+    summaries.groupBy(_.shard).foreach { case (shard, ss) =>
+      var gid = -1L
+      var exact: Seq[String] = Seq.empty
+      var regs: Array[Byte] = null
+      ss.sortBy(_.range).foreach { s =>
+        seeds((shard, s.range)) = ShardState(gid, exact, regs)
+        val handoffAtEntry = gid != -1L && gid != s.firstGid
+        val (e2, r2) =
+          if (evict && (s.changed || handoffAtEntry)) (s.exact, s.regs)
+          else mergeTally(exact, regs, s.exact, s.regs)
+        exact = e2; regs = r2; gid = s.lastGid
+      }
+    }
+    val bSeeds = ops.sparkSession.sparkContext.broadcast(seeds.toMap)
+
+    // pass 2: re-fold each range from its stitched seed
+    ranged.groupByKey(r => (r.shard, r.range))
+      .flatMapSortedGroups(col("seq")) { case ((shard, range), it) =>
+        val w = new Walker(evict)
+        w.load(bSeeds.value((shard, range)))
+        it.flatMap(r => w.onOp(shard, ShardOp(r.shard, r.seq, r.key, r.gid)).iterator)
+      }
+  }
+
+  /** Segmented batch execution — same records as [[migrationsBatch]]
+    * (differential-pinned), wall-clock O(log/(NShards·ranges)) instead
+    * of O(log/NShards). The gate surface of `k_migrations`. */
+  def migrationsBatchSegmented(ops: Dataset[ShardOp],
+      ranges: Int = 32): Dataset[Migration] =
+    segmentedMachine(ops, evict = false, ranges)
+
+  /** Segmented evicting execution — gate surface of `k_migrations_evict`. */
+  def migrationsEvictingBatchSegmented(ops: Dataset[ShardOp],
+      ranges: Int = 32): Dataset[Migration] =
+    segmentedMachine(ops, evict = true, ranges)
 
   /** Batch oracle: the same handoff walk as a window fold (lag over
     * per-shard seq order), for differential testing. */

@@ -92,7 +92,8 @@ object ShardServe {
       }
   }
 
-  /** Batch twin (sorted-group scan; the gate surface of `k_serve`). */
+  /** Batch twin (sorted-group scan; differential baseline for the
+    * segmented gate path below). */
   def serveBatch(ops: Dataset[ShardOp], holdSeqs: Long = 50L): Dataset[Applied] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.shard)
@@ -101,5 +102,105 @@ object ShardServe {
         w.load(ServeState(-1L, -1L, Seq.empty))
         it.flatMap(o => w.onOp(o)) ++ w.finish(shard)
       }
+  }
+
+  /** Segmented batch execution — the defer/apply schedule is a pure
+    * function of the shard's EFFECTIVE handoff windows, so instead of
+    * walking each shard's whole log on one task (the [[serveBatch]]
+    * shape: ≤ NShards=10 tasks at any cluster size) it is derived in
+    * three fully-parallel passes plus a reconfiguration-sized stitch:
+    *
+    *   1. per (shard, seq-range) sorted scan (shards × ranges tasks)
+    *      finds RAW gid-change points — comparisons between in-range
+    *      neighbours plus range-boundary pairs from the (tiny) summary
+    *      rows; gid changes are seed-independent because the walker
+    *      always tracks the previous op's gid.
+    *   2. stitch: greedy window coalescing per shard — a change inside
+    *      an open hold window is absorbed (exactly the walker's
+    *      `holdUntil` guard), one opening at or past it starts a new
+    *      window. Serial work and driver state are O(#reconfigurations)
+    *      — config changes, not ops — then broadcast.
+    *   3. map-only passes over the log: each op binary-searches its
+    *      shard's windows; the min op-seq at or past a window's end is
+    *      that window's catch-up point (`applied_at` of its deferred
+    *      ops — window end if the log ends first, the walker's
+    *      end-of-log flush); every other op applies at its own seq.
+    *
+    * Exactly [[serveBatch]]'s records (differential in ShardServeSpec,
+    * including handoff-at-catch-up and log-ends-in-window edges), with
+    * wall-clock O(log/(NShards·ranges) + #reconfigs). Gate surface of
+    * `k_serve`. */
+  def serveBatchSegmented(ops: Dataset[ShardOp], holdSeqs: Long = 50L,
+      ranges: Int = 32): Dataset[Applied] = {
+    import ops.sparkSession.implicits._
+    // four consumers of the op source (bounds, change scan, catch-up
+    // scan, emission pass) — materialize the routed log once
+    val opsM = ops.localCheckpoint()
+    val ranged = ShardMigration.rangedBySeq(opsM, ranges)
+
+    // pass 1: raw change points per range + boundary gids
+    val scans = ranged.groupByKey(r => (r.shard, r.range))
+      .flatMapSortedGroups(col("seq")) { case ((shard, range), it) =>
+        var first = true
+        var firstSeq = -1L; var firstGid = -1L
+        var prevGid = -1L
+        val changes = Seq.newBuilder[Long]
+        it.foreach { r =>
+          if (first) { firstSeq = r.seq; firstGid = r.gid; first = false }
+          else if (r.gid != prevGid) changes += r.seq
+          prevGid = r.gid
+        }
+        Iterator.single((shard, range, firstSeq, firstGid, prevGid, changes.result()))
+      }.collect() // O(#reconfigurations + shards × ranges)
+
+    // stitch: per shard, boundary changes + internal changes in seq
+    // order, greedily coalesced into effective hold windows
+    val windows: Map[Int, Array[(Long, Long)]] =
+      scans.groupBy(_._1).map { case (shard, ss) =>
+        var gid = -1L
+        val raw = Seq.newBuilder[Long]
+        ss.sortBy(_._2).foreach { case (_, _, fSeq, fGid, lGid, changes) =>
+          if (gid != -1L && fGid != gid) raw += fSeq
+          raw ++= changes
+          gid = lGid
+        }
+        var holdUntil = -1L
+        val ws = Seq.newBuilder[(Long, Long)]
+        raw.result().foreach { c =>
+          if (c >= holdUntil) { ws += ((c, c + holdSeqs)); holdUntil = c + holdSeqs }
+        }
+        shard -> ws.result().toArray
+      }
+    val bW = ops.sparkSession.sparkContext.broadcast(windows)
+
+    // pass 2: catch-up point per window — min op seq at/past its end
+    // (an op past window i's end maps to the LAST such window, which
+    // is exactly the one the walker would be flushing at that op)
+    val catchUps = opsM.flatMap { o =>
+      val ws = bW.value.getOrElse(o.shard, Array.empty[(Long, Long)])
+      var lo = 0; var hi = ws.length - 1; var j = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (ws(mid)._2 <= o.seq) { j = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (j >= 0) Iterator.single((o.shard, j, o.seq)) else Iterator.empty
+    }.toDF("shard", "w", "seq")
+      .groupBy(col("shard"), col("w")).agg(min(col("seq")).as("applied_at"))
+      .as[(Int, Int, Long)].collect() // one row per effective window
+    val bCatch = ops.sparkSession.sparkContext
+      .broadcast(catchUps.map(t => ((t._1, t._2), t._3)).toMap)
+
+    // pass 3: map-only emission
+    opsM.map { o =>
+      val ws = bW.value.getOrElse(o.shard, Array.empty[(Long, Long)])
+      var lo = 0; var hi = ws.length - 1; var j = -1
+      while (lo <= hi) { // max i with start_i <= seq (windows disjoint, sorted)
+        val mid = (lo + hi) >>> 1
+        if (ws(mid)._1 <= o.seq) { j = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (j >= 0 && o.seq < ws(j)._2)
+        Applied(o.shard, o.seq, 1, bCatch.value.getOrElse((o.shard, j), ws(j)._2))
+      else Applied(o.shard, o.seq, 0, o.seq)
+    }
   }
 }

@@ -109,6 +109,103 @@ class ShardMigrationSpec extends SparkSpec {
     assert(k.snapshot.regs != null)
   }
 
+  test("segmented fold equals the sorted-group walker on corpus ops (both variants)") {
+    import spark.implicits._
+    val ops = shardOps(routed())
+    val plain = migrationsBatch(ops).collect().toSet
+    assert(migrationsBatchSegmented(ops).collect().toSet === plain)
+    assert(plain.nonEmpty)
+    val evict = migrationsEvictingBatch(ops).collect().toSet
+    assert(migrationsEvictingBatchSegmented(ops).collect().toSet === evict)
+    assert(evict.nonEmpty)
+  }
+
+  test("segmented fold matches across the HLL crossover and range-boundary handoffs") {
+    import spark.implicits._
+    // single shard, 6400 seqs, 3000 distinct keys (> MaxExactKeys, so
+    // mid-log tallies live in HLL territory); ranges=8 → width 800.
+    // Handoffs: seq 800 lands EXACTLY on a range boundary (the stitch's
+    // handoff-at-entry path), 2000 and 4700 land mid-range. Eras of
+    // 1200 and 2700 seqs cross MaxExactKeys themselves, so the evict
+    // variant also exercises exact→HLL inside an era.
+    def gidAt(seq: Long): Long =
+      if (seq < 800) 10L else if (seq < 2000) 20L
+      else if (seq < 4700) 30L else 40L
+    val ops = spark.range(0, 6400).as[Long]
+      .map(i => ShardOp(1, i, s"k${i % 3000}", gidAt(i)))
+    val plain = migrationsBatch(ops).collect().toSet
+    val seg = migrationsBatchSegmented(ops, ranges = 8).collect().toSet
+    assert(seg === plain, "segmented and sequential walkers diverged")
+    assert(plain.map(_.at_seq) === Set(800L, 2000L, 4700L))
+    // the 4700 handoff carries ~3000 distinct keys — sketch territory;
+    // HLL registers are a pure function of the key set, so the counts
+    // must be BIT-identical between the two execution shapes (asserted
+    // by the set equality above), and within the sketch's error band:
+    val late = plain.find(_.at_seq == 4700L).get
+    assert(math.abs(late.n_keys - 3000L).toDouble / 3000 <= 0.05, late.toString)
+    val evict = migrationsEvictingBatch(ops).collect().toSet
+    assert(migrationsEvictingBatchSegmented(ops, ranges = 8).collect().toSet === evict)
+    // evict eras: [0,800) = 800 exact keys; [800,2000) = 1200 distinct
+    // (crosses MaxExactKeys inside the era → HLL estimate)
+    assert(evict.find(_.at_seq == 800L).get.n_keys === 800L)
+    val era2 = evict.find(_.at_seq == 2000L).get
+    assert(math.abs(era2.n_keys - 1200L).toDouble / 1200 <= 0.05, era2.toString)
+  }
+
+  test("segmented fold spreads a maximally-skewed log over >10 tasks") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // ALL ops on one shard — the sorted-group walker's worst case: its
+    // one shuffle delivers every record to a single task. The segmented
+    // fold must spread the same log over shards × ranges (= 64) groups.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(coalesceKey)
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(coalesceKey, "false")
+    // the suite session pins 4 shuffle partitions for speed; the whole
+    // point of this probe is fan-out, so widen to the prod default (32)
+    spark.conf.set(shuffleKey, "32")
+    val perStage = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null &&
+            t.taskMetrics.shuffleReadMetrics.recordsRead > 0)
+          perStage.updateWith(t.stageId) { c => Some(c.getOrElse(0) + 1) }
+    }
+    def maxBusyTasks(body: => Unit): Int = {
+      perStage.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener bus is async; poll until the counts go quiet
+        var last = -1; var same = 0
+        while (same < 3) {
+          Thread.sleep(200)
+          val now = perStage.values.sum
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        if (perStage.isEmpty) 0 else perStage.values.max
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    try {
+      val ops = spark.range(0, 20000).as[Long]
+        .map(i => ShardOp(3, i, s"k${i % 512}", (i / 5000) * 10))
+      val segWidth = maxBusyTasks {
+        assert(migrationsBatchSegmented(ops, ranges = 64).collect().toSet ===
+          migrationsBatch(ops).collect().toSet)
+      }
+      val walkerWidth = maxBusyTasks { migrationsBatch(ops).collect() }
+      assert(segWidth > 10,
+        s"segmented fold used only $segWidth busy tasks in its widest stage")
+      assert(walkerWidth <= 1,
+        s"single-shard walker should bottleneck on 1 busy task, saw $walkerWidth")
+    } finally {
+      prev.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
+      spark.conf.set(shuffleKey, prevShuffle)
+    }
+  }
+
   test("streaming evicting machine equals the batch evicting fold on corpus ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

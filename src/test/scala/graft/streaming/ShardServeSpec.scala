@@ -64,6 +64,36 @@ class ShardServeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segmented serve equals the sorted-group walker (corpus + edge fixture)") {
+    import spark.implicits._
+    // corpus differential — both batch shapes flush at end-of-log
+    val corpus = ShardMigration.shardOps(routed())
+    val expected = ShardServe.serveBatch(corpus).collect().toSet
+    assert(ShardServe.serveBatchSegmented(corpus).collect().toSet === expected)
+    assert(expected.exists(_.deferred == 1), "corpus produced no deferrals")
+    // edge fixture: (a) handoff exactly AT a window's catch-up op — the
+    // flush and a fresh window open on the same op; (b) a second gid
+    // change INSIDE an open window is absorbed, not a new window;
+    // (c) log ends inside a window — deferred ops apply at the hold
+    // boundary, not an op seq
+    val edges = Seq(
+      ShardOp(1, 1L, "a", 10L),
+      ShardOp(1, 3L, "a", 20L),  // handoff: hold [3, 53)
+      ShardOp(1, 20L, "b", 30L), // change inside the window: absorbed
+      ShardOp(1, 53L, "c", 40L), // catch-up op IS a handoff: new hold [53, 103)
+      ShardOp(1, 60L, "d", 40L), // inside second window; log ends here
+      ShardOp(2, 7L, "z", 10L)
+    ).toDS()
+    val walker = ShardServe.serveBatch(edges).collect().toSet
+    assert(ShardServe.serveBatchSegmented(edges, ranges = 4).collect().toSet
+      === walker)
+    assert(walker === Set(
+      Applied(1, 1L, 0, 1L),
+      Applied(1, 3L, 1, 53L), Applied(1, 20L, 1, 53L),
+      Applied(1, 53L, 1, 103L), Applied(1, 60L, 1, 103L),
+      Applied(2, 7L, 0, 7L)))
+  }
+
   test("streaming equals batch on corpus ops (sentinels force final flush)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
