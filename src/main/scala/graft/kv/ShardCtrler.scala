@@ -149,6 +149,62 @@ object ShardCtrler {
     }
   }
 
+  /** The config-history oracle's invariant gate as ANSI SQL over a
+    * history relation `(config_num, shard, gid, servers)` given by
+    * `hSource` — runnable by BOTH the DuckDB oracle (hSource =
+    * read_parquet of the side dump) and Spark (hSource = a temp view,
+    * which is how ShardCtrlerSpec proves each invariant CAN fail on an
+    * injected violation). Returns the history itself, or ZERO rows if
+    * any invariant the reference test suite asserts is violated:
+    *   - balance: max−min assigned-group load ≤ 1
+    *     (`src/shardctrler/test_test.go:36-54`);
+    *   - liveness: every assigned gid carries servers;
+    *   - config 0 is all-unassigned; every config covers shards 0..9;
+    *   - minimal movement (`src/shardctrler/test_test.go:211-250`):
+    *     between consecutive configs, a shard may change owner only if
+    *     its new owner held NOTHING before (a joining group filling up)
+    *     or its old owner holds NOTHING after (a leaving group
+    *     draining) — shards never migrate between two groups that both
+    *     keep other shards. Single-shard transitions are exempt: that
+    *     is the Move command's explicit override. */
+  def invariantGateSql(hSource: String): String =
+    s"""WITH h AS ($hSource),
+       |loads AS (SELECT config_num, gid, count(*) AS n
+       |  FROM h WHERE gid <> 0 GROUP BY config_num, gid),
+       |bal_viol AS (SELECT count(*) AS v FROM (
+       |  SELECT config_num FROM loads GROUP BY config_num
+       |  HAVING max(n) - min(n) > 1) t),
+       |live_viol AS (SELECT count(*) AS v FROM h
+       |  WHERE gid <> 0 AND (servers IS NULL OR servers = '')),
+       |zero_viol AS (SELECT count(*) AS v FROM h
+       |  WHERE config_num = 0 AND gid <> 0),
+       |shape_viol AS (SELECT count(*) AS v FROM (
+       |  SELECT config_num FROM h GROUP BY config_num
+       |  HAVING count(*) <> 10 OR min(shard) <> 0 OR max(shard) <> 9) t),
+       |moved AS (
+       |  SELECT cur.config_num, cur.shard, prv.gid AS g_from, cur.gid AS g_to
+       |  FROM h cur JOIN h prv
+       |    ON prv.config_num = cur.config_num - 1 AND prv.shard = cur.shard
+       |  WHERE prv.gid <> cur.gid),
+       |mcount AS (SELECT config_num, count(*) AS n_moved
+       |  FROM moved GROUP BY config_num),
+       |min_viol AS (SELECT count(*) AS v
+       |  FROM moved m
+       |  JOIN mcount c ON c.config_num = m.config_num
+       |  LEFT JOIN loads recv
+       |    ON recv.config_num = m.config_num - 1 AND recv.gid = m.g_to
+       |  LEFT JOIN loads givr
+       |    ON givr.config_num = m.config_num AND givr.gid = m.g_from
+       |  WHERE c.n_moved > 1
+       |    AND coalesce(recv.n, 0) > 0
+       |    AND coalesce(givr.n, 0) > 0)
+       |SELECT config_num, shard, gid, servers FROM h
+       |WHERE (SELECT v FROM bal_viol) = 0
+       |  AND (SELECT v FROM live_viol) = 0
+       |  AND (SELECT v FROM zero_viol) = 0
+       |  AND (SELECT v FROM shape_viol) = 0
+       |  AND (SELECT v FROM min_viol) = 0""".stripMargin
+
   /** Deterministic demo command log derived from the nation table: join
     * a group per nation (batches of varying size), then leave a third
     * of them, then a manual move — exercising every command kind. */

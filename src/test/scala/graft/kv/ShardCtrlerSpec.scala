@@ -113,6 +113,62 @@ class ShardCtrlerSpec extends SparkSpec {
     assert(step(initial, Join(servers1)).shards === step(initial, Join(servers2)).shards)
   }
 
+  test("oracle invariant gate: genuine history passes, each injected violation fails") {
+    import spark.implicits._
+    // the gate SQL is shared verbatim with the DuckDB oracle
+    // (SparkEntry's k_config_history); here Spark runs it over a temp
+    // view so every invariant is PROVEN able to fail, not just present
+    def gate(rows: Seq[(Int, Int, Int, String)]): Long = {
+      rows.toDF("config_num", "shard", "gid", "servers")
+        .createOrReplaceTempView("h_probe")
+      spark.sql(ShardCtrler.invariantGateSql(
+        "SELECT config_num, shard, gid, servers FROM h_probe")).count()
+    }
+    // genuine corpus history (includes a Move step) passes whole
+    val h = history(cmdsFromNation(spark, sf()))
+    val genuine = h.flatMap(c => c.shards.zipWithIndex.map { case (g, s) =>
+      (c.num, s, g, c.groups.getOrElse(g, Seq.empty).mkString(","))
+    })
+    assert(gate(genuine) === h.length.toLong * NShards)
+    // base fixture: config 0 unassigned; config 1 = gids 1,2,3 at 4/3/3
+    def gidOf(s: Int): Int = if (s < 4) 1 else if (s < 7) 2 else 3
+    val c0 = (0 until NShards).map(s => (0, s, 0, ""))
+    val c1 = (0 until NShards).map(s => (1, s, gidOf(s), "srv"))
+    assert(gate(c0 ++ c1) === 20L)
+    // balance: pile config 1 onto gid 1 (8/1/1)
+    val unbal = (0 until NShards).map(s => (1, s, if (s < 8) 1 else s - 6, "srv"))
+    assert(gate(c0 ++ unbal) === 0L, "balance violation must zero the gate")
+    // liveness: an assigned gid with empty servers
+    val dead = c1.updated(0, (1, 0, 1, ""))
+    assert(gate(c0 ++ dead) === 0L, "liveness violation must zero the gate")
+    // config 0 must be unassigned
+    val hot0 = c0.updated(3, (0, 3, 7, "srv"))
+    assert(gate(hot0 ++ c1) === 0L, "config-0 violation must zero the gate")
+    // shape: a config missing a shard row
+    assert(gate(c0 ++ c1.tail) === 0L, "shape violation must zero the gate")
+    // minimal movement: config 2 swaps shards 0↔4 between groups that
+    // BOTH keep other shards — still balanced, live, well-shaped, but a
+    // non-minimal transfer the reference test would flag
+    val swap = (0 until NShards).map { s =>
+      val g = if (s == 0) 2 else if (s == 4) 1 else gidOf(s)
+      (2, s, g, "srv")
+    }
+    assert(gate(c0 ++ c1 ++ swap) === 0L,
+      "non-minimal transfer must zero the gate")
+    // ...but a single-shard transition is the Move command's explicit
+    // override and stays exempt (1→2 keeps loads at 3/4/3)
+    val move = (0 until NShards).map(s =>
+      (2, s, if (s == 0) 2 else gidOf(s), "srv"))
+    assert(gate(c0 ++ c1 ++ move) === 30L, "a Move-shaped step must pass")
+    // ...and a join-shaped transition (new gid 4 fills from the others,
+    // loads 3/2/3/2) passes: the receiver held nothing before
+    val join4 = (0 until NShards).map { s =>
+      val g = if (s == 0 || s == 4) 4 else gidOf(s)
+      (2, s, g, "srv")
+    }
+    assert(gate(c0 ++ c1 ++ join4) === 30L, "a Join-shaped step must pass")
+  }
+
   test("historyDf exposes (config_num, shard, gid) for distributed joins") {
     val h = history(cmdsFromNation(spark, sf()))
     val df = ShardCtrler.historyDf(spark, h)
