@@ -261,6 +261,35 @@ object IvfIndex {
       buildOrLoadPq(spark, sfDir, path), k)
   }
 
+  /** FULL-probe gate twin of [[probe]]: every cell read, so the
+    * candidate set is the whole corpus and the exact scoring makes the
+    * result equal brute force — the spec-pinned full-probe ≡ exact
+    * equivalence (IvfIndexSpec) surfaced as a SQL hash gate over the
+    * persisted-index scan machinery. Not a production setting (nprobe
+    * ≪ nCells is the whole point of IVF); it oracle-pins the index
+    * layout, the partition-filter plumbing and the probe scoring. */
+  def topKIvfFull(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    val path = sessionPath(spark, sfDir)
+    val idx = buildOrLoadPq(spark, sfDir, path)
+    probe(spark, path, gateQueries(spark, sfDir, numQueries), idx.cents,
+      k, nprobe = idx.cents.length)
+  }
+
+  /** Exhaustive-rerank gate twin of [[probePq]]: all cells probed AND
+    * an unbounded ADC heap, so every corpus vector survives to the
+    * exact re-rank — the ADC scan, candidate semi-join and re-rank all
+    * run for real but the output equals brute force (hash gate against
+    * the exact oracle). Oracle-pins the codes-only scan + rerank stack
+    * end to end, the same upgrade ann_sq8 got. */
+  def topKIvfPqRerankAll(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10): DataFrame = {
+    val path = sessionPath(spark, sfDir)
+    val idx = buildOrLoadPq(spark, sfDir, path)
+    probePq(spark, path, gateQueries(spark, sfDir, numQueries), idx,
+      k, nprobe = idx.cents.length, rerank = Int.MaxValue)
+  }
+
   /** ADAPTIVE-nprobe IVF-PQ probe: cells are visited in decreasing
     * query-affinity order, `rankBatch` RANKS PER ROUND, and a query
     * stops probing once extra cells stop improving its candidate set —

@@ -21,6 +21,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIndex === exact)
   }
 
+  test("gate twins: topKIvfFull and topKIvfPqRerankAll equal exact brute force") {
+    // tripwire for the ann_ivf_full / ann_ivfpq_rerank_all hash gates:
+    // they share the exact DuckDB oracle on THIS equality — if a
+    // config or corpus change ever breaks it, fail here, not there
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.topKExact(spark, sf(), k = 5, numQueries = 10))
+    assert(rows(IvfIndex.topKIvfFull(spark, sf())) === exact)
+    assert(rows(IvfIndex.topKIvfPqRerankAll(spark, sf())) === exact)
+  }
+
   test("IVF-PQ: code-only ADC scan (plan-asserted), recall holds") {
     val path = "/tmp/graft_ivfpq_index"
     val idx = IvfIndex.buildPq(spark, sf(), path)
