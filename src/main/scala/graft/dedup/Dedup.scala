@@ -680,11 +680,29 @@ object Dedup {
     * composing a removal pass at scale. Docs shorter than k tokens
     * have no windows and are excluded (same rule in the oracle). */
   def duplicatePassages(spark: SparkSession, sfDir: String,
-                        k: Int = 8): DataFrame = {
+                        k: Int = 8): DataFrame =
+    duplicatePassagesWithCap(spark, sfDir, k, cap = Int.MaxValue)
+
+  /** The scaladoc-prescribed capped composition, as its own gate
+    * surface: digests held by ≥ `cap` documents are BOILERPLATE
+    * (headers, licenses, navigation chrome shared by millions of
+    * pages at crawl scale) — counting them as "duplicated passages"
+    * would flag every document carrying the chrome, and their postings
+    * dominate the join. Dropping them caps the per-digest join fan-out
+    * at `cap` while leaving real cross-doc duplication (small n_docs)
+    * untouched. Exactly SQL-expressible (one extra HAVING bound), so
+    * the scale path carries a full hash oracle; DedupSpec plants a
+    * boilerplate digest and asserts the cap drops ONLY it. */
+  def duplicatePassagesCapped(spark: SparkSession, sfDir: String,
+                              k: Int = 8, cap: Int = 3): DataFrame =
+    duplicatePassagesWithCap(spark, sfDir, k, cap)
+
+  private def duplicatePassagesWithCap(spark: SparkSession, sfDir: String,
+                                       k: Int, cap: Int): DataFrame = {
     val perDoc = passageWindowCounts(spark, sfDir, k)
     val shared = perDoc.groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+      .filter(col("n_docs") >= 2 && col("n_docs") < cap)
       .select(col("h"))
     val dupPerDoc = perDoc.join(shared, "h")
       .groupBy(col("doc_id")).agg(sum(col("occ")).as("n_dup_windows"))

@@ -201,6 +201,35 @@ class DedupSpec extends SparkSpec {
     assert(spans.forall { case (_, nDocs, nOcc) => nDocs === 2L && nOcc === 2L })
   }
 
+  test("capped passages: the cap drops ONLY the planted boilerplate digest") {
+    import spark.implicits._
+    // an 8-token boilerplate footer on docs 1-3 (n_docs=3 ≥ cap=3 →
+    // boilerplate, dropped by the cap) and a real 8-token duplicated
+    // passage between docs 1 and 2 (n_docs=2 < cap → kept)
+    val footer = "copyright footer all rights reserved contact us today"
+    val dup = "the quick brown fox jumps over lazy dogs"
+    val rows = Seq(
+      (1L, s"$dup $footer"),
+      (2L, s"unrelated heading words then $dup and $footer"),
+      (3L, s"totally different body text for this one $footer")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_passage_boiler"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def profile(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val uncapped = profile(Dedup.duplicatePassages(spark, dir))
+    val capped = profile(Dedup.duplicatePassagesCapped(spark, dir, cap = 3))
+    // windows spanning dup/footer boundaries are doc-unique noise; the
+    // interesting digests: the dup window (docs 1,2) and the footer
+    // window (docs 1,2,3). Capped must drop exactly the footer's
+    // contribution — every doc loses its footer window, doc 3 entirely
+    assert(uncapped(3L) >= 1L, "footer must flag uncapped")
+    assert(capped(3L) === 0L, "cap must drop the boilerplate-only doc")
+    assert(capped(1L) === uncapped(1L) - 1L, "doc 1 loses only its footer window")
+    assert(capped(2L) === uncapped(2L) - 1L, "doc 2 loses only its footer window")
+    assert(capped(1L) >= 1L, "the real 2-doc duplicate must survive the cap")
+  }
+
   test("duplicate passages on the corpus: planted near-dups share spans") {
     val prof = Dedup.duplicatePassages(spark, sf()).collect()
     assert(prof.nonEmpty)
