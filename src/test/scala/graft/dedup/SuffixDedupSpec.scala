@@ -1,0 +1,106 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SuffixDedupSpec extends SparkSpec {
+
+  private def spans(dir: String, minSpan: Int = 8): Set[(Long, Long, Long)] =
+    SuffixDedup.maximalSpans(spark, dir, minSpan).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  // distinct ALPHABETIC tokens — the tokenizer splits on [^a-z]+, so a
+  // digit suffix would collapse "s0","s1",… into one repeated token
+  private def tok(tag: String, i: Int): String =
+    s"$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+  private def toks(tag: String, n: Int): Seq[String] =
+    (0 until n).map(tok(tag, _))
+
+  test("planted 30-token span: exact maximal extents at both copies' offsets") {
+    import spark.implicits._
+    // a 30-token passage shared verbatim, at offset 3 in doc 1 and
+    // offset 5 in doc 2; fillers are doc-unique so nothing else matches
+    val shared = toks("s", 30).mkString(" ")
+    def filler(tag: String, n: Int) = toks(tag, n).mkString(" ")
+    val rows = Seq(
+      (1L, s"${filler("ua", 3)} $shared ${filler("ub", 6)}"),
+      (2L, s"${filler("va", 5)} $shared ${filler("vb", 4)}"),
+      (3L, filler("w", 40)), // disjoint
+      // within-doc repeat ONLY: an 8-gram twice in doc 4, nowhere else
+      (4L, s"${toks("x", 8).mkString(" ")} gap ${toks("x", 8).mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_plant"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(spans(dir) === Set((1L, 3L, 33L), (2L, 5L, 35L)),
+      "extents must be exactly the planted copies, nothing else")
+  }
+
+  test("variable-length copies: each doc's extent is its own suffix-true span") {
+    import spark.implicits._
+    // doc 2 carries only the first 14 tokens of doc 1's 20-token span —
+    // the failure mode fixed-k windows can't express: doc 1's extent
+    // against doc 2 must stop at 14, not 20
+    val full = toks("s", 20)
+    val rows = Seq(
+      (1L, (Seq("fa", "fb") ++ full ++ Seq("fc")).mkString(" ")),
+      (2L, (Seq("ga") ++ full.take(14) ++ Seq("gb", "gc")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_varlen"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(spans(dir) === Set((1L, 2L, 16L), (2L, 1L, 15L)))
+  }
+
+  test("chimera: adjacent spans shared with DIFFERENT partners merge in the carrier") {
+    import spark.implicits._
+    // doc 1 = P1 ++ P2; doc 2 holds P1, doc 3 holds P2. Doc 1's flagged
+    // windows cover [0,13)+[20,33) -> extents [0,20) and [20,40), which
+    // touch and merge to [0,40); docs 2 and 3 get their own spans.
+    val p1 = toks("p", 20)
+    val p2 = toks("q", 20)
+    val rows = Seq(
+      (1L, (p1 ++ p2).mkString(" ")),
+      (2L, (Seq("ua", "ub") ++ p1 ++ Seq("uc")).mkString(" ")),
+      (3L, (Seq("va") ++ p2 ++ Seq("vb", "vc")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_chimera"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(spans(dir) === Set((1L, 0L, 40L), (2L, 2L, 22L), (3L, 1L, 21L)))
+  }
+
+  test("corpus: SA extents equal an independent window-grouping derivation") {
+    import spark.implicits._
+    val got = spans(sf())
+    assert(got.nonEmpty, "corpus should carry planted verbatim spans")
+    got.foreach { case (_, s, e) => assert(e - s >= 8L) }
+    // independent derivation: group raw 8-token window STRINGS (the
+    // DuckDB oracle's formulation), flag cross-doc, merge islands
+    val flagged = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) >= 8 THEN
+          |  transform(sequence(0, size(toks) - 8),
+          |    i -> struct(i AS off, concat_ws(' ', slice(toks, i + 1, 8)) AS win))
+          |ELSE array() END""".stripMargin).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("p"))
+      .select(col("doc_id"), col("p.off"), col("p.win"))
+    val shared = flagged.groupBy(col("win"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("win"))
+    val expected = flagged.join(shared, "win")
+      .select(col("doc_id"), col("off")).as[(Long, Int)]
+      .collect().groupBy(_._1).toSeq.flatMap { case (doc, offs) =>
+        val sorted = offs.map(_._2).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = -1L; var end = -1L
+        sorted.foreach { off =>
+          if (start < 0) { start = off; end = off + 8 }
+          else if (off > end) { out += ((doc, start, end)); start = off; end = off + 8 }
+          else end = math.max(end, off + 8L)
+        }
+        if (start >= 0) out += ((doc, start, end))
+        out
+      }.toSet
+    assert(got === expected)
+  }
+}
