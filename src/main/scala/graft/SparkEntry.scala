@@ -147,6 +147,14 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => graft.dedup.LshIndex.dedupIncremental(s, dir)),
     "dedup_passages" -> ((s, dir) => graft.dedup.Dedup.duplicatePassages(s, dir)),
     "dedup_passage_spans" -> ((s, dir) => graft.dedup.Dedup.duplicatePassageSpans(s, dir)),
+    // boilerplate-capped scale path (digests in >= cap docs dropped);
+    // cap=3 bites on the gate corpus (max n_docs there is 3)
+    "dedup_passages_capped" -> ((s, dir) =>
+      graft.dedup.Dedup.duplicatePassagesCapped(s, dir, cap = 3)),
+    // distributed-suffix-array maximal duplicated extents (exact,
+    // hash-free); equals the window-string grouping the oracle runs
+    "dedup_spans_exact" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.maximalSpans(s, dir, minSpan = 8)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -155,6 +163,10 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPq(s, dir)),
     "ann_ivfpq_adaptive" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqAdaptive(s, dir)),
     "ann_ivfpq_graph" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqGraph(s, dir)),
+    // full-probe twins: candidate set = corpus, exact scoring → equal
+    // brute force, so the index scan/ADC/rerank machinery is HASH-gated
+    "ann_ivf_full" -> ((s, dir) => graft.sim.IvfIndex.topKIvfFull(s, dir)),
+    "ann_ivfpq_rerank_all" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqRerankAll(s, dir)),
     "ann_kmeans_cells" -> ((s, dir) => graft.sim.Kmeans.cellSizes(s, dir)),
     "ann_sq8" -> ((s, dir) => graft.sim.Sq.topKSq(s, dir)),
     "ann_pq_opq" -> ((s, dir) => graft.sim.Opq.topKPqOpq(s, dir)),
@@ -295,31 +307,16 @@ object SparkEntry {
     // never be compared). k_route / k_migrations RE-DERIVE routing and
     // handoffs in SQL (epoch assignment, shard function, lag windows)
     // against the dump; k_config_history itself verifies the FOLD'S
-    // INVARIANTS independently in SQL — balance (max−min load ≤ 1 over
-    // assigned groups), liveness (every assigned gid carries servers),
-    // config-0 all-unassigned, and per-config shard completeness — and
-    // returns ZERO rows (failing the gate) if any is violated, so it
-    // checks the rebalance semantics, not just an IO round-trip.
-    "k_config_history" ->
-      s"""WITH h AS (SELECT config_num, shard, gid, servers
-         |  FROM read_parquet('$sideDumpGlob')),
-         |loads AS (SELECT config_num, gid, count(*) AS n
-         |  FROM h WHERE gid <> 0 GROUP BY 1, 2),
-         |bal_viol AS (SELECT count(*) AS v FROM (
-         |  SELECT config_num FROM loads GROUP BY config_num
-         |  HAVING max(n) - min(n) > 1)),
-         |live_viol AS (SELECT count(*) AS v FROM h
-         |  WHERE gid <> 0 AND (servers IS NULL OR servers = '')),
-         |zero_viol AS (SELECT count(*) AS v FROM h
-         |  WHERE config_num = 0 AND gid <> 0),
-         |shape_viol AS (SELECT count(*) AS v FROM (
-         |  SELECT config_num FROM h GROUP BY config_num
-         |  HAVING count(*) <> 10 OR min(shard) <> 0 OR max(shard) <> 9))
-         |SELECT config_num, shard, gid, servers FROM h
-         |WHERE (SELECT v FROM bal_viol) = 0
-         |  AND (SELECT v FROM live_viol) = 0
-         |  AND (SELECT v FROM zero_viol) = 0
-         |  AND (SELECT v FROM shape_viol) = 0""".stripMargin,
+    // INVARIANTS independently in SQL — balance, liveness, config-0,
+    // shard completeness, and minimal movement between consecutive
+    // configs (the reference controller tests' full invariant set) —
+    // and returns ZERO rows (failing the gate) if any is violated, so
+    // it checks the rebalance semantics, not just an IO round-trip.
+    // The SQL text lives in ShardCtrler.invariantGateSql; the spec
+    // runs the same text in Spark over injected violations to prove
+    // each invariant can fail.
+    "k_config_history" -> ShardCtrler.invariantGateSql(
+      s"SELECT config_num, shard, gid, servers FROM read_parquet('$sideDumpGlob')"),
     "k_route" -> s"""WITH $kvOpsCte,
        |hist AS (SELECT config_num, shard, gid
        |  FROM read_parquet('$sideDumpGlob')),
@@ -671,6 +668,50 @@ object SparkEntry {
       s"""WITH $passagePdCte
          |SELECT h, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
          |FROM pd GROUP BY h HAVING count(*) >= 2""".stripMargin,
+    // suffix-array maximal extents ≡ union of duplicated 8-token
+    // windows merged into islands per doc (contiguity of equal-prefix
+    // blocks in SA order makes the two formulations provably equal;
+    // SuffixDedupSpec pins it on a planted fixture + the corpus) —
+    // the oracle groups RAW window strings, so both sides are hash-free
+    "dedup_spans_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |shared AS (SELECT win FROM pos GROUP BY win
+        |           HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT p.doc_id, p.off FROM pos p JOIN shared s ON p.win = s.win),
+        |lagged AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev
+        |  FROM f),
+        |isl AS (SELECT doc_id, off,
+        |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY off) AS isle
+        |  FROM lagged)
+        |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
+        |  CAST(max(off) + 8 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+    // the capped composition is one extra bound on the same CTE —
+    // digests in >= 3 docs are boilerplate and don't count as dups
+    "dedup_passages_capped" ->
+      s"""WITH $passagePdCte,
+         |nd AS (SELECT h, count(*) AS n_docs FROM pd GROUP BY h)
+         |SELECT pd.doc_id,
+         |  CAST(sum(pd.occ) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(sum(CASE WHEN nd.n_docs >= 2 AND nd.n_docs < 3
+         |                         THEN pd.occ END), 0)
+         |       AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(sum(CASE WHEN nd.n_docs >= 2 AND nd.n_docs < 3
+         |                         THEN pd.occ END), 0) * 5
+         |       >= sum(pd.occ) AS INT) AS is_dup_heavy
+         |FROM pd JOIN nd ON pd.h = nd.h
+         |GROUP BY pd.doc_id""".stripMargin,
     // MinHash LSH (16 bands x 4 rows, 64 perms) has per-pair recall
     // 1-(1-J^4)^16 ≈ 1-4e-8 at the planted J≥0.9 dups, so its verified
     // output must equal the exact operator's — same oracle.
@@ -733,6 +774,11 @@ object SparkEntry {
     // fit/eigen/project stack. ann_pca_reduced: lossy by design → rows-only.
     "ann_topk_l2" -> annTopkL2Sql,
     "ann_pca_topk" -> annTopkL2Sql,
+    // full-probe twins: every cell read + (for PQ) unbounded rerank →
+    // candidate set = corpus, exact re-scoring → equals brute force;
+    // IvfIndexSpec pins the equality before the driver gate sees it
+    "ann_ivf_full" -> annTopkCosineSql,
+    "ann_ivfpq_rerank_all" -> annTopkCosineSql,
     // ann_ivf/ann_pq/ann_pq_opq/ann_ivfpq*: genuinely approximate at gate config
     // (measured set-recall 0.76–0.98 < 1) → rows-only + recall specs
     // micro-unit quantization absorbs summation order + last-ulp ln()
