@@ -70,7 +70,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line: the driver's log-tail capture clipped the
+    // round-4 artifact mid-JSON, losing the ann_* block — a file copy
+    // under target/ means the per-query numbers always survive intact
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: $e")
+    }
     spark.stop()
   }
 }

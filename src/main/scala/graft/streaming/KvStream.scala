@@ -64,7 +64,21 @@ object KvStream {
     * is the key's ENTIRE log; buffering it (as the micro-batch path's
     * `toSeq.sortBy` would) is O(log) per key and dies on hot keys at
     * 100 TB — this path never holds more than the current op plus the
-    * ledger. Differential vs the streaming machine in KvStreamSpec. */
+    * ledger. Differential vs the streaming machine in KvStreamSpec.
+    *
+    * HOT-KEY BOUND (pinned, not discoverable-the-hard-way): memory per
+    * key is O(state) forever, but WALL-CLOCK per key is O(key's log) on
+    * one task — the append fold is inherently sequential (the value is
+    * an order-dependent concatenation; the compacting variant's FNV
+    * witness is likewise a seeded char-order fold), so unlike
+    * ShardMigration's owner+tally walker there is NO mergeable boundary
+    * state to segment on: two ranges' compacted states cannot be
+    * stitched without replaying the dropped prefix. A single key
+    * receiving the whole 100 TB log therefore bottlenecks on one core —
+    * that is a data-model pathology (one logical register absorbing
+    * every write serializes under ANY engine), not an execution-shape
+    * choice. KvStreamSpec drives 10⁶ single-key ops through the
+    * compacting fold to pin completion + O(maxValueBytes) output. */
   def replayBatch(ops: Dataset[KvOp]): Dataset[KvSnapshot] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.key)

@@ -24,6 +24,33 @@ class KvStreamSpec extends SparkSpec {
       .groupBy(col("key")).agg(expr("max_by(state, seq)").as("state"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("hot key: 1e6 single-key ops fold in O(state) memory; witness intact") {
+    import spark.implicits._
+    // the hot-key pathology pinned in replayBatch's scaladoc: one key
+    // absorbs the whole log. The compacting fold must stream the
+    // sorted group (never buffer it), keep only the 500 B tail, and
+    // the FNV witness must equal a driver-side recompute of the
+    // dropped prefix — proving no silent loss at 10⁶ appends.
+    val n = 1000000
+    // one client with increasing clientSeq: the ledger map stays at
+    // one entry, so the state bound under test is the value tail alone
+    val ops = spark.range(0, n).as[Long]
+      .map(i => KvOp(i, 0L, i, "append", "hot", (i % 10).toString))
+    val out = KvStream.replayBatchCompacting(ops.toDF().as[KvOp]).collect()
+    assert(out.length === 1)
+    val s = out.head
+    assert(s.total_len === n.toLong)
+    assert(s.state_tail.length === 500)
+    val full = (0 until n).map(_ % 10).mkString
+    assert(s.state_tail === full.substring(n - 500))
+    // recompute the dropped-prefix digest with the same seeded fold
+    assert(s.dropped_fnv === KvStream.fnv64(0L, full.substring(0, n - 500)))
+    // and the plan is the sorted-group scan, not a group buffer
+    val plan = KvStream.replayBatchCompacting(ops.toDF().as[KvOp])
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups") && plan.contains("Sort ["), plan.take(400))
+  }
+
   test("batch sorted-group scan (replayBatch) equals the streaming machine and Kv.replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
