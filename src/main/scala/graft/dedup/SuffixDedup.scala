@@ -1,60 +1,57 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact maximal-span substring dedup via a DISTRIBUTED GENERALIZED
-  * SUFFIX ARRAY — the missing exactness half of the fixed-k window
-  * machinery in [[Dedup.duplicatePassages]] (Lee et al. 2022,
-  * "Deduplicating Training Data Makes Language Models Better",
-  * which builds a monolithic suffix array; reference capability
-  * context: the corpus-wide text analysis the MR apps of
-  * `/root/reference/src/mrapps/wc.go` / `indexer.go` families do per
-  * token, here per suffix).
+/** Exact maximal-span substring dedup via DISTRIBUTED SUFFIX-ARRAY
+  * RANKS — the missing exactness half of the fixed-k window machinery
+  * in [[Dedup.duplicatePassages]] (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better", which builds a
+  * monolithic suffix array).
   *
   * Output: per document, the MAXIMAL extents (token offsets) covered
   * by some ≥ `minSpan`-token passage shared verbatim with at least one
   * OTHER document — exactly the "union of duplicated spans" a removal
-  * pass cuts. Spans whose copies vary in length are handled by
-  * construction (each position is judged by its own suffix), the
-  * failure mode fixed-k windows cannot express.
+  * pass cuts. Copies of differing lengths are handled by construction
+  * (each position is judged by its own suffix), the failure mode a
+  * fixed-k digest cannot express; and unlike the md5-window path there
+  * is NO HASHING anywhere — exactness is structural.
   *
-  * Spark-first construction, no monolithic sort, no hashing anywhere
-  * (hash-free exactness is the point vs the md5-window path):
+  * Construction (Spark-first, no monolithic sort, no global window):
   *
   *   1. positions — one row per (doc, token offset); suffixes never
-  *      cross document boundaries (generalized SA, no sentinels: a
-  *      missing continuation ranks below every real rank).
-  *   2. PREFIX DOUBLING to rank depth H = 2^ceil(log2 minSpan): each
-  *      round self-joins the position table at distance h and
-  *      re-ranks by the (rank, rank_at_h) pair — O(log minSpan)
-  *      rounds, each one range-sort of 8-byte rank keys (the
-  *      distributed dense-rank primitive below, same two-pass shape
-  *      as SequencePacking.globalRank).
-  *      DEPTH SUFFICES: suffixes sharing a minSpan-prefix form a
-  *      contiguous block under ANY lexicographic order of
-  *      H ≥ minSpan prefixes (ties beyond H permute only inside
-  *      blocks), which is the only property the run segmentation
-  *      needs — a full-depth SA (pass maxDepth) adds nothing for
-  *      this output.
-  *   3. SA adjacency — global rank over (rank, doc, off), join each
-  *      suffix to its successor, and compare the two minSpan-token
-  *      slices directly (exact, and the ONLY stage that touches
-  *      token strings after ranking).
-  *   4. RUN SEGMENTATION — maximal chains of adjacent pairs with
-  *      equal slices; a run holding ≥ 2 distinct docs means every
-  *      member position starts a cross-doc duplicated passage.
-  *      Run ids come from a range-partitioned two-pass prefix scan
-  *      (no single-partition window).
-  *   5. EXTENTS — per doc, merge the flagged [off, off+minSpan)
-  *      intervals into maximal spans (sorted-group scan, one group
-  *      per doc, O(1) state).
+  *      cross document boundaries (generalized SA; a missing
+  *      continuation ranks below every real rank, so no sentinels).
+  *   2. PREFIX DOUBLING: the standard SA rank construction — each
+  *      round re-ranks by (rank_d(i), rank_d(i + d)), where the
+  *      shifted rank is a per-document window `lead` (docs are
+  *      row-local; no join) and the re-rank is the distributed
+  *      dense-rank primitive below (range sort of 16-byte keys).
+  *      Depth stops at the largest power of two ≤ minSpan, then ONE
+  *      overlapping combine (rank_d(i), rank_d(i + minSpan − d))
+  *      reaches depth EXACTLY minSpan — the two windows overlap, so
+  *      pair equality ⇔ first-minSpan-token equality, the sparse-table
+  *      idiom.
+  *   3. FLAGGING collapses to a groupBy: for suffixes ≥ minSpan long,
+  *      equal depth-minSpan rank pairs ⇔ equal minSpan-token windows
+  *      (interior ranks never cross a document end for such suffixes,
+  *      so padding semantics never leak in). A rank-pair group holding
+  *      ≥ 2 distinct docs flags every member position. The full SA
+  *      ORDER — and the adjacent-LCP run scan it would enable — is
+  *      deliberately NOT built: it adds a global rank, a slice join
+  *      and a prefix scan but nothing to this output, whose semantics
+  *      are position-level, not pair-level.
+  *   4. EXTENTS — per doc, merge flagged [off, off+minSpan) intervals
+  *      into maximal spans (sorted-group scan, O(1) state).
   *
-  * Scale posture: every stage is a bounded-key shuffle or a narrow
-  * pass; the rank keys the doubling rounds sort are 16 bytes
-  * regardless of minSpan (vs minSpan-token strings for the
-  * group-by-window formulation the DuckDB oracle uses — same answer,
-  * provably, which is what makes this operator hash-gateable).
+  * Scale posture: ceil(log2 minSpan) rounds, each one per-doc narrow
+  * window pass + one range sort of 16-BYTE RANK KEYS — at minSpan=50
+  * the group-by-window-string formulation (which the DuckDB oracle
+  * runs, and SuffixDedupSpec proves equal) would shuffle ~300-byte
+  * string keys instead; the rank construction is what survives 100 TB.
+  * No stage is keyed on fewer than n distinct values; no driver state
+  * beyond numPartitions longs per round.
   */
 object SuffixDedup {
 
@@ -103,100 +100,80 @@ object SuffixDedup {
   }
 
   /** Maximal cross-document duplicated extents at the `minSpan`-token
-    * threshold. `maxDepth` caps the doubling (default: just past
-    * minSpan — sufficient, see object scaladoc; pass Int.MaxValue for
-    * a full-depth suffix array). */
+    * threshold (see object scaladoc). */
   def maximalSpans(spark: SparkSession, sfDir: String, minSpan: Int = 8,
-      partitions: Int = 32, maxDepth: Int = 0): DataFrame = {
+      partitions: Int = 32): DataFrame = {
     import spark.implicits._
     val L = minSpan
     require(L >= 2, "minSpan must be at least 2")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
 
-    // (doc_id, toks) — consumed by the position explode and twice by
-    // the adjacency slice join; materialize once
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+    // one row per suffix; short suffixes can never flag (eligibility
+    // below) but still serve as rank PROVIDERS for the doubling —
+    // interior lookups of an eligible suffix stay inside its document
+    val tokened = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
         expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
-      .localCheckpoint()
+      .select(col("doc_id"), size(col("toks")).as("dlen"),
+        posexplode(col("toks")).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("dlen"), col("off"), col("tok"))
+    // initial token rank: a vocabulary small enough to broadcast makes
+    // round 0 a map-only pass (natural-language type counts fit ~1M
+    // comfortably); otherwise the generic distributed rank
+    val vocabSize = tokened.agg(count_distinct(col("tok"))).head().getLong(0)
+    var positions =
+      if (vocabSize <= (1 << 20)) {
+        val vocab = tokened.select(col("tok")).distinct()
+          .orderBy(col("tok")).as[String].collect()
+        val bc = spark.sparkContext.broadcast(
+          vocab.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap)
+        tokened.as[(Long, Int, Int, String)]
+          .map { case (d, n, o, t) => (d, n, o, bc.value(t)) }
+          .toDF("doc_id", "dlen", "off", "rank")
+      } else rankByKey(tokened, Seq(col("tok")), partitions).drop("tok")
 
-    // one row per suffix; only suffixes long enough to carry a span
-    // can ever flag, but SHORTER ones still shape the SA order — keep
-    // them (they are cheap) so adjacency is the true lexicographic one
-    var positions = rankByKey(
-      toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("off", "tok")))
-        .select(col("doc_id"), col("off"), col("tok")),
-      Seq(col("tok")), partitions)
-      .drop("tok")
-
-    // prefix doubling to depth >= L (or the caller's cap)
-    val depthCap = if (maxDepth > 0) maxDepth
-      else Integer.highestOneBit(L - 1) * 2 // first power of two >= L
-    var h = 1
-    while (h < depthCap) {
-      val shifted = positions
-        .select(col("doc_id"), (col("off") - h).as("off"), col("rank").as("_r2"))
+    // prefix QUADRUPLING: each round re-ranks by the 4-tuple of ranks
+    // at strides 0,d,2d,3d — three leads in ONE per-doc window pass,
+    // one 32-byte range sort, depth ×4 (halves the round count of
+    // classic doubling; same induction, windows still tile exactly)
+    var depth = 1
+    while (depth * 4 < L) {
       positions = rankByKey(
-        positions.join(shifted, Seq("doc_id", "off"), "left")
-          .withColumn("_r2", coalesce(col("_r2"), lit(-1L)))
+        positions
+          .withColumn("_r2",
+            coalesce(lead(col("rank"), depth).over(byDoc), lit(-1L)))
+          .withColumn("_r3",
+            coalesce(lead(col("rank"), 2 * depth).over(byDoc), lit(-1L)))
+          .withColumn("_r4",
+            coalesce(lead(col("rank"), 3 * depth).over(byDoc), lit(-1L)))
           .withColumnRenamed("rank", "_r1"),
-        Seq(col("_r1"), col("_r2")), partitions)
-        .drop("_r1", "_r2")
-      h *= 2
+        Seq(col("_r1"), col("_r2"), col("_r3"), col("_r4")), partitions)
+        .drop("_r1", "_r2", "_r3", "_r4")
+      depth *= 4
     }
 
-    // SA order: global index over (rank, doc_id, off)
-    val sa = graft.text.SequencePacking.globalRank(
-      positions.withColumnRenamed("rank", "srank"),
-      Seq(col("srank"), col("doc_id"), col("off")), partitions)
-      .select(col("doc_id"), col("off"), col("rank").as("sa"))
+    // final combine to depth EXACTLY L — no re-rank needed, the
+    // flagging groupBy keys on the multi-offset tuple directly. The
+    // offsets tile [0, L): strides of `depth`, plus L-depth so the
+    // last window ends flush at L (overlap is fine — equality of every
+    // component ⇔ equality of the first L tokens, sparse-table style).
+    val offs = ((0 until (L - depth) by depth) :+ (L - depth)).distinct
+    val keyCols = offs.zipWithIndex.map { case (o, i) =>
+      (if (o == 0) col("rank")
+       else coalesce(lead(col("rank"), o).over(byDoc), lit(-1L))).as(s"_k$i")
+    }
+    val keyNames = offs.indices.map(i => s"_k$i")
+    val keyed = positions
+      .select((col("doc_id") +: col("dlen") +: col("off") +: keyCols): _*)
+      .filter(col("dlen") - col("off") >= L) // suffix long enough to span
+      .drop("dlen")
+      .localCheckpoint() // grouped and joined below — materialize once
 
-    // adjacent pairs whose minSpan-token slices are EQUAL (both long
-    // enough); `nb` = the successor's sa index — a non-boundary
-    val withToks = sa
-      .join(toks, "doc_id")
-      .select(col("sa"), col("doc_id"), col("off"),
-        expr(s"slice(toks, off + 1, $L)").as("sl"),
-        (size(col("toks")) - col("off") >= L).as("lng"))
-    val nonBoundary = withToks.alias("a")
-      .join(withToks.alias("b"), expr("b.sa = a.sa + 1"))
-      .filter(col("a.lng") && col("b.lng") && col("a.sl") === col("b.sl"))
-      .select(col("b.sa").as("nb"))
-
-    // run ids: prefix scan of boundary indexes in sa order (two-pass,
-    // range-partitioned — the run id is the last boundary at or
-    // before the suffix)
-    val marked = sa.join(nonBoundary, sa("sa") === nonBoundary("nb"), "left")
-      .select(col("doc_id"), col("off"), col("sa"),
-        col("nb").isNull.as("isB"))
-      .repartitionByRange(partitions, col("sa"))
-      .sortWithinPartitions(col("sa"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val lastB = marked.filter(col("isB")).groupBy(col("pid"))
-      .agg(max(col("sa")).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val seeds = (0 until partitions)
-      .scanLeft(-1L)((acc, p) => lastB.getOrElse(p, acc))
-    val bcSeeds = spark.sparkContext.broadcast(seeds)
-    val assigned = marked
-      .select(col("doc_id"), col("off"), col("sa"), col("isB"), col("pid"))
-      .as[(Long, Int, Long, Boolean, Int)]
-      .mapPartitions { it =>
-        var run = Long.MinValue
-        var curPid = -1
-        it.map { case (doc, off, s, isB, pid) =>
-          if (pid != curPid) { run = bcSeeds.value(pid); curPid = pid }
-          if (isB) run = s
-          (doc, off, run)
-        }
-      }.toDF("doc_id", "off", "run")
-
-    // cross-doc runs -> flagged positions -> per-doc extent merge
-    val dupRuns = assigned.groupBy(col("run"))
+    val dup = keyed.groupBy(keyNames.map(col): _*)
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("run"))
-    assigned.join(dupRuns, "run")
+      .select(keyNames.map(col): _*)
+    keyed.join(dup, keyNames)
       .select(col("doc_id"), col("off"))
       .as[(Long, Int)]
       .groupByKey(_._1)
