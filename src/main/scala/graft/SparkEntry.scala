@@ -106,6 +106,10 @@ object SparkEntry {
     "rel_except" -> ((s, dir) => RelQueries.lapsedCustomers(s, dir)),
     "rel_asof" -> ((s, dir) => RelQueries.eventOrderAsof(s, dir)),
     "rel_sessions" -> ((s, dir) => RelQueries.sessionize(s, dir)),
+    // TPC-H streaming-join twin executed in batch mode (the
+    // k_replay_stream pattern; stream ≡ batch in StreamJoinSpec)
+    "rel_ship_attrib" -> ((s, dir) =>
+      graft.streaming.StreamJoin.shippedLinesBatch(s, dir)),
     "rel_median" -> ((s, dir) => RelQueries.medianValue(s, dir)),
     // sketch-based scale paths of the two exact rank queries; approx
     // values are engine-specific → rows-only gates, error-band spec
@@ -646,6 +650,16 @@ object SparkEntry {
         |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
     "rel_quantiles" -> relQuantilesSql,
+    // TPC-H streaming-join twin, batch surface (stream ≡ batch in
+    // StreamJoinSpec); integer epoch-days + cents so the compare is
+    // rendering-free
+    "rel_ship_attrib" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  datediff('day', DATE '1970-01-01', l.l_shipdate) AS ship_day,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

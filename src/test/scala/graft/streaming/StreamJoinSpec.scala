@@ -45,6 +45,49 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TPC-H twin: orders x lineitem interval join, streaming == batch on corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL corpus tables as event streams, fed in event-time
+    // lockstep (3 rounds over the global date range) — watermark delay
+    // of 100 days keeps every order buffered past its whole ship
+    // window, so the inner join must emit exactly the batch result
+    val orders = StreamJoin.orderEvents(spark, sf()).collect().sortBy(_.o_orderdate.getTime)
+    val lines = StreamJoin.shipEvents(spark, sf()).collect().sortBy(_.l_shipdate.getTime)
+    val expected = StreamJoin.shippedLinesBatch(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sorted(Ordering.Tuple4[Long, String, Int, Long])
+    assert(expected.nonEmpty, "corpus fixture produced no attributed lines")
+    // the window must BITE: some lines ship outside [order, order+90d]
+    assert(expected.length < lines.length,
+      "every line in-window — the range bound is vacuous on this corpus")
+    val times = (orders.map(_.o_orderdate.getTime) ++ lines.map(_.l_shipdate.getTime)).sorted
+    val cuts = Seq(times(times.length / 3), times(2 * times.length / 3), Long.MaxValue)
+    val oIn = MemoryStream[StreamJoin.OrderEvt]
+    val lIn = MemoryStream[StreamJoin.ShipEvt]
+    val joined = StreamJoin.shippedLines(
+      oIn.toDS().withWatermark("o_orderdate", "100 days"),
+      lIn.toDS().withWatermark("l_shipdate", "100 days"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ship_attrib").start()
+    try {
+      var oPrev = Long.MinValue
+      var lPrev = Long.MinValue
+      cuts.foreach { cut =>
+        oIn.addData(orders.filter(o =>
+          o.o_orderdate.getTime > oPrev && o.o_orderdate.getTime <= cut))
+        lIn.addData(lines.filter(l =>
+          l.l_shipdate.getTime > lPrev && l.l_shipdate.getTime <= cut))
+        oPrev = cut; lPrev = cut
+        q.processAllAvailable()
+      }
+      val got = spark.table("ship_attrib").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sorted(Ordering.Tuple4[Long, String, Int, Long])
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("watermark + range bound expires join state (no unbounded buffer)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
