@@ -159,6 +159,10 @@ object SparkEntry {
     // hash-free); equals the window-string grouping the oracle runs
     "dedup_spans_exact" -> ((s, dir) =>
       graft.dedup.SuffixDedup.maximalSpans(s, dir, minSpan = 8)),
+    // span-level decontamination: extents shared with benchmark docs
+    // (doc_id % 37 == 0, text_decontam's split) — the excision list
+    "text_decontam_spans" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.benchmarkSpans(s, dir, minSpan = 8)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -708,6 +712,30 @@ object SparkEntry {
         |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY doc_id ORDER BY off) AS isle
         |  FROM lagged)
+        |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
+        |  CAST(max(off) + 8 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+    // span-level decontamination: same island merge, flagging = window
+    // present in any benchmark (doc_id % 37 = 0) document
+    "text_decontam_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |hot AS (SELECT DISTINCT win FROM pos WHERE doc_id % 37 = 0),
+        |f AS (SELECT p.doc_id, p.off FROM pos p JOIN hot h ON p.win = h.win
+        |      WHERE p.doc_id % 37 <> 0),
+        |lagged AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev FROM f),
+        |isl AS (SELECT doc_id, off,
+        |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY off) AS isle FROM lagged)
         |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
         |  CAST(max(off) + 8 AS BIGINT) AS span_end
         |FROM isl GROUP BY doc_id, isle""".stripMargin,

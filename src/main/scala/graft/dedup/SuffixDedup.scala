@@ -103,6 +103,39 @@ object SuffixDedup {
     * threshold (see object scaladoc). */
   def maximalSpans(spark: SparkSession, sfDir: String, minSpan: Int = 8,
       partitions: Int = 32): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions)
+    val dup = keyed.groupBy(keyNames.map(col): _*)
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(keyNames.map(col): _*)
+    mergeExtents(keyed.join(dup, keyNames), minSpan)
+  }
+
+  /** SPAN-LEVEL DECONTAMINATION: for every NON-benchmark document, the
+    * maximal extents shared verbatim (≥ minSpan tokens) with ANY
+    * benchmark document (`doc_id % benchMod == 0`, the split
+    * [[graft.text.Cleaning.contamination]] uses) — the excision list
+    * for cutting benchmark text OUT of training documents instead of
+    * dropping them whole. Same rank machinery, different flagging
+    * head: a rank-tuple group flags its corpus members iff it holds at
+    * least one benchmark position. Corpus-corpus duplication does NOT
+    * flag here (that is [[maximalSpans]]'s job); benchmark docs are
+    * never emitted. */
+  def benchmarkSpans(spark: SparkSession, sfDir: String, minSpan: Int = 8,
+      benchMod: Int = 37, partitions: Int = 32): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions)
+    val hot = keyed.filter(col("doc_id") % benchMod === 0)
+      .select(keyNames.map(col): _*).distinct()
+    mergeExtents(
+      keyed.filter(col("doc_id") % benchMod =!= 0).join(hot, keyNames),
+      minSpan)
+  }
+
+  /** Positions keyed by their depth-exactly-L rank tuple (the shared
+    * construction both flagging heads group on), plus the key column
+    * names. Only suffixes ≥ L tokens long survive. */
+  private def rankKeyed(spark: SparkSession, sfDir: String, minSpan: Int,
+      partitions: Int): (DataFrame, Seq[String]) = {
     import spark.implicits._
     val L = minSpan
     require(L >= 2, "minSpan must be at least 2")
@@ -167,18 +200,19 @@ object SuffixDedup {
       .select((col("doc_id") +: col("dlen") +: col("off") +: keyCols): _*)
       .filter(col("dlen") - col("off") >= L) // suffix long enough to span
       .drop("dlen")
-      .localCheckpoint() // grouped and joined below — materialize once
+      .localCheckpoint() // grouped and joined by the flagging heads
+    (keyed, keyNames)
+  }
 
-    val dup = keyed.groupBy(keyNames.map(col): _*)
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(keyNames.map(col): _*)
-    keyed.join(dup, keyNames)
+  /** Per-doc merge of flagged [off, off+L) intervals into maximal
+    * spans — sorted-group scan, O(1) state; touching intervals merge. */
+  private def mergeExtents(flagged: DataFrame, L: Int): DataFrame = {
+    import flagged.sparkSession.implicits._
+    flagged
       .select(col("doc_id"), col("off"))
       .as[(Long, Int)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("off")) { (doc, it) =>
-        // merge [off, off+L) intervals; touching intervals merge
         var start = -1L
         var end = -1L
         val out = Seq.newBuilder[Span]

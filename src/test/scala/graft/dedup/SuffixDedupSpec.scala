@@ -67,6 +67,31 @@ class SuffixDedupSpec extends SparkSpec {
     assert(spans(dir) === Set((1L, 0L, 40L), (2L, 2L, 22L), (3L, 1L, 21L)))
   }
 
+  test("benchmark spans: only corpus-side extents against bench docs emit") {
+    import spark.implicits._
+    // doc 37 and 74 are "benchmark" under % 37; doc 1 carries a
+    // 20-token bench passage (flag, exact extent), docs 2+3 duplicate
+    // each other but share nothing with the bench (must NOT flag), and
+    // bench docs are never emitted even though they match doc 1
+    val bench = toks("s", 20)
+    val corpDup = toks("d", 15)
+    val rows = Seq(
+      (37L, (Seq("ba") ++ bench ++ Seq("bb")).mkString(" ")),
+      (74L, toks("w", 30).mkString(" ")),
+      (1L, (Seq("fa", "fb", "fc") ++ bench ++ Seq("fd")).mkString(" ")),
+      (2L, (Seq("ga") ++ corpDup).mkString(" ")),
+      (3L, (corpDup ++ Seq("ha")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_bench"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SuffixDedup.benchmarkSpans(spark, dir, minSpan = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 23L)),
+      "exactly doc 1's bench passage; corpus-corpus dups and bench docs silent")
+    // the corpus-internal machinery still sees the 2-3 duplication
+    assert(spans(dir).exists(s => s._1 == 2L || s._1 == 3L))
+  }
+
   test("corpus: SA extents equal an independent window-grouping derivation") {
     import spark.implicits._
     val got = spans(sf())
