@@ -92,6 +92,53 @@ class SuffixDedupSpec extends SparkSpec {
     assert(spans(dir).exists(s => s._1 == 2L || s._1 == 3L))
   }
 
+  test("minSpan=50: multi-offset final combine is exact (Lee-et-al threshold)") {
+    import spark.implicits._
+    // depth quadruples 1→4→16, final key = ranks at offsets 0,16,32,34
+    // (overlapping tile of [0,50)) — the production threshold shape.
+    // An 80-token shared span must emit exactly; a 49-token shared
+    // span must NOT (below threshold)
+    val long = toks("s", 80)
+    val short = toks("t", 49)
+    val rows = Seq(
+      (1L, (toks("fa", 4) ++ long ++ toks("fb", 3)).mkString(" ")),
+      (2L, (toks("ga", 7) ++ long ++ toks("gb", 2)).mkString(" ")),
+      (3L, (toks("ha", 5) ++ short ++ toks("hb", 5)).mkString(" ")),
+      (4L, (toks("ia", 2) ++ short ++ toks("ib", 8)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_l50"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(spans(dir, minSpan = 50) === Set((1L, 4L, 84L), (2L, 7L, 87L)),
+      "the 80-token span exactly; the 49-token span below threshold")
+  }
+
+  test("real text: Gutenberg license boilerplate surfaces as cross-book spans") {
+    import spark.implicits._
+    // the reference's actual 3.3 MB book corpus (~600k tokens, real
+    // English vocabulary) — every Project Gutenberg file carries the
+    // same license boilerplate, which is EXACTLY the cross-document
+    // duplicated-span shape this operator exists to find
+    val books = graft.core.MapReduce
+      .wholeTextFiles(spark, "/root/reference/src/main/pg-*.txt")
+      .toDF("name", "text")
+      .select(dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("name")))
+        .cast("long").as("doc_id"), col("text"))
+    val dir = "/tmp/graft_suffix_books"
+    books.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SuffixDedup.maximalSpans(spark, dir, minSpan = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "PG boilerplate must surface as >=50-token spans")
+    // every one of the 8 books carries the license text
+    assert(got.map(_._1).distinct.length === 8,
+      s"all books share the boilerplate, saw docs ${got.map(_._1).distinct.sorted.toSeq}")
+    got.foreach { case (_, s, e) => assert(e - s >= 50L) }
+    // the license block is hundreds of tokens — extents must merge
+    // well past the 50-token floor
+    assert(got.exists(s => s._3 - s._2 >= 200L),
+      s"license block should merge into a long extent: ${got.map(s => s._3 - s._2).sorted.reverse.take(5).toSeq}")
+  }
+
   test("corpus: SA extents equal an independent window-grouping derivation") {
     import spark.implicits._
     val got = spans(sf())
