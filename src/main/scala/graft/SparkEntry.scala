@@ -163,6 +163,10 @@ object SparkEntry {
     // (doc_id % 37 == 0, text_decontam's split) — the excision list
     "text_decontam_spans" -> ((s, dir) =>
       graft.dedup.SuffixDedup.benchmarkSpans(s, dir, minSpan = 8)),
+    // persisted span index: batch (doc_id % 10 == 0) probed against
+    // the indexed rest — the crawl-loop lifecycle for exact spans
+    "dedup_spans_incremental" -> ((s, dir) =>
+      graft.dedup.SpanIndex.dedupIncrementalSpans(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -731,6 +735,36 @@ object SparkEntry {
         |hot AS (SELECT DISTINCT win FROM pos WHERE doc_id % 37 = 0),
         |f AS (SELECT p.doc_id, p.off FROM pos p JOIN hot h ON p.win = h.win
         |      WHERE p.doc_id % 37 <> 0),
+        |lagged AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev FROM f),
+        |isl AS (SELECT doc_id, off,
+        |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY off) AS isle FROM lagged)
+        |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
+        |  CAST(max(off) + 8 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+    // incremental probe: batch (doc_id % 10 = 0) positions flag iff
+    // their window is in the indexed rest OR duplicated cross-doc
+    // inside the batch — together the one-shot "shared with any other
+    // doc" rule restricted to batch docs
+    "dedup_spans_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |idx AS (SELECT DISTINCT win FROM pos WHERE doc_id % 10 <> 0),
+        |bcross AS (SELECT win FROM pos WHERE doc_id % 10 = 0
+        |           GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT p.doc_id, p.off FROM pos p
+        |      WHERE p.doc_id % 10 = 0
+        |        AND (p.win IN (SELECT win FROM idx)
+        |             OR p.win IN (SELECT win FROM bcross))),
         |lagged AS (SELECT doc_id, off,
         |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev FROM f),
         |isl AS (SELECT doc_id, off,

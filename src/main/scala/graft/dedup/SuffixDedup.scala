@@ -205,8 +205,9 @@ object SuffixDedup {
   }
 
   /** Per-doc merge of flagged [off, off+L) intervals into maximal
-    * spans — sorted-group scan, O(1) state; touching intervals merge. */
-  private def mergeExtents(flagged: DataFrame, L: Int): DataFrame = {
+    * spans — sorted-group scan, O(1) state; touching intervals merge.
+    * Shared with [[SpanIndex]]'s probe. */
+  private[dedup] def mergeExtents(flagged: DataFrame, L: Int): DataFrame = {
     import flagged.sparkSession.implicits._
     flagged
       .select(col("doc_id"), col("off"))

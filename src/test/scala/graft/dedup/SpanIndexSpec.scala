@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SpanIndexSpec extends SparkSpec {
+
+  private def docs() = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("probe equals the one-shot operator restricted to batch docs") {
+    val path = "/tmp/graft_spanidx_diff"
+    val batch = docs().filter(col("doc_id") % 10 === 0)
+    SpanIndex.build(docs().filter(col("doc_id") % 10 =!= 0), path)
+    val probed = rows(SpanIndex.probe(spark, path, batch))
+    // one-shot over EVERYTHING, then keep only batch-side extents:
+    // "shared with any other doc" is exactly index ∪ batch-internal
+    val oneShot = rows(SuffixDedup.maximalSpans(spark, sf()))
+      .filter(_._1 % 10 == 0)
+    assert(probed === oneShot)
+    assert(probed.nonEmpty, "gate corpus should flag batch spans")
+  }
+
+  test("incremental append: build(A) + append(B) probes like build(A ∪ B)") {
+    val all = docs().filter(col("doc_id") % 10 =!= 0)
+    val a = all.filter(col("doc_id") % 3 === 1)
+    val b = all.filter(col("doc_id") % 3 =!= 1)
+    val batch = docs().filter(col("doc_id") % 10 === 0)
+    val p1 = "/tmp/graft_spanidx_inc"
+    SpanIndex.build(a, p1)
+    SpanIndex.append(b, p1)
+    val p2 = "/tmp/graft_spanidx_full"
+    SpanIndex.build(all, p2)
+    assert(rows(SpanIndex.probe(spark, p1, batch))
+      === rows(SpanIndex.probe(spark, p2, batch)))
+  }
+
+  test("crawl loop: unseen batch is silent, a re-crawled copy flags exactly") {
+    import spark.implicits._
+    def tok(tag: String, i: Int): String =
+      s"$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val body = (0 until 30).map(tok("s", _))
+    val corpus = Seq(
+      (1L, (Seq("fa") ++ body ++ Seq("fb")).mkString(" ")),
+      (2L, (0 until 40).map(tok("u", _)).mkString(" "))).toDF("doc_id", "text")
+    val fresh = Seq((100L, (0 until 40).map(tok("v", _)).mkString(" "))).toDF("doc_id", "text")
+    val recrawl = Seq((101L, (Seq("ga", "gb") ++ body).mkString(" "))).toDF("doc_id", "text")
+    val path = "/tmp/graft_spanidx_crawl"
+    SpanIndex.build(corpus, path)
+    assert(rows(SpanIndex.probe(spark, path, fresh)) === Set.empty,
+      "an unseen batch must not flag")
+    assert(rows(SpanIndex.probe(spark, path, recrawl)) === Set((101L, 2L, 32L)),
+      "the re-crawled body must flag at its exact extent")
+    // batch-internal duplication flags without any index hit
+    val twins = Seq(
+      (200L, (Seq("ha") ++ (0 until 20).map(tok("w", _))).mkString(" ")),
+      (201L, ((0 until 20).map(tok("w", _)) ++ Seq("hb")).mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(rows(SpanIndex.probe(spark, path, twins))
+      === Set((200L, 1L, 21L), (201L, 0L, 20L)))
+  }
+}
