@@ -167,6 +167,10 @@ object SparkEntry {
     // the indexed rest — the crawl-loop lifecycle for exact spans
     "dedup_spans_incremental" -> ((s, dir) =>
       graft.dedup.SpanIndex.dedupIncrementalSpans(s, dir)),
+    // per-pair maximal matches (which partner, where, how long) via
+    // the diagonal-run scan over rank groups
+    "dedup_pair_matches" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.maximalMatches(s, dir, minSpan = 8)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -743,6 +747,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
         |  CAST(max(off) + 8 AS BIGINT) AS span_end
         |FROM isl GROUP BY doc_id, isle""".stripMargin,
+    // per-pair maximal matches: window-equality pairs grouped by
+    // (pair, diagonal); islands of consecutive offsets are the
+    // maximal matches, len = run + 8 - 1 (gate corpus group sizes are
+    // far under the operator's maxGroup cap, so the uncapped SQL is
+    // the exact oracle)
+    "dedup_pair_matches" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |pr AS (
+        |  SELECT a.doc_id AS di, a.off AS oi, b.doc_id AS dj, b.off AS oj
+        |  FROM pos a JOIN pos b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |lagged AS (SELECT di, dj, oi, oj,
+        |    lag(oi) OVER (PARTITION BY di, dj, oi - oj ORDER BY oi) AS prev
+        |  FROM pr),
+        |isl AS (SELECT di, dj, oi, oj,
+        |    sum(CASE WHEN prev IS NULL OR oi - prev > 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY di, dj, oi - oj ORDER BY oi) AS isle
+        |  FROM lagged)
+        |SELECT di AS doc_i, dj AS doc_j,
+        |  CAST(min(oi) AS BIGINT) AS off_i, CAST(min(oj) AS BIGINT) AS off_j,
+        |  CAST(max(oi) - min(oi) + 8 AS BIGINT) AS match_len
+        |FROM isl GROUP BY di, dj, oi - oj, isle""".stripMargin,
     // incremental probe: batch (doc_id % 10 = 0) positions flag iff
     // their window is in the indexed rest OR duplicated cross-doc
     // inside the batch — together the one-shot "shared with any other

@@ -131,6 +131,60 @@ object SuffixDedup {
       minSpan)
   }
 
+  final case class Match(doc_i: Long, doc_j: Long, off_i: Long,
+      off_j: Long, match_len: Long)
+
+  /** PER-PAIR MAXIMAL MATCHES — the diagnosis view the union extents
+    * deliberately flatten: one row per maximal shared occurrence
+    * (which partner, where, how long). A maximal shared span of
+    * length M ≥ minSpan between docs i and j occupies M−minSpan+1
+    * consecutive window offsets on ONE DIAGONAL (off_i − off_j
+    * constant), so after the rank grouping the matches fall out of a
+    * per-(i, j, diagonal) run scan — no SA order, no LCP stack, and
+    * `match_len = run + minSpan − 1` is exact, with maximality
+    * guaranteed because the windows just off both ends differ.
+    *
+    * `maxGroup` caps the cross-doc pair explosion per rank group (a
+    * boilerplate window shared by thousands of docs would otherwise
+    * emit quadratic pairs — the same cap discipline as LSH buckets
+    * and the passage-dedup composition); groups past the cap are
+    * dropped, documented, and spec-exercised. Within-doc repeats are
+    * out of scope (cross-doc pairs only). */
+  def maximalMatches(spark: SparkSession, sfDir: String, minSpan: Int = 8,
+      maxGroup: Int = 1000, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val L = minSpan
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, L, partitions)
+    val pairs = keyed.groupBy(keyNames.map(col): _*)
+      .agg(collect_list(struct(col("doc_id"), col("off"))).as("ms"),
+        count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && size(col("ms")) <= maxGroup)
+      .select(explode(expr(
+        """flatten(transform(ms, a ->
+          |  transform(filter(ms, b -> a.doc_id < b.doc_id),
+          |    b -> struct(a.doc_id AS di, a.off AS oi,
+          |                b.doc_id AS dj, b.off AS oj))))""".stripMargin)).as("p"))
+      .select(col("p.di"), col("p.oi"), col("p.dj"), col("p.oj"))
+    pairs
+      .as[(Long, Int, Long, Int)]
+      .groupByKey { case (di, oi, dj, oj) => (di, dj, oi.toLong - oj) }
+      .flatMapSortedGroups(col("oi")) { case ((di, dj, _), it) =>
+        // maximal runs of consecutive window offsets on the diagonal
+        var startI = -1L; var startJ = -1L; var prev = Long.MinValue
+        val out = Seq.newBuilder[Match]
+        it.foreach { case (_, oi, _, oj) =>
+          if (startI < 0) { startI = oi; startJ = oj }
+          else if (oi != prev + 1) {
+            out += Match(di, dj, startI, startJ, prev - startI + L)
+            startI = oi; startJ = oj
+          }
+          prev = oi
+        }
+        if (startI >= 0) out += Match(di, dj, startI, startJ, prev - startI + L)
+        out.result().iterator
+      }.toDF()
+  }
+
   /** Positions keyed by their depth-exactly-L rank tuple (the shared
     * construction both flagging heads group on), plus the key column
     * names. Only suffixes ≥ L tokens long survive. */

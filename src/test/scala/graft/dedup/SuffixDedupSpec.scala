@@ -139,6 +139,55 @@ class SuffixDedupSpec extends SparkSpec {
       s"license block should merge into a long extent: ${got.map(s => s._3 - s._2).sorted.reverse.take(5).toSeq}")
   }
 
+  test("pair matches: exact partner/offsets/length; disjoint spans stay separate") {
+    import spark.implicits._
+    val shared = toks("s", 30)
+    val a12 = toks("a", 12)
+    val b9 = toks("b", 9)
+    val rows = Seq(
+      (1L, (toks("ua", 3) ++ shared ++ toks("ub", 6)).mkString(" ")),
+      (2L, (toks("va", 5) ++ shared ++ toks("vb", 4)).mkString(" ")),
+      // docs 10/11 share TWO disjoint spans -> two Match rows, not one
+      (10L, (a12 ++ toks("xa", 5) ++ b9).mkString(" ")),
+      (11L, (toks("ya", 3) ++ a12 ++ toks("yb", 2) ++ b9).mkString(" ")),
+      // within-doc repeat only: cross-doc pairs must stay silent
+      (4L, (toks("x", 8) ++ Seq("gap") ++ toks("x", 8)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_pairs"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SuffixDedup.maximalMatches(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (1L, 2L, 3L, 5L, 30L),
+      (10L, 11L, 0L, 3L, 12L),
+      (10L, 11L, 17L, 17L, 9L)))
+  }
+
+  test("pair matches: maxGroup cap drops boilerplate groups only") {
+    import spark.implicits._
+    // an 8-token block shared by FOUR docs (group size 4) next to a
+    // clean 2-doc span; maxGroup=3 must drop only the 4-doc group
+    val boiler = toks("b", 8)
+    val clean = toks("c", 10)
+    val rows = (20L to 23L).map { d =>
+      val c = ('a' + (d - 20)).toChar // letters only — digits tokenize away
+      (d, (Seq(s"q${c}a", s"q${c}b") ++ boiler).mkString(" "))
+    } ++ Seq(
+      (30L, (clean ++ Seq("za")).mkString(" ")),
+      (31L, (Seq("zb", "zc") ++ clean).mkString(" ")))
+    val dir = "/tmp/graft_suffix_cap"
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def matches(cap: Int) = SuffixDedup.maximalMatches(spark, dir, maxGroup = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(matches(1000) === Set((30L, 31L, 10L),
+      (20L, 21L, 8L), (20L, 22L, 8L), (20L, 23L, 8L),
+      (21L, 22L, 8L), (21L, 23L, 8L), (22L, 23L, 8L)))
+    assert(matches(3) === Set((30L, 31L, 10L)),
+      "the cap must drop the 4-doc boilerplate group and nothing else")
+  }
+
   test("corpus: SA extents equal an independent window-grouping derivation") {
     import spark.implicits._
     val got = spans(sf())
