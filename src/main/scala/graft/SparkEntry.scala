@@ -171,6 +171,10 @@ object SparkEntry {
     // the diagonal-run scan over rank groups
     "dedup_pair_matches" -> ((s, dir) =>
       graft.dedup.SuffixDedup.maximalMatches(s, dir, minSpan = 8)),
+    // detect ∘ excise: the training corpus with benchmark-overlapping
+    // extents cut out — the decontamination act itself
+    "text_excise" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.exciseBenchmarkSpans(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -777,6 +781,50 @@ object SparkEntry {
         |  CAST(min(oi) AS BIGINT) AS off_i, CAST(min(oj) AS BIGINT) AS off_j,
         |  CAST(max(oi) - min(oi) + 8 AS BIGINT) AS match_len
         |FROM isl GROUP BY di, dj, oi - oj, isle""".stripMargin,
+    // detect ∘ excise: extents from the text_decontam_spans chain,
+    // then token-level anti-join + ordered re-join; empty-after-cut
+    // and span-free docs kept via the documents left join
+    "text_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |hot AS (SELECT DISTINCT win FROM pos WHERE doc_id % 37 = 0),
+        |f AS (SELECT p.doc_id, p.off FROM pos p JOIN hot h ON p.win = h.win
+        |      WHERE p.doc_id % 37 <> 0),
+        |lagged AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev FROM f),
+        |isl AS (SELECT doc_id, off,
+        |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY off) AS isle FROM lagged),
+        |ext AS (SELECT doc_id, min(off) AS s, max(off) + 8 AS e
+        |        FROM isl GROUP BY doc_id, isle),
+        |tokpos AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(off := i - 1, tok := t[i]))) AS q
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.q.off AS off, tp.q.tok AS tok
+        |  FROM tokpos tp
+        |  WHERE tp.doc_id % 37 <> 0 AND NOT EXISTS (
+        |    SELECT 1 FROM ext e WHERE e.doc_id = tp.doc_id
+        |      AND tp.q.off >= e.s AND tp.q.off < e.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY off) AS clean_text,
+        |        count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(nt.n_toks - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d
+        |JOIN nt ON nt.doc_id = d.doc_id
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 37 <> 0""".stripMargin,
     // incremental probe: batch (doc_id % 10 = 0) positions flag iff
     // their window is in the indexed rest OR duplicated cross-doc
     // inside the batch — together the one-shot "shared with any other

@@ -131,6 +131,43 @@ object SuffixDedup {
       minSpan)
   }
 
+  /** EXCISION — the consumer of the span outputs: cut the given
+    * extents out of the documents at token level and re-join the
+    * survivors. `spans` is any (doc_id, span_start, span_end) frame
+    * ([[maximalSpans]], [[benchmarkSpans]], [[SpanIndex.probe]]);
+    * extents from those producers are disjoint per doc (merged
+    * islands), so `n_removed` is their total width. Map-only after a
+    * per-doc collect of the (tiny) span list; docs without spans pass
+    * through unchanged, tokenization is the engine-wide `[^a-z]+`
+    * fold so excision composes with every other text operator. */
+  def exciseSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val cuts = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"))
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        expr("""CASE WHEN cuts IS NULL THEN toks ELSE
+               |  filter(toks, (x, i) ->
+               |    NOT exists(cuts, c -> i >= c.span_start AND i < c.span_end))
+               |END""".stripMargin).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Gate surface (`text_excise`): the TRAINING corpus (non-benchmark
+    * docs) with every benchmark-overlapping extent cut out — detect
+    * ([[benchmarkSpans]]) composed with excise, the decontamination
+    * act itself. */
+  def exciseBenchmarkSpans(spark: SparkSession, sfDir: String,
+      minSpan: Int = 8, benchMod: Int = 37): DataFrame =
+    exciseSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % benchMod =!= 0),
+      benchmarkSpans(spark, sfDir, minSpan, benchMod))
+
   final case class Match(doc_i: Long, doc_j: Long, off_i: Long,
       off_j: Long, match_len: Long)
 

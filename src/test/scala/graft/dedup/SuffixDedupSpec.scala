@@ -188,6 +188,32 @@ class SuffixDedupSpec extends SparkSpec {
       "the cap must drop the 4-doc boilerplate group and nothing else")
   }
 
+  test("excision cuts exactly the flagged extents; untouched docs pass through") {
+    import spark.implicits._
+    val bench = toks("s", 20)
+    val rows = Seq(
+      (37L, (Seq("ba") ++ bench ++ Seq("bb")).mkString(" ")), // benchmark doc
+      (1L, (Seq("fa", "fb") ++ bench ++ Seq("fc", "fd")).mkString(" ")),
+      (2L, toks("u", 12).mkString(" ")) // no overlap — must pass through
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_excise"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SuffixDedup.exciseBenchmarkSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 2L), "benchmark docs are not emitted")
+    assert(got(1L) === (("fa fb fc fd", 20L)),
+      "exactly the benchmark passage removed, fillers rejoined")
+    assert(got(2L) === ((toks("u", 12).mkString(" "), 0L)))
+    // a fully-benchmark doc excises to the empty string, not a dropped row
+    val total = Seq(
+      (37L, bench.mkString(" ")),
+      (3L, bench.mkString(" "))).toDF("doc_id", "text")
+    total.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val all = SuffixDedup.exciseBenchmarkSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(all.toSeq === Seq((3L, "", 20L)))
+  }
+
   test("corpus: SA extents equal an independent window-grouping derivation") {
     import spark.implicits._
     val got = spans(sf())
