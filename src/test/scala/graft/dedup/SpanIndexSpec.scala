@@ -37,6 +37,34 @@ class SpanIndexSpec extends SparkSpec {
       === rows(SpanIndex.probe(spark, p2, batch)))
   }
 
+  test("streaming ingestion: foreachBatch append grows the index probe-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxDocs = docs().filter(col("doc_id") % 10 =!= 0)
+    val batch = docs().filter(col("doc_id") % 10 === 0)
+    val pStream = "/tmp/graft_spanidx_stream"
+    val pBatch = "/tmp/graft_spanidx_batchref"
+    // seed build on a backfill slice, stream the rest in micro-batches
+    SpanIndex.build(idxDocs.filter(col("doc_id") < 250), pStream)
+    val live = idxDocs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+        SpanIndex.append(ds, pStream); ()
+      }.start()
+    try {
+      live.grouped(100).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    SpanIndex.build(idxDocs, pBatch)
+    assert(rows(SpanIndex.probe(spark, pStream, batch))
+      === rows(SpanIndex.probe(spark, pBatch, batch)))
+  }
+
   test("crawl loop: unseen batch is silent, a re-crawled copy flags exactly") {
     import spark.implicits._
     def tok(tag: String, i: Int): String =

@@ -137,6 +137,14 @@ class SuffixDedupSpec extends SparkSpec {
     // well past the 50-token floor
     assert(got.exists(s => s._3 - s._2 >= 200L),
       s"license block should merge into a long extent: ${got.map(s => s._3 - s._2).sorted.reverse.take(5).toSeq}")
+    // the pair view agrees: every book pair shares a >=200-token match
+    // (the license), and match lengths never exceed the union extents
+    val matches = SuffixDedup.maximalMatches(spark, dir, minSpan = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+    val pairBest = matches.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    assert(pairBest.size === 28, s"all C(8,2) book pairs: ${pairBest.size}")
+    assert(pairBest.values.forall(_ >= 200L),
+      s"license match per pair: ${pairBest.values.toSeq.sorted.take(3)}")
   }
 
   test("pair matches: exact partner/offsets/length; disjoint spans stay separate") {
