@@ -175,6 +175,10 @@ object SparkEntry {
     // extents cut out — the decontamination act itself
     "text_excise" -> ((s, dir) =>
       graft.dedup.SuffixDedup.exciseBenchmarkSpans(s, dir)),
+    // the flagship pipeline with span decontamination up front —
+    // excise → scrub → quality → dedup → pack, one program, one oracle
+    "text_pipeline_decontam" -> ((s, dir) =>
+      graft.text.CorpusPipeline.prepareDecontaminated(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -825,6 +829,60 @@ object SparkEntry {
         |JOIN nt ON nt.doc_id = d.doc_id
         |LEFT JOIN agg a ON a.doc_id = d.doc_id
         |WHERE d.doc_id % 37 <> 0""".stripMargin,
+    // flagship composition: the text_excise chain feeding the packing
+    // chain. The scrub stage is a provable no-op on excised text
+    // (alpha tokens only — no URLs/emails/extra whitespace survive
+    // tokenization), so the oracle chains excision straight into the
+    // token-count/quality/dedup/pack CTEs of text_pipeline.
+    "text_pipeline_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |hot AS (SELECT DISTINCT win FROM pos WHERE doc_id % 37 = 0),
+        |f AS (SELECT p.doc_id, p.off FROM pos p JOIN hot h ON p.win = h.win
+        |      WHERE p.doc_id % 37 <> 0),
+        |lagged AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev FROM f),
+        |isl AS (SELECT doc_id, off,
+        |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY off) AS isle FROM lagged),
+        |ext AS (SELECT doc_id, min(off) AS s, max(off) + 8 AS e
+        |        FROM isl GROUP BY doc_id, isle),
+        |tokpos AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(off := i - 1, tok := t[i]))) AS q
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.q.off AS off, tp.q.tok AS tok
+        |  FROM tokpos tp
+        |  WHERE tp.doc_id % 37 <> 0 AND NOT EXISTS (
+        |    SELECT 1 FROM ext e WHERE e.doc_id = tp.doc_id
+        |      AND tp.q.off >= e.s AND tp.q.off < e.e)),
+        |exc AS (
+        |  SELECT d.doc_id, coalesce(a.ct, '') AS ct, coalesce(a.n_kept, 0) AS n_tokens
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+        |  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY off) AS ct,
+        |             count(*) AS n_kept FROM kept GROUP BY doc_id) a
+        |    ON a.doc_id = d.doc_id),
+        |q AS (SELECT * FROM exc WHERE n_tokens >= 5),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(ct)),
+        |k AS (SELECT q.doc_id, q.n_tokens FROM q JOIN dd ON q.doc_id = dd.doc_id),
+        |pk AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM k)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(pre // 512 AS BIGINT) AS pack_id
+        |FROM pk""".stripMargin,
     // incremental probe: batch (doc_id % 10 = 0) positions flag iff
     // their window is in the indexed rest OR duplicated cross-doc
     // inside the batch — together the one-shot "shared with any other

@@ -61,6 +61,23 @@ object CorpusPipeline {
       .select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"), col("pack_id"))
   }
 
+  /** The pipeline with SPAN-LEVEL DECONTAMINATION up front: benchmark-
+    * overlapping extents are EXCISED from the training split
+    * ([[graft.dedup.SuffixDedup.exciseBenchmarkSpans]]) before scrub /
+    * quality / dedup / packing run on the surviving text. Excision
+    * first is the principled order — a doc whose only difference from
+    * another is its benchmark quote collapses in the dedup stage, and
+    * the quality floor drops docs that were mostly benchmark text.
+    * Fully SQL-expressible, so the COMPOSITION carries its own hash
+    * oracle (the text_excise CTE chained into the packing CTEs). */
+  def prepareDecontaminated(spark: SparkSession, sfDir: String,
+      budget: Long = 512L, minTokens: Long = 5L, minSpan: Int = 8,
+      benchMod: Int = 37, partitions: Int = 32): DataFrame =
+    prepareDf(
+      graft.dedup.SuffixDedup.exciseBenchmarkSpans(spark, sfDir, minSpan, benchMod)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      budget, minTokens, partitions)
+
   /** [[prepare]] on any (doc_id, text) frame — the batch twin the
     * streaming pipeline (graft.streaming.StreamingCorpusPipeline) is
     * differential-tested against on every consumed prefix. */

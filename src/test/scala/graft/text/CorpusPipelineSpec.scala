@@ -35,6 +35,43 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontaminated pipeline: excision feeds the UNCHANGED standard stages") {
+    import spark.implicits._
+    // planted: doc 37 is benchmark; doc 1 quotes its 20-token passage
+    // after 6 unique filler tokens; doc 2 is clean
+    def tk(tag: String, n: Int) = (0 until n)
+      .map(i => s"$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val passage = tk("s", 20)
+    Seq(
+      (37L, (Seq("ba") ++ passage ++ Seq("bb")).mkString(" ")),
+      (1L, (tk("f", 6) ++ passage).mkString(" ")),
+      (2L, tk("g", 8).mkString(" "))
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet("/tmp/graft_pipe_decon/documents.parquet")
+    val out = CorpusPipeline.prepareDecontaminated(spark, "/tmp/graft_pipe_decon")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the quote is cut BEFORE counting: doc 1 keeps only its fillers
+    assert(out === Map(1L -> 6L, 2L -> 8L))
+    // the plain pipeline on the same dir keeps the quote (26 tokens)
+    val plain = CorpusPipeline.prepare(spark, "/tmp/graft_pipe_decon")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plain(1L) === 26L)
+    // composition differential on the corpus: the one-call pipeline
+    // equals excise-materialize-then-standard-pipeline — including the
+    // full scrub stage, proving scrub is a no-op on excised text
+    val exc = graft.dedup.SuffixDedup.exciseBenchmarkSpans(spark, sf())
+      .select(col("doc_id"), col("clean_text").as("text"))
+    exc.write.mode("overwrite")
+      .parquet("/tmp/graft_pipe_decon_corpus/documents.parquet")
+    val composed = CorpusPipeline.prepareDecontaminated(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val manual = CorpusPipeline.prepare(spark, "/tmp/graft_pipe_decon_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(composed === manual)
+    assert(composed.nonEmpty)
+    assert(composed.forall(_._1 % 37 != 0), "no benchmark docs in the output")
+  }
+
   test("token-id pipeline: same kept set, ids from the cleaned text, id-count packs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
