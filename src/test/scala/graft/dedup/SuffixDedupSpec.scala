@@ -222,6 +222,28 @@ class SuffixDedupSpec extends SparkSpec {
     assert(all.toSeq === Seq((3L, "", 20L)))
   }
 
+  test("degenerate inputs: all-short docs, empty text, punctuation-only") {
+    import spark.implicits._
+    // nothing here carries an 8-token window — every operator in the
+    // family must return empty, not throw (the broadcast initial rank,
+    // the quad loop and the final combine all see near-empty frames)
+    val rows = Seq(
+      (1L, "too short"),
+      (2L, ""),
+      (3L, "12345 !!! ??? ..."),
+      (37L, "also short")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_degenerate"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(spans(dir) === Set.empty)
+    assert(SuffixDedup.benchmarkSpans(spark, dir).collect().isEmpty)
+    assert(SuffixDedup.maximalMatches(spark, dir).collect().isEmpty)
+    // excision with no spans: docs pass through tokenized-rejoined
+    val exc = SuffixDedup.exciseBenchmarkSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(exc === Set((1L, "too short", 0L), (2L, "", 0L), (3L, "", 0L)))
+  }
+
   test("corpus: SA extents equal an independent window-grouping derivation") {
     import spark.implicits._
     val got = spans(sf())
