@@ -179,6 +179,10 @@ object SparkEntry {
     // excise → scrub → quality → dedup → pack, one program, one oracle
     "text_pipeline_decontam" -> ((s, dir) =>
       graft.text.CorpusPipeline.prepareDecontaminated(s, dir)),
+    // the eval-integrity report: per benchmark doc, how much of it
+    // appears verbatim in the training corpus
+    "text_leak_profile" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.benchmarkLeakProfile(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -829,6 +833,28 @@ object SparkEntry {
         |JOIN nt ON nt.doc_id = d.doc_id
         |LEFT JOIN agg a ON a.doc_id = d.doc_id
         |WHERE d.doc_id % 37 <> 0""".stripMargin,
+    // leak profile: benchmark-side window membership in the corpus
+    // window set, counted per benchmark doc
+    "text_leak_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS win
+        |  FROM toks WHERE len(t) >= 8),
+        |corpus AS (SELECT DISTINCT win FROM w WHERE doc_id % 37 <> 0),
+        |bench AS (SELECT doc_id, win FROM w WHERE doc_id % 37 = 0)
+        |SELECT b.doc_id,
+        |  count(*) AS n_windows,
+        |  CAST(coalesce(sum(CASE WHEN c.win IS NOT NULL THEN 1 END), 0)
+        |       AS BIGINT) AS n_leaked,
+        |  CAST(coalesce(sum(CASE WHEN c.win IS NOT NULL THEN 1 END), 0) * 100
+        |       >= count(*) * 10 AS INT) AS is_compromised
+        |FROM bench b LEFT JOIN corpus c ON b.win = c.win
+        |GROUP BY b.doc_id""".stripMargin,
     // flagship composition: the text_excise chain feeding the packing
     // chain. The scrub stage is a provable no-op on excised text
     // (alpha tokens only — no URLs/emails/extra whitespace survive

@@ -168,6 +168,32 @@ object SuffixDedup {
         .filter(col("doc_id") % benchMod =!= 0),
       benchmarkSpans(spark, sfDir, minSpan, benchMod))
 
+  /** LEAK PROFILE — [[benchmarkSpans]] from the evaluation side: for
+    * every benchmark document, how many of its minSpan-token windows
+    * appear verbatim anywhere in the training corpus, and whether the
+    * leak crosses `pctThreshold` percent — the eval-integrity report
+    * that says which benchmarks are still trustworthy against this
+    * corpus. Benchmark docs shorter than minSpan carry no windows and
+    * cannot leak at this granularity; they are absent (same rule as
+    * the window-level operators). Integer outputs, cross-multiplied
+    * flag — fully SQL-expressible. */
+  def benchmarkLeakProfile(spark: SparkSession, sfDir: String,
+      minSpan: Int = 8, benchMod: Int = 37,
+      pctThreshold: Int = 10): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions = 32)
+    val corpusKeys = keyed.filter(col("doc_id") % benchMod =!= 0)
+      .select(keyNames.map(col): _*).distinct()
+    val bench = keyed.filter(col("doc_id") % benchMod === 0)
+    val leaked = bench.join(corpusKeys, keyNames, "leftsemi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    bench.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("is_compromised",
+        (col("n_leaked") * 100 >= col("n_windows") * pctThreshold).cast("int"))
+  }
+
   final case class Match(doc_i: Long, doc_j: Long, off_i: Long,
       off_j: Long, match_len: Long)
 

@@ -222,6 +222,25 @@ class SuffixDedupSpec extends SparkSpec {
     assert(all.toSeq === Seq((3L, "", 20L)))
   }
 
+  test("leak profile: per-benchmark leaked-window counts, short docs absent") {
+    import spark.implicits._
+    val passage = toks("s", 20)
+    val rows = Seq(
+      // bench doc 37: 4 + 20 + 4 = 28 tokens -> 21 windows, of which
+      // the 13 fully inside the passage leak via corpus doc 1
+      (37L, (toks("ba", 4) ++ passage ++ toks("bb", 4)).mkString(" ")),
+      (74L, toks("w", 30).mkString(" ")), // clean bench doc: 23 windows, 0 leaked
+      (111L, "short bench doc"),          // < 8 tokens: absent
+      (1L, (toks("fa", 3) ++ passage).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_suffix_leak"
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SuffixDedup.benchmarkLeakProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Int]("is_compromised")))
+      .toSet
+    assert(got === Set((37L, 21L, 13L, 1), (74L, 23L, 0L, 0)))
+  }
+
   test("degenerate inputs: all-short docs, empty text, punctuation-only") {
     import spark.implicits._
     // nothing here carries an 8-token window — every operator in the
