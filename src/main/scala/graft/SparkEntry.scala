@@ -219,6 +219,9 @@ object SparkEntry {
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_decontam_bloom" -> ((s, dir) => graft.text.Cleaning.contaminationBloom(s, dir)),
     "text_entropy" -> ((s, dir) => graft.text.TextAnalysis.tokenEntropy(s, dir)),
+    // the "why was this doc kept/dropped" report: every hygiene
+    // verdict joined per doc + the combined keep bit
+    "text_filter_funnel" -> ((s, dir) => graft.text.TextAnalysis.filterFunnel(s, dir)),
     "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
     // trained quality classifier: learned float weights → not SQL-
     // expressible; rows-only gate, accuracy/agreement asserted in
@@ -1118,6 +1121,68 @@ object SparkEntry {
         |  CAST(coalesce(round((ln(h.n) - h.clogc / h.n) * 1000000), 0) AS BIGINT)
         |    AS entropy_micro
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    // funnel: the five component oracles' exact expressions joined on
+    // doc_id — each flag is the same bit its standalone gate checks
+    "text_filter_funnel" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |         BETWEEN 5 AND 10000
+        |     AND len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |             x -> x IN ('the','a','of','and','to','is','in'))) * 20
+        |         >= len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |     AS INT) AS q_ok
+        |  FROM documents),
+        |lc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('the','and','of','with'))) AS c_en,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('der','die','das','und'))) AS c_de,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('el','los','las','y'))) AS c_es,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |        x -> x IN ('le','les','et','une'))) AS c_fr
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    CAST(c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AS INT) AS lang_ok
+        |  FROM lc),
+        |rb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END AS bigrams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                      x -> x <> '') AS t
+        |        FROM documents)),
+        |r AS (SELECT doc_id,
+        |    CAST(NOT ((len(bigrams) - len(list_distinct(bigrams))) * 10
+        |              >= len(bigrams) AND len(bigrams) > 0) AS INT) AS rep_ok
+        |  FROM rb),
+        |etoks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                       x -> x <> '')) AS tok
+        |  FROM documents),
+        |ec AS (SELECT doc_id, tok, count(*) AS cnt FROM etoks GROUP BY doc_id, tok),
+        |eh AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * ln(cnt)) AS clogc
+        |       FROM ec GROUP BY doc_id),
+        |e AS (SELECT d.doc_id,
+        |    CAST(coalesce(round((ln(eh.n) - eh.clogc / eh.n) * 1000000), 0)
+        |         >= 2000000 AS INT) AS ent_ok
+        |  FROM documents d LEFT JOIN eh ON d.doc_id = eh.doc_id),
+        |k AS (SELECT doc_id,
+        |    CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+        |      AS is_keeper
+        |  FROM documents)
+        |SELECT q.doc_id, q.q_ok, l.lang_ok, r.rep_ok, e.ent_ok, k.is_keeper,
+        |  CAST(q.q_ok = 1 AND l.lang_ok = 1 AND r.rep_ok = 1 AND e.ent_ok = 1
+        |       AND k.is_keeper = 1 AS INT) AS keep
+        |FROM q JOIN l ON l.doc_id = q.doc_id
+        |JOIN r ON r.doc_id = q.doc_id
+        |JOIN e ON e.doc_id = q.doc_id
+        |JOIN k ON k.doc_id = q.doc_id""".stripMargin,
     "text_decontam" -> textDecontamSql,
     // Bloom prefilter + exact verify join: false positives die in the
     // join, so the output is exact BY CONSTRUCTION (fpp only tunes

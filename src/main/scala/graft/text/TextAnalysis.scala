@@ -201,4 +201,36 @@ object TextAnalysis {
           round((log(col("n_tokens")) - col("clogc") / col("n_tokens")) * 1e6),
           lit(0.0)).cast("long").as("entropy_micro"))
   }
+
+  /** FILTER FUNNEL — the "why was this document kept or dropped"
+    * report: every hygiene verdict joined into one per-doc frame
+    * (quality floor, language, repetition, token-entropy diversity,
+    * exact-dedup keeper) plus the combined `keep`. Composes the
+    * TESTED operators by doc_id joins rather than re-deriving their
+    * logic, so each column is provably the same bit the standalone
+    * gate checks; at scale the joins co-partition on doc_id after the
+    * first shuffle. The entropy floor (default 2.0 nats) is the
+    * degenerate-doc catch, not a quality bar — set it low. */
+  def filterFunnel(spark: SparkSession, sfDir: String,
+      entropyFloorMicro: Long = 2000000L): DataFrame = {
+    val q = quality(spark, sfDir)
+      .select(col("doc_id"), col("is_quality").as("q_ok"))
+    val l = langId(spark, sfDir)
+      .select(col("doc_id"), (col("lang_pred") === "en").cast("int").as("lang_ok"))
+    val r = repetition(spark, sfDir)
+      .select(col("doc_id"), (col("is_repetitive") === 0).cast("int").as("rep_ok"))
+    val e = tokenEntropy(spark, sfDir)
+      .select(col("doc_id"),
+        (col("entropy_micro") >= entropyFloorMicro).cast("int").as("ent_ok"))
+    val k = documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .select(col("doc_id"),
+        (col("doc_id") === col("keeper")).cast("int").as("is_keeper"))
+    q.join(l, "doc_id").join(r, "doc_id").join(e, "doc_id").join(k, "doc_id")
+      .withColumn("keep",
+        (col("q_ok") === 1 && col("lang_ok") === 1 && col("rep_ok") === 1 &&
+          col("ent_ok") === 1 && col("is_keeper") === 1).cast("int"))
+  }
 }

@@ -203,4 +203,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h(2L) === 0L)
     assert(h(3L) === 0L)
   }
+
+  test("filter funnel: every flag equals its standalone operator's bit") {
+    val funnel = TextAnalysis.filterFunnel(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(funnel.nonEmpty)
+    // component bits re-derived from the standalone (gate-checked) operators
+    val q = TextAnalysis.quality(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("is_quality")).toMap
+    val l = TextAnalysis.langId(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (if (r.getString(1) == "en") 1 else 0)).toMap
+    val rep = TextAnalysis.repetition(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (1 - r.getAs[Int]("is_repetitive"))).toMap
+    val e = TextAnalysis.tokenEntropy(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (if (r.getLong(2) >= 2000000L) 1 else 0)).toMap
+    // keeper bit re-derived (the corpus' planted dups are NEAR-dups,
+    // so on this fixture every doc is its own keeper — the derivation
+    // must agree either way)
+    val keeper = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val minPerH = keeper.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val k = keeper.map { case (d, h) => d -> (if (minPerH(h) == d) 1 else 0) }.toMap
+    funnel.foreach { case (d, (qf, lf, rf, ef, kf, keep)) =>
+      assert(qf === q(d), s"doc $d quality bit")
+      assert(lf === l(d), s"doc $d lang bit")
+      assert(rf === rep(d), s"doc $d repetition bit")
+      assert(ef === e(d), s"doc $d entropy bit")
+      assert(kf === k(d), s"doc $d keeper bit")
+      assert(keep === (qf min lf min rf min ef min kf), s"doc $d keep bit")
+    }
+    assert(funnel.values.exists(_._6 == 1), "nothing kept")
+    // and a planted exact duplicate DOES lose keeper status
+    import spark.implicits._
+    Seq((1L, "same text here okay"), (2L, "same text here okay"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet("/tmp/graft_funnel_dup/documents.parquet")
+    val dup = TextAnalysis.filterFunnel(spark, "/tmp/graft_funnel_dup")
+      .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(dup === Map(1L -> 1, 2L -> 0))
+  }
 }
