@@ -261,7 +261,7 @@ object SparkEntry {
   /** This run's config-history side dump (the gate runs at sf0.01) —
     * see ShardCtrler.sideDumpToken for why the path is run-scoped. */
   private def sideDumpGlob: String =
-    s"${ShardCtrler.sideDumpPath("sf0.01")}/*.parquet"
+    s"${ShardCtrler.sideDumpPath(ShardCtrler.lastDumpBase)}/*.parquet"
 
   private val profileSql: String =
     """WITH d AS (SELECT printf('%09d', doc_id) AS name, text FROM documents),

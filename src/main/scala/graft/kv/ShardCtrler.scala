@@ -115,6 +115,13 @@ object ShardCtrler {
   def sideDumpPath(base: String): String =
     s"/tmp/graft_oracle_side/config_history_${base}_$sideDumpToken"
 
+  /** The basename of the LAST corpus dir a side dump was written for —
+    * `SparkEntry.oracleSql` (a def, read by Verify AFTER the queries
+    * ran) binds the oracle glob to it, so the gate works at ANY sf
+    * rather than assuming the driver's sf0.01. Defaults to the
+    * driver's sf so the SQL is well-formed even if dumped first. */
+  @volatile var lastDumpBase: String = "sf0.01"
+
   /** The corpus's config history, MATERIALIZED to a run-scoped side
     * path so the DuckDB oracle can join it: the rebalance fold itself
     * is not SQL-expressible, but once its output is parquet,
@@ -127,6 +134,7 @@ object ShardCtrler {
   def historyWithSideDump(spark: SparkSession, sfDir: String): DataFrame = {
     val df = historyDf(spark, history(cmdsFromNation(spark, sfDir)))
     val base = new java.io.File(sfDir).getName
+    lastDumpBase = base
     pruneStaleDumps()
     df.coalesce(1).write.mode("overwrite").parquet(sideDumpPath(base))
     df
