@@ -41,4 +41,25 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("span-family plans never funnel through a single partition") {
+    // the other classic scale cliff: a window or sort with no
+    // PARTITION BY plans `Exchange SinglePartition` and serializes the
+    // whole input on one task. The span family was built specifically
+    // to avoid it (per-doc windows, range sorts, two-pass prefix
+    // scans) — pin that property for every query in the family. Other
+    // gates legitimately single-partition (global scalar aggregates),
+    // so the net is scoped, not fleet-wide.
+    val spanFamily = Seq("dedup_spans_exact", "dedup_spans_incremental",
+      "dedup_pair_matches", "text_decontam_spans", "text_excise",
+      "text_leak_profile", "text_pipeline_decontam")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    spanFamily.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      if (plan.contains("SinglePartition"))
+        failures += s"$name plans an Exchange SinglePartition"
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
