@@ -18,7 +18,9 @@ object SparkEntry {
     * → exact dedup → sequence packing) — the end-to-end shape this
     * engine exists for; oracle-checked as `text_pipeline`. */
   def entry(spark: SparkSession): DataFrame =
-    graft.text.CorpusPipeline.prepare(spark, "/root/testdata/sf0.001")
+    // flagship: the corpus-prep pipeline with span decontamination up
+    // front (excise → scrub → quality → dedup → pack, one program)
+    graft.text.CorpusPipeline.prepareDecontaminated(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
