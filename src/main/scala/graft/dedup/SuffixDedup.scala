@@ -23,35 +23,36 @@ import org.apache.spark.sql.functions._
   *   1. positions — one row per (doc, token offset); suffixes never
   *      cross document boundaries (generalized SA; a missing
   *      continuation ranks below every real rank, so no sentinels).
-  *   2. PREFIX DOUBLING: the standard SA rank construction — each
-  *      round re-ranks by (rank_d(i), rank_d(i + d)), where the
-  *      shifted rank is a per-document window `lead` (docs are
-  *      row-local; no join) and the re-rank is the distributed
-  *      dense-rank primitive below (range sort of 16-byte keys).
-  *      Depth stops at the largest power of two ≤ minSpan, then ONE
-  *      overlapping combine (rank_d(i), rank_d(i + minSpan − d))
-  *      reaches depth EXACTLY minSpan — the two windows overlap, so
-  *      pair equality ⇔ first-minSpan-token equality, the sparse-table
-  *      idiom.
-  *   3. FLAGGING collapses to a groupBy: for suffixes ≥ minSpan long,
-  *      equal depth-minSpan rank pairs ⇔ equal minSpan-token windows
-  *      (interior ranks never cross a document end for such suffixes,
-  *      so padding semantics never leak in). A rank-pair group holding
-  *      ≥ 2 distinct docs flags every member position. The full SA
-  *      ORDER — and the adjacent-LCP run scan it would enable — is
-  *      deliberately NOT built: it adds a global rank, a slice join
-  *      and a prefix scan but nothing to this output, whose semantics
-  *      are position-level, not pair-level.
-  *   4. EXTENTS — per doc, merge flagged [off, off+minSpan) intervals
+  *   2. PREFIX QUADRUPLING: the SA rank construction at stride ×4 —
+  *      each round re-ranks by the 4-tuple (rank_d(i), rank_d(i+d),
+  *      rank_d(i+2d), rank_d(i+3d)), where the shifted ranks are
+  *      per-document window `lead`s (docs are row-local; no join)
+  *      and the re-rank is the distributed dense-rank primitive
+  *      below (one range sort of the 32-byte tuple). Depth stops at
+  *      the largest reachable depth ≤ minSpan.
+  *   3. FINAL COMBINE to depth EXACTLY minSpan: the flagging key is
+  *      the multi-offset rank tuple at strides of `depth` plus
+  *      (minSpan − depth), whose windows tile [0, minSpan) with
+  *      overlap — component-wise equality ⇔ first-minSpan-token
+  *      equality, the sparse-table idiom.
+  *   4. FLAGGING collapses to a groupBy on that tuple: for suffixes
+  *      ≥ minSpan long every referenced window stays inside the
+  *      document (padding semantics never leak in), and a group
+  *      holding ≥ 2 distinct docs flags every member position. The
+  *      full SA ORDER — and the adjacent-LCP run scan it would
+  *      enable — is deliberately NOT built: it adds a global rank, a
+  *      slice join and a prefix scan but nothing to this output,
+  *      whose semantics are position-level, not pair-level.
+  *   5. EXTENTS — per doc, merge flagged [off, off+minSpan) intervals
   *      into maximal spans (sorted-group scan, O(1) state).
   *
-  * Scale posture: ceil(log2 minSpan) rounds, each one per-doc narrow
-  * window pass + one range sort of 16-BYTE RANK KEYS — at minSpan=50
-  * the group-by-window-string formulation (which the DuckDB oracle
-  * runs, and SuffixDedupSpec proves equal) would shuffle ~300-byte
-  * string keys instead; the rank construction is what survives 100 TB.
-  * No stage is keyed on fewer than n distinct values; no driver state
-  * beyond numPartitions longs per round.
+  * Scale posture: ceil(log4 minSpan) rounds, each one per-doc narrow
+  * window pass + one range sort of ≤32-BYTE RANK TUPLES — at
+  * minSpan=50 the group-by-window-string formulation (which the
+  * DuckDB oracle runs, and SuffixDedupSpec proves equal) would
+  * shuffle ~300-byte string keys instead; the rank construction is
+  * what survives 100 TB. No stage is keyed on fewer than n distinct
+  * values; no driver state beyond numPartitions longs per round.
   */
 object SuffixDedup {
 
@@ -162,11 +163,12 @@ object SuffixDedup {
     * ([[benchmarkSpans]]) composed with excise, the decontamination
     * act itself. */
   def exciseBenchmarkSpans(spark: SparkSession, sfDir: String,
-      minSpan: Int = 8, benchMod: Int = 37): DataFrame =
+      minSpan: Int = 8, benchMod: Int = 37,
+      partitions: Int = 32): DataFrame =
     exciseSpans(
       spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") % benchMod =!= 0),
-      benchmarkSpans(spark, sfDir, minSpan, benchMod))
+      benchmarkSpans(spark, sfDir, minSpan, benchMod, partitions))
 
   /** LEAK PROFILE — [[benchmarkSpans]] from the evaluation side: for
     * every benchmark document, how many of its minSpan-token windows
@@ -178,9 +180,9 @@ object SuffixDedup {
     * the window-level operators). Integer outputs, cross-multiplied
     * flag — fully SQL-expressible. */
   def benchmarkLeakProfile(spark: SparkSession, sfDir: String,
-      minSpan: Int = 8, benchMod: Int = 37,
-      pctThreshold: Int = 10): DataFrame = {
-    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions = 32)
+      minSpan: Int = 8, benchMod: Int = 37, pctThreshold: Int = 10,
+      partitions: Int = 32): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions)
     val corpusKeys = keyed.filter(col("doc_id") % benchMod =!= 0)
       .select(keyNames.map(col): _*).distinct()
     val bench = keyed.filter(col("doc_id") % benchMod === 0)
@@ -218,10 +220,18 @@ object SuffixDedup {
     import spark.implicits._
     val L = minSpan
     val (keyed, keyNames) = rankKeyed(spark, sfDir, L, partitions)
-    val pairs = keyed.groupBy(keyNames.map(col): _*)
-      .agg(collect_list(struct(col("doc_id"), col("off"))).as("ms"),
-        count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2 && size(col("ms")) <= maxGroup)
+    // cap BEFORE materializing: a counts-only pass (map-side
+    // combinable, constant state) selects the surviving groups, so the
+    // collect_list buffer below is bounded by maxGroup — collecting
+    // first and capping after would buffer a boilerplate group's every
+    // position on one executor
+    val surviving = keyed.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("n") <= maxGroup)
+      .select(keyNames.map(col): _*)
+    val pairs = keyed.join(surviving, keyNames)
+      .groupBy(keyNames.map(col): _*)
+      .agg(collect_list(struct(col("doc_id"), col("off"))).as("ms"))
       .select(explode(expr(
         """flatten(transform(ms, a ->
           |  transform(filter(ms, b -> a.doc_id < b.doc_id),
@@ -261,12 +271,16 @@ object SuffixDedup {
     // one row per suffix; short suffixes can never flag (eligibility
     // below) but still serve as rank PROVIDERS for the doubling —
     // interior lookups of an eligible suffix stay inside its document
+    // three consumers (vocab size, vocab collect, round-0 rank) —
+    // materialize the tokenize+explode once instead of re-running the
+    // regex split per job
     val tokened = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
         expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dlen"),
         posexplode(col("toks")).as(Seq("off", "tok")))
       .select(col("doc_id"), col("dlen"), col("off"), col("tok"))
+      .localCheckpoint()
     // initial token rank: a vocabulary small enough to broadcast makes
     // round 0 a map-only pass (natural-language type counts fit ~1M
     // comfortably); otherwise the generic distributed rank

@@ -233,10 +233,10 @@ object ShardMigration {
         (Seq.empty, regs)
       }
     } else {
-      val regs = Hll.empty
+      var regs = Hll.empty
       def fold(e: Seq[String], r: Array[Byte]): Unit =
         if (r == null) e.foreach(k => Hll.add(regs, Hll.hashString(k)))
-        else { var i = 0; while (i < Hll.M) { if (r(i) > regs(i)) regs(i) = r(i); i += 1 } }
+        else regs = Hll.merge(regs, r) // the audited union rule, not a copy
       fold(aExact, aRegs); fold(bExact, bRegs)
       (Seq.empty, regs)
     }
