@@ -25,7 +25,7 @@ object Dedup {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   /** Ordered lower-case alpha tokens (order preserved for shingling). */
-  private val toksExpr = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+  private val toksExpr = graft.text.Tok.alphaToks
 
   /** Distinct word-`n`-gram shingles from a materialized `toks` ARRAY
     * COLUMN (shared by the dedup family and Cleaning.contamination).

@@ -107,28 +107,6 @@ object LshIndex {
 
   // ── gate surface ───────────────────────────────────────────────────
 
-  private val sessionPaths = scala.collection.mutable.Set.empty[String]
-  private lazy val cleanupHookInstalled: Boolean = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sessionPaths.synchronized(sessionPaths.toSeq).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(p))
-      }))
-    true
-  }
-
-  private def sessionPath(spark: SparkSession, sfDir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val p = s"/tmp/graft_lsh_${tag}_${spark.sparkContext.applicationId}"
-    require(cleanupHookInstalled)
-    sessionPaths.synchronized { sessionPaths += p }
-    p
-  }
-
   /** Gate: documents with doc_id % 10 == 0 are "today's crawl batch";
     * the rest were indexed in a previous run (built once per session,
     * reused across gate invocations — the build-once contract). Output
@@ -138,16 +116,10 @@ object LshIndex {
     * argument. */
   def dedupIncremental(spark: SparkSession, sfDir: String,
       tau: Double = 0.5): DataFrame = {
-    val path = sessionPath(spark, sfDir)
+    val path = graft.core.SessionScratch.path(spark, sfDir, "graft_lsh")
     val all = Dedup.docShingles(spark, sfDir)
-    // existence via Hadoop FS (the parquet write goes through Spark's
-    // default filesystem, which need not be the driver's local disk),
-    // and build-once synchronized against concurrent gate invocations
-    sessionPaths.synchronized {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
-        build(all.filter(col("doc_id") % 10 =!= 0), path)
+    graft.core.SessionScratch.buildOnce(spark, path) {
+      build(all.filter(col("doc_id") % 10 =!= 0), path)
     }
     probe(spark, sfDir, path, all.filter(col("doc_id") % 10 === 0), tau)
   }

@@ -40,7 +40,7 @@ object SpanIndex {
   private def windows(docs: DataFrame, minSpan: Int): DataFrame =
     docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+        expr(graft.text.Tok.alphaToks).as("toks"))
       .select(col("doc_id"),
         posexplode(expr(
           s"""CASE WHEN size(toks) >= $minSpan THEN
@@ -79,40 +79,15 @@ object SpanIndex {
 
   // ── gate surface ───────────────────────────────────────────────────
 
-  private val sessionPaths = scala.collection.mutable.Set.empty[String]
-  private lazy val cleanupHookInstalled: Boolean = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sessionPaths.synchronized(sessionPaths.toSeq).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(p))
-      }))
-    true
-  }
-
-  private def sessionPath(spark: SparkSession, sfDir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val p = s"/tmp/graft_spanidx_${tag}_${spark.sparkContext.applicationId}"
-    require(cleanupHookInstalled)
-    sessionPaths.synchronized { sessionPaths += p }
-    p
-  }
-
   /** Gate: docs with doc_id % 10 == 0 are "today's crawl batch", the
     * rest were span-indexed in a previous run (built once per session
     * — build once, probe many). Same split as `dedup_incremental`. */
   def dedupIncrementalSpans(spark: SparkSession, sfDir: String,
       minSpan: Int = 8): DataFrame = {
-    val path = sessionPath(spark, sfDir)
+    val path = graft.core.SessionScratch.path(spark, sfDir, "graft_spanidx")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    sessionPaths.synchronized {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
-        build(docs.filter(col("doc_id") % 10 =!= 0), path, minSpan)
+    graft.core.SessionScratch.buildOnce(spark, path) {
+      build(docs.filter(col("doc_id") % 10 =!= 0), path, minSpan)
     }
     probe(spark, path, docs.filter(col("doc_id") % 10 === 0), minSpan)
   }

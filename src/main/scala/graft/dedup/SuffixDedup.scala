@@ -146,7 +146,7 @@ object SuffixDedup {
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"))
     docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+        expr(graft.text.Tok.alphaToks).as("toks"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         expr("""CASE WHEN cuts IS NULL THEN toks ELSE
@@ -276,7 +276,7 @@ object SuffixDedup {
     // regex split per job
     val tokened = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+        expr(graft.text.Tok.alphaToks).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dlen"),
         posexplode(col("toks")).as(Seq("off", "tok")))
       .select(col("doc_id"), col("dlen"), col("off"), col("tok"))

@@ -196,33 +196,10 @@ object IvfIndex {
   /** Session-scoped index path: keyed by corpus dir + application id,
     * SHARED by the fixed and adaptive probers so the second gate query
     * in a session reuses the first's build (build once, probe many —
-    * the index lifecycle). Fresh sessions get fresh paths, so
-    * concurrent runs never clobber each other mid-read. The tag is an
-    * md5 of the FULL corpus path (a 32-bit hashCode could collide two
-    * corpus dirs within one session and silently reuse the wrong
-    * index), and every path registers for shutdown-hook deletion so
-    * repeated sessions don't accumulate corpus-sized /tmp garbage. */
-  private val sessionPaths = scala.collection.mutable.Set.empty[String]
-  private lazy val cleanupHookInstalled: Boolean = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sessionPaths.synchronized(sessionPaths.toSeq).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(p))
-      }))
-    true
-  }
-
-  private def sessionPath(spark: SparkSession, sfDir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val p = s"/tmp/graft_ivfpq_${tag}_${spark.sparkContext.applicationId}"
-    require(cleanupHookInstalled)
-    sessionPaths.synchronized { sessionPaths += p }
-    p
-  }
+    * the index lifecycle); registration/cleanup via the engine-wide
+    * [[graft.core.SessionScratch]]. */
+  private def sessionPath(spark: SparkSession, sfDir: String): String =
+    graft.core.SessionScratch.path(spark, sfDir, "graft_ivfpq")
 
   private def gateQueries(spark: SparkSession, sfDir: String,
       numQueries: Int): Array[Vec] = {

@@ -77,7 +77,11 @@ object ShardServe {
 
   /** Streaming machine: unaffected shards emit in the batch their ops
     * arrive; a transferring shard's buffered ops emit in the batch its
-    * catch-up op arrives. */
+    * catch-up op arrives. An unbounded stream has no end-of-log, so
+    * ops inside a hold window the stream never advances past stay
+    * buffered — only the BATCH twins flush at the hold boundary when
+    * the log ends (ShardServeSpec's differential appends per-shard
+    * sentinels to force both modes through the same final flush). */
   def serve(ops: Dataset[ShardOp], holdSeqs: Long = 50L): Dataset[Applied] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.shard)
@@ -147,7 +151,11 @@ object ShardServe {
         val changes = Seq.newBuilder[Long]
         it.foreach { r =>
           if (first) { firstSeq = r.seq; firstGid = r.gid; first = false }
-          else if (r.gid != prevGid) changes += r.seq
+          // prevGid != -1: the walker treats -1 as "unassigned" and
+          // opens no window when leaving it (its gid != -1L guard);
+          // the raw comparison must suppress the same transitions or
+          // the twins diverge on logs carrying literal -1 gids
+          else if (r.gid != prevGid && prevGid != -1L) changes += r.seq
           prevGid = r.gid
         }
         Iterator.single((shard, range, firstSeq, firstGid, prevGid, changes.result()))

@@ -25,7 +25,7 @@ object Bpe {
   def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(expr(
-        "filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("w"))
+        Tok.alphaToks)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** Initial symbolization: characters plus a terminal '</w>' marker
@@ -88,7 +88,7 @@ object Bpe {
     val bc = spark.sparkContext.broadcast(merges)
     docs
       .select(col("doc_id"), expr(
-        "filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("ws"))
+        Tok.alphaToks).as("ws"))
       .as[(Long, Seq[String])]
       .map { case (id, ws) =>
         var n = 0L
@@ -132,7 +132,7 @@ object Bpe {
     val bc = spark.sparkContext.broadcast((merges, toId))
     docs
       .select(col("doc_id"), expr(
-        "filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("ws"))
+        Tok.alphaToks).as("ws"))
       .as[(Long, Seq[String])]
       .map { case (id, ws) =>
         val (ms, ids) = bc.value

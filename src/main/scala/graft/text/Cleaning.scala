@@ -136,7 +136,7 @@ object Cleaning {
     import spark.implicits._
     val docSh = documents(spark, sfDir)
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+        expr(Tok.alphaToks).as("toks"))
       .select(col("doc_id"), expr(graft.dedup.Dedup.shinglesFromToks(n)).as("sh"))
       .localCheckpoint() // bench + corpus sides both read it
     val bench = docSh.filter(col("doc_id") % benchMod === 0)
@@ -182,7 +182,7 @@ object Cleaning {
       benchMod: Int = 37, pctThreshold: Int = 10): DataFrame = {
     val sh = documents(spark, sfDir)
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+        expr(Tok.alphaToks).as("toks"))
       .select(col("doc_id"), expr(graft.dedup.Dedup.shinglesFromToks(n)).as("sh"))
       // explode_OUTER and NO null-filter: the null row keeps short docs
       // in the aggregation (count(s) skips it), and a plain explode

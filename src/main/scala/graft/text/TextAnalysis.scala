@@ -71,7 +71,7 @@ object TextAnalysis {
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("toks"))
+        expr(Tok.alphaToks).as("toks"))
       .select(col("doc_id"),
         expr("""CASE WHEN size(toks) >= 2 THEN
                 |  transform(sequence(0, size(toks) - 2),
@@ -98,7 +98,7 @@ object TextAnalysis {
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("tok"))
+        explode(expr(Tok.alphaToks)).as("tok"))
       // three consumers (total count, frequency table, scoring join):
       // materialize the tokenize+explode once
       .localCheckpoint()
@@ -126,7 +126,7 @@ object TextAnalysis {
     val docs = documents(spark, sfDir)
     val n = lit(docs.count().toDouble)
     val toks = docs.select(col("doc_id"),
-      explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("term"))
+      explode(expr(Tok.alphaToks)).as("term"))
     // tf and df each re-run the explode — measured CHEAPER than
     // materializing the full postings for only two consumers (unlike
     // lmScore's three): checkpoint write+read ≈ the recompute here
@@ -157,7 +157,7 @@ object TextAnalysis {
   def classify(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("t"))
+        explode(expr(Tok.alphaToks)).as("t"))
     val weights = toks.select(col("t")).distinct()
       .withColumn("wt",
         expr("aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), 0, (a, x) -> a + x) % 21 - 10")
@@ -189,7 +189,7 @@ object TextAnalysis {
   def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = documents(spark, sfDir)
       .select(col("doc_id"),
-        explode_outer(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')")).as("tok"))
+        explode_outer(expr(Tok.alphaToks)).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(col("tok")).as("cnt"))
     counts.groupBy(col("doc_id"))

@@ -92,6 +92,20 @@ class ShardServeSpec extends SparkSpec {
       Applied(1, 3L, 1, 53L), Applied(1, 20L, 1, 53L),
       Applied(1, 53L, 1, 103L), Applied(1, 60L, 1, 103L),
       Applied(2, 7L, 0, 7L)))
+    // literal gid -1 in the input ("unassigned"): the walker opens no
+    // window when LEAVING it — the segmented raw-change scan must
+    // suppress the same transitions (incl. mid-log, across a range
+    // boundary) or the twins diverge
+    val unassigned = Seq(
+      ShardOp(5, 1L, "a", -1L), ShardOp(5, 2L, "a", 7L), // -1 -> 7: no window
+      ShardOp(5, 30L, "b", -1L),                         // 7 -> -1: window opens
+      ShardOp(5, 40L, "c", -1L), ShardOp(5, 95L, "d", 9L)
+    ).toDS()
+    val w2 = ShardServe.serveBatch(unassigned).collect().toSet
+    assert(ShardServe.serveBatchSegmented(unassigned, ranges = 4).collect().toSet
+      === w2, "gid -1 handling must match the walker")
+    assert(w2.contains(Applied(5, 2L, 0, 2L)), "leaving -1 opens no window")
+    assert(w2.contains(Applied(5, 30L, 1, 95L)), "entering -1 defers")
   }
 
   test("streaming equals batch on corpus ops (sentinels force final flush)") {
