@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *   2. PREFIX QUADRUPLING: the SA rank construction at stride ×4 —
   *      each round re-ranks by the 4-tuple (rank_d(i), rank_d(i+d),
   *      rank_d(i+2d), rank_d(i+3d)), where the shifted ranks are
-  *      per-document window `lead`s (docs are row-local; no join)
-  *      and the re-rank is the distributed dense-rank primitive
-  *      below (one range sort of the 32-byte tuple). Depth stops at
-  *      the largest reachable depth ≤ minSpan.
+  *      CHUNKED window `lead`s ([[chunkedLeads]] — (doc, offset-chunk)
+  *      partitions with a ≤3·depth carry overlap, so no document ever
+  *      serializes a round into one task) and the re-rank is the
+  *      distributed dense-rank primitive below (one range sort of the
+  *      32-byte tuple). Depth stops at the largest reachable ≤ minSpan.
   *   3. FINAL COMBINE to depth EXACTLY minSpan: the flagging key is
   *      the multi-offset rank tuple at strides of `depth` plus
   *      (minSpan − depth), whose windows tile [0, minSpan) with
@@ -46,15 +47,52 @@ import org.apache.spark.sql.functions._
   *   5. EXTENTS — per doc, merge flagged [off, off+minSpan) intervals
   *      into maximal spans (sorted-group scan, O(1) state).
   *
-  * Scale posture: ceil(log4 minSpan) rounds, each one per-doc narrow
-  * window pass + one range sort of ≤32-BYTE RANK TUPLES — at
-  * minSpan=50 the group-by-window-string formulation (which the
-  * DuckDB oracle runs, and SuffixDedupSpec proves equal) would
-  * shuffle ~300-byte string keys instead; the rank construction is
-  * what survives 100 TB. No stage is keyed on fewer than n distinct
-  * values; no driver state beyond numPartitions longs per round.
+  * Scale posture: ceil(log4 minSpan) rounds, each one CHUNKED lead
+  * pass + one range sort of ≤32-BYTE RANK TUPLES — at minSpan=50 the
+  * group-by-window-string formulation (which the DuckDB oracle runs,
+  * and SuffixDedupSpec proves equal) would shuffle ~300-byte string
+  * keys instead; the rank construction is what survives 100 TB. No
+  * stage is keyed on fewer than n distinct values; no driver state
+  * beyond numPartitions longs per round. The lead passes partition by
+  * (doc, offset-chunk), NOT by doc ([[chunkedLeads]]): a single giant
+  * document (an undelimited crawl blob) spreads over dlen/[[LeadChunk]]
+  * tasks per round instead of serializing into one — the same
+  * segmented-fold discipline as
+  * [[graft.streaming.ShardMigration.migrationsBatchSegmented]].
   */
 object SuffixDedup {
+
+  /** Default chunk width (tokens) for the chunked lead passes — wide
+    * enough that the ≤ minSpan-row overlap copied per boundary is
+    * noise (<1% at minSpan=50), narrow enough that a book-sized doc
+    * already splits into several tasks. */
+  val LeadChunk: Int = 1 << 13
+
+  /** The 3 window `lead`s of the quadrupling rounds — and the final
+    * combine's multi-offset leads — computed WITHOUT a per-document
+    * window: rows are exploded into their home offset-chunk plus (for
+    * the first `maxLead` offsets of a chunk) a carry copy into the
+    * PREVIOUS chunk, a (doc, chunk) window computes the leads, and
+    * carries are dropped. Offsets are dense per doc, so every native
+    * row sees its true off+d successor (or the doc end → −1, the same
+    * sentinel as the per-doc window). Parallelism is #docs × chunks
+    * per doc, task size ≤ chunk + maxLead — a giant doc no longer
+    * serializes a round into one straggler task. */
+  private[dedup] def chunkedLeads(df: DataFrame, value: String,
+      dists: Seq[Int], names: Seq[String], chunk: Int): DataFrame = {
+    require(dists.nonEmpty && dists.forall(_ > 0) && dists.length == names.length)
+    val maxLead = dists.max
+    require(chunk > maxLead, s"chunk width $chunk must exceed max lead $maxLead")
+    val home = expr(s"CAST(floor(off / $chunk) AS BIGINT)")
+    val spread = df.withColumn("_chunk", explode(
+      when(col("off") % chunk < maxLead && col("off") >= chunk,
+        array(home, home - 1)).otherwise(array(home))))
+    val w = Window.partitionBy(col("doc_id"), col("_chunk")).orderBy(col("off"))
+    val withLeads = dists.zip(names).foldLeft(spread) { case (acc, (d, n)) =>
+      acc.withColumn(n, coalesce(lead(col(value), d).over(w), lit(-1L)))
+    }
+    withLeads.filter(col("_chunk") === home).drop("_chunk")
+  }
 
   final case class Span(doc_id: Long, span_start: Long, span_end: Long)
 
@@ -103,8 +141,8 @@ object SuffixDedup {
   /** Maximal cross-document duplicated extents at the `minSpan`-token
     * threshold (see object scaladoc). */
   def maximalSpans(spark: SparkSession, sfDir: String, minSpan: Int = 8,
-      partitions: Int = 32): DataFrame = {
-    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions)
+      partitions: Int = 32, chunk: Int = LeadChunk): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions, chunk)
     val dup = keyed.groupBy(keyNames.map(col): _*)
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -123,8 +161,9 @@ object SuffixDedup {
     * flag here (that is [[maximalSpans]]'s job); benchmark docs are
     * never emitted. */
   def benchmarkSpans(spark: SparkSession, sfDir: String, minSpan: Int = 8,
-      benchMod: Int = 37, partitions: Int = 32): DataFrame = {
-    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions)
+      benchMod: Int = 37, partitions: Int = 32,
+      chunk: Int = LeadChunk): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions, chunk)
     val hot = keyed.filter(col("doc_id") % benchMod === 0)
       .select(keyNames.map(col): _*).distinct()
     mergeExtents(
@@ -163,12 +202,12 @@ object SuffixDedup {
     * ([[benchmarkSpans]]) composed with excise, the decontamination
     * act itself. */
   def exciseBenchmarkSpans(spark: SparkSession, sfDir: String,
-      minSpan: Int = 8, benchMod: Int = 37,
-      partitions: Int = 32): DataFrame =
+      minSpan: Int = 8, benchMod: Int = 37, partitions: Int = 32,
+      chunk: Int = LeadChunk): DataFrame =
     exciseSpans(
       spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(col("doc_id") % benchMod =!= 0),
-      benchmarkSpans(spark, sfDir, minSpan, benchMod, partitions))
+      benchmarkSpans(spark, sfDir, minSpan, benchMod, partitions, chunk))
 
   /** LEAK PROFILE — [[benchmarkSpans]] from the evaluation side: for
     * every benchmark document, how many of its minSpan-token windows
@@ -181,8 +220,8 @@ object SuffixDedup {
     * flag — fully SQL-expressible. */
   def benchmarkLeakProfile(spark: SparkSession, sfDir: String,
       minSpan: Int = 8, benchMod: Int = 37, pctThreshold: Int = 10,
-      partitions: Int = 32): DataFrame = {
-    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions)
+      partitions: Int = 32, chunk: Int = LeadChunk): DataFrame = {
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, minSpan, partitions, chunk)
     val corpusKeys = keyed.filter(col("doc_id") % benchMod =!= 0)
       .select(keyNames.map(col): _*).distinct()
     val bench = keyed.filter(col("doc_id") % benchMod === 0)
@@ -216,10 +255,11 @@ object SuffixDedup {
     * dropped, documented, and spec-exercised. Within-doc repeats are
     * out of scope (cross-doc pairs only). */
   def maximalMatches(spark: SparkSession, sfDir: String, minSpan: Int = 8,
-      maxGroup: Int = 1000, partitions: Int = 32): DataFrame = {
+      maxGroup: Int = 1000, partitions: Int = 32,
+      chunk: Int = LeadChunk): DataFrame = {
     import spark.implicits._
     val L = minSpan
-    val (keyed, keyNames) = rankKeyed(spark, sfDir, L, partitions)
+    val (keyed, keyNames) = rankKeyed(spark, sfDir, L, partitions, chunk)
     // cap BEFORE materializing: a counts-only pass (map-side
     // combinable, constant state) selects the surviving groups, so the
     // collect_list buffer below is bounded by maxGroup — collecting
@@ -262,11 +302,11 @@ object SuffixDedup {
     * construction both flagging heads group on), plus the key column
     * names. Only suffixes ≥ L tokens long survive. */
   private def rankKeyed(spark: SparkSession, sfDir: String, minSpan: Int,
-      partitions: Int): (DataFrame, Seq[String]) = {
+      partitions: Int, chunk: Int): (DataFrame, Seq[String]) = {
     import spark.implicits._
     val L = minSpan
     require(L >= 2, "minSpan must be at least 2")
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    require(chunk > L, s"lead chunk width $chunk must exceed minSpan $L")
 
     // one row per suffix; short suffixes can never flag (eligibility
     // below) but still serve as rank PROVIDERS for the doubling —
@@ -297,19 +337,14 @@ object SuffixDedup {
       } else rankByKey(tokened, Seq(col("tok")), partitions).drop("tok")
 
     // prefix QUADRUPLING: each round re-ranks by the 4-tuple of ranks
-    // at strides 0,d,2d,3d — three leads in ONE per-doc window pass,
+    // at strides 0,d,2d,3d — three leads in ONE chunked lead pass,
     // one 32-byte range sort, depth ×4 (halves the round count of
     // classic doubling; same induction, windows still tile exactly)
     var depth = 1
     while (depth * 4 < L) {
       positions = rankByKey(
-        positions
-          .withColumn("_r2",
-            coalesce(lead(col("rank"), depth).over(byDoc), lit(-1L)))
-          .withColumn("_r3",
-            coalesce(lead(col("rank"), 2 * depth).over(byDoc), lit(-1L)))
-          .withColumn("_r4",
-            coalesce(lead(col("rank"), 3 * depth).over(byDoc), lit(-1L)))
+        chunkedLeads(positions, "rank",
+          Seq(depth, 2 * depth, 3 * depth), Seq("_r2", "_r3", "_r4"), chunk)
           .withColumnRenamed("rank", "_r1"),
         Seq(col("_r1"), col("_r2"), col("_r3"), col("_r4")), partitions)
         .drop("_r1", "_r2", "_r3", "_r4")
@@ -322,12 +357,14 @@ object SuffixDedup {
     // last window ends flush at L (overlap is fine — equality of every
     // component ⇔ equality of the first L tokens, sparse-table style).
     val offs = ((0 until (L - depth) by depth) :+ (L - depth)).distinct
+    val leadOffs = offs.filter(_ > 0)
+    val withLeads = chunkedLeads(positions, "rank",
+      leadOffs, leadOffs.map(o => s"_ko$o"), chunk)
     val keyCols = offs.zipWithIndex.map { case (o, i) =>
-      (if (o == 0) col("rank")
-       else coalesce(lead(col("rank"), o).over(byDoc), lit(-1L))).as(s"_k$i")
+      (if (o == 0) col("rank") else col(s"_ko$o")).as(s"_k$i")
     }
     val keyNames = offs.indices.map(i => s"_k$i")
-    val keyed = positions
+    val keyed = withLeads
       .select((col("doc_id") +: col("dlen") +: col("off") +: keyCols): _*)
       .filter(col("dlen") - col("off") >= L) // suffix long enough to span
       .drop("dlen")

@@ -299,4 +299,96 @@ class SuffixDedupSpec extends SparkSpec {
       }.toSet
     assert(got === expected)
   }
+
+  test("chunked leads equal per-doc window leads across doc and chunk boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ragged doc lengths straddling the chunk width: shorter than one
+    // chunk, exactly one chunk, mid-chunk end, exact multiple, and a
+    // "giant" doc of many chunks — every boundary case of the carry
+    val chunk = 64
+    val lens = Seq(7L, 63L, 64L, 100L, 128L, 193L, 1000L)
+    val rows = lens.zipWithIndex.flatMap { case (len, d) =>
+      (0L until len).map(off => (d.toLong, off, d * 100000 + off * 3))
+    }.toDF("doc_id", "off", "rank")
+    val dists = Seq(1, 2, 3, 17, 63)
+    val names = dists.map(d => s"_l$d")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val expected = dists.zip(names).foldLeft(rows) { case (acc, (d, n)) =>
+      acc.withColumn(n, coalesce(lead(col("rank"), d).over(byDoc), lit(-1L)))
+    }.collect().map(_.toSeq).toSet
+    val cols = (rows.columns ++ names).map(col)
+    val got = SuffixDedup.chunkedLeads(rows, "rank", dists, names, chunk)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(got === expected, "chunked leads diverged from the per-doc window")
+  }
+
+  test("giant undelimited doc: extents exact AND lead rounds spread over >1 task") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.graftprobe.ListenerDrain
+    import spark.implicits._
+    // one crawl-blob doc of ~40k tokens carrying a 30-token span also
+    // present in a small doc; vocabulary is large (tok() pairs over a
+    // 3-char tag space) so round-0 ranks are fine either way
+    val shared = (0 until 30).map(i => tok("zz", i))
+    val blobToks = (0 until 40000).map { i =>
+      s"b${('a' + (i / 676) % 26).toChar}${('a' + (i / 26) % 26).toChar}${('a' + i % 26).toChar}"
+    }
+    val insertAt = 17000
+    val blob = (blobToks.take(insertAt) ++ shared ++ blobToks.drop(insertAt)).mkString(" ")
+    val small = (toks("ya", 4) ++ shared ++ toks("yb", 5)).mkString(" ")
+    val dir = "/tmp/graft_suffix_giant"
+    Seq((1L, blob), (2L, small)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(shuffleKey, "32")
+    spark.conf.set(coalesceKey, "false")
+    val perStage = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null &&
+            t.taskMetrics.shuffleReadMetrics.recordsRead > 0)
+          perStage.updateWith(t.stageId) { c => Some(c.getOrElse(0) + 1) }
+    }
+    def busyTasks(body: => Unit): Map[Int, Int] = {
+      perStage.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        ListenerDrain.waitUntilEmpty(spark.sparkContext)
+        perStage.toMap
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    try {
+      // chunk=2048 → the 40k-token blob spans ~20 chunk groups per round
+      val segStages = busyTasks {
+        val got = SuffixDedup.maximalSpans(spark, dir, minSpan = 30, chunk = 2048)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === Set((1L, insertAt.toLong, insertAt + 30L), (2L, 4L, 34L)))
+      }
+      // per-doc degenerate (chunk wider than the blob): window passes
+      // collapse to one task per doc — the round-5 ceiling
+      val docStages = busyTasks {
+        SuffixDedup.maximalSpans(spark, dir, minSpan = 30, chunk = 1 << 20).collect()
+      }
+      // rank sorts are range-partitioned and spread in BOTH shapes; the
+      // discriminator is the WINDOW stages. With 2 docs the per-doc
+      // shape has at most 2 busy tasks in any window stage, so count
+      // stages that beat that bound: chunked must have several (one per
+      // quadrupling round + final combine), per-doc must have none.
+      val wideSeg = segStages.values.count(_ > 2)
+      val wideDoc = docStages.values.count(_ > 2)
+      assert(wideSeg >= 3,
+        s"chunked leads: expected >=3 stages with >2 busy tasks, saw $segStages")
+      assert(wideDoc < wideSeg,
+        s"per-doc shape should have fewer wide stages: seg=$segStages doc=$docStages")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      prevCoalesce.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
+    }
+  }
 }
