@@ -77,12 +77,19 @@ object SuffixDedup {
     * row sees its true off+d successor (or the doc end → −1, the same
     * sentinel as the per-doc window). Parallelism is #docs × chunks
     * per doc, task size ≤ chunk + maxLead — a giant doc no longer
-    * serializes a round into one straggler task. */
+    * serializes a round into one straggler task.
+    *
+    * PRECONDITION: `off` must be dense and 0-based per `doc_id` —
+    * `lead` counts rows, not offset deltas, so a gap would silently
+    * misalign the carry with its home chunk rather than fail. Both
+    * call sites ([[rankKeyed]]) feed `posexplode` output, which is
+    * dense by construction. */
   private[dedup] def chunkedLeads(df: DataFrame, value: String,
       dists: Seq[Int], names: Seq[String], chunk: Int): DataFrame = {
     require(dists.nonEmpty && dists.forall(_ > 0) && dists.length == names.length)
     val maxLead = dists.max
-    require(chunk > maxLead, s"chunk width $chunk must exceed max lead $maxLead")
+    require(chunk > maxLead, s"chunk width $chunk must exceed max lead $maxLead" +
+      " (note: caller must supply dense 0-based `off` per doc_id; see scaladoc)")
     val home = expr(s"CAST(floor(off / $chunk) AS BIGINT)")
     val spread = df.withColumn("_chunk", explode(
       when(col("off") % chunk < maxLead && col("off") >= chunk,
