@@ -225,22 +225,22 @@ object SparkEntry {
     // verdict joined per doc + the combined keep bit
     "text_filter_funnel" -> ((s, dir) => graft.text.TextAnalysis.filterFunnel(s, dir)),
     "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
-    // trained quality classifier: learned float weights → not SQL-
-    // expressible; rows-only gate, accuracy/agreement asserted in
-    // QualityClassifierSpec
+    // trained quality classifier: weights side-dumped; the oracle
+    // re-hashes features and recomputes the margin from raw text
+    // (accuracy/agreement still asserted in QualityClassifierSpec)
     "text_quality_clf" -> ((s, dir) => graft.text.QualityClassifier.classifyTrained(s, dir)),
     "text_mixture" -> ((s, dir) => graft.text.Sampling.sourceMixture(s, dir)),
     "text_sample_weighted" -> ((s, dir) => graft.text.Sampling.weightedSample(s, dir)),
     "text_bpe_pairs" -> ((s, dir) => graft.text.Bpe.pairCounts(s, dir)),
     "text_bpe_encode" -> ((s, dir) => graft.text.Bpe.encode(s, dir)),
-    // token-id product surface: per-position ids + the vocab table
-    // (BPE apply is not SQL-expressible -> rows-only; BpeSpec carries
-    // the sequential-oracle differential and vocab round-trip)
+    // token-id product surface: per-position ids + the vocab table;
+    // the merge table is side-dumped and the oracle re-applies it
+    // (BpeSpec still carries the sequential-oracle differential)
     "text_bpe_ids" -> ((s, dir) => graft.text.Bpe.encodeIds(s, dir)),
     "text_bpe_vocab" -> ((s, dir) => graft.text.Bpe.vocabDf(s, dir)),
     "text_pipeline" -> ((s, dir) => graft.text.CorpusPipeline.prepare(s, dir)),
-    // the pipeline emitting the real artifact: BPE-id counts + packs
-    // (BPE apply not SQL-expressible -> rows-only; spec-differential)
+    // the pipeline emitting the real artifact: BPE-id counts + packs,
+    // re-derived by the oracle from the dumped merges
     "text_pipeline_ids" -> ((s, dir) => graft.text.CorpusPipeline.prepareIds(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
@@ -264,6 +264,61 @@ object SparkEntry {
     * see ShardCtrler.sideDumpToken for why the path is run-scoped. */
   private def sideDumpGlob: String =
     s"${ShardCtrler.sideDumpPath(ShardCtrler.lastDumpBase)}/*.parquet"
+
+  /** This run's BPE merge-table side dump (graft.text.Bpe
+    * .trainMergesWithDump) — the trained merges are the ONLY artifact
+    * the BPE oracles take on faith; everything downstream (the merge
+    * APPLY, ids, counts, vocab) is re-derived in DuckDB. */
+  private def bpeMergesGlob: String =
+    s"${graft.text.Bpe.sideDumpPath(graft.text.Bpe.lastDumpBase)}/*.parquet"
+
+  /** This run's trained-classifier weight dump (graft.text
+    * .QualityClassifier.classifyTrained). */
+  private def clfWeightsGlob: String =
+    s"${graft.text.QualityClassifier.sideDumpPath(
+      graft.text.QualityClassifier.lastDumpBase)}/*.parquet"
+
+  /** The BPE re-derivation CTE chain: given `bmerges(ord, a, b)` (the
+    * side-dumped merge table) and `dw(doc_id, ws)` (per-doc ordered
+    * word lists) defined upstream, re-applies the merges to the
+    * DISTINCT words and yields `btoks(w, ts)` — per word, the final
+    * symbol list. The mechanism is independent of the Scala apply:
+    * a word is a chr(31)-wrapped symbol string ("<us>a<us><us>b<us>")
+    * and ONE merge round is ONE `replace` of "<us>a<us><us>b<us>"
+    * with "<us>ab<us>" — string replace scans left-to-right and never
+    * rescans replaced output, which is exactly mergePair's greedy
+    * non-overlapping semantics (Bpe.mergePair); the wrapping makes a
+    * cross-symbol false match impossible. The recursion is driven by
+    * the DUMPED ord column, so a tampered or reordered merge table
+    * changes the derivation and fails the gate. */
+  private val bpeDeriveCtes: String =
+    """bwords AS (SELECT DISTINCT unnest(ws) AS w FROM dw),
+      |binit AS (
+      |  SELECT w,
+      |    array_to_string(list_transform(range(1, strlen(w) + 1),
+      |      i -> chr(31) || substr(w, CAST(i AS INT), 1) || chr(31)), '') ||
+      |      chr(31) || '</w>' || chr(31) AS s
+      |  FROM bwords),
+      |brec AS (
+      |  SELECT w, s, 0 AS ord FROM binit
+      |  UNION ALL
+      |  SELECT r.w,
+      |    replace(r.s, chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+      |                 chr(31) || m.a || m.b || chr(31)),
+      |    r.ord + 1
+      |  FROM brec r JOIN bmerges m ON m.ord = r.ord + 1),
+      |btoks AS (
+      |  SELECT w, list_filter(string_split(s, chr(31)), x -> x <> '') AS ts
+      |  FROM brec WHERE ord = (SELECT coalesce(max(ord), 0) FROM bmerges))""".stripMargin
+
+  /** Deterministic BPE vocab re-derived from the dumped merges (the
+    * Bpe.vocabOf id space: 0–25 letters, 26 terminal, 27+i merges). */
+  private val bpeVocabCte: String =
+    """bvocab AS (
+      |  SELECT CAST(i - 1 AS INT) AS token_id, chr(CAST(96 + i AS INT)) AS token
+      |  FROM range(1, 27) t(i)
+      |  UNION ALL SELECT 26, '</w>'
+      |  UNION ALL SELECT CAST(26 + ord AS INT), a || b FROM bmerges)""".stripMargin
 
   private val profileSql: String =
     """WITH d AS (SELECT printf('%09d', doc_id) AS name, text FROM documents),
@@ -1272,6 +1327,152 @@ object SparkEntry {
         |  FROM syms)
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
         |FROM pairs GROUP BY pair""".stripMargin,
+    // BPE gates: the TRAINED MERGE TABLE is side-dumped run-scoped
+    // (bpeMergesGlob) and is the only artifact taken on faith — the
+    // iterative argmax loop is not SQL-expressible, but the APPLY is:
+    // DuckDB re-applies the merges to the raw corpus itself (one
+    // greedy `replace` per merge round, see bpeDeriveCtes) and
+    // re-derives the vocab table, per-position ids, and per-doc
+    // counts as independent hash gates.
+    "text_bpe_vocab" ->
+      s"""WITH bmerges AS (SELECT ord, a, b FROM read_parquet('$bpeMergesGlob')),
+         |$bpeVocabCte
+         |SELECT token_id, token FROM bvocab""".stripMargin,
+    "text_bpe_encode" ->
+      s"""WITH RECURSIVE
+         |bmerges AS (SELECT ord, a, b FROM read_parquet('$bpeMergesGlob')),
+         |dw AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS ws
+         |  FROM documents),
+         |$bpeDeriveCtes,
+         |dn AS (
+         |  SELECT d2.doc_id, sum(len(t2.ts)) AS n
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM dw) d2
+         |  JOIN btoks t2 USING (w)
+         |  GROUP BY d2.doc_id)
+         |SELECT dw.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM dw LEFT JOIN dn USING (doc_id)""".stripMargin,
+    "text_bpe_ids" ->
+      s"""WITH RECURSIVE
+         |bmerges AS (SELECT ord, a, b FROM read_parquet('$bpeMergesGlob')),
+         |dw AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS ws
+         |  FROM documents),
+         |$bpeDeriveCtes,
+         |$bpeVocabCte,
+         |docw AS (
+         |  SELECT doc_id, u.s.w AS w, u.s.wi AS wi
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(ws, (x, i) -> {'w': x, 'wi': i})) AS s
+         |        FROM dw) u),
+         |flat AS (
+         |  SELECT doc_id, wi, u.s.tok AS tok, u.s.ti AS ti
+         |  FROM (SELECT d2.doc_id, d2.wi,
+         |          unnest(list_transform(t2.ts, (x, i) -> {'tok': x, 'ti': i})) AS s
+         |        FROM docw d2 JOIN btoks t2 USING (w)) u)
+         |SELECT f.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.wi, f.ti) - 1
+         |    AS INT) AS pos,
+         |  v.token_id
+         |FROM flat f JOIN bvocab v ON v.token = f.tok""".stripMargin,
+    // the id-packed pipeline: clean/quality/dedup CTEs are
+    // text_pipeline's, then the BPE re-derivation runs on the KEPT
+    // cleaned text and packing follows the id counts
+    "text_pipeline_ids" ->
+      s"""WITH RECURSIVE
+         |bmerges AS (SELECT ord, a, b FROM read_parquet('$bpeMergesGlob')),
+         |c AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text, 'https?://[^\\s]+', '<url>', 'g'),
+         |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<email>', 'g'),
+         |      '\\s+', ' ', 'g')) AS ct
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, ct,
+         |    len(list_filter(string_split_regex(ct, '\\s+'), x -> x <> '')) AS n_tokens
+         |  FROM c),
+         |q AS (SELECT * FROM t WHERE n_tokens >= 5),
+         |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(ct)),
+         |k AS (SELECT q.doc_id, q.ct FROM q JOIN d ON q.doc_id = d.doc_id),
+         |dw AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(ct), '[^a-z]+'),
+         |    x -> x <> '') AS ws
+         |  FROM k),
+         |$bpeDeriveCtes,
+         |dn AS (
+         |  SELECT d2.doc_id, sum(len(t2.ts)) AS n
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM dw) d2
+         |  JOIN btoks t2 USING (w)
+         |  GROUP BY d2.doc_id),
+         |nn AS (
+         |  SELECT dw.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS nb
+         |  FROM dw LEFT JOIN dn USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id, nb,
+         |    coalesce(sum(nb) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM nn)
+         |SELECT doc_id, nb AS n_bpe_tokens, CAST(pre // 512 AS BIGINT) AS pack_id
+         |FROM p""".stripMargin,
+    // trained-classifier gate: only the LEARNED WEIGHTS are dumped
+    // (clfWeightsGlob); feature tokenization, the dense len/stop
+    // buckets (exact integer log2 via bin()), FNV-1a hashing
+    // (re-expressed in unsigned-64 arithmetic — Int overflow ≡ mod
+    // 2^32, and 4096 | 2^32 makes the bucket equal), and the margin
+    // fold are all re-derived from raw text. The surface is the
+    // MARGIN (no transcendental): every op is an exactly-specified
+    // IEEE-754 double op applied in the same order as the Scala
+    // scorer, so the hash compare is bit-exact.
+    "text_quality_clf" ->
+      s"""WITH wrow AS (SELECT idx, w FROM read_parquet('$clfWeightsGlob')),
+         |warr AS (SELECT list(w ORDER BY idx) AS arr FROM wrow WHERE idx >= 0),
+         |brow AS (SELECT w AS bias FROM wrow WHERE idx = -1),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      x -> x <> '') AS toks,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks, nws, len(toks) AS ntoks,
+         |    len(list_filter(toks,
+         |      t -> t IN ('the','a','of','and','to','is','in'))) AS nstop
+         |  FROM f),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_concat(list_concat(
+         |      toks,
+         |      list_transform(range(1 + ntoks // 8), x -> '__len' ||
+         |        CAST(CASE WHEN nws = 0 THEN -1
+         |                  ELSE strlen(bin(nws)) - 1 END AS VARCHAR))),
+         |      list_transform(range(1 + ntoks // 8), x -> '__stop' ||
+         |        CAST(CASE WHEN nws = 0 THEN -1
+         |                  ELSE (nstop * 100 // nws) // 5 END AS VARCHAR))
+         |    ) AS ftoks
+         |  FROM g),
+         |bkt AS (
+         |  SELECT doc_id,
+         |    list_transform(ftoks, tk ->
+         |      CAST(list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |          list_transform(range(1, strlen(tk) + 1),
+         |            i -> CAST(unicode(substr(tk, CAST(i AS INT), 1)) AS BIGINT))),
+         |        (hv, cv) -> (xor(hv, cv) * 16777619) % 4294967296)
+         |        % 4096 AS INT)) AS bs
+         |  FROM h),
+         |mm AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(bs) = 0 THEN bias
+         |         ELSE bias + list_reduce(list_transform(bs, x -> arr[x + 1]),
+         |                                 (u, v) -> u + v) / len(bs)
+         |    END AS mg
+         |  FROM bkt CROSS JOIN warr CROSS JOIN brow)
+         |SELECT doc_id, CAST(trunc(mg * 1000000.0) AS BIGINT) AS margin_micro,
+         |  CAST(mg >= 0 AS INT) AS label
+         |FROM mm""".stripMargin,
     "mm_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, 1 + strlen(text) % 240 AS nf

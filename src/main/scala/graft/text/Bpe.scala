@@ -67,6 +67,36 @@ object Bpe {
     out.result()
   }
 
+  /** The basename of the last corpus dir [[trainMergesWithDump]] ran
+    * for — `SparkEntry.oracleSql` (read after the queries) binds the
+    * oracle glob to it (the `ShardCtrler.lastDumpBase` pattern). */
+  @volatile var lastDumpBase: String = "sf0.01"
+
+  /** This run's merge-table side dump path for a corpus dir. */
+  def sideDumpPath(base: String): String =
+    graft.core.SideDump.path("bpe_merges", base)
+
+  /** [[trainMerges]] + a run-scoped side dump of the merge table as
+    * `(ord, a, b)` (ord 1-based, training order) — the oracle
+    * interface: the learned artifact is the ONLY thing the DuckDB
+    * gate takes on faith; it re-applies the merges to the raw corpus
+    * itself (one `replace` per merge round over a delimiter-wrapped
+    * symbol string — exactly [[mergePair]]'s greedy left-to-right
+    * non-overlapping semantics) and re-derives ids, counts, and the
+    * vocab table. All BPE gate surfaces train through this. */
+  def trainMergesWithDump(spark: SparkSession, sfDir: String,
+      k: Int): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    val ms = trainMerges(spark, sfDir, k)
+    val base = new java.io.File(sfDir).getName
+    graft.core.SideDump.write(
+      ms.zipWithIndex.map { case ((a, b, _), i) => (i + 1, a, b) }
+        .toDF("ord", "a", "b"),
+      "bpe_merges", base)
+    lastDumpBase = base
+    ms
+  }
+
   /** Tokenize the corpus with a trained merge list: per word, start
     * from chars+'</w>' and apply the merges in training order (the
     * standard BPE apply). Merges broadcast; one narrow pass over the
@@ -74,7 +104,7 @@ object Bpe {
     * cost over the corpus, exactly the production split. */
   def encode(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
     encodeDocs(spark.read.parquet(s"$sfDir/documents.parquet"),
-      trainMerges(spark, sfDir, k).map(m => (m._1, m._2)))
+      trainMergesWithDump(spark, sfDir, k).map(m => (m._1, m._2)))
 
   /** The apply as a stateless transform over any (doc_id, text) frame —
     * BATCH OR STREAMING: merges are broadcast and the pass is map-only,
@@ -115,7 +145,7 @@ object Bpe {
     * downstream trainer ships with the token-id corpus. */
   def vocabDf(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    vocabOf(trainMerges(spark, sfDir, k).map(m => (m._1, m._2)))
+    vocabOf(trainMergesWithDump(spark, sfDir, k).map(m => (m._1, m._2)))
       .toDF("token_id", "token")
   }
 
@@ -152,7 +182,7 @@ object Bpe {
     * per-doc id arrays. */
   def encodeIds(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
     encodeIdsDocs(spark.read.parquet(s"$sfDir/documents.parquet"),
-        trainMerges(spark, sfDir, k).map(m => (m._1, m._2)))
+        trainMergesWithDump(spark, sfDir, k).map(m => (m._1, m._2)))
       .select(col("doc_id"),
         posexplode(col("token_ids")).as(Seq("pos", "token_id")))
 

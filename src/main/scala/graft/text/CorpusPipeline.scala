@@ -32,14 +32,16 @@ object CorpusPipeline {
     * (vocabulary trained once on the corpus histogram — the same
     * corpus-sized pass the count-based pipeline already pays) and
     * packed by ID COUNT, the budget a trainer actually fills. Output
-    * (doc_id, n_bpe_tokens, pack_id) is rows-only (BPE apply is not
-    * SQL-expressible); CorpusPipelineSpec pins it to the manual stage
-    * composition and to the standalone BPE-id operator. */
+    * (doc_id, n_bpe_tokens, pack_id) is hash-gated: the merge table
+    * is side-dumped (Bpe.trainMergesWithDump) and the DuckDB oracle
+    * re-applies it to the kept cleaned text; CorpusPipelineSpec also
+    * pins the manual stage composition and the standalone BPE-id
+    * operator. */
   def prepareIds(spark: SparkSession, sfDir: String, budget: Long = 512L,
       minTokens: Long = 5L, merges: Int = 8, partitions: Int = 32): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val ms = Bpe.trainMerges(spark, sfDir, merges).map(m => (m._1, m._2))
+    val ms = Bpe.trainMergesWithDump(spark, sfDir, merges).map(m => (m._1, m._2))
     val toks = Cleaning.cleanText(docs)
       .select(col("doc_id"), col("clean_text"),
         expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")

@@ -65,7 +65,12 @@ object QualityClassifier {
     val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
     val nWs = text.split("\\s+").count(_.nonEmpty)
     val nStop = toks.count(StopWords)
-    val lenBucket = if (nWs == 0) -1 else (math.log(nWs.toDouble) / math.log(2.0)).toInt
+    // EXACT integer floor(log2): `(math.log(n)/math.log(2)).toInt` is
+    // within 1 ulp of an integer at exact powers of two, where C and
+    // JVM libm may truncate differently — the integer form makes the
+    // bucket re-derivable bit-exactly by the DuckDB oracle
+    // (strlen(bin(n)) - 1)
+    val lenBucket = if (nWs == 0) -1 else 31 - Integer.numberOfLeadingZeros(nWs)
     val stopBucket = if (nWs == 0) -1 else (nStop * 100 / nWs) / 5
     // repeat the dense tokens with document length so their share of
     // the AVERAGED margin is a constant ~1/9 each, not 1/n — without
@@ -208,22 +213,65 @@ object QualityClassifier {
       .toDF("doc_id", "score_micro", "label")
   }
 
+  /** Map-only MARGIN scoring pass: (doc_id, margin_micro, label) with
+    * `margin_micro = trunc(margin * 1e6)` and `label = margin >= 0`
+    * (≡ sigmoid(margin) >= 0.5 — sigmoid is monotone). This is the
+    * GATE surface: unlike [[score]] it involves no transcendental
+    * (exp differs in the last ulp across libm implementations), so
+    * the DuckDB oracle reproduces it bit-exactly from the dumped
+    * weights — the fold over feature weights, the division, the
+    * bias add, and the ×1e6 truncation are all exactly-specified
+    * IEEE-754 ops evaluated in the same order on both engines. */
+  def scoreMargin(docs: DataFrame, m: Model): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(m)
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val mg = margin(bc.value, bucketsOf(text, bc.value.dim))
+        (id, (mg * 1e6).toLong, if (mg >= 0) 1 else 0)
+      }
+      .toDF("doc_id", "margin_micro", "label")
+  }
+
+  /** The basename of the last corpus dir [[classifyTrained]] ran for;
+    * `SparkEntry.oracleSql` binds the oracle glob to it. */
+  @volatile var lastDumpBase: String = "sf0.01"
+
+  /** This run's weight side dump path for a corpus dir. */
+  def sideDumpPath(base: String): String =
+    graft.core.SideDump.path("clf_weights", base)
+
   /** Gate surface: BOOTSTRAP from the [[TextAnalysis.quality]]
     * heuristic as weak supervision — train on the heuristic's binary
-    * labels, emit the classifier's per-doc verdicts. The learned
-    * model smooths the heuristic's hard thresholds through vocabulary
-    * evidence (the standard weak-label → classifier distillation
-    * step). Deterministic for a fixed corpus layout (see [[train]]);
-    * approximate relative to any SQL expression → rows-only gate,
-    * with agreement/accuracy asserted in QualityClassifierSpec. */
+    * labels, emit the classifier's per-doc MARGIN verdicts
+    * ([[scoreMargin]]). The learned model smooths the heuristic's
+    * hard thresholds through vocabulary evidence (the standard
+    * weak-label → classifier distillation step). Deterministic for a
+    * fixed corpus layout (see [[train]]).
+    *
+    * The trained weights are side-dumped as `(idx, w)` rows (idx −1 =
+    * bias) — the ONLY thing the DuckDB oracle takes on faith: it
+    * re-tokenizes, re-hashes (FNV-1a re-expressed in unsigned-64
+    * arithmetic), and re-folds the margin from raw text itself, so
+    * the whole scoring path is independently re-derived. */
   def classifyTrained(spark: SparkSession, sfDir: String, dim: Int = 4096,
       iters: Int = 40): DataFrame = {
+    import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val labeled = TextAnalysis.quality(spark, sfDir)
       .select(col("doc_id"), col("is_quality").cast("double").as("label"))
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
     val (model, _) = train(examples(labeled, dim), dim, iters)
-    score(docs.select(col("doc_id"), col("text")), model)
+    val base = new java.io.File(sfDir).getName
+    graft.core.SideDump.write(
+      ((-1, model.bias) +: model.w.toSeq.zipWithIndex.map(_.swap))
+        .toDF("idx", "w"),
+      "clf_weights", base)
+    lastDumpBase = base
+    scoreMargin(docs.select(col("doc_id"), col("text")), model)
       .orderBy(col("doc_id"))
   }
 }
