@@ -169,6 +169,10 @@ object SparkEntry {
     // the indexed rest — the crawl-loop lifecycle for exact spans
     "dedup_spans_incremental" -> ((s, dir) =>
       graft.dedup.SpanIndex.dedupIncrementalSpans(s, dir)),
+    // offset-bearing index probe: the partner/offset/length diagnosis
+    // view for the crawl loop, from per-digest witness samples
+    "dedup_spans_incremental_matches" -> ((s, dir) =>
+      graft.dedup.SpanIndex.dedupIncrementalMatches(s, dir)),
     // per-pair maximal matches (which partner, where, how long) via
     // the diagonal-run scan over rank groups
     "dedup_pair_matches" -> ((s, dir) =>
@@ -185,6 +189,10 @@ object SparkEntry {
     // appears verbatim in the training corpus
     "text_leak_profile" -> ((s, dir) =>
       graft.dedup.SuffixDedup.benchmarkLeakProfile(s, dir)),
+    // the amortized production shape: ONE rank pass, all four span
+    // consumers (spans/excise/leak/pack) as a tagged union
+    "text_decontam_suite" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.decontamSuite(s, dir)),
     // ---- similarity search ----
     "ann_topk" -> ((s, dir) => graft.sim.Similarity.topKExact(s, dir)),
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
@@ -969,6 +977,84 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(pre // 512 AS BIGINT) AS pack_id
         |FROM pk""".stripMargin,
+    // the amortized suite: the four span-gate CTE chains fused into
+    // ONE shared WITH (toks→pos→hot→f→isl→ext→kept→agg feeds all
+    // four heads) + a tagged UNION ALL — exactly the one-rank-pass
+    // program the Spark side runs
+    "text_decontam_suite" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |hot AS (SELECT DISTINCT win FROM pos WHERE doc_id % 37 = 0),
+        |f AS (SELECT p.doc_id, p.off FROM pos p JOIN hot h ON p.win = h.win
+        |      WHERE p.doc_id % 37 <> 0),
+        |lagged AS (SELECT doc_id, off,
+        |    lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev FROM f),
+        |isl AS (SELECT doc_id, off,
+        |    sum(CASE WHEN prev IS NULL OR off - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY off) AS isle FROM lagged),
+        |ext AS (SELECT doc_id, min(off) AS s, max(off) + 8 AS e
+        |        FROM isl GROUP BY doc_id, isle),
+        |tokpos AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(off := i - 1, tok := t[i]))) AS q
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.q.off AS off, tp.q.tok AS tok
+        |  FROM tokpos tp
+        |  WHERE tp.doc_id % 37 <> 0 AND NOT EXISTS (
+        |    SELECT 1 FROM ext e WHERE e.doc_id = tp.doc_id
+        |      AND tp.q.off >= e.s AND tp.q.off < e.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY off) AS ct,
+        |        count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+        |exc AS (
+        |  SELECT d.doc_id, coalesce(a.ct, '') AS ct, coalesce(a.n_kept, 0) AS n_tokens
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+        |  LEFT JOIN agg a ON a.doc_id = d.doc_id),
+        |q AS (SELECT * FROM exc WHERE n_tokens >= 5),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(ct)),
+        |k AS (SELECT q.doc_id, q.n_tokens FROM q JOIN dd ON q.doc_id = dd.doc_id),
+        |pk AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM k),
+        |corpus AS (SELECT DISTINCT win FROM pos WHERE doc_id % 37 <> 0),
+        |bench AS (SELECT doc_id, win FROM pos WHERE doc_id % 37 = 0)
+        |SELECT 'spans' AS part, doc_id, CAST(min(off) AS BIGINT) AS v1,
+        |  CAST(max(off) + 8 AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3,
+        |  CAST(NULL AS VARCHAR) AS txt
+        |FROM isl GROUP BY doc_id, isle
+        |UNION ALL
+        |SELECT 'excise', d.doc_id,
+        |  CAST(nt.n_toks - coalesce(a.n_kept, 0) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), coalesce(a.ct, '')
+        |FROM documents d
+        |JOIN nt ON nt.doc_id = d.doc_id
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 37 <> 0
+        |UNION ALL
+        |SELECT 'leak', b.doc_id, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN c.win IS NOT NULL THEN 1 END), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN c.win IS NOT NULL THEN 1 END), 0) * 100
+        |       >= count(*) * 10 AS BIGINT),
+        |  CAST(NULL AS VARCHAR)
+        |FROM bench b LEFT JOIN corpus c ON b.win = c.win
+        |GROUP BY b.doc_id
+        |UNION ALL
+        |SELECT 'pack', doc_id, CAST(n_tokens AS BIGINT),
+        |  CAST(pre // 512 AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS VARCHAR)
+        |FROM pk""".stripMargin,
     // incremental probe: batch (doc_id % 10 = 0) positions flag iff
     // their window is in the indexed rest OR duplicated cross-doc
     // inside the batch — together the one-shot "shared with any other
@@ -999,6 +1085,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
         |  CAST(max(off) + 8 AS BIGINT) AS span_end
         |FROM isl GROUP BY doc_id, isle""".stripMargin,
+    // offset-bearing probe: the witness rule (first (doc, off) per
+    // window string among index docs) + the diagonal-run merge,
+    // re-derived from raw text — mirrors SpanIndex.probeMatches
+    "dedup_spans_incremental_matches" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> struct_pack(off := i - 1, win := array_to_string(t[i:i+7], ' ')))) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |pos AS (SELECT doc_id, p.off AS off, p.win AS win FROM w),
+        |samp AS (
+        |  SELECT win, doc_id AS dj, off AS oj FROM (
+        |    SELECT doc_id, off, win,
+        |      row_number() OVER (PARTITION BY win ORDER BY doc_id, off) AS rn
+        |    FROM pos WHERE doc_id % 10 <> 0)
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT b.doc_id AS di, b.off AS oi, s.dj, s.oj
+        |  FROM pos b JOIN samp s ON b.win = s.win
+        |  WHERE b.doc_id % 10 = 0),
+        |lagged AS (SELECT di, dj, oi, oj,
+        |    lag(oi) OVER (PARTITION BY di, dj, oi - oj ORDER BY oi) AS prev
+        |  FROM pr),
+        |isl AS (SELECT di, dj, oi, oj,
+        |    sum(CASE WHEN prev IS NULL OR oi - prev > 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY di, dj, oi - oj ORDER BY oi) AS isle
+        |  FROM lagged)
+        |SELECT di AS doc_i, dj AS doc_j,
+        |  CAST(min(oi) AS BIGINT) AS off_i, CAST(min(oj) AS BIGINT) AS off_j,
+        |  CAST(max(oi) - min(oi) + 8 AS BIGINT) AS match_len
+        |FROM isl GROUP BY di, dj, oi - oj, isle""".stripMargin,
     // the capped composition is one extra bound on the same CTE —
     // digests in >= 3 docs are boilerplate and don't count as dups
     "dedup_passages_capped" ->

@@ -77,6 +77,63 @@ object SpanIndex {
     SuffixDedup.mergeExtents(inIndex.union(inBatch).distinct(), minSpan)
   }
 
+  // ── offset-bearing variant: the matches view ───────────────────────
+
+  /** Per distinct window digest, ONE witness occurrence — the
+    * lexicographically smallest (doc_id, off). Min is associative, so
+    * re-reducing the union of per-batch minima ([[probeMatches]])
+    * equals the minimum over everything ever indexed: append order
+    * never changes the witness. */
+  private def sampleRows(docs: DataFrame, minSpan: Int): DataFrame =
+    windows(docs, minSpan)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("off"))).as("s"))
+      .select(col("h"), col("s.doc_id").as("sdoc"), col("s.off").as("soff"))
+
+  /** Build the OFFSET-BEARING index: distinct window digests, each
+    * with its witness (doc, off). ~2× the bare-digest row size — the
+    * price of upgrading probe output from extents to the
+    * partner/offset/length diagnosis view ([[probeMatches]]). The
+    * bare [[build]] remains the space-floor lifecycle. */
+  def buildWithSamples(docs: DataFrame, indexPath: String,
+      minSpan: Int = 8): Unit =
+    sampleRows(docs, minSpan)
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Incrementally index another slice with witnesses (parquet
+    * append; probes re-reduce, so cross-file digest repeats are
+    * fine — SpanIndexSpec pins append-order independence). */
+  def appendWithSamples(docs: DataFrame, indexPath: String,
+      minSpan: Int = 8): Unit =
+    sampleRows(docs, minSpan)
+      .write.mode("append").parquet(indexPath)
+
+  /** Probe a batch for the DIAGNOSIS view: one row per maximal run of
+    * batch windows matching the index, as (doc_i = batch doc, doc_j =
+    * witness doc, off_i, off_j, match_len) — [[SuffixDedup
+    * .maximalMatches]]'s output shape for the crawl loop, without
+    * re-ranking the corpus. Every reported row is a TRUE verbatim
+    * shared extent (overlapping windows pin each token); lengths are
+    * maximal w.r.t. the WITNESS evidence — where a span exists in
+    * several index docs, each window names its lexicographically
+    * first occurrence, so a run may split into shorter matches
+    * against different partners (SpanIndexSpec exercises exactly this
+    * switch). Batch-internal duplication is out of scope here (run
+    * [[SuffixDedup.maximalMatches]] on the batch for that); extents
+    * of this view never exceed [[probe]]'s. */
+  def probeMatches(spark: SparkSession, indexPath: String,
+      batchDocs: DataFrame, minSpan: Int = 8): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+      .groupBy(col("h")) // re-reduce minima across appended files
+      .agg(min(struct(col("sdoc"), col("soff"))).as("s"))
+      .select(col("h"), col("s.sdoc").as("dj"), col("s.soff").as("oj"))
+    val pairs = windows(batchDocs, minSpan)
+      .join(idx, "h")
+      .select(col("doc_id").as("di"), col("off").as("oi"),
+        col("dj"), col("oj"))
+    SuffixDedup.diagonalRuns(pairs, minSpan)
+  }
+
   // ── gate surface ───────────────────────────────────────────────────
 
   /** Gate: docs with doc_id % 10 == 0 are "today's crawl batch", the
@@ -90,5 +147,20 @@ object SpanIndex {
       build(docs.filter(col("doc_id") % 10 =!= 0), path, minSpan)
     }
     probe(spark, path, docs.filter(col("doc_id") % 10 === 0), minSpan)
+  }
+
+  /** Gate: the same crawl-batch split probed for MATCHES against the
+    * offset-bearing index — partner/offset/length diagnosis without
+    * re-ranking the corpus. The DuckDB oracle re-derives the witness
+    * rule (first (doc, off) per window) and the diagonal-run merge
+    * from raw text, so the whole view is hash-gated. */
+  def dedupIncrementalMatches(spark: SparkSession, sfDir: String,
+      minSpan: Int = 8): DataFrame = {
+    val path = graft.core.SessionScratch.path(spark, sfDir, "graft_spanidx_m")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.core.SessionScratch.buildOnce(spark, path) {
+      buildWithSamples(docs.filter(col("doc_id") % 10 =!= 0), path, minSpan)
+    }
+    probeMatches(spark, path, docs.filter(col("doc_id") % 10 === 0), minSpan)
   }
 }

@@ -393,4 +393,37 @@ class SuffixDedupSpec extends SparkSpec {
       prevCoalesce.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
     }
   }
+
+  test("decontam suite: four tagged parts equal the standalone operators, ONE rank pass") {
+    val dir = sf()
+    val before = SuffixDedup.rankKeyedRuns.get()
+    val suite = SuffixDedup.decontamSuite(spark, dir).collect()
+    assert(SuffixDedup.rankKeyedRuns.get() === before + 1,
+      "the suite must build the rank keying exactly once")
+
+    def part(p: String) = suite.filter(_.getString(0) == p)
+    val gotSpans = part("spans")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantSpans = SuffixDedup.benchmarkSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSpans === wantSpans)
+
+    val gotExcise = part("excise")
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(5))).toSet
+    val wantExcise = SuffixDedup.exciseBenchmarkSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(1))).toSet
+    assert(gotExcise === wantExcise)
+
+    val gotLeak = part("leak")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val wantLeak = SuffixDedup.benchmarkLeakProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong)).toSet
+    assert(gotLeak === wantLeak)
+
+    val gotPack = part("pack")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantPack = graft.text.CorpusPipeline.prepareDecontaminated(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPack === wantPack)
+  }
 }
