@@ -250,51 +250,43 @@ object ShardMigration {
     // lineage-free for task retries
     val ranged = rangedBySeq(ops.localCheckpoint(), ranges)
 
-    // pass 1: neutral-seed fold of every range (shards × ranges tasks)
-    val summaries = ranged.groupByKey(r => (r.shard, r.range))
-      .flatMapSortedGroups(col("seq")) { case ((shard, range), it) =>
-        val w = new Walker(evict)
-        w.load(ShardState(-1L, Seq.empty, null))
-        var firstGid = -1L
-        var first = true
-        var changed = false
-        it.foreach { r =>
-          if (first) { firstGid = r.gid; first = false }
-          if (w.onOp(shard, ShardOp(r.shard, r.seq, r.key, r.gid)).isDefined)
-            changed = true
-        }
-        val st = w.snapshot
-        Iterator.single(RangeSummary(shard, range, firstGid, st.gid, changed,
-          st.exact, st.regs))
-      }.collect() // ≤ NShards × ranges rows, each ≤ max(exact set, 4 KiB)
+    // pass 1: neutral-seed fold of every range (shards × ranges tasks;
+    // summaries ≤ NShards × ranges rows, each ≤ max(exact set, 4 KiB))
+    val summaries = SegmentedFold.summarize(ranged) { (shard, range, it) =>
+      val w = new Walker(evict)
+      w.load(ShardState(-1L, Seq.empty, null))
+      var firstGid = -1L
+      var first = true
+      var changed = false
+      it.foreach { r =>
+        if (first) { firstGid = r.gid; first = false }
+        if (w.onOp(shard, ShardOp(r.shard, r.seq, r.key, r.gid)).isDefined)
+          changed = true
+      }
+      val st = w.snapshot
+      RangeSummary(shard, range, firstGid, st.gid, changed, st.exact, st.regs)
+    }
 
     // stitch: prefix-merge summaries per shard in range order. With
     // eviction, a handoff inside the range (or at its first op, seen
     // from the seed gid) resets the tally, so the range's own tail
     // tally IS the outgoing state; otherwise tallies accumulate.
-    val seeds = scala.collection.mutable.Map.empty[(Int, Int), ShardState]
-    summaries.groupBy(_.shard).foreach { case (shard, ss) =>
-      var gid = -1L
-      var exact: Seq[String] = Seq.empty
-      var regs: Array[Byte] = null
-      ss.sortBy(_.range).foreach { s =>
-        seeds((shard, s.range)) = ShardState(gid, exact, regs)
-        val handoffAtEntry = gid != -1L && gid != s.firstGid
-        val (e2, r2) =
-          if (evict && (s.changed || handoffAtEntry)) (s.exact, s.regs)
-          else mergeTally(exact, regs, s.exact, s.regs)
-        exact = e2; regs = r2; gid = s.lastGid
-      }
+    val seeds = SegmentedFold.stitchSeeds(summaries,
+        (s: RangeSummary) => s.shard, (s: RangeSummary) => s.range,
+        ShardState(-1L, Seq.empty, null)) { (seed, s) =>
+      val handoffAtEntry = seed.gid != -1L && seed.gid != s.firstGid
+      val (e2, r2) =
+        if (evict && (s.changed || handoffAtEntry)) (s.exact, s.regs)
+        else mergeTally(seed.exact, seed.regs, s.exact, s.regs)
+      ShardState(s.lastGid, e2, r2)
     }
-    val bSeeds = ops.sparkSession.sparkContext.broadcast(seeds.toMap)
 
     // pass 2: re-fold each range from its stitched seed
-    ranged.groupByKey(r => (r.shard, r.range))
-      .flatMapSortedGroups(col("seq")) { case ((shard, range), it) =>
-        val w = new Walker(evict)
-        w.load(bSeeds.value((shard, range)))
-        it.flatMap(r => w.onOp(shard, ShardOp(r.shard, r.seq, r.key, r.gid)).iterator)
-      }
+    SegmentedFold.refold(ranged, seeds) { (shard, _, seed, it) =>
+      val w = new Walker(evict)
+      w.load(seed)
+      it.flatMap(r => w.onOp(shard, ShardOp(r.shard, r.seq, r.key, r.gid)).iterator)
+    }
   }
 
   /** Segmented batch execution — same records as [[migrationsBatch]]

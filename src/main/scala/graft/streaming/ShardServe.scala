@@ -143,38 +143,41 @@ object ShardServe {
     val ranged = ShardMigration.rangedBySeq(opsM, ranges)
 
     // pass 1: raw change points per range + boundary gids
-    val scans = ranged.groupByKey(r => (r.shard, r.range))
-      .flatMapSortedGroups(col("seq")) { case ((shard, range), it) =>
-        var first = true
-        var firstSeq = -1L; var firstGid = -1L
-        var prevGid = -1L
-        val changes = Seq.newBuilder[Long]
-        it.foreach { r =>
-          if (first) { firstSeq = r.seq; firstGid = r.gid; first = false }
-          // prevGid != -1: the walker treats -1 as "unassigned" and
-          // opens no window when leaving it (its gid != -1L guard);
-          // the raw comparison must suppress the same transitions or
-          // the twins diverge on logs carrying literal -1 gids
-          else if (r.gid != prevGid && prevGid != -1L) changes += r.seq
-          prevGid = r.gid
-        }
-        Iterator.single((shard, range, firstSeq, firstGid, prevGid, changes.result()))
-      }.collect() // O(#reconfigurations + shards × ranges)
+    // (summaries are O(#reconfigurations + shards × ranges))
+    val scans = SegmentedFold.summarize(ranged) { (shard, range, it) =>
+      var first = true
+      var firstSeq = -1L; var firstGid = -1L
+      var prevGid = -1L
+      val changes = Seq.newBuilder[Long]
+      it.foreach { r =>
+        if (first) { firstSeq = r.seq; firstGid = r.gid; first = false }
+        // prevGid != -1: the walker treats -1 as "unassigned" and
+        // opens no window when leaving it (its gid != -1L guard);
+        // the raw comparison must suppress the same transitions or
+        // the twins diverge on logs carrying literal -1 gids
+        else if (r.gid != prevGid && prevGid != -1L) changes += r.seq
+        prevGid = r.gid
+      }
+      (shard, range, firstSeq, firstGid, prevGid, changes.result())
+    }
 
     // stitch: per shard, boundary changes + internal changes in seq
-    // order, greedily coalesced into effective hold windows
+    // order collected, then greedily coalesced into effective hold
+    // windows (a change inside an open window is absorbed — exactly
+    // the walker's holdUntil guard)
     val windows: Map[Int, Array[(Long, Long)]] =
-      scans.groupBy(_._1).map { case (shard, ss) =>
-        var gid = -1L
-        val raw = Seq.newBuilder[Long]
-        ss.sortBy(_._2).foreach { case (_, _, fSeq, fGid, lGid, changes) =>
-          if (gid != -1L && fGid != gid) raw += fSeq
-          raw ++= changes
-          gid = lGid
-        }
+      SegmentedFold.stitchFinal(scans,
+          (s: (Int, Int, Long, Long, Long, Seq[Long])) => s._1,
+          (s: (Int, Int, Long, Long, Long, Seq[Long])) => s._2,
+          (-1L, Vector.empty[Long])) {
+        case ((gid, raw), (_, _, fSeq, fGid, lGid, changes)) =>
+          val withBoundary =
+            if (gid != -1L && fGid != gid) raw :+ fSeq else raw
+          (lGid, withBoundary ++ changes)
+      }.map { case (shard, (_, raw)) =>
         var holdUntil = -1L
         val ws = Seq.newBuilder[(Long, Long)]
-        raw.result().foreach { c =>
+        raw.foreach { c =>
           if (c >= holdUntil) { ws += ((c, c + holdSeqs)); holdUntil = c + holdSeqs }
         }
         shard -> ws.result().toArray
