@@ -206,6 +206,68 @@ class ShardMigrationSpec extends SparkSpec {
     }
   }
 
+  test("streaming machine: micro-batch task spread = busy shards (documented ceiling)") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    implicit val sqlCtx = spark.sqlContext
+    // The STREAMING machines key by shard (10 keys): a micro-batch can
+    // never spread its stateful stage over more tasks than it has busy
+    // shards, whatever spark.sql.shuffle.partitions says. That is the
+    // accepted batch/stream asymmetry — per-batch work is bounded by
+    // the micro-batch, so the ceiling caps latency, not correctness;
+    // the SEGMENTED batch paths exist precisely because a full-log
+    // replay must not inherit it. This spec pins both halves: a
+    // 10-shard batch spreads over >1 (≤10) tasks, and a single-shard
+    // batch serializes to exactly 1 — so the scaladoc's claim stays
+    // true in code.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "32")
+    val perStage = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null &&
+            t.taskMetrics.shuffleReadMetrics.recordsRead > 0)
+          perStage.updateWith(t.stageId) { c => Some(c.getOrElse(0) + 1) }
+    }
+    def maxBusy(body: => Unit): Int = {
+      perStage.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        var last = -1; var same = 0
+        while (same < 3) {
+          Thread.sleep(200)
+          val now = perStage.values.sum
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        if (perStage.isEmpty) 0 else perStage.values.max
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    try {
+      val input = MemoryStream[ShardOp]
+      val q = migrations(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mig_spread").start()
+      try {
+        // skewed 10-shard batch: 90% of ops on shard 3, with handoffs
+        val all = (0 until 10).flatMap { s =>
+          val n = if (s == 3) 900 else 10
+          (0 until n).map(i => ShardOp(s, s * 100000L + i, s"k${i % 64}", i / (n / 2 + 1) + 1L))
+        }
+        val wide = maxBusy { input.addData(all); q.processAllAvailable() }
+        // single-shard batch: the ceiling serializes it to one task
+        val hot = (0 until 1000).map(i => ShardOp(3, 2000000L + i, s"k${i % 64}", 9L))
+        val narrow = maxBusy { input.addData(hot); q.processAllAvailable() }
+        assert(wide > 1 && wide <= 10,
+          s"10-shard micro-batch must spread over >1 and <=10 tasks, saw $wide")
+        assert(narrow == 1,
+          s"single-shard micro-batch must serialize to 1 busy task, saw $narrow")
+      } finally q.stop()
+    } finally
+      prevShuffle.fold(spark.conf.unset(shuffleKey))(v => spark.conf.set(shuffleKey, v))
+  }
+
   test("streaming evicting machine equals the batch evicting fold on corpus ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
