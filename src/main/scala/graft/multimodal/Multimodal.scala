@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * STUBBED (no media libraries in this environment).
   *
   * ══════════════════ STUB BOUNDARY ══════════════════
-  * `decodeStub` is a deterministic FAKE decoder: it derives
-  * plausible-looking features purely from the byte payload
-  * (length + first/last bytes). A real deployment replaces ONLY
-  * that function with an actual codec (JNI/FFI, or `mapInPandas`
-  * with PIL/torchaudio on PySpark); every other moving part —
-  * the media schema, binary column handling, partition-local
-  * batched iteration, feature schema — is real and tested.
+  * Uncompressed header formats are decoded FOR REAL in pure JVM:
+  * [[decodeHeaders]] sniffs the payload magic and parses BMP
+  * dimensions (BITMAPINFO/CORE headers) and WAV sample rate /
+  * channels / duration (RIFF chunk walk) — MultimodalSpec feeds it
+  * real synthesized files and asserts exact values. `decodeStub`
+  * remains the deterministic FAKE for everything else — compressed
+  * codecs (PNG/JPEG pixel data, MP4 frames) genuinely need media
+  * libraries this environment does not have. A real deployment
+  * replaces ONLY the stub fallback with an actual codec (JNI/FFI,
+  * or `mapInPandas` with PIL/torchaudio on PySpark); every other
+  * moving part — the media schema, binary column handling,
+  * partition-local batched iteration, feature schema — is real
+  * and tested.
   * ═══════════════════════════════════════════════════
   *
   * Scale notes: media bytes never leave their scan partition (decode
@@ -64,17 +70,63 @@ object Multimodal {
     (width, height, frames, durationMs)
   }
 
+  /** REAL header decode for the uncompressed formats — content-sniffed
+    * (magic bytes), so a payload that IS a BMP or WAV file decodes
+    * truthfully whatever its declared mime. Returns the
+    * [[MediaFeatures]] tail (width, height, n_frames, duration_ms):
+    * BMP → (|width|, |height|, 1, 0) from the BITMAPINFOHEADER (or
+    * the 12-byte BITMAPCOREHEADER); WAV → (0, 0, 1, data_bytes ×
+    * 1000 / byte_rate) from a proper RIFF chunk walk (chunks are
+    * 2-byte aligned; fmt and data may appear in any order). None for
+    * anything else — including truncated or malformed headers, which
+    * fall back to the stub rather than throwing mid-pipeline. */
+  private[multimodal] def decodeHeaders(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def leInt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
+    def leShort(p: Int): Int = java.nio.ByteBuffer.wrap(b, p, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+    def tag(p: Int): String =
+      if (b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val hdr = leInt(14)
+      if (hdr >= 40L && b.length >= 54)
+        Some((math.abs(leInt(18)), math.abs(leInt(22)), 1L, 0L))
+      else if (hdr == 12L) // BITMAPCOREHEADER: 16-bit unsigned dims
+        Some((leShort(18).toLong, leShort(20).toLong, 1L, 0L))
+      else None
+    } else if (b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var p = 12
+      var byteRate = -1L
+      var dataLen = -1L
+      while (p + 8 <= b.length && (byteRate < 0 || dataLen < 0)) {
+        val id = tag(p)
+        val size = leInt(p + 4)
+        if (size < 0 || size > b.length.toLong) return None // malformed
+        if (id == "fmt " && size >= 16 && p + 24 <= b.length)
+          byteRate = leInt(p + 16)
+        else if (id == "data")
+          dataLen = size
+        p += 8 + size.toInt + (size.toInt & 1) // chunks 2-byte aligned
+      }
+      if (byteRate > 0 && dataLen >= 0)
+        Some((0L, 0L, 1L, dataLen * 1000L / byteRate))
+      else None
+    } else None
+  }
+
   /** Batched feature extraction: partition-local, `batchSize` rows per
     * decode call — the exact shape a vectorized (Arrow/Pandas) decode
-    * would use, so swapping the stub for a real batch codec is a
-    * drop-in change. */
+    * would use, so swapping the stub fallback for a real batch codec
+    * is a drop-in change. Real header formats ([[decodeHeaders]])
+    * decode truthfully; everything else takes the stub. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // a real codec would decode `batch` as one vectorized call
         batch.iterator.map { r =>
-          val (w, h, f, d) = decodeStub(r.kind, r.media)
+          val (w, h, f, d) = decodeHeaders(r.media)
+            .getOrElse(decodeStub(r.kind, r.media))
           MediaFeatures(r.media_id, r.kind, r.media.length.toLong, w, h, f, d)
         }
       }

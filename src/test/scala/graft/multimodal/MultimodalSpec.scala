@@ -57,6 +57,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV/BMP headers decode truthfully; corpus payloads still take the stub") {
+    import spark.implicits._
+    // a real canonical PCM WAV: 8 kHz, 16-bit mono (byteRate 16000),
+    // 32000 data bytes -> exactly 2000 ms
+    def leInt(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def leShort(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val dataLen = 32000
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ leInt(36 + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ leInt(16) ++ leShort(1) ++ leShort(1) ++
+      leInt(8000) ++ leInt(16000) ++ leShort(2) ++ leShort(16) ++
+      "data".getBytes ++ leInt(dataLen) ++ Array.fill(dataLen)(0x5a.toByte)
+    // a real 24-bit BMP header: 640 × -480 (top-down; |height| = 480)
+    val bmp: Array[Byte] =
+      "BM".getBytes ++ leInt(54) ++ leInt(0) ++ leInt(54) ++
+      leInt(40) ++ leInt(640) ++ leInt(-480) ++ leShort(1) ++ leShort(24) ++
+      leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "audio/wav", wav.length.toLong),
+      Multimodal.MediaRow(2L, "image", bmp, "image/bmp", bmp.length.toLong),
+      // declared mime lies — content sniffing must still win
+      Multimodal.MediaRow(3L, "image", wav, "image/png", wav.length.toLong)
+    ).toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert((got(1L).width, got(1L).height, got(1L).n_frames, got(1L).duration_ms)
+      === ((0L, 0L, 1L, 2000L)), "WAV: 32000 bytes / 16000 B/s = 2000 ms")
+    assert((got(2L).width, got(2L).height, got(2L).n_frames, got(2L).duration_ms)
+      === ((640L, 480L, 1L, 0L)), "BMP: 640x480 from the header, top-down abs")
+    assert(got(3L).duration_ms === 2000L, "sniffing beats the declared mime")
+    // the gate corpus carries text bytes, not media magic: every row
+    // must fall back to the stub (mm_features' oracle arithmetic)
+    val corpus = Multimodal.mediaTable(spark, sf()).collect()
+    assert(corpus.forall(r => Multimodal.decodeHeaders(r.media).isEmpty),
+      "no corpus payload may accidentally sniff as real media")
+    // malformed/truncated headers fall back instead of throwing
+    assert(Multimodal.decodeHeaders("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeHeaders("BM".getBytes).isEmpty)
+    assert(Multimodal.decodeHeaders(wav.take(40)).isEmpty)
+  }
+
   test("metadata rollup covers all kinds and never touches the payload") {
     val df = Multimodal.kindSummary(spark, sf())
     val rows = df.collect()
