@@ -83,6 +83,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench_last.json: $e")
     }
+    // the driver keeps only the LAST 2000 log chars (measured from the
+    // r6 artifact), which the ~2.7k-char full line can never fit — so
+    // the final printed line is a SHORT headline that always survives
+    // the tail window intact, carrying the suite total plus a pointer
+    // to the full per-query file above
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"target/bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
