@@ -286,6 +286,21 @@ object SparkEntry {
     s"${graft.text.QualityClassifier.sideDumpPath(
       graft.text.QualityClassifier.lastDumpBase)}/*.parquet"
 
+  /** This run's SimHash signature dump (graft.dedup.Dedup
+    * .simhashSigs) — the map-only per-doc signature pass is the only
+    * thing the simhash oracles take on faith; banding, caps, probes,
+    * Hamming filter and pair generation are re-derived in SQL. */
+  private def simhashSigsGlob: String =
+    s"${graft.dedup.Dedup.simhashDumpPath(graft.dedup.Dedup.lastSimhashBase)}/*.parquet"
+
+  /** This run's trained-centroid dumps (graft.sim.Kmeans) — the Lloyd
+    * iterations are taken on faith; assignment, probe selection,
+    * scoring and ranks are re-derived from embeddings + codebook. */
+  private def kmeansCellsGlob: String =
+    s"${graft.sim.Kmeans.cellsDumpPath(graft.sim.Kmeans.lastCellsBase)}/*.parquet"
+  private def ivfTrainedGlob: String =
+    s"${graft.sim.Kmeans.ivfTrainedDumpPath(graft.sim.Kmeans.lastIvfTrainedBase)}/*.parquet"
+
   /** The BPE re-derivation CTE chain: given `bmerges(ord, a, b)` (the
     * side-dumped merge table) and `dw(doc_id, ws)` (per-doc ordered
     * word lists) defined upstream, re-applies the merges to the
@@ -1176,7 +1191,45 @@ object SparkEntry {
     // cluster id = min doc_id reachable (matches hash-min propagation)
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersSql,
-    // dedup_simhash: hash-sign sketch, not SQL-expressible → rows-only
+    // simhash gates: the per-doc SIGNATURES are side-dumped run-scoped
+    // (simhashSigsGlob) and are the only artifact taken on faith — the
+    // banding, bucket caps, radius-1 probe fan-out, Hamming filter and
+    // pair generation are re-derived in DuckDB as 64-bit arithmetic
+    "dedup_simhash" ->
+      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$simhashSigsGlob')),
+         |$simhashBandCte
+         |SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |FROM b x
+         |JOIN b y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+         |JOIN sz ON sz.band = x.band AND sz.h = x.h
+         |WHERE sz.n BETWEEN 2 AND 1000
+         |  AND bit_count(xor(x.sig, y.sig)) <= 7""".stripMargin,
+    "dedup_simhash_multiprobe" ->
+      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$simhashSigsGlob')),
+         |$simhashBandCte,
+         |exact AS (
+         |  SELECT x.doc_id AS i, y.doc_id AS j,
+         |    bit_count(xor(x.sig, y.sig)) AS dist
+         |  FROM b x
+         |  JOIN b y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+         |  JOIN sz ON sz.band = x.band AND sz.h = x.h
+         |  WHERE sz.n BETWEEN 2 AND 1000),
+         |probes AS (
+         |  SELECT doc_id, sig, band, xor(h, (CAST(1 AS BIGINT) << p)) AS h
+         |  FROM b CROSS JOIN (SELECT unnest(range(0, 8)) AS p)),
+         |viap AS (
+         |  SELECT least(pr.doc_id, m.doc_id) AS i,
+         |    greatest(pr.doc_id, m.doc_id) AS j,
+         |    bit_count(xor(pr.sig, m.sig)) AS dist
+         |  FROM probes pr
+         |  JOIN sz ON sz.band = pr.band AND sz.h = pr.h
+         |    AND sz.n BETWEEN 1 AND 1000
+         |  JOIN b m ON m.band = pr.band AND m.h = pr.h
+         |    AND m.doc_id <> pr.doc_id)
+         |SELECT DISTINCT i, j
+         |FROM (SELECT i, j, dist FROM exact
+         |      UNION ALL SELECT i, j, dist FROM viap)
+         |WHERE dist <= 15""".stripMargin,
     "dedup_embed" -> dedupEmbedSql,
     // IVF pruning only PRUNES candidates — verification is still exact
     // cosine ≥ τ, so precision is 1 by construction, and DedupEmbedSpec
@@ -1202,7 +1255,27 @@ object SparkEntry {
     // IvfIndexSpec pins the equality before the driver gate sees it
     "ann_ivf_full" -> annTopkCosineSql,
     "ann_ivfpq_rerank_all" -> annTopkCosineSql,
-    // ann_ivf/ann_pq/ann_pq_opq/ann_ivfpq*: genuinely approximate at gate config
+    // the IVF probe machinery is DETERMINISTIC (approximate only
+    // w.r.t. exact top-k): seed-codebook search derives fully from
+    // the embeddings table; the trained variants take only the
+    // Lloyd centroids on faith (run-scoped side dumps)
+    "ann_ivf" -> annIvfSql(annIvfSeedCte),
+    "ann_ivf_trained" ->
+      annIvfSql(s"SELECT cell, v FROM read_parquet('$ivfTrainedGlob')"),
+    "ann_kmeans_cells" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT cell, v FROM read_parquet('$kmeansCellsGlob')),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+         |    FROM e, c) WHERE rn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n
+         |FROM asg GROUP BY cell""".stripMargin,
+    // ann_pq/ann_pq_opq/ann_ivfpq*: genuinely approximate at gate config
     // (measured set-recall 0.76–0.98 < 1) → rows-only + recall specs
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->
@@ -1819,6 +1892,56 @@ object SparkEntry {
       |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
       |  FROM q, e WHERE e.vec_id <> q.vec_id)
       |WHERE rank <= 5""".stripMargin
+
+  /** The IVF probe pipeline over a `c(cell, v)` centroid CTE — the
+    * same derivation for seed and trained codebooks: argmax-cosine
+    * cell assignment (first-cell tie-break, matching the Scala
+    * first-index scan), nprobe=4 probe cells per query, exact cosine
+    * scoring within probed cells, k=5 rank by (sim DESC, neighbor).
+    * Assignment/probe margins on the gate corpus are ~1e-4 — far
+    * above any cosine-summation-order noise — and the OUTPUT carries
+    * no floats, the same robustness argument as annTopkCosineSql. */
+  private def annIvfSql(centroidCte: String): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c AS ($centroidCte),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |q AS (SELECT * FROM e WHERE vec_id < 10),
+       |pr AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.cell) AS rn
+       |    FROM q, c) WHERE rn <= 4)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
+       |  FROM q
+       |  JOIN pr ON pr.qid = q.vec_id
+       |  JOIN asg ON asg.cell = pr.cell
+       |  JOIN e ON e.vec_id = asg.vec_id AND e.vec_id <> q.vec_id)
+       |WHERE rank <= 5""".stripMargin
+
+  /** First-nCells seed codebook: deterministically the first 16
+    * corpus vectors in vec_id order — no side dump needed. */
+  private val annIvfSeedCte: String =
+    "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM e WHERE vec_id < 16"
+
+  /** The banded signature postings over a dumped `sigs(doc_id, sig)`
+    * frame — 8 × 8-bit bands; DuckDB's >>, xor and bit_count match
+    * Java's on negative longs (verified semantics). */
+  private val simhashBandCte: String =
+    """b AS (
+      |  SELECT doc_id, sig, band, (sig >> (band * 8)) & 255 AS h
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+      |sz AS (SELECT band, h, count(*) AS n FROM b GROUP BY band, h)""".stripMargin
 
   private def annTopkL2Sql: String =
     """WITH e AS (SELECT vec_id,

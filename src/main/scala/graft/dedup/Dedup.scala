@@ -245,7 +245,8 @@ object Dedup {
     val acc = new Array[Long](64)
     tokens.foreach { t =>
       // two 32-bit murmurs with distinct seeds → 64 bits (no cross-
-      // engine parity required; this operator has no SQL oracle)
+      // engine parity required: the oracle takes the dumped sigs on
+      // faith and re-derives only what is downstream of them)
       val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
       val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
       val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
@@ -260,15 +261,35 @@ object Dedup {
 
   final case class SimhashRow(doc_id: Long, sig: Long)
 
+  /** The basename of the last corpus dir [[simhashSigs]] dumped for;
+    * `SparkEntry.oracleSql` binds the simhash oracle globs to it. */
+  @volatile var lastSimhashBase: String = "sf0.01"
+
+  /** This run's signature side-dump path for a corpus dir. */
+  def simhashDumpPath(base: String): String =
+    graft.core.SideDump.path("simhash_sigs", base)
+
   /** Corpus SimHash signatures (docs with no shingles dropped — they
-    * would all share signature 0 and pair with each other). */
+    * would all share signature 0 and pair with each other). The
+    * signature frame is SIDE-DUMPED run-scoped: the per-doc map-only
+    * signature pass is the only thing the simhash oracles take on
+    * faith — banding, bucket caps, radius-1 probe fan-out, the
+    * Hamming filter, and pair generation are all re-derived in DuckDB
+    * from the dumped sigs (pure 64-bit arithmetic; DuckDB's >>/xor/
+    * bit_count match Java's on negatives). Deterministic map, so the
+    * two simhash gates sharing one dump kind always overwrite it with
+    * identical content. */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    docShingles(spark, sfDir)
+    val sigs = docShingles(spark, sfDir)
       .as[(Long, Seq[String])]
       .filter(_._2.nonEmpty)
       .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
       .toDF()
+    val base = new java.io.File(sfDir).getName
+    graft.core.SideDump.write(sigs, "simhash_sigs", base)
+    lastSimhashBase = base
+    sigs
   }
 
   /** (doc_id, sig, band, h) — the 8 × 8-bit band postings of a

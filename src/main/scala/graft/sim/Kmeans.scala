@@ -93,23 +93,60 @@ object Kmeans {
     math.round(s / n * 1e6)
   }
 
+  /** Basenames of the last corpus dirs the two gate surfaces dumped
+    * centroids for ([[cellSizes]] / [[topKIvfTrained]]);
+    * `SparkEntry.oracleSql` binds the oracle globs to them. Each gate
+    * dumps ITS OWN run's centroids under its own kind: `train`'s
+    * partial-sum merge order is scheduler-dependent in the last ulp,
+    * so two train() calls may not be bit-identical — the run-scoped
+    * dump captures exactly the codebook the gate output used. */
+  @volatile var lastCellsBase: String = "sf0.01"
+  @volatile var lastIvfTrainedBase: String = "sf0.01"
+
+  /** Centroid side-dump paths for the two gate surfaces. */
+  def cellsDumpPath(base: String): String =
+    graft.core.SideDump.path("kmeans_cells_cents", base)
+  def ivfTrainedDumpPath(base: String): String =
+    graft.core.SideDump.path("ivf_trained_cents", base)
+
+  private def dumpCents(spark: SparkSession, cents: Array[Centroid],
+      kind: String, sfDir: String): String = {
+    import spark.implicits._
+    graft.core.SideDump.write(
+      cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
+      kind, new java.io.File(sfDir).getName)
+    new java.io.File(sfDir).getName
+  }
+
   /** IVF search over a TRAINED codebook: Lloyd centroids replace the
-    * first-N seed, same probe machinery (Similarity.topKIvf). */
+    * first-N seed, same probe machinery (Similarity.topKIvf). The
+    * trained centroids are side-dumped: the Lloyd iterations are the
+    * only thing the DuckDB gate takes on faith — cell assignment,
+    * probe selection, cosine scoring, and the top-k rank are all
+    * re-derived from the dumped codebook and the raw embeddings
+    * (every float op is an exactly-specified IEEE-754 double op in
+    * the same order as the Scala scorer, and the output carries no
+    * floats — (query_id, neighbor_id, rank) only). */
   def topKIvfTrained(spark: SparkSession, sfDir: String, k: Int = 5,
       numQueries: Int = 10, nCells: Int = 16, nprobe: Int = 4,
       iters: Int = 3): DataFrame = {
-    val cents = train(Similarity.loadVectors(spark, sfDir), nCells, iters)
+    val trained = train(Similarity.loadVectors(spark, sfDir), nCells, iters)
+    lastIvfTrainedBase = dumpCents(spark, trained, "ivf_trained_cents", sfDir)
+    val cents = trained
       .map(c => Vec(-1L - c.cell, c.v, 1.0)) // unit-norm; id unused in probing
     Similarity.topKIvf(spark, sfDir, k, numQueries, nCells, nprobe, Some(cents))
   }
 
   /** Cluster-assignment summary (cell sizes): the observable surface
-    * of the trainer for the driver's rows-only check. */
+    * of the trainer. Hash-gated via the centroid side dump — DuckDB
+    * re-derives the argmax-cosine assignment (dot / ‖r‖ against unit
+    * centroids, first-index tie-break) and the per-cell counts. */
   def cellSizes(spark: SparkSession, sfDir: String, k: Int = 16,
       iters: Int = 3): DataFrame = {
     import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
     val cents = train(corpus, k, iters)
+    lastCellsBase = dumpCents(spark, cents, "kmeans_cells_cents", sfDir)
     val bc = spark.sparkContext.broadcast(cents)
     corpus.map(r => nearest(r, bc.value))
       .toDF("cell")

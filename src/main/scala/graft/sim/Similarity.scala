@@ -107,8 +107,14 @@ object Similarity {
   /** IVF-style ANN: corpus bucketed by nearest of `nCells` centroids
     * (default: deterministically the first nCells vectors; pass
     * `centroidsOpt` for a trained codebook — see graft.sim.Kmeans);
-    * a query scans only its `nprobe` nearest cells. Approximate —
-    * recall measured in SimilaritySpec; no SQL oracle (rows-only). */
+    * a query scans only its `nprobe` nearest cells. Approximate w.r.t.
+    * exact top-k (recall measured in SimilaritySpec) but DETERMINISTIC
+    * as an operator: with the first-N seed every stage — assignment,
+    * probe selection, scoring, rank — is a pure function of the
+    * embeddings table, so `ann_ivf` carries a full DuckDB hash oracle
+    * (ordered-IEEE cosine, first-index tie-breaks, no floats in the
+    * output); trained codebooks get the same oracle via a centroid
+    * side dump (graft.sim.Kmeans). */
   def topKIvf(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10,
       nCells: Int = 16, nprobe: Int = 4,
       centroidsOpt: Option[Array[Vec]] = None): DataFrame = {
