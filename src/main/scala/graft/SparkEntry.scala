@@ -301,6 +301,26 @@ object SparkEntry {
   private def ivfTrainedGlob: String =
     s"${graft.sim.Kmeans.ivfTrainedDumpPath(graft.sim.Kmeans.lastIvfTrainedBase)}/*.parquet"
 
+  /** This run's PQ codebook dumps: the standalone PQ trainer's books
+    * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
+    * (graft.sim.IvfIndex.buildOrLoadPq — centroids + books). */
+  private def pqBooksGlob: String =
+    s"${graft.sim.Pq.booksDumpPath(graft.sim.Pq.lastPqBase)}/*.parquet"
+  private def ivfpqCentsGlob: String =
+    s"${graft.sim.IvfIndex.centsDumpPath(graft.sim.IvfIndex.lastModelBase)}/*.parquet"
+  private def ivfpqBooksGlob: String =
+    s"${graft.sim.IvfIndex.booksDumpPath(graft.sim.IvfIndex.lastModelBase)}/*.parquet"
+
+  /** This run's OPQ rotation + rotated-space codebooks
+    * (graft.sim.Opq.topKPqOpq) and reduced-PCA model
+    * (graft.sim.Pca.topKL2PcaReduced). */
+  private def opqRotGlob: String =
+    s"${graft.sim.Opq.rotDumpPath(graft.sim.Opq.lastOpqBase)}/*.parquet"
+  private def opqBooksGlob: String =
+    s"${graft.sim.Opq.booksDumpPath(graft.sim.Opq.lastOpqBase)}/*.parquet"
+  private def pcaModelGlob: String =
+    s"${graft.sim.Pca.modelDumpPath(graft.sim.Pca.lastPcaBase)}/*.parquet"
+
   /** The BPE re-derivation CTE chain: given `bmerges(ord, a, b)` (the
     * side-dumped merge table) and `dw(doc_id, ws)` (per-doc ordered
     * word lists) defined upstream, re-applies the merges to the
@@ -1247,7 +1267,8 @@ object SparkEntry {
     // PCA: centering + orthogonal rotation preserve L2 distances (to
     // ~1e-13, far under the corpus' smallest top-k gap ~4e-5), so both
     // share this exact oracle — the PCA gate hash-proves the entire
-    // fit/eigen/project stack. ann_pca_reduced: lossy by design → rows-only.
+    // fit/eigen/project stack. ann_pca_reduced (lossy by design) gets
+    // its own model-dump oracle below.
     "ann_topk_l2" -> annTopkL2Sql,
     "ann_pca_topk" -> annTopkL2Sql,
     // full-probe twins: every cell read + (for PQ) unbounded rerank →
@@ -1275,8 +1296,67 @@ object SparkEntry {
          |    FROM e, c) WHERE rn = 1)
          |SELECT cell, CAST(count(*) AS BIGINT) AS n
          |FROM asg GROUP BY cell""".stripMargin,
-    // ann_pq/ann_pq_opq/ann_ivfpq*: genuinely approximate at gate config
-    // (measured set-recall 0.76–0.98 < 1) → rows-only + recall specs
+    // PQ pipelines: the trained codebooks (and the IVF-PQ index
+    // model) are side-dumped and taken on faith; encode, ADC, the
+    // global candidate cut and the exact re-rank are re-derived in
+    // SQL. ann_ivfpq_graph shares ann_ivfpq's oracle: at the gate's
+    // 16 cells the beam is exhaustive and CentroidGraphSpec pins the
+    // outputs equal (the ann_sq8 shares-the-exact-oracle pattern).
+    "ann_pq" ->
+      annPqPipelineSql(pqBooksGlob, "", "SELECT vec_id FROM nv"),
+    "ann_ivfpq" ->
+      annPqPipelineSql(ivfpqBooksGlob, ivfpqPoolCtes(ivfpqCentsGlob),
+        "SELECT a.vec_id FROM asg a JOIN cellu u ON u.cell = a.cell"),
+    "ann_ivfpq_graph" ->
+      annPqPipelineSql(ivfpqBooksGlob, ivfpqPoolCtes(ivfpqCentsGlob),
+        "SELECT a.vec_id FROM asg a JOIN cellu u ON u.cell = a.cell"),
+    // OPQ: same PQ pipeline in the dumped-rotation space — the
+    // rotation application (ordered dot per permuted basis row) is
+    // re-derived; eigensolve/allocation/trainer are the dumped faith
+    "ann_pq_opq" ->
+      annPqPipelineSql(opqBooksGlob, "", "SELECT vec_id FROM nv",
+        spaceCtes =
+          s"""rot AS (SELECT p, b FROM read_parquet('$opqRotGlob')),
+             |rproj AS (
+             |  SELECT n.vec_id, r.p,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, 65), i -> n.v[i] * r.b[i])),
+             |      (a, c) -> a + c) AS y
+             |  FROM nv0 n CROSS JOIN rot r),
+             |nv AS (SELECT vec_id, list(y ORDER BY p) AS v
+             |       FROM rproj GROUP BY vec_id),""".stripMargin),
+    // reduced-rank PCA search: the dumped mean + top-16 basis rows are
+    // the faith; projection (ordered centered dots) and the squared-L2
+    // rank are re-derived from raw embeddings
+    "ann_pca_reduced" ->
+      s"""WITH raw AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  FROM embeddings),
+         |md AS (SELECT comp, v FROM read_parquet('$pcaModelGlob')),
+         |mn AS (SELECT v AS mv FROM md WHERE comp = -1),
+         |basis AS (SELECT comp, v AS bv FROM md WHERE comp >= 0),
+         |proj AS (
+         |  SELECT r.vec_id, b.comp,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> (r.v0[i] - m.mv[i]) * b.bv[i])), (a, c) -> a + c) AS y
+         |  FROM raw r CROSS JOIN mn m CROSS JOIN basis b),
+         |pv AS (SELECT vec_id, list(y ORDER BY comp) AS v
+         |       FROM proj GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM pv WHERE vec_id < 10)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.qid AS query_id, p.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(range(1, 17),
+         |          c -> (q.qv[c] - p.v[c]) * (q.qv[c] - p.v[c]))),
+         |        (a, b) -> a + b),
+         |      p.vec_id) AS rank
+         |  FROM q JOIN pv p ON p.vec_id <> q.qid)
+         |WHERE rank <= 5""".stripMargin,
+    // ann_ivfpq_adaptive: the adaptive round/convergence control loop
+    // remains rows-only + differential specs (its candidate set is a
+    // function of the probe ROUNDS, not a single declarative rule)
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->
       """WITH toks AS (
@@ -1933,6 +2013,105 @@ object SparkEntry {
     * corpus vectors in vec_id order — no side dump needed. */
   private val annIvfSeedCte: String =
     "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v FROM e WHERE vec_id < 16"
+
+  /** The PQ pipeline re-derivation at the gate config (dim 64, m=8 →
+    * dsub=8, ksub=16, rerank=50, k=5, 10 queries): L2-normalize in
+    * ordered IEEE arithmetic, re-encode every vector against the
+    * DUMPED codebooks (argmin ordered-fold sqDist, lowest-code ties),
+    * rebuild the ADC tables, sum per-vector ADC distances in subspace
+    * order, cut to the global ADC top-50 per query ((adc, id) order —
+    * the operators' partition-independent cut), and exact-cosine
+    * re-rank the survivors. `poolCtes`/`poolSrc` restrict the scored
+    * pool (whole corpus for ann_pq; the probed cells' members for
+    * ann_ivfpq). Everything except the trainer is re-derived. */
+  private def annPqPipelineSql(booksGlob: String, poolCtes: String,
+      poolSrc: String,
+      spaceCtes: String = "nv AS (SELECT vec_id, v FROM nv0),"): String =
+    s"""WITH raw AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+       |  FROM embeddings),
+       |nrm2 AS (SELECT vec_id, v0,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v0, x -> x * x)), (a, b) -> a + b)) AS nr
+       |  FROM raw),
+       |nv0 AS (SELECT vec_id,
+       |    CASE WHEN nr = 0 THEN v0 ELSE list_transform(v0, x -> x / nr) END AS v
+       |  FROM nrm2),
+       |$spaceCtes
+       |books AS (SELECT subspace, code, v AS bv
+       |          FROM read_parquet('$booksGlob')),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM nv WHERE vec_id < 10),
+       |enc AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT n.vec_id, b.subspace, b.code,
+       |      row_number() OVER (PARTITION BY n.vec_id, b.subspace
+       |        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 9), i ->
+       |            (n.v[b.subspace * 8 + i] - b.bv[i])
+       |            * (n.v[b.subspace * 8 + i] - b.bv[i]))),
+       |          (a, c) -> a + c), b.code) AS rn
+       |    FROM nv n CROSS JOIN books b) WHERE rn = 1),
+       |adct AS (
+       |  SELECT q.qid, b.subspace, b.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 9), i ->
+       |        (q.qv[b.subspace * 8 + i] - b.bv[i])
+       |        * (q.qv[b.subspace * 8 + i] - b.bv[i]))),
+       |      (a, c) -> a + c) AS d
+       |  FROM q CROSS JOIN books b),
+       |$poolCtes
+       |adc AS (
+       |  SELECT t.qid, e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(t.d ORDER BY t.subspace)), (a, b) -> a + b) AS dist
+       |  FROM enc e
+       |  JOIN ($poolSrc) p ON p.vec_id = e.vec_id
+       |  JOIN adct t ON t.subspace = e.subspace AND t.code = e.code
+       |  WHERE e.vec_id <> t.qid
+       |  GROUP BY t.qid, e.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 50),
+       |hits AS (
+       |  SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> q.qv[i] * n.v[i])),
+       |      (a, b) -> a + b) AS sim
+       |  FROM cand c
+       |  JOIN q ON q.qid = c.qid
+       |  JOIN nv n ON n.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM hits) WHERE rank <= 5""".stripMargin
+
+  /** The IVF half of ann_ivfpq's oracle: cell assignment against the
+    * dumped unit-norm centroids (argmax ordered dot, lowest-cell
+    * ties), nprobe=4 probe cells per query, and — matching the
+    * operator, whose one scan serves every query — the scored pool is
+    * the UNION of all queries' probe cells. */
+  private def ivfpqPoolCtes(centsGlob: String): String =
+    s"""cents AS (SELECT cell, v AS cv FROM read_parquet('$centsGlob')),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 65), i -> n.v[i] * c.cv[i])),
+       |          (a, b) -> a + b) DESC, c.cell) AS rn
+       |    FROM nv n CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])),
+       |          (a, b) -> a + b) DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+       |cellu AS (SELECT DISTINCT cell FROM probes),""".stripMargin
 
   /** The banded signature postings over a dumped `sigs(doc_id, sig)`
     * frame — 8 × 8-bit bands; DuckDB's >>, xor and bit_count match

@@ -12,11 +12,23 @@ import org.apache.spark.sql.DataFrame
   * THIS run's dump: a stale dump from an older run, code version, or
   * different SF can never be silently compared.
   *
-  * Users: BPE merge tables ([[graft.text.Bpe]] — DuckDB re-applies
-  * the merges to the raw corpus) and trained classifier weights
-  * ([[graft.text.QualityClassifier]] — DuckDB re-hashes features and
-  * recomputes the margin). ShardCtrler keeps its original inline copy
-  * (same shape) because its path name is part of an existing gate.
+  * Users — in each case the LEARNED/FOLDED artifact is the only
+  * thing taken on faith, and everything downstream is re-derived:
+  *  - BPE merge tables ([[graft.text.Bpe]] — the oracle re-applies
+  *    the merges to the raw corpus);
+  *  - trained classifier weights ([[graft.text.QualityClassifier]] —
+  *    re-hashed features, re-folded margins);
+  *  - SimHash signatures ([[graft.dedup.Dedup]] — banding, caps,
+  *    probes and pair generation re-derived as 64-bit arithmetic);
+  *  - Lloyd centroids ([[graft.sim.Kmeans]] — assignment, probe
+  *    selection and ranks re-derived from embeddings + codebook);
+  *  - PQ codebooks ([[graft.sim.Pq]], [[graft.sim.IvfIndex]],
+  *    [[graft.sim.Opq]] — encode/ADC/candidate-cut/re-rank
+  *    re-derived; OPQ also dumps its applied rotation rows);
+  *  - the reduced-PCA model ([[graft.sim.Pca]] — projection and the
+  *    squared-L2 rank re-derived).
+  * ShardCtrler keeps its original inline copy (same shape) because
+  * its path name is part of an existing gate.
   */
 object SideDump {
 

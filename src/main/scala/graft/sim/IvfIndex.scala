@@ -139,19 +139,42 @@ object IvfIndex {
     PqIndexModel(cents, Pq.Codebooks(m, centroids(0)(0).length, centroids))
   }
 
+  /** Basename of the last corpus dir [[buildOrLoadPq]] dumped the
+    * index model for; `SparkEntry.oracleSql` binds the ivfpq oracle
+    * globs to it. */
+  @volatile var lastModelBase: String = "sf0.01"
+
+  /** Model side-dump paths (oracle inputs): IVF centroids and PQ
+    * codebooks of the session index. */
+  def centsDumpPath(base: String): String =
+    graft.core.SideDump.path("ivfpq_cents", base)
+  def booksDumpPath(base: String): String =
+    graft.core.SideDump.path("ivfpq_books", base)
+
   /** Load the model if this path already holds one (same-session
-    * reuse: build once, probe many), else build + persist. */
+    * reuse: build once, probe many), else build + persist. Either way
+    * the model is also SIDE-DUMPED run-scoped for the DuckDB oracles —
+    * all ivfpq gates share one session index, so every call overwrites
+    * the dump with identical content (the persisted `_model`). */
   def buildOrLoadPq(spark: SparkSession, sfDir: String, indexPath: String,
       nCells: Int = 16, iters: Int = 2, m: Int = 8, ksub: Int = 16): PqIndexModel = {
+    import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_model/books")))
-      loadModel(spark, indexPath)
-    else {
-      val idx = buildPq(spark, sfDir, indexPath, nCells, iters, m, ksub)
-      saveModel(spark, indexPath, idx)
-      idx
-    }
+    val idx =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/_model/books")))
+        loadModel(spark, indexPath)
+      else {
+        val built = buildPq(spark, sfDir, indexPath, nCells, iters, m, ksub)
+        saveModel(spark, indexPath, built)
+        built
+      }
+    graft.core.SideDump.write(
+      idx.cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
+      "ivfpq_cents", new java.io.File(sfDir).getName)
+    Pq.dumpBooks(spark, idx.cb, "ivfpq_books", sfDir)
+    lastModelBase = new java.io.File(sfDir).getName
+    idx
   }
 
   /** IVF-PQ index: the production ANN layout. Vectors are stored
@@ -459,9 +482,19 @@ object IvfIndex {
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (_, id) => (qs(qi).vec_id, id) }
+          h.iterator.map { case (d, id) => (qs(qi).vec_id, id, d) }
         }
-      }.toDF("query_id", "neighbor_id").distinct()
+      }.toDF("query_id", "neighbor_id", "adc")
+      // GLOBAL candidate cut (see Pq.topKPqCore): the per-partition
+      // heaps bound emission; this rank fixes the candidate set at the
+      // global ADC top-`rerank` per query, making the output
+      // partition-count-independent — the property the ann_ivfpq
+      // DuckDB oracle relies on
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("_r") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
     // fetch ONLY the candidates' vectors for the exact re-rank
     val rescored = candidates
       .join(probed.select(col("vec_id"), col("v")),

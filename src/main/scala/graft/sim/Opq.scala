@@ -88,11 +88,26 @@ object Opq {
     }
   }
 
+  /** Basename of the last corpus dir [[topKPqOpq]] dumped rotation +
+    * books for; `SparkEntry.oracleSql` binds the oracle globs to it. */
+  @volatile var lastOpqBase: String = "sf0.01"
+
+  /** Rotation/codebook side-dump paths for the gate surface. */
+  def rotDumpPath(base: String): String =
+    graft.core.SideDump.path("opq_rot", base)
+  def booksDumpPath(base: String): String =
+    graft.core.SideDump.path("opq_books", base)
+
   /** PQ top-k in the balanced-rotated space: normalize → fit PCA →
     * balanced allocation → rotate corpus + queries → [[Pq]]'s
-    * train/encode/ADC/exact-rerank core. Approximate (rows-only
-    * gate); the recall improvement over plain PQ is measured on the
-    * planted anisotropic fixture in OpqSpec. */
+    * train/encode/ADC/exact-rerank core. The APPLIED rotation rows
+    * (perm-ordered basis) and the rotated-space codebooks are
+    * side-dumped: the eigensolve, the allocation and the Lloyd
+    * trainer are taken on faith, and the DuckDB oracle re-derives
+    * the rotation application, encode, ADC, the global candidate cut
+    * and the exact re-rank from raw embeddings + the dumps. The
+    * recall improvement over plain PQ is measured on the planted
+    * anisotropic fixture in OpqSpec. */
   def topKPqOpq(spark: SparkSession, sfDir: String, k: Int = 5,
       numQueries: Int = 10, m: Int = 8, ksub: Int = 16,
       rerank: Int = 50): DataFrame = {
@@ -101,10 +116,16 @@ object Opq {
       .map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
     val model = Pca.fit(corpus)
     val perm = balancedAllocation(model.eigvals, m)
+    graft.core.SideDump.write(
+      perm.indices.map(p => (p, model.basis(perm(p)).toSeq)).toDF("p", "b"),
+      "opq_rot", new java.io.File(sfDir).getName)
     val rotated = rotate(corpus, model, perm)
     val queries = corpus.filter(col("vec_id") < numQueries).collect()
       .sortBy(_.vec_id)
       .map(q => Vec(q.vec_id, rotateOne(model, perm, q.v), 1.0))
-    Pq.topKPqCore(rotated, queries, k, m, ksub, rerank)
+    Pq.topKPqCore(rotated, queries, k, m, ksub, rerank, cb => {
+      Pq.dumpBooks(spark, cb, "opq_books", sfDir)
+      lastOpqBase = new java.io.File(sfDir).getName
+    })
   }
 }

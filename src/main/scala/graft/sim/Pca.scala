@@ -303,14 +303,33 @@ object Pca {
     topKEuclid(projected, queries, k)
   }
 
-  /** Gate (rows-only): the SCALE path — reduced-rank projection, then
-    * Euclidean top-k in `kdim` dims. At 100 TB this is the point of
-    * PCA: a 4× narrower scan (and 4× smaller index) for a measured
-    * recall cost (PcaSpec: recall vs the exact L2 baseline). */
+  /** Basename of the last corpus dir [[topKL2PcaReduced]] dumped its
+    * model for; `SparkEntry.oracleSql` binds the oracle glob to it. */
+  @volatile var lastPcaBase: String = "sf0.01"
+
+  /** This run's PCA-model side-dump path for a corpus dir. */
+  def modelDumpPath(base: String): String =
+    graft.core.SideDump.path("pca_model", base)
+
+  /** Gate: the SCALE path — reduced-rank projection, then Euclidean
+    * top-k in `kdim` dims. At 100 TB this is the point of PCA: a 4×
+    * narrower scan (and 4× smaller index) for a measured recall cost
+    * (PcaSpec: recall vs the exact L2 baseline). Hash-gated via a
+    * model side dump: the eigensolve is the only thing the DuckDB
+    * oracle takes on faith — it re-projects raw embeddings through
+    * the dumped mean + top-kdim basis (ordered IEEE folds, the
+    * projectOne order) and re-ranks by squared L2, so the projection
+    * and search machinery are independently re-derived. */
   def topKL2PcaReduced(spark: SparkSession, sfDir: String, kdim: Int = 16,
       k: Int = 5, numQueries: Int = 10): DataFrame = {
+    import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
     val m = fit(corpus)
+    graft.core.SideDump.write(
+      ((-1, m.mean.toSeq) +:
+        (0 until kdim).map(c => (c, m.basis(c).toSeq))).toDF("comp", "v"),
+      "pca_model", new java.io.File(sfDir).getName)
+    lastPcaBase = new java.io.File(sfDir).getName
     val projected = project(corpus, m, kdim)
     val queries = corpus.filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
       .map(q => Vec(q.vec_id, projectOne(m, kdim, whiten = false, q.v), 0.0))

@@ -15,7 +15,10 @@ import Similarity.{Vec, Hit, cosine}
   * the full corpus DISTRIBUTED (no driver sample; see
   * [[trainDistributed]]) → encode corpus in one narrow pass → per
   * partition, ADC-score codes against the query tables into bounded
-  * heaps → re-rank the candidate union with exact cosine.
+  * heaps → cut the heap union to the GLOBAL ADC top-`rerank` per query
+  * (partition-count-independent semantics, which is what lets the
+  * `ann_pq` DuckDB oracle re-derive the whole pipeline from the dumped
+  * codebooks) → re-rank the survivors with exact cosine.
   *
   * At 100 TB: codebooks are KB-sized broadcast state; encoding is
   * map-only; a query touches 8 bytes + 8 table lookups per corpus
@@ -164,13 +167,39 @@ object Pq {
   private[sim] def adcTable(cb: Codebooks, q: Array[Double]): Array[Array[Double]] =
     Array.tabulate(cb.m)(j => cb.centroids(j).map(c => sqDist(sub(q, j, cb.dsub), c)))
 
+  /** Basename of the last corpus dir [[topKPq]] dumped codebooks for;
+    * `SparkEntry.oracleSql` binds the `ann_pq` oracle glob to it. */
+  @volatile var lastPqBase: String = "sf0.01"
+
+  /** This run's codebook side-dump path for a corpus dir. */
+  def booksDumpPath(base: String): String =
+    graft.core.SideDump.path("pq_books", base)
+
   def topKPq(spark: SparkSession, sfDir: String, k: Int = 5, numQueries: Int = 10,
       m: Int = 8, ksub: Int = 16, rerank: Int = 50): DataFrame = {
     import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
       .map(v => Vec(v.vec_id, l2normalize(v.v), 1.0))
     val queries = corpus.filter(col("vec_id") < numQueries).collect().sortBy(_.vec_id)
-    topKPqCore(corpus, queries, k, m, ksub, rerank)
+    topKPqCore(corpus, queries, k, m, ksub, rerank, cb => {
+      dumpBooks(spark, cb, "pq_books", sfDir)
+      lastPqBase = new java.io.File(sfDir).getName
+    })
+  }
+
+  /** Dump a codebook as (subspace, code, v) rows — the only artifact
+    * a PQ oracle takes on faith (the trainer); encode, the ADC table,
+    * the global candidate cut and the exact re-rank are re-derived in
+    * SQL from raw embeddings + this dump. */
+  private[sim] def dumpBooks(spark: SparkSession, cb: Codebooks,
+      kind: String, sfDir: String): Unit = {
+    import spark.implicits._
+    graft.core.SideDump.write(
+      (for {
+        j <- cb.centroids.indices
+        c <- cb.centroids(j).indices
+      } yield (j, c, cb.centroids(j)(c).toSeq)).toDF("subspace", "code", "v"),
+      kind, new java.io.File(sfDir).getName)
   }
 
   /** Train + encode + ADC-scan + exact-rerank over an arbitrary
@@ -179,10 +208,11 @@ object Pq {
     * differ only in the space the codes live in. */
   private[sim] def topKPqCore(corpus: org.apache.spark.sql.Dataset[Vec],
       queries: Array[Vec], k: Int, m: Int, ksub: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, onTrained: Codebooks => Unit = _ => ()): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cb = trainDistributed(corpus, m, ksub)
+    onTrained(cb)
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcQ = spark.sparkContext.broadcast(queries)
     val bcTables = spark.sparkContext.broadcast(queries.map(q => adcTable(cb, q.v)))
@@ -213,7 +243,19 @@ object Pq {
         h.iterator.map { case (d, id) => (qs(qi).vec_id, id, d) }
       }
     }.toDF("query_id", "neighbor_id", "adc")
-    // exact re-rank of the candidate union (≤ |Q|·rerank·partitions rows)
+      // GLOBAL candidate cut: per-partition heaps bound the emission
+      // (≤ |Q|·rerank rows each), then one tiny rank over their union
+      // fixes the candidate set at the global ADC top-`rerank` per
+      // query, (adc, id)-ordered — so the OUTPUT is a pure function of
+      // the corpus, independent of physical partitioning (the
+      // per-partition-union semantics this replaces changed with the
+      // partition count, which no SQL oracle could mirror honestly).
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("_r") <= rerank)
+      .drop("_r")
+    // exact re-rank of the candidate union (≤ |Q|·rerank rows)
     val byId = corpus.alias("c")
     val rescored = candidates
       .join(byId, col("neighbor_id") === col("c.vec_id"))

@@ -79,7 +79,11 @@ class OpqSpec extends SparkSpec {
     def recallOf(got: Map[Long, Set[Long]]): Double =
       exact.keys.toSeq.map(q => (got(q) & exact(q)).size).sum / (exact.size * 5.0)
     // small codebooks + small rerank budget so CANDIDATE quality is
-    // what's measured (measured: plain 0.80 vs rotated 1.0)
+    // what's measured. Under the global (adc, id) candidate cut the
+    // budget is EXACTLY rerank=6 nominations for a top-5 (the old
+    // per-partition-union semantics amplified it by the partition
+    // count, which is why the absolute floor below was once 0.95;
+    // measured now: plain 0.24 vs rotated 0.88)
     val plain = recallOf(sets(Pq.topKPqCore(ds, queries, k = 5, m = 8,
       ksub = 8, rerank = 6)))
     val model = Pca.fit(ds)
@@ -92,7 +96,7 @@ class OpqSpec extends SparkSpec {
     assert(opq >= plain, s"rotation should not hurt: $opq < $plain")
     assert(opq - plain >= 0.15,
       s"balanced rotation should clearly beat plain PQ here: $plain -> $opq")
-    assert(opq >= 0.95, s"OPQ recall too low: $opq")
+    assert(opq >= 0.85, s"OPQ recall too low: $opq")
   }
 
   test("gate query: well-formed output on the gate corpus") {
