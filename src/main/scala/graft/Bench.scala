@@ -16,7 +16,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+      // if events.parquet carries TIMESTAMP(NANOS), surface it as long ns
+      // (Spark has no ns type); µs-precision fixtures arrive as
+      // TIMESTAMP/TIMESTAMP_NTZ — graft.sources.EventTime adapts per-schema
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,6 +53,11 @@ object Bench {
     // warmup, not engine throughput; min-of-2 reports steady state
     // (BENCH_NOTES.md). Set SPARK_GRAFT_RUNS=1 for single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // failure messages, keyed by query: the round-7 regression showed
+    // stderr alone is NOT an artifact — the driver's log-tail capture
+    // discarded the [bench] lines, leaving four -1.000s with no cause.
+    // The JSON file must carry the WHY alongside the -1.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         quiesce()
@@ -59,6 +66,8 @@ object Bench {
           try { force(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
             false
           }
         // a failed query reports -1, NOT its partial elapsed time — the
@@ -67,11 +76,24 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    // minimal JSON string escape for error payloads (quotes, backslash,
+    // control chars) — exception text is arbitrary
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also persist the line: the driver's log-tail capture clipped the
     // round-4 artifact mid-JSON, losing the ann_* block — a file copy
@@ -88,7 +110,7 @@ object Bench {
     // the final printed line is a SHORT headline that always survives
     // the tail window intact, carrying the suite total plus a pointer
     // to the full per-query file above
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"target/bench_last.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries_file":"target/bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,12 +12,20 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+      // if events.parquet carries TIMESTAMP(NANOS), surface it as long ns
+      // (Spark has no ns type); µs-precision fixtures arrive as
+      // TIMESTAMP/TIMESTAMP_NTZ — graft.sources.EventTime adapts per-schema
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional comma-separated query filter for local iteration (same
+    // contract as Bench); the driver never sets it, so the gate always
+    // dumps the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -159,19 +159,16 @@ object RelQueries {
         (col("n") - coalesce(col("prev_n"), lit(0L))).as("delta"))
   }
 
-  /** events.ts arrives as raw nanos (nanosAsLong); event-time day =
-    * ns → µs → timestamp → date, all inside codegen. Integer `div`,
-    * NOT `/`: float division of an ~1.7e18 ns value exceeds double's
-    * 2^53 integer precision and corrupts timestamps. Emitted as an ISO
-    * string so the hash compare is engine-neutral. */
-  private def eventDay: Column =
-    date_format(to_date(timestamp_micros(expr("ts div 1000"))), "yyyy-MM-dd")
-
-  /** Daily event rollup: count + exact cents sum per (day, type). */
-  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .groupBy(eventDay.as("day"), col("event_type"))
+  /** Daily event rollup: count + exact cents sum per (day, type).
+    * Event time goes through [[graft.sources.EventTime]], which adapts
+    * to whatever physical encoding the table carries (int64 nanos,
+    * TIMESTAMP, TIMESTAMP_NTZ) — all inside codegen. Day is emitted as
+    * an ISO string so the hash compare is engine-neutral. */
+  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.groupBy(graft.sources.EventTime.tsDay(ev).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+  }
 
   /** Exact distinct users per event type (shuffle on type after
     * map-side partial distinct) + approx variant for the 100 TB path
@@ -370,9 +367,10 @@ object RelQueries {
     * clicked, then purchased. One pass: per-user min event time per
     * stage (conditional min), then integer µs comparisons — no joins,
     * no floats. */
-  def signupFunnel(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+  def signupFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.select(col("user_id"), graft.sources.EventTime.tsUs(ev).as("us"),
+        col("event_type"))
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "signup", col("us"))).as("t_signup"),
@@ -383,6 +381,7 @@ object RelQueries {
         count(when(col("t_click") > col("t_signup"), lit(1))).as("n_signup_click"),
         count(when(col("t_click") > col("t_signup") &&
           col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"))
+  }
 
   /** Full outer join: per-nation customer vs supplier presence —
     * nations may have either, both, or neither side. */
@@ -415,8 +414,10 @@ object RelQueries {
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
-    val ev = t(spark, sfDir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+    val raw = t(spark, sfDir, "events")
+    val ev = raw
+      .select(col("user_id"), graft.sources.EventTime.tsUs(raw).as("us"),
+        col("event_id"))
     val gapMarked = ev
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("brk",

@@ -22,6 +22,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // if a fixture carries TIMESTAMP(NANOS), surface it as long ns;
+      // µs fixtures read as TIMESTAMP(_NTZ) — EventTime adapts per-schema
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Physical-timestamp portability pin (round-7 regression class).
+  *
+  * The same logical instants are written under all three encodings a
+  * lakehouse writer can produce — raw int64 nanos, TIMESTAMP (instant,
+  * isAdjustedToUTC=true), TIMESTAMP_NTZ (wall clock) — and every
+  * event-time consumer must read them identically. A future fixture
+  * drift should fail HERE, in one targeted spec, not across four
+  * suites. */
+class EventTimeSpec extends SparkSpec {
+
+  /** Tiny shared fixture derived from the real events table: (µs,
+    * event_type, value) rows — whatever encoding the driver's fixture
+    * currently carries, `tsUs` canonicalizes it first. */
+  private lazy val rows: DataFrame = {
+    val real = spark.read.parquet(s"${sf()}/events.parquet")
+    real.select(EventTime.tsUs(real).as("us"), col("event_type"), col("value"))
+      .limit(500).localCheckpoint()
+  }
+
+  /** Writes `rows` as an events table under encoding `mode` and
+    * returns the sf-style directory containing events.parquet. */
+  private def writeFixture(mode: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-ts-$mode").toString
+    val ts = mode match {
+      case "ns"  => col("us") * 1000L
+      case "tsi" => timestamp_micros(col("us"))
+      // wall clock pinned to UTC explicitly — NOT a session-zone cast
+      case "ntz" => convert_timezone(lit("UTC"), timestamp_micros(col("us")))
+    }
+    rows.select(ts.as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private lazy val fixtures: Map[String, String] =
+    Seq("ns", "tsi", "ntz").map(m => m -> writeFixture(m)).toMap
+
+  test("tsUs reads identical microseconds from all three physical encodings") {
+    val expectedTypes = Map[String, DataType](
+      "ns" -> LongType, "tsi" -> TimestampType, "ntz" -> TimestampNTZType)
+    val expected = rows.select("us").collect().map(_.getLong(0)).sorted.toSeq
+    fixtures.foreach { case (mode, dir) =>
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      // the fixture must actually exercise the branch it claims to
+      assert(df.schema("ts").dataType === expectedTypes(mode),
+        s"$mode fixture did not round-trip its encoding")
+      val got = df.select(EventTime.tsUs(df).as("us"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected, s"tsUs mismatch under $mode encoding")
+    }
+  }
+
+  test("NTZ and instant paths are independent of spark.sql.session.timeZone") {
+    // ADVICE r7: an implicit NTZ→TIMESTAMP cast would shift event time
+    // by the session zone; tsUs must not. Pin by recomputing under a
+    // zone with a large offset and DST.
+    val expected = rows.select("us").collect().map(_.getLong(0)).sorted.toSeq
+    val prev = spark.conf.getOption("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      for (mode <- Seq("ntz", "tsi")) {
+        val df = spark.read.parquet(s"${fixtures(mode)}/events.parquet")
+        val got = df.select(EventTime.tsUs(df).as("us"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got === expected, s"$mode path shifted under non-UTC session zone")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
+      case None => spark.conf.unset("spark.sql.session.timeZone")
+    }
+  }
+
+  test("eventsDaily is encoding-portable (two-fixture query equivalence)") {
+    val results = fixtures.map { case (mode, dir) =>
+      mode -> graft.queries.RelQueries.eventsDaily(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("value_cents"))).toMap
+    }
+    assert(results("ns").nonEmpty)
+    assert(results("tsi") === results("ns"), "TIMESTAMP vs int64-ns daily rollup")
+    assert(results("ntz") === results("ns"), "TIMESTAMP_NTZ vs int64-ns daily rollup")
+  }
+
+  test("tsDay is independent of the session zone (UTC calendar pinned)") {
+    val df = spark.read.parquet(s"${fixtures("ntz")}/events.parquet")
+    val utcDays = df.select(EventTime.tsDay(df).as("d"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val prev = spark.conf.getOption("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo") // UTC+9, no DST
+      val got = df.select(EventTime.tsDay(df).as("d"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got === utcDays, "tsDay drifted with the session zone")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
+      case None => spark.conf.unset("spark.sql.session.timeZone")
+    }
+  }
+
+  test("an unsupported encoding fails loudly, not silently") {
+    import spark.implicits._
+    val bad = Seq("2024-01-01").toDF("ts")
+    val e = intercept[IllegalArgumentException](EventTime.tsUs(bad))
+    assert(e.getMessage.contains("unsupported event-time encoding"))
+  }
+}

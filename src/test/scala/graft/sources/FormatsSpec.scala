@@ -47,8 +47,9 @@ class FormatsSpec extends SparkSpec {
   test("date-partitioned layout prunes partitions for day filters") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
-    val events = spark.read.parquet(s"${sf()}/events.parquet")
-      .select(col("event_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+    val events = raw
+      .select(col("event_id"), EventTime.tsUs(raw).as("us"), col("event_type"))
     Formats.writeDatePartitioned(events, col("us"), out)
     val pruned = spark.read.parquet(out).filter(col("p_day") === "2024-01-02")
     val plan = pruned.queryExecution.executedPlan.toString

@@ -278,8 +278,12 @@ class KvStreamSpec extends SparkSpec {
   test("windowed streaming aggregation matches batch on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val evs = spark.read.parquet(s"${sf()}/events.parquet")
-      .select(col("ts"), col("event_type"), col("value"))
+    // Ev.ts is raw ns — read the table through the schema-adaptive
+    // accessor so the spec survives any physical ts encoding
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+    val evs = raw
+      .select((graft.sources.EventTime.tsUs(raw) * 1000).as("ts"),
+        col("event_type"), col("value"))
       .as[(Long, String, Double)].collect().map(t => Ev(t._1, t._2, t._3))
     val input = MemoryStream[Ev]
     val agg = input.toDS()
