@@ -1,0 +1,71 @@
+package graft
+
+/** Round-closing artifact check (round-7 process failure: a bench run
+  * with four `-1.000` entries shipped unnoticed). Validates
+  * `target/bench_last.json` against the registered query surface:
+  *
+  *  1. every `SparkEntry.queries` key has a bench row (a query that
+  *     vanished from the artifact is a silent registration/run gap);
+  *  2. no bench value is negative (`-1` = the query failed — the
+  *     `errors` map carries the why);
+  *  3. the `errors` map is empty.
+  *
+  * Exits 1 with a per-finding report on any violation, 0 with an OK
+  * line otherwise. No SparkSession needed — this is a pure artifact
+  * read, cheap enough to run after every bench. `BenchArtifactSpec`
+  * runs the same checks inside `sbt test` (cancelled when no artifact
+  * is present, e.g. a fresh clone).
+  */
+object SelfCheck {
+  final case class BenchArtifact(queries: Map[String, Double],
+      errors: Map[String, String])
+
+  def parse(json: String): BenchArtifact = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    def obj(name: String): Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+      val n = root.get(name)
+      if (n == null) Map.empty
+      else {
+        val it = n.properties().iterator()
+        val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      }
+    }
+    BenchArtifact(
+      obj("queries").map { case (k, v) => k -> v.asDouble() },
+      obj("errors").map { case (k, v) => k -> v.asText() })
+  }
+
+  /** All violations for `artifact` vs the registered surface. */
+  def findings(artifact: BenchArtifact): Seq[String] = {
+    val registered = SparkEntry.queries.keySet
+    val missing = (registered -- artifact.queries.keySet).toSeq.sorted
+      .map(n => s"$n: registered but has no bench row")
+    val negative = artifact.queries.toSeq.sortBy(_._1)
+      .collect { case (n, v) if v < 0 =>
+        s"$n: bench value $v (failed run)" +
+          artifact.errors.get(n).map(m => s" - $m").getOrElse("")
+      }
+    val stray = (artifact.errors.keySet -- artifact.queries.filter(_._2 < 0).keySet)
+      .toSeq.sorted.map(n => s"$n: error recorded: ${artifact.errors(n)}")
+    missing ++ negative ++ stray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("target/bench_last.json")
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) {
+      System.err.println(s"[selfcheck] FAIL: no artifact at $path - run graft.Bench first")
+      sys.exit(1)
+    }
+    val fs = findings(parse(java.nio.file.Files.readString(p)))
+    if (fs.nonEmpty) {
+      fs.foreach(f => System.err.println(s"[selfcheck] FAIL: $f"))
+      sys.exit(1)
+    }
+    println(s"[selfcheck] OK: ${SparkEntry.queries.size} registered queries " +
+      s"all present in $path, no failures")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the SelfCheck artifact validator, plus the live check
+  * against `target/bench_last.json` when one exists (cancelled on a
+  * fresh clone — `sbt test` right after a bench run flags any `-1`
+  * the way round 7 needed). */
+class SelfCheckSpec extends AnyFunSuite {
+
+  test("parse reads queries and errors maps") {
+    val a = SelfCheck.parse(
+      """{"metric":"total","value":1.0,"unit":"sec",
+        |"queries":{"q1":0.5,"q2":-1.0},
+        |"errors":{"q2":"boom: bad column"},"sf":"x"}""".stripMargin)
+    assert(a.queries === Map("q1" -> 0.5, "q2" -> -1.0))
+    assert(a.errors === Map("q2" -> "boom: bad column"))
+  }
+
+  test("findings flags missing rows, negative values, and stray errors") {
+    val full = SparkEntry.queries.keys.map(_ -> 0.1).toMap
+    assert(SelfCheck.findings(SelfCheck.BenchArtifact(full, Map.empty)).isEmpty)
+
+    val k = SparkEntry.queries.keys.head
+    val missing = SelfCheck.BenchArtifact(full - k, Map.empty)
+    assert(SelfCheck.findings(missing).exists(_.contains("no bench row")))
+
+    val negative = SelfCheck.BenchArtifact(full + (k -> -1.0),
+      Map(k -> "analysis failed"))
+    val fs = SelfCheck.findings(negative)
+    assert(fs.exists(f => f.contains("failed run") && f.contains("analysis failed")))
+
+    val stray = SelfCheck.BenchArtifact(full, Map(k -> "flaky once"))
+    assert(SelfCheck.findings(stray).exists(_.contains("error recorded")))
+  }
+
+  test("live bench artifact (if present) is clean") {
+    val p = java.nio.file.Paths.get("target/bench_last.json")
+    assume(java.nio.file.Files.exists(p), "no bench artifact in this checkout")
+    val fs = SelfCheck.findings(SelfCheck.parse(java.nio.file.Files.readString(p)))
+    assert(fs.isEmpty, fs.mkString("\n"))
+  }
+}
