@@ -310,6 +310,8 @@ object SparkEntry {
     s"${graft.sim.IvfIndex.centsDumpPath(graft.sim.IvfIndex.lastModelBase)}/*.parquet"
   private def ivfpqBooksGlob: String =
     s"${graft.sim.IvfIndex.booksDumpPath(graft.sim.IvfIndex.lastModelBase)}/*.parquet"
+  private def ivfpqADepthGlob: String =
+    s"${graft.sim.IvfIndex.adepthDumpPath(graft.sim.IvfIndex.lastModelBase)}/*.parquet"
 
   /** This run's OPQ rotation + rotated-space codebooks
     * (graft.sim.Opq.topKPqOpq) and reduced-PCA model
@@ -1354,9 +1356,16 @@ object SparkEntry {
          |      p.vec_id) AS rank
          |  FROM q JOIN pv p ON p.vec_id <> q.qid)
          |WHERE rank <= 5""".stripMargin,
-    // ann_ivfpq_adaptive: the adaptive round/convergence control loop
-    // remains rows-only + differential specs (its candidate set is a
-    // function of the probe ROUNDS, not a single declarative rule)
+    // ann_ivfpq_adaptive: the convergence loop's per-query probe
+    // DEPTHS are side-dumped (the faith); probe-cell selection, ADC,
+    // the per-query rerank·depth cut and the exact re-rank are all
+    // re-derived — the operator's output stage is a pure function of
+    // (model, depths) by contract (IvfIndex.probePqAdaptive scaladoc)
+    "ann_ivfpq_adaptive" ->
+      annPqPipelineSql(ivfpqBooksGlob,
+        ivfpqAdaptivePoolCtes(ivfpqCentsGlob, ivfpqADepthGlob),
+        "SELECT a.vec_id FROM asg a JOIN cellu u ON u.cell = a.cell",
+        candCte = adaptiveCandCte),
     // micro-unit quantization absorbs summation order + last-ulp ln()
     "text_lm_score" ->
       """WITH toks AS (
@@ -2024,9 +2033,20 @@ object SparkEntry {
     * re-rank the survivors. `poolCtes`/`poolSrc` restrict the scored
     * pool (whole corpus for ann_pq; the probed cells' members for
     * ann_ivfpq). Everything except the trainer is re-derived. */
+  /** Default global candidate cut: flat ADC top-50 per query ((dist,
+    * vec_id) order — the operators' partition-independent cut). The
+    * adaptive gate swaps in a per-query rerank·depth budget. */
+  private val defaultCandCte: String =
+    """cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 50),""".stripMargin
+
   private def annPqPipelineSql(booksGlob: String, poolCtes: String,
       poolSrc: String,
-      spaceCtes: String = "nv AS (SELECT vec_id, v FROM nv0),"): String =
+      spaceCtes: String = "nv AS (SELECT vec_id, v FROM nv0),",
+      candCte: String = defaultCandCte): String =
     s"""WITH raw AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
        |  FROM embeddings),
@@ -2069,11 +2089,7 @@ object SparkEntry {
        |  JOIN adct t ON t.subspace = e.subspace AND t.code = e.code
        |  WHERE e.vec_id <> t.qid
        |  GROUP BY t.qid, e.vec_id),
-       |cand AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
-       |    FROM adc) WHERE rn <= 50),
+       |$candCte
        |hits AS (
        |  SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2112,6 +2128,45 @@ object SparkEntry {
        |          (a, b) -> a + b) DESC, c.cell) AS rn
        |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
        |cellu AS (SELECT DISTINCT cell FROM probes),""".stripMargin
+
+  /** ADAPTIVE-prober pool: same cell-assignment/affinity machinery as
+    * [[ivfpqPoolCtes]], but each query's probe depth comes from the
+    * run's depth side-dump (the convergence decisions — the only part
+    * taken on faith) instead of a fixed nprobe, and the scored pool is
+    * the union of all queries' probed cells, exactly the one scan the
+    * operator's output stage performs. */
+  private def ivfpqAdaptivePoolCtes(centsGlob: String,
+      adepthGlob: String): String =
+    s"""dep AS (SELECT qid, depth FROM read_parquet('$adepthGlob')),
+       |cents AS (SELECT cell, v AS cv FROM read_parquet('$centsGlob')),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 65), i -> n.v[i] * c.cv[i])),
+       |          (a, b) -> a + b) DESC, c.cell) AS rn
+       |    FROM nv n CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT r.qid, r.cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])),
+       |          (a, b) -> a + b) DESC, c.cell) AS rn
+       |    FROM q CROSS JOIN cents c) r
+       |  JOIN dep d ON d.qid = r.qid WHERE r.rn <= d.depth),
+       |cellu AS (SELECT DISTINCT cell FROM probes),""".stripMargin
+
+  /** The adaptive gate's candidate cut: global ADC top-(50·depth) per
+    * query — the operator's rerank budget grown with probe depth. */
+  private def adaptiveCandCte: String =
+    """cand AS (
+      |  SELECT x.qid, x.vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |    FROM adc) x
+      |  JOIN dep d ON d.qid = x.qid WHERE x.rn <= 50 * d.depth),""".stripMargin
 
   /** The banded signature postings over a dumped `sigs(doc_id, sig)`
     * frame — 8 × 8-bit bands; DuckDB's >>, xor and bit_count match

@@ -253,12 +253,33 @@ object IvfIndex {
       gateQueries(spark, sfDir, numQueries), idx, g, k)
   }
 
-  /** Build-or-load and probe with the ADAPTIVE prober (gate surface). */
+  /** Per-query adaptive probe-depth dump path (oracle input): the one
+    * artifact of the adaptive prober taken on faith — its convergence
+    * DECISIONS. Everything downstream (probe-cell selection from the
+    * depths, ADC scoring, the per-query candidate cut, the exact
+    * re-rank) is re-derived by the DuckDB oracle. */
+  def adepthDumpPath(base: String): String =
+    graft.core.SideDump.path("ivfpq_adepth", base)
+
+  /** Build-or-load and probe with the ADAPTIVE prober (gate surface).
+    * Side-dumps each query's converged probe depth so the oracle can
+    * re-derive the probed cells and the full scoring stack. The
+    * adaptive loop runs EAGERLY inside [[probePqAdaptive]] (one Spark
+    * job per round), so the depths are final before the returned
+    * DataFrame is ever executed. */
   def topKIvfPqAdaptive(spark: SparkSession, sfDir: String, k: Int = 5,
       numQueries: Int = 10): DataFrame = {
+    import spark.implicits._
     val path = sessionPath(spark, sfDir)
-    probePqAdaptive(spark, path, gateQueries(spark, sfDir, numQueries),
-      buildOrLoadPq(spark, sfDir, path), k)
+    val idx = buildOrLoadPq(spark, sfDir, path)
+    val qs = gateQueries(spark, sfDir, numQueries)
+    val probed = new Array[Int](qs.length)
+    val out = probePqAdaptive(spark, path, qs, idx, k,
+      probedCellsOut = Some(probed))
+    graft.core.SideDump.write(
+      qs.indices.map(i => (qs(i).vec_id, probed(i))).toDF("qid", "depth"),
+      "ivfpq_adepth", new java.io.File(sfDir).getName)
+    out
   }
 
   /** FULL-probe gate twin of [[probe]]: every cell read, so the
@@ -317,10 +338,15 @@ object IvfIndex {
     * the driver never holds more than the per-query candidate heaps
     * (the standard ANN serving state). Easy queries stop after one
     * round; hard ones keep probing; total IO adapts to the query set
-    * instead of the worst case. Exact re-rank finishes as in
-    * [[probePq]], reading ONLY the union of probed cells (the
-    * candidates all came from them, so an unfiltered scan would read
-    * the whole index for nothing). */
+    * instead of the worst case.
+    *
+    * OUTPUT CONTRACT: the loop decides only each query's probe DEPTH;
+    * the returned result is then recomputed deterministically — global
+    * ADC top-(rerank·depth) per query over the probed-cell union, then
+    * the exact re-rank (see the output-stage comment below). That makes
+    * the result a pure function of (index model, per-query depths),
+    * which the DuckDB gate oracle re-derives from the depth side-dump;
+    * only the convergence decisions themselves are taken on faith. */
   def probePqAdaptive(spark: SparkSession, indexPath: String,
       queries: Array[Vec], idx: PqIndexModel, k: Int = 5, maxProbe: Int = 16,
       patience: Int = 1, epsMicro: Long = 1000L, rerank: Int = 50,
@@ -415,24 +441,22 @@ object IvfIndex {
     }
     probedCellsOut.foreach(out => Array.copy(probed, 0, out, 0, probed.length))
     roundsOut.foreach(out => out(0) = rounds)
-    // exact re-rank of the surviving candidate union (≤ |Q|·rerank rows),
-    // reading only the probed cells' partitions — candidates can't live
-    // anywhere else, and the filter keeps the fetch partition-pruned
-    val cand = queries.indices.flatMap { qi =>
-      heaps(qi).iterator.map { case (_, id) => (queries(qi).vec_id, id) }
-    }.toDF("query_id", "neighbor_id")
-    val rescored = cand
-      .join(spark.read.parquet(indexPath)
-          .filter(col("cell").isin(probedCellUnion.toSeq.sorted: _*))
-          .select(col("vec_id"), col("v")),
-        col("neighbor_id") === col("vec_id"))
-      .select(col("query_id"), col("neighbor_id"), col("v"))
-      .as[(Long, Long, Array[Double])]
-      .map { case (q, n, v) =>
-        val qv = bcQ.value(bcQ.value.indexWhere(_.vec_id == q))
-        Similarity.Hit(q, n, cosine(qv, Vec(n, v, 1.0)))
-      }
-    Similarity.rankHits(rescored, k)
+    // OUTPUT STAGE — deterministic, partition-count-independent. The
+    // loop above is the CONTROL: its round heaps exist only to drive
+    // convergence, and their contents (partition-local survivors) are
+    // deliberately NOT the answer. The result is recomputed as a pure
+    // function of (index, per-query probe depths): one codes-only scan
+    // of the probed-cell UNION — the same union the loop's
+    // opportunistic scoring already paid for — with a GLOBAL per-query
+    // candidate cut at rerank·depth (the cap the loop grew round by
+    // round), then the exact re-rank. Same global-cut property that
+    // makes ann_ivfpq oracle-checkable; the DuckDB oracle re-derives
+    // this stage from the dumped depths alone. probedCellUnion ==
+    // ∪ queries' first-probed(qi) affinity ranks, because an active
+    // query in each round contributes exactly its next `batch` ranks.
+    val unionCells = probedCellUnion.toArray.sorted
+    probePqCellsCapped(spark, indexPath, queries, idx, unionCells, k,
+      probed.map(p => (math.max(1, p).toLong * rerank).min(Int.MaxValue).toInt))
   }
 
   /** Top-k IVF-PQ probe; `queries` must be L2-normalized (as stored). */
@@ -451,18 +475,30 @@ object IvfIndex {
     * into. */
   private[sim] def probePqCells(spark: SparkSession, indexPath: String,
       queries: Array[Vec], idx: PqIndexModel, cells: Array[Int],
-      k: Int, rerank: Int): DataFrame = {
+      k: Int, rerank: Int): DataFrame =
+    probePqCellsCapped(spark, indexPath, queries, idx, cells, k,
+      Array.fill(queries.length)(rerank))
+
+  /** [[probePqCells]] with a PER-QUERY candidate cap (aligned with
+    * `queries`) — the adaptive prober's output stage: each query's
+    * global ADC cut is its own rerank·depth budget. */
+  private[sim] def probePqCellsCapped(spark: SparkSession, indexPath: String,
+      queries: Array[Vec], idx: PqIndexModel, cells: Array[Int],
+      k: Int, caps: Array[Int]): DataFrame = {
     import spark.implicits._
     val probed = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     // ADC scan: codes only — the float vectors are pruned at the reader
     val bcQ = spark.sparkContext.broadcast(queries)
     val bcT = spark.sparkContext.broadcast(queries.map(q => Pq.adcTable(idx.cb, q.v)))
+    val bcCaps = spark.sparkContext.broadcast(caps)
     val m = idx.cb.m
+    val capsDf = queries.indices.map(i => (queries(i).vec_id, caps(i)))
+      .toDF("cap_qid", "cap")
     val candidates = probed.select(col("vec_id"), col("code"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val qs = bcQ.value; val tables = bcT.value
+        val qs = bcQ.value; val tables = bcT.value; val cs = bcCaps.value
         val heaps = Array.fill(qs.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
         rows.foreach { case (id, code) =>
@@ -473,7 +509,7 @@ object IvfIndex {
               var d = 0.0; var j = 0
               while (j < m) { d += t(j)(code(j) & 0xff); j += 1 }
               val h = heaps(qi)
-              if (h.size < rerank) h.enqueue((d, id))
+              if (h.size < cs(qi)) h.enqueue((d, id))
               else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
                 h.dequeue(); h.enqueue((d, id))
               }
@@ -487,13 +523,14 @@ object IvfIndex {
       }.toDF("query_id", "neighbor_id", "adc")
       // GLOBAL candidate cut (see Pq.topKPqCore): the per-partition
       // heaps bound emission; this rank fixes the candidate set at the
-      // global ADC top-`rerank` per query, making the output
+      // global ADC top-`cap` per query, making the output
       // partition-count-independent — the property the ann_ivfpq
       // DuckDB oracle relies on
       .withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("adc"), col("neighbor_id"))))
-      .filter(col("_r") <= rerank)
+      .join(broadcast(capsDf), col("query_id") === col("cap_qid"))
+      .filter(col("_r") <= col("cap"))
       .select(col("query_id"), col("neighbor_id"))
     // fetch ONLY the candidates' vectors for the exact re-rank
     val rescored = candidates
