@@ -97,7 +97,9 @@ object SparkEntry {
     "rel_running" -> ((s, dir) => RelQueries.runningCustomerTotals(s, dir)),
     "rel_daily_delta" -> ((s, dir) => RelQueries.eventsDailyDelta(s, dir)),
     "rel_distinct_users" -> ((s, dir) => RelQueries.distinctUsers(s, dir)),
-    "rel_approx_users" -> ((s, dir) => RelQueries.approxDistinctUsers(s, dir)),
+    // BANDED: exact count + HLL-verdict column, hash-gated (the oracle
+    // pins the exact twin and asserts within_band = TRUE)
+    "rel_approx_users" -> ((s, dir) => RelQueries.approxDistinctUsersBanded(s, dir)),
     "rel_rollup" -> ((s, dir) => RelQueries.pricingRollup(s, dir)),
     "rel_cube" -> ((s, dir) => RelQueries.orderPriorityCube(s, dir)),
     "rel_upsert" -> ((s, dir) => RelQueries.changelogSnapshot(s, dir)),
@@ -113,10 +115,13 @@ object SparkEntry {
     "rel_ship_attrib" -> ((s, dir) =>
       graft.streaming.StreamJoin.shippedLinesBatch(s, dir)),
     "rel_median" -> ((s, dir) => RelQueries.medianValue(s, dir)),
-    // sketch-based scale paths of the two exact rank queries; approx
-    // values are engine-specific → rows-only gates, error-band spec
-    "rel_median_approx" -> ((s, dir) => RelQueries.medianValueApprox(s, dir)),
-    "rel_quantiles_approx" -> ((s, dir) => RelQueries.valueQuantilesApprox(s, dir)),
+    // sketch-based scale paths of the two exact rank queries, BANDED:
+    // each emits the exact value plus a rank-band verdict on the
+    // sketch output, so the DuckDB oracle hash-checks what used to be
+    // rows-only (sketch internals stay engine-specific; their error
+    // CONTRACT is now the gated claim)
+    "rel_median_approx" -> ((s, dir) => RelQueries.medianApproxBanded(s, dir)),
+    "rel_quantiles_approx" -> ((s, dir) => RelQueries.quantilesApproxBanded(s, dir)),
     // exact two-pass histogram selection (scale-safe for bounded value
     // domains) — reproduces the exact operators' outputs bit-for-bit,
     // so both share the exact hash oracles
@@ -608,7 +613,15 @@ object SparkEntry {
     "rel_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
-    // rel_approx_users: HLL estimate, engine-specific → rows-only
+    // banded approx gates: the oracle re-derives the EXACT twin and
+    // asserts the verdict column is TRUE — a sketch leaving its error
+    // band flips within_band and breaks the hash. The sketch VALUE is
+    // deliberately not in the output (engine-specific); its error
+    // contract is the gated claim.
+    "rel_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_band
+        |FROM events GROUP BY event_type""".stripMargin,
     "rel_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
@@ -714,6 +727,12 @@ object SparkEntry {
     // exact histogram selection reproduces the exact median/quantiles
     "rel_median_hist" -> relMedianSql,
     "rel_quantiles_hist" -> relQuantilesSql,
+    "rel_median_approx" ->
+      s"""SELECT event_type, median_cents, TRUE AS within_band
+         |FROM ($relMedianSql)""".stripMargin,
+    "rel_quantiles_approx" ->
+      s"""SELECT event_type, q, cents, TRUE AS within_band
+         |FROM ($relQuantilesSql)""".stripMargin,
     "rel_pivot" ->
       """SELECT user_id % 10 AS user_decile,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

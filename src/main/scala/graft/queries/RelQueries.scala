@@ -526,6 +526,87 @@ object RelQueries {
       .select(col("event_type"), col("q"), col("cents"))
   }
 
+  /** BANDED gate for [[medianValueApprox]] — makes the sketch's error
+    * contract driver-checkable instead of rows-only. Emits the EXACT
+    * median (oracle-derivable) plus a `within_band` verdict: the rank
+    * of the approx value inside its group must sit within
+    * max(1, n/1000) of the true median rank — 10× slack over
+    * percentile_approx's n/accuracy guarantee (accuracy=10000), same
+    * band RelQueriesSpec pins. The oracle emits the exact twin and a
+    * literal TRUE, so a sketch that leaves the band breaks the hash.
+    * Scale posture: the verdict machinery is the same bounded-domain
+    * histogram as [[medianValueHist]] plus a 5-row broadcast of the
+    * sketch output — no per-group row sort anywhere. */
+  def medianApproxBanded(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val hist = t(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val exact = hist
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .withColumn("r", expr("(sum(c) over (partition by event_type) + 1) div 2"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("cents").as("median_cents"))
+    val approx = medianValueApprox(spark, sfDir, accuracy)
+      .withColumnRenamed("median_cents", "approx_cents")
+    val ranked = hist.join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("cents") <= col("approx_cents"), col("c"))
+          .otherwise(lit(0L))).as("rank_of"))
+    exact.join(broadcast(ranked), Seq("event_type"))
+      .select(col("event_type"), col("median_cents"),
+        (abs(col("rank_of") - col("n") / lit(2.0)) <=
+          greatest(lit(1.0), col("n") / lit(1000.0))).as("within_band"))
+  }
+
+  /** BANDED gate for [[valueQuantilesApprox]]: exact p25/p50/p75 plus
+    * a per-rank `within_band` verdict under the same rank band as
+    * [[medianApproxBanded]]. */
+  def quantilesApproxBanded(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val hist = t(spark, sfDir, "events")
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val exact = hist
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
+      .withColumn("r", expr("cast(ceil(n * q / 100.0) as bigint)"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("q"), col("cents"))
+    val approx = valueQuantilesApprox(spark, sfDir, accuracy)
+      .withColumnRenamed("cents", "approx_cents")
+    val ranked = hist.join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("cents") <= col("approx_cents"), col("c"))
+          .otherwise(lit(0L))).as("rank_of"))
+    exact.join(broadcast(ranked), Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("cents"),
+        (abs(col("rank_of") - col("n") * col("q") / lit(100.0)) <=
+          greatest(lit(1.0), col("n") / lit(1000.0))).as("within_band"))
+  }
+
+  /** BANDED gate for [[approxDistinctUsers]]: exact distinct count plus
+    * the HLL estimate's 5%-relative-error verdict (rsd=0.02, same band
+    * RelQueriesSpec pins), in ONE pass — countDistinct and the sketch
+    * share the aggregation. Oracle = exact twin + literal TRUE. */
+  def approxDistinctUsersBanded(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("a"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("a") - col("n_users")).cast("double") / col("n_users") <=
+          lit(0.05)).as("within_band"))
+
   /** As-of join: each (synthetic-dated) event matched to the user's
     * latest order on-or-before that date — `operators.AsOfJoin`. The
     * customer count folds into the plan as a broadcast single-row

@@ -147,6 +147,40 @@ class RelQueriesSpec extends SparkSpec {
     }
   }
 
+  test("banded approx gates: exact columns equal the exact twins, verdicts all true") {
+    // the driver-checkable form of the error-band contract: the gate
+    // emits (exact, within_band); the DuckDB oracle pins the exact twin
+    // and asserts TRUE — here we pin the same two claims engine-side,
+    // plus the verdict's falsifiability hinge: within_band is computed
+    // from the REAL sketch output, not hard-coded (the plan must
+    // contain the sketch aggregate)
+    val bm = RelQueries.medianApproxBanded(spark, sf()).collect()
+    val em = RelQueries.medianValue(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bm.map(r => r.getString(0) -> r.getLong(1)).toMap === em)
+    assert(bm.forall(_.getBoolean(2)), bm.mkString(", "))
+    val bq = RelQueries.quantilesApproxBanded(spark, sf()).collect()
+    val eq = RelQueries.valueQuantiles(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bq.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap === eq)
+    assert(bq.forall(_.getBoolean(3)), bq.mkString(", "))
+    val bu = RelQueries.approxDistinctUsersBanded(spark, sf()).collect()
+    val eu = RelQueries.distinctUsers(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bu.map(r => r.getString(0) -> r.getLong(1)).toMap === eu)
+    assert(bu.forall(_.getBoolean(2)), bu.mkString(", "))
+    for (df <- Seq(RelQueries.medianApproxBanded(spark, sf()),
+        RelQueries.quantilesApproxBanded(spark, sf()))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("percentile_approx"),
+        s"verdict not derived from the sketch:\n${plan.take(2000)}")
+    }
+    val planU = RelQueries.approxDistinctUsersBanded(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(planU.contains("approx_count_distinct") || planU.contains("hyperloglog"),
+      s"verdict not derived from the HLL sketch:\n${planU.take(2000)}")
+  }
+
   test("histogram median/quantiles equal the exact operators; window runs post-aggregation") {
     val exactM = RelQueries.medianValue(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
