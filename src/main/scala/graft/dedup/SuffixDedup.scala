@@ -68,6 +68,15 @@ object SuffixDedup {
     * already splits into several tasks. */
   val LeadChunk: Int = 1 << 13
 
+  /** Debug switch (round-6 review note): when on, [[chunkedLeads]]
+    * VERIFIES its dense-0-based-`off` precondition per doc before
+    * running — one extra aggregation job per call, so it's an opt-in
+    * for new call sites / fixture changes, not a production tax.
+    * Seeded from `-Dgraft.debug.denseOff=true`; tests flip it
+    * directly. */
+  @volatile private[dedup] var debugDenseOff: Boolean =
+    sys.props.get("graft.debug.denseOff").exists(_.equalsIgnoreCase("true"))
+
   /** The 3 window `lead`s of the quadrupling rounds — and the final
     * combine's multi-offset leads — computed WITHOUT a per-document
     * window: rows are exploded into their home offset-chunk plus (for
@@ -90,6 +99,21 @@ object SuffixDedup {
     val maxLead = dists.max
     require(chunk > maxLead, s"chunk width $chunk must exceed max lead $maxLead" +
       " (note: caller must supply dense 0-based `off` per doc_id; see scaladoc)")
+    if (debugDenseOff) {
+      // debug path: prove the density precondition instead of trusting
+      // it — a gap would silently misalign carries, never fail
+      val bad = df.groupBy(col("doc_id"))
+        .agg(min(col("off")).as("mn"), max(col("off")).as("mx"),
+          count(lit(1)).as("c"))
+        .filter(col("mn") =!= 0L || col("mx") + 1 =!= col("c"))
+        .limit(1).collect()
+      require(bad.isEmpty, {
+        val r = bad.head
+        s"chunkedLeads: `off` not dense 0-based for doc_id=${r.get(0)} " +
+          s"(min=${r.get(1)}, max=${r.get(2)}, rows=${r.get(3)}) — " +
+          "lead() counts rows, not offset deltas"
+      })
+    }
     val home = expr(s"CAST(floor(off / $chunk) AS BIGINT)")
     val spread = df.withColumn("_chunk", explode(
       when(col("off") % chunk < maxLead && col("off") >= chunk,

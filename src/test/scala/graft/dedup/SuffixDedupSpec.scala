@@ -35,6 +35,31 @@ class SuffixDedupSpec extends SparkSpec {
       "extents must be exactly the planted copies, nothing else")
   }
 
+  test("debug density check: gapped offsets fail loudly, dense pass (round-6 note)") {
+    import spark.implicits._
+    val dense = Seq((1L, 0L, 10L), (1L, 1L, 11L), (1L, 2L, 12L),
+      (2L, 0L, 20L), (2L, 1L, 21L)).toDF("doc_id", "off", "r")
+    val gapped = Seq((1L, 0L, 10L), (1L, 2L, 12L)).toDF("doc_id", "off", "r")
+    val oneBased = Seq((1L, 1L, 10L), (1L, 2L, 12L)).toDF("doc_id", "off", "r")
+    val prev = SuffixDedup.debugDenseOff
+    try {
+      SuffixDedup.debugDenseOff = true
+      // dense input: the check passes and the leads are computed
+      val ok = SuffixDedup.chunkedLeads(dense, "r", Seq(1), Seq("n1"), chunk = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(ok === Set((1L, 0L, 11L), (1L, 1L, 12L), (1L, 2L, -1L),
+        (2L, 0L, 21L), (2L, 1L, -1L)))
+      for (bad <- Seq(gapped, oneBased)) {
+        val e = intercept[IllegalArgumentException](
+          SuffixDedup.chunkedLeads(bad, "r", Seq(1), Seq("n1"), chunk = 2))
+        assert(e.getMessage.contains("not dense 0-based"), e.getMessage)
+      }
+      // the check is an opt-in: off by default, no per-call job tax
+    } finally SuffixDedup.debugDenseOff = prev
+    assert(!SuffixDedup.debugDenseOff || prev,
+      "debug flag must be restored to its prior state")
+  }
+
   test("variable-length copies: each doc's extent is its own suffix-true span") {
     import spark.implicits._
     // doc 2 carries only the first 14 tokens of doc 1's 20-token span —
