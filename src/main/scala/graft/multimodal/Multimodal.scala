@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * STUBBED (no media libraries in this environment).
   *
   * ══════════════════ STUB BOUNDARY ══════════════════
-  * Uncompressed header formats are decoded FOR REAL in pure JVM:
-  * [[decodeHeaders]] sniffs the payload magic and parses BMP
-  * dimensions (BITMAPINFO/CORE headers) and WAV sample rate /
-  * channels / duration (RIFF chunk walk) — MultimodalSpec feeds it
-  * real synthesized files and asserts exact values. `decodeStub`
-  * remains the deterministic FAKE for everything else — compressed
-  * codecs (PNG/JPEG pixel data, MP4 frames) genuinely need media
-  * libraries this environment does not have. A real deployment
+  * Header formats whose metadata is stored UNCOMPRESSED are decoded
+  * FOR REAL in pure JVM: [[decodeHeaders]] sniffs the payload magic
+  * and parses BMP dimensions (BITMAPINFO/CORE headers), WAV sample
+  * rate / channels / duration (RIFF chunk walk), and PNG dimensions
+  * (the IHDR chunk — always first, never compressed, big-endian) —
+  * MultimodalSpec feeds it real synthesized files and asserts exact
+  * values. `decodeStub` remains the deterministic FAKE for everything
+  * else — compressed PIXEL/SAMPLE data (PNG IDAT, JPEG scans, MP4
+  * frames) genuinely needs media libraries this environment does not
+  * have. A real deployment
   * replaces ONLY the stub fallback with an actual codec (JNI/FFI,
   * or `mapInPandas` with PIL/torchaudio on PySpark); every other
   * moving part — the media schema, binary column handling,
@@ -75,7 +77,11 @@ object Multimodal {
     * truthfully whatever its declared mime. Returns the
     * [[MediaFeatures]] tail (width, height, n_frames, duration_ms):
     * BMP → (|width|, |height|, 1, 0) from the BITMAPINFOHEADER (or
-    * the 12-byte BITMAPCOREHEADER); WAV → (0, 0, 1, data_bytes ×
+    * the 12-byte BITMAPCOREHEADER); PNG → (width, height, 1, 0) from
+    * the IHDR chunk (the spec pins it as the FIRST chunk after the
+    * 8-byte signature, 13 data bytes, big-endian dims — dimensions
+    * are header metadata, not part of the compressed IDAT stream);
+    * WAV → (0, 0, 1, data_bytes ×
     * 1000 / byte_rate) from a proper RIFF chunk walk (chunks are
     * 2-byte aligned; fmt and data may appear in any order). None for
     * anything else — including truncated or malformed headers, which
@@ -85,9 +91,18 @@ object Multimodal {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
     def leShort(p: Int): Int = java.nio.ByteBuffer.wrap(b, p, 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+    def beInt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt.toLong
     def tag(p: Int): String =
       if (b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length >= 33 && b.take(8).sameElements(pngSig)) {
+      // sig(8) + length(4) + "IHDR"(4) + 13 data + CRC(4) = 33 bytes
+      val w = beInt(16); val h = beInt(20)
+      if (beInt(8) == 13L && tag(12) == "IHDR" && w > 0 && h > 0)
+        Some((w, h, 1L, 0L))
+      else None
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
       val hdr = leInt(14)
       if (hdr >= 40L && b.length >= 54)
         Some((math.abs(leInt(18)), math.abs(leInt(22)), 1L, 0L))

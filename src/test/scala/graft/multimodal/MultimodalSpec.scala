@@ -57,7 +57,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real WAV/BMP headers decode truthfully; corpus payloads still take the stub") {
+  test("real WAV/BMP/PNG headers decode truthfully; corpus payloads still take the stub") {
     import spark.implicits._
     // a real canonical PCM WAV: 8 kHz, 16-bit mono (byteRate 16000),
     // 32000 data bytes -> exactly 2000 ms
@@ -77,11 +77,21 @@ class MultimodalSpec extends SparkSpec {
       "BM".getBytes ++ leInt(54) ++ leInt(0) ++ leInt(54) ++
       leInt(40) ++ leInt(640) ++ leInt(-480) ++ leShort(1) ++ leShort(24) ++
       leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++ leInt(0)
+    // a real PNG signature + IHDR chunk: 1920 × 1080, 8-bit RGBA
+    def beInt(v: Int): Array[Byte] = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val png: Array[Byte] =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      beInt(13) ++ "IHDR".getBytes ++ beInt(1920) ++ beInt(1080) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ beInt(0) /* CRC not verified */ ++
+      beInt(0) ++ "IDAT".getBytes // compressed pixel data would follow
     val media = Seq(
       Multimodal.MediaRow(1L, "audio", wav, "audio/wav", wav.length.toLong),
       Multimodal.MediaRow(2L, "image", bmp, "image/bmp", bmp.length.toLong),
       // declared mime lies — content sniffing must still win
-      Multimodal.MediaRow(3L, "image", wav, "image/png", wav.length.toLong)
+      Multimodal.MediaRow(3L, "image", wav, "image/png", wav.length.toLong),
+      Multimodal.MediaRow(4L, "image", png, "image/png", png.length.toLong)
     ).toDS()
     val got = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
@@ -90,6 +100,8 @@ class MultimodalSpec extends SparkSpec {
     assert((got(2L).width, got(2L).height, got(2L).n_frames, got(2L).duration_ms)
       === ((640L, 480L, 1L, 0L)), "BMP: 640x480 from the header, top-down abs")
     assert(got(3L).duration_ms === 2000L, "sniffing beats the declared mime")
+    assert((got(4L).width, got(4L).height, got(4L).n_frames, got(4L).duration_ms)
+      === ((1920L, 1080L, 1L, 0L)), "PNG: 1920x1080 from the IHDR chunk")
     // the gate corpus carries text bytes, not media magic: every row
     // must fall back to the stub (mm_features' oracle arithmetic)
     val corpus = Multimodal.mediaTable(spark, sf()).collect()
@@ -99,6 +111,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeaders("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(Multimodal.decodeHeaders("BM".getBytes).isEmpty)
     assert(Multimodal.decodeHeaders(wav.take(40)).isEmpty)
+    assert(Multimodal.decodeHeaders(png.take(20)).isEmpty,
+      "truncated PNG (signature but no full IHDR) must fall back")
+    val notIhdrFirst = png.clone()
+    System.arraycopy("gAMA".getBytes, 0, notIhdrFirst, 12, 4)
+    assert(Multimodal.decodeHeaders(notIhdrFirst).isEmpty,
+      "PNG whose first chunk is not IHDR is malformed → stub")
+    val zeroDim = png.clone()
+    System.arraycopy(beInt(0), 0, zeroDim, 16, 4)
+    assert(Multimodal.decodeHeaders(zeroDim).isEmpty,
+      "zero-width PNG is malformed → stub")
   }
 
   test("metadata rollup covers all kinds and never touches the payload") {
