@@ -71,6 +71,51 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions equal RelQueries.sessionize on the real events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stream ≡ batch on the driver's events fixture, the rel_ship_attrib
+    // pattern. The streaming state machine is ms-granular (Timestamp),
+    // the batch operator µs-granular — so both sides consume the SAME
+    // ms-truncated instants: a twin fixture written as int64 nanos
+    // (also exercising tsUs's ns branch against the real table's read)
+    val real = spark.read.parquet(s"${sf()}/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-twin").toString
+    real.select(graft.sources.EventTime.tsUs(real).as("us"),
+        col("user_id"), col("event_id"))
+      // integer div (float would corrupt e15-scale µs); ns = ms * 1e6
+      .select((expr("us div 1000") * 1000000L).as("ts"),
+        col("user_id"), col("event_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.RelQueries.sessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("start_us") / 1000,
+        r.getAs[Long]("end_us") / 1000, r.getAs[Long]("n_events"))).toSet
+
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      // integer div: ts is ~1.7e18 ns, past double's 2^53 precision
+      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .collect().map(r => SessionEvent(r.getLong(0), new Timestamp(r.getLong(1))))
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(input.toDS().withWatermark("t", "1 minute"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessreal").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      // close every still-open session via a far-future sentinel user
+      val maxMs = evs.map(_.t.getTime).max
+      input.addData(Seq(SessionEvent(Long.MaxValue, new Timestamp(maxMs + 86400000L))))
+      q.processAllAvailable()
+      val streamed = spark.table("sessreal")
+        .filter(col("user_id") =!= Long.MaxValue)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"))).toSet
+      assert(streamed.size === batch.size,
+        s"session count: streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on session counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
