@@ -541,10 +541,14 @@ object RelQueries {
       accuracy: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    // the exact branch and the rank-of-approx branch both consume the
+    // histogram; materialize it once (domain-bounded, small) so the
+    // fact table is scanned twice total (hist + sketch), not three times
     val hist = t(spark, sfDir, "events")
       .select(col("event_type"), cents(col("value")).as("cents"))
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val exact = hist
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("r", expr("(sum(c) over (partition by event_type) + 1) div 2"))
@@ -570,10 +574,12 @@ object RelQueries {
       accuracy: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    // shared histogram materialized once — see medianApproxBanded
     val hist = t(spark, sfDir, "events")
       .select(col("event_type"), cents(col("value")).as("cents"))
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val exact = hist
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
