@@ -30,7 +30,7 @@ object Bench {
     try force(SparkEntry.queries("q_wc")(spark, sfDir)) catch { case _: Throwable => () }
 
     // optional comma-separated query filter for local iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val only = SparkEntry.parseOnlyFilter(sys.env.get("SPARK_GRAFT_ONLY"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -97,20 +97,25 @@ object Bench {
     println(line)
     // also persist the line: the driver's log-tail capture clipped the
     // round-4 artifact mid-JSON, losing the ann_* block — a file copy
-    // under target/ means the per-query numbers always survive intact
+    // under target/ means the per-query numbers always survive intact.
+    // A SPARK_GRAFT_ONLY subset run writes to bench_subset.json instead:
+    // overwriting bench_last.json with a partial map would both destroy
+    // the round's full artifact and make SelfCheck report every
+    // unselected query as missing.
+    val artifact =
+      if (only.isDefined) "target/bench_subset.json" else "target/bench_last.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_last.json: $e")
+      System.err.println(s"[bench] could not write $artifact: $e")
     }
     // the driver keeps only the LAST 2000 log chars (measured from the
     // r6 artifact), which the ~2.7k-char full line can never fit — so
     // the final printed line is a SHORT headline that always survives
     // the tail window intact, carrying the suite total plus a pointer
     // to the full per-query file above
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries_file":"target/bench_last.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries_file":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }

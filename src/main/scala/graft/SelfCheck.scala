@@ -12,9 +12,9 @@ package graft
   *
   * Exits 1 with a per-finding report on any violation, 0 with an OK
   * line otherwise. No SparkSession needed — this is a pure artifact
-  * read, cheap enough to run after every bench. `BenchArtifactSpec`
-  * runs the same checks inside `sbt test` (cancelled when no artifact
-  * is present, e.g. a fresh clone).
+  * read, cheap enough to run after every bench. `SelfCheckSpec` runs
+  * the same checks inside `sbt test` (cancelled when no artifact is
+  * present, e.g. a fresh clone).
   */
 object SelfCheck {
   final case class BenchArtifact(queries: Map[String, Double],

@@ -13,6 +13,21 @@ import graft.kv.{Kv, ShardCtrler}
   */
 object SparkEntry {
 
+  /** Parse a SPARK_GRAFT_ONLY filter (comma-separated query names):
+    * trimmed, empties dropped, and VALIDATED against the registry — a
+    * typo fails fast with the offending names instead of silently
+    * selecting nothing and letting Bench/Verify report an empty run
+    * as success. */
+  def parseOnlyFilter(raw: Option[String]): Option[Set[String]] =
+    raw.map { s =>
+      val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      val unknown = names -- queries.keySet
+      require(unknown.isEmpty, "SPARK_GRAFT_ONLY names not in the query " +
+        s"registry: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but selects nothing")
+      names
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The composed corpus-prep pipeline (scrub → quality floor
     * → exact dedup → sequence packing) — the end-to-end shape this

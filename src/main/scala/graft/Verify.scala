@@ -22,7 +22,7 @@ object Verify {
     // optional comma-separated query filter for local iteration (same
     // contract as Bench); the driver never sets it, so the gate always
     // dumps the full surface
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val only = SparkEntry.parseOnlyFilter(sys.env.get("SPARK_GRAFT_ONLY"))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -102,16 +102,19 @@ object SuffixDedup {
     if (debugDenseOff) {
       // debug path: prove the density precondition instead of trusting
       // it — a gap would silently misalign carries, never fail
+      // min==0 && max+1==rows alone would accept a duplicate offset
+      // masking a gap ([0,0,2]); distinct==rows closes that hole
       val bad = df.groupBy(col("doc_id"))
         .agg(min(col("off")).as("mn"), max(col("off")).as("mx"),
-          count(lit(1)).as("c"))
-        .filter(col("mn") =!= 0L || col("mx") + 1 =!= col("c"))
+          count(lit(1)).as("c"), countDistinct(col("off")).as("d"))
+        .filter(col("mn") =!= 0L || col("mx") + 1 =!= col("c") ||
+          col("d") =!= col("c"))
         .limit(1).collect()
       require(bad.isEmpty, {
         val r = bad.head
         s"chunkedLeads: `off` not dense 0-based for doc_id=${r.get(0)} " +
-          s"(min=${r.get(1)}, max=${r.get(2)}, rows=${r.get(3)}) — " +
-          "lead() counts rows, not offset deltas"
+          s"(min=${r.get(1)}, max=${r.get(2)}, rows=${r.get(3)}, " +
+          s"distinct=${r.get(4)}) — lead() counts rows, not offset deltas"
       })
     }
     val home = expr(s"CAST(floor(off / $chunk) AS BIGINT)")

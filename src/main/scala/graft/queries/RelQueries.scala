@@ -482,42 +482,37 @@ object RelQueries {
       .select(col("event_type"),
         ((col("pos") + 1) * 25).cast("long").as("q"), col("cents"))
 
-  /** EXACT distributed median via a two-pass selection — the third
-    * point on the median trade-off surface: [[medianValue]] is exact
-    * but buffers N/5 rows per task; [[medianValueApprox]] scales but
-    * estimates; this is exact AND scale-safe whenever the VALUE DOMAIN
-    * is bounded. Pass 1 collapses the fact table to a per-group value
-    * histogram (hash aggregation, map-side partials); pass 2 walks the
-    * histogram's cumulative counts to the bucket containing rank
-    * (n+1)/2. The window runs over DISTINCT VALUES per group — for
-    * cents-scale metrics thousands of rows, not billions — so the
-    * low-cardinality partition bound moves from O(N/groups) to
-    * O(domain). Same output as [[medianValue]], so it shares the
-    * exact hash oracle. */
-  def medianValueHist(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-    val all = Window.partitionBy(col("event_type"))
+  /** The per-group (event_type, cents) VALUE histogram every exact
+    * histogram-selection operator and banded gate derives from — one
+    * hash aggregation with map-side partials; output size is bounded
+    * by the value domain, not the fact-table row count. */
+  private def centsHistogram(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .select(col("event_type"), cents(col("value")).as("cents"))
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("c"))
+
+  /** Median selection over a [[centsHistogram]] frame: the bucket whose
+    * cumulative count first reaches rank (n+1) div 2 — the single
+    * definition the hist operator AND the banded gate share, so the
+    * selection boundary can never silently diverge between them. */
+  private def histMedianSelect(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    hist
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("r", expr("(sum(c) over (partition by event_type) + 1) div 2"))
       .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
       .select(col("event_type"), col("cents").as("median_cents"))
   }
 
-  /** Exact distributed p25/p50/p75 over the same per-group histogram
-    * (one window pass, quantile fan-out by explode) — shares
-    * [[valueQuantiles]]' hash oracle. */
-  def valueQuantilesHist(spark: SparkSession, sfDir: String): DataFrame = {
+  /** p25/p50/p75 selection over a [[centsHistogram]] frame (rank
+    * ceil(n·q/100); quantile fan-out by explode) — shared like
+    * [[histMedianSelect]]. */
+  private def histQuantilesSelect(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-    t(spark, sfDir, "events")
-      .select(col("event_type"), cents(col("value")).as("cents"))
-      .groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("c"))
+    hist
       .withColumn("cum", sum(col("c")).over(byVal))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
       .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
@@ -525,6 +520,41 @@ object RelQueries {
       .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
       .select(col("event_type"), col("q"), col("cents"))
   }
+
+  /** Rank of each approx value inside its group's histogram: n = group
+    * size, rank_of = rows with cents ≤ the approx value. `joinKeys`
+    * matches histogram rows to approx rows (the histogram's group key);
+    * `groupKeys` may add approx-side columns (e.g. the quantile q, so
+    * each quantile gets its own rank). The approx frame is tiny (one
+    * row per group/quantile) → broadcast. */
+  private def rankOfApprox(hist: DataFrame, approx: DataFrame,
+      joinKeys: Seq[String], groupKeys: Seq[String]): DataFrame =
+    hist.join(broadcast(approx), joinKeys)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("cents") <= col("approx_cents"), col("c"))
+          .otherwise(lit(0L))).as("rank_of"))
+
+  /** EXACT distributed median via a two-pass selection — the third
+    * point on the median trade-off surface: [[medianValue]] is exact
+    * but buffers N/5 rows per task; [[medianValueApprox]] scales but
+    * estimates; this is exact AND scale-safe whenever the VALUE DOMAIN
+    * is bounded. Pass 1 collapses the fact table to [[centsHistogram]]
+    * (hash aggregation, map-side partials); pass 2 walks the
+    * histogram's cumulative counts to the bucket containing rank
+    * (n+1)/2. The window runs over DISTINCT VALUES per group — for
+    * cents-scale metrics thousands of rows, not billions — so the
+    * low-cardinality partition bound moves from O(N/groups) to
+    * O(domain). Same output as [[medianValue]], so it shares the
+    * exact hash oracle. */
+  def medianValueHist(spark: SparkSession, sfDir: String): DataFrame =
+    histMedianSelect(centsHistogram(spark, sfDir))
+
+  /** Exact distributed p25/p50/p75 over the same per-group histogram
+    * (one window pass, quantile fan-out by explode) — shares
+    * [[valueQuantiles]]' hash oracle. */
+  def valueQuantilesHist(spark: SparkSession, sfDir: String): DataFrame =
+    histQuantilesSelect(centsHistogram(spark, sfDir))
 
   /** BANDED gate for [[medianValueApprox]] — makes the sketch's error
     * contract driver-checkable instead of rows-only. Emits the EXACT
@@ -539,29 +569,14 @@ object RelQueries {
     * sketch output — no per-group row sort anywhere. */
   def medianApproxBanded(spark: SparkSession, sfDir: String,
       accuracy: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     // the exact branch and the rank-of-approx branch both consume the
     // histogram; materialize it once (domain-bounded, small) so the
     // fact table is scanned twice total (hist + sketch), not three times
-    val hist = t(spark, sfDir, "events")
-      .select(col("event_type"), cents(col("value")).as("cents"))
-      .groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val exact = hist
-      .withColumn("cum", sum(col("c")).over(byVal))
-      .withColumn("r", expr("(sum(c) over (partition by event_type) + 1) div 2"))
-      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
-      .select(col("event_type"), col("cents").as("median_cents"))
+    val hist = centsHistogram(spark, sfDir).localCheckpoint()
     val approx = medianValueApprox(spark, sfDir, accuracy)
       .withColumnRenamed("median_cents", "approx_cents")
-    val ranked = hist.join(broadcast(approx), Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("c")).as("n"),
-        sum(when(col("cents") <= col("approx_cents"), col("c"))
-          .otherwise(lit(0L))).as("rank_of"))
-    exact.join(broadcast(ranked), Seq("event_type"))
+    val ranked = rankOfApprox(hist, approx, Seq("event_type"), Seq("event_type"))
+    histMedianSelect(hist).join(broadcast(ranked), Seq("event_type"))
       .select(col("event_type"), col("median_cents"),
         (abs(col("rank_of") - col("n") / lit(2.0)) <=
           greatest(lit(1.0), col("n") / lit(1000.0))).as("within_band"))
@@ -572,29 +587,13 @@ object RelQueries {
     * [[medianApproxBanded]]. */
   def quantilesApproxBanded(spark: SparkSession, sfDir: String,
       accuracy: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byVal = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     // shared histogram materialized once — see medianApproxBanded
-    val hist = t(spark, sfDir, "events")
-      .select(col("event_type"), cents(col("value")).as("cents"))
-      .groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val exact = hist
-      .withColumn("cum", sum(col("c")).over(byVal))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
-      .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
-      .withColumn("r", expr("cast(ceil(n * q / 100.0) as bigint)"))
-      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
-      .select(col("event_type"), col("q"), col("cents"))
+    val hist = centsHistogram(spark, sfDir).localCheckpoint()
     val approx = valueQuantilesApprox(spark, sfDir, accuracy)
       .withColumnRenamed("cents", "approx_cents")
-    val ranked = hist.join(broadcast(approx), Seq("event_type"))
-      .groupBy(col("event_type"), col("q"))
-      .agg(sum(col("c")).as("n"),
-        sum(when(col("cents") <= col("approx_cents"), col("c"))
-          .otherwise(lit(0L))).as("rank_of"))
-    exact.join(broadcast(ranked), Seq("event_type", "q"))
+    val ranked = rankOfApprox(hist, approx, Seq("event_type"),
+      Seq("event_type", "q"))
+    histQuantilesSelect(hist).join(broadcast(ranked), Seq("event_type", "q"))
       .select(col("event_type"), col("q"), col("cents"),
         (abs(col("rank_of") - col("n") * col("q") / lit(100.0)) <=
           greatest(lit(1.0), col("n") / lit(1000.0))).as("within_band"))

@@ -61,12 +61,20 @@ object EventTime {
 
   /** Event day as an ISO `yyyy-MM-dd` string (UTC calendar), built on
     * [[tsUs]] so it is portable across the same three encodings and
-    * engine-neutral in hash compares. `timestamp_micros` yields an
-    * instant, which `date_format` would render in the session zone —
-    * `convert_timezone('UTC', …)` pins the wall clock to UTC first, so
-    * the emitted day never depends on `spark.sql.session.timeZone`. */
-  def tsDay(df: DataFrame, colName: String = "ts"): Column =
-    date_format(
-      convert_timezone(lit("UTC"), timestamp_micros(tsUs(df, colName))),
-      "yyyy-MM-dd")
+    * engine-neutral in hash compares. Computed as pure integer
+    * calendar arithmetic — floor(µs / 86 400 000 000) days added to
+    * the epoch date, then a date→string cast — with NO timestamp
+    * rendering anywhere, so no session-zone dependence exists even in
+    * a DST fold hour (a `convert_timezone`/`date_format` formulation
+    * is only zone-free outside the session zone's ambiguous hours).
+    * Floor division is built from `pmod` (non-negative remainder) and
+    * an exact decimal divide: µs-scale longs exceed double's 2^53
+    * integer range, so float division is never safe here. */
+  def tsDay(df: DataFrame, colName: String = "ts"): Column = {
+    val dayUs = 86400000000L
+    val us = tsUs(df, colName)
+    val idx = ((us - pmod(us, lit(dayUs))).cast("decimal(38,0)") / lit(dayUs))
+      .cast("int")
+    date_add(to_date(lit("1970-01-01")), idx).cast("string")
+  }
 }

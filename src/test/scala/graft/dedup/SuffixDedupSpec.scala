@@ -41,6 +41,9 @@ class SuffixDedupSpec extends SparkSpec {
       (2L, 0L, 20L), (2L, 1L, 21L)).toDF("doc_id", "off", "r")
     val gapped = Seq((1L, 0L, 10L), (1L, 2L, 12L)).toDF("doc_id", "off", "r")
     val oneBased = Seq((1L, 1L, 10L), (1L, 2L, 12L)).toDF("doc_id", "off", "r")
+    // duplicate offset masking a gap: min=0, max+1==rows, yet not dense
+    val dupMasked = Seq((1L, 0L, 10L), (1L, 0L, 11L), (1L, 2L, 12L))
+      .toDF("doc_id", "off", "r")
     val prev = SuffixDedup.debugDenseOff
     try {
       SuffixDedup.debugDenseOff = true
@@ -49,7 +52,7 @@ class SuffixDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
       assert(ok === Set((1L, 0L, 11L), (1L, 1L, 12L), (1L, 2L, -1L),
         (2L, 0L, 21L), (2L, 1L, -1L)))
-      for (bad <- Seq(gapped, oneBased)) {
+      for (bad <- Seq(gapped, oneBased, dupMasked)) {
         val e = intercept[IllegalArgumentException](
           SuffixDedup.chunkedLeads(bad, "r", Seq(1), Seq("n1"), chunk = 2))
         assert(e.getMessage.contains("not dense 0-based"), e.getMessage)

@@ -89,15 +89,25 @@ class EventTimeSpec extends SparkSpec {
   }
 
   test("tsDay is independent of the session zone (UTC calendar pinned)") {
+    import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"${fixtures("ntz")}/events.parquet")
     val utcDays = df.select(EventTime.tsDay(df).as("d"))
       .collect().map(_.getString(0)).sorted.toSeq
+    // a DST-fold instant: 2024-11-03 01:30 EST exists twice in
+    // America/New_York — the case where a timestamp-rendering
+    // formulation (cast through the session zone) is ambiguous
+    val foldUs = 1730615400000000L // 2024-11-03T05:50:00Z
+    val fold = spark.range(1).select((lit(foldUs) * 1000L).as("ts"))
     val prev = spark.conf.getOption("spark.sql.session.timeZone")
     try {
-      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo") // UTC+9, no DST
-      val got = df.select(EventTime.tsDay(df).as("d"))
-        .collect().map(_.getString(0)).sorted.toSeq
-      assert(got === utcDays, "tsDay drifted with the session zone")
+      for (zone <- Seq("Asia/Tokyo", "America/New_York")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val got = df.select(EventTime.tsDay(df).as("d"))
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(got === utcDays, s"tsDay drifted under session zone $zone")
+        assert(fold.select(EventTime.tsDay(fold).as("d")).head.getString(0)
+          === "2024-11-03", s"DST-fold instant shifted under $zone")
+      }
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
       case None => spark.conf.unset("spark.sql.session.timeZone")
