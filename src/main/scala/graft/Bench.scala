@@ -74,8 +74,8 @@ object Bench {
         // JSON line must distinguish failure from a fast success
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
+      (name, if (times.contains(-1.0)) -1.0 else times.min, times.max)
+    }.map { case (name, best, worst) => name -> (best, worst) }
     // minimal JSON string escape for error payloads (quotes, backslash,
     // control chars) — exception text is arbitrary
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -87,13 +87,18 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (best, _)) => "\"" + k + f"""\":$best%.3f""" }
+      .mkString("{", ",", "}")
+    // per-query worst run alongside the reported min: a large max/min
+    // spread inside ONE artifact flags load interference (the r7
+    // adjudication needed a quiet-box re-run to prove it)
+    val worsts = results.map { case (k, (_, worst)) => "\"" + k + f"""\":$worst%.3f""" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_max":$worsts,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also persist the line: the driver's log-tail capture clipped the
     // round-4 artifact mid-JSON, losing the ann_* block — a file copy

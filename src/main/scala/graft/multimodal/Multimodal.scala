@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * Header formats whose metadata is stored UNCOMPRESSED are decoded
   * FOR REAL in pure JVM: [[decodeHeaders]] sniffs the payload magic
   * and parses BMP dimensions (BITMAPINFO/CORE headers), WAV sample
-  * rate / channels / duration (RIFF chunk walk), and PNG dimensions
-  * (the IHDR chunk — always first, never compressed, big-endian) —
+  * rate / channels / duration (RIFF chunk walk), PNG dimensions
+  * (the IHDR chunk — always first, never compressed, big-endian),
+  * and GIF dimensions (the logical screen descriptor) —
   * MultimodalSpec feeds it real synthesized files and asserts exact
   * values. `decodeStub` remains the deterministic FAKE for everything
   * else — compressed PIXEL/SAMPLE data (PNG IDAT, JPEG scans, MP4
@@ -77,7 +78,9 @@ object Multimodal {
     * truthfully whatever its declared mime. Returns the
     * [[MediaFeatures]] tail (width, height, n_frames, duration_ms):
     * BMP → (|width|, |height|, 1, 0) from the BITMAPINFOHEADER (or
-    * the 12-byte BITMAPCOREHEADER); PNG → (width, height, 1, 0) from
+    * the 12-byte BITMAPCOREHEADER); GIF87a/89a → (width, height, 1, 0)
+    * from the logical screen descriptor (uncompressed little-endian
+    * u16 at offsets 6/8); PNG → (width, height, 1, 0) from
     * the IHDR chunk (the spec pins it as the FIRST chunk after the
     * 8-byte signature, 13 data bytes, big-endian dims — dimensions
     * are header metadata, not part of the compressed IDAT stream);
@@ -96,7 +99,12 @@ object Multimodal {
     def tag(p: Int): String =
       if (b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
     val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    if (b.length >= 33 && b.take(8).sameElements(pngSig)) {
+    if (b.length >= 10 && (tag(0) == "GIF8") &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      // GIF87a/89a: logical screen descriptor, little-endian u16 dims
+      val w = leShort(6).toLong; val h = leShort(8).toLong
+      if (w > 0 && h > 0) Some((w, h, 1L, 0L)) else None
+    } else if (b.length >= 33 && b.take(8).sameElements(pngSig)) {
       // sig(8) + length(4) + "IHDR"(4) + 13 data + CRC(4) = 33 bytes
       val w = beInt(16); val h = beInt(20)
       if (beInt(8) == 13L && tag(12) == "IHDR" && w > 0 && h > 0)
