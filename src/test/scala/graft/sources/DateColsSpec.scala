@@ -52,4 +52,19 @@ class DateColsSpec extends SparkSpec {
       }
     }
   }
+
+  test("lineitem pricing summary is l_shipdate-encoding-portable") {
+    val real = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val want = run((s, d) => RelQueries.pricingSummary(s, d), sf())
+    assert(want.nonEmpty)
+    Seq("date" -> col("l_shipdate").cast("date"),
+        "string" -> date_format(col("l_shipdate"), "yyyy-MM-dd")).foreach {
+      case (mode, enc) =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-ldate-$mode").toString
+        real.withColumn("l_shipdate", enc)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        val got = run((s, d) => RelQueries.pricingSummary(s, d), dir)
+        assert(got === want, s"pricing summary drifted under $mode-encoded l_shipdate")
+    }
+  }
 }
