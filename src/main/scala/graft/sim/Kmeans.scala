@@ -47,12 +47,25 @@ object Kmeans {
 
   /** `iters` Lloyd rounds from the deterministic seed of the first
     * `k` vectors (by vec_id). Empty cells keep their previous
-    * centroid. Returns unit-norm centroids. */
+    * centroid. Returns unit-norm centroids.
+    *
+    * Seed-quality caveat: first-k seeding is the cheap deterministic
+    * default the gate surfaces use (the trained centroids are dumped,
+    * so oracles are seeding-agnostic), but if the first k vectors are
+    * clustered it can strand Lloyd in a poor local optimum. The
+    * 100 TB path is [[trainParallel]] (k-means‖ oversampling). */
   def train(corpus: Dataset[Vec], k: Int, iters: Int): Array[Centroid] = {
+    val seeds = corpus.filter(col("vec_id") < k).collect().sortBy(_.vec_id)
+      .zipWithIndex.map { case (v, i) => Centroid(i, normalize(v.v)) }
+    trainFrom(corpus, seeds, iters)
+  }
+
+  /** Lloyd from caller-supplied unit-norm seeds. */
+  private def trainFrom(corpus: Dataset[Vec], seeds: Array[Centroid],
+      iters: Int): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
-    var cents = corpus.filter(col("vec_id") < k).collect().sortBy(_.vec_id)
-      .zipWithIndex.map { case (v, i) => Centroid(i, normalize(v.v)) }
+    var cents = seeds
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val sums = corpus
@@ -78,6 +91,116 @@ object Kmeans {
     }
     cents
   }
+
+  /** splitmix64 finalizer → uniform double in [0,1) — the
+    * deterministic "coin" k-means‖ selection flips per (vec_id,
+    * round), so seeding is reproducible without any RNG state. */
+  private def hashUniform(x: Long): Double = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  /** Spherical cost of `r` against the current seed set: 1 − max
+    * cosine (0 on a seed, →2 opposite). */
+  private def seedCost(r: Vec, seeds: Array[Array[Double]]): Double = {
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < seeds.length) {
+      var dot = 0.0; var j = 0
+      val sv = seeds(i); val rv = r.v
+      while (j < rv.length) { dot += rv(j) * sv(j); j += 1 }
+      if (dot > best) best = dot
+      i += 1
+    }
+    1.0 - best / (if (r.nrm == 0.0) 1.0 else r.nrm)
+  }
+
+  /** k-means‖ seeding (Bahmani et al., VLDB 2012) — the scalable
+    * replacement for first-k seeding: `rounds` oversampling passes
+    * each select points with probability min(1, ℓ·k·cost/φ) (cost =
+    * 1 − max cosine to the current seed set, φ = total cost), so
+    * seeds land proportional to how badly the current set covers the
+    * data. Selection is DETERMINISTIC — the coin is a splitmix64 hash
+    * of (vec_id, round) — and each round is two narrow passes
+    * (cost-sum, filter-collect); the driver holds only the ~ℓ·k·rounds
+    * oversampled seeds. The oversampled set is then reduced to k on
+    * the driver: weighted (points-served × distance) farthest-first
+    * picks spread representatives, and a few weighted Lloyd rounds on
+    * the seed summaries polish them. No corpus collect anywhere. */
+  def seedParallel(corpus: Dataset[Vec], k: Int, rounds: Int = 3,
+      oversample: Double = 2.0): Array[Centroid] = {
+    import corpus.sparkSession.implicits._
+    val spark = corpus.sparkSession
+    val first = corpus.orderBy(col("vec_id")).head()
+    var seeds: Array[Array[Double]] = Array(normalize(first.v))
+    for (r <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(seeds)
+      val phi = corpus.map(x => seedCost(x, bc.value)).reduce(_ + _)
+      if (phi > 0) {
+        val threshold = oversample * k / phi
+        val picked = corpus
+          .filter(x => hashUniform(x.vec_id * 1000003L + r) <
+            threshold * seedCost(x, bc.value))
+          .collect().sortBy(_.vec_id) // stable order for reproducibility
+        seeds = seeds ++ picked.map(v => normalize(v.v))
+      }
+      bc.destroy()
+    }
+    // weights: points served by each oversampled seed (one pass)
+    val asSeedCents = seeds.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+    val bcS = spark.sparkContext.broadcast(asSeedCents)
+    val weights = corpus.map(x => nearest(x, bcS.value))
+      .groupByKey(identity).count().collect().toMap
+    bcS.destroy()
+    val w = seeds.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1e-9)).toArray
+    // driver-side reduction to k: weighted farthest-first (spread),
+    // deterministic lowest-index tie-break
+    val chosen = scala.collection.mutable.ArrayBuffer(w.indices.maxBy(i => (w(i), -i)))
+    while (chosen.length < math.min(k, seeds.length)) {
+      val next = seeds.indices.filterNot(chosen.contains).maxBy { i =>
+        val d = chosen.map { c =>
+          var dot = 0.0; var j = 0
+          while (j < seeds(i).length) { dot += seeds(i)(j) * seeds(c)(j); j += 1 }
+          1.0 - dot
+        }.min
+        (w(i) * d * d, -i.toDouble)
+      }
+      chosen += next
+    }
+    // weighted Lloyd on the seed summaries (driver-local, tiny)
+    var cents = chosen.map(i => seeds(i)).toArray
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(cents.length)(new Array[Double](cents(0).length))
+      val ns = new Array[Double](cents.length)
+      seeds.indices.foreach { i =>
+        val ci = cents.indices.maxBy { c =>
+          var dot = 0.0; var j = 0
+          while (j < seeds(i).length) { dot += seeds(i)(j) * cents(c)(j); j += 1 }
+          (dot, -c.toDouble)
+        }
+        var j = 0
+        while (j < seeds(i).length) { sums(ci)(j) += w(i) * seeds(i)(j); j += 1 }
+        ns(ci) += w(i)
+      }
+      cents = cents.indices.map(c =>
+        if (ns(c) > 0) normalize(sums(c)) else cents(c)).toArray
+    }
+    // pad (degenerate corpora smaller than k) by reusing seeds
+    val padded = (0 until k).map(i => cents(i % cents.length)).toArray
+    padded.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+  }
+
+  /** [[train]] with k-means‖ seeding — the 100 TB trainer: seed
+    * quality no longer depends on which vectors happen to carry the
+    * lowest ids. Same Lloyd rounds, same dumped-centroid oracle story
+    * (oracles re-derive everything downstream of whatever codebook is
+    * dumped, so seeding strategy is invisible to the gates). */
+  def trainParallel(corpus: Dataset[Vec], k: Int, iters: Int,
+      rounds: Int = 3, oversample: Double = 2.0): Array[Centroid] =
+    trainFrom(corpus, seedParallel(corpus, k, rounds, oversample), iters)
 
   /** Mean within-cluster cosine (×1e6, integer) — the spherical
     * k-means objective; must be non-decreasing over training. */

@@ -38,6 +38,46 @@ class KmeansSpec extends SparkSpec {
     assert(trained >= 0.4)
   }
 
+  test("k-means|| seeding recovers clusters first-k seeding collapses on") {
+    import spark.implicits._
+    // adversarial id layout: the first 16 vec_ids all live in ONE tight
+    // cluster, so first-k seeding plants every seed there; the other
+    // 480 vectors form 16 well-separated clusters (orthogonal base
+    // directions with small deterministic jitter)
+    val dim = 64
+    def member(cluster: Int, id: Long): Similarity.Vec = {
+      val v = new Array[Double](dim)
+      v(cluster * 4) = 1.0
+      for (d <- 0 until dim)
+        v(d) += 0.02 * (((id * 7 + d * 13) % 11).toDouble - 5.0) / 5.0
+      val n = math.sqrt(v.map(x => x * x).sum)
+      Similarity.Vec(id, v.map(_ / n), 1.0)
+    }
+    val rows = (0 until 16).map(i => member(0, i.toLong)) ++
+      (0 until 480).map(i => member(i % 16, 16L + i))
+    val corpus = rows.toDS()
+
+    val firstK = Kmeans.train(corpus, k = 16, iters = 3)
+    val parallel = Kmeans.trainParallel(corpus, k = 16, iters = 3)
+    val mFirst = Kmeans.cohesionMicro(corpus, firstK)
+    val mPar = Kmeans.cohesionMicro(corpus, parallel)
+    // coverage: how many of the 16 true base directions have a
+    // dedicated nearest centroid
+    def covered(cents: Array[Kmeans.Centroid]): Int =
+      (0 until 16).map { c =>
+        val base = new Array[Double](dim); base(c * 4) = 1.0
+        Kmeans.nearest(Similarity.Vec(-1, base, 1.0), cents)
+      }.distinct.size
+    val (covFirst, covPar) = (covered(firstK), covered(parallel))
+    info(s"cohesion micro: first-k=$mFirst parallel=$mPar; " +
+      s"base directions covered: first-k=$covFirst parallel=$covPar")
+    assert(mPar > mFirst,
+      "k-means|| seeding must beat first-k seeding on the adversarial layout")
+    assert(covPar > covFirst,
+      "k-means|| must give more true clusters their own centroid")
+    assert(covPar >= 12, s"parallel seeding covered only $covPar/16 clusters")
+  }
+
   test("cell sizes partition the corpus") {
     val sizes = Kmeans.cellSizes(spark, sf()).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
