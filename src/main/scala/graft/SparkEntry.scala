@@ -218,6 +218,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => graft.sim.Similarity.topKIvf(s, dir)),
     "ann_pq" -> ((s, dir) => graft.sim.Pq.topKPq(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => graft.sim.Kmeans.topKIvfTrained(s, dir)),
+    // same probe machinery over a k-means|| (oversampled-seed) codebook
+    "ann_ivf_trained_par" -> ((s, dir) => graft.sim.Kmeans.topKIvfTrainedPar(s, dir)),
     "ann_ivfpq" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPq(s, dir)),
     "ann_ivfpq_adaptive" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqAdaptive(s, dir)),
     "ann_ivfpq_graph" -> ((s, dir) => graft.sim.IvfIndex.topKIvfPqGraph(s, dir)),
@@ -320,6 +322,8 @@ object SparkEntry {
     s"${graft.sim.Kmeans.cellsDumpPath(graft.sim.Kmeans.lastCellsBase)}/*.parquet"
   private def ivfTrainedGlob: String =
     s"${graft.sim.Kmeans.ivfTrainedDumpPath(graft.sim.Kmeans.lastIvfTrainedBase)}/*.parquet"
+  private def ivfTrainedParGlob: String =
+    s"${graft.sim.Kmeans.ivfTrainedParDumpPath(graft.sim.Kmeans.lastIvfTrainedParBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1319,6 +1323,8 @@ object SparkEntry {
     "ann_ivf" -> annIvfSql(annIvfSeedCte),
     "ann_ivf_trained" ->
       annIvfSql(s"SELECT cell, v FROM read_parquet('$ivfTrainedGlob')"),
+    "ann_ivf_trained_par" ->
+      annIvfSql(s"SELECT cell, v FROM read_parquet('$ivfTrainedParGlob')"),
     "ann_kmeans_cells" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -225,12 +225,15 @@ object Kmeans {
     * dump captures exactly the codebook the gate output used. */
   @volatile var lastCellsBase: String = "sf0.01"
   @volatile var lastIvfTrainedBase: String = "sf0.01"
+  @volatile var lastIvfTrainedParBase: String = "sf0.01"
 
-  /** Centroid side-dump paths for the two gate surfaces. */
+  /** Centroid side-dump paths for the gate surfaces. */
   def cellsDumpPath(base: String): String =
     graft.core.SideDump.path("kmeans_cells_cents", base)
   def ivfTrainedDumpPath(base: String): String =
     graft.core.SideDump.path("ivf_trained_cents", base)
+  def ivfTrainedParDumpPath(base: String): String =
+    graft.core.SideDump.path("ivf_trained_par_cents", base)
 
   private def dumpCents(spark: SparkSession, cents: Array[Centroid],
       kind: String, sfDir: String): String = {
@@ -257,6 +260,20 @@ object Kmeans {
     lastIvfTrainedBase = dumpCents(spark, trained, "ivf_trained_cents", sfDir)
     val cents = trained
       .map(c => Vec(-1L - c.cell, c.v, 1.0)) // unit-norm; id unused in probing
+    Similarity.topKIvf(spark, sfDir, k, numQueries, nCells, nprobe, Some(cents))
+  }
+
+  /** [[topKIvfTrained]] with k-means‖ seeding ([[trainParallel]]) —
+    * the scalable trainer's own hash gate: the dumped codebook is the
+    * faith exactly as in the first-k gate, so the oracle machinery is
+    * identical and only the seeds differ. */
+  def topKIvfTrainedPar(spark: SparkSession, sfDir: String, k: Int = 5,
+      numQueries: Int = 10, nCells: Int = 16, nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val trained = trainParallel(Similarity.loadVectors(spark, sfDir), nCells, iters)
+    lastIvfTrainedParBase = dumpCents(spark, trained, "ivf_trained_par_cents", sfDir)
+    val cents = trained
+      .map(c => Vec(-1L - c.cell, c.v, 1.0))
     Similarity.topKIvf(spark, sfDir, k, numQueries, nCells, nprobe, Some(cents))
   }
 
