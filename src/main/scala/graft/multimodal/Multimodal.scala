@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * and parses BMP dimensions (BITMAPINFO/CORE headers), WAV sample
   * rate / channels / duration (RIFF chunk walk), PNG dimensions
   * (the IHDR chunk — always first, never compressed, big-endian),
-  * and GIF dimensions (the logical screen descriptor) —
+  * GIF dimensions (the logical screen descriptor), and QOI
+  * dimensions (14-byte uncompressed header) —
   * MultimodalSpec feeds it real synthesized files and asserts exact
   * values. `decodeStub` remains the deterministic FAKE for everything
   * else — compressed PIXEL/SAMPLE data (PNG IDAT, JPEG scans, MP4
@@ -80,7 +81,8 @@ object Multimodal {
     * BMP → (|width|, |height|, 1, 0) from the BITMAPINFOHEADER (or
     * the 12-byte BITMAPCOREHEADER); GIF87a/89a → (width, height, 1, 0)
     * from the logical screen descriptor (uncompressed little-endian
-    * u16 at offsets 6/8); PNG → (width, height, 1, 0) from
+    * u16 at offsets 6/8); QOI → (width, height, 1, 0) from its
+    * 14-byte big-endian header; PNG → (width, height, 1, 0) from
     * the IHDR chunk (the spec pins it as the FIRST chunk after the
     * 8-byte signature, 13 data bytes, big-endian dims — dimensions
     * are header metadata, not part of the compressed IDAT stream);
@@ -99,7 +101,15 @@ object Multimodal {
     def tag(p: Int): String =
       if (b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
     val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    if (b.length >= 10 && (tag(0) == "GIF8") &&
+    if (b.length >= 14 && tag(0) == "qoif") {
+      // QOI: 14-byte uncompressed header — big-endian u32 dims,
+      // channels (3|4), colorspace (0|1)
+      val w = beInt(4); val h = beInt(8)
+      val ch = b(12); val cs = b(13)
+      if (w > 0 && h > 0 && (ch == 3 || ch == 4) && (cs == 0 || cs == 1))
+        Some((w, h, 1L, 0L))
+      else None
+    } else if (b.length >= 10 && (tag(0) == "GIF8") &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       // GIF87a/89a: logical screen descriptor, little-endian u16 dims
       val w = leShort(6).toLong; val h = leShort(8).toLong
