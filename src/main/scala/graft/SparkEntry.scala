@@ -2177,7 +2177,7 @@ object SparkEntry {
     * operator's output stage performs. */
   private def ivfpqAdaptivePoolCtes(centsGlob: String,
       adepthGlob: String): String =
-    s"""dep AS (SELECT qid, depth FROM read_parquet('$adepthGlob')),
+    s"""dep AS (SELECT qid, depth, rerank FROM read_parquet('$adepthGlob')),
        |cents AS (SELECT cell, v AS cv FROM read_parquet('$centsGlob')),
        |asg AS (
        |  SELECT vec_id, cell FROM (
@@ -2198,15 +2198,17 @@ object SparkEntry {
        |  JOIN dep d ON d.qid = r.qid WHERE r.rn <= d.depth),
        |cellu AS (SELECT DISTINCT cell FROM probes),""".stripMargin
 
-  /** The adaptive gate's candidate cut: global ADC top-(50·depth) per
-    * query — the operator's rerank budget grown with probe depth. */
+  /** The adaptive gate's candidate cut: global ADC top-(rerank·depth)
+    * per query — the operator's rerank budget grown with probe depth,
+    * both read from the run's side-dump (never hard-coded, so a
+    * non-default rerank invocation cannot silently diverge). */
   private def adaptiveCandCte: String =
     """cand AS (
       |  SELECT x.qid, x.vec_id FROM (
       |    SELECT qid, vec_id,
       |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
       |    FROM adc) x
-      |  JOIN dep d ON d.qid = x.qid WHERE x.rn <= 50 * d.depth),""".stripMargin
+      |  JOIN dep d ON d.qid = x.qid WHERE x.rn <= d.rerank * d.depth),""".stripMargin
 
   /** The banded signature postings over a dumped `sigs(doc_id, sig)`
     * frame — 8 × 8-bit bands; DuckDB's >>, xor and bit_count match

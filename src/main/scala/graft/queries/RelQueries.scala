@@ -533,7 +533,27 @@ object RelQueries {
       .groupBy(groupKeys.map(col): _*)
       .agg(sum(col("c")).as("n"),
         sum(when(col("cents") <= col("approx_cents"), col("c"))
-          .otherwise(lit(0L))).as("rank_of"))
+          .otherwise(lit(0L))).as("rank_of"),
+        // size of the approx value's tie run — the verdict must accept
+        // ANY rank inside the run (see bandVerdict)
+        sum(when(col("cents") === col("approx_cents"), col("c"))
+          .otherwise(lit(0L))).as("cnt_of"))
+
+  /** Band verdict over a [[rankOfApprox]] frame (columns `n`,
+    * `rank_of`, `cnt_of`): TRUE iff the approx value's FULL rank
+    * interval [rank_of − cnt_of + 1, rank_of] intersects
+    * [target − band, target + band], band = max(1, n/1000). Checking
+    * only the interval's upper rank would spuriously fail a CORRECT
+    * sketch on tie-heavy data — exactly the bounded-domain
+    * distributions the histogram path targets: a modal value covering
+    * >0.1% of a group that CONTAINS the true median has its upper rank
+    * outside the band even when the sketch returned the exact median.
+    * Interval intersection = nearest-edge distance ≤ band. */
+  private[queries] def bandVerdict(target: Column): Column = {
+    val band = greatest(lit(1.0), col("n") / lit(1000.0))
+    (col("rank_of") - col("cnt_of") + lit(1) <= target + band) &&
+      (target - band <= col("rank_of"))
+  }
 
   /** EXACT distributed median via a two-pass selection — the third
     * point on the median trade-off surface: [[medianValue]] is exact
@@ -578,8 +598,7 @@ object RelQueries {
     val ranked = rankOfApprox(hist, approx, Seq("event_type"), Seq("event_type"))
     histMedianSelect(hist).join(broadcast(ranked), Seq("event_type"))
       .select(col("event_type"), col("median_cents"),
-        (abs(col("rank_of") - col("n") / lit(2.0)) <=
-          greatest(lit(1.0), col("n") / lit(1000.0))).as("within_band"))
+        bandVerdict(col("n") / lit(2.0)).as("within_band"))
   }
 
   /** BANDED gate for [[valueQuantilesApprox]]: exact p25/p50/p75 plus
@@ -595,8 +614,7 @@ object RelQueries {
       Seq("event_type", "q"))
     histQuantilesSelect(hist).join(broadcast(ranked), Seq("event_type", "q"))
       .select(col("event_type"), col("q"), col("cents"),
-        (abs(col("rank_of") - col("n") * col("q") / lit(100.0)) <=
-          greatest(lit(1.0), col("n") / lit(1000.0))).as("within_band"))
+        bandVerdict(col("n") * col("q") / lit(100.0)).as("within_band"))
   }
 
   /** BANDED gate for [[approxDistinctUsers]]: exact distinct count plus

@@ -268,16 +268,22 @@ object IvfIndex {
     * job per round), so the depths are final before the returned
     * DataFrame is ever executed. */
   def topKIvfPqAdaptive(spark: SparkSession, sfDir: String, k: Int = 5,
-      numQueries: Int = 10): DataFrame = {
+      numQueries: Int = 10, rerank: Int = 50): DataFrame = {
     import spark.implicits._
     val path = sessionPath(spark, sfDir)
     val idx = buildOrLoadPq(spark, sfDir, path)
     val qs = gateQueries(spark, sfDir, numQueries)
     val probed = new Array[Int](qs.length)
-    val out = probePqAdaptive(spark, path, qs, idx, k,
+    val out = probePqAdaptive(spark, path, qs, idx, k, rerank = rerank,
       probedCellsOut = Some(probed))
+    // the dump carries the RERANK BUDGET alongside each depth so the
+    // oracle's candidate cut reads rerank·depth from the dump instead
+    // of hard-coding the default — a non-default invocation stays
+    // oracle-consistent instead of silently diverging. depth is
+    // clamped to ≥1 exactly as the output stage's caps are.
     graft.core.SideDump.write(
-      qs.indices.map(i => (qs(i).vec_id, probed(i))).toDF("qid", "depth"),
+      qs.indices.map(i => (qs(i).vec_id, math.max(1, probed(i)), rerank))
+        .toDF("qid", "depth", "rerank"),
       "ivfpq_adepth", new java.io.File(sfDir).getName)
     out
   }

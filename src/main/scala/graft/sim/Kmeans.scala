@@ -138,7 +138,16 @@ object Kmeans {
     var seeds: Array[Array[Double]] = Array(normalize(first.v))
     for (r <- 1 to rounds) {
       val bc = spark.sparkContext.broadcast(seeds)
-      val phi = corpus.map(x => seedCost(x, bc.value)).reduce(_ + _)
+      // φ summed from per-partition partials in FIXED partition-index
+      // order: Dataset.reduce folds in task-completion order, which
+      // can differ across runs in the last ulp and flip borderline
+      // hash-coin selections — breaking the "deterministic without RNG
+      // state" contract. Partition-ordered summation is reproducible
+      // for a fixed partitioning of the corpus.
+      val phi = corpus.mapPartitions { it =>
+        val s = it.foldLeft(0.0)((a, x) => a + seedCost(x, bc.value))
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+      }.collect().sortBy(_._1).map(_._2).sum
       if (phi > 0) {
         val threshold = oversample * k / phi
         val picked = corpus

@@ -46,7 +46,12 @@ object EventTime {
   def tsUs(df: DataFrame, colName: String = "ts"): Column =
     df.schema(colName).dataType match {
       case LongType =>
-        expr(s"`$colName` div 1000")
+        // FLOOR division, not `div` (which truncates toward zero): a
+        // pre-epoch ns value off a µs boundary must round down to
+        // agree with the TIMESTAMP/NTZ branches and tsDay's pmod
+        // floor. pmod's non-negative remainder makes the subtraction
+        // land on an exact multiple, so the final div is exact.
+        expr(s"(`$colName` - pmod(`$colName`, 1000)) div 1000")
       case TimestampType =>
         // an instant; unix_micros is zone-free by definition
         unix_micros(col(colName))

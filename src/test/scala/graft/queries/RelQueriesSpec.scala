@@ -181,6 +181,37 @@ class RelQueriesSpec extends SparkSpec {
       s"verdict not derived from the HLL sketch:\n${planU.take(2000)}")
   }
 
+  test("bandVerdict accepts a wide tie run containing the target (ADVICE r8)") {
+    // tie-heavy distributions are exactly the bounded-domain data the
+    // histogram path targets: a modal value covering far more than the
+    // band that CONTAINS the true median must still pass, because the
+    // approx value IS the exact median. The verdict checks the value's
+    // full rank interval [rank_of − cnt_of + 1, rank_of], not just the
+    // upper rank.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // (n, rank_of, cnt_of, expected) with target = n/2, band = max(1, n/1000)
+    val cases = Seq(
+      // modal value: 1000 tied rows straddling the median of n=10000
+      (10000L, 5500L, 1000L, true),
+      // upper rank 11 past target (outside the ±10 band) but the run
+      // covers the median — the old upper-rank-only check rejected
+      // this correct answer
+      (10000L, 5011L, 1000L, true),
+      // run entirely below the band → reject
+      (10000L, 4980L, 10L, false),
+      // run entirely above the band → reject
+      (10000L, 5600L, 10L, false),
+      // singleton exactly at target → accept
+      (10000L, 5000L, 1L, true),
+      // singleton just outside the band → reject
+      (10000L, 5012L, 1L, false))
+    val df = cases.toDF("n", "rank_of", "cnt_of", "expected")
+    val got = df.select(col("expected"),
+      RelQueries.bandVerdict(col("n") / lit(2.0)).as("got")).collect()
+    got.foreach(r => assert(r.getBoolean(1) === r.getBoolean(0), r.toString))
+  }
+
   test("histogram median/quantiles equal the exact operators; window runs post-aggregation") {
     val exactM = RelQueries.medianValue(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -114,6 +114,34 @@ class EventTimeSpec extends SparkSpec {
     }
   }
 
+  test("pre-epoch ns values floor like the timestamp branches (ADVICE r8)") {
+    // −1 ns is inside microsecond −1 ([−1000 ns, 0)), so tsUs must be
+    // −1, not the toward-zero 0 — truncating division would disagree
+    // with the TIMESTAMP/NTZ branches and tsDay's pmod floor on every
+    // pre-epoch instant off a µs boundary.
+    import spark.implicits._
+    val nsVals = Seq(-1L, -999L, -1000L, -1001L, -86400000000001L,
+      0L, 1L, 999L, 1000L)
+    val ns = nsVals.toDF("ts")
+    val got = ns.select(EventTime.tsUs(ns).as("us"))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = nsVals.map(v => Math.floorDiv(v, 1000L))
+    assert(got === expected)
+    // cross-encoding: the same pre-epoch instants written as TIMESTAMP
+    // read back the identical microseconds
+    val tsi = ns.select(timestamp_micros(expr("ts div 1000") -
+      when(pmod(col("ts"), lit(1000L)) =!= 0 && col("ts") < 0, 1L)
+        .otherwise(0L)).as("ts"))
+    assert(tsi.select(EventTime.tsUs(tsi).as("us"))
+      .collect().map(_.getLong(0)).toSeq === expected)
+    // tsDay floors pre-epoch days the same way
+    val day = ns.select(EventTime.tsDay(ns).as("d")).collect().map(_.getString(0))
+    val expDay = nsVals.map(v =>
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(Math.floorDiv(v, 1000L), 86400000000L)).toString)
+    assert(day.toSeq === expDay)
+  }
+
   test("an unsupported encoding fails loudly, not silently") {
     import spark.implicits._
     val bad = Seq("2024-01-01").toDF("ts")
