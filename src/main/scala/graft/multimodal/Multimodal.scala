@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   * and parses BMP dimensions (BITMAPINFO/CORE headers), WAV sample
   * rate / channels / duration (RIFF chunk walk), PNG dimensions
   * (the IHDR chunk — always first, never compressed, big-endian),
-  * GIF dimensions (the logical screen descriptor), and QOI
-  * dimensions (14-byte uncompressed header) —
+  * GIF dimensions (the logical screen descriptor), QOI dimensions
+  * (14-byte uncompressed header), JPEG dimensions (the SOFn frame
+  * header found by a marker walk — frame geometry precedes the
+  * entropy-coded scan and is never compressed), and MP4/ISO-BMFF
+  * dimensions + duration (the `moov/mvhd` and `moov/trak/tkhd` boxes
+  * — plain big-endian fields, no codec involved) —
   * MultimodalSpec feeds it real synthesized files and asserts exact
-  * values. `decodeStub` remains the deterministic FAKE for everything
-  * else — compressed PIXEL/SAMPLE data (PNG IDAT, JPEG scans, MP4
-  * frames) genuinely needs media libraries this environment does not
-  * have. A real deployment
+  * values. `decodeStub` remains the deterministic FAKE for exactly
+  * one thing: compressed pixel/sample PAYLOADS (PNG IDAT inflate,
+  * JPEG entropy-coded scans, MP4 sample data), which genuinely need
+  * media libraries this environment does not have. A real deployment
   * replaces ONLY the stub fallback with an actual codec (JNI/FFI,
   * or `mapInPandas` with PIL/torchaudio on PySpark); every other
   * moving part — the media schema, binary column handling,
@@ -88,7 +92,16 @@ object Multimodal {
     * are header metadata, not part of the compressed IDAT stream);
     * WAV → (0, 0, 1, data_bytes ×
     * 1000 / byte_rate) from a proper RIFF chunk walk (chunks are
-    * 2-byte aligned; fmt and data may appear in any order). None for
+    * 2-byte aligned; fmt and data may appear in any order);
+    * JPEG → (width, height, 1, 0) from the first SOFn marker segment
+    * (a marker walk over the uncompressed header stream — C0–CF
+    * except the non-frame C4/C8/CC — stopping unsatisfied at SOS/EOI:
+    * frame geometry always precedes the entropy-coded scan);
+    * MP4/ISO-BMFF (sniffed by the `ftyp` box) → (width, height, 1,
+    * duration × 1000 / timescale) from `moov/mvhd` (version 0 and 1
+    * layouts) and the first video `moov/trak/tkhd` (16.16
+    * fixed-point dims; audio tracks carry 0×0, so an audio-only MP4
+    * yields WAV-style (0, 0, …) with a real duration). None for
     * anything else — including truncated or malformed headers, which
     * fall back to the stub rather than throwing mid-pipeline. */
   private[multimodal] def decodeHeaders(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
@@ -144,7 +157,122 @@ object Multimodal {
       if (byteRate > 0 && dataLen >= 0)
         Some((0L, 0L, 1L, dataLen * 1000L / byteRate))
       else None
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      decodeJpegSof(b)
+    } else if (b.length >= 12 && tag(4) == "ftyp") {
+      decodeMp4Moov(b)
     } else None
+  }
+
+  private def beShortAt(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+  /** JPEG SOFn marker walk. The JPEG header is a sequence of
+    * FF-prefixed marker segments, each with an uncompressed big-endian
+    * payload length (inclusive of the 2 length bytes); the SOFn
+    * segment — any of C0–CF except C4 (DHT), C8 (JPG extension) and
+    * CC (DAC) — carries precision(1), height(2), width(2) in the
+    * clear. Entropy-coded data starts only after SOS (DA), so a valid
+    * image's geometry is always reachable by this walk; hitting
+    * SOS/EOI first, a misaligned marker, a segment overrunning the
+    * buffer, or a DNL-deferred height of 0 falls back to the stub. */
+  private def decodeJpegSof(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return None // marker misalignment
+      var q = p + 1
+      while (q < b.length && (b(q) & 0xff) == 0xff) q += 1 // fill bytes
+      if (q >= b.length) return None
+      val m = b(q) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        p = q + 1 // standalone marker, no payload
+      } else if (m == 0xd9 || m == 0xda) {
+        return None // EOI / start-of-scan without a frame header
+      } else {
+        if (q + 3 > b.length) return None
+        val len = beShortAt(b, q + 1)
+        if (len < 2 || q + 1 + len > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          val h = beShortAt(b, q + 4).toLong
+          val w = beShortAt(b, q + 6).toLong
+          return if (w > 0 && h > 0) Some((w, h, 1L, 0L)) else None
+        }
+        p = q + 1 + len
+      }
+    }
+    None
+  }
+
+  /** MP4 (ISO base media) box walk: `moov/mvhd` for duration (both
+    * version-0 and version-1 layouts), first video `moov/trak/tkhd`
+    * for dimensions (16.16 fixed point — presentation size in the
+    * clear; the compressed samples in `mdat` are never touched).
+    * Handles 64-bit `largesize` (size == 1) and to-end-of-file
+    * (size == 0) boxes; any malformed size aborts to the stub. */
+  private def decodeMp4Moov(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def beIntAt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt.toLong & 0xffffffffL
+    def beLongAt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getLong
+    def typeAt(p: Int): String = new String(b, p + 4, 4, "US-ASCII")
+    // (type, contentStart, boxEnd) for each box in [start, end)
+    def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var p = start
+      while (p + 8 <= end) {
+        val sz0 = beIntAt(p)
+        val (size, hdr) =
+          if (sz0 == 1L && p + 16 <= end) (beLongAt(p + 8), 16)
+          else if (sz0 == 0L) ((end - p).toLong, 8)
+          else (sz0, 8)
+        if (size < hdr || p + size > end) return out.result() // malformed tail
+        out += ((typeAt(p), p + hdr, p + size.toInt))
+        p += size.toInt
+      }
+      out.result()
+    }
+    val top = boxes(0, b.length)
+    top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+      val kids = boxes(ms, me)
+      val durMs = kids.find(_._1 == "mvhd").flatMap { case (_, cs, ce) =>
+        if (cs >= ce) None
+        else {
+          val v = b(cs) & 0xff
+          // version+flags(4) then v0: c(4) m(4) scale(4) dur(4)
+          //                       v1: c(8) m(8) scale(4) dur(8)
+          if (v == 0 && cs + 20 <= ce) {
+            val scale = beIntAt(cs + 12); val dur = beIntAt(cs + 16)
+            if (scale > 0) Some(dur * 1000L / scale) else None
+          } else if (v == 1 && cs + 32 <= ce) {
+            val scale = beIntAt(cs + 20); val dur = beLongAt(cs + 24)
+            if (scale > 0 && dur >= 0) Some(dur * 1000L / scale) else None
+          } else None
+        }
+      }
+      val dims = kids.iterator.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+        boxes(ts, te).find(_._1 == "tkhd").flatMap { case (_, cs, ce) =>
+          if (cs >= ce) None
+          else {
+            val v = b(cs) & 0xff
+            // width/height: 16.16 fixed, after version+flags, times,
+            // track id, reserved, duration, reserved(8), layer/alt/
+            // volume/reserved(8 total), matrix(36)
+            val off = if (v == 1) 88 else 76
+            if (cs + off + 8 <= ce) {
+              val w = beIntAt(cs + off) >> 16
+              val h = beIntAt(cs + off + 4) >> 16
+              if (w > 0 && h > 0) Some((w, h)) else None
+            } else None
+          }
+        }
+      }.toSeq.headOption
+      durMs.map { d =>
+        val (w, h) = dims.getOrElse((0L, 0L))
+        (w, h, 1L, d)
+      }
+    }
   }
 
   /** Batched feature extraction: partition-local, `batchSize` rows per

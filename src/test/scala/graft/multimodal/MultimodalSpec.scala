@@ -57,7 +57,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real WAV/BMP/PNG headers decode truthfully; corpus payloads still take the stub") {
+  test("real WAV/BMP/PNG/GIF/QOI/JPEG/MP4 headers decode truthfully; corpus payloads still take the stub") {
     import spark.implicits._
     // a real canonical PCM WAV: 8 kHz, 16-bit mono (byteRate 16000),
     // 32000 data bytes -> exactly 2000 ms
@@ -93,6 +93,37 @@ class MultimodalSpec extends SparkSpec {
     // a real QOI header: 256 × 128, RGBA, sRGB
     val qoi: Array[Byte] =
       "qoif".getBytes ++ beInt(256) ++ beInt(128) ++ Array[Byte](4, 0)
+    // a real baseline JPEG header: SOI, APP0 (JFIF), SOF0 640 × 480,
+    // then EOI — the marker walk must find SOF0 past the APP0 segment
+    def beShort(v: Int): Array[Byte] =
+      Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val jpeg: Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ beShort(16) ++
+        "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ beShort(17) ++
+        Array[Byte](8) ++ beShort(480) ++ beShort(640) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    // a real MP4: ftyp + moov(mvhd v0 ts=1000 dur=5000, trak(tkhd v0
+    // 1280 × 720 as 16.16 fixed)) + a token mdat the walk never reads
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      beInt(8 + body.length) ++ tpe.getBytes ++ body
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
+      beInt(1000) ++ beInt(5000) ++ Array.fill(80)(0.toByte))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ Array.fill(72)(0.toByte) ++
+      beInt(1280 << 16) ++ beInt(720 << 16))
+    val mp4: Array[Byte] =
+      box("ftyp", "isom".getBytes ++ beInt(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd)) ++
+      box("mdat", Array.fill(32)(0x5a.toByte))
+    // audio-only MP4 (m4a shape): mvhd v1 (64-bit times/duration), no
+    // video trak → WAV-style zero dims with a real duration
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill(16)(0.toByte) ++ beInt(600) ++
+      Array.fill(4)(0.toByte) ++ beInt(1800) ++ Array.fill(76)(0.toByte))
+    val m4a: Array[Byte] =
+      box("ftyp", "M4A ".getBytes ++ beInt(0)) ++ box("moov", mvhdV1)
     val media = Seq(
       Multimodal.MediaRow(1L, "audio", wav, "audio/wav", wav.length.toLong),
       Multimodal.MediaRow(2L, "image", bmp, "image/bmp", bmp.length.toLong),
@@ -100,7 +131,10 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "image", wav, "image/png", wav.length.toLong),
       Multimodal.MediaRow(4L, "image", png, "image/png", png.length.toLong),
       Multimodal.MediaRow(5L, "image", gif, "image/gif", gif.length.toLong),
-      Multimodal.MediaRow(6L, "image", qoi, "image/qoi", qoi.length.toLong)
+      Multimodal.MediaRow(6L, "image", qoi, "image/qoi", qoi.length.toLong),
+      Multimodal.MediaRow(7L, "image", jpeg, "image/jpeg", jpeg.length.toLong),
+      Multimodal.MediaRow(8L, "video", mp4, "video/mp4", mp4.length.toLong),
+      Multimodal.MediaRow(9L, "audio", m4a, "audio/mp4", m4a.length.toLong)
     ).toDS()
     val got = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
@@ -115,6 +149,14 @@ class MultimodalSpec extends SparkSpec {
       === ((320L, 200L, 1L, 0L)), "GIF: 320x200 from the screen descriptor")
     assert((got(6L).width, got(6L).height, got(6L).n_frames, got(6L).duration_ms)
       === ((256L, 128L, 1L, 0L)), "QOI: 256x128 from the 14-byte header")
+    assert((got(7L).width, got(7L).height, got(7L).n_frames, got(7L).duration_ms)
+      === ((640L, 480L, 1L, 0L)), "JPEG: 640x480 from the SOF0 frame header")
+    assert((got(8L).width, got(8L).height, got(8L).n_frames, got(8L).duration_ms)
+      === ((1280L, 720L, 1L, 5000L)),
+      "MP4: 1280x720 from tkhd 16.16 fixed, 5000/1000 ticks = 5000 ms")
+    assert((got(9L).width, got(9L).height, got(9L).n_frames, got(9L).duration_ms)
+      === ((0L, 0L, 1L, 3000L)),
+      "audio-only MP4: zero dims, mvhd v1 1800/600 ticks = 3000 ms")
     // the gate corpus carries text bytes, not media magic: every row
     // must fall back to the stub (mm_features' oracle arithmetic)
     val corpus = Multimodal.mediaTable(spark, sf()).collect()
@@ -143,6 +185,21 @@ class MultimodalSpec extends SparkSpec {
     val qoiBadCh = qoi.clone(); qoiBadCh(12) = 7
     assert(Multimodal.decodeHeaders(qoiBadCh).isEmpty,
       "QOI with invalid channel count must fall back")
+    assert(Multimodal.decodeHeaders(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty,
+      "bare SOI must fall back")
+    assert(Multimodal.decodeHeaders(jpeg.take(24)).isEmpty,
+      "JPEG truncated inside APP0 (no SOF reachable) must fall back")
+    val scanFirst: Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte) ++
+      beShort(4) ++ Array[Byte](0, 0)
+    assert(Multimodal.decodeHeaders(scanFirst).isEmpty,
+      "SOS before any SOF is malformed → stub, never a bogus geometry")
+    assert(Multimodal.decodeHeaders(mp4.take(20)).isEmpty,
+      "ftyp without a complete moov must fall back")
+    val badSize = mp4.clone()
+    System.arraycopy(beInt(7), 0, badSize, 16, 4) // moov size < header size
+    assert(Multimodal.decodeHeaders(badSize).isEmpty,
+      "box with size < 8 aborts the walk → stub")
   }
 
   test("metadata rollup covers all kinds and never touches the payload") {
