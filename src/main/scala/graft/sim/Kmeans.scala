@@ -126,12 +126,26 @@ object Kmeans {
     * data. Selection is DETERMINISTIC — the coin is a splitmix64 hash
     * of (vec_id, round) — and each round is two narrow passes
     * (cost-sum, filter-collect); the driver holds only the ~ℓ·k·rounds
-    * oversampled seeds. The oversampled set is then reduced to k on
-    * the driver: weighted (points-served × distance) farthest-first
-    * picks spread representatives, and a few weighted Lloyd rounds on
-    * the seed summaries polish them. No corpus collect anywhere. */
+    * oversampled seeds (O(|seeds|·d) memory — inherent to any
+    * broadcast-based k-means‖, MLlib included).
+    *
+    * REDUCTION to k — two paths, switched on |seeds| (the r8 VERDICT
+    * scale finding: the quality path's driver cost is quadratic):
+    *
+    *  - |seeds| ≤ `reduceDistributedAbove`: weighted farthest-first +
+    *    driver-local weighted Lloyd — the best-spread reduction, but
+    *    O(|seeds|²·d) single-threaded. Right for the IVF cell counts
+    *    the gates train (k ≤ a few hundred).
+    *  - |seeds| > `reduceDistributedAbove` (the k ≳ 10⁴ regime a
+    *    100 TB IVF needs, where |seeds| ≈ ℓ·rounds·k): the reduction
+    *    itself becomes a Spark job — [[reduceSeedsDistributed]] —
+    *    with driver work O(|seeds|·log k) for the deterministic
+    *    weighted sample plus O(k·d) per polish round. No quadratic
+    *    driver stage anywhere; KmeansSpec pins the k = 4096 path.
+    */
   def seedParallel(corpus: Dataset[Vec], k: Int, rounds: Int = 3,
-      oversample: Double = 2.0): Array[Centroid] = {
+      oversample: Double = 2.0,
+      reduceDistributedAbove: Int = 1024): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
     val first = corpus.orderBy(col("vec_id")).head()
@@ -165,8 +179,29 @@ object Kmeans {
       .groupByKey(identity).count().collect().toMap
     bcS.destroy()
     val w = seeds.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1e-9)).toArray
-    // driver-side reduction to k: weighted farthest-first (spread),
-    // deterministic lowest-index tie-break
+    lastReductionDistributed = seeds.length > reduceDistributedAbove
+    val cents: Array[Array[Double]] =
+      if (lastReductionDistributed)
+        reduceSeedsDistributed(spark, seeds, w, k)
+      else
+        reduceSeedsDriver(seeds, w, k)
+    // pad (degenerate corpora smaller than k) by reusing seeds
+    val padded = (0 until k).map(i => cents(i % cents.length)).toArray
+    padded.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+  }
+
+  /** Which reduction path the last [[seedParallel]] call took —
+    * observable so the large-k spec can assert the quadratic driver
+    * stage is actually bypassed. */
+  @volatile private[sim] var lastReductionDistributed: Boolean = false
+
+  /** QUALITY reduction (small seed sets): weighted (points-served ×
+    * distance²) farthest-first picks spread representatives —
+    * O(|seeds|²·d) single-threaded, fine up to ~10³ seeds — then a
+    * few driver-local weighted Lloyd rounds polish them.
+    * Deterministic lowest-index tie-breaks throughout. */
+  private def reduceSeedsDriver(seeds: Array[Array[Double]],
+      w: Array[Double], k: Int): Array[Array[Double]] = {
     val chosen = scala.collection.mutable.ArrayBuffer(w.indices.maxBy(i => (w(i), -i)))
     while (chosen.length < math.min(k, seeds.length)) {
       val next = seeds.indices.filterNot(chosen.contains).maxBy { i =>
@@ -179,7 +214,6 @@ object Kmeans {
       }
       chosen += next
     }
-    // weighted Lloyd on the seed summaries (driver-local, tiny)
     var cents = chosen.map(i => seeds(i)).toArray
     for (_ <- 0 until 5) {
       val sums = Array.fill(cents.length)(new Array[Double](cents(0).length))
@@ -197,16 +231,80 @@ object Kmeans {
       cents = cents.indices.map(c =>
         if (ns(c) > 0) normalize(sums(c)) else cents(c)).toArray
     }
-    // pad (degenerate corpora smaller than k) by reusing seeds
-    val padded = (0 until k).map(i => cents(i % cents.length)).toArray
-    padded.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+    cents
+  }
+
+  /** SCALE reduction (large seed sets — the k ≳ 10⁴ IVF regime): the
+    * seed summaries become a small Dataset and the reduction runs as
+    * Spark jobs, so no driver stage is super-linear in |seeds|.
+    *
+    *  1. Init: deterministic weighted sample of k seeds (A-Res keys,
+    *     Efraimidis–Spirakis: ln(u)/w with the same splitmix64 coin
+    *     as the oversampling rounds; top-k keys = a weight-biased,
+    *     reproducible draw). Driver: one O(|seeds|) pass + an
+    *     O(|seeds| log k) partial sort.
+    *  2. Polish: `polishRounds` distributed WEIGHTED Lloyd rounds
+    *     over the seed summaries — centroids broadcast (k·d), per-
+    *     partition partial sums, merged on the driver in FIXED
+    *     (cell, partition) order so the result is bit-reproducible
+    *     for a fixed partitioning (same discipline as φ). Driver
+    *     work per round: O(k·d) merge; the O(|seeds|·k·d) assignment
+    *     runs on executors.
+    *
+    * Empty cells keep their previous centroid; output unit-norm. */
+  private def reduceSeedsDistributed(spark: SparkSession,
+      seeds: Array[Array[Double]], w: Array[Double], k: Int,
+      polishRounds: Int = 5): Array[Array[Double]] = {
+    import spark.implicits._
+    val kEff = math.min(k, seeds.length)
+    val init: Array[Array[Double]] = seeds.indices
+      .map(i => (math.log(hashUniform(0x5eed5a1dL * 1000003L + i)) / w(i), i))
+      .sortBy { case (key, i) => (-key, i) } // largest key wins (u^(1/w) order)
+      .take(kEff).map(_._2).sorted.map(seeds(_)).toArray
+    var cents = init
+    val ds = seeds.indices.map(i => (seeds(i), w(i))).toDS()
+    for (_ <- 0 until polishRounds) {
+      val bc = spark.sparkContext.broadcast(
+        cents.zipWithIndex.map { case (v, i) => Centroid(i, v) })
+      val partials = ds.mapPartitions { it =>
+        val cs = bc.value
+        val sums = scala.collection.mutable.Map.empty[Int, (Array[Double], Double)]
+        it.foreach { case (v, wt) =>
+          val ci = nearest(Vec(-1L, v, 1.0), cs) // seeds are unit-norm
+          val (sv, sw) = sums.getOrElseUpdate(ci,
+            (new Array[Double](v.length), 0.0))
+          var j = 0
+          while (j < v.length) { sv(j) += wt * v(j); j += 1 }
+          sums(ci) = (sv, sw + wt)
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        sums.iterator.map { case (ci, (sv, sw)) => (ci, pid, sv, sw) }
+      }.collect().sortBy { case (ci, pid, _, _) => (ci, pid) }
+      val merged = new Array[Array[Double]](cents.length)
+      val mw = new Array[Double](cents.length)
+      partials.foreach { case (ci, _, sv, sw) =>
+        if (merged(ci) == null) merged(ci) = new Array[Double](sv.length)
+        var j = 0
+        while (j < sv.length) { merged(ci)(j) += sv(j); j += 1 }
+        mw(ci) += sw
+      }
+      cents = cents.indices.map(c =>
+        if (mw(c) > 0) normalize(merged(c)) else cents(c)).toArray
+      bc.destroy()
+    }
+    cents
   }
 
   /** [[train]] with k-means‖ seeding — the 100 TB trainer: seed
     * quality no longer depends on which vectors happen to carry the
-    * lowest ids. Same Lloyd rounds, same dumped-centroid oracle story
-    * (oracles re-derive everything downstream of whatever codebook is
-    * dumped, so seeding strategy is invisible to the gates). */
+    * lowest ids, and (since r9) no stage is super-linear in |seeds|
+    * on the driver — above [[seedParallel]]'s threshold the seed
+    * reduction itself runs distributed, so the large-k IVF regime
+    * (k ≳ 10⁴ centroids) costs the driver O(|seeds|·d) memory and
+    * O(k·d)-per-round merges, nothing quadratic. Same Lloyd rounds,
+    * same dumped-centroid oracle story (oracles re-derive everything
+    * downstream of whatever codebook is dumped, so seeding strategy
+    * is invisible to the gates). */
   def trainParallel(corpus: Dataset[Vec], k: Int, iters: Int,
       rounds: Int = 3, oversample: Double = 2.0): Array[Centroid] =
     trainFrom(corpus, seedParallel(corpus, k, rounds, oversample), iters)

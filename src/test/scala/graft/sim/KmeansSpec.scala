@@ -78,6 +78,84 @@ class KmeansSpec extends SparkSpec {
     assert(covPar >= 12, s"parallel seeding covered only $covPar/16 clusters")
   }
 
+  test("large-k seeding takes the distributed reduction and stays deterministic") {
+    // the r8 VERDICT scale finding: at the k >= 10^4 a 100 TB IVF
+    // needs, a quadratic driver-side seed reduction is hours of
+    // single-threaded work. Pin the fix at k = 4096: the reduction
+    // must (a) run the distributed path, (b) produce k unit-norm
+    // centroids with real spread, (c) be bit-reproducible across two
+    // identical calls (the fixed-order partial merges), and (d) the
+    // small-k gate path must still take the quality reduction.
+    import spark.implicits._
+    val dim = 16
+    val n = 8192
+    def mk(id: Int): Similarity.Vec = {
+      val v = Array.tabulate(dim) { d =>
+        (((id.toLong * 2654435761L + d * 40503L) % 1000003L).toDouble
+          / 1000003.0) - 0.5
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      Similarity.Vec(id.toLong, v.map(_ / nrm), 1.0)
+    }
+    val corpus = (0 until n).map(mk).toDS().cache()
+    val k = 4096
+    val t0 = System.nanoTime()
+    val a = Kmeans.seedParallel(corpus, k, rounds = 2, oversample = 2.0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"k=$k seeding took $secs%.1f s over $n vectors")
+    assert(Kmeans.lastReductionDistributed,
+      s"${a.length} seeds for k=$k must exceed the distributed threshold")
+    assert(a.length === k)
+    a.foreach { c =>
+      val nrm = math.sqrt(c.v.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"cell ${c.cell} not unit-norm")
+    }
+    // spread: the k centroids must be substantially distinct, not a
+    // collapsed handful padded out (pad only fires when seeds < k)
+    val distinct = a.map(_.v.toSeq).distinct.size
+    assert(distinct >= k / 2, s"only $distinct/$k distinct centroids")
+    val b = Kmeans.seedParallel(corpus, k, rounds = 2, oversample = 2.0)
+    assert(a.map(_.v.toSeq).toSeq === b.map(_.v.toSeq).toSeq,
+      "distributed reduction must be bit-reproducible")
+    // gate-sized k still takes the quality (driver) reduction
+    Kmeans.seedParallel(corpus.filter(_.vec_id < 500), 16, rounds = 3)
+    assert(!Kmeans.lastReductionDistributed,
+      "small seed sets must keep the farthest-first quality path")
+    corpus.unpersist()
+  }
+
+  test("distributed reduction matches driver-path quality on the recovery layout") {
+    // same adversarial fixture as the recovery test, but the reduction
+    // forced down the distributed path (threshold 0): cluster coverage
+    // must stay comparable — the scale path is not a quality cliff.
+    import spark.implicits._
+    val dim = 64
+    def member(cluster: Int, id: Long): Similarity.Vec = {
+      val v = new Array[Double](dim)
+      v(cluster * 4) = 1.0
+      for (d <- 0 until dim)
+        v(d) += 0.02 * (((id * 7 + d * 13) % 11).toDouble - 5.0) / 5.0
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      Similarity.Vec(id, v.map(_ / nrm), 1.0)
+    }
+    val rows = (0 until 16).map(i => member(0, i.toLong)) ++
+      (0 until 480).map(i => member(i % 16, 16L + i))
+    val corpus = rows.toDS()
+    val seeds = Kmeans.seedParallel(corpus, 16, rounds = 3,
+      oversample = 2.0, reduceDistributedAbove = 0)
+    assert(Kmeans.lastReductionDistributed)
+    val cents = Kmeans.cohesionMicro(corpus,
+      seeds) // seeding-only quality, no Lloyd polish on the corpus
+    def covered(cs: Array[Kmeans.Centroid]): Int =
+      (0 until 16).map { c =>
+        val base = new Array[Double](dim); base(c * 4) = 1.0
+        Kmeans.nearest(Similarity.Vec(-1, base, 1.0), cs)
+      }.distinct.size
+    val cov = covered(seeds)
+    info(s"distributed-reduction: coverage=$cov/16 cohesion=$cents")
+    assert(cov >= 12, s"distributed reduction covered only $cov/16 clusters")
+  }
+
   test("cell sizes partition the corpus") {
     val sizes = Kmeans.cellSizes(spark, sf()).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
