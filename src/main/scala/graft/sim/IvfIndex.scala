@@ -377,43 +377,55 @@ object IvfIndex {
     var rounds = 0
     var r = 0
     val maxR = math.min(maxProbe, idx.cents.length)
+    // the largest cap any query can end with — the emission bound that
+    // makes the in-loop accumulators EXACT for every possible final
+    // cut (global top-c of a union ⊆ union of per-scan top-C, C ≥ c)
+    val capMax = math.min(rerank.toLong * math.max(1, maxR), Int.MaxValue).toInt
+    val acc = Array.fill(queries.length)(new CandAcc(capMax))
     while (r < maxR && active.exists(identity)) {
       val batch = math.min(rankBatch, maxR - r)
       // next `batch` affinity-rank cells of each still-active query
       val cells = queries.indices.filter(active)
         .flatMap(qi => ranked(qi).slice(r, r + batch)).distinct
       probedCellUnion ++= cells
-      val activeQis = queries.indices.filter(active).toArray
-      val bcActive = spark.sparkContext.broadcast(activeQis)
       val roundRows = spark.read.parquet(indexPath)
         .filter(col("cell").isin(cells: _*))
         .select(col("vec_id"), col("code"))
         .as[(Long, Array[Byte])]
         .mapPartitions { rows =>
-          val qs = bcQ.value; val tables = bcT.value; val qis = bcActive.value
-          val local = scala.collection.mutable.Map.empty[Int,
-            scala.collection.mutable.PriorityQueue[(Double, Long)]]
+          // EVERY query scores every scanned row — not just the round's
+          // active ones: the output contract cuts over the whole probed
+          // union, so a query that converged early must still see rows
+          // from cells other queries probe later. Emission is bounded
+          // per (partition, query) at capMax with the same (adc, id)
+          // ordering as the output cut, which keeps the accumulators
+          // exact (see capMax comment) and partition-count-independent.
+          val qs = bcQ.value; val tables = bcT.value
+          val local = Array.fill(qs.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
           rows.foreach { case (id, code) =>
-            var a = 0
-            while (a < qis.length) {
-              val qi = qis(a)
+            var qi = 0
+            while (qi < qs.length) {
               if (id != qs(qi).vec_id) {
                 val t = tables(qi)
                 var d = 0.0; var j = 0
                 while (j < m) { d += t(j)(code(j) & 0xff); j += 1 }
-                val h = local.getOrElseUpdate(qi,
-                  scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
-                if (h.size < rerank) h.enqueue((d, id)) // bounded local heap
-                else if (d < h.head._1) { h.dequeue(); h.enqueue((d, id)) }
+                val h = local(qi)
+                if (h.size < capMax) h.enqueue((d, id))
+                else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
+                  h.dequeue(); h.enqueue((d, id))
+                }
               }
-              a += 1
+              qi += 1
             }
           }
-          local.iterator.flatMap { case (qi, h) =>
+          local.iterator.zipWithIndex.flatMap { case (h, qi) =>
             h.iterator.map { case (d, id) => (qi, id, d) }
           }
         }.collect()
-      bcActive.destroy()
+      // exact-output accumulators take every emitted row (id-deduped:
+      // overlapping rounds may rescan a cell)
+      roundRows.foreach { case (qi, id, d) => acc(qi).add(d, id) }
       // merge round candidates into the driver heaps; convergence check
       val byQ = roundRows.groupBy(_._1)
       queries.indices.foreach { qi =>
@@ -447,22 +459,76 @@ object IvfIndex {
     }
     probedCellsOut.foreach(out => Array.copy(probed, 0, out, 0, probed.length))
     roundsOut.foreach(out => out(0) = rounds)
-    // OUTPUT STAGE — deterministic, partition-count-independent. The
-    // loop above is the CONTROL: its round heaps exist only to drive
-    // convergence, and their contents (partition-local survivors) are
-    // deliberately NOT the answer. The result is recomputed as a pure
-    // function of (index, per-query probe depths): one codes-only scan
-    // of the probed-cell UNION — the same union the loop's
-    // opportunistic scoring already paid for — with a GLOBAL per-query
-    // candidate cut at rerank·depth (the cap the loop grew round by
-    // round), then the exact re-rank. Same global-cut property that
-    // makes ann_ivfpq oracle-checkable; the DuckDB oracle re-derives
-    // this stage from the dumped depths alone. probedCellUnion ==
+    // OUTPUT STAGE — deterministic, partition-count-independent, and
+    // (since r9) computed WITHOUT re-scanning the codes. The loop is
+    // the CONTROL: its round heaps only drive convergence. The result
+    // is still a pure function of (index, per-query probe depths) —
+    // global ADC top-(rerank·depth) per query over the probed-cell
+    // union, then the exact re-rank — but the global cut now falls out
+    // of the in-loop accumulators: every scanned row was scored for
+    // every query under the output's own (adc, id) ordering with
+    // emission cap capMax ≥ any final cap, so per-query top-
+    // (rerank·depth) of the accumulator EQUALS the cut a fresh scan of
+    // the union would produce (AdaptiveProbeIdentitySpec pins this
+    // equality against probePqCellsCapped). Only the candidates'
+    // VECTORS are fetched for the exact re-rank — the second
+    // codes-only ADC pass is gone. The DuckDB oracle re-derives the
+    // same cut from the dumped depths alone. probedCellUnion ==
     // ∪ queries' first-probed(qi) affinity ranks, because an active
     // query in each round contributes exactly its next `batch` ranks.
     val unionCells = probedCellUnion.toArray.sorted
-    probePqCellsCapped(spark, indexPath, queries, idx, unionCells, k,
-      probed.map(p => (math.max(1, p).toLong * rerank).min(Int.MaxValue).toInt))
+    val cut = queries.indices.flatMap { qi =>
+      val cap = (math.max(1, probed(qi)).toLong * rerank).min(Int.MaxValue).toInt
+      acc(qi).sortedTake(cap).map { case (_, id) => (queries(qi).vec_id, id) }
+    }
+    rerankExact(spark, indexPath, unionCells,
+      cut.toDF("query_id", "neighbor_id"), queries, k)
+  }
+
+  /** Bounded best-candidate accumulator: keeps the `cap` smallest
+    * (adc, id) pairs seen, id-deduplicated (a cell rescanned in a
+    * later round re-emits identical pairs). Worst-on-top heap plus a
+    * membership set; eviction removes from both. */
+  private final class CandAcc(cap: Int) {
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)]
+    private val ids = scala.collection.mutable.HashSet.empty[Long]
+    def add(d: Double, id: Long): Unit = {
+      if (!ids.contains(id)) {
+        if (heap.size < cap) { heap.enqueue((d, id)); ids += id }
+        else {
+          val (hd, hid) = heap.head
+          if (d < hd || (d == hd && id < hid)) {
+            heap.dequeue(); ids -= hid
+            heap.enqueue((d, id)); ids += id
+          }
+        }
+      }
+    }
+    /** Best `n` as ascending (adc, id) — the output cut's ordering. */
+    def sortedTake(n: Int): Seq[(Double, Long)] =
+      heap.clone().dequeueAll.reverse.take(n)
+  }
+
+  /** Exact re-rank tail shared by the capped prober and the adaptive
+    * output stage: fetch ONLY the candidates' vectors from the probed
+    * cells (codes stay unread), score exact cosine, rank top-k. */
+  private def rerankExact(spark: SparkSession, indexPath: String,
+      cells: Array[Int], candidates: DataFrame, queries: Array[Vec],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val vecs = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"))
+    val rescored = candidates
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (q, n, v) =>
+        val qv = bcQ.value(bcQ.value.indexWhere(_.vec_id == q))
+        Similarity.Hit(q, n, cosine(qv, Vec(n, v, 1.0)))
+      }
+    Similarity.rankHits(rescored, k)
   }
 
   /** Top-k IVF-PQ probe; `queries` must be L2-normalized (as stored). */
@@ -538,16 +604,6 @@ object IvfIndex {
       .join(broadcast(capsDf), col("query_id") === col("cap_qid"))
       .filter(col("_r") <= col("cap"))
       .select(col("query_id"), col("neighbor_id"))
-    // fetch ONLY the candidates' vectors for the exact re-rank
-    val rescored = candidates
-      .join(probed.select(col("vec_id"), col("v")),
-        col("neighbor_id") === col("vec_id"))
-      .select(col("query_id"), col("neighbor_id"), col("v"))
-      .as[(Long, Long, Array[Double])]
-      .map { case (q, n, v) =>
-        val qv = bcQ.value(bcQ.value.indexWhere(_.vec_id == q))
-        Similarity.Hit(q, n, cosine(qv, Vec(n, v, 1.0)))
-      }
-    Similarity.rankHits(rescored, k)
+    rerankExact(spark, indexPath, cells, candidates, queries, k)
   }
 }
