@@ -352,7 +352,7 @@ class SuffixDedupSpec extends SparkSpec {
   }
 
   test("giant undelimited doc: extents exact AND lead rounds spread over >1 task") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
     import org.apache.spark.graftprobe.ListenerDrain
     import spark.implicits._
     // one crawl-blob doc of ~40k tokens carrying a 30-token span also
@@ -376,46 +376,65 @@ class SuffixDedupSpec extends SparkSpec {
     spark.conf.set(shuffleKey, "32")
     spark.conf.set(coalesceKey, "false")
     val perStage = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    // stage KIND via the RDD operation scopes the SQL engine stamps on
+    // each stage's RDDs: a stage is "windowful" iff it executes a
+    // Window physical operator — the only stage kind the chunk shape
+    // changes. Matching kinds keeps the assertion from crediting
+    // unrelated wide stages (rank sorts, groupBys) to the lead rounds.
+    val windowful = scala.collection.concurrent.TrieMap.empty[Int, Boolean]
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null &&
             t.taskMetrics.shuffleReadMetrics.recordsRead > 0)
           perStage.updateWith(t.stageId) { c => Some(c.getOrElse(0) + 1) }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        windowful.put(s.stageInfo.stageId, s.stageInfo.rddInfos.exists(r =>
+          r.scope.exists(_.name.toLowerCase.contains("window")) ||
+            r.name.toLowerCase.contains("window")))
     }
-    def busyTasks(body: => Unit): Map[Int, Int] = {
-      perStage.clear()
+    def busyTasks(body: => Unit): (Map[Int, Int], Map[Int, Boolean]) = {
+      perStage.clear(); windowful.clear()
       spark.sparkContext.addSparkListener(listener)
       try {
         body
         ListenerDrain.waitUntilEmpty(spark.sparkContext)
-        perStage.toMap
+        (perStage.toMap, windowful.toMap)
       } finally spark.sparkContext.removeSparkListener(listener)
     }
     try {
       // chunk=2048 → the 40k-token blob spans ~20 chunk groups per round
-      val segStages = busyTasks {
+      val (segStages, segKinds) = busyTasks {
         val got = SuffixDedup.maximalSpans(spark, dir, minSpan = 30, chunk = 2048)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         assert(got === Set((1L, insertAt.toLong, insertAt + 30L), (2L, 4L, 34L)))
       }
       // per-doc degenerate (chunk wider than the blob): window passes
       // collapse to one task per doc — the round-5 ceiling
-      val docStages = busyTasks {
+      val (docStages, docKinds) = busyTasks {
         SuffixDedup.maximalSpans(spark, dir, minSpan = 30, chunk = 1 << 20).collect()
       }
       // rank sorts and the flagging groupBy are range/hash-partitioned
-      // and spread in BOTH shapes, so absolute stage counts don't
-      // discriminate — the DIFFERENCE does: the shared stages cancel,
-      // and only the window (lead) stages change shape. With 2 docs the
-      // per-doc shape caps every window stage at 2 busy tasks; chunked
-      // leads add one wide window stage per quadrupling round plus the
-      // final combine (>=2 extra at minSpan=30: rounds at depth 1,4 and
-      // the combine, minus plan-merge slack), so require a margin of 2.
-      val wideSeg = segStages.values.count(_ > 2)
-      val wideDoc = docStages.values.count(_ > 2)
-      assert(wideSeg >= wideDoc + 2,
-        s"chunked leads should add >=2 wide window stages over the per-doc" +
-          s" shape: seg=$segStages doc=$docStages")
+      // and spread in BOTH shapes; only the window (lead) stages change
+      // shape with `chunk`. Compare the MATCHED stage kind: with 2 docs
+      // the per-doc shape caps every windowful stage at 2 busy tasks,
+      // while chunked leads run one wide windowful stage per
+      // quadrupling round plus the final combine (>=2 extra at
+      // minSpan=30: rounds at depth 1,4 and the combine, minus
+      // plan-merge slack).
+      def wideWin(stages: Map[Int, Int], kinds: Map[Int, Boolean]): Int =
+        stages.count { case (sid, n) => kinds.getOrElse(sid, false) && n > 2 }
+      val wideSegWin = wideWin(segStages, segKinds)
+      val wideDocWin = wideWin(docStages, docKinds)
+      info(s"wide windowful stages: seg=$wideSegWin doc=$wideDocWin " +
+        s"(seg stages=${segStages.size}, doc stages=${docStages.size})")
+      assert(wideSegWin >= wideDocWin + 2,
+        s"chunked leads should add >=2 wide WINDOW stages over the per-doc" +
+          s" shape: seg=$segStages/$segKinds doc=$docStages/$docKinds")
+      // and the segmented shape must have at least the margin in
+      // absolute terms — the kind filter found real window stages, not
+      // an empty intersection trivially satisfying the difference
+      assert(wideSegWin >= 2,
+        s"no wide windowful stages attributed — scope matching broke: $segKinds")
     } finally {
       prevShuffle.fold(spark.conf.unset(shuffleKey))(v => spark.conf.set(shuffleKey, v))
       prevCoalesce.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
