@@ -58,12 +58,17 @@ object Bench {
     // discarded the [bench] lines, leaving four -1.000s with no cause.
     // The JSON file must carry the WHY alongside the -1.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // physical-plan shape hash per query (post-execution, so AQE's
+    // final plan) — plan drift becomes diffable round-over-round via
+    // SelfCheck the way timings already are
+    val plans = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
+      var lastDf: org.apache.spark.sql.DataFrame = null
       val times = (0 until runs).map { _ =>
         quiesce()
         val t0 = System.nanoTime()
         val ok =
-          try { force(fn(spark, sfDir)); true }
+          try { val df = fn(spark, sfDir); force(df); lastDf = df; true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             errors.getOrElseUpdate(name,
@@ -74,6 +79,11 @@ object Bench {
         // JSON line must distinguish failure from a fast success
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      if (lastDf != null)
+        try plans(name) = graft.core.PlanFingerprint.of(lastDf)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name plan fingerprint failed: $e")
+        }
       (name, if (times.contains(-1.0)) -1.0 else times.min, times.max)
     }.map { case (name, best, worst) => name -> (best, worst) }
     // minimal JSON string escape for error payloads (quotes, backslash,
@@ -97,8 +107,10 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    val plansJson = plans.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_max":$worsts,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_max":$worsts,"plans":$plansJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also persist the line: the driver's log-tail capture clipped the
     // round-4 artifact mid-JSON, losing the ann_* block — a file copy
@@ -111,6 +123,15 @@ object Bench {
       if (only.isDefined) "target/bench_subset.json" else "target/bench_last.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      // rotate the previous FULL artifact aside before overwriting, so
+      // SelfCheck can diff plan fingerprints round-over-round
+      if (only.isEmpty) {
+        val last = java.nio.file.Paths.get("target/bench_last.json")
+        if (java.nio.file.Files.exists(last))
+          java.nio.file.Files.copy(last,
+            java.nio.file.Paths.get("target/bench_prev.json"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $artifact: $e")

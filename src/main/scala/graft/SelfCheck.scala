@@ -18,7 +18,8 @@ package graft
   */
 object SelfCheck {
   final case class BenchArtifact(queries: Map[String, Double],
-      errors: Map[String, String])
+      errors: Map[String, String],
+      plans: Map[String, String] = Map.empty)
 
   def parse(json: String): BenchArtifact = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -35,8 +36,19 @@ object SelfCheck {
     }
     BenchArtifact(
       obj("queries").map { case (k, v) => k -> v.asDouble() },
-      obj("errors").map { case (k, v) => k -> v.asText() })
+      obj("errors").map { case (k, v) => k -> v.asText() },
+      obj("plans").map { case (k, v) => k -> v.asText() })
   }
+
+  /** Plan-fingerprint drift between two artifacts: queries present in
+    * both whose physical-plan shape hash changed. INFORMATIONAL, not
+    * a failure — drift can be an intentional optimization — but it
+    * must be VISIBLE at round close, not discovered two rounds later
+    * as an unexplained timing shift. */
+  def planDrift(cur: BenchArtifact, prev: BenchArtifact): Seq[String] =
+    cur.plans.keySet.intersect(prev.plans.keySet).toSeq.sorted
+      .collect { case n if cur.plans(n) != prev.plans(n) =>
+        s"$n: plan shape ${prev.plans(n)} -> ${cur.plans(n)}" }
 
   /** All violations for `artifact` vs the registered surface. */
   def findings(artifact: BenchArtifact): Seq[String] = {
@@ -60,10 +72,18 @@ object SelfCheck {
       System.err.println(s"[selfcheck] FAIL: no artifact at $path - run graft.Bench first")
       sys.exit(1)
     }
-    val fs = findings(parse(java.nio.file.Files.readString(p)))
+    val cur = parse(java.nio.file.Files.readString(p))
+    val fs = findings(cur)
     if (fs.nonEmpty) {
       fs.foreach(f => System.err.println(s"[selfcheck] FAIL: $f"))
       sys.exit(1)
+    }
+    val prevPath = java.nio.file.Paths.get("target/bench_prev.json")
+    if (java.nio.file.Files.exists(prevPath)) {
+      val drift = planDrift(cur, parse(java.nio.file.Files.readString(prevPath)))
+      drift.foreach(d => println(s"[selfcheck] plan-drift: $d"))
+      println(s"[selfcheck] plan fingerprints: ${cur.plans.size} recorded, " +
+        s"${drift.size} drifted vs bench_prev.json")
     }
     println(s"[selfcheck] OK: ${SparkEntry.queries.size} registered queries " +
       s"all present in $path, no failures")

@@ -34,6 +34,20 @@ class SelfCheckSpec extends AnyFunSuite {
     assert(SelfCheck.findings(stray).exists(_.contains("error recorded")))
   }
 
+  test("parse reads the plans map; planDrift flags only changed shared keys") {
+    val cur = SelfCheck.parse(
+      """{"queries":{"q1":0.5,"q2":0.4,"q3":0.3},
+        |"plans":{"q1":"aaaa","q2":"bbbb","q3":"cccc"},"errors":{}}""".stripMargin)
+    assert(cur.plans === Map("q1" -> "aaaa", "q2" -> "bbbb", "q3" -> "cccc"))
+    val prev = SelfCheck.BenchArtifact(Map.empty, Map.empty,
+      // q1 unchanged, q2 drifted, q4 only in prev (ignored), q3 absent
+      Map("q1" -> "aaaa", "q2" -> "dddd", "q4" -> "eeee"))
+    val drift = SelfCheck.planDrift(cur, prev)
+    assert(drift === Seq("q2: plan shape dddd -> bbbb"))
+    // artifacts without plans maps (older rounds) diff to empty
+    assert(SelfCheck.planDrift(cur, SelfCheck.BenchArtifact(Map.empty, Map.empty)).isEmpty)
+  }
+
   test("live bench artifact (if present) is clean") {
     val p = java.nio.file.Paths.get("target/bench_last.json")
     assume(java.nio.file.Files.exists(p), "no bench artifact in this checkout")
