@@ -25,8 +25,8 @@ object IvfIndex {
     import spark.implicits._
     val corpus = Similarity.loadVectors(spark, sfDir)
     val cents = Kmeans.train(corpus, nCells, iters)
-    val bc = spark.sparkContext.broadcast(cents)
-    corpus.map(r => (r.vec_id, r.v, Kmeans.nearest(r, bc.value)))
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
+    corpus.map(r => (r.vec_id, r.v, bc.value.nearest(r)))
       .toDF("vec_id", "v", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     cents
@@ -54,8 +54,8 @@ object IvfIndex {
       throw new IllegalArgumentException(
         s"append: $indexPath is a PQ index (has _model); plain rows would " +
           "break its codes-only probes — use appendPq")
-    val bc = spark.sparkContext.broadcast(cents)
-    newVecs.map(r => (r.vec_id, r.v, Kmeans.nearest(r, bc.value)))
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
+    newVecs.map(r => (r.vec_id, r.v, bc.value.nearest(r)))
       .toDF("vec_id", "v", "cell")
       .write.mode("append").partitionBy("cell").parquet(indexPath)
     Kmeans.cohesionMicro(newVecs, cents)
@@ -68,10 +68,10 @@ object IvfIndex {
       newVecs: org.apache.spark.sql.Dataset[Vec]): Long = {
     import spark.implicits._
     val normalized = newVecs.map(v => Vec(v.vec_id, Pq.l2normalize(v.v), 1.0))
-    val bcC = spark.sparkContext.broadcast(idx.cents)
+    val bcC = spark.sparkContext.broadcast(CentroidIndex.build(idx.cents))
     val bcCb = spark.sparkContext.broadcast(idx.cb)
     normalized.map(r => (r.vec_id, r.v, Pq.encode(bcCb.value, r.v),
-        Kmeans.nearest(r, bcC.value)))
+        bcC.value.nearest(r)))
       .toDF("vec_id", "v", "code", "cell")
       .write.mode("append").partitionBy("cell").parquet(indexPath)
     Kmeans.cohesionMicro(normalized, idx.cents)
@@ -203,10 +203,10 @@ object IvfIndex {
     // codebooks trained distributed over the full corpus — no
     // driver-side vector sample anywhere in the build path
     val cb = Pq.trainDistributed(corpus, m, ksub)
-    val bcC = spark.sparkContext.broadcast(cents)
+    val bcC = spark.sparkContext.broadcast(CentroidIndex.build(cents))
     val bcCb = spark.sparkContext.broadcast(cb)
     corpus.map(r => (r.vec_id, r.v, Pq.encode(bcCb.value, r.v),
-        Kmeans.nearest(r, bcC.value)))
+        bcC.value.nearest(r)))
       .toDF("vec_id", "v", "code", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     PqIndexModel(cents, cb)

@@ -18,6 +18,13 @@ import graft.sim.Similarity.{Vec, cosine}
   * round via localCheckpoint of nothing — centroids live on the
   * driver, so each round's plan is flat (scan → mapPartitions →
   * partial agg), not compounding.
+  *
+  * Per-point assignment cost: every assignment pass goes through
+  * [[CentroidIndex]] — an exact triangle-inequality-pruned nearest-
+  * centroid search (identical argmax and tie-break to the linear
+  * scan, verbatim linear below 256 centroids), so at the k ≳ 10⁴
+  * centroids a 100 TB IVF needs, a Lloyd round costs
+  * O(n·(√k + visited)·d) instead of O(n·k·d).
   */
 object Kmeans {
 
@@ -67,9 +74,12 @@ object Kmeans {
     val spark = corpus.sparkSession
     var cents = seeds
     for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
+      // exact pruned nearest (CentroidIndex): identical argmax +
+      // tie-break to the linear scan — a pure work reduction at
+      // large k, a verbatim linear scan below LinearBelow
+      val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
       val sums = corpus
-        .map { r => (nearest(r, bc.value), (r.v, 1L)) }
+        .map { r => (bc.value.nearest(r), (r.v, 1L)) }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
           val (av, an) = a._2; val (bv, bn) = b._2
@@ -172,10 +182,12 @@ object Kmeans {
       }
       bc.destroy()
     }
-    // weights: points served by each oversampled seed (one pass)
+    // weights: points served by each oversampled seed (one pass) —
+    // pruned-exact nearest; |seeds| ≈ ℓ·rounds·k is exactly the
+    // large-k regime where the linear scan would dominate the pass
     val asSeedCents = seeds.zipWithIndex.map { case (v, i) => Centroid(i, v) }
-    val bcS = spark.sparkContext.broadcast(asSeedCents)
-    val weights = corpus.map(x => nearest(x, bcS.value))
+    val bcS = spark.sparkContext.broadcast(CentroidIndex.build(asSeedCents))
+    val weights = corpus.map(x => bcS.value.nearest(x))
       .groupByKey(identity).count().collect().toMap
     bcS.destroy()
     val w = seeds.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1e-9)).toArray
@@ -264,13 +276,13 @@ object Kmeans {
     var cents = init
     val ds = seeds.indices.map(i => (seeds(i), w(i))).toDS()
     for (_ <- 0 until polishRounds) {
-      val bc = spark.sparkContext.broadcast(
-        cents.zipWithIndex.map { case (v, i) => Centroid(i, v) })
+      val bc = spark.sparkContext.broadcast(CentroidIndex.build(
+        cents.zipWithIndex.map { case (v, i) => Centroid(i, v) }))
       val partials = ds.mapPartitions { it =>
         val cs = bc.value
         val sums = scala.collection.mutable.Map.empty[Int, (Array[Double], Double)]
         it.foreach { case (v, wt) =>
-          val ci = nearest(Vec(-1L, v, 1.0), cs) // seeds are unit-norm
+          val ci = cs.nearest(Vec(-1L, v, 1.0)) // seeds are unit-norm
           val (sv, sw) = sums.getOrElseUpdate(ci,
             (new Array[Double](v.length), 0.0))
           var j = 0
@@ -313,9 +325,9 @@ object Kmeans {
     * k-means objective; must be non-decreasing over training. */
   def cohesionMicro(corpus: Dataset[Vec], cents: Array[Centroid]): Long = {
     import corpus.sparkSession.implicits._
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val bc = corpus.sparkSession.sparkContext.broadcast(CentroidIndex.build(cents))
     val (s, n) = corpus.map { r =>
-      val c = bc.value(nearest(r, bc.value))
+      val c = bc.value.cents(bc.value.nearest(r))
       var dot = 0.0; var j = 0
       while (j < r.v.length) { dot += r.v(j) * c.v(j); j += 1 }
       (dot / r.nrm, 1L)
@@ -394,8 +406,8 @@ object Kmeans {
     val corpus = Similarity.loadVectors(spark, sfDir)
     val cents = train(corpus, k, iters)
     lastCellsBase = dumpCents(spark, cents, "kmeans_cells_cents", sfDir)
-    val bc = spark.sparkContext.broadcast(cents)
-    corpus.map(r => nearest(r, bc.value))
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
+    corpus.map(r => bc.value.nearest(r))
       .toDF("cell")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
