@@ -1913,7 +1913,8 @@ object SparkEntry {
       |  64 + (strlen(text) * 104729) % 1016 AS height,
       |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS n_frames,
       |  CASE doc_id % 3 WHEN 1 THEN strlen(text) * 8
-      |       WHEN 2 THEN (1 + strlen(text) % 240) * 40 ELSE 0 END AS duration_ms
+      |       WHEN 2 THEN (1 + strlen(text) % 240) * 40 ELSE 0 END AS duration_ms,
+      |  0 AS orientation
       |FROM documents""".stripMargin
 
   private def ngramJaccardSql: String =

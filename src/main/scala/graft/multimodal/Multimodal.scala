@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * rate / channels / duration (RIFF chunk walk), PNG dimensions
   * (the IHDR chunk — always first, never compressed, big-endian),
   * GIF dimensions (the logical screen descriptor), QOI dimensions
-  * (14-byte uncompressed header), JPEG dimensions (the SOFn frame
-  * header found by a marker walk — frame geometry precedes the
-  * entropy-coded scan and is never compressed), and MP4/ISO-BMFF
-  * dimensions + duration (the `moov/mvhd` and `moov/trak/tkhd` boxes
-  * — plain big-endian fields, no codec involved) —
+  * (14-byte uncompressed header), JPEG dimensions + EXIF orientation
+  * (the SOFn frame header and the APP1/TIFF IFD0 tag, both found by
+  * a marker walk — frame geometry and EXIF metadata precede the
+  * entropy-coded scan and are never compressed), and MP4/ISO-BMFF
+  * dimensions + duration + frame count (the `moov/mvhd`,
+  * `moov/trak/tkhd` and `…/stbl/stts` boxes — plain big-endian
+  * fields, no codec involved) —
   * MultimodalSpec feeds it real synthesized files and asserts exact
   * values. `decodeStub` remains the deterministic FAKE for exactly
   * one thing: compressed pixel/sample PAYLOADS (PNG IDAT inflate,
@@ -44,7 +46,8 @@ object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
       mime: String, byte_len: Long)
   final case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
-      width: Long, height: Long, n_frames: Long, duration_ms: Long)
+      width: Long, height: Long, n_frames: Long, duration_ms: Long,
+      orientation: Long)
 
   /** Synthesize a media table from `documents` (text bytes stand in
     * for the payload): deterministic kinds by doc_id. */
@@ -64,8 +67,11 @@ object Multimodal {
   }
 
   /** STUB decode (see class doc): features from byte length only, so an
-    * arithmetic SQL oracle can verify the full pipeline around it. */
-  private[multimodal] def decodeStub(kind: String, bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    * arithmetic SQL oracle can verify the full pipeline around it.
+    * Orientation is always 0 ("unknown") — the stub cannot have seen
+    * an EXIF tag, and faking one would be a lie the oracle then has
+    * to co-fake. */
+  private[multimodal] def decodeStub(kind: String, bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
     val n = bytes.length.toLong
     val width = 64L + (n * 7919L) % 1856L
     val height = 64L + (n * 104729L) % 1016L
@@ -75,7 +81,7 @@ object Multimodal {
       case "video" => frames * 40L
       case _       => 0L
     }
-    (width, height, frames, durationMs)
+    (width, height, frames, durationMs, 0L)
   }
 
   /** REAL header decode for the uncompressed formats — content-sniffed
@@ -97,14 +103,20 @@ object Multimodal {
     * (a marker walk over the uncompressed header stream — C0–CF
     * except the non-frame C4/C8/CC — stopping unsatisfied at SOS/EOI:
     * frame geometry always precedes the entropy-coded scan);
-    * MP4/ISO-BMFF (sniffed by the `ftyp` box) → (width, height, 1,
-    * duration × 1000 / timescale) from `moov/mvhd` (version 0 and 1
-    * layouts) and the first video `moov/trak/tkhd` (16.16
-    * fixed-point dims; audio tracks carry 0×0, so an audio-only MP4
-    * yields WAV-style (0, 0, …) with a real duration). None for
+    * MP4/ISO-BMFF (sniffed by the `ftyp` box) → (width, height,
+    * n_frames, duration × 1000 / timescale) from `moov/mvhd`
+    * (version 0 and 1 layouts), the first video `moov/trak/tkhd`
+    * (16.16 fixed-point dims; audio tracks carry 0×0, so an
+    * audio-only MP4 yields WAV-style (0, 0, …) with a real duration)
+    * and that trak's `stbl/stts` sample-count sum when present
+    * (sample TIMING is uncompressed metadata; the samples are not).
+    * The 5th field is ORIENTATION: the EXIF 0x0112 value for a JPEG
+    * carrying one ([[jpegExifOrientation]]), 1 (EXIF "upright") for
+    * every other successfully decoded still image, 0 (not
+    * applicable/unknown) for audio, video and the stub. None for
     * anything else — including truncated or malformed headers, which
     * fall back to the stub rather than throwing mid-pipeline. */
-  private[multimodal] def decodeHeaders(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  private[multimodal] def decodeHeaders(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     def leInt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
     def leShort(p: Int): Int = java.nio.ByteBuffer.wrap(b, p, 2)
@@ -120,25 +132,25 @@ object Multimodal {
       val w = beInt(4); val h = beInt(8)
       val ch = b(12); val cs = b(13)
       if (w > 0 && h > 0 && (ch == 3 || ch == 4) && (cs == 0 || cs == 1))
-        Some((w, h, 1L, 0L))
+        Some((w, h, 1L, 0L, 1L))
       else None
     } else if (b.length >= 10 && (tag(0) == "GIF8") &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       // GIF87a/89a: logical screen descriptor, little-endian u16 dims
       val w = leShort(6).toLong; val h = leShort(8).toLong
-      if (w > 0 && h > 0) Some((w, h, 1L, 0L)) else None
+      if (w > 0 && h > 0) Some((w, h, 1L, 0L, 1L)) else None
     } else if (b.length >= 33 && b.take(8).sameElements(pngSig)) {
       // sig(8) + length(4) + "IHDR"(4) + 13 data + CRC(4) = 33 bytes
       val w = beInt(16); val h = beInt(20)
       if (beInt(8) == 13L && tag(12) == "IHDR" && w > 0 && h > 0)
-        Some((w, h, 1L, 0L))
+        Some((w, h, 1L, 0L, 1L))
       else None
     } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
       val hdr = leInt(14)
       if (hdr >= 40L && b.length >= 54)
-        Some((math.abs(leInt(18)), math.abs(leInt(22)), 1L, 0L))
+        Some((math.abs(leInt(18)), math.abs(leInt(22)), 1L, 0L, 1L))
       else if (hdr == 12L) // BITMAPCOREHEADER: 16-bit unsigned dims
-        Some((leShort(18).toLong, leShort(20).toLong, 1L, 0L))
+        Some((leShort(18).toLong, leShort(20).toLong, 1L, 0L, 1L))
       else None
     } else if (b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
       var p = 12
@@ -155,7 +167,7 @@ object Multimodal {
         p += 8 + size.toInt + (size.toInt & 1) // chunks 2-byte aligned
       }
       if (byteRate > 0 && dataLen >= 0)
-        Some((0L, 0L, 1L, dataLen * 1000L / byteRate))
+        Some((0L, 0L, 1L, dataLen * 1000L / byteRate, 0L))
       else None
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       decodeJpegSof(b)
@@ -176,7 +188,7 @@ object Multimodal {
     * image's geometry is always reachable by this walk; hitting
     * SOS/EOI first, a misaligned marker, a segment overrunning the
     * buffer, or a DNL-deferred height of 0 falls back to the stub. */
-  private def decodeJpegSof(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  private def decodeJpegSof(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     var p = 2
     while (p + 4 <= b.length) {
       if ((b(p) & 0xff) != 0xff) return None // marker misalignment
@@ -197,7 +209,72 @@ object Multimodal {
           if (len < 7) return None
           val h = beShortAt(b, q + 4).toLong
           val w = beShortAt(b, q + 6).toLong
-          return if (w > 0 && h > 0) Some((w, h, 1L, 0L)) else None
+          return if (w > 0 && h > 0)
+            Some((w, h, 1L, 0L, jpegExifOrientation(b).getOrElse(1L)))
+          else None
+        }
+        p = q + 1 + len
+      }
+    }
+    None
+  }
+
+  /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment — TIFF
+    * IFD0 walk in the segment's own byte order (II/MM), all of it
+    * uncompressed header metadata. The APP1 payload starts
+    * "Exif\0\0", then a TIFF header (byte-order mark, magic 42, IFD0
+    * offset relative to the TIFF base); IFD0 is a u16 entry count and
+    * 12-byte entries (tag, type, count, value) — orientation is a
+    * SHORT (type 3) whose value sits inline in the first 2 value
+    * bytes. Returns values 1–8 only; anything malformed, absent, or
+    * out of range → None (caller defaults to 1, EXIF's "upright"). */
+  private[multimodal] def jpegExifOrientation(b: Array[Byte]): Option[Long] = {
+    // marker walk to APP1 (same discipline as decodeJpegSof)
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return None
+      var q = p + 1
+      while (q < b.length && (b(q) & 0xff) == 0xff) q += 1
+      if (q >= b.length) return None
+      val m = b(q) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        p = q + 1
+      } else if (m == 0xd9 || m == 0xda) {
+        return None // entropy-coded data: EXIF would have preceded it
+      } else {
+        if (q + 3 > b.length) return None
+        val len = beShortAt(b, q + 1)
+        if (len < 2 || q + 1 + len > b.length) return None
+        if (m == 0xe1 && len >= 16 &&
+            new String(b, q + 3, 4, "US-ASCII") == "Exif" &&
+            b(q + 7) == 0 && b(q + 8) == 0) {
+          val base = q + 9 // TIFF header start
+          val end = q + 1 + len
+          if (base + 8 > end) return None
+          val little = b(base) == 'I' && b(base + 1) == 'I'
+          val big = b(base) == 'M' && b(base + 1) == 'M'
+          if (!little && !big) return None
+          def u16(at: Int): Int =
+            if (little) ((b(at + 1) & 0xff) << 8) | (b(at) & 0xff)
+            else ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+          def u32(at: Int): Long =
+            if (little) (u16(at + 2).toLong << 16) | u16(at).toLong
+            else (u16(at).toLong << 16) | u16(at + 2).toLong
+          if (u16(base + 2) != 42) return None
+          val ifd0 = base + u32(base + 4)
+          if (ifd0 < base || ifd0 + 2 > end) return None
+          val entries = u16(ifd0.toInt)
+          var e = 0
+          while (e < entries) {
+            val at = ifd0.toInt + 2 + e * 12
+            if (at + 12 > end) return None
+            if (u16(at) == 0x0112 && u16(at + 2) == 3 && u32(at + 4) == 1L) {
+              val v = u16(at + 8).toLong
+              return if (v >= 1L && v <= 8L) Some(v) else None
+            }
+            e += 1
+          }
+          return None // APP1/EXIF present, orientation tag absent
         }
         p = q + 1 + len
       }
@@ -211,7 +288,7 @@ object Multimodal {
     * clear; the compressed samples in `mdat` are never touched).
     * Handles 64-bit `largesize` (size == 1) and to-end-of-file
     * (size == 0) boxes; any malformed size aborts to the stub. */
-  private def decodeMp4Moov(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  private def decodeMp4Moov(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     def beIntAt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 4)
       .order(java.nio.ByteOrder.BIG_ENDIAN).getInt.toLong & 0xffffffffL
     def beLongAt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 8)
@@ -263,14 +340,37 @@ object Multimodal {
             if (cs + off + 8 <= ce) {
               val w = beIntAt(cs + off) >> 16
               val h = beIntAt(cs + off + 4) >> 16
-              if (w > 0 && h > 0) Some((w, h)) else None
+              // n_frames: the same trak's stbl/stts sample-count sum —
+              // sample timing tables are plain big-endian metadata,
+              // never compressed (the samples themselves live in mdat)
+              if (w > 0 && h > 0) {
+                val frames = boxes(ts, te).find(_._1 == "mdia").flatMap {
+                  case (_, ds, de) => boxes(ds, de).find(_._1 == "minf") }.flatMap {
+                  case (_, fs, fe) => boxes(fs, fe).find(_._1 == "stbl") }.flatMap {
+                  case (_, ss, se) => boxes(ss, se).find(_._1 == "stts") }.flatMap {
+                  case (_, cs2, ce2) =>
+                    // version+flags(4), entry_count(4), then
+                    // entry_count x (sample_count(4), sample_delta(4))
+                    if (cs2 + 8 > ce2) None
+                    else {
+                      val n = beIntAt(cs2 + 4)
+                      if (n < 0 || cs2 + 8 + n * 8 > ce2) None
+                      else {
+                        var total = 0L; var e = 0
+                        while (e < n) { total += beIntAt(cs2 + 8 + e * 8); e += 1 }
+                        if (total > 0) Some(total) else None
+                      }
+                    }
+                }
+                Some((w, h, frames.getOrElse(1L)))
+              } else None
             } else None
           }
         }
       }.toSeq.headOption
       durMs.map { d =>
-        val (w, h) = dims.getOrElse((0L, 0L))
-        (w, h, 1L, d)
+        val (w, h, f) = dims.getOrElse((0L, 0L, 1L))
+        (w, h, f, d, 0L)
       }
     }
   }
@@ -286,9 +386,9 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // a real codec would decode `batch` as one vectorized call
         batch.iterator.map { r =>
-          val (w, h, f, d) = decodeHeaders(r.media)
+          val (w, h, f, d, o) = decodeHeaders(r.media)
             .getOrElse(decodeStub(r.kind, r.media))
-          MediaFeatures(r.media_id, r.kind, r.media.length.toLong, w, h, f, d)
+          MediaFeatures(r.media_id, r.kind, r.media.length.toLong, w, h, f, d, o)
         }
       }
     }

@@ -157,6 +157,12 @@ class MultimodalSpec extends SparkSpec {
     assert((got(9L).width, got(9L).height, got(9L).n_frames, got(9L).duration_ms)
       === ((0L, 0L, 1L, 3000L)),
       "audio-only MP4: zero dims, mvhd v1 1800/600 ticks = 3000 ms")
+    // orientation: 1 (EXIF upright default) for decoded stills, 0 for
+    // audio/video/stub (no EXIF in any of these fixtures)
+    assert(Seq(4L, 5L, 6L, 7L).forall(got(_).orientation === 1L),
+      "decoded stills default to EXIF upright (1)")
+    assert(Seq(1L, 3L, 8L, 9L).forall(got(_).orientation === 0L),
+      "audio/video/stub rows carry orientation 0 (not applicable)")
     // the gate corpus carries text bytes, not media magic: every row
     // must fall back to the stub (mm_features' oracle arithmetic)
     val corpus = Multimodal.mediaTable(spark, sf()).collect()
@@ -200,6 +206,77 @@ class MultimodalSpec extends SparkSpec {
     System.arraycopy(beInt(7), 0, badSize, 16, 4) // moov size < header size
     assert(Multimodal.decodeHeaders(badSize).isEmpty,
       "box with size < 8 aborts the walk → stub")
+  }
+
+  test("JPEG EXIF orientation (II + MM) and MP4 stts frame count decode pure-JVM") {
+    def beShort(v: Int): Array[Byte] =
+      Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def beInt(v: Int): Array[Byte] = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sof0: Array[Byte] =
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ beShort(17) ++
+        Array[Byte](8) ++ beShort(480) ++ beShort(640) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val eoi = Array[Byte](0xff.toByte, 0xd9.toByte)
+    def app1(tiff: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xe1.toByte) ++ beShort(2 + 6 + tiff.length) ++
+        "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    // MM (big-endian) TIFF: IFD0 at offset 8, one entry, orientation 6
+    def tiffMM(tagVal: Int, tag: Int = 0x0112): Array[Byte] =
+      "MM".getBytes ++ beShort(42) ++ beInt(8) ++
+        beShort(1) ++ beShort(tag) ++ beShort(3) ++ beInt(1) ++
+        beShort(tagVal) ++ beShort(0) ++ beInt(0)
+    // II (little-endian) TIFF: same layout, byte-swapped fields
+    def leShortB(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def leIntB(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val tiffII: Array[Byte] =
+      "II".getBytes ++ leShortB(42) ++ leIntB(8) ++
+        leShortB(1) ++ leShortB(0x0112) ++ leShortB(3) ++ leIntB(1) ++
+        leShortB(3) ++ leShortB(0) ++ leIntB(0)
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    val jpegMM = soi ++ app1(tiffMM(6)) ++ sof0 ++ eoi
+    val jpegII = soi ++ app1(tiffII) ++ sof0 ++ eoi
+    assert(Multimodal.decodeHeaders(jpegMM) === Some((640L, 480L, 1L, 0L, 6L)),
+      "MM EXIF orientation 6 decodes alongside the SOF0 geometry")
+    assert(Multimodal.decodeHeaders(jpegII) === Some((640L, 480L, 1L, 0L, 3L)),
+      "II EXIF orientation 3 decodes alongside the SOF0 geometry")
+    // EXIF present but no orientation tag (tag 0x010F Make) → default 1
+    val jpegNoTag = soi ++ app1(tiffMM(6, tag = 0x010f)) ++ sof0 ++ eoi
+    assert(Multimodal.decodeHeaders(jpegNoTag) === Some((640L, 480L, 1L, 0L, 1L)))
+    // out-of-range orientation (9) → default 1, dims still real
+    val jpegBadVal = soi ++ app1(tiffMM(9)) ++ sof0 ++ eoi
+    assert(Multimodal.decodeHeaders(jpegBadVal) === Some((640L, 480L, 1L, 0L, 1L)))
+    // corrupt TIFF magic → default 1, dims still real
+    val badTiff = tiffMM(6); badTiff(2) = 0x77
+    val jpegBadTiff = soi ++ app1(badTiff) ++ sof0 ++ eoi
+    assert(Multimodal.decodeHeaders(jpegBadTiff) === Some((640L, 480L, 1L, 0L, 1L)))
+    // MP4 with a video trak carrying stbl/stts: frames = Σ sample_count
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      beInt(8 + body.length) ++ tpe.getBytes ++ body
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
+      beInt(1000) ++ beInt(5000) ++ Array.fill(80)(0.toByte))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ Array.fill(72)(0.toByte) ++
+      beInt(1280 << 16) ++ beInt(720 << 16))
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ beInt(2) ++
+      beInt(100) ++ beInt(512) ++ beInt(50) ++ beInt(512))
+    val trak = box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", stts))))
+    val mp4 = box("ftyp", "isom".getBytes ++ beInt(0)) ++
+      box("moov", mvhd ++ trak) ++ box("mdat", Array.fill(16)(0x5a.toByte))
+    assert(Multimodal.decodeHeaders(mp4) === Some((1280L, 720L, 150L, 5000L, 0L)),
+      "stts sample counts 100 + 50 → 150 frames")
+    // malformed stts (entry table overruns the box) → frame count 1
+    val sttsBad = box("stts", Array[Byte](0, 0, 0, 0) ++ beInt(9) ++ beInt(100))
+    val trakBad = box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", sttsBad))))
+    val mp4Bad = box("ftyp", "isom".getBytes ++ beInt(0)) ++
+      box("moov", mvhd ++ trakBad)
+    assert(Multimodal.decodeHeaders(mp4Bad) === Some((1280L, 720L, 1L, 5000L, 0L)),
+      "overrunning stts entry table falls back to 1 frame, not a crash")
   }
 
   test("metadata rollup covers all kinds and never touches the payload") {
