@@ -1,0 +1,79 @@
+package graft.sim
+
+import graft.sim.Kmeans.Centroid
+import graft.sim.Similarity.Vec
+
+/** Driver-local micro-benchmark for the [[CentroidIndex]] assignment
+  * accelerator — measures the per-point nearest-centroid cost at the
+  * large-k regime the trainers hit on a 100 TB IVF, where the linear
+  * scan is O(k·d) per point. No Spark session: the assignment kernel
+  * is the same code the executors run inside the trainer passes, so
+  * a single-thread wall-clock ratio transfers directly.
+  *
+  * args: [k] [d] [nPoints] (defaults 4096, 64, 20000). Prints one
+  * line per configuration: linear s, pruned s, speedup, mean scanned.
+  * Deterministic (hash-generated clustered data, no RNG state). */
+object AssignBench {
+
+  private def mix(seed: Long, j: Int): Double = {
+    var z = seed * 1000003L + j + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  private def unit(seed: Long, d: Int): Array[Double] = {
+    val v = Array.tabulate(d)(mix(seed, _))
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  /** Clustered unit vectors: `groups` anchors, jittered members —
+    * the shape a trained codebook (and its corpus) actually has. */
+  private def clustered(seed: Long, groups: Int, d: Int, jitter: Double): Array[Double] = {
+    val anchor = unit(1000 + seed % groups, d)
+    val j = unit(50000 + seed, d)
+    val v = anchor.zip(j).map { case (a, b) => a + jitter * b }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.lift(0).map(_.toInt).getOrElse(4096)
+    val d = args.lift(1).map(_.toInt).getOrElse(64)
+    val n = args.lift(2).map(_.toInt).getOrElse(20000)
+    val groups = math.max(8, k / 64)
+    val cents = Array.tabulate(k)(i => Centroid(i, clustered(i, groups, d, 0.10)))
+    val points = Array.tabulate(n)(i => Vec(i, clustered(3000000L + i, groups, d, 0.25), 1.0))
+
+    // warmup both paths (JIT)
+    val idxW = CentroidIndex.build(cents)
+    points.take(500).foreach { p => Kmeans.nearest(p, cents); idxW.nearest(p) }
+
+    val tb0 = System.nanoTime()
+    val idx = CentroidIndex.build(cents)
+    val buildS = (System.nanoTime() - tb0) / 1e9
+
+    val t0 = System.nanoTime()
+    var sink = 0
+    points.foreach { p => sink ^= Kmeans.nearest(p, cents) }
+    val linS = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    var scanned = 0L
+    var mismatch = 0
+    points.foreach { p =>
+      val (got, sc) = idx.nearestCounting(p)
+      scanned += sc
+      sink ^= got
+    }
+    val prunedS = (System.nanoTime() - t1) / 1e9
+    // exactness re-check inline (the spec pins it; belt and braces here)
+    points.take(2000).foreach { p =>
+      if (idx.nearest(p) != Kmeans.nearest(p, cents)) mismatch += 1
+    }
+    println(f"[assign-bench] k=$k d=$d n=$n build=${buildS}%.2fs " +
+      f"linear=${linS}%.2fs pruned=${prunedS}%.2fs speedup=${linS / prunedS}%.1fx " +
+      f"meanScanned=${scanned.toDouble / n}%.0f/$k mismatches=$mismatch (sink=${sink & 1})")
+  }
+}
