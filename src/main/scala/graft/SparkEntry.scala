@@ -162,6 +162,9 @@ object SparkEntry {
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup;
+    // centroids side-dumped, keep/drop rule re-derived by the oracle
+    "dedup_semantic" -> ((s, dir) => graft.dedup.SemDedup.semantic(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
     // scale compositions over the banded/capped LSH pair generator;
@@ -235,6 +238,9 @@ object SparkEntry {
     "ann_pca_reduced" -> ((s, dir) => graft.sim.Pca.topKL2PcaReduced(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
+    // sliding token-window chunking (RAG / context-window splitter):
+    // map-only, no shuffle; boundaries line up with Tok.alphaToks
+    "text_chunk" -> ((s, dir) => graft.text.Chunking.chunks(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
@@ -324,6 +330,8 @@ object SparkEntry {
     s"${graft.sim.Kmeans.ivfTrainedDumpPath(graft.sim.Kmeans.lastIvfTrainedBase)}/*.parquet"
   private def ivfTrainedParGlob: String =
     s"${graft.sim.Kmeans.ivfTrainedParDumpPath(graft.sim.Kmeans.lastIvfTrainedParBase)}/*.parquet"
+  private def semDedupGlob: String =
+    s"${graft.dedup.SemDedup.dumpPath(graft.dedup.SemDedup.lastBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1297,6 +1305,34 @@ object SparkEntry {
     // gate corpus → the output EQUALS the exact set and shares its
     // oracle (the same upgrade the LSH cluster/leakage gates got).
     "dedup_embed_ivf" -> dedupEmbedSql,
+    // SemDeDup: the trained centroids are the dumped faith; the oracle
+    // re-derives assignment (argmax cosine, lowest-cell tie), the
+    // centroid-sim keep priority (lower sim kept, ties to lower id),
+    // the within-cluster pairwise τ-test and the drop verdicts.
+    // Priority comparisons use raw doubles on both sides (the proven
+    // ann ordering pattern); only the OUTPUT value is micro-quantized.
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT cell, v FROM read_parquet('$semDedupGlob')),
+         |asg AS (
+         |  SELECT vec_id, cell, sim FROM (
+         |    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cell, a.sim, e.v
+         |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+         |drops AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+         |    AND list_cosine_similarity(x.v, y.v) >= 0.45)
+         |SELECT m.vec_id, m.cell,
+         |  CAST(round(m.sim * 1000000) AS BIGINT) AS cent_sim_micro,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id""".stripMargin,
     "ann_topk" -> annTopkCosineSql,
     // SQ8's distortion is bounded by one 1/255 step per dimension and
     // its candidate budget (rerank = 50 ≫ k = 5) is re-scored with
@@ -1828,6 +1864,25 @@ object SparkEntry {
         |  length(text) AS n_chars,
         |  length(regexp_replace(lower(text), '[^a-z]', '', 'g')) // 4 AS n_subwords_est
         |FROM documents""".stripMargin,
+    // sliding token-window chunking: pure integer arithmetic over the
+    // shared tokenizer — chunk count 1 + ceil((n-w)/s) for n > w,
+    // 1-based inclusive slices on both engines
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+        |ch AS (SELECT doc_id, t, n,
+        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+        |  FROM nz)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(n - chunk_id * 48, 64) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[chunk_id * 48 + 1 :
+        |                    chunk_id * 48 + least(64, n - chunk_id * 48)], ' ') AS chunk
+        |FROM ch""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,

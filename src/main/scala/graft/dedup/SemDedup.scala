@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sim.{CentroidIndex, Kmeans, Similarity}
+import graft.sim.Similarity.Vec
+
+/** Semantic deduplication over the embedding corpus — the SemDeDup
+  * recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication", arXiv:2303.09540),
+  * re-expressed Spark-first:
+  *
+  *  1. cluster the embeddings with the k-means trainer
+  *     ([[Kmeans.train]] — same codebook machinery as the IVF index);
+  *  2. within each cluster, compare members pairwise by cosine;
+  *  3. among members within `tau` of each other, KEEP the one with
+  *     the LOWEST similarity to its cluster centroid (the paper's
+  *     finding: low-centroid-sim exemplars generalize best), ties to
+  *     the lower vec_id.
+  *
+  * The drop rule is local and deterministic: member x is dropped iff
+  * some member y of the same cluster has cos(x,y) ≥ τ and strictly
+  * higher keep-priority — (centSim(y), vec_id(y)) < (centSim(x),
+  * vec_id(x)) lexicographically. The minimum-priority member of any
+  * duplicate clique can never be dropped, so every clique keeps at
+  * least one representative (SemDedupSpec pins this).
+  *
+  * Scale design (100 TB posture): clustering is the pruning — the
+  * pairwise stage runs per cluster inside one task, O(Σ|cluster|²)
+  * total, and the production knob is k ∝ N (the paper runs k = 50 000
+  * on LAION so clusters stay ~10³–10⁴): growing k holds cluster sizes
+  * — and so per-task memory and compute — constant while the trainer
+  * itself scales through the blocked/pruned assignment paths
+  * ([[graft.sim.PointBlocks]] / [[CentroidIndex]]). No all-pairs
+  * stage anywhere; the shuffle key is the cell id.
+  *
+  * Oracle story: the trained centroids are side-dumped
+  * ([[graft.core.SideDump]]) — the Lloyd iterations are the only
+  * faith; assignment (argmax cosine, lowest-cell tie), centroid
+  * similarity, the within-cluster pairwise τ-test and the
+  * keep-priority rule are all re-derived by DuckDB from the raw
+  * embeddings plus the dumped codebook.
+  */
+object SemDedup {
+
+  /** Basename of the corpus dir of the last gate run — binds the
+    * oracle glob, same pattern as [[Kmeans.lastCellsBase]]. */
+  @volatile var lastBase: String = "sf0.01"
+
+  def dumpPath(base: String): String =
+    graft.core.SideDump.path("semdedup_cents", base)
+
+  /** (vec_id, cell, cent_sim_micro, kept) for every embedding.
+    * `cent_sim_micro` — the keep-priority key, rounded to integer
+    * micro-units in the OUTPUT only (the rule itself compares full
+    * doubles; the output column exists so the gate pins the priority
+    * the rule used without hashing raw floats). */
+  def semantic(spark: SparkSession, sfDir: String, tau: Double = 0.45,
+      k: Int = 16, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vecs = Similarity.loadVectors(spark, sfDir)
+    val cents = Kmeans.train(vecs, k, iters)
+    lastBase = {
+      graft.core.SideDump.write(
+        cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
+        "semdedup_cents", new java.io.File(sfDir).getName)
+      new java.io.File(sfDir).getName
+    }
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
+    vecs
+      .map { r =>
+        val idx = bc.value
+        val cell = idx.nearest(r)
+        val c = idx.cents(cell).v
+        var dot = 0.0; var j = 0
+        while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
+        val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
+        (cell, dot / nrm, r)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        // keep-priority order: centroid-sim ascending, vec_id ascending
+        val ms = it.toArray.sortBy { case (_, sim, r) => (sim, r.vec_id) }
+        val dropped = new Array[Boolean](ms.length)
+        var i = 1
+        while (i < ms.length) {
+          var j = 0
+          var hit = false
+          while (j < i && !hit) {
+            if (Similarity.cosine(ms(i)._3, ms(j)._3) >= tau) hit = true
+            j += 1
+          }
+          dropped(i) = hit
+          i += 1
+        }
+        ms.iterator.zipWithIndex.map { case ((_, sim, r), m) =>
+          (r.vec_id, cell, sim, !dropped(m))
+        }
+      }
+      .toDF("vec_id", "cell", "cent_sim", "kept")
+      // quantize in the SQL layer so the HALF_UP semantics match the
+      // DuckDB oracle's round() exactly (the score_micro idiom)
+      .selectExpr("vec_id", "cell",
+        "CAST(round(cent_sim * 1000000) AS BIGINT) AS cent_sim_micro", "kept")
+  }
+}

@@ -75,5 +75,74 @@ object AssignBench {
     println(f"[assign-bench] k=$k d=$d n=$n build=${buildS}%.2fs " +
       f"linear=${linS}%.2fs pruned=${prunedS}%.2fs speedup=${linS / prunedS}%.1fx " +
       f"meanScanned=${scanned.toDouble / n}%.0f/$k mismatches=$mismatch (sink=${sink & 1})")
+
+    // ── blocked pass (PointBlocks kernel, driver-local simulation of
+    // one partition's iteration order: points contiguous per block,
+    // candidate list recomputed only on block change) ────────────────
+    val targetBlock = 512
+    val nBlocks = math.max(1, n / targetBlock)
+    // coarse centers from a stride sample + 4 Lloyd rounds — the same
+    // recipe PointBlocks.prepare runs on the executor-side sample
+    var bCenters: Array[Array[Double]] =
+      Array.tabulate(nBlocks)(i => points(((i.toLong * n) / nBlocks).toInt).v.clone())
+    for (_ <- 0 until 4) {
+      val sums = Array.fill(nBlocks)(new Array[Double](d)); val ns = new Array[Int](nBlocks)
+      points.foreach { p =>
+        var bi = 0; var best = 0; var bestS = Double.NegativeInfinity
+        while (bi < nBlocks) {
+          var dot = 0.0; var j = 0
+          while (j < d) { dot += p.v(j) * bCenters(bi)(j); j += 1 }
+          if (dot > bestS) { bestS = dot; best = bi }
+          bi += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p.v(j); j += 1 }
+        ns(best) += 1
+      }
+      bCenters = Array.tabulate(nBlocks) { bi =>
+        if (ns(bi) == 0) bCenters(bi)
+        else { val nn = math.sqrt(sums(bi).map(x => x * x).sum); sums(bi).map(_ / nn) }
+      }
+    }
+    def blockOf(p: Vec): Int = {
+      var bi = 0; var best = 0; var bestS = Double.NegativeInfinity
+      while (bi < nBlocks) {
+        var dot = 0.0; var j = 0
+        while (j < d) { dot += p.v(j) * bCenters(bi)(j); j += 1 }
+        if (dot > bestS) { bestS = dot; best = bi }
+        bi += 1
+      }
+      best
+    }
+    val byBlock = points.map(p => (blockOf(p), p)).sortBy { case (b, p) => (b, p.vec_id) }
+    val radii = new Array[Double](nBlocks)
+    byBlock.foreach { case (b, p) =>
+      var dot = 0.0; var j = 0
+      while (j < d) { dot += p.v(j) * bCenters(b)(j); j += 1 }
+      val a = math.acos(math.max(-1.0, math.min(1.0, dot)))
+      if (a > radii(b)) radii(b) = a
+    }
+    val model = PointBlocks.Model(bCenters, radii)
+    // warmup
+    byBlock.take(500).foreach { case (b, p) =>
+      PointBlocks.nearestAmong(p, cents, PointBlocks.candidates(model, b, cents))
+    }
+    val t2 = System.nanoTime()
+    var candTotal = 0L; var blkMismatch = 0
+    var cur = -1; var cand: Array[Int] = Array.empty
+    byBlock.foreach { case (b, p) =>
+      if (b != cur) { cur = b; cand = PointBlocks.candidates(model, b, cents) }
+      candTotal += cand.length
+      sink ^= PointBlocks.nearestAmong(p, cents, cand)
+    }
+    val blockedS = (System.nanoTime() - t2) / 1e9
+    byBlock.take(2000).foreach { case (b, p) =>
+      if (PointBlocks.nearestAmong(p, cents,
+          PointBlocks.candidates(model, b, cents)) != Kmeans.nearest(p, cents))
+        blkMismatch += 1
+    }
+    println(f"[assign-bench] blocked: nBlocks=$nBlocks blocked=${blockedS}%.2fs " +
+      f"speedupVsLinear=${linS / blockedS}%.1fx speedupVsPruned=${prunedS / blockedS}%.1fx " +
+      f"meanCand=${candTotal.toDouble / n}%.0f/$k mismatches=$blkMismatch (sink=${sink & 1})")
   }
 }

@@ -67,29 +67,61 @@ object Kmeans {
     trainFrom(corpus, seeds, iters)
   }
 
-  /** Lloyd from caller-supplied unit-norm seeds. */
-  private def trainFrom(corpus: Dataset[Vec], seeds: Array[Centroid],
-      iters: Int): Array[Centroid] = {
+  /** Whether the last [[trainFrom]] run took the blocked-corpus
+    * assignment path — observable for the spec, mirroring
+    * [[lastReductionDistributed]]. */
+  @volatile private[sim] var lastTrainBlocked: Boolean = false
+
+  /** Lloyd from caller-supplied unit-norm seeds.
+    *
+    * Two assignment paths, switched on k (`blockedAbove` defaults to
+    * [[CentroidIndex.LinearBelow]] so gate-sized trainers are
+    * bit-unchanged):
+    *  - small k: one narrow pass per round through the exact pruned
+    *    [[CentroidIndex]] (verbatim linear scan below its threshold);
+    *  - k ≥ `blockedAbove` (the 10⁴-centroid 100 TB IVF regime):
+    *    [[PointBlocks]] — the corpus is blocked ONCE (one shuffle +
+    *    localCheckpoint, reused every round) and each round prunes
+    *    per BLOCK, so the O(k·d) bound work amortizes over the
+    *    block's points instead of being paid per point. Assignment
+    *    stays EXACT (same argmax, same lowest-index tie-break); only
+    *    the work and the partial-sum merge order change — and the
+    *    blocked merge is the more deterministic one (fixed
+    *    (cell, partition) order). */
+  private[sim] def trainFrom(corpus: Dataset[Vec], seeds: Array[Centroid],
+      iters: Int,
+      blockedAbove: Int = CentroidIndex.LinearBelow): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
     var cents = seeds
+    val blockedPrep =
+      if (iters > 0 && seeds.length >= blockedAbove) PointBlocks.prepare(corpus)
+      else None
+    lastTrainBlocked = blockedPrep.isDefined
     for (_ <- 0 until iters) {
-      // exact pruned nearest (CentroidIndex): identical argmax +
-      // tie-break to the linear scan — a pure work reduction at
-      // large k, a verbatim linear scan below LinearBelow
-      val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
-      val sums = corpus
-        .map { r => (bc.value.nearest(r), (r.v, 1L)) }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val (av, an) = a._2; val (bv, bn) = b._2
-          val out = new Array[Double](av.length)
-          var i = 0
-          while (i < av.length) { out(i) = av(i) + bv(i); i += 1 }
-          (a._1, (out, an + bn))
-        }
-        .map { case (cell, (_, (sum, n))) => (cell, sum, n) }
-        .collect()
+      val sums: Array[(Int, Array[Double], Long)] = blockedPrep match {
+        case Some((blocked, model)) =>
+          PointBlocks.assignSum(blocked, model, cents)
+        case None =>
+          // exact pruned nearest (CentroidIndex): identical argmax +
+          // tie-break to the linear scan — a pure work reduction at
+          // large k, a verbatim linear scan below LinearBelow
+          val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
+          val s = corpus
+            .map { r => (bc.value.nearest(r), (r.v, 1L)) }
+            .groupByKey(_._1)
+            .reduceGroups { (a, b) =>
+              val (av, an) = a._2; val (bv, bn) = b._2
+              val out = new Array[Double](av.length)
+              var i = 0
+              while (i < av.length) { out(i) = av(i) + bv(i); i += 1 }
+              (a._1, (out, an + bn))
+            }
+            .map { case (cell, (_, (sum, n))) => (cell, sum, n) }
+            .collect()
+          bc.destroy()
+          s
+      }
       val byCell = sums.map { case (cell, sum, _) => cell -> sum }.toMap
       cents = cents.map { c =>
         byCell.get(c.cell) match {
@@ -97,7 +129,6 @@ object Kmeans {
           case None      => c
         }
       }
-      bc.destroy()
     }
     cents
   }
