@@ -123,26 +123,61 @@ object AssignBench {
       if (a > radii(b)) radii(b) = a
     }
     val model = PointBlocks.Model(bCenters, radii)
+    def angleOf(b: Int, p: Vec): Double = {
+      var dot = 0.0; var j = 0
+      while (j < d) { dot += p.v(j) * bCenters(b)(j); j += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, dot)))
+    }
     // warmup
-    byBlock.take(500).foreach { case (b, p) =>
-      PointBlocks.nearestAmong(p, cents, PointBlocks.candidates(model, b, cents))
+    {
+      val s0 = PointBlocks.blockScan(model, byBlock(0)._1, cents)
+      byBlock.take(500).foreach { case (b, p) =>
+        PointBlocks.nearestScan(p, angleOf(b, p), cents,
+          if (b == byBlock(0)._1) s0 else PointBlocks.blockScan(model, b, cents))
+      }
     }
     val t2 = System.nanoTime()
-    var candTotal = 0L; var blkMismatch = 0
-    var cur = -1; var cand: Array[Int] = Array.empty
+    var scoredTotal = 0L; var blkMismatch = 0
+    var cur = -1; var scan: PointBlocks.BlockScan = null
+    var lastWin = -1
     byBlock.foreach { case (b, p) =>
-      if (b != cur) { cur = b; cand = PointBlocks.candidates(model, b, cents) }
-      candTotal += cand.length
-      sink ^= PointBlocks.nearestAmong(p, cents, cand)
+      if (b != cur) { cur = b; scan = PointBlocks.blockScan(model, b, cents); lastWin = -1 }
+      val (got, scored) =
+        PointBlocks.nearestScanCounting(p, angleOf(b, p), cents, scan, lastWin)
+      lastWin = got
+      scoredTotal += scored
+      sink ^= got
     }
     val blockedS = (System.nanoTime() - t2) / 1e9
     byBlock.take(2000).foreach { case (b, p) =>
-      if (PointBlocks.nearestAmong(p, cents,
-          PointBlocks.candidates(model, b, cents)) != Kmeans.nearest(p, cents))
+      if (PointBlocks.nearestScan(p, angleOf(b, p), cents,
+          PointBlocks.blockScan(model, b, cents)) != Kmeans.nearest(p, cents))
         blkMismatch += 1
     }
     println(f"[assign-bench] blocked: nBlocks=$nBlocks blocked=${blockedS}%.2fs " +
       f"speedupVsLinear=${linS / blockedS}%.1fx speedupVsPruned=${prunedS / blockedS}%.1fx " +
-      f"meanCand=${candTotal.toDouble / n}%.0f/$k mismatches=$blkMismatch (sink=${sink & 1})")
+      f"meanScored=${scoredTotal.toDouble / n}%.0f/$k mismatches=$blkMismatch (sink=${sink & 1})")
+
+    // ── CentroidIndex + block-locality warm start (the multi-
+    // directional coarse bound, seeded with the previous same-block
+    // point's winner) ─────────────────────────────────────────────────
+    byBlock.take(500).foreach { case (_, p) => idx.nearest(p, 0) } // warmup
+    val t3 = System.nanoTime()
+    var scanned3 = 0L; var mismatch3 = 0
+    cur = -1; lastWin = -1
+    byBlock.foreach { case (b, p) =>
+      if (b != cur) { cur = b; lastWin = -1 }
+      val (got, sc) = idx.nearestCounting(p, lastWin)
+      lastWin = got
+      scanned3 += sc
+      sink ^= got
+    }
+    val warmS = (System.nanoTime() - t3) / 1e9
+    byBlock.take(2000).foreach { case (_, p) =>
+      if (idx.nearest(p, 0) != Kmeans.nearest(p, cents)) mismatch3 += 1
+    }
+    println(f"[assign-bench] pruned+warm: warm=${warmS}%.2fs " +
+      f"speedupVsLinear=${linS / warmS}%.1fx speedupVsPruned=${prunedS / warmS}%.1fx " +
+      f"meanScanned=${scanned3.toDouble / n}%.0f/$k mismatches=$mismatch3 (sink=${sink & 1})")
   }
 }

@@ -40,12 +40,20 @@ final class CentroidIndex private (
 
   /** Index of the nearest centroid by cosine (dot / ‖r‖ against
     * unit centroids), lowest index on ties — exactly
-    * [[Kmeans.nearest]]'s contract. */
-  def nearest(r: Vec): Int = nearestCounting(r)._1
+    * [[Kmeans.nearest]]'s contract.
+    *
+    * `warmStart` (optional, ignored on the linear path): a centroid
+    * index to score FIRST — callers iterating clustered runs of
+    * points (the blocked trainer pass) hand in the previous point's
+    * winner, so bestS starts near-optimal and whole coarse cells are
+    * cut before their members are touched. Purely a visit-order
+    * hint: an extra scored centroid can never exclude a better one,
+    * so the argmax/tie-break contract is unchanged. */
+  def nearest(r: Vec, warmStart: Int = -1): Int = nearestCounting(r, warmStart)._1
 
   /** (nearest index, centroids actually scored) — the counter is the
     * spec's observable for pruning effectiveness. */
-  private[sim] def nearestCounting(r: Vec): (Int, Int) = {
+  private[sim] def nearestCounting(r: Vec, warmStart: Int = -1): (Int, Int) = {
     val rv = r.v
     val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
     if (linear) {
@@ -75,6 +83,13 @@ final class CentroidIndex private (
     val order = (0 until g).sortBy(i => -cosG(i))
     var best = Int.MaxValue; var bestS = Double.NegativeInfinity
     var scanned = 0
+    if (warmStart >= 0 && warmStart < cents.length) {
+      var dot = 0.0; var j = 0
+      val wv = cents(warmStart).v
+      while (j < rv.length) { dot += rv(j) * wv(j); j += 1 }
+      bestS = dot / nrm; best = warmStart
+      scanned = 1
+    }
     val it = order.iterator
     var done = false
     while (it.hasNext && !done) {

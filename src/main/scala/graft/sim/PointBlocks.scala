@@ -14,28 +14,32 @@ import graft.sim.Similarity.Vec
   * over a driver-local sample), shuffle the corpus so each block's
   * points are contiguous inside a partition, and localCheckpoint the
   * result — one shuffle, paid once, reused by every Lloyd round. Per
-  * round, a block with center b (unit) and angular radius ρ (max
-  * member angle to b) admits, for every member point p and every
-  * centroid c at angle ψ_c from b,
+  * round, each block computes ONE ψ-sorted table of exact centroid
+  * angles to its center b ([[blockScan]], O(k·d + k log k) amortized
+  * over the block); each member point p, whose own angle α to b was
+  * stored at blocking time, then prunes with the geodesic triangle
+  * inequality
   *
-  *   cos∠(p,c) ∈ [cos(min(π, ψ_c+ρ)), cos(max(0, ψ_c−ρ))]
+  *   ∠(p,c) ≥ |ψ_c − α|   ⇒   cos∠(p,c) ≤ cos(|ψ_c − α|)
   *
-  * (the geodesic triangle inequality on the sphere; cosine similarity
-  * depends only on the angle, so point norms divide out). A centroid
-  * whose UPPER bound falls below the best LOWER bound over all
-  * centroids — minus a round-off margin AGAINST pruning — is strictly
-  * worse than some candidate for EVERY point of the block, so the
-  * per-point scan covers only the surviving candidate list. The
-  * argmax and the lowest-index tie-break are exactly the linear
-  * scan's ([[Kmeans.nearest]]): excluded centroids are strictly
+  * (cosine similarity depends only on the angle, so point norms
+  * divide out): centroids whose bound — minus a round-off margin
+  * AGAINST pruning — cannot reach the best score are skipped without
+  * a dot product, and once ψ_c − α alone kills the bound the
+  * ψ-ascending scan exits, since every later centroid is strictly
+  * worse. The argmax and the lowest-index tie-break are exactly the
+  * linear scan's ([[Kmeans.nearest]]): pruned centroids are strictly
   * worse, so they can neither win nor tie.
   *
-  * Cost model (per Lloyd round, block size s, candidates m ≪ k):
-  * O(k·d / s + m·d) per point instead of O(k·d) — the O(k·d) bound
-  * computation is paid once per block, not once per point. Combined
-  * with the one-off prepare (two corpus passes + one shuffle), the
-  * break-even is roughly `iters ≥ 2` at any realistic k; the 100 TB
-  * trainer runs 3–10 rounds.
+  * Cost model (per Lloyd round, block size s, scored m ≪ k):
+  * O((k·d + k log k)/s + m·d) per point instead of O(k·d) — the
+  * per-centroid angle table is paid once per block, not once per
+  * point, and the per-point bounds are EXACT angles (an earlier
+  * block-radius candidate-list formulation pruned far less: wide
+  * blocks admit almost everything). Combined with the one-off
+  * prepare (two corpus passes + one shuffle), the break-even is
+  * roughly `iters ≥ 2` at any realistic k; the 100 TB trainer runs
+  * 3–10 rounds.
   *
   * Scale posture: the blocked corpus is localCheckpointed (executor-
   * local storage — the same materialization MLlib's trainer performs
@@ -156,71 +160,137 @@ object PointBlocks {
     Some((blocked, Model(centers, radii)))
   }
 
-  /** Candidate centroids for a block: every centroid whose upper
-    * bound can still reach the best lower bound (with [[Margin]]
-    * against pruning). Ascending index order — the per-point scan
-    * over the result preserves the linear scan's first-wins
-    * tie-break. */
-  def candidates(model: Model, block: Int, cents: Array[Centroid]): Array[Int] = {
-    val b = model.centers(block); val rho = model.radii(block)
+  /** Per-block scan structure: every centroid's exact angle ψ_c to
+    * the block center, index-sorted ascending by (ψ, index) — the
+    * O(k·d + k log k) cost is paid once per BLOCK and reused by every
+    * member point. (An earlier formulation pruned with a single
+    * block-radius candidate list; on realistic fixtures the radius is
+    * wide enough that the bound barely bites — per-point angles make
+    * it point-exact at the same amortized cost.) */
+  final class BlockScan private[PointBlocks] (
+      private[sim] val psi: Array[Double],    // ascending
+      private[sim] val order: Array[Int])     // centroid index per position
+
+  def blockScan(model: Model, block: Int, cents: Array[Centroid]): BlockScan = {
+    val b = model.centers(block)
     val k = cents.length
-    val ub = new Array[Double](k)
-    var maxLb = Double.NegativeInfinity
+    val psiRaw = new Array[Double](k)
     var i = 0
     while (i < k) {
-      val psi = math.acos(clip(dot(b, cents(i).v)))
-      ub(i) = math.cos(math.max(0.0, psi - rho))
-      val lb = math.cos(math.min(math.Pi, psi + rho))
-      if (lb > maxLb) maxLb = lb
+      psiRaw(i) = math.acos(clip(dot(b, cents(i).v)))
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    i = 0
-    while (i < k) {
-      if (ub(i) >= maxLb - Margin) out += i
-      i += 1
-    }
-    out.toArray
+    val order = Array.range(0, k).sortBy(ci => (psiRaw(ci), ci))
+    val psi = order.map(psiRaw)
+    new BlockScan(psi, order)
   }
 
-  /** Nearest centroid among `cand` (ascending indices) — identical
-    * contract to [[Kmeans.nearest]] restricted to the candidate set,
-    * which by construction contains the global argmax and every
-    * centroid that could tie it. */
-  private[sim] def nearestAmong(r: Vec, cents: Array[Centroid],
-      cand: Array[Int]): Int = {
+  /** Nearest centroid for a point at angle `alpha` from its block
+    * center — identical argmax + lowest-index tie-break to
+    * [[Kmeans.nearest]]. The geodesic triangle inequality gives
+    * ∠(p,c) ≥ |ψ_c − α|, so cos∠(p,c) ≤ cos(|ψ_c − α|). Visit order
+    * is best-bound-first: binary-search the ψ-sorted table to the
+    * position nearest α and expand outward with two pointers by
+    * increasing |ψ − α| — bounds are non-increasing along the visit
+    * order, so the FIRST bound below the best score (minus [[Margin]]
+    * against pruning) ends the scan: every unvisited centroid has a
+    * larger angle gap, hence a smaller bound, hence is strictly worse
+    * and can neither win nor tie. Ties among scored centroids break
+    * to the lowest index, exactly the linear scan's first-wins
+    * order.
+    *
+    * `warmStart` (optional): a centroid index to score FIRST — the
+    * caller passes the previous same-block point's winner, whose
+    * score is usually already near-optimal for a clustered block, so
+    * bestS starts high and the admissible |ψ − α| band collapses
+    * after a handful of probes. Purely a visit-order hint: the
+    * argmax/tie-break contract is unchanged (an extra scored
+    * centroid can never exclude a better one). */
+  private[sim] def nearestScan(r: Vec, alpha: Double, cents: Array[Centroid],
+      scan: BlockScan, warmStart: Int = -1): Int =
+    nearestScanCounting(r, alpha, cents, scan, warmStart)._1
+
+  private[sim] def nearestScanCounting(r: Vec, alpha: Double,
+      cents: Array[Centroid], scan: BlockScan,
+      warmStart: Int = -1): (Int, Int) = {
     val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
-    var best = 0; var bestS = Double.NegativeInfinity
-    var m = 0
-    while (m < cand.length) {
-      val ci = cand(m)
-      val s = dot(r.v, cents(ci).v) / nrm
-      if (s > bestS) { bestS = s; best = ci }
-      m += 1
+    val psi = scan.psi; val order = scan.order
+    val k = order.length
+    // first position with ψ >= α
+    var lo = 0; var hi = k
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (psi(mid) < alpha) lo = mid + 1 else hi = mid
     }
-    best
+    var up = lo          // expands toward larger ψ
+    var down = lo - 1    // expands toward smaller ψ
+    var best = Int.MaxValue; var bestS = Double.NegativeInfinity
+    var scored = 0
+    if (warmStart >= 0 && warmStart < k) {
+      best = warmStart
+      bestS = dot(r.v, cents(warmStart).v) / nrm
+      scored = 1
+    }
+    var done = false
+    while (!done && (up < k || down >= 0)) {
+      // pick the side with the smaller angle gap (best bound first)
+      val useUp = down < 0 || (up < k && psi(up) - alpha <= alpha - psi(down))
+      val m = if (useUp) up else down
+      val diff = math.abs(psi(m) - alpha)
+      if (math.cos(diff) < bestS - Margin) {
+        done = true // every unvisited gap is larger still
+      } else {
+        val ci = order(m)
+        val s = dot(r.v, cents(ci).v) / nrm
+        if (s > bestS || (s == bestS && ci < best)) { bestS = s; best = ci }
+        scored += 1
+        if (useUp) up += 1 else down -= 1
+      }
+    }
+    (best, scored)
   }
+
+  /** Above this many centroids the ψ-sorted per-block scan loses to
+    * the multi-directional [[CentroidIndex]] coarse bound (the 1-D
+    * angle gap saturates as centroid angles concentrate in high
+    * dimension — AssignBench: scan 1.8× faster at k = 4096, 0.7× at
+    * k = 16384), so [[assignSum]] switches kernels there. Both are
+    * EXACT, so the switch changes work, never results. */
+  private[sim] val ScanBelow = 8192
 
   /** One blocked Lloyd assignment-and-sum pass: per partition, the
-    * candidate list refreshes only on block change (blocks are
-    * contiguous after [[prepare]]'s sort), each point scans only the
-    * candidates, and per-cell (Σv, n) partials come back tagged with
-    * the partition id so the driver merges them in FIXED (cell,
+    * per-block pruning structure refreshes only on block change
+    * (blocks are contiguous after [[prepare]]'s sort) and each point
+    * warm-starts from the previous same-block winner. Kernel by k:
+    * the ψ-sorted [[BlockScan]] below [[ScanBelow]] centroids, the
+    * [[CentroidIndex]] coarse bound above (see [[ScanBelow]]) — both
+    * exact. Per-cell (Σv, n) partials come back tagged with the
+    * partition id so the driver merges them in FIXED (cell,
     * partition) order — bit-reproducible for a fixed partitioning,
     * the same discipline as the k-means‖ φ and polish merges. */
   def assignSum(blocked: Dataset[Blocked], model: Model,
       cents: Array[Centroid]): Array[(Int, Array[Double], Long)] = {
     val spark = blocked.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast((model, cents))
+    val idx = if (cents.length < ScanBelow) null else CentroidIndex.build(cents)
+    val bc = spark.sparkContext.broadcast((model, cents, idx))
     val partials = blocked.mapPartitions { it =>
-      val (m, cs) = bc.value
+      val (m, cs, ix) = bc.value
       var cur = -1
-      var cand: Array[Int] = Array.empty
+      var scan: BlockScan = null
+      var lastWin = -1 // same-block warm start (visit-order hint only)
       val sums = scala.collection.mutable.Map.empty[Int, (Array[Double], Long)]
       it.foreach { b =>
-        if (b.block != cur) { cur = b.block; cand = candidates(m, cur, cs) }
-        val ci = nearestAmong(Vec(b.vec_id, b.v, b.nrm), cs, cand)
+        if (b.block != cur) {
+          cur = b.block
+          if (ix == null) scan = blockScan(m, cur, cs)
+          lastWin = -1
+        }
+        val ci =
+          if (ix == null)
+            nearestScan(Vec(b.vec_id, b.v, b.nrm), b.angle, cs, scan, lastWin)
+          else ix.nearest(Vec(b.vec_id, b.v, b.nrm), lastWin)
+        lastWin = ci
         val (sv, sn) = sums.getOrElseUpdate(ci,
           (new Array[Double](b.v.length), 0L))
         var j = 0

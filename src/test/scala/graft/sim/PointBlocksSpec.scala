@@ -35,7 +35,7 @@ class PointBlocksSpec extends SparkSpec {
     }.toDS()
   }
 
-  test("blocked candidates always contain the exact argmax, and assignment matches the linear scan") {
+  test("blocked scan matches the linear argmax exactly and prunes on a clustered fixture") {
     val d = 32; val k = 512; val n = 4000; val groups = 16
     val cents = Array.tabulate(k)(i =>
       Kmeans.Centroid(i, clustered(i, groups, d, 0.10)))
@@ -43,24 +43,25 @@ class PointBlocksSpec extends SparkSpec {
     val Some((blocked, model)) = PointBlocks.prepare(corpus, targetBlockSize = 128)
     val rows = blocked.collect()
     assert(rows.length === n)
-    var candTotal = 0L
+    var scoredTotal = 0L
+    val scans = scala.collection.mutable.Map.empty[Int, PointBlocks.BlockScan]
     rows.foreach { b =>
-      val cand = PointBlocks.candidates(model, b.block, cents)
-      candTotal += cand.length
+      val scan = scans.getOrElseUpdate(b.block,
+        PointBlocks.blockScan(model, b.block, cents))
       val p = Vec(b.vec_id, b.v, b.nrm)
       val lin = Kmeans.nearest(p, cents)
-      assert(cand.contains(lin),
-        s"block ${b.block} candidates dropped the exact argmax $lin")
-      assert(PointBlocks.nearestAmong(p, cents, cand) === lin,
-        s"blocked assignment diverged from the linear scan for vec ${b.vec_id}")
+      val (got, scored) = PointBlocks.nearestScanCounting(p, b.angle, cents, scan)
+      scoredTotal += scored
+      assert(got === lin,
+        s"blocked scan diverged from the linear scan for vec ${b.vec_id}")
     }
-    val meanCand = candTotal.toDouble / n
-    info(f"mean candidates $meanCand%.0f / $k (clustered fixture)")
-    assert(meanCand < k * 0.5,
-      s"pruning ineffective on a clustered fixture: $meanCand of $k")
+    val meanScored = scoredTotal.toDouble / n
+    info(f"mean centroids scored $meanScored%.0f / $k (clustered fixture)")
+    assert(meanScored < k * 0.3,
+      s"pruning ineffective on a clustered fixture: $meanScored of $k")
   }
 
-  test("blocked candidates stay exact on an adversarial uniform fixture") {
+  test("blocked scan stays exact on an adversarial uniform fixture") {
     // near-uniform centroids and points: pruning may do little, but
     // must never drop the argmax
     val d = 16; val k = 300; val n = 800
@@ -69,10 +70,13 @@ class PointBlocksSpec extends SparkSpec {
     val corpus = (0 until n)
       .map(i => Vec(i.toLong, unit(7000000L + i, d), 1.0)).toDS()
     val Some((blocked, model)) = PointBlocks.prepare(corpus, targetBlockSize = 64)
+    val scans = scala.collection.mutable.Map.empty[Int, PointBlocks.BlockScan]
     blocked.collect().foreach { b =>
-      val cand = PointBlocks.candidates(model, b.block, cents)
+      val scan = scans.getOrElseUpdate(b.block,
+        PointBlocks.blockScan(model, b.block, cents))
       val p = Vec(b.vec_id, b.v, b.nrm)
-      assert(PointBlocks.nearestAmong(p, cents, cand) === Kmeans.nearest(p, cents))
+      assert(PointBlocks.nearestScan(p, b.angle, cents, scan) ===
+        Kmeans.nearest(p, cents))
     }
   }
 
@@ -115,6 +119,36 @@ class PointBlocksSpec extends SparkSpec {
     val cohN = Kmeans.cohesionMicro(corpus, narrowCents)
     info(s"cohesion micro: blocked=$cohB narrow=$cohN")
     assert(math.abs(cohB - cohN) <= 5L)
+  }
+
+  test("warm-started CentroidIndex returns the same argmax as the cold scan") {
+    val d = 16; val k = 1024; val groups = 32
+    val cents = Array.tabulate(k)(i =>
+      Kmeans.Centroid(i, clustered(i, groups, d, 0.10)))
+    val idx = CentroidIndex.build(cents)
+    (0 until 500).foreach { i =>
+      val p = Vec(i.toLong, clustered(9000000L + i, groups, d, 0.25), 1.0)
+      val cold = idx.nearest(p)
+      // warm hints: previous winner, a wrong cell, boundary indices
+      Seq(cold, (cold + k / 2) % k, 0, k - 1).foreach { w =>
+        assert(idx.nearest(p, w) === cold, s"warm=$w diverged at point $i")
+      }
+    }
+  }
+
+  test("assignSum above ScanBelow takes the CentroidIndex kernel and stays exact") {
+    val d = 8; val k = PointBlocks.ScanBelow; val groups = 64
+    val cents = Array.tabulate(k)(i =>
+      Kmeans.Centroid(i, clustered(i, groups, d, 0.10)))
+    val corpus = mkCorpus(2000, d, groups)
+    val Some((blocked, model)) = PointBlocks.prepare(corpus, targetBlockSize = 256)
+    val sums = PointBlocks.assignSum(blocked, model, cents)
+    val gotCounts = sums.map { case (cell, _, n) => cell -> n }.toMap
+    val expCounts = corpus.collect()
+      .map(p => Kmeans.nearest(p, cents))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(gotCounts === expCounts,
+      "large-k blocked assignment diverged from the linear scan")
   }
 
   test("prepare returns None on an empty corpus") {
