@@ -115,14 +115,7 @@ object AssignBench {
       best
     }
     val byBlock = points.map(p => (blockOf(p), p)).sortBy { case (b, p) => (b, p.vec_id) }
-    val radii = new Array[Double](nBlocks)
-    byBlock.foreach { case (b, p) =>
-      var dot = 0.0; var j = 0
-      while (j < d) { dot += p.v(j) * bCenters(b)(j); j += 1 }
-      val a = math.acos(math.max(-1.0, math.min(1.0, dot)))
-      if (a > radii(b)) radii(b) = a
-    }
-    val model = PointBlocks.Model(bCenters, radii)
+    val model = PointBlocks.Model(bCenters)
     def angleOf(b: Int, p: Vec): Double = {
       var dot = 0.0; var j = 0
       while (j < d) { dot += p.v(j) * bCenters(b)(j); j += 1 }

@@ -45,20 +45,19 @@ import graft.sim.Similarity.Vec
   * local storage — the same materialization MLlib's trainer performs
   * with `cache()`); block count targets ~[[targetBlockSize]] points
   * per block so the per-block bound pass amortizes, capped so the
-  * block model (centers + radii) stays a small broadcast. The driver
+  * block model (centers) stays a small broadcast. The driver
   * holds only the sampled seed vectors and the block model —
   * O(nBlocks·d), never the corpus.
   */
 object PointBlocks {
 
   /** A corpus row tagged with its block and its angle to the block
-    * center (the radius pass folds the max of these per block). */
+    * center (the per-round bounds read it directly). */
   final case class Blocked(block: Int, angle: Double, vec_id: Long,
       v: Array[Double], nrm: Double)
 
-  /** Block centers (unit) + angular radii, broadcast per round. */
-  final case class Model(centers: Array[Array[Double]],
-      radii: Array[Double]) extends Serializable
+  /** Block centers (unit), broadcast per round. */
+  final case class Model(centers: Array[Array[Double]]) extends Serializable
 
   /** Same safety discipline as [[CentroidIndex.Margin]]: a centroid is
     * only excluded when it provably cannot win or tie for any point
@@ -106,14 +105,21 @@ object PointBlocks {
 
   /** Block the corpus: driver-local spherical Lloyd over a
     * deterministic hash-sample builds ~n/targetBlockSize coarse
-    * centers; one pass tags every point; one shuffle groups blocks
-    * contiguously; one cheap agg pass folds the radii. Returns None
-    * on an empty corpus (callers fall back to the unblocked path).
+    * centers; one pass tags every point (storing the point's angle to
+    * its center — the per-round bounds need nothing else); one
+    * shuffle groups blocks contiguously. Returns None on an empty
+    * corpus (callers fall back to the unblocked path).
+    *
+    * `sampleCap` bounds the DRIVER cost of the coarse quantizer at
+    * O(sampleCap·nBlocks·d) — 8192 samples place blocks well enough
+    * (block quality only shifts constant factors; every kernel is
+    * exact regardless), and a larger sample measurably eats the
+    * prepare budget (TrainBench).
     *
     * The returned Dataset is localCheckpointed — call sites reuse it
     * across every Lloyd round and let it expire with the session. */
   def prepare(corpus: Dataset[Vec], targetBlockSize: Int = 512,
-      sampleCap: Int = 32768): Option[(Dataset[Blocked], Model)] = {
+      sampleCap: Int = 8192): Option[(Dataset[Blocked], Model)] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
     val n = corpus.count()
@@ -153,11 +159,7 @@ object PointBlocks {
       .repartition(org.apache.spark.sql.functions.col("block"))
       .sortWithinPartitions("block")
       .localCheckpoint(true)
-    val radii = new Array[Double](nBlocks)
-    blocked.groupByKey(_.block)
-      .mapValues(_.angle).reduceGroups((a, b) => math.max(a, b))
-      .collect().foreach { case (b, r) => radii(b) = r }
-    Some((blocked, Model(centers, radii)))
+    Some((blocked, Model(centers)))
   }
 
   /** Per-block scan structure: every centroid's exact angle ψ_c to
