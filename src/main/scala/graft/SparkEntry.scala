@@ -165,6 +165,10 @@ object SparkEntry {
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup;
     // centroids side-dumped, keep/drop rule re-derived by the oracle
     "dedup_semantic" -> ((s, dir) => graft.dedup.SemDedup.semantic(s, dir)),
+    // persisted semantic index: build-once on the %10!=0 slice, probe
+    // the %10==0 batch — index members always outrank batch vectors
+    "dedup_semantic_incremental" -> ((s, dir) =>
+      graft.dedup.SemIndex.dedupSemanticIncremental(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
     // scale compositions over the banded/capped LSH pair generator;
@@ -332,6 +336,8 @@ object SparkEntry {
     s"${graft.sim.Kmeans.ivfTrainedParDumpPath(graft.sim.Kmeans.lastIvfTrainedParBase)}/*.parquet"
   private def semDedupGlob: String =
     s"${graft.dedup.SemDedup.dumpPath(graft.dedup.SemDedup.lastBase)}/*.parquet"
+  private def semIdxCentsGlob: String =
+    s"${graft.dedup.SemIndex.centsDumpPath(graft.dedup.SemIndex.lastBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1333,6 +1339,39 @@ object SparkEntry {
          |  CAST(round(m.sim * 1000000) AS BIGINT) AS cent_sim_micro,
          |  (d.vec_id IS NULL) AS kept
          |FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id""".stripMargin,
+    // incremental semantic dedup: the stored codebook is the dumped
+    // faith; the oracle re-derives BOTH slices' assignment from it,
+    // then the batch drop rule — index members always outrank batch,
+    // batch-internal priority is the SemDeDup (cent_sim, id) order
+    "dedup_semantic_incremental" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT cell, v FROM read_parquet('$semIdxCentsGlob')),
+         |asg AS (
+         |  SELECT vec_id, cell, sim FROM (
+         |    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |idx AS (SELECT a.vec_id, a.cell, e.v
+         |        FROM asg a JOIN e ON e.vec_id = a.vec_id
+         |        WHERE a.vec_id % 10 <> 0),
+         |bat AS (SELECT a.vec_id, a.cell, a.sim, e.v
+         |        FROM asg a JOIN e ON e.vec_id = a.vec_id
+         |        WHERE a.vec_id % 10 = 0),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id FROM bat b JOIN idx i ON b.cell = i.cell
+         |    AND list_cosine_similarity(b.v, i.v) >= 0.45
+         |  UNION
+         |  SELECT DISTINCT x.vec_id
+         |  FROM bat x JOIN bat y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+         |    AND list_cosine_similarity(x.v, y.v) >= 0.45)
+         |SELECT b.vec_id, b.cell,
+         |  CAST(round(b.sim * 1000000) AS BIGINT) AS cent_sim_micro,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM bat b LEFT JOIN drops d ON d.vec_id = b.vec_id""".stripMargin,
     "ann_topk" -> annTopkCosineSql,
     // SQ8's distortion is bounded by one 1/255 step per dimension and
     // its candidate budget (rerank = 50 ≫ k = 5) is re-scored with

@@ -1,0 +1,177 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sim.{CentroidIndex, Kmeans, Similarity}
+import graft.sim.Kmeans.Centroid
+import graft.sim.Similarity.Vec
+
+/** PERSISTED semantic-dedup index — [[SemDedup]]'s build-once/
+  * probe-many lifecycle twin (the [[LshIndex]] pattern, over
+  * embeddings instead of shingles). A 100 TB corpus is semantically
+  * deduplicated ONCE; each new crawl batch afterwards is checked
+  * against the accepted corpus WITHOUT re-clustering or re-comparing
+  * the corpus against itself.
+  *
+  * Index storage (parquet under one path):
+  *  - `cents`: the trained cluster centroids (cell, v) — the corpus
+  *    partitioning the whole scheme prunes with;
+  *  - `members`: one row per ACCEPTED vector (vec_id, cell,
+  *    cent_sim) — 20 bytes/vector, no embedding stored (vectors are
+  *    re-fetched from the corpus table at probe time, the same
+  *    fetch-for-verification shape as [[LshIndex.probe]]).
+  *
+  * Probe semantics (incremental flavor of the SemDeDup rule): index
+  * members are ALREADY KEPT — a batch vector is dropped iff some
+  * index member of its cell is τ-close, or some HIGHER-PRIORITY batch
+  * member of its cell is ((cent_sim, vec_id) ascending, the
+  * [[SemDedup]] priority). Index-internal pairs are never generated:
+  * a tiny batch against a huge index costs the batch's cell lookups,
+  * not the corpus' own quadratic comparisons.
+  *
+  * Scale posture: probe joins index members to corpus vectors only
+  * for cells the batch actually touches (broadcast semi-join on the
+  * batch's cell set); per-task work is Σ|cell ∩ touched|·|batch
+  * cell|. Growing k with corpus size bounds cell sizes exactly as in
+  * the one-shot operator. `append` assigns new accepted vectors under
+  * the FIXED stored centroids (no retrain — codebook drift is the
+  * retrain-signal concern of `streaming.IndexMaintenance`).
+  */
+object SemIndex {
+
+  /** Basename of the corpus dir of the last gate run — binds the
+    * oracle glob ([[SemDedup.lastBase]] pattern). */
+  @volatile var lastBase: String = "sf0.01"
+
+  def centsDumpPath(base: String): String =
+    graft.core.SideDump.path("semidx_cents", base)
+
+  private def writeCents(spark: SparkSession, cents: Array[Centroid],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+  }
+
+  private def loadCents(spark: SparkSession, path: String): Array[Centroid] =
+    spark.read.parquet(s"$path/cents").collect()
+      .map(r => Centroid(r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.cell)
+
+  /** (vec_id, cell, cent_sim) under `cents` — the same argmax-cosine
+    * + lowest-cell assignment as every other trainer surface. */
+  private def assign(vecs: Dataset[Vec],
+      cents: Array[Centroid]): Dataset[(Long, Int, Double)] = {
+    import vecs.sparkSession.implicits._
+    val bc = vecs.sparkSession.sparkContext.broadcast(CentroidIndex.build(cents))
+    vecs.map { r =>
+      val idx = bc.value
+      val cell = idx.nearest(r)
+      val c = idx.cents(cell).v
+      var dot = 0.0; var j = 0
+      while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
+      val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
+      (r.vec_id, cell, dot / nrm)
+    }
+  }
+
+  /** Build: train on the accepted slice, persist centroids + member
+    * assignment. */
+  def build(vecs: Dataset[Vec], path: String, k: Int = 16,
+      iters: Int = 3): Unit = {
+    val spark = vecs.sparkSession
+    val cents = Kmeans.train(vecs, k, iters)
+    writeCents(spark, cents, path)
+    assign(vecs, cents).toDF("vec_id", "cell", "cent_sim")
+      .write.mode("overwrite").parquet(s"$path/members")
+  }
+
+  /** Incrementally accept another batch of vectors into the index
+    * (assignment under the FIXED stored centroids; parquet append —
+    * no rebuild, no read-back of existing members). */
+  def append(spark: SparkSession, path: String, vecs: Dataset[Vec]): Unit =
+    assign(vecs, loadCents(spark, path)).toDF("vec_id", "cell", "cent_sim")
+      .write.mode("append").parquet(s"$path/members")
+
+  /** Probe a batch: (vec_id, cell, cent_sim_micro, kept) per batch
+    * vector, batch rows only. */
+  def probe(spark: SparkSession, sfDir: String, path: String,
+      batch: Dataset[Vec], tau: Double = 0.45): DataFrame = {
+    import spark.implicits._
+    val cents = loadCents(spark, path)
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
+    // (cell, sim, vec, is_batch)
+    val batchAsg = batch.map { r =>
+      val idx = bc.value
+      val cell = idx.nearest(r)
+      val c = idx.cents(cell).v
+      var dot = 0.0; var j = 0
+      while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
+      val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
+      (cell, dot / nrm, r, true)
+    }
+    // index members of touched cells only, vectors re-fetched from
+    // the corpus table (broadcast the batch's cell set — tiny)
+    val touched = batchAsg.map(_._1).distinct()
+    val members = spark.read.parquet(s"$path/members")
+      .join(broadcast(touched.toDF("cell")), "cell")
+    val corpusVecs = Similarity.loadVectors(spark, sfDir)
+    val indexAsg = members
+      .join(corpusVecs.toDF("vec_id", "v", "nrm"), "vec_id")
+      .select(col("cell"), col("cent_sim"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Double, Long, Array[Double], Double)]
+      .map { case (cell, sim, id, v, nrm) => (cell, sim, Vec(id, v, nrm), false) }
+    batchAsg.union(indexAsg)
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val all = it.toArray
+        val idxMembers = all.filter(!_._4).map(_._3)
+        // batch keep-priority order: (cent_sim, vec_id) ascending
+        val bat = all.filter(_._4).sortBy { case (_, sim, r, _) => (sim, r.vec_id) }
+        val dropped = new Array[Boolean](bat.length)
+        var i = 0
+        while (i < bat.length) {
+          val x = bat(i)._3
+          var hit = false
+          var m = 0
+          while (m < idxMembers.length && !hit) {
+            if (Similarity.cosine(x, idxMembers(m)) >= tau) hit = true
+            m += 1
+          }
+          var j = 0
+          while (j < i && !hit) {
+            if (Similarity.cosine(x, bat(j)._3) >= tau) hit = true
+            j += 1
+          }
+          dropped(i) = hit
+          i += 1
+        }
+        bat.iterator.zipWithIndex.map { case ((_, sim, r, _), m) =>
+          (r.vec_id, cell, sim, !dropped(m))
+        }
+      }
+      .toDF("vec_id", "cell", "cent_sim", "kept")
+      .selectExpr("vec_id", "cell",
+        "CAST(round(cent_sim * 1000000) AS BIGINT) AS cent_sim_micro", "kept")
+  }
+
+  /** Gate surface: index = corpus slice `vec_id % 10 != 0` (built
+    * once per session), batch = `vec_id % 10 == 0` probed against it
+    * — the [[LshIndex.dedupIncremental]] split. Centroids are
+    * side-dumped every call (run-scoped, cheap) so the oracle always
+    * reads THIS run's codebook even when the build was skipped. */
+  def dedupSemanticIncremental(spark: SparkSession, sfDir: String,
+      tau: Double = 0.45): DataFrame = {
+    val path = graft.core.SessionScratch.path(spark, sfDir, "graft_semidx")
+    val all = Similarity.loadVectors(spark, sfDir)
+    graft.core.SessionScratch.buildOnce(spark, path,
+      marker = "members/_SUCCESS") {
+      build(all.filter(v => v.vec_id % 10 != 0), path)
+    }
+    val base = new java.io.File(sfDir).getName
+    graft.core.SideDump.write(
+      spark.read.parquet(s"$path/cents"), "semidx_cents", base)
+    lastBase = base
+    probe(spark, sfDir, path, all.filter(v => v.vec_id % 10 == 0), tau)
+  }
+}

@@ -47,6 +47,18 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("the chunking plan is map-only: no Exchange, pruned scan") {
+    val qe = Chunking.chunks(spark, sf()).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "chunking must not shuffle — it is a per-document explode")
+    // column pruning must reach the parquet scan: only doc_id + text
+    val scan = qe.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("n_chars"),
+      "scan reads columns the query never uses")
+  }
+
   test("overlapping regions agree between consecutive chunks on the corpus") {
     val out = Chunking.chunks(spark, sf(), 64, 48).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
