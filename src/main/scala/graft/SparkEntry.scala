@@ -165,6 +165,11 @@ object SparkEntry {
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup;
     // centroids side-dumped, keep/drop rule re-derived by the oracle
     "dedup_semantic" -> ((s, dir) => graft.dedup.SemDedup.semantic(s, dir)),
+    // skew-capped semantic dedup: each member compared only against
+    // its cell's `cap` highest-priority members (degenerate-cluster
+    // work bound; equals the one-shot rule when every cell <= cap)
+    "dedup_semantic_capped" -> ((s, dir) =>
+      graft.dedup.SemDedup.semanticCapped(s, dir)),
     // persisted semantic index: build-once on the %10!=0 slice, probe
     // the %10==0 batch — index members always outrank batch vectors
     "dedup_semantic_incremental" -> ((s, dir) =>
@@ -338,6 +343,8 @@ object SparkEntry {
     s"${graft.dedup.SemDedup.dumpPath(graft.dedup.SemDedup.lastBase)}/*.parquet"
   private def semIdxCentsGlob: String =
     s"${graft.dedup.SemIndex.centsDumpPath(graft.dedup.SemIndex.lastBase)}/*.parquet"
+  private def semDedupCapGlob: String =
+    s"${graft.dedup.SemDedup.cappedDumpPath(graft.dedup.SemDedup.lastCappedBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1334,6 +1341,35 @@ object SparkEntry {
          |  SELECT DISTINCT x.vec_id
          |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id
          |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+         |    AND list_cosine_similarity(x.v, y.v) >= 0.45)
+         |SELECT m.vec_id, m.cell,
+         |  CAST(round(m.sim * 1000000) AS BIGINT) AS cent_sim_micro,
+         |  (d.vec_id IS NULL) AS kept
+         |FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id""".stripMargin,
+    // capped SemDeDup: same re-derivation as dedup_semantic (own dump
+    // kind — this gate trains its own run's codebook), with the drop
+    // join additionally bounded to the cell's `cap` = 64 highest-
+    // priority members via a per-cell rank
+    "dedup_semantic_capped" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT cell, v FROM read_parquet('$semDedupCapGlob')),
+         |asg AS (
+         |  SELECT vec_id, cell, sim FROM (
+         |    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cell, a.sim, e.v,
+         |        row_number() OVER (PARTITION BY a.cell
+         |          ORDER BY a.sim, a.vec_id) AS rnk
+         |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+         |drops AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  WHERE y.rnk <= 64
+         |    AND (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
          |    AND list_cosine_similarity(x.v, y.v) >= 0.45)
          |SELECT m.vec_id, m.cell,
          |  CAST(round(m.sim * 1000000) AS BIGINT) AS cent_sim_micro,

@@ -55,16 +55,45 @@ object SemDedup {
     * doubles; the output column exists so the gate pins the priority
     * the rule used without hashing raw floats). */
   def semantic(spark: SparkSession, sfDir: String, tau: Double = 0.45,
-      k: Int = 16, iters: Int = 3): DataFrame = {
+      k: Int = 16, iters: Int = 3): DataFrame =
+    semanticWithCap(spark, sfDir, tau, k, iters, cap = Int.MaxValue,
+      dumpKind = "semdedup_cents")
+
+  /** Skew-capped variant — the scale hedge for a DEGENERATE cluster
+    * (one cell holding a large fraction of the corpus makes the
+    * within-cell pairwise stage O(|cell|²) in one task; the
+    * principled fix is growing k, but a production run wants a
+    * bound even when the codebook is misconfigured): each member is
+    * compared only against the `cap` HIGHEST-priority members of its
+    * cell, so per-task work is O(|cell|·cap·d). Conservative by
+    * construction — a member can only be droppped by a likely
+    * keeper; beyond-cap duplicates are kept rather than dropped —
+    * and exactly the one-shot rule whenever every cell is ≤ cap
+    * (SemDedupSpec pins both properties). Same dumped-codebook
+    * oracle story under its own dump kind. */
+  def semanticCapped(spark: SparkSession, sfDir: String,
+      tau: Double = 0.45, k: Int = 16, iters: Int = 3,
+      cap: Int = 64): DataFrame =
+    semanticWithCap(spark, sfDir, tau, k, iters, cap,
+      dumpKind = "semdedup_cap_cents")
+
+  /** Basename binding for the capped gate's own dump kind. */
+  @volatile var lastCappedBase: String = "sf0.01"
+
+  def cappedDumpPath(base: String): String =
+    graft.core.SideDump.path("semdedup_cap_cents", base)
+
+  private def semanticWithCap(spark: SparkSession, sfDir: String,
+      tau: Double, k: Int, iters: Int, cap: Int,
+      dumpKind: String): DataFrame = {
     import spark.implicits._
     val vecs = Similarity.loadVectors(spark, sfDir)
     val cents = Kmeans.train(vecs, k, iters)
-    lastBase = {
-      graft.core.SideDump.write(
-        cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
-        "semdedup_cents", new java.io.File(sfDir).getName)
-      new java.io.File(sfDir).getName
-    }
+    val base = new java.io.File(sfDir).getName
+    graft.core.SideDump.write(
+      cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
+      dumpKind, base)
+    if (dumpKind == "semdedup_cents") lastBase = base else lastCappedBase = base
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
     vecs
       .map { r =>
@@ -85,7 +114,8 @@ object SemDedup {
         while (i < ms.length) {
           var j = 0
           var hit = false
-          while (j < i && !hit) {
+          val lim = math.min(i, cap) // capped: only likely keepers drop
+          while (j < lim && !hit) {
             if (Similarity.cosine(ms(i)._3, ms(j)._3) >= tau) hit = true
             j += 1
           }

@@ -67,6 +67,72 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("capped variant bounds the comparison set and matches its own rule") {
+    import spark.implicits._
+    // one cell (k=1), four members on a 2-D angular chain: D(170°),
+    // A(0°), B(25°), C(50°). The spherical mean lands near 41°, so
+    // the keep-priority order (cent_sim ascending) is D, A, B, C.
+    // One-shot rule: B dropped (25° from A), C dropped (25° from B).
+    // cap=2 rule: C is compared only against D and A (both > 50°
+    // away) → C KEPT. The cap visibly bites, and the operator must
+    // match the capped rule re-derived from its own dumped centroids.
+    val d = 16
+    def at(deg: Double): Array[Float] = {
+      val v = new Array[Double](d)
+      v(0) = math.cos(math.toRadians(deg)); v(1) = math.sin(math.toRadians(deg))
+      v.map(_.toFloat)
+    }
+    val dir = "/tmp/graft_semdedup_cap_fixture"
+    Seq((0L, at(0), 0), (1L, at(25), 0), (2L, at(50), 0), (3L, at(170), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val capped = SemDedup.semanticCapped(spark, dir, tau = 0.9, k = 1,
+        iters = 3, cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(capped(3L) && capped(0L), "far members D and A are keepers")
+    assert(!capped(1L), "B is within τ of the higher-priority A")
+    assert(capped(2L),
+      "cap=2 must spare C: its only τ-neighbor B is outside the top-2 priorities")
+    // and the uncapped rule on the same fixture does drop C
+    val uncapped = SemDedup.semantic(spark, dir, tau = 0.9, k = 1, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!uncapped(2L), "one-shot rule drops C via the chain through B")
+  }
+
+  test("capped run on the corpus matches a driver re-derivation of the capped rule") {
+    import spark.implicits._
+    val cap = 2
+    val out = SemDedup.semanticCapped(spark, sf(), tau = 0.45, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val cents = spark.read
+      .parquet(SemDedup.cappedDumpPath(SemDedup.lastCappedBase))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val vecs = graft.sim.Similarity.loadVectors(spark, sf()).collect().sortBy(_.vec_id)
+    def cos(a: Array[Double], b: Array[Double], nrm: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / nrm
+    }
+    val assigned = vecs.map { v =>
+      val nrm = if (v.nrm == 0.0) 1.0 else v.nrm
+      val sims = cents.indices.map(c => cos(v.v, cents(c), nrm))
+      val cell = sims.indices.maxBy(c => (sims(c), -c))
+      (v, cell, sims(cell))
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cell, ms0) =>
+      val ms = ms0.sortBy { case (v, _, sim) => (sim, v.vec_id) }
+      ms.zipWithIndex.map { case ((v, _, sim), i) =>
+        val dropped = ms.take(math.min(i, cap)).exists { case (w, _, _) =>
+          graft.sim.Similarity.cosine(v, w) >= 0.45 }
+        (v.vec_id, cell, BigDecimal(sim * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, !dropped)
+      }
+    }.sortBy(_._1)
+    assert(out === expected)
+  }
+
   test("corpus run matches a driver re-derivation from the side-dumped centroids") {
     import spark.implicits._
     val out = SemDedup.semantic(spark, sf(), tau = 0.45).collect()
