@@ -250,6 +250,9 @@ object SparkEntry {
     // sliding token-window chunking (RAG / context-window splitter):
     // map-only, no shuffle; boundaries line up with Tok.alphaToks
     "text_chunk" -> ((s, dir) => graft.text.Chunking.chunks(s, dir)),
+    // chunking over the BPE token-id stream (the production context-
+    // budget unit): flat (doc, chunk, pos_in_chunk, token_id) rows
+    "text_chunk_ids" -> ((s, dir) => graft.text.Chunking.chunkIds(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
@@ -1958,6 +1961,46 @@ object SparkEntry {
         |  array_to_string(t[chunk_id * 48 + 1 :
         |                    chunk_id * 48 + least(64, n - chunk_id * 48)], ' ') AS chunk
         |FROM ch""".stripMargin,
+    // chunking over the BPE id stream: the ids CTE is text_bpe_ids'
+    // re-derivation verbatim (dumped merges faith), then the same
+    // integer chunk arithmetic — membership range per id row
+    "text_chunk_ids" ->
+      s"""WITH RECURSIVE
+         |bmerges AS (SELECT ord, a, b FROM read_parquet('$bpeMergesGlob')),
+         |dw AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS ws
+         |  FROM documents),
+         |$bpeDeriveCtes,
+         |$bpeVocabCte,
+         |docw AS (
+         |  SELECT doc_id, u.s.w AS w, u.s.wi AS wi
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(ws, (x, i) -> {'w': x, 'wi': i})) AS s
+         |        FROM dw) u),
+         |flat AS (
+         |  SELECT doc_id, wi, u.s.tok AS tok, u.s.ti AS ti
+         |  FROM (SELECT d2.doc_id, d2.wi,
+         |          unnest(list_transform(t2.ts, (x, i) -> {'tok': x, 'ti': i})) AS s
+         |        FROM docw d2 JOIN btoks t2 USING (w)) u),
+         |ids AS (
+         |  SELECT f.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.wi, f.ti) - 1
+         |      AS INT) AS pos,
+         |    v.token_id
+         |  FROM flat f JOIN bvocab v ON v.token = f.tok),
+         |nn AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY doc_id),
+         |x AS (
+         |  SELECT i.doc_id, i.pos, i.token_id,
+         |    unnest(range(
+         |      CASE WHEN i.pos < 64 THEN 0 ELSE (i.pos - 64) // 48 + 1 END,
+         |      least(i.pos // 48,
+         |            CASE WHEN nn.n <= 64 THEN 0
+         |                 ELSE (nn.n - 64 + 47) // 48 END) + 1)) AS chunk_id
+         |  FROM ids i JOIN nn USING (doc_id))
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(pos - chunk_id * 48 AS BIGINT) AS pos_in_chunk, token_id
+         |FROM x""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,

@@ -27,6 +27,41 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Sliding windows over the BPE TOKEN-ID stream — the chunker a
+    * pretraining/RAG pipeline actually runs (context budgets are
+    * tokenizer tokens, not words): [[Bpe.encodeIds]]'s (doc_id, pos,
+    * token_id) rows fan out to every chunk containing their position.
+    * One row per (doc_id, chunk_id, pos_in_chunk, token_id) — flat,
+    * so the gate hashes scalar values, and downstream `groupBy(doc,
+    * chunk)` reassembles sequences without re-tokenizing.
+    *
+    * Same chunk-count rule as [[chunks]] over n = the doc's ID count;
+    * membership per id row is the closed-form chunk range
+    * [max(0, ⌊(pos−w)/s⌋+1), min(⌊pos/s⌋, nChunks−1)] — all integer,
+    * never empty (w ≥ s), so the explode is a bounded ≤ ⌈w/s⌉-way
+    * fan-out with no per-doc state. One shuffle (the per-doc id
+    * count join); the BPE encode itself is the narrow broadcast-
+    * merges pass. */
+  def chunkIds(spark: SparkSession, sfDir: String, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val ids = graft.text.Bpe.encodeIds(spark, sfDir)
+    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    ids.join(counts, "doc_id")
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(CASE WHEN pos < $window THEN 0 " +
+          s"ELSE CAST((pos - $window) DIV $stride + 1 AS INT) END, " +
+          s"least(CAST(pos DIV $stride AS INT), " +
+          s"CASE WHEN n <= $window THEN 0 " +
+          s"ELSE CAST((n - $window + $stride - 1) DIV $stride AS INT) END))")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("pos") - col("chunk_id") * stride).cast("long").as("pos_in_chunk"),
+        col("token_id"))
+  }
+
   /** (doc_id, chunk_id, tok_start, n_tokens, chunk) per sliding
     * window. `tok_start` = chunk_id·stride (0-based token offset). */
   def chunks(spark: SparkSession, sfDir: String, window: Int = 64,

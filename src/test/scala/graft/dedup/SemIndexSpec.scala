@@ -119,6 +119,44 @@ class SemIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion: foreachBatch appends grow the index probe-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // unlike the LSH index, build TRAINS a codebook — so streaming
+    // parity is pinned against a reference with the SAME seed build:
+    // build(backfill)+append(rest, one shot) ≡ build(backfill)+stream
+    // of micro-batch appends (append is batching-insensitive)
+    val all = Similarity.loadVectors(spark, sf())
+    val idxVecs = all.filter(v => v.vec_id % 10 != 0)
+    val batch = all.filter(v => v.vec_id % 10 == 0)
+    val pStream = tmp("stream"); val pRef = tmp("streamref")
+    SemIndex.build(idxVecs.filter(_.vec_id < 250), pStream, k = 8, iters = 2)
+    SemIndex.build(idxVecs.filter(_.vec_id < 250), pRef, k = 8, iters = 2)
+    // the two builds may differ in last-ulp centroid bits (scheduler
+    // merge order) — copy pStream's cents over pRef's so the parity
+    // compares APPEND behavior, not trainer bit-reproducibility
+    val cents = spark.read.parquet(s"$pStream/cents")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$pRef/cents")
+    val rest = idxVecs.filter(_.vec_id >= 250).collect().sortBy(_.vec_id)
+    SemIndex.append(spark, pRef, rest.toSeq.toDS())
+    val input = MemoryStream[Vec]
+    val q = input.toDS().writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Vec], _: Long) =>
+        SemIndex.append(spark, pStream, ds); ()
+      }.start()
+    try {
+      rest.grouped(100).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(SemIndex.probe(spark, sf(), pStream, batch)) ===
+      rows(SemIndex.probe(spark, sf(), pRef, batch)))
+  }
+
   test("gate surface matches a driver re-derivation from the side-dumped centroids") {
     val out = SemIndex.dedupSemanticIncremental(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))

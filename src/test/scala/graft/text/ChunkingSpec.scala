@@ -59,6 +59,34 @@ class ChunkingSpec extends SparkSpec {
       "scan reads columns the query never uses")
   }
 
+  test("id-stream chunks cover every position with the right membership and reassemble exactly") {
+    val out = Chunking.chunkIds(spark, sf(), 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val ids = graft.text.Bpe.encodeIds(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = ids.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val w = 64; val s = 48
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      val seq = byDoc(doc); val n = seq.length
+      val expectedChunks = if (n <= w) 1 else 1 + (n - w + s - 1) / s
+      val chunks = rows.groupBy(_._2)
+      assert(chunks.keySet === (0L until expectedChunks.toLong).toSet,
+        s"doc $doc: chunk ids ${chunks.keySet} vs $expectedChunks expected")
+      chunks.foreach { case (cid, members) =>
+        val start = cid.toInt * s
+        val len = math.min(w, n - start)
+        val got = members.sortBy(_._3)
+        assert(got.map(_._3.toInt) === (0 until len).toSeq,
+          s"doc $doc chunk $cid positions")
+        // reassembly: chunk members are exactly the global slice
+        assert(got.map(_._4).toSeq === seq.slice(start, start + len).toSeq,
+          s"doc $doc chunk $cid ids diverge from the global stream")
+      }
+    }
+    // every doc with ids produced chunks
+    assert(out.map(_._1).toSet === byDoc.filter(_._2.nonEmpty).keySet)
+  }
+
   test("overlapping regions agree between consecutive chunks on the corpus") {
     val out = Chunking.chunks(spark, sf(), 64, 48).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
