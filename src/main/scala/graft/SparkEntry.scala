@@ -272,6 +272,10 @@ object SparkEntry {
     // the "why was this doc kept/dropped" report: every hygiene
     // verdict joined per doc + the combined keep bit
     "text_filter_funnel" -> ((s, dir) => graft.text.TextAnalysis.filterFunnel(s, dir)),
+    // the six-verdict multimodal funnel: text verdicts + the SemDeDup
+    // keeper bit over the document's embedding (vec_id == doc_id)
+    "text_filter_funnel_semantic" -> ((s, dir) =>
+      graft.text.TextAnalysis.filterFunnelSemantic(s, dir)),
     "text_pii" -> ((s, dir) => graft.text.Cleaning.pii(s, dir)),
     // trained quality classifier: weights side-dumped; the oracle
     // re-hashes features and recomputes the margin from raw text
@@ -346,6 +350,8 @@ object SparkEntry {
     s"${graft.dedup.SemDedup.dumpPath(graft.dedup.SemDedup.lastBase)}/*.parquet"
   private def semIdxCentsGlob: String =
     s"${graft.dedup.SemIndex.centsDumpPath(graft.dedup.SemIndex.lastBase)}/*.parquet"
+  private def semFunnelGlob: String =
+    s"${graft.dedup.SemDedup.funnelDumpPath(graft.dedup.SemDedup.lastFunnelBase)}/*.parquet"
   private def semDedupCapGlob: String =
     s"${graft.dedup.SemDedup.cappedDumpPath(graft.dedup.SemDedup.lastCappedBase)}/*.parquet"
 
@@ -384,6 +390,64 @@ object SparkEntry {
     * cross-symbol false match impossible. The recursion is driven by
     * the DUMPED ord column, so a tampered or reordered merge table
     * changes the derivation and fails the gate. */
+  /** text_filter_funnel's five component-verdict CTEs (q/l/r/e/k) —
+    * shared verbatim with the semantic-extended funnel so the two
+    * gates cannot drift. Pre-stripped (inserted into s-interpolated
+    * oracles whose own margins strip around it). */
+  private val funnelCtes: String =
+    """q AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |         BETWEEN 5 AND 10000
+      |     AND len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |             x -> x IN ('the','a','of','and','to','is','in'))) * 20
+      |         >= len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |     AS INT) AS q_ok
+      |  FROM documents),
+      |lc AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('the','and','of','with'))) AS c_en,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('der','die','das','und'))) AS c_de,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('el','los','las','y'))) AS c_es,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('le','les','et','une'))) AS c_fr
+      |  FROM documents),
+      |l AS (SELECT doc_id,
+      |    CAST(c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AS INT) AS lang_ok
+      |  FROM lc),
+      |rb AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 2 THEN
+      |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END AS bigrams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                      x -> x <> '') AS t
+      |        FROM documents)),
+      |r AS (SELECT doc_id,
+      |    CAST(NOT ((len(bigrams) - len(list_distinct(bigrams))) * 10
+      |              >= len(bigrams) AND len(bigrams) > 0) AS INT) AS rep_ok
+      |  FROM rb),
+      |etoks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                       x -> x <> '')) AS tok
+      |  FROM documents),
+      |ec AS (SELECT doc_id, tok, count(*) AS cnt FROM etoks GROUP BY doc_id, tok),
+      |eh AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * ln(cnt)) AS clogc
+      |       FROM ec GROUP BY doc_id),
+      |e AS (SELECT d.doc_id,
+      |    CAST(coalesce(round((ln(eh.n) - eh.clogc / eh.n) * 1000000), 0)
+      |         >= 2000000 AS INT) AS ent_ok
+      |  FROM documents d LEFT JOIN eh ON d.doc_id = eh.doc_id),
+      |k AS (SELECT doc_id,
+      |    CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+      |      AS is_keeper
+      |  FROM documents)""".stripMargin
+
   private val bpeDeriveCtes: String =
     """bwords AS (SELECT DISTINCT unnest(ws) AS w FROM dw),
       |binit AS (
@@ -1618,65 +1682,49 @@ object SparkEntry {
     // funnel: the five component oracles' exact expressions joined on
     // doc_id — each flag is the same bit its standalone gate checks
     "text_filter_funnel" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |         BETWEEN 5 AND 10000
-        |     AND len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |             x -> x IN ('the','a','of','and','to','is','in'))) * 20
-        |         >= len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |     AS INT) AS q_ok
-        |  FROM documents),
-        |lc AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('the','and','of','with'))) AS c_en,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('der','die','das','und'))) AS c_de,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('el','los','las','y'))) AS c_es,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('le','les','et','une'))) AS c_fr
-        |  FROM documents),
-        |l AS (SELECT doc_id,
-        |    CAST(c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AS INT) AS lang_ok
-        |  FROM lc),
-        |rb AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 2 THEN
-        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-        |    ELSE [] END AS bigrams
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                      x -> x <> '') AS t
-        |        FROM documents)),
-        |r AS (SELECT doc_id,
-        |    CAST(NOT ((len(bigrams) - len(list_distinct(bigrams))) * 10
-        |              >= len(bigrams) AND len(bigrams) > 0) AS INT) AS rep_ok
-        |  FROM rb),
-        |etoks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |                       x -> x <> '')) AS tok
-        |  FROM documents),
-        |ec AS (SELECT doc_id, tok, count(*) AS cnt FROM etoks GROUP BY doc_id, tok),
-        |eh AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * ln(cnt)) AS clogc
-        |       FROM ec GROUP BY doc_id),
-        |e AS (SELECT d.doc_id,
-        |    CAST(coalesce(round((ln(eh.n) - eh.clogc / eh.n) * 1000000), 0)
-        |         >= 2000000 AS INT) AS ent_ok
-        |  FROM documents d LEFT JOIN eh ON d.doc_id = eh.doc_id),
-        |k AS (SELECT doc_id,
-        |    CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
-        |      AS is_keeper
-        |  FROM documents)
-        |SELECT q.doc_id, q.q_ok, l.lang_ok, r.rep_ok, e.ent_ok, k.is_keeper,
-        |  CAST(q.q_ok = 1 AND l.lang_ok = 1 AND r.rep_ok = 1 AND e.ent_ok = 1
-        |       AND k.is_keeper = 1 AS INT) AS keep
-        |FROM q JOIN l ON l.doc_id = q.doc_id
-        |JOIN r ON r.doc_id = q.doc_id
-        |JOIN e ON e.doc_id = q.doc_id
-        |JOIN k ON k.doc_id = q.doc_id""".stripMargin,
+      s"""WITH $funnelCtes
+         |SELECT q.doc_id, q.q_ok, l.lang_ok, r.rep_ok, e.ent_ok, k.is_keeper,
+         |  CAST(q.q_ok = 1 AND l.lang_ok = 1 AND r.rep_ok = 1 AND e.ent_ok = 1
+         |       AND k.is_keeper = 1 AS INT) AS keep
+         |FROM q JOIN l ON l.doc_id = q.doc_id
+         |JOIN r ON r.doc_id = q.doc_id
+         |JOIN e ON e.doc_id = q.doc_id
+         |JOIN k ON k.doc_id = q.doc_id""".stripMargin,
+    // the semantic-extended funnel: the five text verdict CTEs plus
+    // the SemDeDup keeper bit re-derived from the funnel gate's own
+    // dumped codebook (vec_id == doc_id in the corpus)
+    "text_filter_funnel_semantic" ->
+      s"""WITH $funnelCtes,
+         |se AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |scn AS (SELECT cell, v FROM read_parquet('$semFunnelGlob')),
+         |sasg AS (
+         |  SELECT vec_id, cell, sim FROM (
+         |    SELECT se.vec_id, scn.cell,
+         |      list_cosine_similarity(se.v, scn.v) AS sim,
+         |      row_number() OVER (PARTITION BY se.vec_id
+         |        ORDER BY list_cosine_similarity(se.v, scn.v) DESC, scn.cell) AS rn
+         |    FROM se, scn) WHERE rn = 1),
+         |sm AS (SELECT a.vec_id, a.cell, a.sim, se.v
+         |       FROM sasg a JOIN se ON se.vec_id = a.vec_id),
+         |sdrops AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM sm x JOIN sm y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+         |    AND list_cosine_similarity(x.v, y.v) >= 0.45),
+         |s AS (SELECT sm.vec_id AS doc_id,
+         |        CAST(d.vec_id IS NULL AS INT) AS sem_ok
+         |      FROM sm LEFT JOIN sdrops d ON d.vec_id = sm.vec_id)
+         |SELECT q.doc_id, q.q_ok, l.lang_ok, r.rep_ok, e.ent_ok, k.is_keeper,
+         |  s.sem_ok,
+         |  CAST(q.q_ok = 1 AND l.lang_ok = 1 AND r.rep_ok = 1 AND e.ent_ok = 1
+         |       AND k.is_keeper = 1 AND s.sem_ok = 1 AS INT) AS keep
+         |FROM q JOIN l ON l.doc_id = q.doc_id
+         |JOIN r ON r.doc_id = q.doc_id
+         |JOIN e ON e.doc_id = q.doc_id
+         |JOIN k ON k.doc_id = q.doc_id
+         |JOIN s ON s.doc_id = q.doc_id""".stripMargin,
     "text_decontam" -> textDecontamSql,
     // Bloom prefilter + exact verify join: false positives die in the
     // join, so the output is exact BY CONSTRUCTION (fpp only tunes

@@ -83,6 +83,22 @@ object SemDedup {
   def cappedDumpPath(base: String): String =
     graft.core.SideDump.path("semdedup_cap_cents", base)
 
+  /** The semantic-funnel gate trains ITS OWN run's codebook under its
+    * own dump kind — sharing `semdedup_cents` would let whichever
+    * gate ran later overwrite the other's dump with a not-bit-
+    * identical retrain (train()'s partial-sum merge order is
+    * scheduler-dependent) and silently break the first gate's hash. */
+  @volatile var lastFunnelBase: String = "sf0.01"
+
+  def funnelDumpPath(base: String): String =
+    graft.core.SideDump.path("semdedup_funnel_cents", base)
+
+  /** [[semantic]] under the funnel gate's dump kind. */
+  def semanticForFunnel(spark: SparkSession, sfDir: String,
+      tau: Double = 0.45, k: Int = 16, iters: Int = 3): DataFrame =
+    semanticWithCap(spark, sfDir, tau, k, iters, cap = Int.MaxValue,
+      dumpKind = "semdedup_funnel_cents")
+
   private def semanticWithCap(spark: SparkSession, sfDir: String,
       tau: Double, k: Int, iters: Int, cap: Int,
       dumpKind: String): DataFrame = {
@@ -93,7 +109,12 @@ object SemDedup {
     graft.core.SideDump.write(
       cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
       dumpKind, base)
-    if (dumpKind == "semdedup_cents") lastBase = base else lastCappedBase = base
+    dumpKind match {
+      case "semdedup_cents"        => lastBase = base
+      case "semdedup_cap_cents"    => lastCappedBase = base
+      case "semdedup_funnel_cents" => lastFunnelBase = base
+      case other => throw new IllegalArgumentException(s"unknown dump kind $other")
+    }
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
     vecs
       .map { r =>

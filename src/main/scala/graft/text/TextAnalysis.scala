@@ -233,4 +233,24 @@ object TextAnalysis {
         (col("q_ok") === 1 && col("lang_ok") === 1 && col("rep_ok") === 1 &&
           col("ent_ok") === 1 && col("is_keeper") === 1).cast("int"))
   }
+
+  /** [[filterFunnel]] extended with the SEMANTIC keeper bit — the
+    * full multimodal hygiene report a training pipeline actually
+    * wants per document (embeddings align 1:1 with documents in the
+    * corpus: `vec_id == doc_id`): the five text verdicts plus
+    * `sem_ok` = kept by [[graft.dedup.SemDedup]]'s cluster-then-prune
+    * rule over the document's embedding, and the combined keep bit.
+    * Same composition discipline as the base funnel: every column is
+    * the bit its standalone gate hash-checks. */
+  def filterFunnelSemantic(spark: SparkSession, sfDir: String,
+      entropyFloorMicro: Long = 2000000L): DataFrame = {
+    val base = filterFunnel(spark, sfDir, entropyFloorMicro).drop("keep")
+    val sem = graft.dedup.SemDedup.semanticForFunnel(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("kept").cast("int").as("sem_ok"))
+    base.join(sem, "doc_id")
+      .withColumn("keep",
+        (col("q_ok") === 1 && col("lang_ok") === 1 && col("rep_ok") === 1 &&
+          col("ent_ok") === 1 && col("is_keeper") === 1 &&
+          col("sem_ok") === 1).cast("int"))
+  }
 }

@@ -133,6 +133,26 @@ class SemDedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("semantic funnel: text bits match the base funnel, keep is the AND of all six") {
+    val base = graft.text.TextAnalysis.filterFunnel(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toMap
+    val ext = graft.text.TextAnalysis.filterFunnelSemantic(spark, sf()).collect()
+      .map { r =>
+        (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5)), r.getInt(6), r.getInt(7))
+      }
+    assert(ext.length === base.size)
+    ext.foreach { case (doc, bits, semOk, keep) =>
+      assert(bits === base(doc), s"doc $doc text bits diverge from the base funnel")
+      val expKeep = if (bits == ((1, 1, 1, 1, 1)) && semOk == 1) 1 else 0
+      assert(keep === expKeep, s"doc $doc keep bit is not the AND of its verdicts")
+    }
+    val semDropped = ext.count(_._3 == 0)
+    info(s"sf0.001: $semDropped docs demoted by the semantic bit")
+    assert(semDropped >= 1, "fixture corpus has semantic dups; the bit must bite")
+  }
+
   test("corpus run matches a driver re-derivation from the side-dumped centroids") {
     import spark.implicits._
     val out = SemDedup.semantic(spark, sf(), tau = 0.45).collect()
