@@ -253,6 +253,9 @@ object SparkEntry {
     // chunking over the BPE token-id stream (the production context-
     // budget unit): flat (doc, chunk, pos_in_chunk, token_id) rows
     "text_chunk_ids" -> ((s, dir) => graft.text.Chunking.chunkIds(s, dir)),
+    // chunk-then-pack: split long docs into windows, then fill fixed
+    // token budgets — the pretraining batch-assembly shape
+    "text_chunk_pack" -> ((s, dir) => graft.text.SequencePacking.packChunks(s, dir)),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
@@ -2049,6 +2052,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(pos - chunk_id * 48 AS BIGINT) AS pos_in_chunk, token_id
          |FROM x""".stripMargin,
+    // chunk CTE chained into the pack cumsum — the two components'
+    // oracles composed, like text_pipeline's
+    "text_chunk_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+        |ch AS (SELECT doc_id, n,
+        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+        |  FROM nz),
+        |cw AS (SELECT doc_id, chunk_id,
+        |    least(n - chunk_id * 48, 64) AS n_tokens
+        |  FROM ch),
+        |c AS (
+        |  SELECT doc_id, chunk_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM cw)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(pre // 256 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,

@@ -86,6 +86,62 @@ object SequencePacking {
     packByPrefixSum(toks, budget, partitions).toDF()
   }
 
+  /** [[packByPrefixSum]] generalized to an ARBITRARY composite sort
+    * key (DataFrame in/out, [[globalRank]]'s Row-encoder shape): the
+    * same two-pass exclusive prefix sum over `weightCol` in
+    * `sortCols` order, appending `pack_id` = (tokens before) div
+    * budget. The chunk stream needs this — its natural order is
+    * (doc_id, chunk_id), which the typed doc packer cannot express.
+    * `sortCols` must be a total order for determinism. */
+  def packPrefixSum(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], weightCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val parts = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = parts.groupBy("pid").agg(sum(weightCol).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+    val bc = parts.sparkSession.sparkContext.broadcast(offsets)
+    val pidIdx = parts.schema.fieldIndex("pid")
+    val wIdx = parts.schema.fieldIndex(weightCol)
+    val outSchema = StructType(parts.schema.filterNot(_.name == "pid"))
+      .add("pack_id", LongType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    parts.mapPartitions { it =>
+      var run = 0L
+      var curPid = -1
+      it.map { row =>
+        val pid = row.getInt(pidIdx)
+        if (pid != curPid) { run = bc.value(pid); curPid = pid }
+        val before = run
+        run += row.getLong(wIdx)
+        val vals = row.toSeq.zipWithIndex.collect {
+          case (v, i) if i != pidIdx => v
+        } :+ (before / budget)
+        org.apache.spark.sql.Row.fromSeq(vals)
+      }
+    }(enc)
+  }
+
+  /** Chunk-stream packing — the shape a pretraining pipeline actually
+    * runs (split long documents into windows FIRST, then fill fixed
+    * token budgets): [[graft.text.Chunking.chunks]]' (doc_id,
+    * chunk_id, n_tokens) rows packed contiguously in (doc_id,
+    * chunk_id) order. Composition of two tested operators; the gate's
+    * oracle chains the chunk CTE into the window-cumsum pack CTE. */
+  def packChunks(spark: SparkSession, sfDir: String, budget: Long = 256L,
+      partitions: Int = 32): DataFrame =
+    packPrefixSum(
+      graft.text.Chunking.chunks(spark, sfDir)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens")),
+      Seq(col("doc_id"), col("chunk_id")), "n_tokens", budget, partitions)
+
   /** DISTRIBUTED GLOBAL RANK: append a zero-based `rank` column in
     * `sortCols` order — the primitive behind any "give every row its
     * position" need (training order, stable ids). The naive

@@ -106,6 +106,39 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("chunk packing: generic prefix sum equals the window formulation and survives coalesce") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SequencePacking.packChunks(spark, sf(), budget = 256L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val chunks = Chunking.chunks(spark, sf())
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+    val expected = chunks.withColumn("pre",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id", "chunk_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        expr("pre div 256").as("pack_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got === expected)
+    val coalesced = SequencePacking.packChunks(spark, sf(), budget = 256L, partitions = 7)
+      .coalesce(1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(coalesced === expected)
+    // pack ids start at 0 and never decrease along the chunk order
+    val inOrder = got.sortBy(t => (t._1, t._2))
+    assert(inOrder.head._4 === 0L)
+    assert(inOrder.sliding(2).forall {
+      case Array(a, b) => b._4 >= a._4
+      case _ => true
+    })
+    // packs overfill by at most one chunk (contiguous fill semantics):
+    // every pack's pre-total starts inside its budget window
+    val packTotals = inOrder.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+    packTotals.foreach { case (pid, total) =>
+      assert(total >= 1, s"pack $pid empty")
+    }
+  }
+
   test("globalRank: distributed rank equals a single-partition window; pack shuffle is a permutation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
