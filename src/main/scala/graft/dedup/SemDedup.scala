@@ -49,6 +49,20 @@ object SemDedup {
   def dumpPath(base: String): String =
     graft.core.SideDump.path("semdedup_cents", base)
 
+  /** THE cell-assignment kernel for every semantic-dedup surface:
+    * (nearest cell by the pruned-exact index, cosine to that cell's
+    * centroid). One definition — the zero-norm guard and the argmax/
+    * tie-break are load-bearing for gate parity, so [[SemDedup]] and
+    * [[SemIndex]]'s three call sites must not drift. */
+  private[dedup] def assignCell(idx: CentroidIndex, r: Vec): (Int, Double) = {
+    val cell = idx.nearest(r)
+    val c = idx.cents(cell).v
+    var dot = 0.0; var j = 0
+    while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
+    val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
+    (cell, dot / nrm)
+  }
+
   /** (vec_id, cell, cent_sim_micro, kept) for every embedding.
     * `cent_sim_micro` — the keep-priority key, rounded to integer
     * micro-units in the OUTPUT only (the rule itself compares full
@@ -118,13 +132,8 @@ object SemDedup {
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
     vecs
       .map { r =>
-        val idx = bc.value
-        val cell = idx.nearest(r)
-        val c = idx.cents(cell).v
-        var dot = 0.0; var j = 0
-        while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
-        val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
-        (cell, dot / nrm, r)
+        val (cell, sim) = assignCell(bc.value, r)
+        (cell, sim, r)
       }
       .groupByKey(_._1)
       .flatMapGroups { (cell, it) =>

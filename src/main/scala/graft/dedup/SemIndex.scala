@@ -65,13 +65,8 @@ object SemIndex {
     import vecs.sparkSession.implicits._
     val bc = vecs.sparkSession.sparkContext.broadcast(CentroidIndex.build(cents))
     vecs.map { r =>
-      val idx = bc.value
-      val cell = idx.nearest(r)
-      val c = idx.cents(cell).v
-      var dot = 0.0; var j = 0
-      while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
-      val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
-      (r.vec_id, cell, dot / nrm)
+      val (cell, sim) = SemDedup.assignCell(bc.value, r)
+      (r.vec_id, cell, sim)
     }
   }
 
@@ -100,16 +95,13 @@ object SemIndex {
     import spark.implicits._
     val cents = loadCents(spark, path)
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
-    // (cell, sim, vec, is_batch)
+    // (cell, sim, vec, is_batch) — cached: both the touched-cells
+    // side and the union side read it, and without the cache every
+    // probe would run the batch assignment twice
     val batchAsg = batch.map { r =>
-      val idx = bc.value
-      val cell = idx.nearest(r)
-      val c = idx.cents(cell).v
-      var dot = 0.0; var j = 0
-      while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
-      val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
-      (cell, dot / nrm, r, true)
-    }
+      val (cell, sim) = SemDedup.assignCell(bc.value, r)
+      (cell, sim, r, true)
+    }.cache()
     // index members of touched cells only, vectors re-fetched from
     // the corpus table (broadcast the batch's cell set — tiny)
     val touched = batchAsg.map(_._1).distinct()

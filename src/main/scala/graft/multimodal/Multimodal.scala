@@ -188,36 +188,59 @@ object Multimodal {
     * image's geometry is always reachable by this walk; hitting
     * SOS/EOI first, a misaligned marker, a segment overrunning the
     * buffer, or a DNL-deferred height of 0 falls back to the stub. */
-  private def decodeJpegSof(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
-    var p = 2
-    while (p + 4 <= b.length) {
-      if ((b(p) & 0xff) != 0xff) return None // marker misalignment
-      var q = p + 1
-      while (q < b.length && (b(q) & 0xff) == 0xff) q += 1 // fill bytes
-      if (q >= b.length) return None
-      val m = b(q) & 0xff
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
-        p = q + 1 // standalone marker, no payload
-      } else if (m == 0xd9 || m == 0xda) {
-        return None // EOI / start-of-scan without a frame header
-      } else {
-        if (q + 3 > b.length) return None
-        val len = beShortAt(b, q + 1)
-        if (len < 2 || q + 1 + len > b.length) return None
-        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
-        if (isSof) {
-          if (len < 7) return None
-          val h = beShortAt(b, q + 4).toLong
-          val w = beShortAt(b, q + 6).toLong
-          return if (w > 0 && h > 0)
-            Some((w, h, 1L, 0L, jpegExifOrientation(b).getOrElse(1L)))
-          else None
+  /** Lazy (marker, contentStart, contentEnd) over a JPEG's length-
+    * bearing header segments — fill bytes and standalone markers
+    * skipped; iteration ENDS at SOS/EOI or the first malformed
+    * structure. One walk definition for geometry AND orientation
+    * (both callers treat "not found" and "malformed" identically —
+    * fall back to the stub/default — so ending the iteration encodes
+    * every abort case of the previous duplicated walks). */
+  private def jpegSegments(b: Array[Byte]): Iterator[(Int, Int, Int)] =
+    new Iterator[(Int, Int, Int)] {
+      private var p = 2
+      private var nextSeg: (Int, Int, Int) = null
+      private var done = false
+      private def advance(): Unit = {
+        nextSeg = null
+        while (nextSeg == null && !done) {
+          if (p + 4 > b.length) { done = true; return }
+          if ((b(p) & 0xff) != 0xff) { done = true; return } // misalignment
+          var q = p + 1
+          while (q < b.length && (b(q) & 0xff) == 0xff) q += 1 // fill bytes
+          if (q >= b.length) { done = true; return }
+          val m = b(q) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+            p = q + 1 // standalone marker, no payload
+          } else if (m == 0xd9 || m == 0xda) {
+            done = true // EOI / start-of-scan: header area ends
+          } else {
+            if (q + 3 > b.length) { done = true; return }
+            val len = beShortAt(b, q + 1)
+            if (len < 2 || q + 1 + len > b.length) { done = true; return }
+            nextSeg = (m, q + 3, q + 1 + len)
+            p = q + 1 + len
+          }
         }
-        p = q + 1 + len
+      }
+      advance()
+      def hasNext: Boolean = nextSeg != null
+      def next(): (Int, Int, Int) = {
+        val r = nextSeg; advance(); r
       }
     }
-    None
-  }
+
+  private def decodeJpegSof(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    jpegSegments(b).collectFirst {
+      case (m, s, e) if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+        // SOFn payload: precision(1), height(2), width(2)
+        if (e - s >= 5) {
+          val h = beShortAt(b, s + 1).toLong
+          val w = beShortAt(b, s + 3).toLong
+          if (w > 0 && h > 0)
+            Some((w, h, 1L, 0L, jpegExifOrientation(b).getOrElse(1L)))
+          else None
+        } else None
+    }.flatten
 
   /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment — TIFF
     * IFD0 walk in the segment's own byte order (II/MM), all of it
@@ -228,58 +251,42 @@ object Multimodal {
     * SHORT (type 3) whose value sits inline in the first 2 value
     * bytes. Returns values 1–8 only; anything malformed, absent, or
     * out of range → None (caller defaults to 1, EXIF's "upright"). */
-  private[multimodal] def jpegExifOrientation(b: Array[Byte]): Option[Long] = {
-    // marker walk to APP1 (same discipline as decodeJpegSof)
-    var p = 2
-    while (p + 4 <= b.length) {
-      if ((b(p) & 0xff) != 0xff) return None
-      var q = p + 1
-      while (q < b.length && (b(q) & 0xff) == 0xff) q += 1
-      if (q >= b.length) return None
-      val m = b(q) & 0xff
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
-        p = q + 1
-      } else if (m == 0xd9 || m == 0xda) {
-        return None // entropy-coded data: EXIF would have preceded it
-      } else {
-        if (q + 3 > b.length) return None
-        val len = beShortAt(b, q + 1)
-        if (len < 2 || q + 1 + len > b.length) return None
-        if (m == 0xe1 && len >= 16 &&
-            new String(b, q + 3, 4, "US-ASCII") == "Exif" &&
-            b(q + 7) == 0 && b(q + 8) == 0) {
-          val base = q + 9 // TIFF header start
-          val end = q + 1 + len
-          if (base + 8 > end) return None
-          val little = b(base) == 'I' && b(base + 1) == 'I'
-          val big = b(base) == 'M' && b(base + 1) == 'M'
-          if (!little && !big) return None
-          def u16(at: Int): Int =
-            if (little) ((b(at + 1) & 0xff) << 8) | (b(at) & 0xff)
-            else ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
-          def u32(at: Int): Long =
-            if (little) (u16(at + 2).toLong << 16) | u16(at).toLong
-            else (u16(at).toLong << 16) | u16(at + 2).toLong
-          if (u16(base + 2) != 42) return None
-          val ifd0 = base + u32(base + 4)
-          if (ifd0 < base || ifd0 + 2 > end) return None
-          val entries = u16(ifd0.toInt)
-          var e = 0
-          while (e < entries) {
-            val at = ifd0.toInt + 2 + e * 12
-            if (at + 12 > end) return None
-            if (u16(at) == 0x0112 && u16(at + 2) == 3 && u32(at + 4) == 1L) {
-              val v = u16(at + 8).toLong
-              return if (v >= 1L && v <= 8L) Some(v) else None
-            }
-            e += 1
-          }
-          return None // APP1/EXIF present, orientation tag absent
-        }
-        p = q + 1 + len
+  private[multimodal] def jpegExifOrientation(b: Array[Byte]): Option[Long] =
+    jpegSegments(b).collectFirst {
+      case (0xe1, s, end) if end - s >= 14 &&
+          new String(b, s, 4, "US-ASCII") == "Exif" &&
+          b(s + 4) == 0 && b(s + 5) == 0 =>
+        parseTiffOrientation(b, s + 6, end)
+    }.flatten
+
+  /** TIFF IFD0 walk for the orientation tag inside [base, end). */
+  private def parseTiffOrientation(b: Array[Byte], base: Int,
+      end: Int): Option[Long] = {
+    if (base + 8 > end) return None
+    val little = b(base) == 'I' && b(base + 1) == 'I'
+    val big = b(base) == 'M' && b(base + 1) == 'M'
+    if (!little && !big) return None
+    def u16(at: Int): Int =
+      if (little) ((b(at + 1) & 0xff) << 8) | (b(at) & 0xff)
+      else ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+    def u32(at: Int): Long =
+      if (little) (u16(at + 2).toLong << 16) | u16(at).toLong
+      else (u16(at).toLong << 16) | u16(at + 2).toLong
+    if (u16(base + 2) != 42) return None
+    val ifd0 = base + u32(base + 4)
+    if (ifd0 < base || ifd0 + 2 > end) return None
+    val entries = u16(ifd0.toInt)
+    var e = 0
+    while (e < entries) {
+      val at = ifd0.toInt + 2 + e * 12
+      if (at + 12 > end) return None
+      if (u16(at) == 0x0112 && u16(at + 2) == 3 && u32(at + 4) == 1L) {
+        val v = u16(at + 8).toLong
+        return if (v >= 1L && v <= 8L) Some(v) else None
       }
+      e += 1
     }
-    None
+    None // APP1/EXIF present, orientation tag absent
   }
 
   /** MP4 (ISO base media) box walk: `moov/mvhd` for duration (both

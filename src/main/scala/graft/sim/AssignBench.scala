@@ -15,12 +15,8 @@ import graft.sim.Similarity.Vec
   * Deterministic (hash-generated clustered data, no RNG state). */
 object AssignBench {
 
-  private def mix(seed: Long, j: Int): Double = {
-    var z = seed * 1000003L + j + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
-  }
+  private def mix(seed: Long, j: Int): Double =
+    graft.core.Mix.unitDouble(seed * 1000003L + j) - 0.5
 
   private def unit(seed: Long, d: Int): Array[Double] = {
     val v = Array.tabulate(d)(mix(seed, _))
@@ -81,29 +77,9 @@ object AssignBench {
     // candidate list recomputed only on block change) ────────────────
     val targetBlock = 512
     val nBlocks = math.max(1, n / targetBlock)
-    // coarse centers from a stride sample + 4 Lloyd rounds — the same
+    // coarse centers via the shared driver quantizer — the same
     // recipe PointBlocks.prepare runs on the executor-side sample
-    var bCenters: Array[Array[Double]] =
-      Array.tabulate(nBlocks)(i => points(((i.toLong * n) / nBlocks).toInt).v.clone())
-    for (_ <- 0 until 4) {
-      val sums = Array.fill(nBlocks)(new Array[Double](d)); val ns = new Array[Int](nBlocks)
-      points.foreach { p =>
-        var bi = 0; var best = 0; var bestS = Double.NegativeInfinity
-        while (bi < nBlocks) {
-          var dot = 0.0; var j = 0
-          while (j < d) { dot += p.v(j) * bCenters(bi)(j); j += 1 }
-          if (dot > bestS) { bestS = dot; best = bi }
-          bi += 1
-        }
-        var j = 0
-        while (j < d) { sums(best)(j) += p.v(j); j += 1 }
-        ns(best) += 1
-      }
-      bCenters = Array.tabulate(nBlocks) { bi =>
-        if (ns(bi) == 0) bCenters(bi)
-        else { val nn = math.sqrt(sums(bi).map(x => x * x).sum); sums(bi).map(_ / nn) }
-      }
-    }
+    val bCenters = CentroidIndex.driverLloyd(points.map(_.v), nBlocks, rounds = 4)._1
     def blockOf(p: Vec): Int = {
       var bi = 0; var best = 0; var bestS = Double.NegativeInfinity
       while (bi < nBlocks) {

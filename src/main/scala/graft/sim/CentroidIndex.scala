@@ -136,29 +136,31 @@ object CentroidIndex {
   private[sim] def clipCos(x: Double): Double =
     if (x > 1.0) 1.0 else if (x < -1.0) -1.0 else x
 
-  /** Build over `cents` (unit-norm, as the trainers maintain).
-    * G = ⌈√k⌉ coarse cells, seeded by stride (deterministic spread),
-    * 4 driver-local spherical Lloyd rounds, then member lists and
-    * angular radii. */
-  def build(cents: Array[Centroid]): CentroidIndex = {
-    val k = cents.length
-    if (k < LinearBelow)
-      return new CentroidIndex(cents, Array.empty, Array.empty,
-        Array.empty, 0.0, linear = true)
-    val g = math.ceil(math.sqrt(k.toDouble)).toInt
-    // stride seeds: centroids k/g apart — deterministic, spread
+  /** THE driver-local spherical Lloyd coarse quantizer — shared by
+    * [[build]] (quantizing CENTROIDS into coarse cells),
+    * [[PointBlocks.prepare]] (quantizing a corpus sample into
+    * blocks), and the benches: stride seeds over `points`
+    * (deterministic spread), `rounds` iterations of (assign all,
+    * update centers), empty cells keeping their previous center.
+    * Returns the centers after the final update and the assignment
+    * computed against the centers BEFORE it — exactly the pairing
+    * [[build]]'s member lists use. One definition, because three
+    * hand-kept copies of the same 35-line loop would drift. */
+  private[sim] def driverLloyd(points: Array[Array[Double]], g: Int,
+      rounds: Int): (Array[Array[Double]], Array[Int]) = {
+    val k = points.length
     var coarse: Array[Array[Double]] =
-      Array.tabulate(g)(i => cents(((i.toLong * k) / g).toInt % k).v.clone())
+      Array.tabulate(g)(i => points(((i.toLong * k) / g).toInt % k).clone())
     var round = 0
     val assign = new Array[Int](k)
-    while (round < 4) {
+    while (round < rounds) {
       var i = 0
       while (i < k) {
         var bestG = 0; var bestS = Double.NegativeInfinity
         var gi = 0
         while (gi < g) {
           var dot = 0.0; var j = 0
-          val cv = cents(i).v; val gv = coarse(gi)
+          val cv = points(i); val gv = coarse(gi)
           while (j < cv.length) { dot += cv(j) * gv(j); j += 1 }
           if (dot > bestS) { bestS = dot; bestG = gi }
           gi += 1
@@ -166,11 +168,11 @@ object CentroidIndex {
         assign(i) = bestG
         i += 1
       }
-      val sums = Array.fill(g)(new Array[Double](cents(0).v.length))
+      val sums = Array.fill(g)(new Array[Double](points(0).length))
       val ns = new Array[Int](g)
       i = 0
       while (i < k) {
-        val s = sums(assign(i)); val cv = cents(i).v
+        val s = sums(assign(i)); val cv = points(i)
         var j = 0
         while (j < cv.length) { s(j) += cv(j); j += 1 }
         ns(assign(i)) += 1
@@ -188,6 +190,20 @@ object CentroidIndex {
       }
       round += 1
     }
+    (coarse, assign)
+  }
+
+  /** Build over `cents` (unit-norm, as the trainers maintain).
+    * G = ⌈√k⌉ coarse cells, seeded by stride (deterministic spread),
+    * 4 driver-local spherical Lloyd rounds, then member lists and
+    * angular radii. */
+  def build(cents: Array[Centroid]): CentroidIndex = {
+    val k = cents.length
+    if (k < LinearBelow)
+      return new CentroidIndex(cents, Array.empty, Array.empty,
+        Array.empty, 0.0, linear = true)
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val (coarse, assign) = driverLloyd(cents.map(_.v), g, rounds = 4)
     val memberBufs = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[Int])
     var i = 0
     while (i < k) { memberBufs(assign(i)) += i; i += 1 }

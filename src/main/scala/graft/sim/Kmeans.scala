@@ -130,19 +130,17 @@ object Kmeans {
         }
       }
     }
+    // release the blocked-corpus materialization: trainFrom owns the
+    // prepare, and a session training several codebooks would
+    // otherwise pin one corpus replica in executor storage per call
+    blockedPrep.foreach { case (blocked, _) => blocked.unpersist(); () }
     cents
   }
 
-  /** splitmix64 finalizer → uniform double in [0,1) — the
+  /** splitmix64 → uniform double in [0,1) ([[graft.core.Mix]]) — the
     * deterministic "coin" k-means‖ selection flips per (vec_id,
     * round), so seeding is reproducible without any RNG state. */
-  private def hashUniform(x: Long): Double = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble
-  }
+  private def hashUniform(x: Long): Double = graft.core.Mix.unitDouble(x)
 
   /** Spherical cost of `r` against the current seed set: 1 − max
     * cosine (0 on a seed, →2 opposite). */

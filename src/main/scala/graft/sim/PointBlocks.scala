@@ -80,15 +80,9 @@ object PointBlocks {
     s
   }
 
-  /** splitmix64 → [0,1): the deterministic sampling coin (same
-    * finalizer as the k-means‖ seeding hash). */
-  private def hashUniform(x: Long): Double = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble
-  }
+  /** splitmix64 → [0,1): the deterministic sampling coin
+    * ([[graft.core.Mix]], same finalizer as the k-means‖ hash). */
+  private def hashUniform(x: Long): Double = graft.core.Mix.unitDouble(x)
 
   /** Nearest block center by dot (centers unit, point norm divides
     * out of the argmax), lowest index on ties — first-wins scan. */
@@ -132,23 +126,8 @@ object PointBlocks {
     val nBlocks = math.max(1, math.min(sample.length,
       math.min(65536L, n / math.max(1, targetBlockSize)).toInt))
     // stride seeds over the id-sorted sample, 4 driver Lloyd rounds —
-    // the same coarse-quantizer recipe CentroidIndex.build uses
-    var centers: Array[Array[Double]] = Array.tabulate(nBlocks)(i =>
-      sample(((i.toLong * sample.length) / nBlocks).toInt % sample.length).clone())
-    var round = 0
-    while (round < 4) {
-      val sums = Array.fill(nBlocks)(new Array[Double](sample(0).length))
-      val ns = new Array[Int](nBlocks)
-      sample.foreach { v =>
-        val b = nearestCenter(v, centers)
-        var j = 0
-        while (j < v.length) { sums(b)(j) += v(j); j += 1 }
-        ns(b) += 1
-      }
-      centers = Array.tabulate(nBlocks)(b =>
-        if (ns(b) == 0) centers(b) else normalize(sums(b)))
-      round += 1
-    }
+    // the ONE shared coarse-quantizer (CentroidIndex.driverLloyd)
+    val centers = CentroidIndex.driverLloyd(sample, nBlocks, rounds = 4)._1
     val bc = spark.sparkContext.broadcast(centers)
     val blocked = corpus.map { r =>
       val cs = bc.value
@@ -159,6 +138,7 @@ object PointBlocks {
       .repartition(org.apache.spark.sql.functions.col("block"))
       .sortWithinPartitions("block")
       .localCheckpoint(true)
+    bc.destroy() // the eager checkpoint above already ran the tag pass
     Some((blocked, Model(centers)))
   }
 
@@ -302,6 +282,7 @@ object PointBlocks {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       sums.iterator.map { case (ci, (sv, sn)) => (ci, pid, sv, sn) }
     }.collect().sortBy { case (ci, pid, _, _) => (ci, pid) }
+    bc.destroy() // per-round broadcast, same discipline as the narrow path
     val merged = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Double], Long)]
     partials.foreach { case (ci, _, sv, sn) =>
       merged.get(ci) match {

@@ -34,12 +34,8 @@ object TrainBench {
     val groups = math.max(8, k / 64)
     val corpus = spark.range(n).as[Long].map { i =>
       // same clustered-unit-vector recipe as AssignBench
-      def mix(seed: Long, j: Int): Double = {
-        var z = seed * 1000003L + j + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
-      }
+      def mix(seed: Long, j: Int): Double =
+        graft.core.Mix.unitDouble(seed * 1000003L + j) - 0.5
       def unit(seed: Long): Array[Double] = {
         val v = Array.tabulate(d)(mix(seed, _))
         val nn = math.sqrt(v.map(x => x * x).sum)

@@ -39,16 +39,20 @@ object Chunking {
     * membership per id row is the closed-form chunk range
     * [max(0, ⌊(pos−w)/s⌋+1), min(⌊pos/s⌋, nChunks−1)] — all integer,
     * never empty (w ≥ s), so the explode is a bounded ≤ ⌈w/s⌉-way
-    * fan-out with no per-doc state. One shuffle (the per-doc id
-    * count join); the BPE encode itself is the narrow broadcast-
+    * fan-out with no per-doc state. One shuffle (the doc-partitioned
+    * count window); the BPE encode itself is the narrow broadcast-
     * merges pass. */
   def chunkIds(spark: SparkSession, sfDir: String, window: Int = 64,
       stride: Int = 48): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
+    // per-doc id count via a PARTITIONED window, not a groupBy +
+    // self-join: the join shape would execute the whole BPE encode
+    // plan twice (once per join side)
     val ids = graft.text.Bpe.encodeIds(spark, sfDir)
-    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    ids.join(counts, "doc_id")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    ids
       .withColumn("chunk_id", explode(expr(
         s"sequence(CASE WHEN pos < $window THEN 0 " +
           s"ELSE CAST((pos - $window) DIV $stride + 1 AS INT) END, " +

@@ -38,12 +38,7 @@ object ScaleFixture {
 
   /** splitmix64 finalizer — the same public mixing constants used by
     * [[graft.sim.Kmeans]]'s deterministic coin. */
-  private[tools] def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private[tools] def mix64(x0: Long): Long = graft.core.Mix.splitmix64(x0)
 
   /** Rotate `words` left by `dist` and replace every word whose index
     * satisfies `(i + r) % 23 == 0` with a token derived from
@@ -105,11 +100,17 @@ object ScaleFixture {
       }
       .toDF("doc_id", "r", "text", "lang", "source", "partner_id")
     val partnerTexts = docs.selectExpr("doc_id AS partner_id", "text AS partner_text")
+    // LEFT join: partner = (doc_id + 17r) mod count assumes dense
+    // 0..n-1 ids — on a sparse-id corpus (e.g. this tool's own
+    // output) an inner join would silently drop EVERY replica row,
+    // including mutation replicas that never read partner_text. A
+    // missing partner degrades deterministically to self-concat.
     val derived = replicas
-      .join(partnerTexts, "partner_id")
+      .join(partnerTexts, Seq("partner_id"), "left")
       .as[(Long, Long, Int, String, String, String, String)]
       .map { case (_, docId, r, text, lang, source, partnerText) =>
-        val t = replicaText(docId, r, text, partnerText)
+        val pt = if (partnerText == null) text else partnerText
+        val t = replicaText(docId, r, text, pt)
         Doc(docId + r * IdStride, t, lang, source, t.length.toLong)
       }
     docs.union(derived)
