@@ -170,6 +170,11 @@ object SparkEntry {
     // work bound; equals the one-shot rule when every cell <= cap)
     "dedup_semantic_capped" -> ((s, dir) =>
       graft.dedup.SemDedup.semanticCapped(s, dir)),
+    // k=256 on the k-means|| trainer: the gate crosses the
+    // distributed-seed-reduction AND blocked-assignment thresholds,
+    // pinning both scale paths to the dumped-codebook oracle
+    "dedup_semantic_par" -> ((s, dir) =>
+      graft.dedup.SemDedup.semanticPar(s, dir)),
     // persisted semantic index: build-once on the %10!=0 slice, probe
     // the %10==0 batch — index members always outrank batch vectors
     "dedup_semantic_incremental" -> ((s, dir) =>
@@ -355,8 +360,37 @@ object SparkEntry {
     s"${graft.dedup.SemIndex.centsDumpPath(graft.dedup.SemIndex.lastBase)}/*.parquet"
   private def semFunnelGlob: String =
     s"${graft.dedup.SemDedup.funnelDumpPath(graft.dedup.SemDedup.lastFunnelBase)}/*.parquet"
+  /** The SemDeDup re-derivation against a dumped codebook glob —
+    * shared by the first-k and k-means|| trainer gates (assignment,
+    * keep priority, τ-test and drop verdicts re-derived; only the
+    * trainer behind the dump differs). */
+  private def semDedupSql(glob: String): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c AS (SELECT cell, v FROM read_parquet('$glob')),
+       |asg AS (
+       |  SELECT vec_id, cell, sim FROM (
+       |    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS sim,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.cell, a.sim, e.v
+       |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+       |drops AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+       |    AND list_cosine_similarity(x.v, y.v) >= 0.45)
+       |SELECT m.vec_id, m.cell,
+       |  CAST(round(m.sim * 1000000) AS BIGINT) AS cent_sim_micro,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id""".stripMargin
+
   private def semDedupCapGlob: String =
     s"${graft.dedup.SemDedup.cappedDumpPath(graft.dedup.SemDedup.lastCappedBase)}/*.parquet"
+  private def semDedupParGlob: String =
+    s"${graft.dedup.SemDedup.parDumpPath(graft.dedup.SemDedup.lastParBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1394,28 +1428,10 @@ object SparkEntry {
     // the within-cluster pairwise τ-test and the drop verdicts.
     // Priority comparisons use raw doubles on both sides (the proven
     // ann ordering pattern); only the OUTPUT value is micro-quantized.
-    "dedup_semantic" ->
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |c AS (SELECT cell, v FROM read_parquet('$semDedupGlob')),
-         |asg AS (
-         |  SELECT vec_id, cell, sim FROM (
-         |    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS sim,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
-         |    FROM e, c) WHERE rn = 1),
-         |m AS (SELECT a.vec_id, a.cell, a.sim, e.v
-         |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
-         |drops AS (
-         |  SELECT DISTINCT x.vec_id
-         |  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id
-         |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
-         |    AND list_cosine_similarity(x.v, y.v) >= 0.45)
-         |SELECT m.vec_id, m.cell,
-         |  CAST(round(m.sim * 1000000) AS BIGINT) AS cent_sim_micro,
-         |  (d.vec_id IS NULL) AS kept
-         |FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id""".stripMargin,
+    "dedup_semantic" -> semDedupSql(semDedupGlob),
+    // same re-derivation against the k-means|| gate's own codebook:
+    // the trainer differs, the oracle machinery does not
+    "dedup_semantic_par" -> semDedupSql(semDedupParGlob),
     // capped SemDeDup: same re-derivation as dedup_semantic (own dump
     // kind — this gate trains its own run's codebook), with the drop
     // join additionally bounded to the cell's `cap` = 64 highest-

@@ -113,12 +113,35 @@ object SemDedup {
     semanticWithCap(spark, sfDir, tau, k, iters, cap = Int.MaxValue,
       dumpKind = "semdedup_funnel_cents")
 
+  /** Large-k variant on the SCALABLE trainer — k-means‖ seeding
+    * ([[Kmeans.trainParallel]]) at k = 256, which crosses BOTH scale
+    * thresholds inside a hash gate: the seed reduction runs
+    * distributed (|seeds| > 1024) and the Lloyd rounds take the
+    * blocked-corpus assignment path (k ≥ 256,
+    * [[graft.sim.PointBlocks]]). The oracle machinery is identical
+    * (dumped codebook faith, everything downstream re-derived), so
+    * this gate is standing insurance that neither scale path can
+    * silently diverge from the per-point formulation. At k ≫ corpus
+    * cells are tiny, so the within-cell stage is trivially bounded —
+    * the production shape (k ∝ N). */
+  @volatile var lastParBase: String = "sf0.01"
+
+  def parDumpPath(base: String): String =
+    graft.core.SideDump.path("semdedup_par_cents", base)
+
+  def semanticPar(spark: SparkSession, sfDir: String, tau: Double = 0.45,
+      k: Int = 256, iters: Int = 3): DataFrame =
+    semanticWithCap(spark, sfDir, tau, k, iters, cap = Int.MaxValue,
+      dumpKind = "semdedup_par_cents",
+      trainer = Kmeans.trainParallel(_, _, _))
+
   private def semanticWithCap(spark: SparkSession, sfDir: String,
-      tau: Double, k: Int, iters: Int, cap: Int,
-      dumpKind: String): DataFrame = {
+      tau: Double, k: Int, iters: Int, cap: Int, dumpKind: String,
+      trainer: (org.apache.spark.sql.Dataset[Vec], Int, Int) => Array[Kmeans.Centroid]
+        = Kmeans.train(_, _, _)): DataFrame = {
     import spark.implicits._
     val vecs = Similarity.loadVectors(spark, sfDir)
-    val cents = Kmeans.train(vecs, k, iters)
+    val cents = trainer(vecs, k, iters)
     val base = new java.io.File(sfDir).getName
     graft.core.SideDump.write(
       cents.toSeq.map(c => (c.cell, c.v.toSeq)).toDF("cell", "v"),
@@ -127,6 +150,7 @@ object SemDedup {
       case "semdedup_cents"        => lastBase = base
       case "semdedup_cap_cents"    => lastCappedBase = base
       case "semdedup_funnel_cents" => lastFunnelBase = base
+      case "semdedup_par_cents"    => lastParBase = base
       case other => throw new IllegalArgumentException(s"unknown dump kind $other")
     }
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))

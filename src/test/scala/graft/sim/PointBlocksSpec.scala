@@ -151,6 +151,21 @@ class PointBlocksSpec extends SparkSpec {
       "large-k blocked assignment diverged from the linear scan")
   }
 
+  test("the dedup_semantic_par gate surface actually exercises the blocked trainer path") {
+    val out = graft.dedup.SemDedup.semanticPar(spark, sf(), k = 256)
+    val rows = out.collect()
+    assert(Kmeans.lastTrainBlocked,
+      "k=256 through trainParallel must take the blocked assignment path")
+    info(s"k-means|| distributed seed reduction: ${Kmeans.lastReductionDistributed}")
+    assert(rows.length === 500)
+    // at k >> corpus the cells are tiny; every vector must still be
+    // accounted for and every non-empty cell keeps >= 1 member
+    val byCell = rows.groupBy(_.getInt(1))
+    byCell.foreach { case (cell, ms) =>
+      assert(ms.exists(_.getBoolean(3)), s"cell $cell kept nothing")
+    }
+  }
+
   test("prepare returns None on an empty corpus") {
     import spark.implicits._
     val empty = spark.emptyDataset[Vec]
