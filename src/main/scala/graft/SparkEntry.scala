@@ -304,6 +304,10 @@ object SparkEntry {
     "text_pipeline_ids" -> ((s, dir) => graft.text.CorpusPipeline.prepareIds(s, dir)),
     // ---- multimodal (stubbed decode; real plumbing) ----
     "mm_features" -> ((s, dir) => graft.multimodal.Multimodal.features(s, dir)),
+    // perceptual image near-dup: real QOI/BMP pixel decode + aHash
+    // where possible, stub hash elsewhere; SimHash band machinery
+    "mm_image_dedup" -> ((s, dir) =>
+      graft.multimodal.ImageDedup.imageDedup(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
   )
@@ -391,6 +395,8 @@ object SparkEntry {
     s"${graft.dedup.SemDedup.cappedDumpPath(graft.dedup.SemDedup.lastCappedBase)}/*.parquet"
   private def semDedupParGlob: String =
     s"${graft.dedup.SemDedup.parDumpPath(graft.dedup.SemDedup.lastParBase)}/*.parquet"
+  private def imgHashGlob: String =
+    s"${graft.multimodal.ImageDedup.dumpPath(graft.multimodal.ImageDedup.lastBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -2163,6 +2169,35 @@ object SparkEntry {
     // mirrors octet_length on the Spark side, so the stub-decode
     // arithmetic is reproducible in SQL even for non-ASCII text
     "mm_features" -> mmFeaturesSql,
+    // image near-dup: the per-image hashes are the dumped faith (the
+    // decode, real or stub, happened in the JVM); banding, bucket cap
+    // and the Hamming verify are the dedup_simhash oracle verbatim
+    "mm_image_dedup" ->
+      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$imgHashGlob')),
+         |$simhashBandCte,
+         |exact AS (
+         |  SELECT x.doc_id AS i, y.doc_id AS j,
+         |    bit_count(xor(x.sig, y.sig)) AS dist
+         |  FROM b x
+         |  JOIN b y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+         |  JOIN sz ON sz.band = x.band AND sz.h = x.h
+         |  WHERE sz.n BETWEEN 2 AND 1000),
+         |probes AS (
+         |  SELECT doc_id, sig, band, xor(h, (CAST(1 AS BIGINT) << p)) AS h
+         |  FROM b CROSS JOIN (SELECT unnest(range(0, 8)) AS p)),
+         |viap AS (
+         |  SELECT least(pr.doc_id, m.doc_id) AS i,
+         |    greatest(pr.doc_id, m.doc_id) AS j,
+         |    bit_count(xor(pr.sig, m.sig)) AS dist
+         |  FROM probes pr
+         |  JOIN sz ON sz.band = pr.band AND sz.h = pr.h
+         |    AND sz.n BETWEEN 1 AND 1000
+         |  JOIN b m ON m.band = pr.band AND m.h = pr.h
+         |    AND m.doc_id <> pr.doc_id)
+         |SELECT DISTINCT i, j
+         |FROM (SELECT i, j, dist FROM exact
+         |      UNION ALL SELECT i, j, dist FROM viap)
+         |WHERE dist <= 15""".stripMargin,
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes

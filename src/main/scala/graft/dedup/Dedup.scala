@@ -301,7 +301,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
 
   /** Exact-band candidate pairs (i, j, dist) from a signature frame. */
-  private[dedup] def simhashBandPairs(sigs: DataFrame, maxBucket: Int): DataFrame =
+  private[graft] def simhashBandPairs(sigs: DataFrame, maxBucket: Int): DataFrame =
     simhashBanded(sigs)
       .groupBy(col("band"), col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
@@ -340,7 +340,7 @@ object Dedup {
       maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame =
     simhashPairsMultiProbeOf(simhashSigs(spark, sfDir), maxHamming, maxBucket)
 
-  private[dedup] def simhashPairsMultiProbeOf(sigs0: DataFrame,
+  private[graft] def simhashPairsMultiProbeOf(sigs0: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     // three consumers (buckets, probes, exact-band pairs) — materialize
     // the narrow signature pass once
