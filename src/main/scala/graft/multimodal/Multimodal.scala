@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   * `moov/trak/tkhd` and `…/stbl/stts` boxes — plain big-endian
   * fields, no codec involved) —
   * MultimodalSpec feeds it real synthesized files and asserts exact
-  * values. `decodeStub` remains the deterministic FAKE for exactly
-  * one thing: compressed pixel/sample PAYLOADS (PNG IDAT inflate,
-  * JPEG entropy-coded scans, MP4 sample data), which genuinely need
+  * values. PIXEL data is decoded FOR REAL where no codec is needed:
+  * [[ImageDedup.decodeQoiPixels]] (the full QOI op set — RLE, not a
+  * media codec) and [[ImageDedup.decodeBmpPixels]] (uncompressed
+  * 24-bit rows) feed a real 8×8 perceptual hash. `decodeStub`
+  * remains the deterministic FAKE for exactly one thing:
+  * codec-compressed pixel/sample PAYLOADS (PNG IDAT inflate, JPEG
+  * entropy-coded scans, MP4 sample data), which genuinely need
   * media libraries this environment does not have. A real deployment
   * replaces ONLY the stub fallback with an actual codec (JNI/FFI,
   * or `mapInPandas` with PIL/torchaudio on PySpark); every other
