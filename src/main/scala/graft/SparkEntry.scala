@@ -308,6 +308,10 @@ object SparkEntry {
     // where possible, stub hash elsewhere; SimHash band machinery
     "mm_image_dedup" -> ((s, dir) =>
       graft.multimodal.ImageDedup.imageDedup(s, dir)),
+    // audio features: real PCM WAV sample decode where possible,
+    // byte-length stub elsewhere (the gate corpus is all-stub)
+    "mm_audio_features" -> ((s, dir) =>
+      graft.multimodal.AudioFeatures.audioFeatures(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
   )
@@ -2169,6 +2173,15 @@ object SparkEntry {
     // mirrors octet_length on the Spark side, so the stub-decode
     // arithmetic is reproducible in SQL even for non-ASCII text
     "mm_features" -> mmFeaturesSql,
+    // audio rows are doc_id % 3 == 1; the corpus payload is the text
+    // bytes, so every row takes the documented stub arithmetic
+    "mm_audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) * 2 AS BIGINT) AS n_samples,
+        |  CAST(strlen(text) % 32768 AS BIGINT) AS peak_abs,
+        |  CAST(strlen(text) % 1000 AS BIGINT) AS zero_crossings,
+        |  CAST(strlen(text) * 12345 AS BIGINT) AS energy
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
     // image near-dup: the per-image hashes are the dumped faith (the
     // decode, real or stub, happened in the JVM); banding, bucket cap
     // and the Hamming verify are the dedup_simhash oracle verbatim

@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.multimodal.Multimodal.MediaRow
+
+/** Audio feature extraction with REAL pure-JVM sample decode for the
+  * one audio container whose samples need no codec: PCM WAV (RIFF
+  * `fmt `/`data` chunk walk, 16-bit little-endian samples read
+  * directly — the audio twin of [[ImageDedup]]'s QOI/BMP pixel
+  * work). Features are INTEGER-EXACT over the first channel (no
+  * mixing arithmetic, no floats):
+  *
+  *  - `n_samples`: frames in the data chunk;
+  *  - `peak_abs`: max |sample|;
+  *  - `zero_crossings`: strict sign changes between consecutive
+  *    samples (zeros break a run — no crossing through silence);
+  *  - `energy`: Σ sample² (Long; 16-bit samples bound it at
+  *    ~2³¹ per million frames, far inside Long).
+  *
+  * Payloads the decoder cannot read (compressed audio, the gate
+  * corpus' fake bytes) take the documented deterministic STUB —
+  * arithmetic on byte length, the [[Multimodal.decodeStub]] honesty
+  * contract, so the gate corpus exercises the full pipeline around
+  * the decode while AudioFeaturesSpec pins the real path on
+  * synthesized PCM files.
+  *
+  * Scale: map-only over the media table, binary column read once,
+  * no shuffle — the same posture as `mm_features`.
+  */
+object AudioFeatures {
+
+  /** Frame-count ceiling (executor safety: 8 MB of 16-bit mono). */
+  private[multimodal] val MaxFrames = 4 * 1024 * 1024
+
+  /** Decode a 16-bit PCM WAV payload to (sampleRate, channels,
+    * first-channel samples). None for any other flavor. */
+  private[multimodal] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 44) return None
+    def tag(p: Int): String =
+      if (b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
+    def leInt(p: Int): Long = java.nio.ByteBuffer.wrap(b, p, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
+    def leShort(p: Int): Int = java.nio.ByteBuffer.wrap(b, p, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var p = 12
+    var fmtOk = false
+    var channels = 0
+    var rate = 0
+    var dataStart = -1
+    var dataLen = -1L
+    while (p + 8 <= b.length && (!fmtOk || dataStart < 0)) {
+      val id = tag(p)
+      val size = leInt(p + 4)
+      if (size < 0 || p + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = leShort(p + 8)
+        channels = leShort(p + 10)
+        rate = leInt(p + 12).toInt
+        val bits = leShort(p + 22)
+        if (audioFormat != 1 || bits != 16 || channels < 1) return None
+        fmtOk = true
+      } else if (id == "data") {
+        dataStart = p + 8
+        dataLen = size
+      }
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataStart < 0) return None
+    val frameBytes = 2 * channels
+    val frames = (dataLen / frameBytes).toInt
+    if (frames <= 0 || frames > MaxFrames) return None
+    val out = new Array[Short](frames)
+    var f = 0
+    while (f < frames) {
+      val at = dataStart + f * frameBytes
+      out(f) = ((b(at) & 0xff) | (b(at + 1) << 8)).toShort
+      f += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** (n_samples, peak_abs, zero_crossings, energy) — integer-exact. */
+  private[multimodal] def featuresOf(samples: Array[Short]): (Long, Long, Long, Long) = {
+    var peak = 0L; var crossings = 0L; var energy = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      energy += s * s
+      val sign = java.lang.Long.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      } else prevSign = 0 // silence breaks a run
+      i += 1
+    }
+    (samples.length.toLong, peak, crossings, energy)
+  }
+
+  /** Documented deterministic stub for undecodable payloads —
+    * arithmetic on byte length only, so the DuckDB oracle derives it
+    * from `octet_length(text)`. */
+  private[multimodal] def stubFeatures(byteLen: Long): (Long, Long, Long, Long) =
+    (byteLen * 2L, byteLen % 32768L, byteLen % 1000L, byteLen * 12345L)
+
+  /** Per-audio-row features: real PCM decode when possible, stub
+    * otherwise. */
+  def audioFeaturesOf(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .map { m =>
+        val (n, peak, zc, energy) = decodeWavPcm(m.media) match {
+          case Some((_, _, samples)) => featuresOf(samples)
+          case None                  => stubFeatures(m.media.length.toLong)
+        }
+        (m.media_id, n, peak, zc, energy)
+      }
+      .toDF("media_id", "n_samples", "peak_abs", "zero_crossings", "energy")
+  }
+
+  /** Gate surface over the synthesized media table (all-stub corpus:
+    * the oracle derives the stub arithmetic from octet_length). */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    audioFeaturesOf(Multimodal.mediaTable(spark, sfDir))
+}

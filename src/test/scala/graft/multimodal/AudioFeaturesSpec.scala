@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.MediaRow
+
+class AudioFeaturesSpec extends SparkSpec {
+
+  // spec-side PCM WAV encoder: RIFF + fmt (PCM, 16-bit) + data
+  private def wav(rate: Int, channels: Int,
+      frames: Seq[Seq[Int]]): Array[Byte] = {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val data = frames.flatMap(f => f.flatMap(le16)).toArray
+    val byteRate = rate * channels * 2
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(channels * 2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  test("PCM decode: mono square wave — exact frames, peak, crossings, energy") {
+    val n = 100
+    val frames = (0 until n).map(i => Seq(if (i % 2 == 0) 1000 else -1000))
+    val Some((rate, ch, samples)) = AudioFeatures.decodeWavPcm(wav(8000, 1, frames))
+    assert((rate, ch) === ((8000, 1)))
+    assert(samples.length === n)
+    val (ns, peak, zc, energy) = AudioFeatures.featuresOf(samples)
+    assert(ns === n.toLong)
+    assert(peak === 1000L)
+    assert(zc === (n - 1).toLong, "alternating signs cross every step")
+    assert(energy === n.toLong * 1000L * 1000L)
+  }
+
+  test("stereo: only the first channel is analyzed; silence breaks crossing runs") {
+    // ch0: 5, -5, 0, 7, -7 ; ch1: loud garbage that must be ignored
+    val frames = Seq(Seq(5, 30000), Seq(-5, -30000), Seq(0, 30000),
+      Seq(7, -30000), Seq(-7, 30000))
+    val Some((_, ch, samples)) = AudioFeatures.decodeWavPcm(wav(44100, 2, frames))
+    assert(ch === 2)
+    assert(samples.toSeq === Seq[Short](5, -5, 0, 7, -7))
+    val (ns, peak, zc, energy) = AudioFeatures.featuresOf(samples)
+    assert(ns === 5L)
+    assert(peak === 7L)
+    // 5→-5 crosses; -5→0 silence; 0→7 restarts a run; 7→-7 crosses
+    assert(zc === 2L)
+    assert(energy === (25L + 25L + 0L + 49L + 49L))
+  }
+
+  test("negative samples decode correctly (LE sign extension)") {
+    val Some((_, _, s)) = AudioFeatures.decodeWavPcm(
+      wav(8000, 1, Seq(Seq(-32768), Seq(32767), Seq(-1))))
+    assert(s.toSeq === Seq[Short](-32768, 32767, -1))
+  }
+
+  test("non-PCM, 8-bit, truncated and fake payloads fall back to the stub") {
+    val good = wav(8000, 1, Seq(Seq(1), Seq(2)))
+    // non-PCM audioFormat
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(AudioFeatures.decodeWavPcm(nonPcm).isEmpty)
+    // 8-bit
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(AudioFeatures.decodeWavPcm(eightBit).isEmpty)
+    // truncated data chunk
+    assert(AudioFeatures.decodeWavPcm(good.dropRight(1)).isEmpty)
+    // arbitrary bytes
+    assert(AudioFeatures.decodeWavPcm("not audio at all".getBytes).isEmpty)
+  }
+
+  test("the distributed pipeline takes the real path for real WAVs, the stub for fakes") {
+    import spark.implicits._
+    val real = wav(8000, 1, (0 until 10).map(i => Seq(i * 100)))
+    val fake = "pretend this is compressed audio".getBytes
+    val rows = Seq(
+      MediaRow(0L, "audio", real, "audio/wav", real.length.toLong),
+      MediaRow(1L, "audio", fake, "audio/mp3", fake.length.toLong),
+      MediaRow(2L, "image", real, "image/png", real.length.toLong)) // wrong kind
+    val out = AudioFeatures.audioFeaturesOf(rows.toDS()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L), "audio rows only")
+    assert(out(0L)._1 === 10L, "real decode: 10 frames, not the stub arithmetic")
+    assert(out(1L) === AudioFeatures.stubFeatures(fake.length.toLong))
+  }
+
+  test("gate corpus rows all take the stub (fake payloads) and match the arithmetic") {
+    val out = AudioFeatures.audioFeatures(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 === 1L, "audio kind is doc_id % 3 == 1")
+    }
+  }
+}
