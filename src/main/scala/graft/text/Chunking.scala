@@ -69,10 +69,18 @@ object Chunking {
   /** (doc_id, chunk_id, tok_start, n_tokens, chunk) per sliding
     * window. `tok_start` = chunk_id·stride (0-based token offset). */
   def chunks(spark: SparkSession, sfDir: String, window: Int = 64,
+      stride: Int = 48): DataFrame =
+    chunksOf(spark.read.parquet(s"$sfDir/documents.parquet"), window, stride)
+
+  /** [[chunks]] over a caller-supplied (doc_id, text) frame — the
+    * shape an ingest loop needs: chunking is STATELESS per document,
+    * so the same plan serves batch and `foreachBatch` micro-batches
+    * (ChunkingSpec pins streaming ≡ batch). */
+  def chunksOf(docs: DataFrame, window: Int = 64,
       stride: Int = 48): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    docs
       .select(col("doc_id"), expr(Tok.alphaToks).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).as("n"))
       .where(col("n") >= 1)

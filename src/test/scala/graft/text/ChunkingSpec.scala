@@ -87,6 +87,34 @@ class ChunkingSpec extends SparkSpec {
     assert(out.map(_._1).toSet === byDoc.filter(_._2.nonEmpty).keySet)
   }
 
+  test("streaming ingest: foreachBatch chunking equals the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= Chunking.chunksOf(ds).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getString(4)))
+        }
+        ()
+      }.start()
+    try {
+      docs.grouped(120).foreach { g => input.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = Chunking.chunks(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sorted.toSeq
+    assert(acc.sorted.toSeq === batch,
+      "micro-batched chunking must equal the one-shot operator")
+  }
+
   test("overlapping regions agree between consecutive chunks on the corpus") {
     val out = Chunking.chunks(spark, sf(), 64, 48).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
