@@ -57,10 +57,16 @@ object SemDedup {
   private[dedup] def assignCell(idx: CentroidIndex, r: Vec): (Int, Double) = {
     val cell = idx.nearest(r)
     val c = idx.cents(cell).v
-    var dot = 0.0; var j = 0
-    while (j < r.v.length) { dot += r.v(j) * c(j); j += 1 }
+    var dot = 0.0; var cn = 0.0; var j = 0
+    while (j < r.v.length) { dot += r.v(j) * c(j); cn += c(j) * c(j); j += 1 }
     val nrm = if (r.nrm == 0.0) 1.0 else r.nrm
-    (cell, dot / nrm)
+    // true cosine — divide by the STORED centroid's computed norm, not
+    // the nominal 1.0: trained centroids are unit only to ~1e-16, and
+    // the DuckDB oracle's list_cosine_similarity divides by the norm it
+    // recomputes from the dumped doubles, so evaluating the identical
+    // expression keeps near-.5-micro priority values engine-stable
+    val cnrm = math.sqrt(cn)
+    (cell, dot / (nrm * (if (cnrm == 0.0) 1.0 else cnrm)))
   }
 
   /** (vec_id, cell, cent_sim_micro, kept) for every embedding.

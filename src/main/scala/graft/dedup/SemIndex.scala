@@ -95,13 +95,16 @@ object SemIndex {
     import spark.implicits._
     val cents = loadCents(spark, path)
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
-    // (cell, sim, vec, is_batch) — cached: both the touched-cells
-    // side and the union side read it, and without the cache every
-    // probe would run the batch assignment twice
+    // (cell, sim, vec, is_batch) — localCheckpoint, not cache(): both
+    // the touched-cells side and the union side read it (without it
+    // every probe would run the batch assignment twice), but a cache()
+    // entry would pin one batch copy in executor storage PER PROBE
+    // CALL for the life of the session; checkpoint blocks are
+    // reclaimed by the ContextCleaner once the plan is unreferenced
     val batchAsg = batch.map { r =>
       val (cell, sim) = SemDedup.assignCell(bc.value, r)
       (cell, sim, r, true)
-    }.cache()
+    }.localCheckpoint()
     // index members of touched cells only, vectors re-fetched from
     // the corpus table (broadcast the batch's cell set — tiny)
     val touched = batchAsg.map(_._1).distinct()

@@ -52,7 +52,12 @@ object ImageDedup {
         ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
     val w = be32(4); val h = be32(8)
     val channels = b(12) & 0xff
-    if (w <= 0 || h <= 0 || w * h > MaxPixels) return None
+    // bound each unsigned-32 dimension BEFORE multiplying: w·h on two
+    // ~2³² values can wrap past 2⁶³ and sneak under a product-only
+    // guard (negative or small-positive), crashing the array alloc on
+    // a crafted 'qoif'-magic payload instead of falling back
+    if (w <= 0 || h <= 0 || w > MaxPixels || h > MaxPixels ||
+      w * h > MaxPixels) return None
     if (channels != 3 && channels != 4) return None
     val n = (w * h).toInt
     val out = new Array[Int](n)
@@ -262,7 +267,11 @@ object ImageDedup {
   def imageDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 15,
       maxBucket: Int = 1000): DataFrame = {
     val media = Multimodal.mediaTable(spark, sfDir)
-    val sigs = hashFrame(media).cache()
+    // localCheckpoint, not cache(): the dump write and the pair stage
+    // both read the hashes (decode must run once), but cache() would
+    // pin the signatures in executor storage for the session — the
+    // checkpoint's blocks are reclaimed once the plan is unreferenced
+    val sigs = hashFrame(media).localCheckpoint()
     lastBase = {
       graft.core.SideDump.write(sigs, "imghash_sigs",
         new java.io.File(sfDir).getName)

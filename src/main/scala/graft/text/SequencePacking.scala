@@ -93,24 +93,50 @@ object SequencePacking {
     * budget. The chunk stream needs this — its natural order is
     * (doc_id, chunk_id), which the typed doc packer cannot express.
     * `sortCols` must be a total order for determinism. */
+  /** Internal helper column for the materialized partition id — a
+    * name no reasonable caller schema carries, asserted anyway (a
+    * caller's own `pid`-named column would otherwise be silently
+    * overwritten and dropped). */
+  private val PidCol = "__graft_pid"
+
+  /** Weight read with integral widening: the advertised contract is
+    * "any integral weight column", so IntegerType must not throw a
+    * ClassCastException and anything non-integral must fail loudly. */
+  private def longAt(row: org.apache.spark.sql.Row, i: Int): Long =
+    row.get(i) match {
+      case l: java.lang.Long    => l.longValue()
+      case n: java.lang.Integer => n.longValue()
+      case s: java.lang.Short   => s.longValue()
+      case b: java.lang.Byte    => b.longValue()
+      case other => throw new IllegalArgumentException(
+        s"weight column must be integral, got ${String.valueOf(other)} " +
+          s"(${if (other == null) "null" else other.getClass.getName})")
+    }
+
   def packPrefixSum(df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column], weightCol: String,
-      budget: Long, partitions: Int = 32): DataFrame = {
+      budget: Long, partitions: Int = 32,
+      startOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructType}
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(!df.columns.contains(PidCol),
+      s"input must not carry a $PidCol column")
     val parts = df
       .repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
+      .withColumn(PidCol, spark_partition_id())
       .localCheckpoint()
-    val totals = parts.groupBy("pid").agg(sum(weightCol).as("t"))
+    val totals = parts.groupBy(PidCol).agg(sum(weightCol).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // startOffset: tokens already packed BEFORE this frame — lets an
+    // ingest loop continue the global prefix sum across micro-batches
+    // (batch-of-everything ≡ sum of batches; ChunkStreamSpec pins it)
     val offsets = (0 until partitions)
-      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+      .scanLeft(startOffset)((acc, pid) => acc + totals.getOrElse(pid, 0L))
     val bc = parts.sparkSession.sparkContext.broadcast(offsets)
-    val pidIdx = parts.schema.fieldIndex("pid")
+    val pidIdx = parts.schema.fieldIndex(PidCol)
     val wIdx = parts.schema.fieldIndex(weightCol)
-    val outSchema = StructType(parts.schema.filterNot(_.name == "pid"))
+    val outSchema = StructType(parts.schema.filterNot(_.name == PidCol))
       .add("pack_id", LongType, nullable = false)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     parts.mapPartitions { it =>
@@ -120,7 +146,7 @@ object SequencePacking {
         val pid = row.getInt(pidIdx)
         if (pid != curPid) { run = bc.value(pid); curPid = pid }
         val before = run
-        run += row.getLong(wIdx)
+        run += longAt(row, wIdx)
         val vals = row.toSeq.zipWithIndex.collect {
           case (v, i) if i != pidIdx => v
         } :+ (before / budget)
@@ -156,18 +182,20 @@ object SequencePacking {
   def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
       partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructType}
+    require(!df.columns.contains(PidCol),
+      s"input must not carry a $PidCol column")
     val parts = df
       .repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
+      .withColumn(PidCol, spark_partition_id())
       .localCheckpoint()
-    val counts = parts.groupBy("pid").count()
+    val counts = parts.groupBy(PidCol).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until partitions)
       .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
     val bc = parts.sparkSession.sparkContext.broadcast(offsets)
-    val pidIdx = parts.schema.fieldIndex("pid")
-    val outSchema = StructType(parts.schema.filterNot(_.name == "pid"))
+    val pidIdx = parts.schema.fieldIndex(PidCol)
+    val outSchema = StructType(parts.schema.filterNot(_.name == PidCol))
       .add("rank", LongType, nullable = false)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     parts.mapPartitions { it =>

@@ -8,12 +8,8 @@ class PointBlocksSpec extends SparkSpec {
   // deterministic clustered unit vectors (the shape a real embedding
   // corpus has — block pruning thrives on cluster structure, and the
   // EXACTNESS claims must hold regardless of it)
-  private def mix(seed: Long, j: Int): Double = {
-    var z = seed * 1000003L + j + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
-  }
+  private def mix(seed: Long, j: Int): Double =
+    graft.core.Mix.unitDouble(seed * 1000003L + j) - 0.5
   private def unit(seed: Long, d: Int): Array[Double] = {
     val v = Array.tabulate(d)(mix(seed, _))
     val n = math.sqrt(v.map(x => x * x).sum)
