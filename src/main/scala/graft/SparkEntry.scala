@@ -1987,9 +1987,14 @@ object SparkEntry {
          |SELECT doc_id, CAST(trunc(mg * 1000000.0) AS BIGINT) AS margin_micro,
          |  CAST(mg >= 0 AS INT) AS label
          |FROM mm""".stripMargin,
+    // frame sampling strides off the DECODED frame count: real video
+    // rows' nf is the moov/stts sample-count sum (= MediaSynth's
+    // closed form), fake rows' the stub arithmetic
     "mm_frames" ->
       """WITH v AS (
-        |  SELECT doc_id AS media_id, 1 + strlen(text) % 240 AS nf
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 10 + doc_id % 50
+        |         ELSE 1 + strlen(text) % 240 END AS nf
         |  FROM documents WHERE doc_id % 3 = 2),
         |f AS (
         |  SELECT media_id,
@@ -2169,19 +2174,48 @@ object SparkEntry {
         |  CAST((len(bigrams) - len(list_distinct(bigrams))) * 10 >= len(bigrams)
         |       AND len(bigrams) > 0 AS INT) AS is_repetitive
         |FROM b""".stripMargin,
-    // media payload = UTF-8 text bytes; strlen (DuckDB byte length)
-    // mirrors octet_length on the Spark side, so the stub-decode
-    // arithmetic is reproducible in SQL even for non-ASCII text
+    // half of each kind's rows carry REAL QOI/WAV/MP4 payloads with
+    // doc_id-closed-form parameters (MediaSynth); the other half carry
+    // UTF-8 text bytes — strlen (DuckDB byte length) mirrors
+    // octet_length for those rows' stub arithmetic
     "mm_features" -> mmFeaturesSql,
-    // audio rows are doc_id % 3 == 1; the corpus payload is the text
-    // bytes, so every row takes the documented stub arithmetic
+    // audio rows are doc_id % 3 == 1; REAL rows re-synthesize the PCM
+    // sample stream from MediaSynth's closed form (generate the exact
+    // samples, fold peak/crossings/energy with the decoder's
+    // zeros-break-runs rule) — the gate passes only if the JVM RIFF
+    // walk + 16-bit LE sample decode read the real WAV correctly;
+    // fake rows take the documented stub arithmetic
     "mm_audio_features" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(strlen(text) * 2 AS BIGINT) AS n_samples,
-        |  CAST(strlen(text) % 32768 AS BIGINT) AS peak_abs,
-        |  CAST(strlen(text) % 1000 AS BIGINT) AS zero_crossings,
-        |  CAST(strlen(text) * 12345 AS BIGINT) AS energy
-        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+      """WITH a AS (
+        |  SELECT doc_id, strlen(text) AS tl FROM documents WHERE doc_id % 3 = 1),
+        |realn AS (
+        |  SELECT doc_id, 64 + doc_id % 192 AS n FROM a WHERE (doc_id // 3) % 2 = 0),
+        |sv AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS i FROM realn),
+        |ss AS (
+        |  SELECT doc_id, i, (doc_id * 31 + i * 97) % 4001 - 2000 AS s FROM sv),
+        |lagd AS (
+        |  SELECT doc_id, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM ss),
+        |realf AS (
+        |  SELECT doc_id AS media_id,
+        |    count(*) AS n_samples,
+        |    max(abs(s)) AS peak_abs,
+        |    coalesce(sum(CASE WHEN s <> 0 AND prev <> 0
+        |                       AND sign(s) <> sign(prev) THEN 1 ELSE 0 END), 0)
+        |      AS zero_crossings,
+        |    sum(s * s) AS energy
+        |  FROM lagd GROUP BY doc_id),
+        |stubf AS (
+        |  SELECT doc_id AS media_id, tl * 2 AS n_samples, tl % 32768 AS peak_abs,
+        |    tl % 1000 AS zero_crossings, tl * 12345 AS energy
+        |  FROM a WHERE (doc_id // 3) % 2 = 1)
+        |SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(peak_abs AS BIGINT) AS peak_abs,
+        |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+        |  CAST(energy AS BIGINT) AS energy
+        |FROM (SELECT * FROM realf UNION ALL SELECT * FROM stubf)""".stripMargin,
     // image near-dup: the per-image hashes are the dumped faith (the
     // decode, real or stub, happened in the JVM); banding, bucket cap
     // and the Hamming verify are the dedup_simhash oracle verbatim
@@ -2217,16 +2251,39 @@ object SparkEntry {
          |FROM ($mmFeaturesSql) GROUP BY kind""".stripMargin,
   )
 
+  /** The mm_features oracle: REAL rows ((doc_id // 3) % 2 = 0) carry
+    * MediaSynth's closed-form container parameters — the gate passes
+    * only if the JVM decoders parse the real QOI/WAV/MP4 payloads
+    * correctly; fake rows re-derive the documented stub arithmetic
+    * from the text byte length. */
   private def mmFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  strlen(text) AS byte_len,
-      |  64 + (strlen(text) * 7919) % 1856 AS width,
-      |  64 + (strlen(text) * 104729) % 1016 AS height,
-      |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END AS n_frames,
-      |  CASE doc_id % 3 WHEN 1 THEN strlen(text) * 8
-      |       WHEN 2 THEN (1 + strlen(text) % 240) * 40 ELSE 0 END AS duration_ms,
-      |  0 AS orientation
+      |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
+      |    CASE doc_id % 3 WHEN 0 THEN 22 + 4 * (8 + doc_id % 9) * (8 + doc_id % 7)
+      |         WHEN 1 THEN 44 + 2 * (64 + doc_id % 192)
+      |         ELSE 280 END
+      |  ELSE strlen(text) END AS byte_len,
+      |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
+      |    CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9 WHEN 1 THEN 0
+      |         ELSE 320 + (doc_id % 17) * 16 END
+      |  ELSE 64 + (strlen(text) * 7919) % 1856 END AS width,
+      |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
+      |    CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 7 WHEN 1 THEN 0
+      |         ELSE 240 + (doc_id % 13) * 8 END
+      |  ELSE 64 + (strlen(text) * 104729) % 1016 END AS height,
+      |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
+      |    CASE WHEN doc_id % 3 = 2 THEN 10 + doc_id % 50 ELSE 1 END
+      |  ELSE CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 240 ELSE 1 END
+      |  END AS n_frames,
+      |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
+      |    CASE doc_id % 3 WHEN 1 THEN (64 + doc_id % 192) // 8
+      |         WHEN 2 THEN 1000 + doc_id % 5000 ELSE 0 END
+      |  ELSE CASE doc_id % 3 WHEN 1 THEN strlen(text) * 8
+      |       WHEN 2 THEN (1 + strlen(text) % 240) * 40 ELSE 0 END
+      |  END AS duration_ms,
+      |  CASE WHEN (doc_id // 3) % 2 = 0 AND doc_id % 3 = 0 THEN 1 ELSE 0
+      |  END AS orientation
       |FROM documents""".stripMargin
 
   private def ngramJaccardSql: String =

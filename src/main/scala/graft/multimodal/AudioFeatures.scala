@@ -17,12 +17,15 @@ import graft.multimodal.Multimodal.MediaRow
   *  - `energy`: Σ sample² (Long; 16-bit samples bound it at
   *    ~2³¹ per million frames, far inside Long).
   *
-  * Payloads the decoder cannot read (compressed audio, the gate
-  * corpus' fake bytes) take the documented deterministic STUB —
-  * arithmetic on byte length, the [[Multimodal.decodeStub]] honesty
-  * contract, so the gate corpus exercises the full pipeline around
-  * the decode while AudioFeaturesSpec pins the real path on
-  * synthesized PCM files.
+  * Payloads the decoder cannot read (compressed audio, text bytes)
+  * take the documented deterministic STUB — arithmetic on byte
+  * length, the [[Multimodal.decodeStub]] honesty contract. The gate
+  * corpus carries REAL PCM WAV payloads on half its audio rows
+  * ([[MediaSynth]]), so the hash gate crosses the RIFF walk + 16-bit
+  * sample decode (the oracle re-synthesizes the exact sample stream
+  * and refolds the features in SQL) and the stub in one run;
+  * AudioFeaturesSpec additionally pins edge cases on synthesized
+  * files.
   *
   * Scale: map-only over the media table, binary column read once,
   * no shuffle — the same posture as `mm_features`.
@@ -121,8 +124,9 @@ object AudioFeatures {
       .toDF("media_id", "n_samples", "peak_abs", "zero_crossings", "energy")
   }
 
-  /** Gate surface over the synthesized media table (all-stub corpus:
-    * the oracle derives the stub arithmetic from octet_length). */
+  /** Gate surface over the synthesized media table: real PCM decode
+    * on [[MediaSynth.isReal]] rows (oracle re-synthesizes the sample
+    * stream), stub arithmetic on the rest. */
   def audioFeatures(spark: SparkSession, sfDir: String): DataFrame =
     audioFeaturesOf(Multimodal.mediaTable(spark, sfDir))
 }

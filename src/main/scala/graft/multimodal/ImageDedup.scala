@@ -18,10 +18,11 @@ import graft.multimodal.Multimodal.MediaRow
   * RGB/RGBA are a dozen lines of public spec, qoiformat.org) and
   * uncompressed 24-bit BMP. Everything else takes the documented
   * stub hash (a deterministic strided byte sample — the same honesty
-  * contract as [[Multimodal.decodeStub]]: the gate corpus carries
-  * fake payloads, so the gate exercises the fallback byte-aHash
-  * while ImageDedupSpec pins the real decode + hash on synthesized
-  * files).
+  * contract as [[Multimodal.decodeStub]]). The gate corpus carries
+  * REAL QOI payloads on half its image rows ([[MediaSynth]]), so the
+  * hash gate crosses the full pixel decode + aHash path AND the
+  * byte-aHash fallback in one run; ImageDedupSpec additionally pins
+  * the decode on hand-assembled op streams.
   *
   * Scale design: hashing is map-only over the media table (one
   * narrow pass, binary column read once); the pair stage shuffles

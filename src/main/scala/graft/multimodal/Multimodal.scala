@@ -53,22 +53,52 @@ object Multimodal {
       width: Long, height: Long, n_frames: Long, duration_ms: Long,
       orientation: Long)
 
-  /** Synthesize a media table from `documents` (text bytes stand in
-    * for the payload): deterministic kinds by doc_id. */
+  /** Synthesize a media table from `documents`: deterministic kinds by
+    * doc_id; HALF of each kind's rows carry a REAL decodable payload
+    * (QOI / PCM WAV / MP4 moov, [[MediaSynth]]) whose parameters are
+    * closed forms of doc_id, the other half carry the raw text bytes
+    * (undecodable → the stub fallback) — so every `mm_*` hash gate
+    * crosses BOTH the real decoders and the stub in one run. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val mime =
+          if (MediaSynth.isReal(id)) (id % 3) match {
+            case 0 => "image/qoi"; case 1 => "audio/wav"; case _ => "video/mp4"
+          }
+          else (id % 3) match {
+            case 0 => "image/png"; case 1 => "audio/wav"; case _ => "video/mp4"
+          }
+        val payload = MediaSynth.payload(id, text)
+        // payload size recorded as METADATA at ingest so size rollups
+        // never have to touch the binary column ([[mediaMeta]])
+        MediaRow(id, kind, payload, mime, payload.length.toLong)
+      }
+  }
+
+  /** INGEST-TIME METADATA as a declarative frame — (media_id, kind,
+    * byte_len) with every value a Catalyst expression (real rows'
+    * lengths are [[MediaSynth.realByteLen]]'s closed form; fake rows'
+    * the text byte length), so metadata rollups never materialize the
+    * payload and column pruning reaches the scan. MultimodalSpec pins
+    * equality with [[mediaTable]]'s per-row metadata. */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
         col("doc_id").as("media_id"),
         expr("element_at(array('image','audio','video'), cast(doc_id % 3 AS int) + 1)").as("kind"),
-        col("text").cast("binary").as("media"),
-        expr("element_at(array('image/png','audio/wav','video/mp4'), cast(doc_id % 3 AS int) + 1)").as("mime"),
-        // payload size recorded as METADATA at ingest so size rollups
-        // never have to touch the binary column; octet_length (bytes,
-        // not characters) so it equals media.length for non-ASCII text
-        octet_length(col("text")).cast("long").as("byte_len"))
-      .as[MediaRow]
-  }
+        expr("""CASE WHEN (doc_id DIV 3) % 2 = 0 THEN
+                  CASE doc_id % 3
+                    WHEN 0 THEN 22 + 4 * (8 + doc_id % 9) * (8 + doc_id % 7)
+                    WHEN 1 THEN 44 + 2 * (64 + doc_id % 192)
+                    ELSE 280 END
+                ELSE octet_length(text) END""").cast("long").as("byte_len"))
 
   /** STUB decode (see class doc): features from byte length only, so an
     * arithmetic SQL oracle can verify the full pipeline around it.
@@ -426,13 +456,12 @@ object Multimodal {
         expr("(media_id * 31 + frame_idx * 7) % 256").as("luma"))
 
   /** Metadata-only rollup: aggregates ONLY ingest-time metadata columns
-    * (kind, byte_len), so column pruning drops the binary payload at
-    * the scan — asserted in MultimodalSpec. Feature rollups that need
-    * decoded values (width etc.) go through [[features]] and pay the
-    * payload IO by construction. */
+    * (kind, byte_len) via [[mediaMeta]], so the payload is never even
+    * an expression in the plan — asserted in MultimodalSpec. Feature
+    * rollups that need decoded values (width etc.) go through
+    * [[features]] and pay the payload IO by construction. */
   def kindSummary(spark: SparkSession, sfDir: String): DataFrame =
-    mediaTable(spark, sfDir).toDF()
-      .select(col("kind"), col("byte_len"))
+    mediaMeta(spark, sfDir)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"))
 }

@@ -83,12 +83,33 @@ class AudioFeaturesSpec extends SparkSpec {
     assert(out(1L) === AudioFeatures.stubFeatures(fake.length.toLong))
   }
 
-  test("gate corpus rows all take the stub (fake payloads) and match the arithmetic") {
+  test("gate corpus: real rows decode the synthesized PCM exactly, fakes take the stub") {
     val out = AudioFeatures.audioFeatures(spark, sf()).collect()
     assert(out.nonEmpty)
+    var nReal = 0; var nFake = 0
     out.foreach { r =>
       val id = r.getLong(0)
       assert(id % 3 === 1L, "audio kind is doc_id % 3 == 1")
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (MediaSynth.isReal(id)) {
+        nReal += 1
+        val n = MediaSynth.wavFrames(id)
+        val samples = Array.tabulate(n)(i => MediaSynth.wavSample(id, i))
+        assert(got === AudioFeatures.featuresOf(samples),
+          s"real row $id must carry features of the exact synthesized samples")
+        assert(got._1 === n.toLong)
+      } else nFake += 1 // stub arithmetic checked against byte_len below
+    }
+    assert(nReal >= nFake && nFake > 0,
+      s"gate must cross both paths: real=$nReal fake=$nFake")
+    // fake rows: stub arithmetic over the text byte length, verified
+    // against the media table's recorded metadata
+    val lens = Multimodal.mediaTable(spark, sf()).collect()
+      .map(m => m.media_id -> m.byte_len).toMap
+    out.filter(r => !MediaSynth.isReal(r.getLong(0))).foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === AudioFeatures.stubFeatures(lens(id)))
     }
   }
 }

@@ -150,14 +150,29 @@ class ImageDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hA ^ hB) > 32)
   }
 
-  test("gate corpus: every image row is hashed and dumped, stub path only") {
+  test("gate corpus: every image row hashed and dumped; real rows cross the pixel decode") {
     val out = ImageDedup.imageDedup(spark, sf())
     out.collect() // force + dump
     val dumped = spark.read.parquet(ImageDedup.dumpPath(ImageDedup.lastBase))
-    val nImages = Multimodal.mediaTable(spark, sf()).filter(_.kind == "image").count()
-    assert(dumped.count() === nImages)
-    // the fake payloads (text bytes) must take the stub hash
-    val m = Multimodal.mediaTable(spark, sf()).filter(_.kind == "image").head()
-    assert(ImageDedup.imageHash(m.media) === ImageDedup.stubImageHash(m.media))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val images = Multimodal.mediaTable(spark, sf()).filter(_.kind == "image").collect()
+    assert(dumped.size === images.length)
+    var nReal = 0; var nFake = 0
+    images.foreach { m =>
+      if (MediaSynth.isReal(m.media_id)) {
+        nReal += 1
+        // the dumped signature must be the REAL pixel decode's aHash
+        val Some((w, h, px)) = ImageDedup.decodeQoiPixels(m.media)
+        assert((w, h) === ((MediaSynth.qoiWidth(m.media_id),
+          MediaSynth.qoiHeight(m.media_id))))
+        assert(dumped(m.media_id) === ImageDedup.aHash64(w, h, px).get)
+      } else {
+        nFake += 1
+        // fake payloads (text bytes) must take the stub hash
+        assert(dumped(m.media_id) === ImageDedup.stubImageHash(m.media))
+      }
+    }
+    assert(nReal >= nFake && nFake > 0,
+      s"gate must cross both hash paths: real=$nReal fake=$nFake")
   }
 }
