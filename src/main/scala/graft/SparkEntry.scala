@@ -185,6 +185,9 @@ object SparkEntry {
     // at the planted J>=0.9 dups LSH pairs equal exact pairs (recall
     // 1-4e-8), so both share the exact operators' hash oracles
     "dedup_clusters_lsh" -> ((s, dir) => graft.dedup.Dedup.ngramClustersLsh(s, dir)),
+    // same clustering forced through the distributed hash-min regime
+    // (the path a 100 TB pair graph always takes)
+    "dedup_clusters_dist" -> ((s, dir) => graft.dedup.Dedup.ngramClustersDist(s, dir)),
     "dedup_split_leakage_lsh" -> ((s, dir) => graft.dedup.Dedup.splitLeakageLsh(s, dir)),
     // windowed exact-substring dedup (Lee et al. 2022, Spark-first)
     "dedup_incremental" -> ((s, dir) => graft.dedup.LshIndex.dedupIncremental(s, dir)),
@@ -1386,6 +1389,8 @@ object SparkEntry {
     // cluster id = min doc_id reachable (matches hash-min propagation)
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersSql,
+    // hash-min label propagation converges to the same min-id labels
+    "dedup_clusters_dist" -> dedupClustersSql,
     // simhash gates: the per-doc SIGNATURES are side-dumped run-scoped
     // (simhashSigsGlob) and are the only artifact taken on faith — the
     // banding, bucket caps, radius-1 probe fan-out, Hamming filter and

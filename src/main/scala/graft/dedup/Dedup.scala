@@ -400,6 +400,7 @@ object Dedup {
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
     val small = edges.count() <= driverMaxEdges * 2
+    lastHashMinIters = 0 // driver path reports 0; hash-min overwrites
     val labels = if (small) driverUnionFind(edges) else hashMinLabels(edges, maxIters)
     // broadcast only the driver-sized result; the large-regime label
     // table is exactly what must NOT be collected to the driver
@@ -434,8 +435,15 @@ object Dedup {
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
   }
 
+  /** Iterations the last [[hashMinLabels]] run took to reach its
+    * fixpoint (0 when the driver union-find path ran instead) — the
+    * scale rehearsal's observability knob ([[graft.sim.SemScaleBench]]
+    * records iterations-to-fixpoint alongside the wall). */
+  @volatile private[graft] var lastHashMinIters: Int = 0
+
   /** Large-graph path: distributed hash-min label propagation. */
   private def hashMinLabels(edges: DataFrame, maxIters: Int): DataFrame = {
+    lastHashMinIters = 0
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
@@ -454,6 +462,7 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       it += 1
     }
+    lastHashMinIters = it
     labels.select(col("id"), col("comp"))
   }
 
@@ -481,6 +490,19 @@ object Dedup {
       documents(spark, sfDir).select(col("doc_id")),
       "doc_id",
       minhashLsh(spark, sfDir, tau))
+
+  /** [[ngramClustersLsh]] FORCED through the distributed hash-min
+    * label-propagation regime (driverMaxEdges = 0) — hash-min unions
+    * toward the same min-id canonical labels as the driver union-find,
+    * so this shares `dedup_clusters`' recursive-CTE oracle and stands
+    * as the hash gate for the large-graph path (which a 100 TB corpus
+    * always takes; SemScaleBench measures it at 4.8M edges). */
+  def ngramClustersDist(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    connectedComponents(
+      documents(spark, sfDir).select(col("doc_id")),
+      "doc_id",
+      minhashLsh(spark, sfDir, tau),
+      driverMaxEdges = 0L)
 
   /** Train/val split leakage — the decontamination check a held-out
     * set needs before any eval is trusted: a deterministic id-hash

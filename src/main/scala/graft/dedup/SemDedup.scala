@@ -159,6 +159,19 @@ object SemDedup {
       case "semdedup_par_cents"    => lastParBase = base
       case other => throw new IllegalArgumentException(s"unknown dump kind $other")
     }
+    semanticOf(vecs, cents, tau, cap)
+  }
+
+  /** The assign + within-cell pairwise core over CALLER-SUPPLIED
+    * vectors and trained centroids — the library surface for a corpus
+    * that does not live in an sfDir (and the scale-rehearsal entry
+    * point, [[graft.sim.SemScaleBench]]). Exactly the gate pipeline
+    * minus the load and the codebook side dump. */
+  def semanticOf(vecs: org.apache.spark.sql.Dataset[Vec],
+      cents: Array[Kmeans.Centroid], tau: Double,
+      cap: Int = Int.MaxValue): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
     vecs
       .map { r =>
