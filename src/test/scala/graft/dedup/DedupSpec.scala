@@ -83,9 +83,21 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccard(spark, sf())
     val uf = Dedup.connectedComponents(docs, "doc_id", pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastHashMinIters === 0, "driver path reports 0 iterations")
     val hm = Dedup.connectedComponents(docs, "doc_id", pairs, driverMaxEdges = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uf === hm)
+    assert(Dedup.lastHashMinIters > 0, "forced threshold must engage hash-min")
+  }
+
+  test("dedup_clusters_dist gate surface runs the hash-min regime and matches the driver path") {
+    val dist = Dedup.ngramClustersDist(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastHashMinIters > 0,
+      "the dist gate must actually cross the distributed regime")
+    val base = Dedup.ngramClustersLsh(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === base)
   }
 
   test("pairs are canonical (i < j) and duplicate-free") {
