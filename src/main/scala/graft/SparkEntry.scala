@@ -267,6 +267,11 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
+    // integer feature-hash embedding (the hashing trick, FNV-31
+    // buckets) + lexical nearest-neighbors over it — the hash-gated
+    // twin of the Embed seam's HashEncoder
+    "text_embed_buckets" -> ((s, dir) => graft.text.Embed.hashBuckets(s, dir)),
+    "text_embed_topk" -> ((s, dir) => graft.text.Embed.bucketTopK(s, dir)),
     "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
     "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
     "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
@@ -2163,6 +2168,41 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    // integer feature-hash embedding: FNV-1a-31 over unigrams+bigrams
+    // (the text_classify FNV fold), signed parity buckets — every
+    // weight integer-exact, no float faith anywhere
+    "text_embed_buckets" ->
+      s"""WITH $embedBucketCtes
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, weight
+         |FROM w""".stripMargin,
+    // lexical top-k over the bucket vectors: integer dot and norms;
+    // the ONE double op (dot / sqrt(n·n)) runs on identical integer
+    // operands in both engines, ties to the lower neighbor id
+    "text_embed_topk" ->
+      s"""WITH $embedBucketCtes,
+         |n2 AS (SELECT doc_id, sum(weight * weight) AS n2 FROM w GROUP BY doc_id),
+         |q AS (SELECT doc_id AS query_id, bucket, weight AS qw
+         |      FROM w WHERE doc_id < 5),
+         |dots AS (
+         |  SELECT q.query_id, w.doc_id AS neighbor_id,
+         |    sum(w.weight * q.qw) AS dot
+         |  FROM w JOIN q ON w.bucket = q.bucket AND w.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) /
+         |      sqrt(CAST(dn.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE)) AS cos
+         |  FROM dots
+         |  JOIN n2 dn ON dn.doc_id = neighbor_id
+         |  JOIN n2 qn ON qn.doc_id = query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  CAST(trunc(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM r WHERE rank <= 10""".stripMargin,
     "text_repetition" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -2290,6 +2330,37 @@ object SparkEntry {
       |  CASE WHEN (doc_id // 3) % 2 = 0 AND doc_id % 3 = 0 THEN 1 ELSE 0
       |  END AS orientation
       |FROM documents""".stripMargin
+
+  /** Shared CTE chain for the integer feature-hash embedding gates:
+    * engine tokenizer → unigrams+bigrams → FNV-1a masked to 31 bits
+    * (the text_classify fold) → signed parity buckets → nonzero
+    * integer weights. Ends defining `w(doc_id, bucket, weight)`. */
+  private def embedBucketCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_concat(t,
+      |    CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |      ELSE [] END)) AS g
+      |  FROM toks),
+      |hh AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+      |      list_transform(range(1, strlen(g) + 1),
+      |        i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (hv, cv) -> (xor(hv, cv) * 16777619) % 4294967296) % 2147483648 AS h
+      |  FROM g),
+      |b AS (
+      |  SELECT doc_id, h % 32 AS bucket,
+      |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM hh),
+      |w AS (
+      |  SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+      |  FROM b GROUP BY doc_id, bucket
+      |  HAVING sum(s) <> 0)""".stripMargin
 
   private def ngramJaccardSql: String =
     """WITH toks AS (

@@ -95,11 +95,12 @@ object Kmeans {
     val spark = corpus.sparkSession
     var cents = seeds
     val blockedPrep =
-      if (iters > 0 && seeds.length >= blockedAbove) PointBlocks.prepare(corpus)
+      if (iters > 0 && seeds.length >= blockedAbove)
+        staged("lloyd blocked prepare") { PointBlocks.prepare(corpus) }
       else None
     lastTrainBlocked = blockedPrep.isDefined
-    for (_ <- 0 until iters) {
-      val sums: Array[(Int, Array[Double], Long)] = blockedPrep match {
+    for (round <- 0 until iters) {
+      val sums: Array[(Int, Array[Double], Long)] = staged(s"lloyd round $round") { blockedPrep match {
         case Some((blocked, model)) =>
           PointBlocks.assignSum(blocked, model, cents)
         case None =>
@@ -121,7 +122,7 @@ object Kmeans {
             .collect()
           bc.destroy()
           s
-      }
+      } }
       val byCell = sums.map { case (cell, sum, _) => cell -> sum }.toMap
       cents = cents.map { c =>
         byCell.get(c.cell) match {
@@ -142,19 +143,19 @@ object Kmeans {
     * round), so seeding is reproducible without any RNG state. */
   private def hashUniform(x: Long): Double = graft.core.Mix.unitDouble(x)
 
-  /** Spherical cost of `r` against the current seed set: 1 − max
-    * cosine (0 on a seed, →2 opposite). */
-  private def seedCost(r: Vec, seeds: Array[Array[Double]]): Double = {
-    var best = Double.NegativeInfinity
-    var i = 0
-    while (i < seeds.length) {
-      var dot = 0.0; var j = 0
-      val sv = seeds(i); val rv = r.v
-      while (j < rv.length) { dot += rv(j) * sv(j); j += 1 }
-      if (dot > best) best = dot
-      i += 1
-    }
-    1.0 - best / (if (r.nrm == 0.0) 1.0 else r.nrm)
+  /** Stage walls of the last trainer run (label → seconds) — the
+    * scale benches' observability: optimizing a 19-minute train
+    * needs to know WHICH stage holds the 19 minutes
+    * ([[SemScaleBench]] prints this). Cleared by [[seedParallel]],
+    * appended by every timed stage; negligible overhead (one
+    * nanoTime pair per stage). */
+  @volatile private[sim] var lastTrainStages: List[(String, Double)] = Nil
+
+  private def staged[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    lastTrainStages = lastTrainStages :+ (label -> (System.nanoTime() - t0) / 1e9)
+    r
   }
 
   /** k-means‖ seeding (Bahmani et al., VLDB 2012) — the scalable
@@ -187,45 +188,122 @@ object Kmeans {
       reduceDistributedAbove: Int = 1024): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
+    lastTrainStages = Nil
     val first = corpus.orderBy(col("vec_id")).head()
     var seeds: Array[Array[Double]] = Array(normalize(first.v))
+    // INCREMENTAL cost state — the classic k-means‖ formulation: each
+    // point carries (bestSeedIdx, bestDot) against the seed set so
+    // far, updated by scanning ONLY each round's new seeds. The
+    // values are bit-identical to a full rescan (max is
+    // order-insensitive; strict-> with in-index-order scanning keeps
+    // the linear scan's first-best tie-break), but the work per round
+    // drops from O(n·|seeds|·d) TWICE (φ pass + pick pass) to one
+    // O(n·|new|·d) update — and the final weight pass becomes a FREE
+    // count over the carried argmax instead of an O(n·|seeds|·d)
+    // nearest sweep. (r10: at n = 10⁶, k = 16 384 the two-rescan
+    // formulation held ~70% of the 19-minute train; BENCH_NOTES.)
+    // State rows stay in corpus partition order (narrow map +
+    // localCheckpoint), so the φ partial-sum fold order — and with it
+    // every borderline hash-coin selection — is unchanged.
+    def updateState(prev: Dataset[(Vec, Int, Double)],
+        newSeeds: Array[Array[Double]], base: Int): Dataset[(Vec, Int, Double)] = {
+      // TILED scan (seeds outer over 512-point blocks): k-means‖ seeds
+      // are spread BY CONSTRUCTION, which defeats cluster-bound pruning
+      // (a floor-bounded CentroidIndex variant was measured at ≤ 25%
+      // — BENCH_NOTES r10) — but the unpruned per-point loop is
+      // memory-bound re-streaming the ~17 MB new-seed matrix per
+      // point. Tiling streams it once per 512-point block (256× less
+      // traffic); dots, scan order (seed index ascending per point)
+      // and the strict-> comparison are unchanged, so the carried
+      // state is bit-identical to the naive loop.
+      val bc = spark.sparkContext.broadcast(newSeeds)
+      val next = prev.mapPartitions { it =>
+        val ns = bc.value
+        it.grouped(512).flatMap { blockSeq =>
+          val block = blockSeq.toArray
+          val bi = new Array[Int](block.length)
+          val bd = new Array[Double](block.length)
+          var p = 0
+          while (p < block.length) {
+            bi(p) = block(p)._2; bd(p) = block(p)._3; p += 1
+          }
+          var i = 0
+          while (i < ns.length) {
+            val sv = ns(i)
+            var q = 0
+            while (q < block.length) {
+              val rv = block(q)._1.v
+              var dot = 0.0; var j = 0
+              while (j < rv.length) { dot += rv(j) * sv(j); j += 1 }
+              if (dot > bd(q)) { bd(q) = dot; bi(q) = base + i }
+              q += 1
+            }
+            i += 1
+          }
+          block.iterator.zipWithIndex.map { case ((x, _, _), p2) =>
+            (x, bi(p2), bd(p2))
+          }
+        }
+      }.localCheckpoint()
+      next.count() // materialize before releasing the previous state
+      prev.unpersist()
+      bc.destroy()
+      next
+    }
+    def costOf(x: Vec, bestDot: Double): Double =
+      1.0 - bestDot / (if (x.nrm == 0.0) 1.0 else x.nrm)
+    var state: Dataset[(Vec, Int, Double)] =
+      staged("seed state init") {
+        updateState(
+          corpus.map(x => (x, -1, Double.NegativeInfinity)), seeds, 0)
+      }
     for (r <- 1 to rounds) {
-      val bc = spark.sparkContext.broadcast(seeds)
       // φ summed from per-partition partials in FIXED partition-index
       // order: Dataset.reduce folds in task-completion order, which
       // can differ across runs in the last ulp and flip borderline
       // hash-coin selections — breaking the "deterministic without RNG
       // state" contract. Partition-ordered summation is reproducible
       // for a fixed partitioning of the corpus.
-      val phi = corpus.mapPartitions { it =>
-        val s = it.foldLeft(0.0)((a, x) => a + seedCost(x, bc.value))
-        Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-      }.collect().sortBy(_._1).map(_._2).sum
+      val phi = staged(s"seed round $r phi (|seeds|=${seeds.length})") {
+        state.mapPartitions { it =>
+          val s = it.foldLeft(0.0)((a, x) => a + costOf(x._1, x._3))
+          Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+        }.collect().sortBy(_._1).map(_._2).sum
+      }
       if (phi > 0) {
         val threshold = oversample * k / phi
-        val picked = corpus
-          .filter(x => hashUniform(x.vec_id * 1000003L + r) <
-            threshold * seedCost(x, bc.value))
-          .collect().sortBy(_.vec_id) // stable order for reproducibility
-        seeds = seeds ++ picked.map(v => normalize(v.v))
+        val picked = staged(s"seed round $r pick") {
+          state
+            .filter { case (x, _, bd) =>
+              hashUniform(x.vec_id * 1000003L + r) < threshold * costOf(x, bd)
+            }
+            .map(_._1)
+            .collect().sortBy(_.vec_id) // stable order for reproducibility
+        }
+        val newSeeds = picked.map(v => normalize(v.v))
+        if (newSeeds.nonEmpty) {
+          state = staged(s"seed round $r state update (+${newSeeds.length})") {
+            updateState(state, newSeeds, seeds.length)
+          }
+          seeds = seeds ++ newSeeds
+        }
       }
-      bc.destroy()
     }
-    // weights: points served by each oversampled seed (one pass) —
-    // pruned-exact nearest; |seeds| ≈ ℓ·rounds·k is exactly the
-    // large-k regime where the linear scan would dominate the pass
-    val asSeedCents = seeds.zipWithIndex.map { case (v, i) => Centroid(i, v) }
-    val bcS = spark.sparkContext.broadcast(CentroidIndex.build(asSeedCents))
-    val weights = corpus.map(x => bcS.value.nearest(x))
-      .groupByKey(identity).count().collect().toMap
-    bcS.destroy()
+    // weights: points served by each oversampled seed — read straight
+    // off the carried argmax (identical first-best contract to the
+    // pruned/linear nearest sweep this replaces)
+    val weights = staged("seed weight count") {
+      state.map(_._2).groupByKey(identity).count().collect().toMap
+    }
+    state.unpersist()
     val w = seeds.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1e-9)).toArray
     lastReductionDistributed = seeds.length > reduceDistributedAbove
-    val cents: Array[Array[Double]] =
+    val cents: Array[Array[Double]] = staged("seed reduction") {
       if (lastReductionDistributed)
         reduceSeedsDistributed(spark, seeds, w, k)
       else
         reduceSeedsDriver(seeds, w, k)
+    }
     // pad (degenerate corpora smaller than k) by reusing seeds
     val padded = (0 until k).map(i => cents(i % cents.length)).toArray
     padded.zipWithIndex.map { case (v, i) => Centroid(i, v) }

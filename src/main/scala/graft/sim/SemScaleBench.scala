@@ -89,6 +89,9 @@ object SemScaleBench {
     }
     println(s"[sem-scale] trainer flags: blockedAssignment=${Kmeans.lastTrainBlocked} " +
       s"distributedSeedReduction=${Kmeans.lastReductionDistributed}")
+    Kmeans.lastTrainStages.foreach { case (l, s) =>
+      println(f"[sem-scale]   train stage: $l: $s%.1f s")
+    }
     require(Kmeans.lastTrainBlocked, "blocked assignment path must engage at this k")
     require(Kmeans.lastReductionDistributed,
       "distributed seed reduction must engage at this k")

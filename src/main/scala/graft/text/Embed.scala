@@ -1,6 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** The EMBEDDER SEAM: where a real text encoder plugs into the
@@ -98,4 +100,85 @@ object Embed {
       stride: Int = 48, batchSize: Int = 64): DataFrame =
     embedColumn(Chunking.chunksOf(docs, window, stride), "chunk", enc,
       batchSize = batchSize)
+
+  // ── INTEGER feature-hash embedding (the gate-able twin) ───────────
+  //
+  // [[HashEncoder]]'s splitmix64 needs 64-bit WRAPPING multiplies,
+  // which DuckDB errors on rather than wraps — so the hash-gated
+  // surface uses the engine's FNV-1a-31 Catalyst expression
+  // ([[graft.core.FnvHash31]], codegen) with INTEGER bucket weights:
+  // every value is exactly representable, so the oracle re-derives the
+  // vectors (and the cosine ranking over them) with no float faith.
+
+  /** Sparse integer bucket vectors (doc_id, bucket, weight) over the
+    * engine tokenizer's unigrams + bigrams: bucket = fnv31(gram) mod
+    * dim, sign = parity of the hash; zero-sum buckets dropped (the
+    * vector is sparse by construction). Fully declarative — the FNV
+    * expression is codegen, the rest is explode + groupBy (one
+    * shuffle, map-side combined). */
+  def hashBucketsOf(docs: DataFrame, dim: Int = 32): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val grams = docs
+      .select(col("doc_id"), expr(Tok.alphaToks).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """concat(t, CASE WHEN size(t) >= 2
+          |  THEN transform(slice(t, 1, size(t) - 1),
+          |    (x, i) -> concat(x, ' ', element_at(t, i + 2)))
+          |  ELSE array() END)""".stripMargin)).as("g"))
+    val h = bridge.column(graft.core.FnvHash31(bridge.expression(col("g"))))
+    grams
+      .select(col("doc_id"), (h % dim).cast("long").as("bucket"),
+        when(h % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
+  /** Gate surface over the documents table. */
+  def hashBuckets(spark: SparkSession, sfDir: String, dim: Int = 32): DataFrame =
+    hashBucketsOf(spark.read.parquet(s"$sfDir/documents.parquet"), dim)
+
+  /** Lexical nearest-neighbors over the integer bucket vectors: the
+    * first `nQueries` doc ids rank the whole corpus by cosine (integer
+    * dot and norms; ONE double division at the end, identical operands
+    * on both engines), top-`k` per query, ties to the lower doc_id.
+    * Plan shape: the query slice is a broadcast join on `bucket`
+    * (tiny side — nQueries × ≤ dim rows) and dot products are one
+    * map-side-combined groupBy. The final rank is a window over
+    * nQueries partitions whose candidate sets are corpus-sized (dim
+    * is small, so every doc shares buckets with every query) — fine
+    * for a bounded interactive query set; a LARGE query set swaps
+    * this tail for [[graft.sim.Similarity]]'s partition-local top-k
+    * heaps, which is why the scoring is factored to end in a plain
+    * (query_id, neighbor_id, cos) frame. */
+  def bucketTopK(spark: SparkSession, sfDir: String, dim: Int = 32,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val buckets = hashBuckets(spark, sfDir, dim)
+    val norms = buckets.groupBy(col("doc_id"))
+      .agg(sum(col("weight") * col("weight")).as("n2"))
+    val queries = buckets.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("bucket"),
+        col("weight").as("qw"))
+    val dots = buckets.join(broadcast(queries), Seq("bucket"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("weight") * col("qw")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id"), col("n2").as("dn2")), Seq("doc_id"))
+      .join(broadcast(norms.select(col("doc_id").as("query_id"),
+        col("n2").as("qn2"))), Seq("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        (col("dot").cast("double") /
+          sqrt(col("dn2").cast("double") * col("qn2").cast("double")))
+          .as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      // CAST double→bigint truncates toward zero in Spark — the DuckDB
+      // side spells the same truncation trunc() (its CAST rounds)
+      .selectExpr("query_id", "neighbor_id", "CAST(rank AS BIGINT) AS rank",
+        "CAST(cos * 1000000 AS BIGINT) AS cos_micro")
+  }
 }

@@ -50,6 +50,61 @@ class EmbedSpec extends SparkSpec {
       spark.read.parquet(s"${sf()}/documents.parquet").selectExpr("doc_id", "text"),
       "text", enc)
 
+  test("integer bucket vectors match a driver re-derivation of the FNV fold") {
+    val dim = 32
+    val got = Embed.hashBuckets(spark, sf(), dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val grams = t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      grams.foreach { g =>
+        val h = graft.core.FnvHash31.hash(g.getBytes("UTF-8"))
+        val key = (id, (h % dim).toLong)
+        expected(key) = expected.getOrElse(key, 0L) + (if (h % 2 == 0) 1L else -1L)
+      }
+    }
+    assert(got === expected.filter(_._2 != 0L).toMap,
+      "distributed bucket weights must equal the driver FNV fold")
+    // negative and positive weights both occur (signed hashing trick)
+    assert(got.values.exists(_ > 0) && got.values.exists(_ < 0))
+  }
+
+  test("bucket top-k: ranks match a driver cosine over the integer vectors") {
+    val got = Embed.bucketTopK(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    val w = Embed.hashBuckets(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def dot(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.iterator.map { case (k, v) => v * b.getOrElse(k, 0L) }.sum
+    def n2(a: Map[Long, Long]): Long = a.valuesIterator.map(v => v * v).sum
+    (0L until 5L).foreach { q =>
+      val qv = w(q)
+      // Spark scores only doc pairs sharing >= 1 bucket; with dim=32
+      // and the corpus vocabulary every pair shares buckets, so the
+      // driver ranking over all docs is the same candidate set
+      val ranked = w.keys.filter(_ != q).toSeq
+        .map { d =>
+          val c = dot(qv, w(d)).toDouble /
+            math.sqrt(n2(w(d)).toDouble * n2(qv).toDouble)
+          (d, c)
+        }
+        .sortBy { case (d, c) => (-c, d) }
+        .take(10)
+      ranked.zipWithIndex.foreach { case ((d, c), i) =>
+        val (gd, gmicro) = got((q, i + 1L))
+        assert(gd === d, s"query $q rank ${i + 1}")
+        assert(gmicro === (c * 1e6).toLong, s"query $q rank ${i + 1} micro")
+      }
+    }
+  }
+
   test("chunk embeddings line up with the chunk frame") {
     val out = Embed.embedChunks(
       spark.read.parquet(s"${sf()}/documents.parquet").selectExpr("doc_id", "text"),
