@@ -272,6 +272,9 @@ object SparkEntry {
     // twin of the Embed seam's HashEncoder
     "text_embed_buckets" -> ((s, dir) => graft.text.Embed.hashBuckets(s, dir)),
     "text_embed_topk" -> ((s, dir) => graft.text.Embed.bucketTopK(s, dir)),
+    // chunk -> embed composed in one hash gate (the ingest pipeline's
+    // chunk-level vectors)
+    "text_chunk_embed" -> ((s, dir) => graft.text.Embed.chunkHashBuckets(s, dir)),
     "text_repetition" -> ((s, dir) => graft.text.TextAnalysis.repetition(s, dir)),
     "text_lm_score" -> ((s, dir) => graft.text.TextAnalysis.lmScore(s, dir)),
     "text_tfidf" -> ((s, dir) => graft.text.TextAnalysis.tfIdfTop(s, dir)),
@@ -2175,6 +2178,28 @@ object SparkEntry {
       s"""WITH $embedBucketCtes
          |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, weight
          |FROM w""".stripMargin,
+    // the text_chunk CTE (same integer window arithmetic) chained
+    // into the bucket CTEs — chunk text re-tokenizes to its own
+    // tokens, so the fold is exact at the chunk level too
+    "text_chunk_embed" ->
+      s"""WITH toksC AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+         |  FROM documents),
+         |nzC AS (SELECT doc_id, t, len(t) AS n FROM toksC WHERE len(t) >= 1),
+         |chC AS (SELECT doc_id, t, n,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+         |  FROM nzC),
+         |chunks AS (
+         |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    array_to_string(t[chunk_id * 48 + 1 :
+         |                      chunk_id * 48 + least(64, n - chunk_id * 48)], ' ')
+         |      AS chunk
+         |  FROM chC),
+         |${embedBucketCtesFrom("chunks", "doc_id, chunk_id", "chunk")}
+         |SELECT doc_id, chunk_id, CAST(bucket AS BIGINT) AS bucket, weight
+         |FROM w""".stripMargin,
     // lexical top-k over the bucket vectors: integer dot and norms;
     // the ONE double op (dot / sqrt(n·n)) runs on identical integer
     // operands in both engines, ties to the lower neighbor id
@@ -2334,33 +2359,39 @@ object SparkEntry {
   /** Shared CTE chain for the integer feature-hash embedding gates:
     * engine tokenizer → unigrams+bigrams → FNV-1a masked to 31 bits
     * (the text_classify fold) → signed parity buckets → nonzero
-    * integer weights. Ends defining `w(doc_id, bucket, weight)`. */
+    * integer weights. Ends defining `w($ids, bucket, weight)`.
+    * Parameterized over the source relation / id columns / text
+    * column so the doc-level and chunk-level gates share it. */
+  private def embedBucketCtesFrom(src: String, ids: String,
+      textCol: String): String =
+    s"""toksE AS (
+       |  SELECT $ids,
+       |    list_filter(string_split_regex(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM $src),
+       |g AS (
+       |  SELECT $ids, unnest(list_concat(t,
+       |    CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |      ELSE [] END)) AS g
+       |  FROM toksE),
+       |hh AS (
+       |  SELECT $ids,
+       |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+       |      list_transform(range(1, strlen(g) + 1),
+       |        i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (hv, cv) -> (xor(hv, cv) * 16777619) % 4294967296) % 2147483648 AS h
+       |  FROM g),
+       |b AS (
+       |  SELECT $ids, h % 32 AS bucket,
+       |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM hh),
+       |w AS (
+       |  SELECT $ids, bucket, CAST(sum(s) AS BIGINT) AS weight
+       |  FROM b GROUP BY $ids, bucket
+       |  HAVING sum(s) <> 0)""".stripMargin
+
   private def embedBucketCtes: String =
-    """toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
-      |  FROM documents),
-      |g AS (
-      |  SELECT doc_id, unnest(list_concat(t,
-      |    CASE WHEN len(t) >= 2
-      |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-      |      ELSE [] END)) AS g
-      |  FROM toks),
-      |hh AS (
-      |  SELECT doc_id,
-      |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-      |      list_transform(range(1, strlen(g) + 1),
-      |        i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT))),
-      |      (hv, cv) -> (xor(hv, cv) * 16777619) % 4294967296) % 2147483648 AS h
-      |  FROM g),
-      |b AS (
-      |  SELECT doc_id, h % 32 AS bucket,
-      |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS s
-      |  FROM hh),
-      |w AS (
-      |  SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
-      |  FROM b GROUP BY doc_id, bucket
-      |  HAVING sum(s) <> 0)""".stripMargin
+    embedBucketCtesFrom("documents", "doc_id", "text")
 
   private def ngramJaccardSql: String =
     """WITH toks AS (

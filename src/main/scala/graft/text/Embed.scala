@@ -110,26 +110,32 @@ object Embed {
   // every value is exactly representable, so the oracle re-derives the
   // vectors (and the cosine ranking over them) with no float faith.
 
-  /** Sparse integer bucket vectors (doc_id, bucket, weight) over the
-    * engine tokenizer's unigrams + bigrams: bucket = fnv31(gram) mod
-    * dim, sign = parity of the hash; zero-sum buckets dropped (the
-    * vector is sparse by construction). Fully declarative — the FNV
-    * expression is codegen, the rest is explode + groupBy (one
-    * shuffle, map-side combined). */
-  def hashBucketsOf(docs: DataFrame, dim: Int = 32): DataFrame = {
+  /** Sparse integer bucket vectors (idCols…, bucket, weight) over the
+    * engine tokenizer's unigrams + bigrams of `textCol`: bucket =
+    * fnv31(gram) mod dim, sign = parity of the hash; zero-sum buckets
+    * dropped (the vector is sparse by construction). Fully
+    * declarative — the FNV expression is codegen, the rest is explode
+    * + groupBy (one shuffle, map-side combined). `idCols` generalizes
+    * the unit of embedding: docs embed by doc_id, chunks by
+    * (doc_id, chunk_id). */
+  def hashBucketsOf(docs: DataFrame, dim: Int = 32,
+      idCols: Seq[String] = Seq("doc_id"),
+      textCol: String = "text"): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    val ids = idCols.map(col)
+    val toks = Tok.alphaToksOf(textCol)
     val grams = docs
-      .select(col("doc_id"), expr(Tok.alphaToks).as("t"))
-      .select(col("doc_id"), explode(expr(
+      .select(ids :+ expr(toks).as("t"): _*)
+      .select(ids :+ explode(expr(
         """concat(t, CASE WHEN size(t) >= 2
           |  THEN transform(slice(t, 1, size(t) - 1),
           |    (x, i) -> concat(x, ' ', element_at(t, i + 2)))
-          |  ELSE array() END)""".stripMargin)).as("g"))
+          |  ELSE array() END)""".stripMargin)).as("g"): _*)
     val h = bridge.column(graft.core.FnvHash31(bridge.expression(col("g"))))
     grams
-      .select(col("doc_id"), (h % dim).cast("long").as("bucket"),
-        when(h % 2 === 0, 1L).otherwise(-1L).as("s"))
-      .groupBy(col("doc_id"), col("bucket"))
+      .select(ids ++ Seq((h % dim).cast("long").as("bucket"),
+        when(h % 2 === 0, 1L).otherwise(-1L).as("s")): _*)
+      .groupBy(ids :+ col("bucket"): _*)
       .agg(sum(col("s")).as("weight"))
       .filter(col("weight") =!= 0L)
   }
@@ -137,6 +143,18 @@ object Embed {
   /** Gate surface over the documents table. */
   def hashBuckets(spark: SparkSession, sfDir: String, dim: Int = 32): DataFrame =
     hashBucketsOf(spark.read.parquet(s"$sfDir/documents.parquet"), dim)
+
+  /** Chunk-level bucket vectors — the chunk→embed composition as one
+    * hash-gated frame: (doc_id, chunk_id, bucket, weight) over the
+    * sliding windows' text. Chunk text is the tokenizer's own tokens
+    * space-joined, so re-tokenizing is the identity and chunk vectors
+    * relate exactly to the doc vectors they partition. */
+  def chunkHashBuckets(spark: SparkSession, sfDir: String,
+      dim: Int = 32): DataFrame =
+    hashBucketsOf(
+      Chunking.chunks(spark, sfDir)
+        .select(col("doc_id"), col("chunk_id"), col("chunk")),
+      dim, idCols = Seq("doc_id", "chunk_id"), textCol = "chunk")
 
   /** Lexical nearest-neighbors over the integer bucket vectors: the
     * first `nQueries` doc ids rank the whole corpus by cosine (integer

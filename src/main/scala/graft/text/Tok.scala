@@ -14,7 +14,11 @@ package graft.text
   * `list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')`.
   */
 object Tok {
-  /** Tokenize a column named `text` (SQL-expression string; use
+  /** Tokenize an arbitrary string column (SQL-expression string; use
     * inside `expr(...)` or string-interpolated SQL fragments). */
-  val alphaToks: String = "filter(split(lower(text), '[^a-z]+'), x -> x != '')"
+  def alphaToksOf(column: String): String =
+    s"filter(split(lower($column), '[^a-z]+'), x -> x != '')"
+
+  /** Tokenize a column named `text`. */
+  val alphaToks: String = alphaToksOf("text")
 }
