@@ -171,7 +171,9 @@ object Embed {
     * (query_id, neighbor_id, cos) frame. */
   def bucketTopK(spark: SparkSession, sfDir: String, dim: Int = 32,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val buckets = hashBuckets(spark, sfDir, dim)
+    // the bucket frame feeds THREE plan branches (dots, both norm
+    // sides) — materialize once so the FNV fold doesn't execute 3×
+    val buckets = hashBuckets(spark, sfDir, dim).localCheckpoint()
     val norms = buckets.groupBy(col("doc_id"))
       .agg(sum(col("weight") * col("weight")).as("n2"))
     val queries = buckets.filter(col("doc_id") < nQueries)
