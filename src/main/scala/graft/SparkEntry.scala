@@ -189,6 +189,9 @@ object SparkEntry {
     // (the path a 100 TB pair graph always takes)
     "dedup_clusters_dist" -> ((s, dir) => graft.dedup.Dedup.ngramClustersDist(s, dir)),
     "dedup_split_leakage_lsh" -> ((s, dir) => graft.dedup.Dedup.splitLeakageLsh(s, dir)),
+    // constructive twin of the leakage detector: split key = near-dup
+    // CLUSTER id, so no pair can straddle a split by construction
+    "dedup_split_safe" -> ((s, dir) => graft.dedup.Dedup.leakSafeSplit(s, dir)),
     // windowed exact-substring dedup (Lee et al. 2022, Spark-first)
     "dedup_incremental" -> ((s, dir) => graft.dedup.LshIndex.dedupIncremental(s, dir)),
     "dedup_passages" -> ((s, dir) => graft.dedup.Dedup.duplicatePassages(s, dir)),
@@ -264,6 +267,22 @@ object SparkEntry {
     // chunk-then-pack: split long docs into windows, then fill fixed
     // token budgets — the pretraining batch-assembly shape
     "text_chunk_pack" -> ((s, dir) => graft.text.SequencePacking.packChunks(s, dir)),
+    // the STREAMING packer's semantics as a gate: four contiguous
+    // doc_id-range micro-batches replayed in stream order, pack ids
+    // continuing the carried token total — equals one-shot packChunks
+    // (same oracle); arbitrary MemoryStream batching ≡ one-shot is
+    // pinned in ChunkStreamSpec
+    "text_chunk_pack_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val step = maxId / 4 + 1
+      val packer = new graft.streaming.ChunkIngest.StreamPacker()
+      (0 until 4).map { b =>
+        packer.packBatch(docs.filter(
+          col("doc_id") >= b * step && col("doc_id") < (b + 1) * step))
+      }.reduce(_ unionByName _)
+    }),
     "text_quality" -> ((s, dir) => graft.text.TextAnalysis.quality(s, dir)),
     "text_langid" -> ((s, dir) => graft.text.TextAnalysis.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.text.TextAnalysis.fingerprint(s, dir)),
@@ -319,10 +338,15 @@ object SparkEntry {
     // where possible, stub hash elsewhere; SimHash band machinery
     "mm_image_dedup" -> ((s, dir) =>
       graft.multimodal.ImageDedup.imageDedup(s, dir)),
-    // audio features: real PCM WAV sample decode where possible,
-    // byte-length stub elsewhere (the gate corpus is all-stub)
+    // audio features: real PCM WAV sample decode on the gate corpus'
+    // real rows, byte-length stub on the fakes
     "mm_audio_features" -> ((s, dir) =>
       graft.multimodal.AudioFeatures.audioFeatures(s, dir)),
+    // perceptual audio near-dup: energy-delta fingerprint over real
+    // PCM where decodable, byte-delta fallback elsewhere; same
+    // multi-probe SimHash band machinery as mm_image_dedup
+    "mm_audio_dedup" -> ((s, dir) =>
+      graft.multimodal.AudioDedup.audioDedup(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
   )
@@ -412,6 +436,8 @@ object SparkEntry {
     s"${graft.dedup.SemDedup.parDumpPath(graft.dedup.SemDedup.lastParBase)}/*.parquet"
   private def imgHashGlob: String =
     s"${graft.multimodal.ImageDedup.dumpPath(graft.multimodal.ImageDedup.lastBase)}/*.parquet"
+  private def audHashGlob: String =
+    s"${graft.multimodal.AudioDedup.dumpPath(graft.multimodal.AudioDedup.lastBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1399,6 +1425,14 @@ object SparkEntry {
     "dedup_clusters_lsh" -> dedupClustersSql,
     // hash-min label propagation converges to the same min-id labels
     "dedup_clusters_dist" -> dedupClustersSql,
+    // cluster-keyed split over the same recursive closure: mod 10 of
+    // the min-id cluster rep, 0 -> val, 1 -> test, else train
+    "dedup_split_safe" ->
+      s"""SELECT doc_id, cluster_id,
+         |  CASE WHEN cluster_id % 10 = 0 THEN 'val'
+         |       WHEN cluster_id % 10 = 1 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM ($dedupClustersSql)""".stripMargin,
     // simhash gates: the per-doc SIGNATURES are side-dumped run-scoped
     // (simhashSigsGlob) and are the only artifact taken on faith — the
     // banding, bucket caps, radius-1 probe fan-out, Hamming filter and
@@ -2098,28 +2132,11 @@ object SparkEntry {
          |FROM x""".stripMargin,
     // chunk CTE chained into the pack cumsum — the two components'
     // oracles composed, like text_pipeline's
-    "text_chunk_pack" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents),
-        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
-        |ch AS (SELECT doc_id, n,
-        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
-        |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
-        |  FROM nz),
-        |cw AS (SELECT doc_id, chunk_id,
-        |    least(n - chunk_id * 48, 64) AS n_tokens
-        |  FROM ch),
-        |c AS (
-        |  SELECT doc_id, chunk_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-        |  FROM cw)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(pre // 256 AS BIGINT) AS pack_id
-        |FROM c""".stripMargin,
+    "text_chunk_pack" -> textChunkPackSql,
+    // the streaming packer replayed over contiguous doc_id-range
+    // micro-batches continues the global prefix sum exactly, so the
+    // one-shot oracle applies verbatim
+    "text_chunk_pack_stream" -> textChunkPackSql,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,
@@ -2289,32 +2306,10 @@ object SparkEntry {
     // image near-dup: the per-image hashes are the dumped faith (the
     // decode, real or stub, happened in the JVM); banding, bucket cap
     // and the Hamming verify are the dedup_simhash oracle verbatim
-    "mm_image_dedup" ->
-      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$imgHashGlob')),
-         |$simhashBandCte,
-         |exact AS (
-         |  SELECT x.doc_id AS i, y.doc_id AS j,
-         |    bit_count(xor(x.sig, y.sig)) AS dist
-         |  FROM b x
-         |  JOIN b y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
-         |  JOIN sz ON sz.band = x.band AND sz.h = x.h
-         |  WHERE sz.n BETWEEN 2 AND 1000),
-         |probes AS (
-         |  SELECT doc_id, sig, band, xor(h, (CAST(1 AS BIGINT) << p)) AS h
-         |  FROM b CROSS JOIN (SELECT unnest(range(0, 8)) AS p)),
-         |viap AS (
-         |  SELECT least(pr.doc_id, m.doc_id) AS i,
-         |    greatest(pr.doc_id, m.doc_id) AS j,
-         |    bit_count(xor(pr.sig, m.sig)) AS dist
-         |  FROM probes pr
-         |  JOIN sz ON sz.band = pr.band AND sz.h = pr.h
-         |    AND sz.n BETWEEN 1 AND 1000
-         |  JOIN b m ON m.band = pr.band AND m.h = pr.h
-         |    AND m.doc_id <> pr.doc_id)
-         |SELECT DISTINCT i, j
-         |FROM (SELECT i, j, dist FROM exact
-         |      UNION ALL SELECT i, j, dist FROM viap)
-         |WHERE dist <= 15""".stripMargin,
+    "mm_image_dedup" -> mediaHashPairsSql(imgHashGlob),
+    // audio near-dup: identical oracle shape over the audio
+    // fingerprint dump (energy-delta over real PCM / byte fallback)
+    "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
@@ -2686,6 +2681,66 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
       |    FROM adc) x
       |  JOIN dep d ON d.qid = x.qid WHERE x.rn <= d.rerank * d.depth),""".stripMargin
+
+  /** The chunk CTE chained into the pack cumsum — the two components'
+    * oracles composed; pack_id = exclusive-prefix-sum // budget, a
+    * pure function of global (doc_id, chunk_id) order, which is why
+    * the streaming replay gate shares it verbatim. */
+  private def textChunkPackSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+      |ch AS (SELECT doc_id, n,
+      |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+      |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+      |  FROM nz),
+      |cw AS (SELECT doc_id, chunk_id,
+      |    least(n - chunk_id * 48, 64) AS n_tokens
+      |  FROM ch),
+      |c AS (
+      |  SELECT doc_id, chunk_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM cw)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(pre // 256 AS BIGINT) AS pack_id
+      |FROM c""".stripMargin
+
+  /** The multi-probe banded-Hamming pair oracle over a dumped
+    * `sigs(doc_id, sig)` frame at `glob` — banding, radius-1 band
+    * perturbations, the bucket cap and the exact Hamming verify, all
+    * re-derived as 64-bit arithmetic (the dedup_simhash_multiprobe
+    * oracle); the dumped signatures are the only faith. Shared by the
+    * image and audio perceptual near-dup gates. */
+  private def mediaHashPairsSql(glob: String): String =
+    s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$glob')),
+       |$simhashBandCte,
+       |exact AS (
+       |  SELECT x.doc_id AS i, y.doc_id AS j,
+       |    bit_count(xor(x.sig, y.sig)) AS dist
+       |  FROM b x
+       |  JOIN b y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+       |  JOIN sz ON sz.band = x.band AND sz.h = x.h
+       |  WHERE sz.n BETWEEN 2 AND 1000),
+       |probes AS (
+       |  SELECT doc_id, sig, band, xor(h, (CAST(1 AS BIGINT) << p)) AS h
+       |  FROM b CROSS JOIN (SELECT unnest(range(0, 8)) AS p)),
+       |viap AS (
+       |  SELECT least(pr.doc_id, m.doc_id) AS i,
+       |    greatest(pr.doc_id, m.doc_id) AS j,
+       |    bit_count(xor(pr.sig, m.sig)) AS dist
+       |  FROM probes pr
+       |  JOIN sz ON sz.band = pr.band AND sz.h = pr.h
+       |    AND sz.n BETWEEN 1 AND 1000
+       |  JOIN b m ON m.band = pr.band AND m.h = pr.h
+       |    AND m.doc_id <> pr.doc_id)
+       |SELECT DISTINCT i, j
+       |FROM (SELECT i, j, dist FROM exact
+       |      UNION ALL SELECT i, j, dist FROM viap)
+       |WHERE dist <= 15""".stripMargin
 
   /** The banded signature postings over a dumped `sigs(doc_id, sig)`
     * frame — 8 × 8-bit bands; DuckDB's >>, xor and bit_count match

@@ -532,6 +532,38 @@ object Dedup {
   def splitLeakageLsh(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
     splitLeakageFrom(minhashLsh(spark, sfDir, tau))
 
+  /** Leakage-SAFE split assignment — the CONSTRUCTIVE twin of
+    * [[splitLeakageFrom]]: instead of detecting near-dup pairs that
+    * cross a doc-hash split boundary, build the split so none CAN
+    * cross. Documents are clustered into near-dup components first
+    * ([[connectedComponents]] — min-id canonical rep, singletons map
+    * to themselves) and the split key is the CLUSTER id, so every
+    * member of a component lands on the same side by construction;
+    * zero leakage is a structural invariant of the output, not a
+    * property to audit afterwards. Split rule keeps
+    * [[splitLeakageFrom]]'s convention (key mod 10: 0 → val, and 1 →
+    * test, else train — 10/10/80). At production scale substitute a
+    * salted hash of the cluster id for the plain mod (sequential
+    * crawl ids correlate with fetch time, so contiguous-id splits
+    * skew); the mod form is the engine/oracle shared convention.
+    * Map-only over the cluster frame — the component computation is
+    * the only shuffle, and it runs on the pair GRAPH, not the corpus.
+    * Output: (doc_id, cluster_id, split). */
+  def leakSafeSplitFrom(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(docs, idCol, pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        when(pmod(col("cluster_id"), lit(10)) === 0, lit("val"))
+          .when(pmod(col("cluster_id"), lit(10)) === 1, lit("test"))
+          .otherwise(lit("train")).as("split"))
+
+  /** Leak-safe split over the BANDED, BUCKET-CAPPED LSH pair
+    * generator — the scale composition; shares the exact-pairs
+    * recursive-CTE oracle for the same recall reason as
+    * [[ngramClustersLsh]]. */
+  def leakSafeSplit(spark: SparkSession, sfDir: String, tau: Double = 0.5): DataFrame =
+    leakSafeSplitFrom(documents(spark, sfDir).select(col("doc_id")), "doc_id",
+      minhashLsh(spark, sfDir, tau))
+
   /** EXACT embedding cosine near-dup pairs at `tau`, distributed with
     * BOUNDED task memory: grid-blocked θ-join (the Okcan & Riedewald
     * theta-join partitioning). Vectors are hashed into `nBlocks` id

@@ -125,6 +125,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet === expected)
   }
 
+  test("leak-safe split: structural zero leakage, cluster-keyed convention") {
+    val split = Dedup.leakSafeSplit(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = split.map { case (d, _, s) => d -> s }.toMap
+    // covers the corpus exactly once
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(byDoc.keySet === docs.toSet)
+    assert(split.length === docs.length)
+    // structural zero leakage: every near-dup pair lands on ONE side —
+    // the same pair graph whose doc-hash split leaks (spec above)
+    val pairs = Dedup.ngramJaccard(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (i, j) =>
+      assert(byDoc(i) === byDoc(j), s"pair ($i,$j) split ${byDoc(i)}/${byDoc(j)}")
+    }
+    // split key is the cluster rep, rule matches the doc-hash convention
+    val clusters = Dedup.ngramClusters(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    split.foreach { case (d, c, s) =>
+      assert(c === clusters(d), s"doc $d cluster $c != ${clusters(d)}")
+      val want = if (c % 10 == 0) "val" else if (c % 10 == 1) "test" else "train"
+      assert(s === want)
+    }
+    // all three splits are inhabited at corpus scale
+    assert(split.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
+
   test("embedding cosine threshold is monotone") {
     val loose = Dedup.embeddingCosine(spark, sf(), tau = 0.3).count()
     val tight = Dedup.embeddingCosine(spark, sf(), tau = 0.5).count()
