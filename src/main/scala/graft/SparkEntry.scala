@@ -309,6 +309,10 @@ object SparkEntry {
     "text_entropy" -> ((s, dir) => graft.text.TextAnalysis.tokenEntropy(s, dir)),
     // the "why was this doc kept/dropped" report: every hygiene
     // verdict joined per doc + the combined keep bit
+    // the per-(split, lang) rollup shipped with a curated corpus:
+    // leak-safe split x langid x quality, one map-side-combined rollup
+    "text_corpus_report" -> ((s, dir) =>
+      graft.text.TextAnalysis.corpusReport(s, dir)),
     "text_filter_funnel" -> ((s, dir) => graft.text.TextAnalysis.filterFunnel(s, dir)),
     // the six-verdict multimodal funnel: text verdicts + the SemDeDup
     // keeper bit over the document's embedding (vec_id == doc_id)
@@ -1427,12 +1431,7 @@ object SparkEntry {
     "dedup_clusters_dist" -> dedupClustersSql,
     // cluster-keyed split over the same recursive closure: mod 10 of
     // the min-id cluster rep, 0 -> val, 1 -> test, else train
-    "dedup_split_safe" ->
-      s"""SELECT doc_id, cluster_id,
-         |  CASE WHEN cluster_id % 10 = 0 THEN 'val'
-         |       WHEN cluster_id % 10 = 1 THEN 'test'
-         |       ELSE 'train' END AS split
-         |FROM ($dedupClustersSql)""".stripMargin,
+    "dedup_split_safe" -> dedupSplitSafeSql,
     // simhash gates: the per-doc SIGNATURES are side-dumped run-scoped
     // (simhashSigsGlob) and are the only artifact taken on faith — the
     // banding, bucket caps, radius-1 probe fan-out, Hamming filter and
@@ -2150,6 +2149,45 @@ object SparkEntry {
         |  CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
         |    AS is_quality
         |FROM q""".stripMargin,
+    // corpus report card: the split, langid and quality oracles
+    // composed per doc, then the same integer-exact rollup
+    "text_corpus_report" ->
+      s"""WITH s AS (SELECT doc_id, split FROM ($dedupSplitSafeSql)),
+         |lc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |        x -> x IN ('the','and','of','with'))) AS c_en,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |        x -> x IN ('der','die','das','und'))) AS c_de,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |        x -> x IN ('el','los','las','y'))) AS c_es,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |        x -> x IN ('le','les','et','une'))) AS c_fr
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  CASE
+         |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |    WHEN c_es >= c_fr THEN 'es'
+         |    ELSE 'fr' END AS lang_pred
+         |  FROM lc),
+         |qc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop,
+         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_tokens, n_alpha,
+         |    CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
+         |      AS is_quality
+         |  FROM qc)
+         |SELECT s.split, l.lang_pred, count(*) AS n_docs,
+         |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(q.n_alpha) AS BIGINT) AS n_alpha,
+         |  CAST(sum(q.is_quality) AS BIGINT) AS n_quality
+         |FROM s JOIN l USING (doc_id) JOIN q USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     // quality-weighted sample: the quality CTE is text_quality's, the
     // predicate is the byte-identical md5-prefix threshold per flag
     "text_sample_weighted" ->
@@ -2681,6 +2719,16 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
       |    FROM adc) x
       |  JOIN dep d ON d.qid = x.qid WHERE x.rn <= d.rerank * d.depth),""".stripMargin
+
+  /** Cluster-keyed leakage-safe split over the recursive-closure
+    * clusters oracle — shared by the split gate and the corpus
+    * report's split CTE. */
+  private def dedupSplitSafeSql: String =
+    s"""SELECT doc_id, cluster_id,
+       |  CASE WHEN cluster_id % 10 = 0 THEN 'val'
+       |       WHEN cluster_id % 10 = 1 THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM ($dedupClustersSql)""".stripMargin
 
   /** The chunk CTE chained into the pack cumsum — the two components'
     * oracles composed; pack_id = exclusive-prefix-sum // budget, a

@@ -253,4 +253,32 @@ object TextAnalysis {
           col("ent_ok") === 1 && col("is_keeper") === 1 &&
           col("sem_ok") === 1).cast("int"))
   }
+
+  /** CORPUS REPORT CARD — the per-(split, language) rollup shipped
+    * alongside a curated training corpus: document count, token and
+    * alpha-character mass, quality-keeper count, grouped over the
+    * LEAKAGE-SAFE split ([[graft.dedup.Dedup.leakSafeSplit]]). Same
+    * composition discipline as [[filterFunnel]]: every input column
+    * is the exact value its standalone gate hash-checks; the report
+    * adds one rollup. All aggregates are integer-exact (Long sums).
+    *
+    * Scale: the three per-doc frames derive from the documents scan
+    * and join co-keyed on doc_id (the honest composition cost the
+    * pipeline gates also pay); the rollup shuffles ≤ |splits|·|langs|
+    * groups — map-side combined, output is report-sized, never
+    * corpus-sized. */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = graft.dedup.Dedup.leakSafeSplit(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    val lang = langId(spark, sfDir)
+    val q = quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_alpha"),
+        col("is_quality").cast("long").as("is_quality"))
+    split.join(lang, "doc_id").join(q, "doc_id")
+      .groupBy(col("split"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_alpha")).as("n_alpha"),
+        sum(col("is_quality")).as("n_quality"))
+  }
 }

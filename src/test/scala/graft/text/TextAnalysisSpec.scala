@@ -277,4 +277,29 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
     assert(dup === Map(1L -> 1, 2L -> 0))
   }
+
+  test("corpus report: rollup equals a driver fold of the standalone operators") {
+    val report = TextAnalysis.corpusReport(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(report.nonEmpty)
+    // re-derive per-doc inputs from the gate-checked components
+    val split = graft.dedup.Dedup.leakSafeSplit(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val lang = TextAnalysis.langId(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = TextAnalysis.quality(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getAs[Int]("is_quality").toLong))).toMap
+    val expected = split.keys.toSeq
+      .groupBy(d => (split(d), lang(d)))
+      .view.mapValues { ds =>
+        (ds.size.toLong, ds.map(q(_)._1).sum, ds.map(q(_)._2).sum,
+          ds.map(q(_)._3).sum)
+      }.toMap
+    assert(report === expected)
+    // every split present at corpus scale; doc counts sum to the corpus
+    assert(report.keySet.map(_._1) === Set("train", "val", "test"))
+    assert(report.values.map(_._1).sum === split.size.toLong)
+  }
 }
