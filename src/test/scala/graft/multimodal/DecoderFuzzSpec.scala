@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Mix
+
+/** Deterministic fuzz over the pure-JVM media decoders — the one
+  * class of engine code that parses ARBITRARY UNTRUSTED BYTES from a
+  * corpus (the round-9 review's QOI w·h overflow was exactly this
+  * surface). The contract under fuzz is total: every decoder either
+  * returns a value or None — it NEVER throws, never allocates from an
+  * attacker-controlled size, and the hash composites always land in
+  * their documented fallback. All inputs derive from splitmix64, so a
+  * failure reproduces from the printed (shape, index) alone. */
+class DecoderFuzzSpec extends AnyFunSuite {
+
+  private def bytes(seed: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) {
+      out(i) = (Mix.splitmix64(seed * 0x100000001b3L + i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Every decoder entry point the engine exposes to corpus bytes. */
+  private val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+    "qoiPixels" -> (b => ImageDedup.decodeQoiPixels(b)),
+    "bmpPixels" -> (b => ImageDedup.decodeBmpPixels(b)),
+    "wavPcm" -> (b => AudioFeatures.decodeWavPcm(b)),
+    "headers" -> (b => Multimodal.decodeHeaders(b)),
+    "exif" -> (b => Multimodal.jpegExifOrientation(b)),
+    "imageHash" -> (b => ImageDedup.imageHash(b)),
+    "clipHash" -> (b => AudioDedup.clipHash(b)))
+
+  private def assertTotal(label: String, payload: Array[Byte]): Unit =
+    decoders.foreach { case (name, f) =>
+      try f(payload)
+      catch {
+        case e: Throwable =>
+          fail(s"$name threw on $label (len=${payload.length}): $e")
+      }
+    }
+
+  test("random blobs: every decoder is total (returns or None, never throws)") {
+    for (i <- 0 until 200) {
+      val len = (Mix.splitmix64(i * 7919L).abs % 4096L).toInt
+      assertTotal(s"blob#$i", bytes(i + 1L, len))
+    }
+  }
+
+  test("magic-prefixed garbage: a plausible header never buys a crash") {
+    val magics = Seq[(String, Array[Byte])](
+      "qoif" -> "qoif".getBytes,
+      "bm" -> "BM".getBytes,
+      "riff-wave" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
+        "WAVE".getBytes),
+      "png" -> Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0d, 0x0a, 0x1a, 0x0a),
+      "gif" -> "GIF89a".getBytes,
+      "jpeg" -> Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "ftyp" -> (Array[Byte](0, 0, 0, 0x14) ++ "ftypisom".getBytes))
+    for ((tag, magic) <- magics; i <- 0 until 60) {
+      val len = (Mix.splitmix64(i * 104729L + tag.hashCode).abs % 512L).toInt
+      assertTotal(s"$tag#$i", magic ++ bytes(i + 31L, len))
+    }
+  }
+
+  test("single-byte mutations of real payloads decode or fall back, never throw") {
+    val reals = Seq[(String, Array[Byte])](
+      "qoi" -> MediaSynth.qoi(7L), "wav" -> MediaSynth.wav(13L),
+      "mp4" -> MediaSynth.mp4(20L))
+    for ((tag, real) <- reals) {
+      // flip one byte at a time — every offset for the small payloads,
+      // a prime stride over the qoi pixel stream
+      val stride = math.max(1, real.length / 97)
+      var p = 0
+      while (p < real.length) {
+        val m = real.clone()
+        m(p) = (m(p) ^ (1 + (Mix.splitmix64(p.toLong) & 0x7f)).toInt).toByte
+        assertTotal(s"$tag@+$p", m)
+        p += stride
+      }
+    }
+  }
+
+  test("every truncation prefix of a real payload is handled") {
+    val reals = Seq[(String, Array[Byte])](
+      "qoi" -> MediaSynth.qoi(19L), "wav" -> MediaSynth.wav(25L),
+      "mp4" -> MediaSynth.mp4(14L))
+    for ((tag, real) <- reals) {
+      val stride = math.max(1, real.length / 127)
+      var n = 0
+      while (n <= real.length) {
+        assertTotal(s"$tag[0,$n)", java.util.Arrays.copyOf(real, n))
+        n += stride
+      }
+    }
+  }
+
+  test("adversarial QOI dimensions: huge and overflowing w*h decline, never allocate") {
+    def qoiHeader(w: Long, h: Long): Array[Byte] = {
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      "qoif".getBytes ++ be32(w) ++ be32(h) ++ Array[Byte](3, 0) ++ bytes(5L, 64)
+    }
+    // the r9 review's crafted-payload shapes: each unsigned-32 extreme,
+    // and the pair whose product wraps past 2^63
+    val dims = Seq((0xffffffffL, 0xffffffffL), (0x80000000L, 0x80000000L),
+      (0xffffffffL, 2L), (1L, 0xffffffffL), (5000000L, 5000000L), (0L, 10L))
+    dims.foreach { case (w, h) =>
+      assert(ImageDedup.decodeQoiPixels(qoiHeader(w, h)).isEmpty,
+        s"dims ($w,$h) must decline")
+    }
+  }
+}
