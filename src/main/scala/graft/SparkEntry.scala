@@ -353,6 +353,10 @@ object SparkEntry {
       graft.multimodal.AudioDedup.audioDedup(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
+    // image resize: decode -> box-average -> QOI re-encode -> decode,
+    // integer-exact; the oracle recomputes the PIXEL arithmetic from
+    // the gate corpus' closed-form images (no dump taken on faith)
+    "mm_resize" -> ((s, dir) => graft.multimodal.ImageResize.resizeReport(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -2352,6 +2356,42 @@ object SparkEntry {
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
          |FROM ($mmFeaturesSql) GROUP BY kind""".stripMargin,
+    // resize oracle: real QOI rows' pixels are MediaSynth's closed
+    // form gray(x,y) = (doc_id*7 + y*31 + x*13) % 256, so the 4x4
+    // box-average (truncating per-cell mean over the aHash cell
+    // bounds) and the re-encoded stream's pixel sum are re-derived
+    // from doc_id alone; 86 = 14-byte QOI header + 16 OP_RGB px + end
+    "mm_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, strlen(text) AS tl,
+        |    (doc_id // 3) % 2 = 0 AS is_real,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cells AS (
+        |  SELECT doc_id, w, h, cx, cy,
+        |    (cx * w) // 4 AS x0, ((cx + 1) * w) // 4 AS x1,
+        |    (cy * h) // 4 AS y0, ((cy + 1) * h) // 4 AS y1
+        |  FROM imgs CROSS JOIN (SELECT unnest(range(0, 4)) AS cx)
+        |            CROSS JOIN (SELECT unnest(range(0, 4)) AS cy)
+        |  WHERE is_real),
+        |xs AS (SELECT doc_id, cx, cy, y0, y1,
+        |    unnest(range(x0, x1)) AS x FROM cells),
+        |xy AS (SELECT doc_id, cx, cy, x,
+        |    unnest(range(y0, y1)) AS y FROM xs),
+        |cm AS (
+        |  SELECT doc_id, cx, cy,
+        |    sum((doc_id * 7 + y * 31 + x * 13) % 256) // count(*) AS mean
+        |  FROM xy GROUP BY doc_id, cx, cy),
+        |ps AS (SELECT doc_id, sum(3 * mean) AS px_sum
+        |  FROM cm GROUP BY doc_id)
+        |SELECT i.doc_id AS media_id,
+        |  CAST(CASE WHEN i.is_real THEN i.w ELSE 0 END AS BIGINT) AS src_w,
+        |  CAST(CASE WHEN i.is_real THEN i.h ELSE 0 END AS BIGINT) AS src_h,
+        |  CAST(CASE WHEN i.is_real THEN 4 ELSE 0 END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN i.is_real THEN 4 ELSE 0 END AS BIGINT) AS out_h,
+        |  CAST(CASE WHEN i.is_real THEN 86 ELSE i.tl END AS BIGINT) AS out_bytes,
+        |  CAST(CASE WHEN i.is_real THEN p.px_sum ELSE -1 END AS BIGINT) AS px_sum
+        |FROM imgs i LEFT JOIN ps p ON p.doc_id = i.doc_id""".stripMargin,
   )
 
   /** The mm_features oracle: REAL rows ((doc_id // 3) % 2 = 0) carry
