@@ -357,6 +357,11 @@ object SparkEntry {
     // integer-exact; the oracle recomputes the PIXEL arithmetic from
     // the gate corpus' closed-form images (no dump taken on faith)
     "mm_resize" -> ((s, dir) => graft.multimodal.ImageResize.resizeReport(s, dir)),
+    // audio resample: decode -> window-mean decimate -> WAV re-encode
+    // -> decode, integer-exact; the oracle recomputes the SAMPLE
+    // arithmetic from the closed-form gate WAVs (same shape as resize)
+    "mm_resample" -> ((s, dir) =>
+      graft.multimodal.AudioResample.resampleReport(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -2392,6 +2397,34 @@ object SparkEntry {
         |  CAST(CASE WHEN i.is_real THEN 86 ELSE i.tl END AS BIGINT) AS out_bytes,
         |  CAST(CASE WHEN i.is_real THEN p.px_sum ELSE -1 END AS BIGINT) AS px_sum
         |FROM imgs i LEFT JOIN ps p ON p.doc_id = i.doc_id""".stripMargin,
+    // resample oracle: real WAV rows' samples are MediaSynth's closed
+    // form (doc_id*31 + i*97) % 4001 - 2000; complete 4-sample window
+    // means with truncating division (DuckDB // and Java / agree on
+    // negatives) re-derive the re-encoded stream's sample sum
+    "mm_resample" ->
+      """WITH auds AS (
+        |  SELECT doc_id, strlen(text) AS tl,
+        |    (doc_id // 3) % 2 = 0 AS is_real,
+        |    64 + doc_id % 192 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |idx AS (SELECT doc_id, unnest(range(0, (n // 4) * 4)) AS i
+        |  FROM auds WHERE is_real),
+        |win AS (
+        |  SELECT doc_id, i // 4 AS j,
+        |    sum((doc_id * 31 + i * 97) % 4001 - 2000) AS s
+        |  FROM idx GROUP BY doc_id, i // 4),
+        |ss AS (SELECT doc_id, sum(s // 4) AS samp_sum
+        |  FROM win GROUP BY doc_id)
+        |SELECT a.doc_id AS media_id,
+        |  CAST(CASE WHEN a.is_real THEN 1 ELSE 0 END AS BIGINT) AS decoded,
+        |  CAST(CASE WHEN a.is_real THEN 8000 ELSE 0 END AS BIGINT) AS src_rate,
+        |  CAST(CASE WHEN a.is_real THEN a.n ELSE 0 END AS BIGINT) AS src_n,
+        |  CAST(CASE WHEN a.is_real THEN 2000 ELSE 0 END AS BIGINT) AS out_rate,
+        |  CAST(CASE WHEN a.is_real THEN a.n // 4 ELSE 0 END AS BIGINT) AS out_n,
+        |  CAST(CASE WHEN a.is_real THEN 44 + 2 * (a.n // 4) ELSE a.tl END AS BIGINT)
+        |    AS out_bytes,
+        |  CAST(CASE WHEN a.is_real THEN s.samp_sum ELSE 0 END AS BIGINT) AS samp_sum
+        |FROM auds a LEFT JOIN ss s ON s.doc_id = a.doc_id""".stripMargin,
   )
 
   /** The mm_features oracle: REAL rows ((doc_id // 3) % 2 = 0) carry
