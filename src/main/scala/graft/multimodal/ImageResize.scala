@@ -36,6 +36,11 @@ object ImageResize {
   private[multimodal] def resizePixels(w: Int, h: Int, argb: Array[Int],
       tw: Int, th: Int): Array[Int] = {
     require(tw > 0 && th > 0, "target dims must be positive")
+    // bound the OUTPUT allocation like the decoders bound their input:
+    // a caller-supplied target is config, not corpus bytes, but a typo'd
+    // 1e5 x 1e5 must fail loudly here, not as a negative-size alloc
+    require(tw.toLong * th <= ImageDedup.MaxPixels,
+      s"target $tw x $th exceeds MaxPixels")
     val out = new Array[Int](tw * th)
     var cy = 0
     while (cy < th) {

@@ -41,6 +41,23 @@ class ImageResizeSpec extends SparkSpec {
       Seq(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
   }
 
+  test("resize composes with the perceptual hash: aHash survives downsampling") {
+    // half-dark / half-bright 32×32 → resize to 16×16 → same aHash
+    val w = 32; val h = 32
+    val px = Array.tabulate(w * h) { i =>
+      if (i % w < w / 2) gray(20) else gray(235)
+    }
+    val Some(orig) = ImageDedup.aHash64(w, h, px)
+    val down = ImageResize.resizePixels(w, h, px, 16, 16)
+    val Some(small) = ImageDedup.aHash64(16, 16, down)
+    assert(java.lang.Long.bitCount(orig ^ small) === 0,
+      "box-average downsampling must preserve the cell-mean structure")
+    // oversized targets fail loudly instead of attempting the alloc
+    intercept[IllegalArgumentException] {
+      ImageResize.resizePixels(w, h, px, 100000, 100000)
+    }
+  }
+
   test("QOI re-encode round-trips exactly (alpha pinned to 255)") {
     val px = Array.tabulate(12)(i => gray((i * 37) % 256))
     val enc = ImageResize.qoiEncode(4, 3, px)
