@@ -362,6 +362,12 @@ object SparkEntry {
     // arithmetic from the closed-form gate WAVs (same shape as resize)
     "mm_resample" -> ((s, dir) =>
       graft.multimodal.AudioResample.resampleReport(s, dir)),
+    // real VIDEO frame decode: uncompressed AVI (raw DIB frames), the
+    // oracle recomputes frame content, count, dims AND the container
+    // byte length from closed forms (the resize/resample shape on the
+    // time axis); MP4 rows keep their honest header-only boundary
+    "mm_video_frames" -> ((s, dir) =>
+      graft.multimodal.VideoFrames.videoFrameReport(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -2425,6 +2431,34 @@ object SparkEntry {
         |    AS out_bytes,
         |  CAST(CASE WHEN a.is_real THEN s.samp_sum ELSE 0 END AS BIGINT) AS samp_sum
         |FROM auds a LEFT JOIN ss s ON s.doc_id = a.doc_id""".stripMargin,
+    // video-frames oracle: real AVI rows' frame pixels are the closed
+    // form (doc_id*5 + f*17 + y*29 + x*11) % 256; the byte length is
+    // the exact RIFF layout (224 fixed + n frames of 8-byte chunk
+    // header + padded rows), so the writer, walker and frame decode
+    // are all pinned from doc_id alone
+    "mm_video_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id, strlen(text) AS tl,
+        |    (doc_id // 3) % 2 = 0 AS is_real,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    3 + doc_id % 4 AS nf,
+        |    ((3 * (8 + doc_id % 5) + 3) // 4) * 4 AS rsz
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f
+        |  FROM vids WHERE is_real),
+        |fxy AS (SELECT doc_id, f, w, unnest(range(0, h)) AS y FROM fx),
+        |pxs AS (SELECT doc_id, f, y, unnest(range(0, w)) AS x FROM fxy),
+        |ps AS (SELECT doc_id,
+        |    sum((doc_id * 5 + f * 17 + y * 29 + x * 11) % 256) AS px_sum
+        |  FROM pxs GROUP BY doc_id)
+        |SELECT v.doc_id AS media_id,
+        |  CAST(CASE WHEN v.is_real THEN v.w ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN v.is_real THEN v.h ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN v.is_real THEN v.nf ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN v.is_real THEN 224 + v.nf * (8 + v.rsz * v.h)
+        |       ELSE v.tl END AS BIGINT) AS byte_len,
+        |  CAST(CASE WHEN v.is_real THEN p.px_sum ELSE -1 END AS BIGINT) AS px_sum
+        |FROM vids v LEFT JOIN ps p ON p.doc_id = v.doc_id""".stripMargin,
   )
 
   /** The mm_features oracle: REAL rows ((doc_id // 3) % 2 = 0) carry

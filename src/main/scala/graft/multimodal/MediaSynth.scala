@@ -186,4 +186,93 @@ object MediaSynth {
     be32(ftypBody, 0)
     box("ftyp", ftypBody.toByteArray) ++ moov
   }
+
+  // ── uncompressed AVI (real FRAME PIXELS — the video twin of the
+  //    QOI/WAV payloads; public RIFF AVI layout, 24-bit DIB frames) ──
+
+  def aviWidth(docId: Long): Int = 8 + (docId % 5).toInt
+  def aviHeight(docId: Long): Int = 8 + (docId % 3).toInt
+  def aviFrames(docId: Long): Int = 3 + (docId % 4).toInt
+  def aviGray(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((docId * 5 + f * 17 + y * 29 + x * 11) % 256).toInt
+
+  private def leChunk(out: java.io.ByteArrayOutputStream, id: String,
+      body: Array[Byte]): Unit = {
+    id.foreach(c => out.write(c))
+    le32(out, body.length)
+    out.write(body, 0, body.length)
+    if ((body.length & 1) == 1) out.write(0) // RIFF chunks are word-aligned
+  }
+
+  private def leList(kind: String, fourcc: String,
+      body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 12)
+    kind.foreach(c => out.write(c))
+    le32(out, body.length + 4)
+    fourcc.foreach(c => out.write(c))
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** Canonical uncompressed AVI: RIFF('AVI ') { LIST('hdrl'){ avih,
+    * LIST('strl'){ strh('vids'/'DIB '), strf(BITMAPINFOHEADER 24bpp
+    * BI_RGB) } }, LIST('movi'){ '00db' raw bottom-up BGR frames × n } }.
+    * Every frame pixel is the closed form [[aviGray]], so an oracle
+    * re-derives full frame CONTENT from doc_id — unlike the MP4 rows,
+    * whose honest boundary stops at headers. */
+  def avi(docId: Long): Array[Byte] = {
+    val w = aviWidth(docId); val h = aviHeight(docId); val n = aviFrames(docId)
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val avih = new java.io.ByteArrayOutputStream(56)
+    le32(avih, 100000)          // microseconds per frame (10 fps)
+    le32(avih, rowSize * h * 10) // max bytes per sec
+    le32(avih, 0); le32(avih, 0) // padding, flags
+    le32(avih, n)               // total frames
+    le32(avih, 0); le32(avih, 1) // initial frames, streams
+    le32(avih, rowSize * h)     // suggested buffer
+    le32(avih, w); le32(avih, h)
+    var i = 0
+    while (i < 16) { avih.write(0); i += 1 } // reserved[4]
+    val strh = new java.io.ByteArrayOutputStream(56)
+    "vids".foreach(c => strh.write(c)); "DIB ".foreach(c => strh.write(c))
+    le32(strh, 0); le32(strh, 0); le32(strh, 0) // flags, prio+lang, initial
+    le32(strh, 1); le32(strh, 10) // scale, rate (10 fps)
+    le32(strh, 0); le32(strh, n)  // start, length
+    le32(strh, rowSize * h); le32(strh, 0xffffffff.toInt); le32(strh, 0) // buf, quality, sampleSize
+    le32(strh, 0); le32(strh, (h << 16) | w) // rcFrame
+    val strf = new java.io.ByteArrayOutputStream(40)
+    le32(strf, 40); le32(strf, w); le32(strf, h)
+    strf.write(1); strf.write(0); strf.write(24); strf.write(0) // planes, bpp
+    le32(strf, 0); le32(strf, rowSize * h) // BI_RGB, sizeImage
+    le32(strf, 0); le32(strf, 0); le32(strf, 0); le32(strf, 0)
+    val strlBody = new java.io.ByteArrayOutputStream(120)
+    leChunk(strlBody, "strh", strh.toByteArray)
+    leChunk(strlBody, "strf", strf.toByteArray)
+    val hdrlBody = new java.io.ByteArrayOutputStream(200)
+    leChunk(hdrlBody, "avih", avih.toByteArray)
+    hdrlBody.write(leList("LIST", "strl", strlBody.toByteArray))
+    val moviBody = new java.io.ByteArrayOutputStream(n * rowSize * h + 16 * n)
+    var f = 0
+    while (f < n) {
+      val frame = new Array[Byte](rowSize * h)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row // bottom-up storage like BMP
+        var x = 0
+        while (x < w) {
+          val v = aviGray(docId, f, x, y)
+          val p = row * rowSize + x * 3
+          frame(p) = v.toByte; frame(p + 1) = v.toByte; frame(p + 2) = v.toByte
+          x += 1
+        }
+        row += 1
+      }
+      leChunk(moviBody, "00db", frame)
+      f += 1
+    }
+    val riffBody = new java.io.ByteArrayOutputStream(1024)
+    riffBody.write(leList("LIST", "hdrl", hdrlBody.toByteArray))
+    riffBody.write(leList("LIST", "movi", moviBody.toByteArray))
+    leList("RIFF", "AVI ", riffBody.toByteArray)
+  }
 }

@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.multimodal.Multimodal.MediaRow
+
+/** REAL video frame decode — uncompressed AVI (RIFF 'AVI ', 24-bit
+  * BI_RGB DIB frames in '00db' chunks), the one public video container
+  * a pure-JVM decoder can read end to end: the RIFF walk is
+  * [[AudioFeatures.decodeWavPcm]]'s, the frame pixel layout is
+  * [[ImageDedup.decodeBmpPixels]]'s (bottom-up BGR rows, 4-byte row
+  * padding). This closes the video leg of the real-decode story: QOI
+  * images and PCM WAV audio already decode for real; codec-compressed
+  * video (the MP4 rows) keeps its honest header-only boundary.
+  *
+  * Gate story (`mm_video_frames`): the gate corpus' real AVI rows
+  * ([[MediaSynth.avi]]) have closed-form frame pixels
+  * ([[MediaSynth.aviGray]]), so DuckDB re-derives frame COUNT,
+  * dimensions, the container's exact byte length, and the sum over
+  * every pixel of every frame from doc_id alone — the
+  * `mm_resize`/`mm_resample` strongest-oracle shape extended to the
+  * time axis.
+  *
+  * Scale: decode is map-only; per-row memory is one frame set bounded
+  * by [[MaxFramePixels]] · [[MaxFrames]].
+  */
+object VideoFrames {
+
+  /** Per-frame pixel ceiling (shared rationale with
+    * [[ImageDedup.MaxPixels]]) and frame-count ceiling. */
+  private[multimodal] val MaxFramePixels = 4L * 1024 * 1024
+  private[multimodal] val MaxFrames = 4096
+
+  /** Decode an uncompressed AVI payload to (width, height, frames) —
+    * each frame ARGB in top-down row order. None on anything
+    * malformed, compressed, truncated, or over the ceilings. */
+  private[multimodal] def decodeAviFrames(
+      b: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    def tag(p: Int): String =
+      if (p < 0 || b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
+    def le32(p: Int): Long =
+      if (p < 0 || b.length < p + 4) -1L
+      else java.nio.ByteBuffer.wrap(b, p, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = math.min(b.length.toLong, 8L + le32(4)).toInt
+
+    var w = -1; var h = -1
+    var bppOk = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // offsets
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    // walk chunks within [from, to); recurse into LISTs we care about
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = tag(p)
+        val size = le32(p + 4)
+        if (size < 0 || p + 8 + size > to) return false
+        val body = p + 8
+        id match {
+          case "LIST" =>
+            val four = tag(body)
+            if (four == "hdrl" || four == "strl" || four == "movi" || four == "rec ")
+              if (!walk(body + 4, body + size.toInt, inMovi || four == "movi"))
+                return false
+          case "avih" =>
+            if (size < 40) return false
+            w = le32(body + 32).toInt; h = le32(body + 36).toInt
+          case "strf" =>
+            // BITMAPINFOHEADER: bpp at +14, compression at +16
+            if (size >= 20) {
+              val bpp = ((b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8))
+              val comp = le32(body + 16)
+              bppOk = bpp == 24 && comp == 0
+            }
+          case "00db" | "00dc" if inMovi =>
+            frames += body; sizes += size.toInt
+          case _ => ()
+        }
+        p = body + size.toInt + (size.toInt & 1) // word alignment
+      }
+      true
+    }
+    if (!walk(12, riffEnd, inMovi = false)) return None
+    if (!bppOk || w <= 0 || h <= 0 || w > MaxFramePixels || h > MaxFramePixels ||
+      w.toLong * h > MaxFramePixels) return None
+    if (frames.isEmpty || frames.length > MaxFrames) return None
+    val rowSize = ((24 * w + 31) / 32) * 4
+    if (rowSize.toLong * h > Int.MaxValue) return None
+    val out = new Array[Array[Int]](frames.length)
+    var f = 0
+    while (f < frames.length) {
+      if (sizes(f) < rowSize * h) return None
+      val base = frames(f)
+      val px = new Array[Int](w * h)
+      var row = 0
+      while (row < h) {
+        val srcRow = h - 1 - row // bottom-up, normalized to top-down
+        val rp = base + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val p = rp + x * 3
+          val bl = b(p) & 0xff; val g = b(p + 1) & 0xff; val r = b(p + 2) & 0xff
+          px(row * w + x) = (0xff << 24) | (r << 16) | (g << 8) | bl
+          x += 1
+        }
+        row += 1
+      }
+      out(f) = px
+      f += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** The video media table: real rows (the [[MediaSynth.isReal]]
+    * convention) carry genuine uncompressed AVI payloads with
+    * closed-form frame pixels; fakes carry the text bytes (stub
+    * fallback). Independent of [[Multimodal.mediaTable]], so the
+    * MP4-header gates are untouched. */
+  def aviTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload =
+          if (MediaSynth.isReal(id)) MediaSynth.avi(id)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, "video", payload, "video/avi", payload.length.toLong)
+      }
+  }
+
+  /** Gate surface (`mm_video_frames`): per video row, the decoded
+    * frame digests — dimensions, frame count, the container's byte
+    * length, and `px_sum` = Σ over every pixel of every frame of the
+    * red channel (channels are equal on the gray gate corpus; the
+    * column pins full frame CONTENT, not just headers). Undecodable
+    * rows report zeros, the passthrough length and px_sum = -1. */
+  def videoFrameReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = aviTable(spark, sfDir)
+    import media.sparkSession.implicits._
+    media.map { m =>
+      decodeAviFrames(m.media) match {
+        case Some((w, h, frames)) =>
+          var s = 0L
+          var f = 0
+          while (f < frames.length) {
+            val px = frames(f)
+            var i = 0
+            while (i < px.length) { s += (px(i) >>> 16) & 0xff; i += 1 }
+            f += 1
+          }
+          (m.media_id, w.toLong, h.toLong, frames.length.toLong,
+            m.media.length.toLong, s)
+        case None =>
+          (m.media_id, 0L, 0L, 0L, m.media.length.toLong, -1L)
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "byte_len", "px_sum")
+  }
+}

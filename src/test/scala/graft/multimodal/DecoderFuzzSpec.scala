@@ -31,7 +31,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "headers" -> (b => Multimodal.decodeHeaders(b)),
     "exif" -> (b => Multimodal.jpegExifOrientation(b)),
     "imageHash" -> (b => ImageDedup.imageHash(b)),
-    "clipHash" -> (b => AudioDedup.clipHash(b)))
+    "clipHash" -> (b => AudioDedup.clipHash(b)),
+    "aviFrames" -> (b => VideoFrames.decodeAviFrames(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -59,7 +60,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
         0x0d, 0x0a, 0x1a, 0x0a),
       "gif" -> "GIF89a".getBytes,
       "jpeg" -> Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
-      "ftyp" -> (Array[Byte](0, 0, 0, 0x14) ++ "ftypisom".getBytes))
+      "ftyp" -> (Array[Byte](0, 0, 0, 0x14) ++ "ftypisom".getBytes),
+      "riff-avi" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
+        "AVI ".getBytes))
     for ((tag, magic) <- magics; i <- 0 until 60) {
       val len = (Mix.splitmix64(i * 104729L + tag.hashCode).abs % 512L).toInt
       assertTotal(s"$tag#$i", magic ++ bytes(i + 31L, len))
@@ -69,7 +72,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
   test("single-byte mutations of real payloads decode or fall back, never throw") {
     val reals = Seq[(String, Array[Byte])](
       "qoi" -> MediaSynth.qoi(7L), "wav" -> MediaSynth.wav(13L),
-      "mp4" -> MediaSynth.mp4(20L))
+      "mp4" -> MediaSynth.mp4(20L), "avi" -> MediaSynth.avi(11L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -87,7 +90,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
   test("every truncation prefix of a real payload is handled") {
     val reals = Seq[(String, Array[Byte])](
       "qoi" -> MediaSynth.qoi(19L), "wav" -> MediaSynth.wav(25L),
-      "mp4" -> MediaSynth.mp4(14L))
+      "mp4" -> MediaSynth.mp4(14L), "avi" -> MediaSynth.avi(17L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0

@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class VideoFramesSpec extends SparkSpec {
+
+  test("AVI roundtrip: dims, frame count and every frame pixel match the closed forms") {
+    for (id <- Seq(2L, 8L, 14L, 26L)) {
+      val bytes = MediaSynth.avi(id)
+      val Some((w, h, frames)) = VideoFrames.decodeAviFrames(bytes)
+      assert(w === MediaSynth.aviWidth(id))
+      assert(h === MediaSynth.aviHeight(id))
+      assert(frames.length === MediaSynth.aviFrames(id))
+      for (f <- frames.indices; y <- 0 until h; x <- 0 until w) {
+        val px = frames(f)(y * w + x)
+        val g = MediaSynth.aviGray(id, f, x, y)
+        assert(px === ((0xff << 24) | (g << 16) | (g << 8) | g),
+          s"id=$id f=$f ($x,$y)")
+      }
+      // and the writer's layout formula the oracle re-derives
+      val rsz = ((3 * w + 3) / 4) * 4
+      assert(bytes.length === 224 + frames.length * (8 + rsz * h))
+    }
+  }
+
+  test("malformed AVIs decline: truncation, compression, wrong bpp") {
+    val good = MediaSynth.avi(5L)
+    assert(VideoFrames.decodeAviFrames(good).isDefined)
+    // truncations (the fuzz spec walks every stride; spot-check here)
+    assert(VideoFrames.decodeAviFrames(good.take(100)).isEmpty)
+    assert(VideoFrames.decodeAviFrames(good.dropRight(10)).isEmpty,
+      "a short final frame chunk must decline, not mis-decode")
+    // flip the strf compression field (BI_RGB -> nonzero)
+    def patch(at: Int): Array[Byte] = {
+      val m = good.clone(); m(at) = 1; m
+    }
+    // locate strf body: find the 'strf' tag
+    val strfAt = good.sliding(4).indexWhere(_.sameElements("strf".getBytes))
+    assert(strfAt > 0)
+    assert(VideoFrames.decodeAviFrames(patch(strfAt + 8 + 16)).isEmpty,
+      "compressed streams must fall to the stub")
+    assert(VideoFrames.decodeAviFrames(patch(strfAt + 8 + 14)).isEmpty,
+      "non-24bpp must decline")
+    // not an AVI at all
+    assert(VideoFrames.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("gate surface: real rows cross the frame decode, fakes report passthrough") {
+    val rep = VideoFrames.videoFrameReport(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val vids = VideoFrames.aviTable(spark, sf()).collect()
+    assert(rep.size === vids.length)
+    var nReal = 0; var nFake = 0
+    vids.foreach { m =>
+      val (w, nf, bl, ps) = rep(m.media_id)
+      assert(bl === m.media.length.toLong)
+      if (MediaSynth.isReal(m.media_id)) {
+        nReal += 1
+        assert(w === MediaSynth.aviWidth(m.media_id).toLong)
+        assert(nf === MediaSynth.aviFrames(m.media_id).toLong)
+        assert(ps >= 0L)
+      } else {
+        nFake += 1
+        assert((w, nf, ps) === ((0L, 0L, -1L)))
+      }
+    }
+    assert(nReal >= nFake && nFake > 0,
+      s"gate must cross both paths: real=$nReal fake=$nFake")
+  }
+}
