@@ -368,6 +368,10 @@ object SparkEntry {
     // time axis); MP4 rows keep their honest header-only boundary
     "mm_video_frames" -> ((s, dir) =>
       graft.multimodal.VideoFrames.videoFrameReport(s, dir)),
+    // video thumbnails: decode -> middle frame -> box resize -> QOI
+    // re-encode -> decode, one recomputing oracle across modalities
+    "mm_video_thumbs" -> ((s, dir) =>
+      graft.multimodal.VideoFrames.thumbnailReport(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -2457,6 +2461,38 @@ object SparkEntry {
         |  CAST(CASE WHEN v.is_real THEN v.nf ELSE 0 END AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN v.is_real THEN 224 + v.nf * (8 + v.rsz * v.h)
         |       ELSE v.tl END AS BIGINT) AS byte_len,
+        |  CAST(CASE WHEN v.is_real THEN p.px_sum ELSE -1 END AS BIGINT) AS px_sum
+        |FROM vids v LEFT JOIN ps p ON p.doc_id = v.doc_id""".stripMargin,
+    // thumbnail oracle: the middle frame f = nf // 2 of the closed-form
+    // AVI, 4x4 box means (truncating division over the aHash cell
+    // bounds), x3 channels; 86 = the 4x4 QOI byte length
+    "mm_video_thumbs" ->
+      """WITH vids AS (
+        |  SELECT doc_id, strlen(text) AS tl,
+        |    (doc_id // 3) % 2 = 0 AS is_real,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    (3 + doc_id % 4) // 2 AS f
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |cells AS (
+        |  SELECT doc_id, w, h, f, cx, cy,
+        |    (cx * w) // 4 AS x0, ((cx + 1) * w) // 4 AS x1,
+        |    (cy * h) // 4 AS y0, ((cy + 1) * h) // 4 AS y1
+        |  FROM vids CROSS JOIN (SELECT unnest(range(0, 4)) AS cx)
+        |            CROSS JOIN (SELECT unnest(range(0, 4)) AS cy)
+        |  WHERE is_real),
+        |xs AS (SELECT doc_id, f, cx, cy, y0, y1,
+        |    unnest(range(x0, x1)) AS x FROM cells),
+        |xy AS (SELECT doc_id, f, cx, cy, x,
+        |    unnest(range(y0, y1)) AS y FROM xs),
+        |cm AS (
+        |  SELECT doc_id, cx, cy,
+        |    sum((doc_id * 5 + f * 17 + y * 29 + x * 11) % 256) // count(*) AS mean
+        |  FROM xy GROUP BY doc_id, cx, cy),
+        |ps AS (SELECT doc_id, sum(3 * mean) AS px_sum
+        |  FROM cm GROUP BY doc_id)
+        |SELECT v.doc_id AS media_id,
+        |  CAST(CASE WHEN v.is_real THEN v.f ELSE -1 END AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN v.is_real THEN 86 ELSE v.tl END AS BIGINT) AS out_bytes,
         |  CAST(CASE WHEN v.is_real THEN p.px_sum ELSE -1 END AS BIGINT) AS px_sum
         |FROM vids v LEFT JOIN ps p ON p.doc_id = v.doc_id""".stripMargin,
   )

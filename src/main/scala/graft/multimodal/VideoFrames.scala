@@ -132,6 +132,41 @@ object VideoFrames {
       }
   }
 
+  /** Video THUMBNAIL extraction — the decode → frame-sample → resize
+    * composition a video corpus runs to build preview/embedding
+    * inputs: the MIDDLE frame (index n/2 — deterministic, never the
+    * fade-in first frame) box-averaged to (tw × th) by
+    * [[ImageResize.resizePixels]] and re-encoded as a QOI payload.
+    * Gate surface (`mm_video_thumbs`) digests the DE-CODED thumbnail
+    * (so video decode, frame choice, resize, image encode and image
+    * decode all sit inside one oracle); undecodable rows report
+    * frame_idx = -1 and the passthrough length. */
+  def thumbnailReport(spark: SparkSession, sfDir: String, tw: Int = 4,
+      th: Int = 4): DataFrame = {
+    val media = aviTable(spark, sfDir)
+    import media.sparkSession.implicits._
+    media.map { m =>
+      decodeAviFrames(m.media) match {
+        case Some((w, h, frames)) =>
+          val f = frames.length / 2
+          val enc = ImageResize.qoiEncode(tw, th,
+            ImageResize.resizePixels(w, h, frames(f), tw, th))
+          val ps = ImageDedup.decodeQoiPixels(enc).map { case (_, _, px) =>
+            var s = 0L; var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              s += ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+              i += 1
+            }
+            s
+          }.getOrElse(-2L)
+          (m.media_id, f.toLong, enc.length.toLong, ps)
+        case None =>
+          (m.media_id, -1L, m.media.length.toLong, -1L)
+      }
+    }.toDF("media_id", "frame_idx", "out_bytes", "px_sum")
+  }
+
   /** Gate surface (`mm_video_frames`): per video row, the decoded
     * frame digests — dimensions, frame count, the container's byte
     * length, and `px_sum` = Σ over every pixel of every frame of the

@@ -45,6 +45,28 @@ class VideoFramesSpec extends SparkSpec {
     assert(VideoFrames.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("thumbnails: the middle frame resized, digests match a driver composition") {
+    val rep = VideoFrames.thumbnailReport(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val vids = VideoFrames.aviTable(spark, sf()).collect()
+    vids.foreach { m =>
+      val (fi, ob, ps) = rep(m.media_id)
+      if (MediaSynth.isReal(m.media_id)) {
+        val Some((w, h, frames)) = VideoFrames.decodeAviFrames(m.media)
+        assert(fi === (frames.length / 2).toLong)
+        assert(ob === 86L)
+        // driver re-derivation of the same middle-frame 4x4 digest
+        val rz = ImageResize.resizePixels(w, h, frames(frames.length / 2), 4, 4)
+        val want = rz.foldLeft(0L)((a, p) =>
+          a + ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff))
+        assert(ps === want)
+      } else {
+        assert((fi, ps) === ((-1L, -1L)))
+        assert(ob === m.media.length.toLong)
+      }
+    }
+  }
+
   test("gate surface: real rows cross the frame decode, fakes report passthrough") {
     val rep = VideoFrames.videoFrameReport(spark, sf()).collect()
       .map(r => r.getLong(0) ->
