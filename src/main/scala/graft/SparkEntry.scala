@@ -372,6 +372,11 @@ object SparkEntry {
     // re-encode -> decode, one recomputing oracle across modalities
     "mm_video_thumbs" -> ((s, dir) =>
       graft.multimodal.VideoFrames.thumbnailReport(s, dir)),
+    // perceptual video near-dup: temporal-majority fold of per-frame
+    // aHashes over real decoded frames, byte fallback elsewhere; the
+    // same multi-probe band machinery as the image and audio twins
+    "mm_video_dedup" -> ((s, dir) =>
+      graft.multimodal.VideoFrames.videoDedup(s, dir)),
   )
 
   /** Shared events→KvOp projection, kept textually identical across the
@@ -461,6 +466,8 @@ object SparkEntry {
     s"${graft.multimodal.ImageDedup.dumpPath(graft.multimodal.ImageDedup.lastBase)}/*.parquet"
   private def audHashGlob: String =
     s"${graft.multimodal.AudioDedup.dumpPath(graft.multimodal.AudioDedup.lastBase)}/*.parquet"
+  private def vidHashGlob: String =
+    s"${graft.multimodal.VideoFrames.dumpPath(graft.multimodal.VideoFrames.lastBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -2367,6 +2374,9 @@ object SparkEntry {
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
     "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),
+    // video near-dup: identical oracle shape over the video dump
+    // (temporal-majority frame aHashes / byte fallback)
+    "mm_video_dedup" -> mediaHashPairsSql(vidHashGlob),
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes

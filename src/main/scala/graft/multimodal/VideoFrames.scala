@@ -132,6 +132,85 @@ object VideoFrames {
       }
   }
 
+  @volatile var lastBase: String = "sf0.01"
+
+  def dumpPath(base: String): String =
+    graft.core.SideDump.path("vidhash_sigs", base)
+
+  /** 64-bit TEMPORAL MAJORITY fingerprint: each decodable frame's 8×8
+    * aHash, folded bitwise — bit b is set iff at least half the frames
+    * set it. Robust to a minority of edited/inserted frames and to
+    * per-frame noise the aHash already absorbs; frame ORDER does not
+    * matter (a reversal is the same video to this signature, which is
+    * the useful notion for near-dup dedup, not for alignment).
+    * Frames smaller than 8×8 contribute nothing; None when no frame
+    * hashes (callers fall back to the byte hash). */
+  private[multimodal] def videoHash(w: Int, h: Int,
+      frames: Array[Array[Int]]): Option[Long] = {
+    val counts = new Array[Int](64)
+    var used = 0
+    var f = 0
+    while (f < frames.length) {
+      ImageDedup.aHash64(w, h, frames(f)) match {
+        case Some(hash) =>
+          used += 1
+          var b = 0
+          while (b < 64) {
+            if (((hash >>> b) & 1L) == 1L) counts(b) += 1
+            b += 1
+          }
+        case None => ()
+      }
+      f += 1
+    }
+    if (used == 0) return None
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      // majority: 2·count >= frames-used (ties set the bit, matching
+      // aHash's deterministic strict-> convention being asymmetric)
+      if (2 * counts(b) >= used) sig |= 1L << b
+      b += 1
+    }
+    Some(sig)
+  }
+
+  /** The per-video fingerprint: real frame decode + temporal majority
+    * when possible, the byte-region hash otherwise. */
+  private[multimodal] def clipHash(bytes: Array[Byte]): Long =
+    decodeAviFrames(bytes)
+      .flatMap { case (w, h, frames) => videoHash(w, h, frames) }
+      .getOrElse(ImageDedup.stubImageHash(bytes))
+
+  /** Near-dup pairs among `media`'s video rows — the multi-probe
+    * banded-Hamming machinery shared with the text, image and audio
+    * families. */
+  def videoDedupOf(media: Dataset[MediaRow], maxHamming: Int = 15,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = media.filter(_.kind == "video")
+      .map(m => (m.media_id, clipHash(m.media)))
+      .toDF("doc_id", "sig")
+    graft.dedup.Dedup.simhashPairsMultiProbeOf(sigs, maxHamming, maxBucket)
+  }
+
+  /** Gate surface (`mm_video_dedup`): fingerprints side-dumped (the
+    * frame decode is the faith), banding/cap/Hamming re-derived by
+    * DuckDB — the mm_image_dedup oracle over the video dump. */
+  def videoDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 15,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sigs = aviTable(spark, sfDir)
+      .map(m => (m.media_id, clipHash(m.media)))
+      .toDF("doc_id", "sig").localCheckpoint()
+    lastBase = {
+      graft.core.SideDump.write(sigs, "vidhash_sigs",
+        new java.io.File(sfDir).getName)
+      new java.io.File(sfDir).getName
+    }
+    graft.dedup.Dedup.simhashPairsMultiProbeOf(sigs, maxHamming, maxBucket)
+  }
+
   /** Video THUMBNAIL extraction — the decode → frame-sample → resize
     * composition a video corpus runs to build preview/embedding
     * inputs: the MIDDLE frame (index n/2 — deterministic, never the

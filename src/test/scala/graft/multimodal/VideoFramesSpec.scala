@@ -67,6 +67,49 @@ class VideoFramesSpec extends SparkSpec {
     }
   }
 
+  test("temporal majority fingerprint: majority wins, order is irrelevant") {
+    val w = 16; val h = 16
+    def pattern(leftDark: Boolean): Array[Int] = Array.tabulate(w * h) { i =>
+      val dark = (i % w < w / 2) == leftDark
+      if (dark) (0xff << 24) else (0xff << 24) | 0xffffff
+    }
+    val a = pattern(leftDark = true); val b = pattern(leftDark = false)
+    val Some(hashA) = ImageDedup.aHash64(w, h, a)
+    // 2-of-3 majority takes A's hash; a permutation folds identically
+    val Some(maj) = VideoFrames.videoHash(w, h, Array(a, a, b))
+    assert(maj === hashA)
+    val Some(maj2) = VideoFrames.videoHash(w, h, Array(b, a, a))
+    assert(maj2 === maj)
+    // single frame = its own aHash; no 8x8-capable frames = None
+    assert(VideoFrames.videoHash(w, h, Array(b)) === ImageDedup.aHash64(w, h, b))
+    assert(VideoFrames.videoHash(4, 4, Array(Array.fill(16)(0xff000000))).isEmpty)
+  }
+
+  test("clip fingerprint: real AVIs fold their frame aHashes, fakes take the byte hash") {
+    for (id <- Seq(2L, 8L, 20L)) {
+      val bytes = MediaSynth.avi(id)
+      val Some((w, h, frames)) = VideoFrames.decodeAviFrames(bytes)
+      assert(VideoFrames.clipHash(bytes) ===
+        VideoFrames.videoHash(w, h, frames).get)
+    }
+    val fake = "not a video at all".getBytes
+    assert(VideoFrames.clipHash(fake) === ImageDedup.stubImageHash(fake))
+  }
+
+  test("gate dump: every video row fingerprinted, both hash paths crossed") {
+    VideoFrames.videoDedup(spark, sf()).collect() // force + dump
+    val dumped = spark.read.parquet(VideoFrames.dumpPath(VideoFrames.lastBase))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vids = VideoFrames.aviTable(spark, sf()).collect()
+    assert(dumped.size === vids.length)
+    var nReal = 0; var nFake = 0
+    vids.foreach { m =>
+      assert(dumped(m.media_id) === VideoFrames.clipHash(m.media))
+      if (MediaSynth.isReal(m.media_id)) nReal += 1 else nFake += 1
+    }
+    assert(nReal >= nFake && nFake > 0)
+  }
+
   test("gate surface: real rows cross the frame decode, fakes report passthrough") {
     val rep = VideoFrames.videoFrameReport(spark, sf()).collect()
       .map(r => r.getLong(0) ->
