@@ -273,9 +273,12 @@ object SparkEntry {
     // (same oracle); arbitrary MemoryStream batching ≡ one-shot is
     // pinned in ChunkStreamSpec
     "text_chunk_pack_stream" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, max}
+      import org.apache.spark.sql.functions.{coalesce, col, lit, max}
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      // coalesce: an empty corpus must yield an empty frame (the
+      // registry-wide contract), not an NPE off the null max
+      val maxId = docs.agg(coalesce(max(col("doc_id")), lit(-1L)))
+        .head().getLong(0)
       val step = maxId / 4 + 1
       val packer = new graft.streaming.ChunkIngest.StreamPacker()
       (0 until 4).map { b =>
@@ -307,12 +310,12 @@ object SparkEntry {
     "text_decontam" -> ((s, dir) => graft.text.Cleaning.contamination(s, dir)),
     "text_decontam_bloom" -> ((s, dir) => graft.text.Cleaning.contaminationBloom(s, dir)),
     "text_entropy" -> ((s, dir) => graft.text.TextAnalysis.tokenEntropy(s, dir)),
-    // the "why was this doc kept/dropped" report: every hygiene
-    // verdict joined per doc + the combined keep bit
     // the per-(split, lang) rollup shipped with a curated corpus:
     // leak-safe split x langid x quality, one map-side-combined rollup
     "text_corpus_report" -> ((s, dir) =>
       graft.text.TextAnalysis.corpusReport(s, dir)),
+    // the "why was this doc kept/dropped" report: every hygiene
+    // verdict joined per doc + the combined keep bit
     "text_filter_funnel" -> ((s, dir) => graft.text.TextAnalysis.filterFunnel(s, dir)),
     // the six-verdict multimodal funnel: text verdicts + the SemDeDup
     // keeper bit over the document's embedding (vec_id == doc_id)
@@ -2162,52 +2165,15 @@ object SparkEntry {
     // micro-batches continues the global prefix sum exactly, so the
     // one-shot oracle applies verbatim
     "text_chunk_pack_stream" -> textChunkPackSql,
-    "text_quality" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop,
-        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
-        |  FROM documents)
-        |SELECT doc_id, n_tokens, n_stop, n_punct, n_alpha,
-        |  CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
-        |    AS is_quality
-        |FROM q""".stripMargin,
+    "text_quality" -> textQualitySql,
     // corpus report card: the split, langid and quality oracles
-    // composed per doc, then the same integer-exact rollup
+    // composed per doc (each the SHARED fragment its standalone gate
+    // runs), then the same integer-exact rollup
     "text_corpus_report" ->
       s"""WITH s AS (SELECT doc_id, split FROM ($dedupSplitSafeSql)),
-         |lc AS (
-         |  SELECT doc_id,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |        x -> x IN ('the','and','of','with'))) AS c_en,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |        x -> x IN ('der','die','das','und'))) AS c_de,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |        x -> x IN ('el','los','las','y'))) AS c_es,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |        x -> x IN ('le','les','et','une'))) AS c_fr
-         |  FROM documents),
-         |l AS (SELECT doc_id,
-         |  CASE
-         |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-         |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-         |    WHEN c_es >= c_fr THEN 'es'
-         |    ELSE 'fr' END AS lang_pred
-         |  FROM lc),
-         |qc AS (
-         |  SELECT doc_id,
-         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop,
-         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
-         |  FROM documents),
-         |q AS (SELECT doc_id, n_tokens, n_alpha,
-         |    CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
-         |      AS is_quality
-         |  FROM qc)
+         |l AS (SELECT doc_id, lang_pred FROM ($textLangIdSql)),
+         |q AS (SELECT doc_id, n_tokens, n_alpha, is_quality
+         |      FROM ($textQualitySql))
          |SELECT s.split, l.lang_pred, count(*) AS n_docs,
          |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum(q.n_alpha) AS BIGINT) AS n_alpha,
@@ -2229,25 +2195,7 @@ object SparkEntry {
         |SELECT doc_id, is_quality FROM f
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) <
         |  CASE WHEN is_quality = 1 THEN 'ccccccccccccd00' ELSE '1999999999999a0' END""".stripMargin,
-    "text_langid" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('the','and','of','with'))) AS c_en,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('der','die','das','und'))) AS c_de,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('el','los','las','y'))) AS c_es,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |        x -> x IN ('le','les','et','une'))) AS c_fr
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-        |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-        |    WHEN c_es >= c_fr THEN 'es'
-        |    ELSE 'fr' END AS lang_pred
-        |FROM c""".stripMargin,
+    "text_langid" -> textLangIdSql,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -2872,6 +2820,44 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
       |    FROM adc) x
       |  JOIN dep d ON d.qid = x.qid WHERE x.rn <= d.rerank * d.depth),""".stripMargin
+
+  /** n-gram-heuristic language id — shared by the standalone gate and
+    * the corpus report's lang CTE. */
+  private def textLangIdSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('the','and','of','with'))) AS c_en,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('der','die','das','und'))) AS c_de,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('el','los','las','y'))) AS c_es,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('le','les','et','une'))) AS c_fr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE
+      |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+      |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+      |    WHEN c_es >= c_fr THEN 'es'
+      |    ELSE 'fr' END AS lang_pred
+      |FROM c""".stripMargin
+
+  /** Quality counts + keeper flag — shared by the standalone gate and
+    * the corpus report's quality CTE. */
+  private def textQualitySql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x IN ('the','a','of','and','to','is','in'))) AS n_stop,
+      |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_stop, n_punct, n_alpha,
+      |  CAST(n_tokens BETWEEN 5 AND 10000 AND n_stop * 20 >= n_tokens AS INT)
+      |    AS is_quality
+      |FROM q""".stripMargin
 
   /** Cluster-keyed leakage-safe split over the recursive-closure
     * clusters oracle — shared by the split gate and the corpus

@@ -142,14 +142,7 @@ object AudioDedup {
     * checkpoint's blocks are reclaimed once the plan is
     * unreferenced. */
   def audioDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 15,
-      maxBucket: Int = 1000): DataFrame = {
-    val media = Multimodal.mediaTable(spark, sfDir)
-    val sigs = hashFrame(media).localCheckpoint()
-    lastBase = {
-      graft.core.SideDump.write(sigs, "audhash_sigs",
-        new java.io.File(sfDir).getName)
-      new java.io.File(sfDir).getName
-    }
-    graft.dedup.Dedup.simhashPairsMultiProbeOf(sigs, maxHamming, maxBucket)
-  }
+      maxBucket: Int = 1000): DataFrame =
+    SigDump.dumpAndPair(hashFrame(Multimodal.mediaTable(spark, sfDir)),
+      "audhash_sigs", sfDir, maxHamming, maxBucket)(lastBase = _)
 }

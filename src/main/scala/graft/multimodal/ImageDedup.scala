@@ -266,18 +266,7 @@ object ImageDedup {
     * DuckDB (the dedup_simhash_multiprobe oracle over the image
     * dump). */
   def imageDedup(spark: SparkSession, sfDir: String, maxHamming: Int = 15,
-      maxBucket: Int = 1000): DataFrame = {
-    val media = Multimodal.mediaTable(spark, sfDir)
-    // localCheckpoint, not cache(): the dump write and the pair stage
-    // both read the hashes (decode must run once), but cache() would
-    // pin the signatures in executor storage for the session — the
-    // checkpoint's blocks are reclaimed once the plan is unreferenced
-    val sigs = hashFrame(media).localCheckpoint()
-    lastBase = {
-      graft.core.SideDump.write(sigs, "imghash_sigs",
-        new java.io.File(sfDir).getName)
-      new java.io.File(sfDir).getName
-    }
-    graft.dedup.Dedup.simhashPairsMultiProbeOf(sigs, maxHamming, maxBucket)
-  }
+      maxBucket: Int = 1000): DataFrame =
+    SigDump.dumpAndPair(hashFrame(Multimodal.mediaTable(spark, sfDir)),
+      "imghash_sigs", sfDir, maxHamming, maxBucket)(lastBase = _)
 }

@@ -90,52 +90,22 @@ object MediaSynth {
     * row-major order, the spec's 8-byte end marker. Uncompressed by
     * choice (RGB ops are always legal), so the length is exact. */
   def qoi(docId: Long): Array[Byte] = {
+    // one QOI writer per engine: ImageResize's canonical encoder
+    // (byte-identical layout; any divergence breaks the mm gates)
     val w = qoiWidth(docId); val h = qoiHeight(docId)
-    val out = new java.io.ByteArrayOutputStream(22 + 4 * w * h)
-    out.write('q'); out.write('o'); out.write('i'); out.write('f')
-    be32(out, w); be32(out, h)
-    out.write(3); out.write(0) // RGB channels, sRGB
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = qoiGray(docId, x, y)
-        out.write(0xfe); out.write(v); out.write(v); out.write(v)
-        x += 1
-      }
-      y += 1
-    }
-    var i = 0
-    while (i < 7) { out.write(0); i += 1 }
-    out.write(1)
-    out.toByteArray
+    ImageResize.qoiEncode(w, h, Array.tabulate(w * h) { i =>
+      val v = qoiGray(docId, i % w, i / w)
+      (0xff << 24) | (v << 16) | (v << 8) | v
+    })
   }
 
   /** Canonical PCM WAV: RIFF(WAVE) + fmt(16, PCM, mono, 8 kHz,
     * 16-bit) + data(2·frames), little-endian samples. */
   def wav(docId: Long): Array[Byte] = {
-    val n = wavFrames(docId)
-    val dataLen = 2 * n
-    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
-    out.write('R'); out.write('I'); out.write('F'); out.write('F')
-    le32(out, 36 + dataLen)
-    out.write('W'); out.write('A'); out.write('V'); out.write('E')
-    out.write('f'); out.write('m'); out.write('t'); out.write(' ')
-    le32(out, 16)
-    le16(out, 1)           // PCM
-    le16(out, 1)           // mono
-    le32(out, WavRate)
-    le32(out, WavRate * 2) // byte rate
-    le16(out, 2)           // block align
-    le16(out, 16)          // bits
-    out.write('d'); out.write('a'); out.write('t'); out.write('a')
-    le32(out, dataLen)
-    var i = 0
-    while (i < n) {
-      le16(out, wavSample(docId, i) & 0xffff)
-      i += 1
-    }
-    out.toByteArray
+    // one WAV writer per engine: AudioResample's canonical encoder
+    // (byte-identical layout; any divergence breaks the mm gates)
+    AudioResample.wavEncode(WavRate,
+      Array.tabulate(wavFrames(docId))(i => wavSample(docId, i)))
   }
 
   private def box(tpe: String, body: Array[Byte]): Array[Byte] = {

@@ -202,13 +202,9 @@ object VideoFrames {
     import spark.implicits._
     val sigs = aviTable(spark, sfDir)
       .map(m => (m.media_id, clipHash(m.media)))
-      .toDF("doc_id", "sig").localCheckpoint()
-    lastBase = {
-      graft.core.SideDump.write(sigs, "vidhash_sigs",
-        new java.io.File(sfDir).getName)
-      new java.io.File(sfDir).getName
-    }
-    graft.dedup.Dedup.simhashPairsMultiProbeOf(sigs, maxHamming, maxBucket)
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(sigs, "vidhash_sigs", sfDir, maxHamming, maxBucket)(
+      lastBase = _)
   }
 
   /** Video THUMBNAIL extraction — the decode → frame-sample → resize
