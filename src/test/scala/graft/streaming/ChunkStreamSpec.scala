@@ -170,4 +170,13 @@ class ChunkStreamSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4),
       "fixture must exercise both kept and dropped verdicts")
   }
+
+  test("stream-pack gate surface: an empty corpus yields an empty frame, not an NPE") {
+    import spark.implicits._
+    val dir = "/tmp/graft_empty_corpus"
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_chunk_pack_stream")(spark, dir)
+    assert(out.count() === 0L, "the registry-wide empty-corpus contract")
+  }
 }
