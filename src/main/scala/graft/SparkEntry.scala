@@ -192,6 +192,10 @@ object SparkEntry {
     // constructive twin of the leakage detector: split key = near-dup
     // CLUSTER id, so no pair can straddle a split by construction
     "dedup_split_safe" -> ((s, dir) => graft.dedup.Dedup.leakSafeSplit(s, dir)),
+    // the same constructor plugged into the EMBEDDING near-dup graph:
+    // semantic clusters stay on one side (out-of-neighborhood eval)
+    "dedup_split_safe_embed" -> ((s, dir) =>
+      graft.dedup.Dedup.leakSafeSplitEmbed(s, dir)),
     // windowed exact-substring dedup (Lee et al. 2022, Spark-first)
     "dedup_incremental" -> ((s, dir) => graft.dedup.LshIndex.dedupIncremental(s, dir)),
     "dedup_passages" -> ((s, dir) => graft.dedup.Dedup.duplicatePassages(s, dir)),
@@ -1461,6 +1465,25 @@ object SparkEntry {
     // cluster-keyed split over the same recursive closure: mod 10 of
     // the min-id cluster rep, 0 -> val, 1 -> test, else train
     "dedup_split_safe" -> dedupSplitSafeSql,
+    // the semantic variant: the same closure + split CASE over the
+    // exact embedding cosine pair oracle, universe = embeddings
+    "dedup_split_safe_embed" ->
+      s"""WITH RECURSIVE spairs AS ($dedupEmbedSql),
+         |sed AS (SELECT i AS sa, j AS sb FROM spairs
+         |        UNION ALL SELECT j, i FROM spairs),
+         |sreach(sa, sb) AS (
+         |  SELECT sa, sb FROM sed
+         |  UNION
+         |  SELECT r.sa, e2.sb FROM sreach r JOIN sed e2 ON r.sb = e2.sa),
+         |sm AS (SELECT sa, min(sb) AS mn FROM sreach GROUP BY sa),
+         |sc AS (SELECT v.vec_id AS doc_id,
+         |    least(v.vec_id, coalesce(sm.mn, v.vec_id)) AS cluster_id
+         |  FROM embeddings v LEFT JOIN sm ON sm.sa = v.vec_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN cluster_id % 10 = 0 THEN 'val'
+         |       WHEN cluster_id % 10 = 1 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM sc""".stripMargin,
     // simhash gates: the per-doc SIGNATURES are side-dumped run-scoped
     // (simhashSigsGlob) and are the only artifact taken on faith — the
     // banding, bucket caps, radius-1 probe fan-out, Hamming filter and

@@ -564,6 +564,21 @@ object Dedup {
     leakSafeSplitFrom(documents(spark, sfDir).select(col("doc_id")), "doc_id",
       minhashLsh(spark, sfDir, tau))
 
+  /** SEMANTIC leak-safe split — [[leakSafeSplitFrom]] plugged into the
+    * EMBEDDING near-dup pair graph ([[embeddingCosineBlocked]], the
+    * bounded-task-memory exact generator): all members of a semantic
+    * cluster land on the same side, the split discipline used to keep
+    * a held-out set genuinely out-of-neighborhood (paraphrases and
+    * re-encodings of a train document can never sit in val). Same
+    * mod-10 convention on the cluster rep; doc_id here is the
+    * embedding's vec_id (1:1 with documents on the gate corpus). */
+  def leakSafeSplitEmbed(spark: SparkSession, sfDir: String,
+      tau: Double = 0.45): DataFrame =
+    leakSafeSplitFrom(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").select(col("vec_id")),
+      "vec_id",
+      embeddingCosineBlocked(spark, sfDir, tau))
+
   /** EXACT embedding cosine near-dup pairs at `tau`, distributed with
     * BOUNDED task memory: grid-blocked θ-join (the Okcan & Riedewald
     * theta-join partitioning). Vectors are hashed into `nBlocks` id

@@ -154,6 +154,28 @@ class DedupSpec extends SparkSpec {
     assert(split.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
 
+  test("semantic leak-safe split: embedding clusters never straddle a boundary") {
+    val split = Dedup.leakSafeSplitEmbed(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byVec = split.map { case (d, _, s) => d -> s }.toMap
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(byVec.keySet === vecs.toSet)
+    // zero leakage against the EXACT pair oracle at the gate tau
+    val pairs = Dedup.embeddingCosine(spark, sf(), tau = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain semantic near-dups")
+    pairs.foreach { case (i, j) =>
+      assert(byVec(i) === byVec(j), s"pair ($i,$j) split ${byVec(i)}/${byVec(j)}")
+    }
+    // convention on the cluster rep, singletons to themselves
+    split.foreach { case (d, c, s) =>
+      assert(c <= d)
+      val want = if (c % 10 == 0) "val" else if (c % 10 == 1) "test" else "train"
+      assert(s === want)
+    }
+  }
+
   test("embedding cosine threshold is monotone") {
     val loose = Dedup.embeddingCosine(spark, sf(), tau = 0.3).count()
     val tight = Dedup.embeddingCosine(spark, sf(), tau = 0.5).count()
