@@ -179,6 +179,14 @@ object SparkEntry {
     // the %10==0 batch — index members always outrank batch vectors
     "dedup_semantic_incremental" -> ((s, dir) =>
       graft.dedup.SemIndex.dedupSemanticIncremental(s, dir)),
+    // the STREAMING chunk -> embed -> probe crawl loop: doc micro-
+    // batches chunked, integer-hash embedded, probed against the
+    // persisted chunk-vector index, kept survivors appended before
+    // the next batch — the gate replays contiguous doc_id-range
+    // batches in stream order (the text_chunk_pack_stream pattern;
+    // foreachBatch ≡ this replay is pinned in SemStreamSpec)
+    "dedup_semantic_stream" -> ((s, dir) =>
+      graft.streaming.SemStream.chunkProbeStream(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
     // scale compositions over the banded/capped LSH pair generator;
@@ -192,6 +200,11 @@ object SparkEntry {
     // constructive twin of the leakage detector: split key = near-dup
     // CLUSTER id, so no pair can straddle a split by construction
     "dedup_split_safe" -> ((s, dir) => graft.dedup.Dedup.leakSafeSplit(s, dir)),
+    // the PRODUCTION split rule: salted md5 of the cluster id (epoch-
+    // blind), byte-identical hex-threshold convention on both engines;
+    // the mod form above stays as the shared-convention twin
+    "dedup_split_safe_salted" -> ((s, dir) =>
+      graft.dedup.Dedup.leakSafeSplitSalted(s, dir)),
     // the same constructor plugged into the EMBEDDING near-dup graph:
     // semantic clusters stay on one side (out-of-neighborhood eval)
     "dedup_split_safe_embed" -> ((s, dir) =>
@@ -436,6 +449,8 @@ object SparkEntry {
     s"${graft.dedup.SemDedup.dumpPath(graft.dedup.SemDedup.lastBase)}/*.parquet"
   private def semIdxCentsGlob: String =
     s"${graft.dedup.SemIndex.centsDumpPath(graft.dedup.SemIndex.lastBase)}/*.parquet"
+  private def semStreamCentsGlob: String =
+    s"${graft.streaming.SemStream.centsDumpPath(graft.streaming.SemStream.lastBase)}/*.parquet"
   private def semFunnelGlob: String =
     s"${graft.dedup.SemDedup.funnelDumpPath(graft.dedup.SemDedup.lastFunnelBase)}/*.parquet"
   /** The SemDeDup re-derivation against a dumped codebook glob —
@@ -1465,6 +1480,17 @@ object SparkEntry {
     // cluster-keyed split over the same recursive closure: mod 10 of
     // the min-id cluster rep, 0 -> val, 1 -> test, else train
     "dedup_split_safe" -> dedupSplitSafeSql,
+    // the production rule: salted md5-prefix of the cluster rep
+    // against fixed hex thresholds — both engines compare identical
+    // lowercase hex strings (the text_sample convention)
+    "dedup_split_safe_salted" ->
+      s"""SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR) || ':split42'),
+         |         1, 15) < '199999999999999' THEN 'val'
+         |       WHEN substr(md5(CAST(cluster_id AS VARCHAR) || ':split42'),
+         |         1, 15) < '333333333333333' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM ($dedupClustersSql)""".stripMargin,
     // the semantic variant: the same closure + split CASE over the
     // exact embedding cosine pair oracle, universe = embeddings
     "dedup_split_safe_embed" ->
@@ -1602,6 +1628,12 @@ object SparkEntry {
          |  CAST(round(b.sim * 1000000) AS BIGINT) AS cent_sim_micro,
          |  (d.vec_id IS NULL) AS kept
          |FROM bat b LEFT JOIN drops d ON d.vec_id = b.vec_id""".stripMargin,
+    // streaming chunk -> embed -> probe: chunk vectors re-derived
+    // integer-exact (the text_chunk_embed fold, densified), then the
+    // incremental drop rule UNROLLED over the four replayed micro-
+    // batches — each stage's keep set feeds the next stage's index
+    // side, exactly the probe-then-append loop the engine ran
+    "dedup_semantic_stream" -> dedupSemanticStreamSql,
     "ann_topk" -> annTopkCosineSql,
     // SQ8's distortion is bounded by one 1/255 step per dimension and
     // its candidate budget (rerank = 50 ≫ k = 5) is re-scored with
@@ -2085,21 +2117,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(trunc(mg * 1000000.0) AS BIGINT) AS margin_micro,
          |  CAST(mg >= 0 AS INT) AS label
          |FROM mm""".stripMargin,
-    // frame sampling strides off the DECODED frame count: real video
-    // rows' nf is the moov/stts sample-count sum (= MediaSynth's
-    // closed form), fake rows' the stub arithmetic
+    // frame sampling over the decodable video table: real AVI rows
+    // stride off the decoded frame count AND report the real frame
+    // mean — recomputed here from MediaSynth's closed-form pixels
+    // (sum of aviGray over the w x h grid, integer-divided), the
+    // mm_resize/mm_resample strongest-oracle shape on the time axis;
+    // fake rows keep the stub count and luma formula
     "mm_frames" ->
       """WITH v AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 10 + doc_id % 50
-        |         ELSE 1 + strlen(text) % 240 END AS nf
+        |  SELECT doc_id AS media_id, (doc_id // 3) % 2 = 0 AS real,
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 3 + doc_id % 4
+        |         ELSE 1 + strlen(text) % 240 END AS nf,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
         |  FROM documents WHERE doc_id % 3 = 2),
         |f AS (
-        |  SELECT media_id,
+        |  SELECT media_id, real, w, h,
         |    unnest(range(0, nf, CAST((nf + 7) // 8 AS BIGINT))) AS frame_idx
         |  FROM v)
         |SELECT media_id, frame_idx,
-        |  (media_id * 31 + frame_idx * 7) % 256 AS luma
+        |  CAST(CASE WHEN real THEN
+        |    list_sum(flatten(list_transform(range(0, h), y ->
+        |      list_transform(range(0, w), x ->
+        |        (media_id * 5 + frame_idx * 17 + y * 29 + x * 11) % 256))))
+        |      // (w * h)
+        |  ELSE (media_id * 31 + frame_idx * 7) % 256 END AS BIGINT) AS luma
         |FROM f""".stripMargin,
     "text_classify" ->
       """WITH toks AS (
@@ -2484,12 +2525,10 @@ object SparkEntry {
     * correctly; fake rows re-derive the documented stub arithmetic
     * from the text byte length. */
   private def mmFeaturesSql: String =
-    """SELECT doc_id AS media_id,
+    s"""SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
-      |    CASE doc_id % 3 WHEN 0 THEN 22 + 4 * (8 + doc_id % 9) * (8 + doc_id % 7)
-      |         WHEN 1 THEN 44 + 2 * (64 + doc_id % 192)
-      |         ELSE 280 END
+      |    ${graft.multimodal.MediaSynth.realByteLenSql}
       |  ELSE strlen(text) END AS byte_len,
       |  CASE WHEN (doc_id // 3) % 2 = 0 THEN
       |    CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9 WHEN 1 THEN 0
@@ -2891,6 +2930,80 @@ object SparkEntry {
        |       WHEN cluster_id % 10 = 1 THEN 'test'
        |       ELSE 'train' END AS split
        |FROM ($dedupClustersSql)""".stripMargin
+
+  /** The streaming chunk → embed → probe oracle: text_chunk_embed's
+    * integer bucket fold densified into 32-length double vectors
+    * (bucket order; integer-exact operands), assignment re-derived
+    * from the run's dumped codebook, then dedup_semantic_incremental's
+    * drop rule UNROLLED over the four doc_id-range micro-batches —
+    * stage b's survivors (kept{b+1}) are stage b+1's index side, the
+    * probe-then-append recursion the engine executed. Generated, not
+    * hand-repeated: the four stage blocks come off one template. */
+  private def dedupSemanticStreamSql: String = {
+    val tau = graft.streaming.SemStream.Tau.toString
+    val stages = (0 until 4).map { b =>
+      s"""bb$b AS (SELECT * FROM bat WHERE b = $b),
+         |dd$b AS (
+         |  SELECT DISTINCT x.vec_id FROM bb$b x JOIN kept$b k ON x.cell = k.cell
+         |    AND list_cosine_similarity(x.v, k.v) >= $tau
+         |  UNION
+         |  SELECT DISTINCT x.vec_id FROM bb$b x JOIN bb$b y ON x.cell = y.cell
+         |    AND x.vec_id <> y.vec_id
+         |  WHERE (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+         |    AND list_cosine_similarity(x.v, y.v) >= $tau),
+         |kept${b + 1} AS (
+         |  SELECT * FROM kept$b
+         |  UNION ALL
+         |  SELECT vec_id, cell, v FROM bb$b
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM dd$b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toksC AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |nzC AS (SELECT doc_id, t, len(t) AS n FROM toksC WHERE len(t) >= 1),
+       |chC AS (SELECT doc_id, t, n,
+       |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+       |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+       |  FROM nzC),
+       |chunks AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    array_to_string(t[chunk_id * 48 + 1 :
+       |                      chunk_id * 48 + least(64, n - chunk_id * 48)], ' ')
+       |      AS chunk
+       |  FROM chC),
+       |${embedBucketCtesFrom("chunks", "doc_id, chunk_id", "chunk")},
+       |gridS AS (SELECT doc_id, chunk_id, unnest(range(0, 32)) AS bucket
+       |          FROM (SELECT DISTINCT doc_id, chunk_id FROM w)),
+       |e AS (
+       |  SELECT doc_id * 1024 + chunk_id AS vec_id,
+       |    list(CAST(coalesce(wx.weight, 0) AS DOUBLE) ORDER BY g2.bucket) AS v
+       |  FROM gridS g2 LEFT JOIN w wx USING (doc_id, chunk_id, bucket)
+       |  GROUP BY doc_id, chunk_id),
+       |c AS (SELECT cell, v FROM read_parquet('$semStreamCentsGlob')),
+       |asg AS (
+       |  SELECT vec_id, cell, sim FROM (
+       |    SELECT e.vec_id, c.cell, list_cosine_similarity(e.v, c.v) AS sim,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cell) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |stepv AS (SELECT max(doc_id) // 4 + 1 AS step FROM documents),
+       |kept0 AS (SELECT a.vec_id, a.cell, e.v
+       |          FROM asg a JOIN e ON e.vec_id = a.vec_id
+       |          WHERE (a.vec_id // 1024) % 10 <> 0),
+       |bat AS (SELECT a.vec_id, a.cell, a.sim, e.v,
+       |          CAST((a.vec_id // 1024) // stepv.step AS INT) AS b
+       |        FROM asg a JOIN e ON e.vec_id = a.vec_id CROSS JOIN stepv
+       |        WHERE (a.vec_id // 1024) % 10 = 0),
+       |$stages
+       |SELECT bat.vec_id, bat.cell,
+       |  CAST(round(bat.sim * 1000000) AS BIGINT) AS cent_sim_micro,
+       |  (dx.vec_id IS NULL) AS kept
+       |FROM bat LEFT JOIN (
+       |  SELECT vec_id FROM dd0 UNION SELECT vec_id FROM dd1
+       |  UNION SELECT vec_id FROM dd2 UNION SELECT vec_id FROM dd3) dx
+       |  ON dx.vec_id = bat.vec_id""".stripMargin
+  }
 
   /** The chunk CTE chained into the pack cumsum — the two components'
     * oracles composed; pack_id = exclusive-prefix-sum // budget, a

@@ -564,6 +564,39 @@ object Dedup {
     leakSafeSplitFrom(documents(spark, sfDir).select(col("doc_id")), "doc_id",
       minhashLsh(spark, sfDir, tau))
 
+  /** [[leakSafeSplitFrom]] with the PRODUCTION split rule: the split
+    * key is a SALTED HASH of the cluster id, not the plain mod —
+    * sequential crawl ids correlate with fetch time, so contiguous-id
+    * mod splits skew toward crawl epochs, while a salted hash is
+    * epoch-blind. The hash is the engine's established md5-prefix
+    * threshold convention ([[graft.text.Sampling]]'s byte-identical
+    * Bernoulli gate): the first 15 hex chars of
+    * md5(cluster_id ":split" salt) compared against fixed hex
+    * thresholds carve ~10% val / ~10% test / ~80% train, and both
+    * engines compare the IDENTICAL lowercase hex strings — no float,
+    * no platform hash. Same structural guarantee as the mod form
+    * (split key is the cluster id, so no near-dup pair can straddle),
+    * pinned mod ≡ salted on cluster-membership invariants by
+    * DedupSpec. */
+  def leakSafeSplitSaltedFrom(docs: DataFrame, idCol: String,
+      pairs: DataFrame, salt: String = "42"): DataFrame = {
+    val h = substring(
+      md5(concat(col("cluster_id").cast("string"), lit(s":split$salt"))), 1, 15)
+    connectedComponents(docs, idCol, pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        when(h < lit("199999999999999"), lit("val"))
+          .when(h < lit("333333333333333"), lit("test"))
+          .otherwise(lit("train")).as("split"))
+  }
+
+  /** The salted production split over the LSH pair generator — the
+    * form a user should actually deploy ([[leakSafeSplit]]'s scale
+    * composition with the epoch-blind key). */
+  def leakSafeSplitSalted(spark: SparkSession, sfDir: String,
+      tau: Double = 0.5): DataFrame =
+    leakSafeSplitSaltedFrom(documents(spark, sfDir).select(col("doc_id")),
+      "doc_id", minhashLsh(spark, sfDir, tau))
+
   /** SEMANTIC leak-safe split — [[leakSafeSplitFrom]] plugged into the
     * EMBEDDING near-dup pair graph ([[embeddingCosineBlocked]], the
     * bounded-task-memory exact generator): all members of a semantic

@@ -71,11 +71,14 @@ object SemIndex {
   }
 
   /** Build: train on the accepted slice, persist centroids + member
-    * assignment. */
+    * assignment. `trainer` is pluggable for corpora whose id space
+    * defeats [[Kmeans.train]]'s id-value seeding (chunk vectors seed
+    * via [[Kmeans.trainOrdered]]). */
   def build(vecs: Dataset[Vec], path: String, k: Int = 16,
-      iters: Int = 3): Unit = {
+      iters: Int = 3,
+      trainer: (Dataset[Vec], Int, Int) => Array[Centroid] = Kmeans.train): Unit = {
     val spark = vecs.sparkSession
-    val cents = Kmeans.train(vecs, k, iters)
+    val cents = trainer(vecs, k, iters)
     writeCents(spark, cents, path)
     assign(vecs, cents).toDF("vec_id", "cell", "cent_sim")
       .write.mode("overwrite").parquet(s"$path/members")
@@ -89,8 +92,19 @@ object SemIndex {
       .write.mode("append").parquet(s"$path/members")
 
   /** Probe a batch: (vec_id, cell, cent_sim_micro, kept) per batch
-    * vector, batch rows only. */
+    * vector, batch rows only. Corpus vectors (the index members'
+    * re-fetch source) come from the `sfDir` embeddings table. */
   def probe(spark: SparkSession, sfDir: String, path: String,
+      batch: Dataset[Vec], tau: Double = 0.45): DataFrame =
+    probeFrom(spark, Similarity.loadVectors(spark, sfDir), path, batch, tau)
+
+  /** [[probe]] with a PLUGGABLE corpus-vector source — the fetch-for-
+    * verification side generalized the way [[graft.dedup.Dedup
+    * .leakSafeSplitFrom]] generalizes its pair source, so index
+    * members may live in any vector frame (e.g. chunk-level vectors
+    * from the embedder seam, [[graft.streaming.SemStream]]) rather
+    * than only the corpus `embeddings` table. */
+  def probeFrom(spark: SparkSession, corpus: Dataset[Vec], path: String,
       batch: Dataset[Vec], tau: Double = 0.45): DataFrame = {
     import spark.implicits._
     val cents = loadCents(spark, path)
@@ -110,9 +124,8 @@ object SemIndex {
     val touched = batchAsg.map(_._1).distinct()
     val members = spark.read.parquet(s"$path/members")
       .join(broadcast(touched.toDF("cell")), "cell")
-    val corpusVecs = Similarity.loadVectors(spark, sfDir)
     val indexAsg = members
-      .join(corpusVecs.toDF("vec_id", "v", "nrm"), "vec_id")
+      .join(corpus.toDF("vec_id", "v", "nrm"), "vec_id")
       .select(col("cell"), col("cent_sim"), col("vec_id"), col("v"), col("nrm"))
       .as[(Int, Double, Long, Array[Double], Double)]
       .map { case (cell, sim, id, v, nrm) => (cell, sim, Vec(id, v, nrm), false) }

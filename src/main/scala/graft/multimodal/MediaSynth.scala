@@ -62,6 +62,18 @@ object MediaSynth {
     case _ => Mp4ByteLen.toLong
   }
 
+  /** [[realByteLen]] as a SQL CASE over `doc_id` — the ONE textual
+    * twin of the closed forms, shared by the Spark-declarative
+    * metadata path ([[Multimodal.mediaMeta]]) and the DuckDB oracle
+    * (SparkEntry interpolates this same string), so a payload-writer
+    * change can no longer silently desync one of three hand-written
+    * copies. Dialect-neutral (integer CASE, %, + and multiply only);
+    * MultimodalSpec pins it equal to [[realByteLen]] over an id
+    * range. */
+  val realByteLenSql: String =
+    s"CASE doc_id % 3 WHEN 0 THEN 22 + 4 * (8 + doc_id % 9) * (8 + doc_id % 7)" +
+      s" WHEN 1 THEN 44 + 2 * (64 + doc_id % 192) ELSE $Mp4ByteLen END"
+
   /** The corpus payload: a real decodable file for [[isReal]] rows,
     * the raw text bytes (stub fallback) otherwise. */
   def payload(docId: Long, text: String): Array[Byte] =

@@ -93,12 +93,11 @@ object Multimodal {
       .select(
         col("doc_id").as("media_id"),
         expr("element_at(array('image','audio','video'), cast(doc_id % 3 AS int) + 1)").as("kind"),
-        expr("""CASE WHEN (doc_id DIV 3) % 2 = 0 THEN
-                  CASE doc_id % 3
-                    WHEN 0 THEN 22 + 4 * (8 + doc_id % 9) * (8 + doc_id % 7)
-                    WHEN 1 THEN 44 + 2 * (64 + doc_id % 192)
-                    ELSE 280 END
-                ELSE octet_length(text) END""").cast("long").as("byte_len"))
+        // real rows: MediaSynth's ONE shared SQL twin of the closed
+        // forms (the DuckDB oracle interpolates the same string)
+        expr(s"""CASE WHEN (doc_id DIV 3) % 2 = 0
+                 THEN ${MediaSynth.realByteLenSql}
+                 ELSE octet_length(text) END""").cast("long").as("byte_len"))
 
   /** STUB decode (see class doc): features from byte length only, so an
     * arithmetic SQL oracle can verify the full pipeline around it.
@@ -441,19 +440,47 @@ object Multimodal {
 
   /** Frame sampling for video rows: up to `maxFrames` evenly-strided
     * frame indices per video (stride = ceil(n_frames / maxFrames)),
-    * each with a stub per-frame feature — the decode-side shape of a
-    * vision-language ingest (a real codec replaces the luma formula,
-    * exactly like [[decodeStub]]). Map-only after the stub decode:
-    * the explode multiplies rows by ≤ maxFrames, never shuffles. */
+    * each with a per-frame feature — the decode-side shape of a
+    * vision-language ingest. Rows whose payload DECODES
+    * ([[VideoFrames.decodeAviFrames]] — uncompressed AVI) stride off
+    * the REAL frame count and report the REAL frame feature (mean
+    * gray = Σ red channel / (w·h), integer division; channels are
+    * equal on gray frames); undecodable rows stride off the header
+    * frame count where headers parse (MP4 moov) and take the stub
+    * luma formula (a real codec replaces exactly that fallback, like
+    * [[decodeStub]]). Map-only: per-row decode, ≤ n_frames output
+    * rows, never a shuffle. */
+  def frameSampleOf(media: Dataset[MediaRow], maxFrames: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      VideoFrames.decodeAviFrames(r.media) match {
+        case Some((w, h, frames)) =>
+          val stride = (frames.length + maxFrames - 1) / maxFrames
+          (0 until frames.length by stride).map { f =>
+            val px = frames(f)
+            var s = 0L; var i = 0
+            while (i < px.length) { s += (px(i) >>> 16) & 0xff; i += 1 }
+            (r.media_id, f.toLong, s / (w.toLong * h))
+          }
+        case None =>
+          val (_, _, nf, _, _) = decodeHeaders(r.media)
+            .getOrElse(decodeStub(r.kind, r.media))
+          val stride = (nf + maxFrames - 1) / maxFrames
+          (0L until nf by stride).map { f =>
+            (r.media_id, f, (r.media_id * 31 + f * 7) % 256)
+          }
+      }
+    }.toDF("media_id", "frame_idx", "luma")
+  }
+
+  /** Gate surface (`mm_frames`): frame sampling over the video table
+    * whose real rows carry DECODABLE frames ([[VideoFrames.aviTable]]
+    * — closed-form pixels, so the oracle recomputes each sampled
+    * frame's mean from doc_id); fake rows pin the stub fallback in
+    * the same gate. The MP4 header-only surfaces (mm_features,
+    * mm_kind_summary) stay on [[mediaTable]] untouched. */
   def frameSample(spark: SparkSession, sfDir: String, maxFrames: Int = 8): DataFrame =
-    extractFeatures(mediaTable(spark, sfDir)).toDF()
-      .filter(col("kind") === "video")
-      .select(col("media_id"), col("n_frames"),
-        expr(s"(n_frames + ${maxFrames - 1}) div $maxFrames").as("stride"))
-      .select(col("media_id"),
-        explode(expr("sequence(0, n_frames - 1, stride)")).as("frame_idx"))
-      .select(col("media_id"), col("frame_idx"),
-        expr("(media_id * 31 + frame_idx * 7) % 256").as("luma"))
+    frameSampleOf(VideoFrames.aviTable(spark, sfDir), maxFrames)
 
   /** Metadata-only rollup: aggregates ONLY ingest-time metadata columns
     * (kind, byte_len) via [[mediaMeta]], so the payload is never even

@@ -46,8 +46,22 @@ object VideoFrames {
 
     var w = -1; var h = -1
     var bppOk = false
+    // the strf/frame filter is bound to the FIRST 'vids' STREAM, not
+    // to whatever strf appears last in the RIFF: a multi-stream AVI
+    // (video + audio, or two video streams) carries one strl LIST per
+    // stream, and stream i's movi chunks are tagged '{i:02d}db'. We
+    // track which strl we are in, latch the first 'vids' stream's
+    // index off its strh, accept ONLY that strl's strf as the format,
+    // and ONLY that stream's '..db' (raw DIB) chunks as frames —
+    // '..dc' (codec-compressed) chunks are never raw pixels and are
+    // skipped, so a fully compressed stream decodes no frames and
+    // falls back to the stub.
+    var strlCount = 0
+    var currentStrl = -1
+    var vidsStream = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // offsets
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def frameTag: String = f"$vidsStream%02ddb"
 
     // walk chunks within [from, to); recurse into LISTs we care about
     def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
@@ -60,20 +74,28 @@ object VideoFrames {
         id match {
           case "LIST" =>
             val four = tag(body)
-            if (four == "hdrl" || four == "strl" || four == "movi" || four == "rec ")
+            if (four == "hdrl" || four == "strl" || four == "movi" || four == "rec ") {
+              if (four == "strl") { currentStrl = strlCount; strlCount += 1 }
               if (!walk(body + 4, body + size.toInt, inMovi || four == "movi"))
                 return false
+              if (four == "strl") currentStrl = -1
+            }
           case "avih" =>
             if (size < 40) return false
             w = le32(body + 32).toInt; h = le32(body + 36).toInt
+          case "strh" =>
+            // fccType at +0: latch the first video stream's index
+            if (size >= 4 && vidsStream < 0 && currentStrl >= 0 &&
+              tag(body) == "vids") vidsStream = currentStrl
           case "strf" =>
-            // BITMAPINFOHEADER: bpp at +14, compression at +16
-            if (size >= 20) {
+            // BITMAPINFOHEADER: bpp at +14, compression at +16 — only
+            // the latched video stream's format counts
+            if (size >= 20 && currentStrl >= 0 && currentStrl == vidsStream) {
               val bpp = ((b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8))
               val comp = le32(body + 16)
               bppOk = bpp == 24 && comp == 0
             }
-          case "00db" | "00dc" if inMovi =>
+          case fid if inMovi && vidsStream >= 0 && fid == frameTag =>
             frames += body; sizes += size.toInt
           case _ => ()
         }

@@ -67,6 +67,18 @@ object Kmeans {
     trainFrom(corpus, seeds, iters)
   }
 
+  /** [[train]] seeded from the first `k` vectors in vec_id ORDER
+    * rather than by vec_id VALUE — for corpora whose id space is not
+    * 0-dense (e.g. chunk vectors keyed doc_id·1024 + chunk_id, where
+    * no id falls below k once the low docs land in another slice).
+    * Same determinism, same Lloyd rounds; a distributed sort-limit
+    * replaces the id filter as the seed scan. */
+  def trainOrdered(corpus: Dataset[Vec], k: Int, iters: Int): Array[Centroid] = {
+    val seeds = corpus.orderBy(col("vec_id")).limit(k).collect().sortBy(_.vec_id)
+      .zipWithIndex.map { case (v, i) => Centroid(i, normalize(v.v)) }
+    trainFrom(corpus, seeds, iters)
+  }
+
   /** Whether the last [[trainFrom]] run took the blocked-corpus
     * assignment path — observable for the spec, mirroring
     * [[lastReductionDistributed]]. */
@@ -93,6 +105,13 @@ object Kmeans {
       blockedAbove: Int = CentroidIndex.LinearBelow): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
+    // stage log is PER TRAIN RUN: seedParallel resets it when it runs
+    // first, but the plain train/trainOrdered paths enter here
+    // directly — without this reset a long-lived session's repeated
+    // small-k trains would append 'lloyd round N' entries unboundedly
+    // and bleed one bench's stage report into the next
+    if (!seedStagesOpen) lastTrainStages = Nil
+    seedStagesOpen = false
     var cents = seeds
     val blockedPrep =
       if (iters > 0 && seeds.length >= blockedAbove)
@@ -151,6 +170,12 @@ object Kmeans {
     * nanoTime pair per stage). */
   @volatile private[sim] var lastTrainStages: List[(String, Double)] = Nil
 
+  /** True between a [[seedParallel]] reset and the [[trainFrom]] that
+    * consumes its seeds, so the trainParallel composition logs ONE
+    * run's stages while standalone trainFrom entries reset their own
+    * log (the unbounded-append fix). */
+  @volatile private var seedStagesOpen: Boolean = false
+
   private def staged[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -185,12 +210,98 @@ object Kmeans {
     */
   def seedParallel(corpus: Dataset[Vec], k: Int, rounds: Int = 3,
       oversample: Double = 2.0,
-      reduceDistributedAbove: Int = 1024): Array[Centroid] = {
+      reduceDistributedAbove: Int = 1024,
+      incrementalAbove: Int = 1024): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
     lastTrainStages = Nil
+    seedStagesOpen = true // let trainParallel's Lloyd rounds append
     val first = corpus.orderBy(col("vec_id")).head()
     var seeds: Array[Array[Double]] = Array(normalize(first.v))
+    // SEEDING path switch (r11 adjudication of the r10 rebuild): the
+    // carried-state machinery below saves O(n·|seeds|·d) rescans per
+    // round but pays ~3 extra Spark jobs + a localCheckpoint
+    // materialization PER ROUND — fixed costs that dominate at gate
+    // k (k = 256: isolated singles showed the in-suite 2.1 → 4.9 s
+    // move was exactly this overhead) and vanish into the 19-minute
+    // train they 3.2× at k = 16 384. Below the threshold take the
+    // two-rescan formulation; the outputs are BIT-IDENTICAL (max is
+    // order-insensitive, both scan seeds in index order with
+    // strict->; KmeansSpec pins path equality), so gate hashes do
+    // not move with the switch.
+    lastSeedIncremental = k > incrementalAbove
+    def seedCost(r: Vec, ss: Array[Array[Double]]): Double = {
+      var best = Double.NegativeInfinity
+      var i = 0
+      while (i < ss.length) {
+        var dot = 0.0; var j = 0
+        val sv = ss(i); val rv = r.v
+        while (j < rv.length) { dot += rv(j) * sv(j); j += 1 }
+        if (dot > best) best = dot
+        i += 1
+      }
+      1.0 - best / (if (r.nrm == 0.0) 1.0 else r.nrm)
+    }
+    val weights: Map[Int, Long] = if (!lastSeedIncremental) {
+      // ── small-k: stateless two-rescan rounds ──────────────────────
+      for (r <- 1 to rounds) {
+        val bc = spark.sparkContext.broadcast(seeds)
+        val phi = staged(s"seed round $r phi (|seeds|=${seeds.length})") {
+          corpus.mapPartitions { it =>
+            val s = it.foldLeft(0.0)((a, x) => a + seedCost(x, bc.value))
+            Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+          }.collect().sortBy(_._1).map(_._2).sum
+        }
+        if (phi > 0) {
+          val threshold = oversample * k / phi
+          val picked = staged(s"seed round $r pick") {
+            corpus.filter(x => hashUniform(x.vec_id * 1000003L + r) <
+                threshold * seedCost(x, bc.value))
+              .collect().sortBy(_.vec_id) // stable order for reproducibility
+          }
+          seeds = seeds ++ picked.map(v => normalize(v.v))
+        }
+        bc.destroy()
+      }
+      // weights: one pruned-exact nearest pass (identical first-best
+      // contract to the carried argmax the incremental path reads)
+      staged("seed weight count") {
+        val asSeedCents = seeds.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+        val bcS = spark.sparkContext.broadcast(CentroidIndex.build(asSeedCents))
+        val ws = corpus.map(x => bcS.value.nearest(x))
+          .groupByKey(identity).count().collect().toMap
+        bcS.destroy()
+        ws
+      }
+    } else seedParallelIncremental(corpus, k, rounds, oversample,
+      s => seeds = s, seeds)
+    val w = seeds.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1e-9)).toArray
+    lastReductionDistributed = seeds.length > reduceDistributedAbove
+    val cents: Array[Array[Double]] = staged("seed reduction") {
+      if (lastReductionDistributed)
+        reduceSeedsDistributed(spark, seeds, w, k)
+      else
+        reduceSeedsDriver(seeds, w, k)
+    }
+    // pad (degenerate corpora smaller than k) by reusing seeds
+    val padded = (0 until k).map(i => cents(i % cents.length)).toArray
+    padded.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+  }
+
+  /** Which seeding formulation the last [[seedParallel]] call took —
+    * observable for the path-equality spec. */
+  @volatile private[sim] var lastSeedIncremental: Boolean = false
+
+  /** The carried-state (incremental) k-means‖ rounds + weight count —
+    * [[seedParallel]]'s large-k body. Mutates the caller's seed set
+    * via `setSeeds`; returns the per-seed served-point weights. */
+  private def seedParallelIncremental(corpus: Dataset[Vec], k: Int,
+      rounds: Int, oversample: Double,
+      setSeeds: Array[Array[Double]] => Unit,
+      seeds0: Array[Array[Double]]): Map[Int, Long] = {
+    import corpus.sparkSession.implicits._
+    val spark = corpus.sparkSession
+    var seeds: Array[Array[Double]] = seeds0
     // INCREMENTAL cost state — the classic k-means‖ formulation: each
     // point carries (bestSeedIdx, bestDot) against the seed set so
     // far, updated by scanning ONLY each round's new seeds. The
@@ -296,17 +407,8 @@ object Kmeans {
       state.map(_._2).groupByKey(identity).count().collect().toMap
     }
     state.unpersist()
-    val w = seeds.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1e-9)).toArray
-    lastReductionDistributed = seeds.length > reduceDistributedAbove
-    val cents: Array[Array[Double]] = staged("seed reduction") {
-      if (lastReductionDistributed)
-        reduceSeedsDistributed(spark, seeds, w, k)
-      else
-        reduceSeedsDriver(seeds, w, k)
-    }
-    // pad (degenerate corpora smaller than k) by reusing seeds
-    val padded = (0 until k).map(i => cents(i % cents.length)).toArray
-    padded.zipWithIndex.map { case (v, i) => Centroid(i, v) }
+    setSeeds(seeds)
+    weights
   }
 
   /** Which reduction path the last [[seedParallel]] call took —

@@ -25,8 +25,9 @@ object Similarity {
   final case class Hit(query_id: Long, neighbor_id: Long, sim: Double)
 
   /** PriorityQueue ordering whose MAX (head) is the worst candidate:
-    * lowest sim, then highest neighbor id. */
-  private[sim] val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    * lowest sim, then highest neighbor id. Shared with the embed
+    * seam's large-query-set top-k tail ([[graft.text.Embed]]). */
+  private[graft] val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(b._1, a._1)
       if (c != 0) c else java.lang.Long.compare(a._2, b._2)

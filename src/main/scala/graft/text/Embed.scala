@@ -162,15 +162,19 @@ object Embed {
     * on both engines), top-`k` per query, ties to the lower doc_id.
     * Plan shape: the query slice is a broadcast join on `bucket`
     * (tiny side — nQueries × ≤ dim rows) and dot products are one
-    * map-side-combined groupBy. The final rank is a window over
-    * nQueries partitions whose candidate sets are corpus-sized (dim
-    * is small, so every doc shares buckets with every query) — fine
-    * for a bounded interactive query set; a LARGE query set swaps
-    * this tail for [[graft.sim.Similarity]]'s partition-local top-k
-    * heaps, which is why the scoring is factored to end in a plain
-    * (query_id, neighbor_id, cos) frame. */
+    * map-side-combined groupBy. The rank tail switches on the query
+    * count: up to `heapAbove` queries, a plain window (candidate sets
+    * are corpus-sized — dim is small, so every doc shares buckets
+    * with every query — but nQueries reducers over a bounded
+    * interactive query set is fine); ABOVE it, partition-local k-heaps
+    * ([[graft.sim.Similarity.worstFirst]]'s retention rule) shrink
+    * the stream to ≤ nQueries·k·partitions rows BEFORE the window, so
+    * a large query sweep never funnels corpus-sized partitions into
+    * per-query reducers. Identical output by construction (same
+    * (cos desc, neighbor_id) key, heap retention = that key's top-k,
+    * arrival-order independent) — EmbedSpec pins window ≡ heap. */
   def bucketTopK(spark: SparkSession, sfDir: String, dim: Int = 32,
-      nQueries: Int = 5, k: Int = 10): DataFrame = {
+      nQueries: Int = 5, k: Int = 10, heapAbove: Int = 32): DataFrame = {
     // the bucket frame feeds THREE plan branches (dots, both norm
     // sides) — materialize once so the FNV fold doesn't execute 3×
     val buckets = hashBuckets(spark, sfDir, dim).localCheckpoint()
@@ -191,7 +195,35 @@ object Embed {
         (col("dot").cast("double") /
           sqrt(col("dn2").cast("double") * col("qn2").cast("double")))
           .as("cos"))
-    scored
+    val reduced =
+      if (nQueries <= heapAbove) scored
+      else {
+        // partition-local bounded heaps: each task keeps at most k
+        // candidates per query, so the window below ranks
+        // nQueries·k·partitions rows instead of nQueries·corpus
+        import spark.implicits._
+        scored.select(col("query_id"), col("neighbor_id"), col("cos"))
+          .as[(Long, Long, Double)]
+          .mapPartitions { it =>
+            val heaps = scala.collection.mutable.LongMap
+              .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+            it.foreach { case (q, n, c) =>
+              val h = heaps.getOrElseUpdate(q, scala.collection.mutable
+                .PriorityQueue.empty[(Double, Long)](
+                  graft.sim.Similarity.worstFirst))
+              if (h.size < k) h.enqueue((c, n))
+              else {
+                val (ws, wid) = h.head
+                if (c > ws || (c == ws && n < wid)) { h.dequeue(); h.enqueue((c, n)) }
+              }
+            }
+            heaps.iterator.flatMap { case (q, h) =>
+              h.iterator.map { case (c, n) => (q, n, c) }
+            }
+          }
+          .toDF("query_id", "neighbor_id", "cos")
+      }
+    reduced
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("neighbor_id"))))

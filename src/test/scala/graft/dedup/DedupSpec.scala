@@ -154,6 +154,34 @@ class DedupSpec extends SparkSpec {
     assert(split.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
 
+  test("salted split: same clusters as the mod form, split a pure function of cluster id") {
+    val mod = Dedup.leakSafeSplit(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val salted = Dedup.leakSafeSplitSalted(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // identical (doc -> cluster) frame: only the split RULE differs
+    assert(salted.map(t => (t._1, t._2)).sortBy(_._1).toSeq ===
+      mod.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
+    // the salted split is a pure function of cluster_id -> structural
+    // zero leakage carries over from the mod form's pair audit above
+    salted.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length === 1,
+        s"cluster $c straddles splits under the salted rule")
+    }
+    // the rule is the md5-prefix threshold convention, re-derived
+    salted.foreach { case (_, c, s) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$c:split42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val want = if (h < "199999999999999") "val"
+        else if (h < "333333333333333") "test" else "train"
+      assert(s === want, s"cluster $c hashed to $h but split $s")
+    }
+    // epoch-blindness is the point: the salted rule decorrelates from
+    // id order, and at corpus scale all three splits stay inhabited
+    assert(salted.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
+
   test("semantic leak-safe split: embedding clusters never straddle a boundary") {
     val split = Dedup.leakSafeSplitEmbed(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

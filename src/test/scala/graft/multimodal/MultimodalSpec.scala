@@ -80,25 +80,54 @@ class MultimodalSpec extends SparkSpec {
     assert(nFake > 0, "the stub fallback must stay exercised too")
   }
 
-  test("frame sampling: videos only, <= 8 evenly-strided frames, full span") {
+  test("realByteLenSql is the one source of truth: SQL twin equals the Scala closed forms") {
+    spark.range(0, 3000).selectExpr("id AS doc_id")
+      .selectExpr("doc_id",
+        s"CAST(${MediaSynth.realByteLenSql} AS BIGINT) AS bl")
+      .collect()
+      .foreach { r =>
+        assert(r.getLong(1) === MediaSynth.realByteLen(r.getLong(0)),
+          s"SQL twin desynced from realByteLen at doc_id ${r.getLong(0)}")
+      }
+  }
+
+  test("frame sampling: videos only, evenly strided; real rows report the REAL frame mean") {
     val frames = Multimodal.frameSample(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(frames.nonEmpty)
-    val nFrames = Multimodal.features(spark, sf())
-      .filter(col("kind") === "video").collect()
-      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_frames")).toMap
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val byVideo = frames.groupBy(_._1)
-    assert(byVideo.keySet === nFrames.keySet) // every video sampled, nothing else
+    assert(byVideo.keySet === docs.keySet.filter(_ % 3 == 2),
+      "every video row sampled, nothing else")
+    var nReal = 0; var nFake = 0
     byVideo.foreach { case (id, fs) =>
-      val n = nFrames(id)
-      val stride = (n + 7) / 8
       val idx = fs.map(_._2).sorted.toSeq
-      assert(idx === (0L until n by stride).toSeq)
-      assert(idx.size <= 8)
-      fs.foreach { case (_, i, luma) =>
-        assert(luma === (id * 31 + i * 7) % 256)
+      if (MediaSynth.isReal(id)) {
+        // decodable AVI: real frame count, luma = the decoded frame's
+        // mean gray, recomputed here from the closed-form pixels
+        nReal += 1
+        val n = MediaSynth.aviFrames(id).toLong
+        assert(idx === (0L until n by (n + 7) / 8).toSeq)
+        val w = MediaSynth.aviWidth(id); val h = MediaSynth.aviHeight(id)
+        fs.foreach { case (_, f, luma) =>
+          val s = (for (y <- 0 until h; x <- 0 until w)
+            yield MediaSynth.aviGray(id, f.toInt, x, y).toLong).sum
+          assert(luma === s / (w * h), s"real luma != frame mean for $id/$f")
+        }
+      } else {
+        // undecodable: stub frame count and stub luma formula
+        nFake += 1
+        val n = 1L + docs(id).getBytes("UTF-8").length % 240
+        assert(idx === (0L until n by (n + 7) / 8).toSeq)
+        assert(idx.size <= 8)
+        fs.foreach { case (_, i, luma) =>
+          assert(luma === (id * 31 + i * 7) % 256)
+        }
       }
     }
+    assert(nReal > 0 && nFake > 0, "both decode paths must stay exercised")
   }
 
   test("real WAV/BMP/PNG/GIF/QOI/JPEG/MP4 headers decode truthfully; real corpus rows sniff, fakes stub") {

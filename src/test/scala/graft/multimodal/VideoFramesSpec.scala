@@ -45,6 +45,64 @@ class VideoFramesSpec extends SparkSpec {
     assert(VideoFrames.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("multi-stream AVI: the vids strl's strf governs, whatever the stream order") {
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, four: String, body: Array[Byte]): Array[Byte] =
+      kind.getBytes ++ le32(body.length + 4) ++ four.getBytes ++ body
+    val w = 8; val h = 8; val n = 2
+    val rowSize = ((24 * w + 31) / 32) * 4
+    def gray(f: Int, x: Int, y: Int): Int = (f * 40 + y * 8 + x) % 256
+    def frame(f: Int): Array[Byte] = {
+      val fr = new Array[Byte](rowSize * h)
+      for (row <- 0 until h; x <- 0 until w) {
+        val v = gray(f, x, h - 1 - row).toByte // bottom-up storage
+        val p = row * rowSize + x * 3
+        fr(p) = v; fr(p + 1) = v; fr(p + 2) = v
+      }
+      fr
+    }
+    val avih = le32(100000) ++ le32(rowSize * h * 10) ++ le32(0) ++ le32(0) ++
+      le32(n) ++ le32(0) ++ le32(2) ++ le32(rowSize * h) ++ le32(w) ++ le32(h) ++
+      Array.fill[Byte](16)(0)
+    def strh(fcc: String): Array[Byte] =
+      fcc.getBytes ++ "xxxx".getBytes ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1) ++ le32(10) ++ le32(0) ++ le32(n) ++ le32(rowSize * h) ++
+        le32(-1) ++ le32(0) ++ le32(0) ++ le32((h << 16) | w)
+    // audio strf bytes are garbage AS a BITMAPINFOHEADER (bpp field
+    // 0x5555): binding it as the video format is exactly the bug
+    val strlAud = list("LIST", "strl",
+      chunk("strh", strh("auds")) ++ chunk("strf", Array.fill[Byte](20)(0x55)))
+    val strfVid = le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++
+      le32(0) ++ le32(rowSize * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strlVid = list("LIST", "strl",
+      chunk("strh", strh("vids")) ++ chunk("strf", strfVid))
+    for (videoFirst <- Seq(true, false)) {
+      val vidStream = if (videoFirst) 0 else 1
+      val hdrl = list("LIST", "hdrl", chunk("avih", avih) ++
+        (if (videoFirst) strlVid ++ strlAud else strlAud ++ strlVid))
+      val db = f"$vidStream%02ddb"
+      val movi = list("LIST", "movi",
+        chunk(f"${1 - vidStream}%02dwb", Array.fill[Byte](6)(1)) ++
+          chunk(db, frame(0)) ++ chunk(db, frame(1)))
+      val payload = list("RIFF", "AVI ", hdrl ++ movi)
+      val Some((dw, dh, frames)) = VideoFrames.decodeAviFrames(payload)
+      assert((dw, dh, frames.length) === (w, h, 2), s"videoFirst=$videoFirst")
+      for (f <- 0 until 2; y <- Seq(0, 3, 7); x <- Seq(0, 2, 7))
+        assert(((frames(f)(y * w + x) >>> 16) & 0xff) === gray(f, x, y),
+          s"videoFirst=$videoFirst f=$f ($x,$y)")
+      // codec-compressed chunks ('..dc') are never raw pixels: a
+      // compressed-only stream decodes no frames and falls to the stub
+      val moviDc = list("LIST", "movi", chunk(f"$vidStream%02ddc", frame(0)))
+      assert(VideoFrames.decodeAviFrames(
+        list("RIFF", "AVI ", hdrl ++ moviDc)).isEmpty,
+        s"videoFirst=$videoFirst: compressed stream must decline")
+    }
+  }
+
   test("thumbnails: the middle frame resized, digests match a driver composition") {
     val rep = VideoFrames.thumbnailReport(spark, sf()).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

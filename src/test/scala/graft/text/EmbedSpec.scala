@@ -105,6 +105,19 @@ class EmbedSpec extends SparkSpec {
     }
   }
 
+  test("bucket top-k: the heap tail equals the window tail exactly") {
+    // force both tails on the same input: heapAbove=0 routes ALL
+    // queries through the partition-local k-heaps
+    val window = Embed.bucketTopK(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val heap = Embed.bucketTopK(spark, sf(), heapAbove = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(heap === window, "heap retention must reproduce the window rank")
+    assert(window.nonEmpty)
+  }
+
   test("chunk embeddings line up with the chunk frame") {
     val out = Embed.embedChunks(
       spark.read.parquet(s"${sf()}/documents.parquet").selectExpr("doc_id", "text"),
