@@ -159,6 +159,14 @@ object SparkEntry {
     // radius-1 multi-probe: Hamming radius 15 from the same 8 bands
     "dedup_simhash_multiprobe" -> ((s, dir) =>
       graft.dedup.Dedup.simhashPairsMultiProbe(s, dir)),
+    // the corpus-scale banding: 4 x 16-bit bands (65536 buckets/band
+    // -- occupancy n/65536 keeps caps non-binding where the 8-bit
+    // bands' 256 buckets collapse at ~500k docs, a MEASURED 0.003
+    // recall; BENCH_NOTES r11) with radius-3 query-side probes; the
+    // oracle is the Hamming <= 15 ALL-PAIRS ground truth itself, so
+    // the gate pins the pigeonhole guarantee, not just the plumbing
+    "dedup_simhash_wide" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairsWide(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
@@ -371,6 +379,11 @@ object SparkEntry {
     // multi-probe SimHash band machinery as mm_image_dedup
     "mm_audio_dedup" -> ((s, dir) =>
       graft.multimodal.AudioDedup.audioDedup(s, dir)),
+    // the Haitsma-Kalker filterbank form: lag-difference comb
+    // filterbank band energies, the HK time x band gradient bit rule
+    // (integer arithmetic end to end); same banded pair machinery
+    "mm_audio_dedup_fb" -> ((s, dir) =>
+      graft.multimodal.AudioDedup.audioDedupFb(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
     // image resize: decode -> box-average -> QOI re-encode -> decode,
@@ -488,6 +501,8 @@ object SparkEntry {
     s"${graft.multimodal.ImageDedup.dumpPath(graft.multimodal.ImageDedup.lastBase)}/*.parquet"
   private def audHashGlob: String =
     s"${graft.multimodal.AudioDedup.dumpPath(graft.multimodal.AudioDedup.lastBase)}/*.parquet"
+  private def audFbGlob: String =
+    s"${graft.multimodal.AudioDedup.fbDumpPath(graft.multimodal.AudioDedup.lastFbBase)}/*.parquet"
   private def vidHashGlob: String =
     s"${graft.multimodal.VideoFrames.dumpPath(graft.multimodal.VideoFrames.lastBase)}/*.parquet"
 
@@ -1523,6 +1538,16 @@ object SparkEntry {
          |JOIN sz ON sz.band = x.band AND sz.h = x.h
          |WHERE sz.n BETWEEN 2 AND 1000
          |  AND bit_count(xor(x.sig, y.sig)) <= 7""".stripMargin,
+    // wide-band scale formulation: the oracle is the Hamming <= 15
+    // ALL-PAIRS ground truth over the dumped signatures — the gate
+    // passes only if the 4 x 16-bit banding + radius-3 probes achieve
+    // FULL recall (the pigeonhole guarantee), not merely reproduce
+    // their own plumbing
+    "dedup_simhash_wide" ->
+      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$simhashSigsGlob'))
+         |SELECT x.doc_id AS i, y.doc_id AS j
+         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 15""".stripMargin,
     "dedup_simhash_multiprobe" ->
       s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$simhashSigsGlob')),
          |$simhashBandCte,
@@ -2386,6 +2411,9 @@ object SparkEntry {
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
     "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),
+    // filterbank (Haitsma-Kalker) audio near-dup: same oracle shape
+    // over the spectral fingerprint dump
+    "mm_audio_dedup_fb" -> mediaHashPairsSql(audFbGlob),
     // video near-dup: identical oracle shape over the video dump
     // (temporal-majority frame aHashes / byte fallback)
     "mm_video_dedup" -> mediaHashPairsSql(vidHashGlob),

@@ -279,7 +279,7 @@ object Dedup {
     * bit_count match Java's on negatives). Deterministic map, so the
     * two simhash gates sharing one dump kind always overwrite it with
     * identical content. */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sigs = docShingles(spark, sfDir)
       .as[(Long, Seq[String])]
@@ -363,6 +363,70 @@ object Dedup {
         expr("bit_count(siga ^ m.sig)").as("dist"))
     simhashBandPairs(sigs, maxBucket)
       .union(viaProbe)
+      .filter(col("dist") <= maxHamming)
+      .select(col("i"), col("j"))
+      .distinct()
+  }
+
+  /** WIDE-BAND multi-probe SimHash — the CORPUS-SCALE formulation of
+    * [[simhashPairsMultiProbe]], motivated by a MEASURED failure: at
+    * the 133× rehearsal (~500 k docs) the 8-bit bands' 256 buckets
+    * per band hold ~2 000 docs each, so virtually every bucket blows
+    * the degenerate-bucket cap and candidate recall COLLAPSES to
+    * 0.003 (RecallBench, BENCH_NOTES r11) — the cap was doing exactly
+    * what caps do, silently. The bucket space, not the cap, is the
+    * broken knob: band width must grow with log n (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007 — their
+    * permuted-prefix tables embody the same law).
+    *
+    * Here: 4 bands × 16 bits → 65 536 buckets per band (occupancy
+    * n/65 536 — ~8 docs at 500 k, caps far from binding), probing
+    * ALL ≤ 3-bit perturbations of each band value on the query side
+    * (697 masks, identity included). Pigeonhole: Hamming ≤ 15 over 4
+    * bands puts ≤ 3 differing bits in the best band, so every
+    * qualifying pair collides in some probe — same ≤ 15 guarantee as
+    * the 8-band radius-1 scheme, paid as 4·697 probe rows per doc
+    * (linear in n) instead of collapsed recall. Candidates still pay
+    * the exact bit_count verify; emission is canonical (i < j,
+    * distinct). */
+  def simhashPairsWide(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame =
+    simhashPairsWideOf(simhashSigs(spark, sfDir), maxHamming, maxBucket)
+
+  private[graft] def simhashPairsWideOf(sigs0: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val sigs = sigs0.localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS h))")).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
+    val buckets = banded
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(1, maxBucket))
+    // the 697 xor-masks of popcount ≤ 3 over 16 bits: xors of three
+    // members of {1<<0 .. 1<<15, 0} (index 16 = no flip — covers
+    // popcount 0 and 2 as degenerate triples)
+    val masks = (for (a <- 0 to 16; b <- 0 to 16; c <- 0 to 16)
+      yield (((1 << a) ^ (1 << b) ^ (1 << c)) & 0xffff).toLong)
+      .distinct.sorted
+    val probes = banded.select(col("doc_id"), col("sig"), col("band"),
+      explode(expr(
+        s"transform(array(${masks.mkString(",")}), m -> h ^ m)")).as("h"))
+    // shuffle-hash, NEVER broadcast: the buckets frame is
+    // corpus-sized (one members row per occupied bucket, the whole
+    // corpus inside the member lists) — AQE's size estimate for the
+    // collect_list aggregate undershoots and a broadcast attempt
+    // OOMs the driver at rehearsal scale (measured at 13×); both
+    // sides partition on (band, h), so the per-task build side is
+    // bounded by the shuffle partitioning
+    probes.join(buckets.hint("shuffle_hash"), Seq("band", "h"))
+      .select(col("doc_id").as("a"), col("sig").as("siga"),
+        explode(col("members")).as("m"))
+      .filter(col("a") =!= col("m.doc_id"))
+      .select(least(col("a"), col("m.doc_id")).as("i"),
+        greatest(col("a"), col("m.doc_id")).as("j"),
+        expr("bit_count(siga ^ m.sig)").as("dist"))
       .filter(col("dist") <= maxHamming)
       .select(col("i"), col("j"))
       .distinct()

@@ -117,6 +117,77 @@ object AudioDedup {
       .flatMap { case (_, _, samples) => audioHash(samples) }
       .getOrElse(stubAudioHash(bytes))
 
+  // ── Haitsma–Kalker FILTERBANK fingerprint (the production form) ───
+
+  /** 64-bit banded SPECTRAL fingerprint — the Haitsma–Kalker
+    * band-energy-difference rule ("A Highly Robust Audio
+    * Fingerprinting System", ISMIR 2002) adapted to a clip-level
+    * 64-bit signature over an INTEGER filterbank:
+    *
+    *  - 17 equal time frames (truncating the tail — frame lengths
+    *    exactly equal, so raw energy sums compare without
+    *    normalization);
+    *  - 5 "bands" per frame: energies of the lag-k difference filters
+    *    y_k[i] = s[i] − s[i−k] for k ∈ {1,2,4,8} (response
+    *    4·sin²(πfk) — each lag emphasizes a different frequency
+    *    region, high → low; a comb filterbank that is pure Long
+    *    arithmetic, no FFT, no floats) plus the raw energy as the
+    *    lowest band;
+    *  - the HK bit: bit((t−1)·4 + b) = 1 iff the band-difference
+    *    ENERGY GRADIENT is positive in both axes,
+    *    (E(t,b) − E(t,b+1)) − (E(t−1,b) − E(t−1,b+1)) > 0 —
+    *    16 time steps × 4 band steps = exactly 64 bits.
+    *
+    * Gain-invariant like the HK original (scaling samples scales every
+    * energy by g², signs of differences unchanged) and robust to local
+    * edits (each bit touches two adjacent frames only). Overflow-safe:
+    * a lag-difference square ≤ (2·32768)² and frames ≤ MaxFrames
+    * samples keep every sum < 2⁶² and the 4-term difference < 2⁶³.
+    * Needs frames longer than the longest lag (n ≥ 17·9); shorter or
+    * undecodable clips take the byte fallback. */
+  private[multimodal] def filterbankHash(samples: Array[Short]): Option[Long] = {
+    val T = 17
+    val frame = samples.length / T
+    if (frame <= 8) return None
+    val lags = Array(1, 2, 4, 8)
+    val e = Array.ofDim[Long](T, 5)
+    var t = 0
+    while (t < T) {
+      val lo = t * frame; val hi = lo + frame
+      var b = 0
+      while (b < 4) {
+        val k = lags(b)
+        var sum = 0L; var i = lo + k
+        while (i < hi) {
+          val d = (samples(i) - samples(i - k)).toLong; sum += d * d; i += 1
+        }
+        e(t)(b) = sum; b += 1
+      }
+      var sum = 0L; var i = lo
+      while (i < hi) { val s = samples(i).toLong; sum += s * s; i += 1 }
+      e(t)(4) = sum
+      t += 1
+    }
+    var hash = 0L
+    t = 1
+    while (t < T) {
+      var b = 0
+      while (b < 4) {
+        val d = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+        if (d > 0) hash |= 1L << ((t - 1) * 4 + b)
+        b += 1
+      }
+      t += 1
+    }
+    Some(hash)
+  }
+
+  /** Filterbank per-clip fingerprint with the shared fallback chain. */
+  private[multimodal] def clipHashFb(bytes: Array[Byte]): Long =
+    AudioFeatures.decodeWavPcm(bytes)
+      .flatMap { case (_, _, samples) => filterbankHash(samples) }
+      .getOrElse(stubAudioHash(bytes))
+
   /** Near-dup pairs (i, j) among `media`'s audio rows at Hamming ≤
     * `maxHamming` — multi-probe banding (radius-1 band perturbations,
     * pigeonhole-complete to Hamming ≤ 15 over 8×8-bit bands). */
@@ -145,4 +216,24 @@ object AudioDedup {
       maxBucket: Int = 1000): DataFrame =
     SigDump.dumpAndPair(hashFrame(Multimodal.mediaTable(spark, sfDir)),
       "audhash_sigs", sfDir, maxHamming, maxBucket)(lastBase = _)
+
+  @volatile var lastFbBase: String = "sf0.01"
+
+  def fbDumpPath(base: String): String =
+    graft.core.SideDump.path("audfb_sigs", base)
+
+  /** Gate surface for the FILTERBANK fingerprint (`mm_audio_dedup_fb`)
+    * — same media table, same banded machinery, same
+    * dumped-signature oracle; only the per-clip hash differs, so the
+    * two gates pin time-domain and spectral forms independently. */
+  def audioDedupFb(spark: SparkSession, sfDir: String, maxHamming: Int = 15,
+      maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val sigs = Multimodal.mediaTable(spark, sfDir)
+      .filter(_.kind == "audio")
+      .map(m => (m.media_id, clipHashFb(m.media)))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(sigs, "audfb_sigs", sfDir, maxHamming, maxBucket)(
+      lastFbBase = _)
+  }
 }

@@ -68,6 +68,26 @@ class SimhashOracleSpec extends SparkSpec {
     assert(exactPairs(sigs, 15).subsetOf(got))
   }
 
+  test("wide-band gate: output IS the Hamming<=15 all-pairs ground truth") {
+    // the dedup_simhash_wide oracle is all-pairs, so the spec pins
+    // exactly that: the 4x16-bit banding + radius-3 probes recover
+    // EVERY qualifying pair (the pigeonhole guarantee), uncapped
+    val got = Dedup.simhashPairsWide(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = dumpedSigs().toSeq
+    val all = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs
+      if d1 < d2 && java.lang.Long.bitCount(s1 ^ s2) <= 15
+    } yield (d1, d2)).toSet
+    assert(got === all, "wide banding must achieve full recall at ham<=15")
+    assert(got.nonEmpty)
+    // and it agrees with the 8-band multiprobe where THAT has full
+    // recall (gate scale: caps non-binding for both)
+    val mp = Dedup.simhashPairsMultiProbe(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === mp)
+  }
+
   test("simhash oracle can fail: dropping a paired doc's signature is detected") {
     val got = Dedup.simhashPairs(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

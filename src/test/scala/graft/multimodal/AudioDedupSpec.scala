@@ -84,6 +84,66 @@ class AudioDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hA ^ hB) > 32)
   }
 
+  test("filterbank hash: gain invariance, edit locality, spectral discrimination, length floor") {
+    // two clips with IDENTICAL per-sample energy (samples are ±a, so
+    // every s² is a² regardless of carrier) but different spectral
+    // content: a slow ±a alternation (period 8) vs per-sample
+    // alternation (period 1), amplitude rising per time frame so the
+    // HK time-gradients are non-degenerate. The energy-delta core is
+    // structurally blind to the carrier; the filterbank is not.
+    val frame = 24
+    val n = 17 * frame
+    def am(period: Int): Array[Short] = Array.tabulate[Short](n) { i =>
+      val a = 100 * (i / frame + 1) // rising amplitude per frame
+      (if ((i / period) % 2 == 0) a else -a).toShort
+    }
+    val lowF = am(8); val highF = am(1)
+    val Some(eLow) = AudioDedup.audioHash(lowF)
+    val Some(eHigh) = AudioDedup.audioHash(highF)
+    assert(eLow === eHigh,
+      "the time-domain core is blind to this spectral difference (the motivation)")
+    val Some(fLow) = AudioDedup.filterbankHash(lowF)
+    val Some(fHigh) = AudioDedup.filterbankHash(highF)
+    assert(fLow !== fHigh, "the filterbank separates the spectra")
+    // gain invariance: scaling every sample flips no bit
+    val Some(fLow2) = AudioDedup.filterbankHash(lowF.map(s => (s * 3).toShort))
+    assert(fLow2 === fLow)
+    // edit locality: one jittered sample touches only the two time
+    // rows (<= 8 bits) that see its frame
+    val jit = lowF.clone()
+    jit(100) = (jit(100) + 20).toShort
+    val Some(fJit) = AudioDedup.filterbankHash(jit)
+    assert(java.lang.Long.bitCount(fLow ^ fJit) <= 8,
+      "a local edit must move only nearby time-frame bits")
+    // frames must exceed the longest lag: below 17*9 samples decline
+    assert(AudioDedup.filterbankHash(new Array[Short](17 * 8)).isEmpty)
+    assert(AudioDedup.filterbankHash(am(4).take(17 * 9)).isDefined)
+  }
+
+  test("filterbank gate corpus: dump covers every audio row, both paths, pairs subset-verified") {
+    val pairs = AudioDedup.audioDedupFb(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dumped = spark.read.parquet(AudioDedup.fbDumpPath(AudioDedup.lastFbBase))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clips = Multimodal.mediaTable(spark, sf()).filter(_.kind == "audio").collect()
+    assert(dumped.size === clips.length)
+    var nReal = 0; var nFb = 0
+    clips.foreach { m =>
+      AudioFeatures.decodeWavPcm(m.media)
+        .flatMap(t => AudioDedup.filterbankHash(t._3)) match {
+        case Some(h) => nReal += 1; assert(dumped(m.media_id) === h)
+        case None =>
+          nFb += 1; assert(dumped(m.media_id) === AudioDedup.stubAudioHash(m.media))
+      }
+    }
+    assert(nReal > 0 && nFb > 0,
+      s"gate must cross both fingerprint paths: real=$nReal fallback=$nFb")
+    // every reported pair is a true Hamming <= 15 pair of the dump
+    pairs.foreach { case (i, j) =>
+      assert(java.lang.Long.bitCount(dumped(i) ^ dumped(j)) <= 15)
+    }
+  }
+
   test("gate corpus: every audio row fingerprinted and dumped; real rows cross PCM decode") {
     val out = AudioDedup.audioDedup(spark, sf())
     out.collect() // force + dump
