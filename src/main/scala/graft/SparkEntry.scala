@@ -195,6 +195,15 @@ object SparkEntry {
     // foreachBatch ≡ this replay is pinned in SemStreamSpec)
     "dedup_semantic_stream" -> ((s, dir) =>
       graft.streaming.SemStream.chunkProbeStream(s, dir)),
+    // STREAMING exact dedup at the chunk level — the dedup step a
+    // crawl ingest runs before paying to embed/index a chunk it has
+    // already seen: per micro-batch, first-in-batch per md5, anti-
+    // join against the persisted seen-hash index, survivors appended
+    // (idempotent per-batch subdir overwrite). Stream order = doc_id
+    // order, so the kept set is exactly the global lexicographic-min
+    // occurrence per distinct chunk text (the one-shot oracle)
+    "dedup_exact_stream" -> ((s, dir) =>
+      graft.streaming.ExactStream.chunkDedupStream(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
     // scale compositions over the banded/capped LSH pair generator;
@@ -283,6 +292,17 @@ object SparkEntry {
     "ann_pca_reduced" -> ((s, dir) => graft.sim.Pca.topKL2PcaReduced(s, dir)),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
+    // token-budget mixture plan: per-language available tokens vs the
+    // mixture weights' targets, and the epochs/resid-sampling rates
+    // the targets imply (one scan, <=|langs| groups — the LLaMA-style
+    // domain-mixture table a training run starts from)
+    "text_mix_plan" -> ((s, dir) => graft.text.TextAnalysis.mixPlan(s, dir)),
+    // the plan EXECUTED: one (lang, doc_id, epoch) membership row per
+    // prescribed pass — full epochs for every domain doc, the
+    // residual pass as a deterministic id-hash sample at resid_ppm
+    // (threshold computed in-plan; broadcast join + explode, no
+    // shuffle)
+    "text_mix_epochs" -> ((s, dir) => graft.text.TextAnalysis.mixEpochs(s, dir)),
     // sliding token-window chunking (RAG / context-window splitter):
     // map-only, no shuffle; boundaries line up with Tok.alphaToks
     "text_chunk" -> ((s, dir) => graft.text.Chunking.chunks(s, dir)),
@@ -1659,6 +1679,32 @@ object SparkEntry {
     // batches — each stage's keep set feeds the next stage's index
     // side, exactly the probe-then-append loop the engine ran
     "dedup_semantic_stream" -> dedupSemanticStreamSql,
+    // streaming exact chunk dedup: micro-batches in doc_id order make
+    // "first batch to see the hash, then first in batch" the GLOBAL
+    // lexicographic-min occurrence per hash, so the one-shot dedup is
+    // the oracle verbatim — chunk CTE (the text_chunk fragment), md5,
+    // min (doc_id, chunk_id) per hash
+    "dedup_exact_stream" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+        |ch AS (SELECT doc_id, t, n,
+        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+        |  FROM nz),
+        |c AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    md5(array_to_string(t[chunk_id * 48 + 1 :
+        |      chunk_id * 48 + least(64, n - chunk_id * 48)], ' ')) AS chunk_md5
+        |  FROM ch),
+        |k AS (
+        |  SELECT chunk_md5, doc_id, chunk_id,
+        |    row_number() OVER (PARTITION BY chunk_md5
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM c)
+        |SELECT chunk_md5, doc_id, chunk_id FROM k WHERE rn = 1""".stripMargin,
     "ann_topk" -> annTopkCosineSql,
     // SQ8's distortion is bounded by one 1/255 step per dimension and
     // its candidate budget (rerank = 50 ≫ k = 5) is re-scored with
@@ -2285,6 +2331,25 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) <
         |  CASE WHEN is_quality = 1 THEN 'ccccccccccccd00' ELSE '1999999999999a0' END""".stripMargin,
     "text_langid" -> textLangIdSql,
+    // mixture plan: catalog lang + whitespace token counts rolled up
+    // per lang, then the closed-form budget arithmetic — weights and
+    // budget are the literals the Spark side bakes in; all divisions
+    // positive-truncating on both engines
+    "text_mix_plan" -> textMixPlanSql,
+    // the executor: the plan fragment broadcast onto documents,
+    // exploded to epochs; the residual pass is the md5-prefix sample
+    // with its threshold computed in-SQL from resid_ppm (pure bigint
+    // -> printf, identical in both engines)
+    "text_mix_epochs" ->
+      s"""WITH plan AS ($textMixPlanSql),
+         |pe AS (SELECT lang, full_epochs, resid_ppm,
+         |    unnest(range(0, full_epochs + 1)) AS epoch
+         |  FROM plan)
+         |SELECT d.lang, d.doc_id, CAST(pe.epoch AS BIGINT) AS epoch
+         |FROM documents d JOIN pe USING (lang)
+         |WHERE pe.epoch < pe.full_epochs
+         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':137'), 1, 15) <
+         |      printf('%015x', pe.resid_ppm * 1152921504606)""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -2932,6 +2997,28 @@ object SparkEntry {
       |    WHEN c_es >= c_fr THEN 'es'
       |    ELSE 'fr' END AS lang_pred
       |FROM c""".stripMargin
+
+  /** Token-budget mixture plan — shared by the standalone gate and
+    * the executor's plan CTE (`text_mix_epochs`); weights/budget are
+    * the literals `TextAnalysis.mixPlan` bakes in. */
+  private def textMixPlanSql: String =
+    """WITH g AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> x <> ''))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY 1),
+      |p AS (SELECT lang, n_docs, avail_tokens,
+      |    CAST(CAST(2500000 AS BIGINT) * CAST(CASE lang WHEN 'en' THEN 550000
+      |      WHEN 'de' THEN 150000 WHEN 'es' THEN 150000 WHEN 'fr' THEN 100000
+      |      WHEN 'zh' THEN 50000 ELSE 0 END AS BIGINT) // 1000000
+      |      AS BIGINT) AS target_tokens
+      |  FROM g),
+      |e AS (SELECT *, CAST(CASE WHEN avail_tokens = 0 THEN 0
+      |    ELSE target_tokens * 1000000 // avail_tokens END AS BIGINT) AS epochs_ppm
+      |  FROM p)
+      |SELECT lang, n_docs, avail_tokens, target_tokens, epochs_ppm,
+      |  CAST(epochs_ppm // 1000000 AS BIGINT) AS full_epochs,
+      |  CAST(epochs_ppm % 1000000 AS BIGINT) AS resid_ppm
+      |FROM e""".stripMargin
 
   /** Quality counts + keeper flag — shared by the standalone gate and
     * the corpus report's quality CTE. */

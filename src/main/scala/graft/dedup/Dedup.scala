@@ -390,8 +390,24 @@ object Dedup {
     * the exact bit_count verify; emission is canonical (i < j,
     * distinct). */
   def simhashPairsWide(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame =
-    simhashPairsWideOf(simhashSigs(spark, sfDir), maxHamming, maxBucket)
+      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame = {
+    val sigs = simhashSigs(spark, sfDir).localCheckpoint()
+    if (sigs.count() >= WideBalancedAbove)
+      simhashPairsWideBalancedOf(sigs, maxHamming, maxBucket)
+    else simhashPairsWideOf(sigs, maxHamming, maxBucket)
+  }
+
+  /** Doc count above which [[simhashPairsWide]] switches from
+    * query-side radius-3 probing to the BALANCED build ≤ 1 / probe ≤ 2
+    * split (same regime-switch convention as the hash-min CC and
+    * incremental-seeding thresholds): the balanced form's probe
+    * shuffle is ~4.5× lighter (616 vs 2 788 rows/doc), but it pays a
+    * 17× build-side bucket expansion and, on dup-saturated corpora,
+    * duplicated join output per near-identical pair — overheads that
+    * only amortize once the probe shuffle dominates, i.e. at corpus
+    * scale. Below the threshold (every gate corpus) the query-side
+    * form is the economical one and the registered plan stays put. */
+  private[graft] val WideBalancedAbove: Long = 100000L
 
   private[graft] def simhashPairsWideOf(sigs0: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
@@ -424,6 +440,68 @@ object Dedup {
       .select(col("doc_id").as("a"), col("sig").as("siga"),
         explode(col("members")).as("m"))
       .filter(col("a") =!= col("m.doc_id"))
+      .select(least(col("a"), col("m.doc_id")).as("i"),
+        greatest(col("a"), col("m.doc_id")).as("j"),
+        expr("bit_count(siga ^ m.sig)").as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .select(col("i"), col("j"))
+      .distinct()
+  }
+
+  /** BALANCED wide-band SimHash — [[simhashPairsWideOf]] with the
+    * Hamming-≤ 3 band radius SPLIT across the join instead of paid
+    * entirely on the query side: the build side indexes every ≤ 1-bit
+    * perturbation of each band value (17 masks) and the query side
+    * probes every ≤ 2-bit perturbation (137 masks). Two band values at
+    * distance δ, |δ| ≤ 3, always meet — δ = m1 ⊕ m2 with |m1| ≤ 1,
+    * |m2| ≤ 2 always has a solution (|δ| ≤ 2 → m1 = 0; |δ| = 3 → m1 =
+    * any one bit of δ) — so the pigeonhole guarantee is unchanged.
+    *
+    * What moves: the probe shuffle drops from 4·697 = 2 788 to
+    * 4·137 = 548 rows/doc (the dominant volume at corpus scale, where
+    * candidates are rare and probes are not), against a 4·17 = 68
+    * rows/doc build expansion. What it costs: `maxBucket` now caps
+    * EXPANDED occupancy (≈ 17·n/65 536 expected — the per-task member
+    * list, which is the quantity the cap exists to bound), and a pair
+    * whose band delta has many (m1, m2) decompositions would surface
+    * once per decomposition; a CANONICAL-WITNESS filter (accept only
+    * m1 = 0, or m1 = lowest set bit of δ when |δ| = 3) keeps exactly
+    * one witness per (pair, band) before the verify, so join output
+    * stays one row per qualifying collision, same as the query-side
+    * form. */
+  private[graft] def simhashPairsWideBalancedOf(sigs0: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val sigs = sigs0.localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS h))")).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
+    val buildMasks = (0L +: (0 until 16).map(b => 1L << b)).sorted
+    val probeMasks = (for (a <- 0 to 16; b <- 0 to 16)
+      yield (((1 << a) ^ (1 << b)) & 0xffff).toLong).distinct.sorted
+    val buckets = banded.select(col("doc_id"), col("sig"), col("band"),
+        explode(expr(s"transform(array(${buildMasks.mkString(",")}), " +
+          "m -> struct(h ^ m AS h, m AS m1))")).as("e"))
+      .select(col("doc_id"), col("sig"), col("band"), col("e.h"), col("e.m1"))
+      .groupBy(col("band"), col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"), col("m1"))).as("members"))
+      .filter(size(col("members")).between(1, maxBucket))
+    val probes = banded.select(col("doc_id"), col("sig"), col("band"),
+      explode(expr(s"transform(array(${probeMasks.mkString(",")}), " +
+        "m -> struct(h ^ m AS h, m AS m2))")).as("p"))
+      .select(col("doc_id"), col("sig"), col("band"), col("p.h"), col("p.m2"))
+    // shuffle-hash for the same reason as the query-side form: the
+    // buckets frame is corpus-sized and must never be broadcast
+    probes.join(buckets.hint("shuffle_hash"), Seq("band", "h"))
+      .select(col("doc_id").as("a"), col("sig").as("siga"), col("m2"),
+        explode(col("members")).as("m"))
+      .filter(col("a") =!= col("m.doc_id"))
+      // canonical witness: δ = m1 ⊕ m2 is the band delta; keep only
+      // m1 = 0 (|δ| ≤ 2) or m1 = δ & −δ (|δ| = 3) — exactly one
+      // surviving (m1, m2) per (pair, band)
+      .filter(expr(
+        "m.m1 = CASE WHEN bit_count(m.m1 ^ m2) = 3 " +
+          "THEN (m.m1 ^ m2) & -(m.m1 ^ m2) ELSE 0 END"))
       .select(least(col("a"), col("m.doc_id")).as("i"),
         greatest(col("a"), col("m.doc_id")).as("j"),
         expr("bit_count(siga ^ m.sig)").as("dist"))

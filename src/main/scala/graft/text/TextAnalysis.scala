@@ -48,19 +48,99 @@ object TextAnalysis {
     * cascade (each branch requires >= all later counts; equivalent to
     * priority-tiebroken argmax and expressible identically in DuckDB,
     * whose `greatest` cannot compare structs). */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(
+      col("doc_id"), expr(langPredExpr).as("lang_pred"))
+
+  /** The langId CASE expression over a `text` column. */
+  private def langPredExpr: String = {
     def cnt(words: String) =
       s"size(filter(split(lower(text), '[^a-z]+'), x -> x IN ($words)))"
     val (en, de, es, fr) = (cnt("'the','and','of','with'"), cnt("'der','die','das','und'"),
       cnt("'el','los','las','y'"), cnt("'le','les','et','une'"))
-    documents(spark, sfDir).select(
-      col("doc_id"),
-      expr(
-        s"""CASE
-           |  WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-           |  WHEN $de >= $es AND $de >= $fr THEN 'de'
-           |  WHEN $es >= $fr THEN 'es'
-           |  ELSE 'fr' END""".stripMargin).as("lang_pred"))
+    s"""CASE
+       |  WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |  WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |  WHEN $es >= $fr THEN 'es'
+       |  ELSE 'fr' END""".stripMargin
+  }
+
+  /** TOKEN-BUDGET MIXTURE PLAN — the table a training run starts
+    * from: for each domain (language here; any label column works the
+    * same way), the available token mass, the token target the
+    * mixture weights assign it out of `budgetTokens`, and the
+    * repetition that target implies — `epochs_ppm` (passes over the
+    * domain, in parts-per-million: 3 400 000 = 3.4 epochs),
+    * decomposed into `full_epochs` whole passes plus a final pass
+    * sampled at `resid_ppm` (the rate [[Sampling.hashSample]]-style
+    * deterministic sampling then applies). The LLaMA/Pile-style
+    * domain-mixture bookkeeping, integer-exact end to end.
+    *
+    * The domain axis is the catalog `lang` METADATA column (the form
+    * real mixing uses — weights are assigned against the corpus
+    * catalog, not re-predicted per run); weights are fixed ppm
+    * constants (sum 1 000 000) mirrored in the DuckDB oracle. All
+    * divisions are positive-integer truncating (Spark DIV ≡ DuckDB
+    * //); `epochs_ppm = target·10⁶ ∕ avail` is exact while target ≤
+    * 2⁶³/10⁶ ≈ 9.2·10¹² tokens per domain — trillion-token budgets
+    * fit; beyond that the multiply needs a wider intermediate, noted
+    * here rather than hidden.
+    *
+    * Scale posture: ONE scan of documents (two pruned columns),
+    * partial-aggregated into ≤ |langs| groups — the shuffle carries a
+    * handful of rows; the plan is a driver-sized artifact by
+    * construction. */
+  def mixPlan(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2500000L): DataFrame = {
+    val wCase = "CASE lang WHEN 'en' THEN 550000 WHEN 'de' THEN 150000 " +
+      "WHEN 'es' THEN 150000 WHEN 'fr' THEN 100000 WHEN 'zh' THEN 50000 " +
+      "ELSE 0 END"
+    documents(spark, sfDir)
+      .select(col("lang"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("avail_tokens"))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        expr(s"CAST($budgetTokens AS BIGINT) * CAST($wCase AS BIGINT) DIV 1000000")
+          .as("target_tokens"))
+      .withColumn("epochs_ppm", expr(
+        "CASE WHEN avail_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE target_tokens * 1000000 DIV avail_tokens END"))
+      .withColumn("full_epochs", expr("epochs_ppm DIV 1000000"))
+      .withColumn("resid_ppm", expr("epochs_ppm % 1000000"))
+  }
+
+  /** MIXTURE-PLAN EXECUTOR — materialize [[mixPlan]] as the training
+    * membership it implies: one (lang, doc_id, epoch) row per pass
+    * each document participates in. Epochs below `full_epochs` are
+    * whole passes (every domain doc); epoch = `full_epochs` is the
+    * RESIDUAL pass, a deterministic id-hash sample at ~resid_ppm —
+    * the [[Sampling.hashSample]] discipline with the threshold
+    * computed IN-PLAN from the (data-dependent) resid rate:
+    * md5-prefix < format('%015x', resid_ppm · ⌊2⁶⁰/10⁶⌋), pure bigint
+    * then string compare, identical in both engines (the truncated
+    * 2⁶⁰/10⁶ constant costs < 1 ppm selection bias and buys
+    * exactness). Seed 137 keeps the residual draw independent of the
+    * engine's other id-hash samples.
+    *
+    * Scale posture: broadcast the |langs|-row plan onto ONE
+    * documents scan, explode to epochs (the multiplier is the real
+    * repetition the plan prescribes), filter map-side — no shuffle;
+    * downstream training-order assignment is [[SequencePacking
+    * .shuffledPackOrder]]'s job over (doc_id, epoch). */
+  def mixEpochs(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2500000L): DataFrame = {
+    val plan = mixPlan(spark, sfDir, budgetTokens)
+      .select(col("lang"), col("full_epochs"), col("resid_ppm"))
+    documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(broadcast(plan), Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("full_epochs"), col("resid_ppm"),
+        explode(expr("sequence(CAST(0 AS BIGINT), full_epochs)")).as("epoch"))
+      .filter(col("epoch") < col("full_epochs") ||
+        substring(md5(concat(col("doc_id").cast("string"), lit(":137"))), 1, 15)
+          < expr("format_string('%015x', resid_ppm * 1152921504606L)"))
+      .select(col("lang"), col("doc_id"), col("epoch"))
   }
 
   /** Within-document repetition signal (C4-style quality filter): how

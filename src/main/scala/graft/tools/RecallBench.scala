@@ -90,7 +90,9 @@ object RecallBench {
     }
 
     // ── multi-probe SimHash vs exact all-pairs Hamming ≤ 15 ─────────
-    if (!famOn("simhash") && !famOn("wide")) { spark.stop(); return }
+    if (!famOn("simhash") && !famOn("wide") && !famOn("wideb")) {
+      spark.stop(); return
+    }
     val t2 = System.nanoTime()
     val sampleSigs = Dedup.simhashSigs(spark, sfDir)
       .filter(pmod(col("doc_id"), lit(mod)) === 0)
@@ -119,11 +121,24 @@ object RecallBench {
 
     if (famOn("wide")) {
       // the wide-band (4 × 16-bit, radius-3 probe) scale formulation —
-      // the fix for the cap-collapse the 8-bit row above measures
+      // the fix for the cap-collapse the 8-bit row above measures;
+      // forced onto the query-side form so the two formulations can
+      // be compared at the same scale regardless of the switch
       val t4 = System.nanoTime()
-      val wide = pairSet(inSample(Dedup.simhashPairsWide(spark, sfDir)))
+      val wide = pairSet(inSample(Dedup.simhashPairsWideOf(
+        Dedup.simhashSigs(spark, sfDir), 15, 1000)))
       val tB3 = (System.nanoTime() - t4) / 1e9
       report("simhash_wide", "ham<=15", exactHSet, wide, 0.0, tB3)
+    }
+
+    if (famOn("wideb")) {
+      // the balanced build<=1 x probe<=2 split (what simhashPairsWide
+      // actually runs above WideBalancedAbove docs)
+      val t5 = System.nanoTime()
+      val bal = pairSet(inSample(Dedup.simhashPairsWideBalancedOf(
+        Dedup.simhashSigs(spark, sfDir), 15, 1000)))
+      val tB4 = (System.nanoTime() - t5) / 1e9
+      report("simhash_wide_balanced", "ham<=15", exactHSet, bal, 0.0, tB4)
     }
 
     spark.stop()

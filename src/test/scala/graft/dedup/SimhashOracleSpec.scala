@@ -88,6 +88,60 @@ class SimhashOracleSpec extends SparkSpec {
     assert(got === mp)
   }
 
+  test("balanced wide formulation: identical pairs to the query-side form on the gate corpus") {
+    // the scale formulation simhashPairsWide switches to above
+    // WideBalancedAbove docs: build-side radius<=1 x probe-side
+    // radius<=2 with a canonical-witness filter. Both forms must emit
+    // the IDENTICAL pair set (the all-pairs Hamming<=15 ground truth).
+    import spark.implicits._
+    val sigs = dumpedSigs().toSeq.toDF("doc_id", "sig")
+    val bal = Dedup.simhashPairsWideBalancedOf(sigs, 15, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simhashPairsWideOf(sigs, 15, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bal === wide)
+    assert(bal.nonEmpty)
+  }
+
+  test("balanced wide: adversarial per-band delta distributions match driver all-pairs") {
+    // engineered signatures hitting every per-band delta weight the
+    // canonical-witness rule must handle: delta 0 (identical band,
+    // m1=m2=0 witness), 1, 2 (m1=0 witness), 3 (m1 = lowest-bit
+    // witness), and >3 in every band (no collision owed); plus the
+    // boundary totals 15 (pair) and 16 (no pair: 4+4+4+4 leaves no
+    // band within radius 3).
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    def flip(s: Long, perBand: Seq[Int]): Long = {
+      // flip `w` DISTINCT positions per 16-bit band, stride-5 spread
+      // (5 coprime to 16) so deltas exercise non-contiguous bits
+      var out = s
+      for ((w, b) <- perBand.zipWithIndex; k <- 0 until w)
+        out ^= 1L << (b * 16 + (5 * k) % 16)
+      out
+    }
+    val cases = Seq(
+      Seq(3, 4, 4, 4),  // 15: qualifies, best band needs the |d|=3 witness
+      Seq(4, 4, 4, 4),  // 16: no band within radius 3 AND over maxHamming
+      Seq(0, 5, 5, 5),  // 15: qualifies via the delta-0 band
+      Seq(1, 2, 3, 4),  // 10: qualifies via several witness shapes
+      Seq(2, 2, 2, 2),  //  8: qualifies in every band
+      Seq(15, 0, 0, 0)) // 15: qualifies via three delta-0 bands
+    val rows = (0L, base) +: cases.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, flip(base, c))
+    }
+    val df = rows.toDF("doc_id", "sig")
+    val expected = (for {
+      (d1, s1) <- rows; (d2, s2) <- rows
+      if d1 < d2 && java.lang.Long.bitCount(s1 ^ s2) <= 15
+    } yield (d1, d2)).toSet
+    val bal = Dedup.simhashPairsWideBalancedOf(df, 15, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bal === expected)
+    // the distribution boundary really is exercised
+    assert(expected.contains((0L, 1L)) && !expected.contains((0L, 2L)))
+  }
+
   test("simhash oracle can fail: dropping a paired doc's signature is detected") {
     val got = Dedup.simhashPairs(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -302,4 +302,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(report.keySet.map(_._1) === Set("train", "val", "test"))
     assert(report.values.map(_._1).sum === split.size.toLong)
   }
+
+  test("mix plan: budget arithmetic equals a driver fold of langid + token counts") {
+    val plan = TextAnalysis.mixPlan(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(plan.nonEmpty)
+    val lang = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = TextAnalysis.tokenCount(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 550000L, "de" -> 150000L,
+      "es" -> 150000L, "fr" -> 100000L, "zh" -> 50000L)
+    val expected = lang.keys.toSeq.groupBy(lang(_)).map { case (l, ds) =>
+      val avail = ds.map(toks(_)).sum
+      val target = 2500000L * weights.getOrElse(l, 0L) / 1000000L
+      val ppm = if (avail == 0) 0L else target * 1000000L / avail
+      l -> ((ds.size.toLong, avail, target, ppm, ppm / 1000000L, ppm % 1000000L))
+    }
+    assert(plan === expected)
+    // the fixture must exercise the interesting arithmetic: at least
+    // one domain needs multiple full epochs AND a residual sampling
+    // pass, or the decomposition is never tested
+    assert(plan.values.exists(p => p._5 >= 1L && p._6 > 0L),
+      "some domain should need full epochs plus a residual pass")
+    assert(plan.values.map(_._1).sum === lang.size.toLong)
+  }
+
+  test("mix epochs: membership equals a driver replay of the plan's pass rules") {
+    val plan = TextAnalysis.mixPlan(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(5), r.getLong(6)))).toMap
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def residKept(docId: Long, residPpm: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:137".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      hex < f"${residPpm * 1152921504606L}%015x"
+    }
+    val expected = (for {
+      (d, l) <- docs
+      (fe, rp) = plan(l)
+      e <- 0L to fe
+      if e < fe || residKept(d, rp)
+    } yield (l, d, e)).toSet
+    val got = TextAnalysis.mixEpochs(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the residual pass must be a PROPER sample somewhere: some domain
+    // keeps a strict, non-empty subset at its residual epoch
+    val proper = plan.exists { case (l, (fe, _)) =>
+      val domain = docs.filter(_._2 == l)
+      val atResid = got.count(t => t._1 == l && t._3 == fe)
+      atResid > 0 && atResid < domain.size
+    }
+    assert(proper, "some residual pass should keep a strict non-empty subset")
+  }
 }
