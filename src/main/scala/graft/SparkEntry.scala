@@ -168,6 +168,12 @@ object SparkEntry {
     "dedup_simhash_wide" -> ((s, dir) =>
       graft.dedup.Dedup.simhashPairsWide(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
+    // blocked Levenshtein (record-linkage classic): prefix+suffix
+    // length-bucket blocking, df-capped keys, banded 3-arg DP
+    // (O(len*65), never the full matrix); dist <= min(64, 10% of the
+    // mean length). ASCII-normalized so DuckDB's byte-based
+    // levenshtein equals Spark's codepoint-based one
+    "dedup_edit_pairs" -> ((s, dir) => graft.dedup.EditDedup.editPairs(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup;
@@ -303,6 +309,19 @@ object SparkEntry {
     // (threshold computed in-plan; broadcast join + explode, no
     // shuffle)
     "text_mix_epochs" -> ((s, dir) => graft.text.TextAnalysis.mixEpochs(s, dir)),
+    // the training ORDER over that membership: epochs sequential,
+    // per-epoch deterministic md5 shuffle, two-pass globalRank (no
+    // single-partition window)
+    "text_mix_order" -> ((s, dir) => graft.text.TextAnalysis.mixOrder(s, dir)),
+    // the ordered mixture cut into fixed-token-budget OUTPUT SHARDS
+    // (the artifact a data loader mounts): rank + token prefix-sum
+    // fused into ONE globalRankPack layout — one shuffle where
+    // order-then-pack would take two
+    "text_mix_shards" -> ((s, dir) => graft.text.TextAnalysis.mixShards(s, dir)),
+    // crawl-snapshot QA: per source, the top-3 tokens most over/
+    // under-represented vs the REST of the corpus — integer ppm
+    // rates (overflow-safe form), window partitioned by source
+    "text_source_drift" -> ((s, dir) => graft.text.TextAnalysis.sourceDrift(s, dir)),
     // sliding token-window chunking (RAG / context-window splitter):
     // map-only, no shuffle; boundaries line up with Tok.alphaToks
     "text_chunk" -> ((s, dir) => graft.text.Chunking.chunks(s, dir)),
@@ -1506,6 +1525,35 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = i
         |JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
+    // blocked Levenshtein: prefix+suffix length-bucket blocking with
+    // the df<=64 key cap, dist <= min(64, (len_a+len_b)//20). The
+    // oracle runs DuckDB's full-matrix levenshtein where the engine
+    // runs the banded 3-arg form — identical keep-set and distances
+    // because the filter never accepts a distance above the band.
+    // ASCII normalization makes byte-based (DuckDB) == codepoint-
+    // based (Spark) distances
+    "dedup_edit_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, nt, length(nt) AS len,
+        |    'p:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || substr(nt, 1, 12) AS bk
+        |  FROM n
+        |  UNION ALL
+        |  SELECT doc_id, nt, length(nt),
+        |    's:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || right(nt, 12)
+        |  FROM n),
+        |small AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 64),
+        |c AS (SELECT k.* FROM k JOIN small USING (bk)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.nt AS nt_a, b.nt AS nt_b, a.len AS len_a, b.len AS len_b
+        |  FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(levenshtein(nt_a, nt_b) AS BIGINT) AS dist
+        |FROM p
+        |WHERE levenshtein(nt_a, nt_b) <= least(64, (len_a + len_b) // 20)""".stripMargin,
     // connected components: recursive closure over the ngram pairs;
     // cluster id = min doc_id reachable (matches hash-min propagation)
     "dedup_clusters" -> dedupClustersSql,
@@ -2340,16 +2388,55 @@ object SparkEntry {
     // exploded to epochs; the residual pass is the md5-prefix sample
     // with its threshold computed in-SQL from resid_ppm (pure bigint
     // -> printf, identical in both engines)
-    "text_mix_epochs" ->
-      s"""WITH plan AS ($textMixPlanSql),
-         |pe AS (SELECT lang, full_epochs, resid_ppm,
-         |    unnest(range(0, full_epochs + 1)) AS epoch
-         |  FROM plan)
-         |SELECT d.lang, d.doc_id, CAST(pe.epoch AS BIGINT) AS epoch
-         |FROM documents d JOIN pe USING (lang)
-         |WHERE pe.epoch < pe.full_epochs
-         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':137'), 1, 15) <
-         |      printf('%015x', pe.resid_ppm * 1152921504606)""".stripMargin,
+    "text_mix_epochs" -> textMixEpochsSql,
+    // the epoch-aware training order: epochs sequential, per-epoch
+    // md5 shuffle (fresh permutation every pass), doc_id tiebreak —
+    // the oracle's global OVER (ORDER BY) is oracle-side only; the
+    // engine ranks via the two-pass globalRank
+    "text_mix_order" -> textMixOrderSql,
+    // the shard cut over that order: token prefix-sum div budget.
+    // The oracle's global window cumsum is oracle-side only — the
+    // engine's rank AND prefix sum come from one fused
+    // globalRankPack layout (one shuffle, no single-partition window)
+    "text_mix_shards" ->
+      s"""WITH mo AS ($textMixOrderSql),
+         |tk AS (SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_toks
+         |  FROM documents)
+         |SELECT mo.lang, mo.doc_id, mo.epoch, mo.train_order, tk.n_toks,
+         |  CAST((sum(tk.n_toks) OVER (ORDER BY mo.train_order)
+         |        - tk.n_toks) // 65536 AS BIGINT) AS shard_id
+         |FROM mo JOIN tk USING (doc_id)""".stripMargin,
+    // per-source token drift vs the rest of the corpus: ppm rates by
+    // truncating bigint division (exact both engines), top-3 per
+    // source by (drift DESC, token ASC); domain = tokens present in
+    // the source
+    "text_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |by_src AS (SELECT source, tok, count(*) AS c_src FROM toks GROUP BY 1, 2),
+        |src_tot AS (SELECT source, count(*) AS n_src FROM toks GROUP BY 1),
+        |by_tok AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all
+        |  FROM by_src GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM src_tot),
+        |scored AS (
+        |  SELECT b.source, b.tok,
+        |    c_src * 1000000 // n_src AS ppm_src,
+        |    CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT)
+        |         ELSE (c_all - c_src) * 1000000 // (n_all - n_src) END AS ppm_rest
+        |  FROM by_src b
+        |  JOIN src_tot USING (source) JOIN by_tok USING (tok) CROSS JOIN tot)
+        |SELECT source, rk, tok, ppm_src, ppm_rest, drift, direction FROM (
+        |  SELECT source, tok, ppm_src, ppm_rest,
+        |    abs(ppm_src - ppm_rest) AS drift,
+        |    CAST(sign(ppm_src - ppm_rest) AS BIGINT) AS direction,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY abs(ppm_src - ppm_rest) DESC, tok) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -3019,6 +3106,36 @@ object SparkEntry {
       |  CAST(epochs_ppm // 1000000 AS BIGINT) AS full_epochs,
       |  CAST(epochs_ppm % 1000000 AS BIGINT) AS resid_ppm
       |FROM e""".stripMargin
+
+  /** Mixture-plan executor — shared by the standalone gate and the
+    * training-order gate's membership CTE (`text_mix_order`). DuckDB
+    * gotcha: lateral unnest + join + mixed-column filter hits an
+    * internal bind bug, so the 5-row plan is unnested FIRST, then
+    * joined onto documents. */
+  private def textMixEpochsSql: String =
+    s"""WITH plan AS ($textMixPlanSql),
+       |pc AS (SELECT lang, least(full_epochs, 1000) AS full_epochs, resid_ppm
+       |  FROM plan),
+       |pe AS (SELECT lang, full_epochs, resid_ppm,
+       |    unnest(range(0, full_epochs + 1)) AS epoch
+       |  FROM pc)
+       |SELECT d.lang, d.doc_id, CAST(pe.epoch AS BIGINT) AS epoch
+       |FROM documents d JOIN pe USING (lang)
+       |WHERE pe.epoch < pe.full_epochs
+       |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':137'), 1, 15) <
+       |      printf('%015x', pe.resid_ppm * 1152921504606)""".stripMargin
+
+  /** Training order over the mixture membership — shared by the
+    * standalone gate and the shard gate's order CTE. The global
+    * `row_number() OVER` is DuckDB-oracle-side only; the engine ranks
+    * via the two-pass globalRank. */
+  private def textMixOrderSql: String =
+    s"""WITH me AS ($textMixEpochsSql)
+       |SELECT lang, doc_id, epoch,
+       |  CAST(row_number() OVER (ORDER BY epoch,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) || ':42'),
+       |    doc_id) - 1 AS BIGINT) AS train_order
+       |FROM me""".stripMargin
 
   /** Quality counts + keeper flag — shared by the standalone gate and
     * the corpus report's quality CTE. */

@@ -214,6 +214,63 @@ object SequencePacking {
     }(enc)
   }
 
+  /** FUSED rank + pack: one range-partitioned layout emitting BOTH
+    * the zero-based `rank` in `sortCols` order AND the token-budget
+    * `pack_id` (`weight prefix-sum div budget`). [[globalRank]]
+    * followed by [[packPrefixSum]] over the rank would re-shuffle the
+    * SAME global order a second time; the two driver cumulations
+    * (row counts and weight totals) share one layout here — at scale
+    * that is one shuffle of the corpus instead of two. Semantics are
+    * pinned equal to the two-step composition by spec
+    * (`SequencePackingSpec`). */
+  def globalRankPack(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], weightCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(!df.columns.contains(PidCol),
+      s"input must not carry a $PidCol column")
+    val parts = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(PidCol, spark_partition_id())
+      .localCheckpoint()
+    val stats = parts.groupBy(PidCol)
+      .agg(count(lit(1)).as("n"), sum(weightCol).as("t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rankOffsets = (0 until partitions)
+      .scanLeft(0L)((acc, pid) => acc + stats.get(pid).map(_._1).getOrElse(0L))
+    val packOffsets = (0 until partitions)
+      .scanLeft(0L)((acc, pid) => acc + stats.get(pid).map(_._2).getOrElse(0L))
+    val bc = parts.sparkSession.sparkContext
+      .broadcast((rankOffsets, packOffsets))
+    val pidIdx = parts.schema.fieldIndex(PidCol)
+    val wIdx = parts.schema.fieldIndex(weightCol)
+    val outSchema = StructType(parts.schema.filterNot(_.name == PidCol))
+      .add("rank", LongType, nullable = false)
+      .add("pack_id", LongType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    parts.mapPartitions { it =>
+      var rankRun = 0L
+      var packRun = 0L
+      var curPid = -1
+      it.map { row =>
+        val pid = row.getInt(pidIdx)
+        if (pid != curPid) {
+          rankRun = bc.value._1(pid); packRun = bc.value._2(pid); curPid = pid
+        }
+        val r = rankRun
+        val before = packRun
+        rankRun += 1
+        packRun += longAt(row, wIdx)
+        val vals = row.toSeq.zipWithIndex.collect {
+          case (v, i) if i != pidIdx => v
+        } :+ r :+ (before / budget)
+        org.apache.spark.sql.Row.fromSeq(vals)
+      }
+    }(enc)
+  }
+
   /** Deterministic TRAINING-ORDER shuffle of the packed corpus: packs
     * are permuted by a seeded hash (md5 of "pack_id:seed") — the
     * data-loader epoch order, reproducible across runs and engines,

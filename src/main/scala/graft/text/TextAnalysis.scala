@@ -111,6 +111,9 @@ object TextAnalysis {
       .withColumn("resid_ppm", expr("epochs_ppm % 1000000"))
   }
 
+  /** Epoch ceiling of [[mixEpochs]] — see its scaladoc. */
+  val MaxEpochs: Long = 1000L
+
   /** MIXTURE-PLAN EXECUTOR — materialize [[mixPlan]] as the training
     * membership it implies: one (lang, doc_id, epoch) row per pass
     * each document participates in. Epochs below `full_epochs` are
@@ -127,12 +130,21 @@ object TextAnalysis {
     * Scale posture: broadcast the |langs|-row plan onto ONE
     * documents scan, explode to epochs (the multiplier is the real
     * repetition the plan prescribes), filter map-side — no shuffle;
-    * downstream training-order assignment is [[SequencePacking
-    * .shuffledPackOrder]]'s job over (doc_id, epoch). */
+    * downstream training-order assignment is [[mixOrder]]'s job over
+    * (doc_id, epoch). Epochs are capped at [[MaxEpochs]] — a safety
+    * valve, not policy: a DEGENERATE domain (near-zero token mass
+    * under a nonzero weight) would otherwise prescribe millions of
+    * passes and the per-row `sequence` explosion is unbounded; no
+    * sane mixture exceeds double-digit epochs (data-constrained runs
+    * top out around single digits), so the cap is inert except
+    * exactly where the explosion would be the bug. Mirrored in the
+    * oracle. */
   def mixEpochs(spark: SparkSession, sfDir: String,
       budgetTokens: Long = 2500000L): DataFrame = {
     val plan = mixPlan(spark, sfDir, budgetTokens)
-      .select(col("lang"), col("full_epochs"), col("resid_ppm"))
+      .select(col("lang"),
+        least(col("full_epochs"), lit(MaxEpochs)).as("full_epochs"),
+        col("resid_ppm"))
     documents(spark, sfDir).select(col("doc_id"), col("lang"))
       .join(broadcast(plan), Seq("lang"))
       .select(col("lang"), col("doc_id"), col("full_epochs"), col("resid_ppm"),
@@ -141,6 +153,151 @@ object TextAnalysis {
         substring(md5(concat(col("doc_id").cast("string"), lit(":137"))), 1, 15)
           < expr("format_string('%015x', resid_ppm * 1152921504606L)"))
       .select(col("lang"), col("doc_id"), col("epoch"))
+  }
+
+  /** TRAINING ORDER over the mixture membership — the last leg of
+    * plan → epochs → ORDER: epochs stay SEQUENTIAL (an epoch is a
+    * real training boundary — pass k's docs all precede pass k+1's),
+    * documents are shuffled WITHIN each epoch by the deterministic
+    * md5 key of (doc_id, epoch, seed) — a fresh permutation every
+    * epoch, the property epoch-wise training needs (same docs, new
+    * order) that a single static shuffle would violate.
+    *
+    * The rank is [[SequencePacking.globalRank]] — range-partition +
+    * local sort + driver-cumulated offsets — NOT a global
+    * `row_number()` window (single-partition cliff); doc_id tiebreaks
+    * md5 collisions so the order is total and engine-exact. */
+  def mixOrder(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2500000L): DataFrame =
+    SequencePacking.globalRank(
+      mixEpochs(spark, sfDir, budgetTokens)
+        .withColumn("shuffle_key",
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"), lit(":42")))),
+      Seq(col("epoch"), col("shuffle_key"), col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("epoch"),
+        col("rank").as("train_order"))
+
+  /** OUTPUT SHARDS over the training order — the leg that turns the
+    * ordered mixture into the fixed-size artifact a data loader
+    * reads: walking the [[mixOrder]] order, cut a new shard every
+    * `shardTokens` whitespace tokens (shard k holds the rows whose
+    * running token total starts in [k·B, (k+1)·B)). Contiguity in
+    * train_order is the property that matters: a loader streaming
+    * shards 0..n IS the training order, and every shard is the same
+    * token size (±1 doc), so loader workers stay balanced.
+    *
+    * Implementation: the membership frame re-derived with `n_toks`
+    * CARRIED from the one documents scan (mixEpochs deliberately
+    * never reads `text`; here the token weight is needed anyway, so
+    * carrying it beats a corpus-sized re-join), then ONE
+    * [[SequencePacking.globalRankPack]] pass — rank and token
+    * prefix-sum share a single range-partitioned layout, one shuffle
+    * where rank-then-pack would take two. Spec pins equality with the
+    * two-step composition. */
+  def mixShards(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2500000L, shardTokens: Long = 65536L): DataFrame = {
+    val plan = mixPlan(spark, sfDir, budgetTokens)
+      .select(col("lang"),
+        least(col("full_epochs"), lit(MaxEpochs)).as("full_epochs"),
+        col("resid_ppm"))
+    val member = documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n_toks"))
+      .join(broadcast(plan), Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("n_toks"),
+        col("full_epochs"), col("resid_ppm"),
+        explode(expr("sequence(CAST(0 AS BIGINT), full_epochs)")).as("epoch"))
+      .filter(col("epoch") < col("full_epochs") ||
+        substring(md5(concat(col("doc_id").cast("string"), lit(":137"))), 1, 15)
+          < expr("format_string('%015x', resid_ppm * 1152921504606L)"))
+      .select(col("lang"), col("doc_id"), col("n_toks"), col("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"), lit(":42"))))
+    SequencePacking.globalRankPack(member,
+      Seq(col("epoch"), col("shuffle_key"), col("doc_id")),
+      "n_toks", shardTokens)
+      .select(col("lang"), col("doc_id"), col("epoch"),
+        col("rank").as("train_order"), col("n_toks"),
+        col("pack_id").as("shard_id"))
+  }
+
+  /** Materialize [[mixShards]] as one parquet directory per shard
+    * (`shard_id=K/`) — the on-disk artifact a loader mounts. The
+    * frame is hash-repartitioned on shard_id first so each task
+    * writes whole shards (without it every task appends a sliver to
+    * every shard directory: numShards × numTasks files); rows inside
+    * a shard are sorted by train_order so a sequential read of the
+    * shard IS the training order. Returns the assignment frame it
+    * wrote. */
+  def writeShards(spark: SparkSession, sfDir: String, outDir: String,
+      budgetTokens: Long = 2500000L, shardTokens: Long = 65536L): DataFrame = {
+    val shards = mixShards(spark, sfDir, budgetTokens, shardTokens)
+    shards
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("train_order"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    shards
+  }
+
+  /** SOURCE TOKEN-DRIFT REPORT — crawl-snapshot QA: for every
+    * `source`, which tokens are most over/under-represented against
+    * the REST of the corpus. The question a curator asks when a new
+    * crawl slice lands ("what is src17 full of that nothing else
+    * is?") and the per-slice twin of corpus-level quality scoring.
+    *
+    * Metric: per-token rate in parts-per-million within the source
+    * vs within the rest, both TRUNCATING bigint divisions
+    * (`c·10⁶ div N` — exact in both engines), drift =
+    * |ppm_src − ppm_rest|, direction = sign(ppm_src − ppm_rest),
+    * top-`k` per source by (drift DESC, token ASC). The ppm form is
+    * the overflow-safe one: raw cross-multiplication
+    * (c_s·N_rest − c_rest·N_s) overflows 2⁶³ near ~3·10⁹ tokens,
+    * while `c·10⁶` holds to 9.2·10¹² occurrences of one token in one
+    * slice; ppm resolution is part of the contract, not noise —
+    * mirrored exactly in the oracle. Domain = tokens PRESENT in the
+    * source: a token a source never emits is the extreme
+    * under-representation but a different (set-difference) report —
+    * this one answers "what is this slice full of".
+    *
+    * Scale posture: one scan + token explode, two partial-aggregated
+    * group-bys ((source, tok) then tok), broadcast-sized per-source
+    * totals; the top-k is a window PARTITIONED by source (sort-based,
+    * spills, never a single global partition). For vocab-heavy
+    * corpora the per-source sort is vocab-sized — the partition-local
+    * heap pattern ([[Embed.bucketTopK]]'s tail) is the drop-in swap
+    * above that threshold. */
+  def sourceDrift(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(col("source"), explode(expr(Tok.alphaToks)).as("tok"))
+    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_src"))
+    val srcTotals = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val byTok = bySrc.groupBy(col("tok"))
+      .agg(sum(col("c_src")).as("c_all"))
+    val n_all = srcTotals.agg(sum(col("n_src")).as("n_all"))
+    val scored = bySrc
+      .join(broadcast(srcTotals), Seq("source"))
+      .join(byTok, Seq("tok"))
+      .crossJoin(broadcast(n_all)) // single-row total, deliberate
+      .withColumn("ppm_src", expr("c_src * 1000000L DIV n_src"))
+      .withColumn("ppm_rest", expr(
+        "CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT) " +
+          "ELSE (c_all - c_src) * 1000000L DIV (n_all - n_src) END"))
+      .withColumn("drift", abs(col("ppm_src") - col("ppm_rest")))
+      .withColumn("direction",
+        signum(col("ppm_src") - col("ppm_rest")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("drift").desc, col("tok").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("tok"),
+        col("ppm_src"), col("ppm_rest"), col("drift"), col("direction"))
   }
 
   /** Within-document repetition signal (C4-style quality filter): how

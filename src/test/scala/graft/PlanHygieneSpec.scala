@@ -23,7 +23,8 @@ class PlanHygieneSpec extends SparkSpec {
   private val nestedLoopAllowed: Map[String, String] = Map(
     "rel_asof" -> "customer count folded as a 1-row broadcast cross join",
     "rel_above_avg" -> "global average folded as a 1-row broadcast",
-    "rel_local_volume" -> "global scalar threshold folded as a 1-row broadcast")
+    "rel_local_volume" -> "global scalar threshold folded as a 1-row broadcast",
+    "text_source_drift" -> "global token total folded as a 1-row broadcast")
 
   test("no gate query plans a cartesian product or stray nested-loop join") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -167,6 +167,139 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.keySet === packIds)
   }
 
+  test("source drift: ppm report equals a driver fold; ranks dense per source") {
+    val got = TextAnalysis.sourceDrift(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val rows = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = rows.flatMap { case (s, t) =>
+      t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).map(s -> _)
+    }
+    val bySrc = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nSrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cAll = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nAll = toks.length.toLong
+    val expected = bySrc.toSeq.map { case ((s, tok), c) =>
+      val ppmSrc = c * 1000000L / nSrc(s)
+      val rest = nAll - nSrc(s)
+      val ppmRest = if (rest == 0L) 0L else (cAll(tok) - c) * 1000000L / rest
+      (s, tok, ppmSrc, ppmRest, math.abs(ppmSrc - ppmRest),
+        math.signum(ppmSrc - ppmRest))
+    }.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+        .map { case ((s, tok, ps, pr, d, dir), i) =>
+          (s, i + 1L, tok, ps, pr, d, dir)
+        }
+    }.toSet
+    assert(got === expected)
+    // every source reports exactly k rows with dense ranks 1..k
+    got.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._2) === Set(1L, 2L, 3L), s"ranks not dense for $s")
+    }
+  }
+
+  test("globalRankPack: the fused pass equals globalRank then packPrefixSum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(4000)(i =>
+      (i.toLong, rnd.nextInt(50), (rnd.nextInt(90) + 1).toLong))
+      .toDF("id", "v", "w")
+    val fused = SequencePacking
+      .globalRankPack(df, Seq(col("v"), col("id")), "w", budget = 500L,
+        partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val twoStep = SequencePacking.packPrefixSum(
+        SequencePacking.globalRank(df, Seq(col("v"), col("id")), partitions = 7),
+        Seq(col("rank")), "w", budget = 500L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(fused === twoStep)
+    // rank is a permutation; pack ids never decrease along the rank
+    assert(fused.map(_._2).sorted.toSeq === (0L until 4000L).toSeq)
+    val inOrder = fused.sortBy(_._2)
+    assert(inOrder.head._3 === 0L)
+    assert(inOrder.sliding(2).forall {
+      case Array(a, b) => b._3 >= a._3
+      case _ => true
+    })
+  }
+
+  test("mix shards: contiguous budget cut over the training order; matches order+pack") {
+    import org.apache.spark.sql.functions._
+    val budget = 4096L
+    val got = TextAnalysis.mixShards(spark, sf(), shardTokens = budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // membership and order match mixOrder exactly
+    val order = TextAnalysis.mixOrder(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(got.map(t => ((t._1, t._2, t._3), t._4)).toMap === order)
+    // n_toks is the whitespace token count of the doc
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall(t => t._5 === toks(t._2)))
+    // shard_id = exclusive token prefix sum along train_order div budget
+    val inOrder = got.sortBy(_._4)
+    var run = 0L
+    inOrder.foreach { t =>
+      assert(t._6 === run / budget,
+        s"row at train_order ${t._4}: shard ${t._6} != ${run / budget}")
+      run += t._5
+    }
+    assert(inOrder.head._6 === 0L)
+    // every full shard holds >= budget tokens only by its LAST doc
+    // overfill (contiguous fill): each shard's start offset is inside
+    // its window, so shard token totals stay within budget + max doc
+    val maxDoc = got.map(_._5).max
+    val totals = got.groupBy(_._6).view.mapValues(_.map(_._5).sum).toMap
+    val full = totals.keys.toSeq.sorted.dropRight(1)
+    full.foreach { sid =>
+      assert(totals(sid) <= budget + maxDoc && totals(sid) >= budget - maxDoc,
+        s"shard $sid total ${totals(sid)} out of [budget±maxDoc]")
+    }
+  }
+
+  test("writeShards: one directory per shard, in-shard read order is the training order") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val budget = 4096L
+    val assigned = TextAnalysis
+      .writeShards(spark, sf(), out, shardTokens = budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.toSet ===
+      assigned.map(t => s"shard_id=${t._6}").toSet,
+      "exactly one directory per shard id")
+    // round-trip: the partitioned read equals the assignment frame
+    val back = spark.read.parquet(out)
+      .select(col("lang"), col("doc_id"), col("epoch"), col("train_order"),
+        col("n_toks"), col("shard_id").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(back.sorted.toSeq === assigned.sorted.toSeq)
+    // each shard directory holds one parquet file whose row order is
+    // train_order (a sequential shard read IS the training order)
+    dirs.foreach { d =>
+      val ranks = spark.read.parquet(s"$out/$d")
+        .select("train_order").collect().map(_.getLong(0))
+      assert(ranks.toSeq === ranks.sorted.toSeq,
+        s"$d rows not in train_order")
+    }
+  }
+
   test("classifier inference: weight-table join matches a driver-side fold") {
     val texts = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
@@ -345,7 +478,8 @@ class TextAnalysisSpec extends SparkSpec {
     }
     val expected = (for {
       (d, l) <- docs
-      (fe, rp) = plan(l)
+      (fe0, rp) = plan(l)
+      fe = math.min(fe0, TextAnalysis.MaxEpochs)
       e <- 0L to fe
       if e < fe || residKept(d, rp)
     } yield (l, d, e)).toSet
@@ -360,5 +494,60 @@ class TextAnalysisSpec extends SparkSpec {
       atResid > 0 && atResid < domain.size
     }
     assert(proper, "some residual pass should keep a strict non-empty subset")
+  }
+
+  test("mix epochs: a degenerate domain hits the epoch cap instead of exploding") {
+    // one 'en' doc with 2 tokens: target_en = 1,375,000 tokens over
+    // avail 2 -> full_epochs ~687k, which MUST clamp to MaxEpochs
+    // (the unbounded sequence would be the bug this cap exists for)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mixcap").toString
+    Seq((1L, "tiny doc", "en"), (2L, "ein wort mehr hier", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.mixEpochs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val enEpochs = out.filter(_._1 == "en").map(_._2)
+    // bounded AT the cap (residual pass present or not), never the
+    // ~687k passes the uncapped plan would prescribe
+    assert(enEpochs.max <= TextAnalysis.MaxEpochs &&
+      enEpochs.max >= TextAnalysis.MaxEpochs - 1)
+    assert(enEpochs.length.toLong <= TextAnalysis.MaxEpochs + 1)
+    assert((0L until TextAnalysis.MaxEpochs).forall(enEpochs.contains),
+      "full passes below the cap are all present")
+  }
+
+  test("mix order: epochs sequential, per-epoch md5 permutation, rank dense") {
+    val rows = TextAnalysis.mixOrder(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // dense zero-based total order
+    assert(rows.map(_._4).sorted.toSeq === (0L until rows.length).toSeq)
+    val byOrder = rows.sortBy(_._4)
+    // epochs never interleave
+    assert(byOrder.map(_._3).toSeq === byOrder.map(_._3).sorted.toSeq)
+    // within an epoch the order is exactly the md5-key sort
+    def key(d: Long, e: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$e:42".getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString
+    }
+    byOrder.groupBy(_._3).foreach { case (e, g) =>
+      val inOrder = g.sortBy(_._4).map(t => (key(t._2, e), t._2)).toSeq
+      assert(inOrder === inOrder.sorted,
+        s"epoch $e must be ordered by the md5 shuffle key")
+    }
+    // the permutation is FRESH per epoch: two epochs sharing the same
+    // doc set must order it differently somewhere
+    val docSeqs = byOrder.groupBy(_._3).view
+      .mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    val sameSet = docSeqs.values.toSeq.combinations(2)
+      .filter { case Seq(a, b) => a.toSet == b.toSet && a.size > 1 }
+    assert(sameSet.exists { case Seq(a, b) => a != b },
+      "epochs over the same doc set should permute it differently")
+    // membership matches mixEpochs exactly
+    val member = TextAnalysis.mixEpochs(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet === member)
   }
 }
