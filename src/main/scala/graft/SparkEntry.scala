@@ -174,6 +174,14 @@ object SparkEntry {
     // mean length). ASCII-normalized so DuckDB's byte-based
     // levenshtein equals Spark's codepoint-based one
     "dedup_edit_pairs" -> ((s, dir) => graft.dedup.EditDedup.editPairs(s, dir)),
+    // connected components over the edit-pair graph (typo/OCR variant
+    // cliques collapse to the min-id canonical copy) via the shared
+    // union-find / hash-min switch
+    "dedup_edit_clusters" -> ((s, dir) => graft.dedup.EditDedup.editClusters(s, dir)),
+    // dedup-family agreement audit: pair counts for the token-level
+    // (ngram Jaccard) and character-level (edit) families + overlap —
+    // one full-outer join, one aggregate, a one-row report
+    "dedup_family_report" -> ((s, dir) => graft.dedup.EditDedup.familyReport(s, dir)),
     "dedup_embed" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineBlocked(s, dir)),
     "dedup_embed_ivf" -> ((s, dir) => graft.dedup.Dedup.embeddingCosineIvf(s, dir)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup;
@@ -313,6 +321,11 @@ object SparkEntry {
     // per-epoch deterministic md5 shuffle, two-pass globalRank (no
     // single-partition window)
     "text_mix_order" -> ((s, dir) => graft.text.TextAnalysis.mixOrder(s, dir)),
+    // the curriculum twin: every epoch presents clean docs first
+    // (is_quality DESC inside the epoch, fresh shuffle among equals);
+    // same membership, flag carried from the one scan
+    "text_mix_order_curriculum" -> ((s, dir) =>
+      graft.text.TextAnalysis.mixOrderCurriculum(s, dir)),
     // the ordered mixture cut into fixed-token-budget OUTPUT SHARDS
     // (the artifact a data loader mounts): rank + token prefix-sum
     // fused into ONE globalRankPack layout — one shuffle where
@@ -322,6 +335,11 @@ object SparkEntry {
     // under-represented vs the REST of the corpus — integer ppm
     // rates (overflow-safe form), window partitioned by source
     "text_source_drift" -> ((s, dir) => graft.text.TextAnalysis.sourceDrift(s, dir)),
+    // the STREAMING monitor: per-batch additive count subdirs
+    // (retry-idempotent overwrite), report over everything ingested —
+    // equals the one-shot report exactly (counts are additive)
+    "text_source_drift_stream" -> ((s, dir) =>
+      graft.streaming.DriftStream.sourceDriftStream(s, dir)),
     // sliding token-window chunking (RAG / context-window splitter):
     // map-only, no shuffle; boundaries line up with Tok.alphaToks
     "text_chunk" -> ((s, dir) => graft.text.Chunking.chunks(s, dir)),
@@ -1532,28 +1550,37 @@ object SparkEntry {
     // because the filter never accepts a distance above the band.
     // ASCII normalization makes byte-based (DuckDB) == codepoint-
     // based (Spark) distances
-    "dedup_edit_pairs" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
-        |  FROM documents),
-        |k AS (
-        |  SELECT doc_id, nt, length(nt) AS len,
-        |    'p:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || substr(nt, 1, 12) AS bk
-        |  FROM n
-        |  UNION ALL
-        |  SELECT doc_id, nt, length(nt),
-        |    's:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || right(nt, 12)
-        |  FROM n),
-        |small AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 64),
-        |c AS (SELECT k.* FROM k JOIN small USING (bk)),
-        |p AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.nt AS nt_a, b.nt AS nt_b, a.len AS len_a, b.len AS len_b
-        |  FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(levenshtein(nt_a, nt_b) AS BIGINT) AS dist
-        |FROM p
-        |WHERE levenshtein(nt_a, nt_b) <= least(64, (len_a + len_b) // 20)""".stripMargin,
+    "dedup_edit_pairs" -> dedupEditPairsSql,
+    // connected components over the edit-pair graph — same recursive
+    // closure as the ngram/LSH cluster oracles, min-id canonical copy
+    "dedup_edit_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a AS i, doc_b AS j FROM ($dedupEditPairsSql)),
+         |e AS (SELECT i AS a, j AS b FROM pairs
+         |      UNION ALL SELECT j, i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |m AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id""".stripMargin,
+    // family agreement: ngram pairs vs edit pairs, full-outer on the
+    // (i, j) pair key, one-row rollup (sums CAST — HUGEINT gotcha)
+    "dedup_family_report" ->
+      s"""WITH gp AS (SELECT i, j FROM ($ngramJaccardSql)),
+         |ep AS (SELECT doc_a AS i, doc_b AS j FROM ($dedupEditPairsSql)),
+         |u AS (
+         |  SELECT coalesce(g.i, e.i) AS i, coalesce(g.j, e.j) AS j,
+         |    CASE WHEN g.i IS NULL THEN 0 ELSE 1 END AS g,
+         |    CASE WHEN e.i IS NULL THEN 0 ELSE 1 END AS e
+         |  FROM gp g FULL OUTER JOIN ep e ON g.i = e.i AND g.j = e.j)
+         |SELECT CAST(coalesce(sum(g), 0) AS BIGINT) AS n_ngram,
+         |  CAST(coalesce(sum(e), 0) AS BIGINT) AS n_edit,
+         |  CAST(coalesce(sum(g * e), 0) AS BIGINT) AS n_both,
+         |  CAST(count(*) AS BIGINT) AS n_either
+         |FROM u""".stripMargin,
     // connected components: recursive closure over the ngram pairs;
     // cluster id = min doc_id reachable (matches hash-min propagation)
     "dedup_clusters" -> dedupClustersSql,
@@ -2394,6 +2421,17 @@ object SparkEntry {
     // the oracle's global OVER (ORDER BY) is oracle-side only; the
     // engine ranks via the two-pass globalRank
     "text_mix_order" -> textMixOrderSql,
+    // curriculum twin: same membership, quality flag joined from the
+    // shared quality fragment, is_quality DESC inside each epoch
+    "text_mix_order_curriculum" ->
+      s"""WITH me AS ($textMixEpochsSql),
+         |qf AS (SELECT doc_id, CAST(is_quality AS BIGINT) AS is_quality
+         |  FROM ($textQualitySql))
+         |SELECT me.lang, me.doc_id, me.epoch, qf.is_quality,
+         |  CAST(row_number() OVER (ORDER BY me.epoch, qf.is_quality DESC,
+         |    md5(CAST(me.doc_id AS VARCHAR) || ':' || CAST(me.epoch AS VARCHAR) || ':42'),
+         |    me.doc_id) - 1 AS BIGINT) AS train_order
+         |FROM me JOIN qf USING (doc_id)""".stripMargin,
     // the shard cut over that order: token prefix-sum div budget.
     // The oracle's global window cumsum is oracle-side only — the
     // engine's rank AND prefix sum come from one fused
@@ -2411,32 +2449,11 @@ object SparkEntry {
     // truncating bigint division (exact both engines), top-3 per
     // source by (drift DESC, token ASC); domain = tokens present in
     // the source
-    "text_source_drift" ->
-      """WITH toks AS (
-        |  SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-        |      x -> x <> '')) AS tok
-        |  FROM documents),
-        |by_src AS (SELECT source, tok, count(*) AS c_src FROM toks GROUP BY 1, 2),
-        |src_tot AS (SELECT source, count(*) AS n_src FROM toks GROUP BY 1),
-        |by_tok AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all
-        |  FROM by_src GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM src_tot),
-        |scored AS (
-        |  SELECT b.source, b.tok,
-        |    c_src * 1000000 // n_src AS ppm_src,
-        |    CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT)
-        |         ELSE (c_all - c_src) * 1000000 // (n_all - n_src) END AS ppm_rest
-        |  FROM by_src b
-        |  JOIN src_tot USING (source) JOIN by_tok USING (tok) CROSS JOIN tot)
-        |SELECT source, rk, tok, ppm_src, ppm_rest, drift, direction FROM (
-        |  SELECT source, tok, ppm_src, ppm_rest,
-        |    abs(ppm_src - ppm_rest) AS drift,
-        |    CAST(sign(ppm_src - ppm_rest) AS BIGINT) AS direction,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY abs(ppm_src - ppm_rest) DESC, tok) AS BIGINT) AS rk
-        |  FROM scored)
-        |WHERE rk <= 3""".stripMargin,
+    "text_source_drift" -> textSourceDriftSql,
+    // the streaming monitor lands additive per-batch count subdirs;
+    // sum of batch counts == counts of the whole corpus, so the
+    // monitor's report equals the one-shot oracle VERBATIM
+    "text_source_drift_stream" -> textSourceDriftSql,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -3124,6 +3141,65 @@ object SparkEntry {
        |WHERE pe.epoch < pe.full_epochs
        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':137'), 1, 15) <
        |      printf('%015x', pe.resid_ppm * 1152921504606)""".stripMargin
+
+  /** Per-source token-drift report — shared verbatim by the one-shot
+    * gate and the streaming monitor (additive counts make stream ≡
+    * batch exact). Sums CAST back to BIGINT: DuckDB's sum(BIGINT)
+    * returns HUGEINT, which the compare harness renders as float. */
+  private def textSourceDriftSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '')) AS tok
+      |  FROM documents),
+      |by_src AS (SELECT source, tok, count(*) AS c_src FROM toks GROUP BY 1, 2),
+      |src_tot AS (SELECT source, count(*) AS n_src FROM toks GROUP BY 1),
+      |by_tok AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all
+      |  FROM by_src GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM src_tot),
+      |scored AS (
+      |  SELECT b.source, b.tok,
+      |    c_src * 1000000 // n_src AS ppm_src,
+      |    CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT)
+      |         ELSE (c_all - c_src) * 1000000 // (n_all - n_src) END AS ppm_rest
+      |  FROM by_src b
+      |  JOIN src_tot USING (source) JOIN by_tok USING (tok) CROSS JOIN tot)
+      |SELECT source, rk, tok, ppm_src, ppm_rest, drift, direction FROM (
+      |  SELECT source, tok, ppm_src, ppm_rest,
+      |    abs(ppm_src - ppm_rest) AS drift,
+      |    CAST(sign(ppm_src - ppm_rest) AS BIGINT) AS direction,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY abs(ppm_src - ppm_rest) DESC, tok) AS BIGINT) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3""".stripMargin
+
+  /** Blocked-Levenshtein near-dup pairs — shared by the standalone
+    * gate and the edit-clusters recursive closure. The oracle runs
+    * DuckDB's full-matrix levenshtein where the engine runs the
+    * banded 3-arg form; identical keep-set because the filter never
+    * accepts a distance above the band. */
+  private def dedupEditPairsSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, nt, length(nt) AS len,
+      |    'p:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || substr(nt, 1, 12) AS bk
+      |  FROM n
+      |  UNION ALL
+      |  SELECT doc_id, nt, length(nt),
+      |    's:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || right(nt, 12)
+      |  FROM n),
+      |small AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 64),
+      |c AS (SELECT k.* FROM k JOIN small USING (bk)),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nt AS nt_a, b.nt AS nt_b, a.len AS len_a, b.len AS len_b
+      |  FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(levenshtein(nt_a, nt_b) AS BIGINT) AS dist
+      |FROM p
+      |WHERE levenshtein(nt_a, nt_b) <= least(64, (len_a + len_b) // 20)""".stripMargin
 
   /** Training order over the mixture membership — shared by the
     * standalone gate and the shard gate's order CTE. The global

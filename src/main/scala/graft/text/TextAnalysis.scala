@@ -140,20 +140,43 @@ object TextAnalysis {
     * exactly where the explosion would be the bug. Mirrored in the
     * oracle. */
   def mixEpochs(spark: SparkSession, sfDir: String,
-      budgetTokens: Long = 2500000L): DataFrame = {
+      budgetTokens: Long = 2500000L): DataFrame =
+    mixMembership(spark, sfDir, budgetTokens, Nil)
+
+  /** The shared membership construction behind [[mixEpochs]],
+    * [[mixShards]] and [[mixOrderCurriculum]]: the capped plan
+    * broadcast onto ONE documents scan, exploded to epochs, residual
+    * pass hash-sampled in-plan. `extra` carries per-doc columns the
+    * caller needs downstream (token weights, quality flags) THROUGH
+    * the explode, so no corpus re-join is ever paid — the scan is the
+    * only pass over `text`. */
+  private def mixMembership(spark: SparkSession, sfDir: String,
+      budgetTokens: Long,
+      extra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val plan = mixPlan(spark, sfDir, budgetTokens)
       .select(col("lang"),
         least(col("full_epochs"), lit(MaxEpochs)).as("full_epochs"),
         col("resid_ppm"))
-    documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val extraCols = extra.map { case (n, _) => col(n) }
+    documents(spark, sfDir)
+      .select(col("doc_id") +: col("lang") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .join(broadcast(plan), Seq("lang"))
-      .select(col("lang"), col("doc_id"), col("full_epochs"), col("resid_ppm"),
-        explode(expr("sequence(CAST(0 AS BIGINT), full_epochs)")).as("epoch"))
+      .select(col("lang") +: col("doc_id") +: (extraCols ++
+        Seq(col("full_epochs"), col("resid_ppm"),
+          explode(expr("sequence(CAST(0 AS BIGINT), full_epochs)"))
+            .as("epoch"))): _*)
       .filter(col("epoch") < col("full_epochs") ||
         substring(md5(concat(col("doc_id").cast("string"), lit(":137"))), 1, 15)
           < expr("format_string('%015x', resid_ppm * 1152921504606L)"))
-      .select(col("lang"), col("doc_id"), col("epoch"))
+      .select(col("lang") +: col("doc_id") +: (extraCols :+ col("epoch")): _*)
   }
+
+  /** The per-epoch deterministic shuffle key (fresh permutation per
+    * pass, seed 42) — shared by every mixture-order variant. */
+  private def epochShuffleKey: org.apache.spark.sql.Column =
+    md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("epoch").cast("string"), lit(":42")))
 
   /** TRAINING ORDER over the mixture membership — the last leg of
     * plan → epochs → ORDER: epochs stay SEQUENTIAL (an epoch is a
@@ -171,11 +194,38 @@ object TextAnalysis {
       budgetTokens: Long = 2500000L): DataFrame =
     SequencePacking.globalRank(
       mixEpochs(spark, sfDir, budgetTokens)
-        .withColumn("shuffle_key",
-          md5(concat(col("doc_id").cast("string"), lit(":"),
-            col("epoch").cast("string"), lit(":42")))),
+        .withColumn("shuffle_key", epochShuffleKey),
       Seq(col("epoch"), col("shuffle_key"), col("doc_id")))
       .select(col("lang"), col("doc_id"), col("epoch"),
+        col("rank").as("train_order"))
+
+  /** The `is_quality` predicate as one expression over `text` — the
+    * same arithmetic [[quality]] builds from its intermediate counts
+    * (spec-pinned equal), for callers that need the flag carried
+    * through another scan. */
+  val QualityFlagSql: String =
+    "size(filter(split(text, '\\\\s+'), x -> x != '')) BETWEEN 5 AND 10000 AND " +
+      "size(filter(split(lower(text), '[^a-z]+'), " +
+      "x -> x IN ('the','a','of','and','to','is','in'))) * 20 >= " +
+      "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+
+  /** CURRICULUM training order — [[mixOrder]] with a quality
+    * curriculum inside each epoch: every pass presents the clean
+    * documents first ((is_quality DESC, fresh md5 shuffle) within the
+    * epoch), the "clean-first" ordering curriculum-training uses
+    * without changing WHAT is trained on (same membership, same
+    * per-pass freshness; mixOrder is the uniform twin). Quality flag
+    * carried from the one scan ([[mixMembership]]), rank by the same
+    * two-pass globalRank. */
+  def mixOrderCurriculum(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2500000L): DataFrame =
+    SequencePacking.globalRank(
+      mixMembership(spark, sfDir, budgetTokens,
+        Seq("is_quality" -> expr(QualityFlagSql).cast("long")))
+        .withColumn("shuffle_key", epochShuffleKey),
+      Seq(col("epoch"), col("is_quality").desc, col("shuffle_key"),
+        col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("epoch"), col("is_quality"),
         col("rank").as("train_order"))
 
   /** OUTPUT SHARDS over the training order — the leg that turns the
@@ -196,33 +246,17 @@ object TextAnalysis {
     * where rank-then-pack would take two. Spec pins equality with the
     * two-step composition. */
   def mixShards(spark: SparkSession, sfDir: String,
-      budgetTokens: Long = 2500000L, shardTokens: Long = 65536L): DataFrame = {
-    val plan = mixPlan(spark, sfDir, budgetTokens)
-      .select(col("lang"),
-        least(col("full_epochs"), lit(MaxEpochs)).as("full_epochs"),
-        col("resid_ppm"))
-    val member = documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
-          .cast("long").as("n_toks"))
-      .join(broadcast(plan), Seq("lang"))
-      .select(col("lang"), col("doc_id"), col("n_toks"),
-        col("full_epochs"), col("resid_ppm"),
-        explode(expr("sequence(CAST(0 AS BIGINT), full_epochs)")).as("epoch"))
-      .filter(col("epoch") < col("full_epochs") ||
-        substring(md5(concat(col("doc_id").cast("string"), lit(":137"))), 1, 15)
-          < expr("format_string('%015x', resid_ppm * 1152921504606L)"))
-      .select(col("lang"), col("doc_id"), col("n_toks"), col("epoch"))
-      .withColumn("shuffle_key",
-        md5(concat(col("doc_id").cast("string"), lit(":"),
-          col("epoch").cast("string"), lit(":42"))))
-    SequencePacking.globalRankPack(member,
+      budgetTokens: Long = 2500000L, shardTokens: Long = 65536L): DataFrame =
+    SequencePacking.globalRankPack(
+      mixMembership(spark, sfDir, budgetTokens,
+        Seq("n_toks" -> expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+          .cast("long")))
+        .withColumn("shuffle_key", epochShuffleKey),
       Seq(col("epoch"), col("shuffle_key"), col("doc_id")),
       "n_toks", shardTokens)
       .select(col("lang"), col("doc_id"), col("epoch"),
         col("rank").as("train_order"), col("n_toks"),
         col("pack_id").as("shard_id"))
-  }
 
   /** Materialize [[mixShards]] as one parquet directory per shard
     * (`shard_id=K/`) — the on-disk artifact a loader mounts. The
@@ -269,13 +303,24 @@ object TextAnalysis {
     * corpora the per-source sort is vocab-sized — the partition-local
     * heap pattern ([[Embed.bucketTopK]]'s tail) is the drop-in swap
     * above that threshold. */
-  def sourceDrift(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val toks = documents(spark, sfDir)
+  def sourceDrift(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    driftReport(sourceTokenCounts(documents(spark, sfDir)), k)
+
+  /** Per-(source, token) occurrence counts — the ADDITIVE state the
+    * drift report derives from (additivity is what makes the
+    * streaming monitor's per-batch count subdirs compose exactly;
+    * [[graft.streaming.DriftStream]]). */
+  def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(expr(Tok.alphaToks)).as("tok"))
-    val bySrc = toks.groupBy(col("source"), col("tok"))
+      .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_src"))
-    val srcTotals = toks.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_src"))
+
+  /** The report stage of [[sourceDrift]] over any additive
+    * (source, tok, c_src) counts frame. */
+  def driftReport(bySrc: DataFrame, k: Int = 3): DataFrame = {
+    val srcTotals = bySrc.groupBy(col("source"))
+      .agg(sum(col("c_src")).as("n_src"))
     val byTok = bySrc.groupBy(col("tok"))
       .agg(sum(col("c_src")).as("c_all"))
     val n_all = srcTotals.agg(sum(col("n_src")).as("n_all"))

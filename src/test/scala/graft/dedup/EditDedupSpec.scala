@@ -82,6 +82,49 @@ class EditDedupSpec extends SparkSpec {
       "case/punct-only variants must be distance-0 pairs")
   }
 
+  test("clusters: edit variants collapse transitively; non-dups stay singletons") {
+    // head-edit and tail-edit both pair with base but not (necessarily)
+    // with each other: the cluster must still unite all three
+    val headEdit = "XXXXX YYYYY" + base.drop(11)
+    val tailEdit = base.dropRight(11) + "zzzzz qqqqq"
+    val far = base.split(" ").reverse.mkString(" ") + " extra words here now"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_editclust").toString
+    import spark.implicits._
+    Seq(1L -> base, 2L -> headEdit, 3L -> tailEdit, 5L -> far)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = EditDedup.editClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L,
+      "the edit-variant clique must collapse to the min doc_id")
+    assert(got(5L) === 5L, "a non-dup stays its own singleton cluster")
+  }
+
+  test("family report: counts equal the operators' own pair sets; empty corpus is a zero row") {
+    val row = EditDedup.familyReport(spark, sf()).collect()
+    assert(row.length === 1)
+    val (nG, nE, nB, nU) = (row(0).getLong(0), row(0).getLong(1),
+      row(0).getLong(2), row(0).getLong(3))
+    val g = Dedup.ngramJaccard(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = EditDedup.editPairs(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nG === g.size.toLong && nE === e.size.toLong)
+    assert(nB === (g intersect e).size.toLong)
+    assert(nU === (g union e).size.toLong)
+    assert(nB <= math.min(nG, nE) && nU === nG + nE - nB)
+    // empty corpus: a single all-zero row, not nulls or a throw
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_famempty").toString
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val empty = EditDedup.familyReport(spark, dir).collect()
+    assert(empty.length === 1 &&
+      (0 to 3).forall(i => empty(0).getLong(i) === 0L))
+  }
+
   test("gate corpus: banded DP equals the full-matrix reference") {
     val rows = spark.read.parquet(s"${sf()}/documents.parquet")
     val got = EditDedup.editPairsOf(rows).collect()

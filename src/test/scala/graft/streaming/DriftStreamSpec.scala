@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming source-drift monitor: additive per-batch counts must
+  * make the monitor's report equal the one-shot report — for the
+  * gate's ordered replay, under foreachBatch, at any batch-count
+  * decomposition, at mid-stream prefixes, and under batch retry. */
+class DriftStreamSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_driftstream_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def rows(df: DataFrame): Set[(String, Long, String, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+  test("gate replay equals the one-shot report at 2 and 4 batches") {
+    val oneShot = rows(graft.text.TextAnalysis.sourceDrift(spark, sf()))
+    assert(rows(DriftStream.sourceDriftStream(spark, sf(), nBatches = 4))
+      === oneShot)
+    assert(rows(DriftStream.sourceDriftStream(spark, sf(), nBatches = 2))
+      === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
+  test("mid-stream prefix report equals the one-shot over that prefix; retry is idempotent") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val step = maxId / 4 + 1
+    val idxPath = tmp("prefix")
+    (0 until 4).foreach { b =>
+      DriftStream.countBatch(spark, idxPath, b.toLong,
+        docs.filter(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step))
+    }
+    // report over the committed prefix b<2 == one-shot over those docs
+    val prefixReport = rows(DriftStream.reportSoFar(spark, idxPath, before = 2L))
+    val prefixOneShot = rows(graft.text.TextAnalysis.driftReport(
+      graft.text.TextAnalysis.sourceTokenCounts(
+        docs.filter(col("doc_id") < 2 * step))))
+    assert(prefixReport === prefixOneShot)
+    // retried batch overwrites with identical content: full report stable
+    val full = rows(DriftStream.reportSoFar(spark, idxPath))
+    DriftStream.countBatch(spark, idxPath, 1L,
+      docs.filter(col("doc_id") >= step && col("doc_id") < 2 * step))
+    assert(rows(DriftStream.reportSoFar(spark, idxPath)) === full)
+  }
+
+  test("foreachBatch drive equals the one-shot report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    val idxPath = tmp("fb")
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDS().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (ds: DataFrame, bid: Long) =>
+        DriftStream.countBatch(spark, idxPath, bid, ds)
+        ()
+      }.start()
+    try {
+      docs.grouped(170).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(rows(DriftStream.reportSoFar(spark, idxPath))
+      === rows(graft.text.TextAnalysis.sourceDrift(spark, sf())))
+  }
+
+  test("compaction: report invariant, later batches append above it") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val step = maxId / 4 + 1
+    val idxPath = tmp("compact")
+    (0 until 3).foreach { b =>
+      DriftStream.countBatch(spark, idxPath, b.toLong,
+        docs.filter(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step))
+    }
+    val before = rows(DriftStream.reportSoFar(spark, idxPath))
+    // compact the COMMITTED prefix b0..b1; b2 may still be in flight
+    DriftStream.compact(spark, idxPath, upTo = 2L)
+    val subdirs = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getName).sorted
+    assert(subdirs.toSeq === Seq("b1", "b2"),
+      "compaction folds the committed prefix into b(upTo-1), leaving b2")
+    assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before)
+    // a RETRY of the in-flight batch 2 after compaction stays exact
+    DriftStream.countBatch(spark, idxPath, 2L,
+      docs.filter(col("doc_id") >= 2 * step && col("doc_id") < 3 * step))
+    assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before)
+    // the remaining batch lands above and composes
+    DriftStream.countBatch(spark, idxPath, 3L,
+      docs.filter(col("doc_id") >= 3 * step))
+    assert(rows(DriftStream.reportSoFar(spark, idxPath))
+      === rows(graft.text.TextAnalysis.sourceDrift(spark, sf())))
+  }
+
+  test("empty corpus: report is empty, not a throw") {
+    val idxPath = tmp("empty")
+    assert(DriftStream.reportSoFar(spark, idxPath).collect().isEmpty)
+  }
+}

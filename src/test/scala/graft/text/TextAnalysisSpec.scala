@@ -200,6 +200,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("curriculum order: quality-first within epochs, same membership and permutation") {
+    import org.apache.spark.sql.functions._
+    // the one-expression flag equals quality()'s arithmetic
+    val flags = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), expr(TextAnalysis.QualityFlagSql).cast("long").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromQuality = TextAnalysis.quality(spark, sf())
+      .select(col("doc_id"), col("is_quality").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flags === fromQuality)
+    assert(flags.values.toSet === Set(0L, 1L),
+      "corpus must exercise both flag values or the curriculum is vacuous")
+    val got = TextAnalysis.mixOrderCurriculum(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // same membership as the uniform order
+    val uniform = TextAnalysis.mixOrder(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === uniform)
+    // dense total order; within an epoch all quality docs precede all
+    // non-quality docs; within a (epoch, flag) run the order is the
+    // same md5 permutation mixOrder uses
+    assert(got.map(_._5).sorted.toSeq === (0L until got.length).toSeq)
+    def key(d: Long, e: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$e:42".getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString
+    }
+    got.groupBy(_._3).foreach { case (e, g) =>
+      val inOrder = g.sortBy(_._5)
+      val qualitySeq = inOrder.map(_._4)
+      assert(qualitySeq.toSeq === qualitySeq.sorted.reverse.toSeq,
+        s"epoch $e: quality docs must all precede non-quality docs")
+      inOrder.groupBy(_._4).foreach { case (_, run) =>
+        val ks = run.sortBy(_._5).map(t => key(t._2, e)).toSeq
+        assert(ks === ks.sorted, s"epoch $e: md5 permutation broken within flag run")
+      }
+      assert(g.forall(t => t._4 === flags(t._2)))
+    }
+  }
+
   test("globalRankPack: the fused pass equals globalRank then packPrefixSum") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
