@@ -340,6 +340,10 @@ object SparkEntry {
     // equals the one-shot report exactly (counts are additive)
     "text_source_drift_stream" -> ((s, dir) =>
       graft.streaming.DriftStream.sourceDriftStream(s, dir)),
+    // semantic drift: which embedding-space regions a source over/
+    // under-populates — axis-sign buckets, shared report stage
+    "text_source_drift_semantic" -> ((s, dir) =>
+      graft.text.TextAnalysis.sourceDriftSemantic(s, dir)),
     // sliding token-window chunking (RAG / context-window splitter):
     // map-only, no shuffle; boundaries line up with Tok.alphaToks
     "text_chunk" -> ((s, dir) => graft.text.Chunking.chunks(s, dir)),
@@ -2454,6 +2458,9 @@ object SparkEntry {
     // sum of batch counts == counts of the whole corpus, so the
     // monitor's report equals the one-shot oracle VERBATIM
     "text_source_drift_stream" -> textSourceDriftSql,
+    // semantic twin: per-source distribution over axis-sign embedding
+    // buckets (float sign test — engine-exact on the stored value)
+    "text_source_drift_semantic" -> textSourceDriftSemanticSql,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -3142,36 +3149,55 @@ object SparkEntry {
        |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':137'), 1, 15) <
        |      printf('%015x', pe.resid_ppm * 1152921504606)""".stripMargin
 
+  /** The drift-report chain over ANY (source, tok, c_src) rollup —
+    * the report stage is key-agnostic (tokens, embedding buckets),
+    * mirroring `TextAnalysis.driftReport`. Sums CAST back to BIGINT:
+    * DuckDB's sum(BIGINT) returns HUGEINT, which the compare harness
+    * renders as float. */
+  private def driftChainSql(bySrcSql: String, keyOut: String): String =
+    s"""WITH by_src AS ($bySrcSql),
+       |src_tot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src
+       |  FROM by_src GROUP BY 1),
+       |by_tok AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all
+       |  FROM by_src GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM src_tot),
+       |scored AS (
+       |  SELECT b.source, b.tok,
+       |    c_src * 1000000 // n_src AS ppm_src,
+       |    CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT)
+       |         ELSE (c_all - c_src) * 1000000 // (n_all - n_src) END AS ppm_rest
+       |  FROM by_src b
+       |  JOIN src_tot USING (source) JOIN by_tok USING (tok) CROSS JOIN tot)
+       |SELECT source, rk, tok AS $keyOut, ppm_src, ppm_rest, drift, direction FROM (
+       |  SELECT source, tok, ppm_src, ppm_rest,
+       |    abs(ppm_src - ppm_rest) AS drift,
+       |    CAST(sign(ppm_src - ppm_rest) AS BIGINT) AS direction,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY abs(ppm_src - ppm_rest) DESC, tok) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3""".stripMargin
+
   /** Per-source token-drift report — shared verbatim by the one-shot
     * gate and the streaming monitor (additive counts make stream ≡
-    * batch exact). Sums CAST back to BIGINT: DuckDB's sum(BIGINT)
-    * returns HUGEINT, which the compare harness renders as float. */
-  private def textSourceDriftSql: String =
-    """WITH toks AS (
-      |  SELECT source,
-      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-      |      x -> x <> '')) AS tok
-      |  FROM documents),
-      |by_src AS (SELECT source, tok, count(*) AS c_src FROM toks GROUP BY 1, 2),
-      |src_tot AS (SELECT source, count(*) AS n_src FROM toks GROUP BY 1),
-      |by_tok AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all
-      |  FROM by_src GROUP BY 1),
-      |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM src_tot),
-      |scored AS (
-      |  SELECT b.source, b.tok,
-      |    c_src * 1000000 // n_src AS ppm_src,
-      |    CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT)
-      |         ELSE (c_all - c_src) * 1000000 // (n_all - n_src) END AS ppm_rest
-      |  FROM by_src b
-      |  JOIN src_tot USING (source) JOIN by_tok USING (tok) CROSS JOIN tot)
-      |SELECT source, rk, tok, ppm_src, ppm_rest, drift, direction FROM (
-      |  SELECT source, tok, ppm_src, ppm_rest,
-      |    abs(ppm_src - ppm_rest) AS drift,
-      |    CAST(sign(ppm_src - ppm_rest) AS BIGINT) AS direction,
-      |    CAST(row_number() OVER (PARTITION BY source
-      |      ORDER BY abs(ppm_src - ppm_rest) DESC, tok) AS BIGINT) AS rk
-      |  FROM scored)
-      |WHERE rk <= 3""".stripMargin
+    * batch exact). */
+  private def textSourceDriftSql: String = driftChainSql(
+    """SELECT source, tok, count(*) AS c_src FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |        x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2""".stripMargin, "tok")
+
+  /** Semantic drift twin: the key is the axis-sign bucket of the
+    * first 8 embedding dims — a float sign test both engines evaluate
+    * on the identical stored value. */
+  private def textSourceDriftSemanticSql: String = driftChainSql(
+    s"""SELECT source, tok, count(*) AS c_src FROM (
+       |    SELECT d.source, CAST((${(0 until 8).map(i =>
+            s"(CASE WHEN e.embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+            .mkString(" + ")}) AS VARCHAR) AS tok
+       |    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+       |  GROUP BY 1, 2""".stripMargin, "bucket")
 
   /** Blocked-Levenshtein near-dup pairs — shared by the standalone
     * gate and the edit-clusters recursive closure. The oracle runs

@@ -316,6 +316,34 @@ object TextAnalysis {
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_src"))
 
+  /** SEMANTIC drift — the same monitor one modality up: per source,
+    * which EMBEDDING-SPACE regions it over/under-populates vs the
+    * rest of the corpus ("did the new crawl slice shift
+    * semantically"). Region = the axis-sign bucket of the first
+    * `dims` embedding dimensions (sign bit per dim → 2^dims buckets)
+    * — the crudest member of the random-projection sketch family,
+    * chosen because a float sign test is ENGINE-EXACT (DuckDB and
+    * Spark compare the identical stored float; no arithmetic, no
+    * rounding), so the whole report stays hash-gateable. The report
+    * stage is [[driftReport]] verbatim — counts are counts, whatever
+    * the key. One embeddings⋈documents join (vec_id = doc_id, the
+    * catalog contract), then the shared chain. */
+  def sourceDriftSemantic(spark: SparkSession, sfDir: String,
+      k: Int = 3, dims: Int = 8): DataFrame = {
+    val docs = documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val bucketExpr = (0 until dims)
+      .map(i => s"(CASE WHEN element_at(embedding, ${i + 1}) > CAST(0.0 AS FLOAT) " +
+        s"THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val counts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("source"), expr(s"CAST(($bucketExpr) AS STRING)").as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_src"))
+    driftReport(counts, k).withColumnRenamed("tok", "bucket")
+  }
+
   /** The report stage of [[sourceDrift]] over any additive
     * (source, tok, c_src) counts frame. */
   def driftReport(bySrc: DataFrame, k: Int = 3): DataFrame = {

@@ -241,6 +241,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("semantic drift: bucket report equals a driver fold over the embeddings") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.sourceDriftSemantic(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val srcOf = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val buckets = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val b = (0 until 8).map(i => if (v(i) > 0f) 1 << i else 0).sum
+        (srcOf(r.getLong(0)), b.toString)
+      }
+    assert(buckets.map(_._2).distinct.length > 1,
+      "fixture must populate several sign buckets or the report is vacuous")
+    val bySrc = buckets.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nSrc = buckets.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cAll = buckets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nAll = buckets.length.toLong
+    val expected = bySrc.toSeq.map { case ((s, b), c) =>
+      val ppmSrc = c * 1000000L / nSrc(s)
+      val rest = nAll - nSrc(s)
+      val ppmRest = if (rest == 0L) 0L else (cAll(b) - c) * 1000000L / rest
+      (s, b, ppmSrc, ppmRest, math.abs(ppmSrc - ppmRest),
+        math.signum(ppmSrc - ppmRest))
+    }.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+        .map { case ((s, b, ps, pr, d, dir), i) => (s, i + 1L, b, ps, pr, d, dir) }
+    }.toSet
+    assert(got === expected)
+  }
+
   test("globalRankPack: the fused pass equals globalRank then packPrefixSum") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
