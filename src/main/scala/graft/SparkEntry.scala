@@ -340,6 +340,11 @@ object SparkEntry {
     // equals the one-shot report exactly (counts are additive)
     "text_source_drift_stream" -> ((s, dir) =>
       graft.streaming.DriftStream.sourceDriftStream(s, dir)),
+    // the monitor's COMPACTION forced through the same oracle: the
+    // committed prefix folds mid-stream, the last batch lands above,
+    // the report must still hash-match the one-shot form
+    "text_source_drift_compact" -> ((s, dir) =>
+      graft.streaming.DriftStream.sourceDriftCompactStream(s, dir)),
     // semantic drift: which embedding-space regions a source over/
     // under-populates — axis-sign buckets, shared report stage
     "text_source_drift_semantic" -> ((s, dir) =>
@@ -2458,6 +2463,9 @@ object SparkEntry {
     // sum of batch counts == counts of the whole corpus, so the
     // monitor's report equals the one-shot oracle VERBATIM
     "text_source_drift_stream" -> textSourceDriftSql,
+    // compaction forced through the one-shot oracle (counts additive,
+    // fold-invariant by construction — the gate pins it by hash)
+    "text_source_drift_compact" -> textSourceDriftSql,
     // semantic twin: per-source distribution over axis-sign embedding
     // buckets (float sign test — engine-exact on the stored value)
     "text_source_drift_semantic" -> textSourceDriftSemanticSql,

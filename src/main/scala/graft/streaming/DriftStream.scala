@@ -103,6 +103,36 @@ object DriftStream {
   /** Fresh index path per gate run ([[SemStream]] convention). */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Gate surface (`text_source_drift_compact`): the same replay with
+    * a mid-stream COMPACTION — batches 0..2 land, the committed
+    * prefix (upTo = 3) folds into one subdir, the last batch lands
+    * ABOVE it, and the report must STILL equal the one-shot oracle
+    * verbatim (the `k_replay_compact` treatment: the gate forces the
+    * compacted-index read path through the same oracle, so a
+    * compaction bug is a hash mismatch, not a spec-only finding). */
+  def sourceDriftCompactStream(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4, k: Int = 3): DataFrame = {
+    require(nBatches >= 2, "compaction mid-stream needs at least 2 batches")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(coalesce(max(col("doc_id")), lit(-1L)))
+      .head().getLong(0)
+    val idxPath = graft.core.SessionScratch.path(spark, sfDir,
+      s"graft_driftcompact${runSeq.incrementAndGet()}")
+    if (maxId >= 0L) {
+      val step = maxId / nBatches + 1
+      (0 until nBatches - 1).foreach { b =>
+        countBatch(spark, idxPath, b.toLong,
+          docs.filter(col("doc_id") >= b * step &&
+            col("doc_id") < (b + 1) * step))
+      }
+      compact(spark, idxPath, upTo = (nBatches - 1).toLong)
+      countBatch(spark, idxPath, (nBatches - 1).toLong,
+        docs.filter(col("doc_id") >= (nBatches - 1) * step))
+    }
+    reportSoFar(spark, idxPath, k)
+  }
+
   /** Gate surface (`text_source_drift_stream`): the corpus replayed
     * as `nBatches` contiguous doc_id-range micro-batches through the
     * counts index, then the monitor's report — which must equal the

@@ -26,7 +26,8 @@ class PlanHygieneSpec extends SparkSpec {
     "rel_local_volume" -> "global scalar threshold folded as a 1-row broadcast",
     "text_source_drift" -> "global token total folded as a 1-row broadcast",
     "text_source_drift_stream" -> "same report stage as text_source_drift",
-    "text_source_drift_semantic" -> "same report stage as text_source_drift")
+    "text_source_drift_semantic" -> "same report stage as text_source_drift",
+    "text_source_drift_compact" -> "same report stage as text_source_drift")
 
   test("no gate query plans a cartesian product or stray nested-loop join") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

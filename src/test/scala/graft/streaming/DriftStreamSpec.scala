@@ -105,6 +105,13 @@ class DriftStreamSpec extends SparkSpec {
       === rows(graft.text.TextAnalysis.sourceDrift(spark, sf())))
   }
 
+  test("compact-gate surface equals the one-shot report; 2-batch edge works") {
+    val oneShot = rows(graft.text.TextAnalysis.sourceDrift(spark, sf()))
+    assert(rows(DriftStream.sourceDriftCompactStream(spark, sf())) === oneShot)
+    assert(rows(DriftStream.sourceDriftCompactStream(spark, sf(), nBatches = 2))
+      === oneShot)
+  }
+
   test("empty corpus: report is empty, not a throw") {
     val idxPath = tmp("empty")
     assert(DriftStream.reportSoFar(spark, idxPath).collect().isEmpty)
