@@ -3219,11 +3219,19 @@ object SparkEntry {
       |  FROM documents),
       |k AS (
       |  SELECT doc_id, nt, length(nt) AS len,
-      |    'p:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || substr(nt, 1, 12) AS bk
+      |    'p:' || CAST(length(nt) // 64 AS VARCHAR) || ':' || substr(nt, 1, 12) AS bk
       |  FROM n
       |  UNION ALL
       |  SELECT doc_id, nt, length(nt),
-      |    's:' || CAST(length(nt) // 20 AS VARCHAR) || ':' || right(nt, 12)
+      |    'p:' || CAST(length(nt) // 64 + 1 AS VARCHAR) || ':' || substr(nt, 1, 12)
+      |  FROM n
+      |  UNION ALL
+      |  SELECT doc_id, nt, length(nt),
+      |    's:' || CAST(length(nt) // 64 AS VARCHAR) || ':' || right(nt, 12)
+      |  FROM n
+      |  UNION ALL
+      |  SELECT doc_id, nt, length(nt),
+      |    's:' || CAST(length(nt) // 64 + 1 AS VARCHAR) || ':' || right(nt, 12)
       |  FROM n),
       |small AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 64),
       |c AS (SELECT k.* FROM k JOIN small USING (bk)),

@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   *    `levenshtein('héllo','hello')` = 2 in DuckDB, 1 in Spark), so
   *    the contract pins the alphabet to ASCII where byte ≡ codepoint.
   *  - Candidate pairs come from TWO blockings, prefix and suffix:
-  *    (len div [[LenBucket]], first [[KeyChars]] chars) and
-  *    (len div [[LenBucket]], last [[KeyChars]] chars). A head edit
-  *    moves the prefix key but not the suffix key and vice versa; an
-  *    edit inside both windows is out of contract (the banded-hash
-  *    families cover it).
+  *    (len div [[BucketWidth]], first [[KeyChars]] chars) and
+  *    (len div [[BucketWidth]], last [[KeyChars]] chars), each key
+  *    posted in the doc's own and the next length bucket (boundary
+  *    splits impossible — see [[BucketWidth]]). A head edit moves the
+  *    prefix key but not the suffix key and vice versa; an edit
+  *    inside BOTH 12-char windows is out of contract — that rewrite
+  *    shape (scattered multi-site edits) is the banded-hash families'
+  *    territory, and the boundary is MEASURED, not asserted:
+  *    RecallBench's `edit` leg reports blocked-vs-all-pairs recall
+  *    with the miss decomposition (BENCH_NOTES r11).
   *  - Block keys with more than `cap` members are dropped whole — the
   *    df-cap discipline every banded family here uses; a degenerate
   *    key (empty docs, shared boilerplate heads) cannot go quadratic.
@@ -41,9 +46,19 @@ import org.apache.spark.sql.functions._
   * banded DPs. No all-pairs product anywhere. */
 object EditDedup {
 
-  /** Length-bucket width; also the relative-threshold denominator
-    * (dist ≤ (len_a+len_b)/20 = 10% of the mean length). */
+  /** Relative-threshold denominator (dist ≤ (len_a+len_b)/20 = 10%
+    * of the mean length). */
   val LenBucket: Long = 20L
+
+  /** BLOCKING bucket width — decoupled from the threshold and sized
+    * so no acceptable pair can split across non-adjacent buckets:
+    * the length gap of any accepted pair is ≤ dist ≤ [[MaxDist]] = 64,
+    * and ⌊a/64⌋, ⌊b/64⌋ with |a−b| ≤ 64 differ by at most 1 — so
+    * posting every key in its own AND the next bucket makes a
+    * boundary split impossible BY ARITHMETIC. (Measured before the
+    * fix: 5 of 79 true pairs on the 13× fixture were lost purely to
+    * 20-wide bucket boundaries — RecallBench `edit` leg.) */
+  val BucketWidth: Long = 64L
 
   /** Prefix/suffix block-key width in characters. */
   val KeyChars: Int = 12
@@ -81,11 +96,18 @@ object EditDedup {
     * evaluates once per matched row, which IS once per candidate. */
   def editPairsOf(docs: DataFrame, cap: Int = 64): DataFrame = {
     val norm = normalized(docs)
+    // each window key posted in the doc's own and the NEXT length
+    // bucket: any accepted pair has Δlen ≤ MaxDist = BucketWidth, so
+    // its buckets differ by ≤ 1 and the pair always shares a key
     val keys = norm.select(col("doc_id"), col("len"),
       explode(array(
-        concat(lit("p:"), (col("len") / lit(LenBucket)).cast("long").cast("string"),
+        concat(lit("p:"), (col("len") / lit(BucketWidth)).cast("long").cast("string"),
           lit(":"), substring(col("nt"), 1, KeyChars)),
-        concat(lit("s:"), (col("len") / lit(LenBucket)).cast("long").cast("string"),
+        concat(lit("p:"), ((col("len") / lit(BucketWidth)).cast("long") + 1).cast("string"),
+          lit(":"), substring(col("nt"), 1, KeyChars)),
+        concat(lit("s:"), (col("len") / lit(BucketWidth)).cast("long").cast("string"),
+          lit(":"), expr(s"right(nt, $KeyChars)")),
+        concat(lit("s:"), ((col("len") / lit(BucketWidth)).cast("long") + 1).cast("string"),
           lit(":"), expr(s"right(nt, $KeyChars)")))).as("bk"))
     // df-cap: degenerate block keys are dropped whole (both engines)
     val small = keys.groupBy(col("bk")).count()

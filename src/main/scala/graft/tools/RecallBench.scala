@@ -89,6 +89,39 @@ object RecallBench {
       report("minhash_lsh", f"tau=$tau%.1f", exact, lsh, tE, tB)
     }
 
+    // ── edit blocking vs exact all-pairs banded Levenshtein ─────────
+    // Exact side = EVERY sample pair through the same normalize +
+    // threshold (dist ≤ min(64, 10% mean length)) with no blocking at
+    // all — a crossJoin is the point here (all-pairs IS the ground
+    // truth; the per-pair DP stays banded). Blocked side = the
+    // production prefix+suffix blocking with its df-cap on the FULL
+    // fixture, restricted to sampled endpoints — so a cap or a
+    // both-windows edit eating candidates at scale becomes a number.
+    if (famOn("edit")) {
+      val t0 = System.nanoTime()
+      val s = spark.read.parquet(s"$sampleDir/documents.parquet")
+        .selectExpr("doc_id",
+          "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS nt")
+        .selectExpr("doc_id", "nt", "CAST(length(nt) AS BIGINT) AS len")
+        .localCheckpoint()
+      val exactE = s.as("a").crossJoin(s.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <=
+            least(lit(64L), expr("(a.len + b.len) DIV 20")))
+        .withColumn("d", expr("CAST(levenshtein(a.nt, b.nt, 65) AS BIGINT)"))
+        .filter(col("d") >= 0 &&
+          col("d") <= least(lit(64L), expr("(a.len + b.len) DIV 20")))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      val exactSet = pairSet(exactE)
+      val tE = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val blocked = pairSet(inSample(
+        graft.dedup.EditDedup.editPairs(spark, sfDir)
+          .select(col("doc_a").as("i"), col("doc_b").as("j"))))
+      val tB = (System.nanoTime() - t1) / 1e9
+      report("edit_blocked", "tau=10pct", exactSet, blocked, tE, tB)
+    }
+
     // ── multi-probe SimHash vs exact all-pairs Hamming ≤ 15 ─────────
     if (!famOn("simhash") && !famOn("wide") && !famOn("wideb")) {
       spark.stop(); return

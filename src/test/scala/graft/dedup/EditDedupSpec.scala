@@ -134,8 +134,9 @@ class EditDedupSpec extends SparkSpec {
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS nt")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     def keys(nt: String) = {
-      val lb = nt.length / 20
-      Seq(s"p:$lb:${nt.take(12)}", s"s:$lb:${nt.takeRight(12)}")
+      val lb = nt.length / 64
+      Seq(s"p:$lb:${nt.take(12)}", s"p:${lb + 1}:${nt.take(12)}",
+        s"s:$lb:${nt.takeRight(12)}", s"s:${lb + 1}:${nt.takeRight(12)}")
     }
     val byKey = texts.flatMap { case (id, nt) => keys(nt).map(_ -> (id, nt)) }
       .groupBy(_._1).filter(_._2.length <= 64)
