@@ -168,12 +168,18 @@ object SparkEntry {
     "dedup_simhash_wide" -> ((s, dir) =>
       graft.dedup.Dedup.simhashPairsWide(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
-    // blocked Levenshtein (record-linkage classic): prefix+suffix
-    // length-bucket blocking, df-capped keys, banded 3-arg DP
+    // blocked Levenshtein (record-linkage classic): q-chunk pigeonhole
+    // blocking (PassJoin family — structural recall 1.0, the oracle is
+    // the all-pairs ground truth), df-capped keys, banded 3-arg DP
     // (O(len*65), never the full matrix); dist <= min(64, 10% of the
     // mean length). ASCII-normalized so DuckDB's byte-based
     // levenshtein equals Spark's codepoint-based one
     "dedup_edit_pairs" -> ((s, dir) => graft.dedup.EditDedup.editPairs(s, dir)),
+    // output-capped form: each doc keeps its k=1 best match at BOTH
+    // endpoints (<= n*k rows on any corpus); k=1 bites on the gate
+    // fixture (25 -> 23 pairs), so the rank bound is exercised
+    "dedup_edit_pairs_capped" -> ((s, dir) =>
+      graft.dedup.EditDedup.editPairsCapped(s, dir, k = 1)),
     // connected components over the edit-pair graph (typo/OCR variant
     // cliques collapse to the min-id canonical copy) via the shared
     // union-find / hash-min switch
@@ -1552,14 +1558,18 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = i
         |JOIN cnt cb ON cb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
-    // blocked Levenshtein: prefix+suffix length-bucket blocking with
-    // the df<=64 key cap, dist <= min(64, (len_a+len_b)//20). The
-    // oracle runs DuckDB's full-matrix levenshtein where the engine
-    // runs the banded 3-arg form — identical keep-set and distances
-    // because the filter never accepts a distance above the band.
+    // blocked Levenshtein: the oracle is the ALL-PAIRS banded-
+    // Levenshtein ground truth itself (no blocking — the
+    // dedup_simhash_wide treatment), dist <= min(64,
+    // (len_a+len_b)//20); the engine's q-chunk pigeonhole blocking
+    // must therefore deliver structural recall 1.0 (its df-cap
+    // provably doesn't bite on the fixture — spec-asserted).
     // ASCII normalization makes byte-based (DuckDB) == codepoint-
     // based (Spark) distances
     "dedup_edit_pairs" -> dedupEditPairsSql,
+    // both-endpoint rank <= 1 output cap over the same exact pair
+    // set; bites at gate scale (25 -> 23)
+    "dedup_edit_pairs_capped" -> dedupEditPairsCappedSql(1),
     // connected components over the edit-pair graph — same recursive
     // closure as the ngram/LSH cluster oracles, min-id canonical copy
     "dedup_edit_clusters" ->
@@ -3208,40 +3218,55 @@ object SparkEntry {
        |  GROUP BY 1, 2""".stripMargin, "bucket")
 
   /** Blocked-Levenshtein near-dup pairs — shared by the standalone
-    * gate and the edit-clusters recursive closure. The oracle runs
-    * DuckDB's full-matrix levenshtein where the engine runs the
-    * banded 3-arg form; identical keep-set because the filter never
-    * accepts a distance above the band. */
-  private def dedupEditPairsSql: String =
-    """WITH n AS (
-      |  SELECT doc_id,
-      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
-      |  FROM documents),
-      |k AS (
-      |  SELECT doc_id, nt, length(nt) AS len,
-      |    'p:' || CAST(length(nt) // 64 AS VARCHAR) || ':' || substr(nt, 1, 12) AS bk
-      |  FROM n
-      |  UNION ALL
-      |  SELECT doc_id, nt, length(nt),
-      |    'p:' || CAST(length(nt) // 64 + 1 AS VARCHAR) || ':' || substr(nt, 1, 12)
-      |  FROM n
-      |  UNION ALL
-      |  SELECT doc_id, nt, length(nt),
-      |    's:' || CAST(length(nt) // 64 AS VARCHAR) || ':' || right(nt, 12)
-      |  FROM n
-      |  UNION ALL
-      |  SELECT doc_id, nt, length(nt),
-      |    's:' || CAST(length(nt) // 64 + 1 AS VARCHAR) || ':' || right(nt, 12)
-      |  FROM n),
-      |small AS (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 64),
-      |c AS (SELECT k.* FROM k JOIN small USING (bk)),
-      |p AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    a.nt AS nt_a, b.nt AS nt_b, a.len AS len_a, b.len AS len_b
-      |  FROM c a JOIN c b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, CAST(levenshtein(nt_a, nt_b) AS BIGINT) AS dist
-      |FROM p
-      |WHERE levenshtein(nt_a, nt_b) <= least(64, (len_a + len_b) // 20)""".stripMargin
+    * gate, the capped gate, the edit-clusters recursive closure and
+    * the family report. The oracle is the ALL-PAIRS ground truth: NO
+    * blocking at all, every length-compatible pair through DuckDB's
+    * full-matrix levenshtein (the engine runs the banded 3-arg form;
+    * identical keep-set because the filter never accepts a distance
+    * above the band) — so the gate pins the engine's q-chunk
+    * pigeonhole blocking to structural recall 1.0, the
+    * dedup_simhash_wide treatment. Two EXACTNESS-PRESERVING pair
+    * prefilters keep the quadratic stage cheap: |Δlen| ≤ θ
+    * (each edit changes length by ≤ 1) and the character-frequency
+    * L1 bound Σ_c |count_c(a) − count_c(b)| ≤ 2θ (a substitution
+    * moves the 36-symbol count vector by ≤ 2 in L1, an indel by 1 —
+    * so ed ≥ L1/2); the MATERIALIZED barrier stops DuckDB from
+    * hoisting the levenshtein above them (measured 16 s → 2.9 s at
+    * the gate corpus). */
+  private def dedupEditPairsSql: String = {
+    val chars = ('a' to 'z') ++ ('0' to '9')
+    val cv = chars.map(c => s"len - length(replace(nt, '$c', ''))")
+      .mkString("[", ", ", "]")
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |l AS (SELECT doc_id, nt, CAST(length(nt) AS BIGINT) AS len,
+       |        $cv AS cv
+       |      FROM n),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nt AS nt_a,
+       |    b.nt AS nt_b, least(64, (a.len + b.len) // 20) AS theta
+       |  FROM l a JOIN l b
+       |    ON a.doc_id < b.doc_id
+       |    AND abs(a.len - b.len) <= least(64, (a.len + b.len) // 20)
+       |    AND list_sum(list_transform(list_zip(a.cv, b.cv),
+       |          x -> abs(x[1] - x[2]))) <= 2 * least(64, (a.len + b.len) // 20))
+       |SELECT doc_a, doc_b, CAST(levenshtein(nt_a, nt_b) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(nt_a, nt_b) <= theta""".stripMargin
+  }
+
+  /** Both-endpoint output cap over the exact pair set: a pair
+    * survives iff it ranks ≤ k by (dist, partner) among BOTH
+    * endpoints' pairs — total output ≤ n·k on any corpus. */
+  private def dedupEditPairsCappedSql(k: Int): String =
+    s"""WITH ep AS ($dedupEditPairsSql),
+       |r AS (
+       |  SELECT doc_a, doc_b, dist,
+       |    row_number() OVER (PARTITION BY doc_a ORDER BY dist, doc_b) AS ra,
+       |    row_number() OVER (PARTITION BY doc_b ORDER BY dist, doc_a) AS rb
+       |  FROM ep)
+       |SELECT doc_a, doc_b, dist FROM r WHERE ra <= $k AND rb <= $k""".stripMargin
 
   /** Training order over the mixture membership — shared by the
     * standalone gate and the shard gate's order CTE. The global

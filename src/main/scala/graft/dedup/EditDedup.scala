@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EDIT-DISTANCE near-duplicate pairs — the record-linkage classic
@@ -17,54 +18,70 @@ import org.apache.spark.sql.functions._
   *    BYTE-based while Spark's is codepoint-based (measured:
   *    `levenshtein('héllo','hello')` = 2 in DuckDB, 1 in Spark), so
   *    the contract pins the alphabet to ASCII where byte ≡ codepoint.
-  *  - Candidate pairs come from TWO blockings, prefix and suffix:
-  *    (len div [[BucketWidth]], first [[KeyChars]] chars) and
-  *    (len div [[BucketWidth]], last [[KeyChars]] chars), each key
-  *    posted in the doc's own and the next length bucket (boundary
-  *    splits impossible — see [[BucketWidth]]). A head edit moves the
-  *    prefix key but not the suffix key and vice versa; an edit
-  *    inside BOTH 12-char windows is out of contract — that rewrite
-  *    shape (scattered multi-site edits) is the banded-hash families'
-  *    territory, and the boundary is MEASURED, not asserted:
-  *    RecallBench's `edit` leg reports blocked-vs-all-pairs recall
-  *    with the miss decomposition (BENCH_NOTES r11).
-  *  - Block keys with more than `cap` members are dropped whole — the
-  *    df-cap discipline every banded family here uses; a degenerate
-  *    key (empty docs, shared boilerplate heads) cannot go quadratic.
-  *  - A candidate pair is a match when
-  *    `levenshtein(a, b) <= least(MaxDist, (len_a+len_b) div 20)` —
-  *    relative 10% of the mean length, under an absolute [[MaxDist]]
+  *  - A pair is a match when
+  *    `levenshtein(a, b) <= θ = least(MaxDist, (len_a+len_b) div 20)`
+  *    — relative 10% of the mean length, under an absolute [[MaxDist]]
   *    ceiling that exists so the DP can be BANDED: Spark evaluates
   *    the 3-arg `levenshtein(a, b, MaxDist+1)` which is O(len·65) and
   *    returns -1 past the band, never the O(len²) full matrix. The
-  *    oracle runs the plain quadratic form; identical keep-set and
-  *    distances because the filter never accepts a distance above
-  *    [[MaxDist]].
+  *    oracle runs the plain quadratic form over ALL length-compatible
+  *    pairs (no blocking at all — the oracle IS the ground truth);
+  *    identical keep-set because the filter never accepts a distance
+  *    above [[MaxDist]].
+  *  - Candidate pairs come from Q-CHUNK PIGEONHOLE blocking (the
+  *    PassJoin family — Li/Deng/Feng ICDE'11's segment lemma in the
+  *    asymmetric chunk-vs-gram form of Qin et al., SIGMOD'11):
+  *    partition the SHORTER string of a prospective pair into
+  *    `nchunks >= τ_max+1` disjoint chunks of length
+  *    `L = max(1, len div (τ_max+1))`; any edit script of ≤ θ ≤ τ_max
+  *    operations touches at most θ chunks, so SOME chunk survives
+  *    untouched and appears VERBATIM in the longer string, start
+  *    position shifted by at most θ (the net indel balance before
+  *    it). τ_max(len) = least(MaxDist, 2·len div 19) is the largest
+  *    θ any in-contract partner can induce when this doc is the
+  *    shorter side: len_b ≤ len_a+θ and 20θ ≤ len_a+len_b give
+  *    19θ ≤ 2·len_a exactly (integer floors included). Recall is
+  *    therefore STRUCTURAL — 1.0 by pigeonhole, not a banding curve;
+  *    the only loss channel is the df-cap below, and
+  *    [[blockingDrops]] makes that channel observable.
+  *  - The engine joins each doc's chunks (its shorter-side role)
+  *    against every partner-chunk-length gram of each doc (its
+  *    longer-side role) on (chunk length, xxhash64(content),
+  *    position bucket, length bucket); hash collisions only ADD
+  *    candidates — the banded DP verify keeps precision exact.
+  *    Position/length buckets are [[PosBucket]] = MaxDist wide with
+  *    the chunk side posted in adjacent buckets (own ±1 position,
+  *    own +1 length), so a true pair can never split across a bucket
+  *    boundary — the r11 boundary-split lesson, by arithmetic.
+  *  - Block keys with more than `cap` members ON EITHER SIDE are
+  *    dropped whole — the df-cap discipline every banded family here
+  *    uses; a degenerate key (shared boilerplate n-grams) cannot go
+  *    quadratic. The gate cap (1000) provably does not bite on the
+  *    fixture (spec-asserted via [[blockingDrops]] = empty), which is
+  *    what lets the uncapped all-pairs oracle hash-match.
   *
-  * Scale posture: one documents scan (two pruned columns), key
-  * explosion ×2, one shuffle on the block key; per-key work ≤ cap²/2
-  * banded DPs. No all-pairs product anywhere. */
+  * Scale posture: one documents scan; chunk side emits ≤ 6·(τ_max+1)
+  * ≈ 400 metadata rows/doc, gram side ≈ |𝓛|·len ≈ 1–3× the char
+  * count as (hash, pos) metadata rows — linear in corpus size, no
+  * text in the candidate shuffle; per-key join work ≤ cap² rows. The
+  * DP sees each distinct pair EXACTLY ONCE via two 1:1 payload joins
+  * after the id-level distinct (metadata-only candidates: the r11
+  * 14.5 s → 2.3 s lesson — never let Catalyst push the DP into the
+  * self-join). */
 object EditDedup {
 
   /** Relative-threshold denominator (dist ≤ (len_a+len_b)/20 = 10%
     * of the mean length). */
   val LenBucket: Long = 20L
 
-  /** BLOCKING bucket width — decoupled from the threshold and sized
-    * so no acceptable pair can split across non-adjacent buckets:
-    * the length gap of any accepted pair is ≤ dist ≤ [[MaxDist]] = 64,
-    * and ⌊a/64⌋, ⌊b/64⌋ with |a−b| ≤ 64 differ by at most 1 — so
-    * posting every key in its own AND the next bucket makes a
-    * boundary split impossible BY ARITHMETIC. (Measured before the
-    * fix: 5 of 79 true pairs on the 13× fixture were lost purely to
-    * 20-wide bucket boundaries — RecallBench `edit` leg.) */
-  val BucketWidth: Long = 64L
-
-  /** Prefix/suffix block-key width in characters. */
-  val KeyChars: Int = 12
-
   /** Absolute distance ceiling — the DP band. */
   val MaxDist: Int = 64
+
+  /** Position/length blocking bucket width. Must be ≥ [[MaxDist]]:
+    * any accepted pair has |Δpos| ≤ θ ≤ MaxDist for the surviving
+    * chunk and |Δlen| ≤ θ, so with the chunk side posted in adjacent
+    * buckets a boundary split is impossible by arithmetic. */
+  val PosBucket: Long = 64L
 
   private def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -77,52 +94,123 @@ object EditDedup {
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("nt"))
       .withColumn("len", length(col("nt")).cast("long"))
 
+  /** τ_max / chunk-length plumbing shared by the operator and the
+    * [[blockingDrops]] audit. Adds `tmax`, `cl` (chunk length) to a
+    * normalized frame. */
+  private def withChunkLen(norm: DataFrame): DataFrame =
+    norm
+      .withColumn("tmax", expr(s"least(CAST($MaxDist AS BIGINT), (len * 2) DIV 19)"))
+      .withColumn("cl", expr("greatest(1L, len DIV (tmax + 1L))"))
+
+  /** Chunk-side key rows: (doc_id, len, l, k, pos, pb, lb) — each doc
+    * in its SHORTER-side role, one row per disjoint chunk per posted
+    * (position, length) bucket combination (×6 fanout). Empty docs
+    * emit one (l=0, k=0, pos=0) sentinel so empty-empty dist-0 pairs
+    * are reachable. */
+  private def chunkKeys(norm: DataFrame): DataFrame =
+    withChunkLen(norm)
+      .select(col("doc_id"), col("len"), explode(expr(
+        """CASE WHEN len = 0
+          |  THEN array(named_struct('pos', 0L, 'k', 0L, 'l', 0L))
+          |  ELSE transform(sequence(0L, len DIV cl - 1L), i ->
+          |    named_struct(
+          |      'pos', i * cl,
+          |      'k', xxhash64(substring(nt, CAST(i * cl + 1L AS INT), CAST(cl AS INT))),
+          |      'l', cl))
+          |END""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("len"), col("c.l").as("l"),
+        col("c.k").as("k"), col("c.pos").as("pos"))
+      .withColumn("pb0", expr(s"pos DIV $PosBucket"))
+      .withColumn("lb0", expr(s"len DIV $PosBucket"))
+      .select(col("doc_id"), col("len"), col("l"), col("k"), col("pos"),
+        explode(expr(
+          """array(named_struct('pb', pb0 - 1L, 'lb', lb0),
+            |      named_struct('pb', pb0,      'lb', lb0),
+            |      named_struct('pb', pb0 + 1L, 'lb', lb0),
+            |      named_struct('pb', pb0 - 1L, 'lb', lb0 + 1L),
+            |      named_struct('pb', pb0,      'lb', lb0 + 1L),
+            |      named_struct('pb', pb0 + 1L, 'lb', lb0 + 1L))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("len"), col("l"), col("k"), col("pos"),
+        col("b.pb").as("pb"), col("b.lb").as("lb"))
+
+  /** Gram-side key rows: (doc_id, len, l, k, pos, pb, lb) — each doc
+    * in its LONGER-side role. 𝓛(len) = the distinct chunk lengths of
+    * every possible shorter partner (lengths in [len−MaxDist, len]) —
+    * a ≤2-element set because L(·) is a slow step function; grams of
+    * each such length at every position, posted once in their own
+    * buckets (the chunk side carries the adjacency fanout). */
+  private def gramKeys(norm: DataFrame): DataFrame = {
+    val grams = norm.filter(col("len") >= 1L)
+      .withColumn("ls", expr(
+        s"""array_distinct(transform(
+           |  sequence(greatest(len - CAST($MaxDist AS BIGINT), 1L), len),
+           |  m -> greatest(1L, m DIV (least(CAST($MaxDist AS BIGINT), (m * 2) DIV 19) + 1L))))""".stripMargin))
+      .select(col("doc_id"), col("len"), col("nt"), explode(col("ls")).as("l"))
+      .select(col("doc_id"), col("len"), col("l"), explode(expr(
+        """transform(sequence(0L, len - l), p ->
+          |  named_struct('pos', p,
+          |    'k', xxhash64(substring(nt, CAST(p + 1L AS INT), CAST(l AS INT)))))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("len"), col("l"),
+        col("g.k").as("k"), col("g.pos").as("pos"))
+    val sentinel = norm.filter(col("len") === 0L)
+      .select(col("doc_id"), col("len"), lit(0L).as("l"),
+        lit(0L).as("k"), lit(0L).as("pos"))
+    grams.unionByName(sentinel)
+      .withColumn("pb", expr(s"pos DIV $PosBucket"))
+      .withColumn("lb", expr(s"len DIV $PosBucket"))
+  }
+
+  /** Block keys whose membership exceeds `cap` on a side — dropped
+    * whole by [[editPairsOf]]. The recall-loss channel made
+    * OBSERVABLE: empty on the gate fixture (spec-asserted), and the
+    * frame a production run logs/inspects before trusting the pair
+    * set at a new scale. Returns (side, l, k, pb, lb, cnt). */
+  def blockingDrops(docs: DataFrame, cap: Int = 1000): DataFrame = {
+    val norm = normalized(docs)
+    val c = chunkKeys(norm).groupBy("l", "k", "pb", "lb").count()
+      .filter(col("count") > cap)
+      .select(lit("chunk").as("side"), col("l"), col("k"), col("pb"),
+        col("lb"), col("count").as("cnt"))
+    val g = gramKeys(norm).groupBy("l", "k", "pb", "lb").count()
+      .filter(col("count") > cap)
+      .select(lit("gram").as("side"), col("l"), col("k"), col("pb"),
+        col("lb"), col("count").as("cnt"))
+    c.unionByName(g)
+  }
+
   /** Near-dup pairs (doc_a < doc_b, dist) over the whole corpus. */
-  def editPairs(spark: SparkSession, sfDir: String, cap: Int = 64): DataFrame =
+  def editPairs(spark: SparkSession, sfDir: String, cap: Int = 1000): DataFrame =
     editPairsOf(documents(spark, sfDir), cap)
 
-  /** Same over any (doc_id, text) frame.
-    *
-    * Plan shape (the part that matters): candidate generation runs on
-    * METADATA ONLY — (doc_id, len, block key) rows, no text — so the
-    * band shuffle, the df-cap semi-join, the self-join and the
-    * pair-dedup all move ids, and the DP sees each distinct pair
-    * EXACTLY ONCE via two 1:1 payload joins afterwards. The first cut
-    * carried `nt` through the self-join and let Catalyst push the
-    * levenshtein filter into the join condition, where it ran per
-    * in-bucket ORDERED pair (cnt² per bucket, duplicates included) —
-    * measured 14.5 s at sf0.1 vs ~1 s for this shape on the same 628
-    * candidates. Downstream of the 1:1 joins the pushed predicate
-    * evaluates once per matched row, which IS once per candidate. */
-  def editPairsOf(docs: DataFrame, cap: Int = 64): DataFrame = {
+  /** Same over any (doc_id, text) frame. See the object doc for the
+    * pigeonhole argument; plan shape: metadata-only candidates →
+    * distinct pair ids → two 1:1 payload joins → one banded DP per
+    * candidate. */
+  def editPairsOf(docs: DataFrame, cap: Int = 1000): DataFrame = {
     val norm = normalized(docs)
-    // each window key posted in the doc's own and the NEXT length
-    // bucket: any accepted pair has Δlen ≤ MaxDist = BucketWidth, so
-    // its buckets differ by ≤ 1 and the pair always shares a key
-    val keys = norm.select(col("doc_id"), col("len"),
-      explode(array(
-        concat(lit("p:"), (col("len") / lit(BucketWidth)).cast("long").cast("string"),
-          lit(":"), substring(col("nt"), 1, KeyChars)),
-        concat(lit("p:"), ((col("len") / lit(BucketWidth)).cast("long") + 1).cast("string"),
-          lit(":"), substring(col("nt"), 1, KeyChars)),
-        concat(lit("s:"), (col("len") / lit(BucketWidth)).cast("long").cast("string"),
-          lit(":"), expr(s"right(nt, $KeyChars)")),
-        concat(lit("s:"), ((col("len") / lit(BucketWidth)).cast("long") + 1).cast("string"),
-          lit(":"), expr(s"right(nt, $KeyChars)")))).as("bk"))
-    // df-cap: degenerate block keys are dropped whole (both engines)
-    val small = keys.groupBy(col("bk")).count()
-      .filter(col("count") <= cap).select(col("bk"))
-    val c = keys.join(small, Seq("bk"), "leftsemi")
-    val pairIds = c.as("a").join(c.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id")
-          // length lower bound: |len_a-len_b| <= dist, so a pair whose
-          // length gap exceeds the acceptance threshold can never pass
-          // the DP filter — reject it before it exists (exactness-
-          // preserving; cheap bigint arithmetic in the join condition)
-          && abs(col("a.len") - col("b.len")) <= least(lit(MaxDist.toLong),
-            expr(s"(a.len + b.len) DIV $LenBucket")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct() // a pair can share prefix AND suffix keys
+    val chunks = chunkKeys(norm)
+    val grams = gramKeys(norm)
+    // df-cap, both sides: a key that is degenerate on either side is
+    // dropped whole (both engines of the CAPPED gates mirror this;
+    // the uncapped-oracle gates assert the cap never bites instead)
+    def capped(side: DataFrame): DataFrame = {
+      val small = side.groupBy("l", "k", "pb", "lb").count()
+        .filter(col("count") <= cap)
+        .select(col("l"), col("k"), col("pb"), col("lb"))
+      side.join(small, Seq("l", "k", "pb", "lb"), "leftsemi")
+    }
+    val theta = least(lit(MaxDist.toLong),
+      expr(s"(a.len + b.len) DIV $LenBucket"))
+    val pairIds = capped(chunks).as("a").join(capped(grams).as("b"),
+        col("a.l") === col("b.l") && col("a.k") === col("b.k") &&
+          col("a.pb") === col("b.pb") && col("a.lb") === col("b.lb") &&
+          col("a.len") <= col("b.len") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("b.len") - col("a.len")) <= theta &&
+          abs(col("a.pos") - col("b.pos")) <= theta)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
     pairIds
       .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a"),
         col("len").as("len_a")), Seq("doc_a"))
@@ -133,6 +221,25 @@ object EditDedup {
       .filter(col("dist") >= 0 &&
         col("dist") <= least(lit(MaxDist.toLong),
           expr(s"(len_a + len_b) DIV $LenBucket")))
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** OUTPUT-CAPPED edit pairs — [[editPairsOf]] bounded to each
+    * document's `k` best matches at BOTH endpoints: a pair survives
+    * iff it ranks ≤ k by (dist, partner id) among doc_a's pairs AND
+    * among doc_b's pairs. Total output is ≤ n·k rows no matter how
+    * pathological the corpus (a boilerplate-saturated crawl where one
+    * template matches millions of pages); rank ties are broken by
+    * partner id so both engines agree row-for-row. Two window ranks
+    * over the (already bounded) pair set — no new shuffle shape. */
+  def editPairsCapped(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    val pairs = editPairs(spark, sfDir)
+    val ra = row_number().over(
+      Window.partitionBy(col("doc_a")).orderBy(col("dist"), col("doc_b")))
+    val rb = row_number().over(
+      Window.partitionBy(col("doc_b")).orderBy(col("dist"), col("doc_a")))
+    pairs.withColumn("ra", ra).withColumn("rb", rb)
+      .filter(col("ra") <= k && col("rb") <= k)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 

@@ -3,9 +3,12 @@ package graft.dedup
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 
-/** Blocked-Levenshtein near-dup: blocking recall by edit position,
-  * threshold and cap semantics, normalization parity, and the banded
-  * DP ≡ full DP equivalence on the gate corpus. */
+/** Blocked-Levenshtein near-dup: q-chunk pigeonhole blocking recall
+  * (structural 1.0 — including the scattered multi-site edits the r11
+  * prefix/suffix blocking missed by contract), threshold and cap
+  * semantics, normalization parity, empty-doc reachability, the
+  * both-endpoint output cap, and the banded DP ≡ full DP equivalence
+  * against an ALL-PAIRS driver reference on the gate corpus. */
 class EditDedupSpec extends SparkSpec {
 
   private def docs(rows: Seq[(Long, String)]): DataFrame = {
@@ -13,7 +16,7 @@ class EditDedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  private def pairs(rows: Seq[(Long, String)], cap: Int = 64) =
+  private def pairs(rows: Seq[(Long, String)], cap: Int = 1000) =
     EditDedup.editPairsOf(docs(rows), cap).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
@@ -21,33 +24,45 @@ class EditDedupSpec extends SparkSpec {
   private val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
     "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua").trim
 
-  test("edits in the middle, head, and tail are all caught; far pairs are not") {
-    val headEdit = "XXXXX YYYYY" + base.drop(11) // breaks the prefix key
-    val tailEdit = base.dropRight(11) + "zzzzz qqqqq" // breaks the suffix key
+  private def lev(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  private def norm(s: String) =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  test("edits at head, tail, middle AND scattered multi-site are all caught") {
+    val headEdit = "XXXXX YYYYY" + base.drop(11)
+    val tailEdit = base.dropRight(11) + "zzzzz qqqqq"
     val midEdit = base.patch(60, "REPLACEMENT", 11)
+    // edits in BOTH 12-char end windows at once — the rewrite shape
+    // the r11 prefix/suffix blocking documented as out-of-contract;
+    // the q-chunk pigeonhole must catch it (some interior chunk
+    // survives untouched)
+    val scattered = "QQ" + base.drop(2).dropRight(2) + "ZZ"
     val far = base.split(" ").reverse.mkString(" ") + " extra words here now"
-    val got = pairs(Seq(1L -> base, 2L -> headEdit, 3L -> tailEdit,
-      4L -> midEdit, 5L -> far))
+    val texts = Map(1L -> base, 2L -> headEdit, 3L -> tailEdit,
+      4L -> midEdit, 5L -> far, 6L -> scattered)
+    val got = pairs(texts.toSeq)
     val ids = got.map(t => (t._1, t._2))
-    assert(ids.contains((1L, 2L)), "head edit must be caught via the suffix key")
-    assert(ids.contains((1L, 3L)), "tail edit must be caught via the prefix key")
-    assert(ids.contains((1L, 4L)), "middle edit keeps both keys")
+    assert(ids.contains((1L, 2L)), "head edit must be caught")
+    assert(ids.contains((1L, 3L)), "tail edit must be caught")
+    assert(ids.contains((1L, 4L)), "middle edit must be caught")
+    assert(ids.contains((1L, 6L)),
+      "scattered head+tail edits must be caught by the interior chunks")
     assert(!ids.exists(p => p._1 == 5L || p._2 == 5L),
       "a reversed-word doc is not an edit near-dup")
     // distances are the real Levenshtein distances (normalized text)
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-        if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
-    def norm(s: String) =
-      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
     got.foreach { case (a, b, dist) =>
-      val texts = Map(1L -> base, 2L -> headEdit, 3L -> tailEdit,
-        4L -> midEdit, 5L -> far)
       assert(dist === lev(norm(texts(a)), norm(texts(b))).toLong)
     }
   }
@@ -65,13 +80,29 @@ class EditDedupSpec extends SparkSpec {
     assert(pairs(Seq(1L -> base, 2L -> c)).nonEmpty)
   }
 
-  test("df-cap: a degenerate block key is dropped whole") {
+  test("empty documents pair with each other at distance 0") {
+    val got = pairs(Seq(1L -> "", 2L -> "!!!", 3L -> base))
+    // "" and "!!!" both normalize to the empty string -> dist 0 within
+    // theta = 0; the sentinel key makes the pair reachable
+    assert(got === Set((1L, 2L, 0L)))
+  }
+
+  test("df-cap: a degenerate block key is dropped whole; drops are observable") {
     // 70 identical docs share every key; cap=64 drops the keys whole
     val many = (1L to 70L).map(i => i -> base)
     assert(pairs(many, cap = 64).isEmpty)
+    assert(EditDedup.blockingDrops(docs(many), cap = 64).count() > 0,
+      "cap-dropped keys must surface in the blockingDrops audit")
     // under the cap the same corpus pairs up fully: C(60,2) pairs
     val fewer = (1L to 60L).map(i => i -> base)
     assert(pairs(fewer, cap = 64).size === 60 * 59 / 2)
+  }
+
+  test("gate corpus: the df-cap provably does not bite (all-pairs oracle precondition)") {
+    val rows = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(EditDedup.blockingDrops(rows).isEmpty,
+      "the gate cap must not bite on the fixture, or the uncapped " +
+        "all-pairs oracle could diverge from the engine")
   }
 
   test("normalization: case, punctuation and non-ASCII collapse before distance") {
@@ -80,6 +111,25 @@ class EditDedupSpec extends SparkSpec {
     val got = pairs(Seq(1L -> plain, 2L -> noisy))
     assert(got === Set((1L, 2L, 0L)),
       "case/punct-only variants must be distance-0 pairs")
+  }
+
+  test("capped pairs: both-endpoint rank bound, deterministic tie-break") {
+    // star: doc 1 pairs with 2 and 3 (dist 0 each); docs 2,3 pair with
+    // each other too — k=1 keeps exactly one pair per endpoint, ties
+    // broken by partner id: (1,2) survives; (1,3) loses at endpoint 1,
+    // (2,3) loses at both
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_editcap").toString
+    import spark.implicits._
+    Seq(1L -> base, 2L -> base, 3L -> base)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = EditDedup.editPairsCapped(spark, dir, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 0L)))
+    // k=2 keeps everything (3 pairs, each within rank 2 at both ends)
+    val k2 = EditDedup.editPairsCapped(spark, dir, k = 2).count()
+    assert(k2 === 3L)
   }
 
   test("clusters: edit variants collapse transitively; non-dups stay singletons") {
@@ -125,41 +175,39 @@ class EditDedupSpec extends SparkSpec {
       (0 to 3).forall(i => empty(0).getLong(i) === 0L))
   }
 
-  test("gate corpus: banded DP equals the full-matrix reference") {
+  test("gate corpus: blocked engine equals the ALL-PAIRS banded-DP reference") {
     val rows = spark.read.parquet(s"${sf()}/documents.parquet")
     val got = EditDedup.editPairsOf(rows).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // full-matrix reference over the same blocking, driver-side
+    // all-pairs reference, driver-side: every length-compatible pair
+    // through a BANDED DP (band MaxDist+1, same as the engine's 3-arg
+    // levenshtein) — no blocking, so this also pins blocking recall
     val texts = rows.selectExpr("doc_id",
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS nt")
-      .collect().map(r => r.getLong(0) -> r.getString(1))
-    def keys(nt: String) = {
-      val lb = nt.length / 64
-      Seq(s"p:$lb:${nt.take(12)}", s"p:${lb + 1}:${nt.take(12)}",
-        s"s:$lb:${nt.takeRight(12)}", s"s:${lb + 1}:${nt.takeRight(12)}")
-    }
-    val byKey = texts.flatMap { case (id, nt) => keys(nt).map(_ -> (id, nt)) }
-      .groupBy(_._1).filter(_._2.length <= 64)
-    def lev(a: String, b: String): Int = {
-      var prev = Array.tabulate(b.length + 1)(identity)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def banded(a: String, b: String, band: Int): Int = {
+      if (math.abs(a.length - b.length) > band) return -1
+      var prev = Array.tabulate(b.length + 1)(j => if (j <= band) j else Int.MaxValue / 2)
       for (i <- 1 to a.length) {
-        val cur = new Array[Int](b.length + 1)
-        cur(0) = i
-        for (j <- 1 to b.length)
+        val lo = math.max(1, i - band)
+        val hi = math.min(b.length, i + band)
+        val cur = Array.fill(b.length + 1)(Int.MaxValue / 2)
+        if (i - band <= 0) cur(0) = i
+        for (j <- lo to hi)
           cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
             prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
         prev = cur
       }
-      prev(b.length)
+      if (prev(b.length) > band) -1 else prev(b.length)
     }
-    val expected = byKey.values.flatMap { g =>
-      val m = g.map(_._2).toSeq
-      for {
-        (a, na) <- m; (b, nb) <- m if a < b
-        d = lev(na, nb)
-        if d <= math.min(64, (na.length + nb.length) / 20)
-      } yield (a, b, d.toLong)
-    }.toSet
+    val expected = (for {
+      ((a, na), ai) <- texts.zipWithIndex.iterator
+      (b, nb) <- texts.drop(ai + 1).iterator
+      theta = math.min(64, (na.length + nb.length) / 20)
+      if math.abs(na.length - nb.length) <= theta
+      d = banded(na, nb, 64)
+      if d >= 0 && d <= theta
+    } yield (a, b, d.toLong)).toSet
     assert(got === expected)
     assert(got.nonEmpty, "gate corpus should contain edit near-dups")
   }
