@@ -167,6 +167,13 @@ object SparkEntry {
     // the gate pins the pigeonhole guarantee, not just the plumbing
     "dedup_simhash_wide" -> ((s, dir) =>
       graft.dedup.Dedup.simhashPairsWide(s, dir)),
+    // the balanced build<=1 x probe<=2 split simhashPairsWide actually
+    // runs ABOVE the WideBalancedAbove switch (i.e. at exactly the
+    // scale gates can't reach) — forced here below the switch so the
+    // regime that is the only correct choice at corpus scale is
+    // hash-pinned by the same all-pairs oracle, not just spec-pinned
+    "dedup_simhash_wide_balanced" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairsWideBalanced(s, dir)),
     "dedup_ngram_capped" -> ((s, dir) => graft.dedup.Dedup.ngramJaccardCapped(s, dir)),
     // blocked Levenshtein (record-linkage classic): q-chunk pigeonhole
     // blocking (PassJoin family — structural recall 1.0, the oracle is
@@ -1658,6 +1665,14 @@ object SparkEntry {
     // FULL recall (the pigeonhole guarantee), not merely reproduce
     // their own plumbing
     "dedup_simhash_wide" ->
+      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$simhashSigsGlob'))
+         |SELECT x.doc_id AS i, y.doc_id AS j
+         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 15""".stripMargin,
+    // the balanced regime owes the IDENTICAL all-pairs ground truth:
+    // the build<=1 x probe<=2 mask split with the canonical-witness
+    // filter is recall- and emission-equivalent to radius-3 probing
+    "dedup_simhash_wide_balanced" ->
       s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$simhashSigsGlob'))
          |SELECT x.doc_id AS i, y.doc_id AS j
          |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id

@@ -390,11 +390,62 @@ object Dedup {
     * the exact bit_count verify; emission is canonical (i < j,
     * distinct). */
   def simhashPairsWide(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 15, maxBucket: Int = 1000,
+      sizeHint: Option[Long] = None): DataFrame = {
+    requireWideBand(maxHamming)
     val sigs = simhashSigs(spark, sfDir).localCheckpoint()
-    if (sigs.count() >= WideBalancedAbove)
-      simhashPairsWideBalancedOf(sigs, maxHamming, maxBucket)
-    else simhashPairsWideOf(sigs, maxHamming, maxBucket)
+    // regime pick: a caller-supplied size hint skips the count()
+    // pre-scan — composed pipelines at corpus scale should not pay a
+    // full pass over the signature frame just to choose a plan
+    // (r11 What's-wrong #3); the checkpointed frame is handed to the
+    // cores directly so neither regime re-checkpoints (one fewer job)
+    val n = sizeHint.getOrElse(sigs.count())
+    if (n >= WideBalancedAbove) wideBalancedCore(sigs, maxHamming, maxBucket)
+    else wideCore(sigs, maxHamming, maxBucket)
+  }
+
+  /** The BALANCED regime behind its own front door — the registered
+    * gate for the formulation that is the only correct choice at
+    * corpus scale (> [[WideBalancedAbove]] docs), forced below the
+    * switch so the oracle (the same Hamming ≤ 15 all-pairs ground
+    * truth as dedup_simhash_wide) hash-pins it rather than leaving it
+    * spec-only — the dedup_clusters_dist treatment. */
+  def simhashPairsWideBalanced(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame = {
+    requireWideBand(maxHamming)
+    wideBalancedCore(simhashSigs(spark, sfDir).localCheckpoint(),
+      maxHamming, maxBucket)
+  }
+
+  /** The 4 × 16-bit wide-band schemes are pigeonhole-complete ONLY
+    * for Hamming ≤ 15 (≤ 3 differing bits in the best band = the
+    * probe radius); a larger threshold would silently lose recall
+    * (ADVICE r11). */
+  private def requireWideBand(maxHamming: Int): Unit =
+    require(maxHamming <= 15,
+      s"wide-band SimHash is pigeonhole-complete only for maxHamming <= 15 " +
+        s"(4 bands x radius-3 probes); got $maxHamming")
+
+  /** Wide-band buckets whose (expanded) occupancy exceeds `maxBucket`
+    * — the ONE recall-loss channel of the wide-band schemes, made
+    * observable: [[simhashPairsWide]] drops these whole (by design —
+    * the df-cap discipline), so a corpus where this frame is
+    * non-empty can diverge from the all-pairs oracle and a production
+    * run should log/inspect it before trusting the pair set
+    * (ADVICE r11: cap-drops must be detectable). `balanced = true`
+    * audits the build ≤ 1 expanded occupancy the balanced regime
+    * caps. Empty on the gate fixture (spec-asserted). */
+  def wideBandDrops(sigs0: DataFrame, maxBucket: Int = 1000,
+      balanced: Boolean = false): DataFrame = {
+    val banded = wideBanded(sigs0)
+    val posted =
+      if (!balanced) banded
+      else banded.select(col("doc_id"), col("band"),
+        explode(expr(s"transform(array(${wideBuildMasks.mkString(",")}), " +
+          "m -> h ^ m)")).as("h"))
+    posted.groupBy(col("band"), col("h")).count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("h"), col("count").as("cnt"))
   }
 
   /** Doc count above which [[simhashPairsWide]] switches from
@@ -409,13 +460,27 @@ object Dedup {
     * form is the economical one and the registered plan stays put. */
   private[graft] val WideBalancedAbove: Long = 100000L
 
-  private[graft] def simhashPairsWideOf(sigs0: DataFrame,
-      maxHamming: Int, maxBucket: Int): DataFrame = {
-    val sigs = sigs0.localCheckpoint()
-    val banded = sigs.select(col("doc_id"), col("sig"),
+  /** (doc_id, sig, band, h) — the 4 × 16-bit band postings. */
+  private def wideBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS h))")).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
+
+  /** The 17 build-side masks of the balanced split: identity + the
+    * 16 single-bit flips. */
+  private[graft] val wideBuildMasks: Seq[Long] =
+    (0L +: (0 until 16).map(b => 1L << b)).sorted
+
+  private[graft] def simhashPairsWideOf(sigs0: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    requireWideBand(maxHamming)
+    wideCore(sigs0.localCheckpoint(), maxHamming, maxBucket)
+  }
+
+  private def wideCore(sigs: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val banded = wideBanded(sigs)
     val buckets = banded
       .groupBy(col("band"), col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
@@ -471,12 +536,14 @@ object Dedup {
     * form. */
   private[graft] def simhashPairsWideBalancedOf(sigs0: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
-    val sigs = sigs0.localCheckpoint()
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS h))")).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h"))
-    val buildMasks = (0L +: (0 until 16).map(b => 1L << b)).sorted
+    requireWideBand(maxHamming)
+    wideBalancedCore(sigs0.localCheckpoint(), maxHamming, maxBucket)
+  }
+
+  private def wideBalancedCore(sigs: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val banded = wideBanded(sigs)
+    val buildMasks = wideBuildMasks
     val probeMasks = (for (a <- 0 to 16; b <- 0 to 16)
       yield (((1 << a) ^ (1 << b)) & 0xffff).toLong).distinct.sorted
     val buckets = banded.select(col("doc_id"), col("sig"), col("band"),

@@ -142,6 +142,45 @@ class SimhashOracleSpec extends SparkSpec {
     assert(expected.contains((0L, 1L)) && !expected.contains((0L, 2L)))
   }
 
+  test("balanced gate plan: 17-mask build expansion, 137-mask probe, shuffle-hash join") {
+    // the registered dedup_simhash_wide_balanced gate must actually
+    // run the balanced plan: build side expands each band value by the
+    // 17 masks {0, 1, 2, ..., 32768}, probe side by the 137 <=2-bit
+    // masks (whose largest is 49152 = bits 14^15 — a value the build
+    // array never contains), joined shuffle-hash (never broadcast: the
+    // bucket frame is corpus-sized)
+    val plan = Dedup.simhashPairsWideBalanced(spark, sf())
+      .queryExecution.executedPlan.toString
+    val buildArray = // Catalyst prints array literals comma-packed
+      (0L +: (0 until 16).map(b => 1L << b)).sorted.mkString("[", ",", "]")
+    assert(plan.contains(buildArray), "build side must expand the 17 masks")
+    assert(plan.contains("49152"), "probe side must carry the 2-bit masks")
+    assert(plan.contains("ShuffledHashJoin"),
+      "bucket join must be shuffle-hash, never broadcast")
+    assert(!plan.contains("BroadcastHashJoin"))
+  }
+
+  test("wide-band guards: maxHamming > 15 rejected; cap drops observable and empty on the fixture") {
+    import spark.implicits._
+    val sigs = dumpedSigs().toSeq.toDF("doc_id", "sig")
+    // the pigeonhole is only complete for ham <= 15 — a wider ask
+    // must fail loudly, not lose recall silently (ADVICE r11)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWide(spark, sf(), maxHamming = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWideBalancedOf(sigs, 16, 1000)
+    }
+    // the gate fixture must not trip the cap in either regime — the
+    // precondition for the all-pairs oracles to hash-match — and a
+    // degenerate corpus must surface its drops
+    assert(Dedup.wideBandDrops(sigs, 1000).isEmpty)
+    assert(Dedup.wideBandDrops(sigs, 1000, balanced = true).isEmpty)
+    val degenerate = (1L to 50L).map(i => (i, 0L)).toDF("doc_id", "sig")
+    assert(Dedup.wideBandDrops(degenerate, 40).count() === 4L,
+      "50 identical sigs over cap 40 must surface all 4 band buckets")
+  }
+
   test("simhash oracle can fail: dropping a paired doc's signature is detected") {
     val got = Dedup.simhashPairs(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
