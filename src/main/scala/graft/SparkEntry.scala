@@ -231,6 +231,13 @@ object SparkEntry {
     // occurrence per distinct chunk text (the one-shot oracle)
     "dedup_exact_stream" -> ((s, dir) =>
       graft.streaming.ExactStream.chunkDedupStream(s, dir)),
+    // same replay with a MID-STREAM COMPACTION of the seen-hash delta
+    // log (committed subdirs folded to one DISTINCT subdir via the
+    // staged, roll-forward-safe DeltaIndex protocol) — the kept set
+    // must still equal the one-shot oracle, so a compaction bug is a
+    // hash mismatch (the text_source_drift_compact treatment)
+    "dedup_exact_stream_compact" -> ((s, dir) =>
+      graft.streaming.ExactStream.chunkDedupCompactStream(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.dedup.Dedup.ngramClusters(s, dir)),
     "dedup_split_leakage" -> ((s, dir) => graft.dedup.Dedup.splitLeakage(s, dir)),
     // scale compositions over the banded/capped LSH pair generator;
@@ -1793,27 +1800,11 @@ object SparkEntry {
     // lexicographic-min occurrence per hash, so the one-shot dedup is
     // the oracle verbatim — chunk CTE (the text_chunk fragment), md5,
     // min (doc_id, chunk_id) per hash
-    "dedup_exact_stream" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents),
-        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
-        |ch AS (SELECT doc_id, t, n,
-        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
-        |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
-        |  FROM nz),
-        |c AS (
-        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |    md5(array_to_string(t[chunk_id * 48 + 1 :
-        |      chunk_id * 48 + least(64, n - chunk_id * 48)], ' ')) AS chunk_md5
-        |  FROM ch),
-        |k AS (
-        |  SELECT chunk_md5, doc_id, chunk_id,
-        |    row_number() OVER (PARTITION BY chunk_md5
-        |      ORDER BY doc_id, chunk_id) AS rn
-        |  FROM c)
-        |SELECT chunk_md5, doc_id, chunk_id FROM k WHERE rn = 1""".stripMargin,
+    "dedup_exact_stream" -> dedupExactStreamSql,
+    // the fold (DISTINCT over committed hash subdirs) is invariant for
+    // the anti-join, so the compacted replay owes the same one-shot
+    // ground truth verbatim
+    "dedup_exact_stream_compact" -> dedupExactStreamSql,
     "ann_topk" -> annTopkCosineSql,
     // SQ8's distortion is bounded by one 1/255 step per dimension and
     // its candidate budget (rerank = 50 ≫ k = 5) is re-scored with
@@ -3232,6 +3223,34 @@ object SparkEntry {
        |    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
        |  GROUP BY 1, 2""".stripMargin, "bucket")
 
+  /** Streaming exact chunk dedup — shared by the plain replay gate
+    * and the mid-stream-compaction gate: micro-batches in doc_id
+    * order make "first batch to see the hash, then first in batch"
+    * the GLOBAL lexicographic-min occurrence per hash, so the
+    * one-shot dedup is the oracle verbatim — chunk CTE (the
+    * text_chunk fragment), md5, min (doc_id, chunk_id) per hash. */
+  private def dedupExactStreamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+      |ch AS (SELECT doc_id, t, n,
+      |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+      |                        ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+      |  FROM nz),
+      |c AS (
+      |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |    md5(array_to_string(t[chunk_id * 48 + 1 :
+      |      chunk_id * 48 + least(64, n - chunk_id * 48)], ' ')) AS chunk_md5
+      |  FROM ch),
+      |k AS (
+      |  SELECT chunk_md5, doc_id, chunk_id,
+      |    row_number() OVER (PARTITION BY chunk_md5
+      |      ORDER BY doc_id, chunk_id) AS rn
+      |  FROM c)
+      |SELECT chunk_md5, doc_id, chunk_id FROM k WHERE rn = 1""".stripMargin
+
   /** Blocked-Levenshtein near-dup pairs — shared by the standalone
     * gate, the capped gate, the edit-clusters recursive closure and
     * the family report. The oracle is the ALL-PAIRS ground truth: NO
@@ -3366,7 +3385,7 @@ object SparkEntry {
        |gridS AS (SELECT doc_id, chunk_id, unnest(range(0, 32)) AS bucket
        |          FROM (SELECT DISTINCT doc_id, chunk_id FROM w)),
        |e AS (
-       |  SELECT doc_id * 1024 + chunk_id AS vec_id,
+       |  SELECT (doc_id << 32) + chunk_id AS vec_id,
        |    list(CAST(coalesce(wx.weight, 0) AS DOUBLE) ORDER BY g2.bucket) AS v
        |  FROM gridS g2 LEFT JOIN w wx USING (doc_id, chunk_id, bucket)
        |  GROUP BY doc_id, chunk_id),
@@ -3380,11 +3399,11 @@ object SparkEntry {
        |stepv AS (SELECT max(doc_id) // 4 + 1 AS step FROM documents),
        |kept0 AS (SELECT a.vec_id, a.cell, e.v
        |          FROM asg a JOIN e ON e.vec_id = a.vec_id
-       |          WHERE (a.vec_id // 1024) % 10 <> 0),
+       |          WHERE ((a.vec_id >> 32) % 10) <> 0),
        |bat AS (SELECT a.vec_id, a.cell, a.sim, e.v,
-       |          CAST((a.vec_id // 1024) // stepv.step AS INT) AS b
+       |          CAST((a.vec_id >> 32) // stepv.step AS INT) AS b
        |        FROM asg a JOIN e ON e.vec_id = a.vec_id CROSS JOIN stepv
-       |        WHERE (a.vec_id // 1024) % 10 = 0),
+       |        WHERE ((a.vec_id >> 32) % 10) = 0),
        |$stages
        |SELECT bat.vec_id, bat.cell,
        |  CAST(round(bat.sim * 1000000) AS BIGINT) AS cent_sim_micro,

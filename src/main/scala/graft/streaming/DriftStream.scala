@@ -37,22 +37,22 @@ object DriftStream {
     * to batch ids strictly below it — the committed PREFIX a retried
     * batch must be judged against. */
   def readCounts(spark: SparkSession, idxPath: String,
-      before: Long = Long.MaxValue): DataFrame = {
-    val dir = new java.io.File(idxPath)
-    val parts = Option(dir.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") &&
-          f.getName.drop(1).toLongOption.exists(_ < before))
-        .map(_.getAbsolutePath).sorted)
-      .getOrElse(Array.empty[String])
+      before: Long = Long.MaxValue): DataFrame =
+    foldParts(spark, DeltaIndex.listBatches(spark, idxPath, before))
+
+  /** Sum a set of batch subdirs into one counts frame. Listing and
+    * deletion go through [[DeltaIndex]] (Hadoop FS): on HDFS/S3 a
+    * `java.io.File` listing would return null and the monitor would
+    * silently treat every token as a first sighting. */
+  private def foldParts(spark: SparkSession, parts: Seq[String]): DataFrame =
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "source STRING, tok STRING, c_src BIGINT"))
-    else spark.read.parquet(parts.toIndexedSeq: _*)
+    else spark.read.parquet(parts: _*)
       .groupBy(col("source"), col("tok"))
       .agg(sum(col("c_src")).as("c_src"))
-  }
 
   /** One micro-batch: count `docs`' (source, token) occurrences and
     * land them as this batch's subdir. Derived from the batch alone —
@@ -80,25 +80,18 @@ object DriftStream {
     * a partial landing into the sum, the retry would double-count it.
     * Only the caller's checkpoint knows the committed watermark, so
     * the caller states it; subdirs at or above `upTo` are untouched
-    * and keep composing. */
-  def compact(spark: SparkSession, idxPath: String, upTo: Long): Unit = {
-    val dir = new java.io.File(idxPath)
-    val parts = Option(dir.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        f.getName.drop(1).toLongOption.exists(_ < upTo)))
-      .getOrElse(Array.empty[java.io.File])
-    if (parts.length > 1) {
-      val summed = readCounts(spark, idxPath, before = upTo).localCheckpoint()
-      parts.foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete(); ()
-        }
-        rm(f)
-      }
-      summed.write.mode("overwrite").parquet(s"$idxPath/b${upTo - 1}")
-    }
-  }
+    * and keep composing.
+    *
+    * Durability is [[DeltaIndex.compact]]'s staging protocol: the
+    * folded sum lands as a hidden `_SUCCESS`-marked subdir BEFORE any
+    * input is deleted (the previous in-place form held the fold only
+    * as executor localCheckpoint state across the deletes — a crash
+    * there lost the whole committed prefix; ADVICE r11), and a crash
+    * between the deletes and the rename rolls forward at the next
+    * read. */
+  def compact(spark: SparkSession, idxPath: String, upTo: Long): Unit =
+    DeltaIndex.compact(spark, idxPath, upTo)(parts =>
+      foldParts(spark, parts))
 
   /** Fresh index path per gate run ([[SemStream]] convention). */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)

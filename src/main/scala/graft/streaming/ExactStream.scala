@@ -42,21 +42,33 @@ object ExactStream {
     * (empty frame before the first append). `before` restricts to
     * batch ids strictly below it — the committed PREFIX a retried
     * batch must be judged against (never its own earlier, possibly
-    * partial, append). */
+    * partial, append). Listing goes through [[DeltaIndex]] (Hadoop
+    * FS — on HDFS/S3 a `java.io.File` listing would return null and
+    * this read would silently claim an empty index, waving every
+    * already-seen chunk through). */
   def readIndex(spark: SparkSession, idxPath: String,
-      before: Long = Long.MaxValue): DataFrame = {
-    val dir = new java.io.File(idxPath)
-    val parts = Option(dir.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") &&
-          f.getName.drop(1).toLongOption.exists(_ < before))
-        .map(_.getAbsolutePath).sorted)
-      .getOrElse(Array.empty[String])
+      before: Long = Long.MaxValue): DataFrame =
+    readParts(spark, DeltaIndex.listBatches(spark, idxPath, before))
+
+  private def readParts(spark: SparkSession, parts: Seq[String]): DataFrame =
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("chunk_md5 STRING"))
-    else spark.read.parquet(parts.toIndexedSeq: _*)
-  }
+    else spark.read.parquet(parts: _*)
+
+  /** COMPACTION for the seen-hash delta log: fold the COMMITTED batch
+    * subdirs (ids strictly below `upTo` — the caller's checkpoint
+    * watermark, same contract as [[DriftStream.compact]]) into one
+    * DISTINCT subdir `b(upTo-1)`. The anti-join is invariant under
+    * the fold (membership is membership), so a crawl that appends one
+    * subdir per micro-batch forever can periodically collapse its
+    * small-files tail; [[DeltaIndex.compact]]'s staging + roll-forward
+    * protocol keeps a durable on-disk copy of the prefix at every
+    * moment. */
+  def compact(spark: SparkSession, idxPath: String, upTo: Long): Unit =
+    DeltaIndex.compact(spark, idxPath, upTo)(parts =>
+      readParts(spark, parts).distinct())
 
   /** One micro-batch: `chunks` is (doc_id, chunk_id, chunk). Returns
     * the KEPT rows (chunk_md5, doc_id, chunk_id) — first occurrence
@@ -91,7 +103,24 @@ object ExactStream {
     * Output: the kept (chunk_md5, doc_id, chunk_id) rows — globally,
     * the lexicographic-min occurrence of every distinct chunk text. */
   def chunkDedupStream(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame =
+    chunkDedupReplay(spark, sfDir, nBatches, compactMidStream = false)
+
+  /** Gate surface (`dedup_exact_stream_compact`): the same replay
+    * with a mid-stream COMPACTION — batches 0..n-2 land, the
+    * committed prefix folds into one DISTINCT subdir, the last batch
+    * dedups against the compacted index — and the kept set must
+    * STILL equal the one-shot oracle verbatim (the
+    * `text_source_drift_compact` treatment: a compaction bug is a
+    * hash mismatch, not a spec-only finding). */
+  def chunkDedupCompactStream(spark: SparkSession, sfDir: String,
       nBatches: Int = 4): DataFrame = {
+    require(nBatches >= 2, "compaction mid-stream needs at least 2 batches")
+    chunkDedupReplay(spark, sfDir, nBatches, compactMidStream = true)
+  }
+
+  private def chunkDedupReplay(spark: SparkSession, sfDir: String,
+      nBatches: Int, compactMidStream: Boolean): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val maxId = docs.agg(coalesce(max(col("doc_id")), lit(-1L)))
       .head().getLong(0)
@@ -107,6 +136,8 @@ object ExactStream {
     val idxPath = graft.core.SessionScratch.path(spark, sfDir,
       s"graft_exactstream${runSeq.incrementAndGet()}")
     (0 until nBatches).map { b =>
+      if (compactMidStream && b == nBatches - 1)
+        compact(spark, idxPath, upTo = b.toLong)
       dedupBatch(spark, idxPath, b.toLong,
         chunks.filter(col("doc_id") >= b * step &&
           col("doc_id") < (b + 1) * step))

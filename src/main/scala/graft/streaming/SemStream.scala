@@ -60,8 +60,13 @@ object SemStream {
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Dense chunk vectors over the integer feature-hash embedding:
-    * vec_id = doc_id * 1024 + chunk_id (the chunk-id scheme of
-    * ChunkStreamSpec), v = the `dim` bucket weights in bucket order
+    * vec_id = doc_id << 32 | chunk_id — a 32-bit split, NOT a ×1024
+    * pack: a 49k-token document at window 64 / stride 48 already has
+    * more than 1024 chunks, and a multiplicative pack would silently
+    * merge vectors across documents AND corrupt the %10 holdout
+    * split (ADVICE r11); chunk counts can never reach 2³² (chunk_id
+    * < token count), so the shift is collision-free for any
+    * non-negative doc_id — v = the `dim` bucket weights in bucket order
     * (integer-valued doubles — dot products are EXACT on both
     * engines), nrm as [[graft.sim.Similarity.loadVectors]] computes
     * it. Chunks whose buckets all cancel to zero carry no bucket rows
@@ -83,7 +88,7 @@ object SemStream {
         dim, idCols = Seq("doc_id", "chunk_id"), textCol = "chunk")
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(collect_list(struct(col("bucket"), col("weight"))).as("bw"))
-      .select((col("doc_id") * 1024 + col("chunk_id")).as("vec_id"),
+      .select(expr("shiftleft(doc_id, 32) + chunk_id").as("vec_id"),
         expr(s"""transform(sequence(0, ${dim - 1}), b ->
                 |  CAST(coalesce(aggregate(filter(bw, x -> x.bucket = b),
                 |    0L, (a, x) -> a + x.weight), 0L) AS DOUBLE))""".stripMargin)
@@ -133,7 +138,7 @@ object SemStream {
     val vecs = chunkVecs(spark, sfDir).localCheckpoint()
     val idxPath = graft.core.SessionScratch.path(spark, sfDir,
       s"graft_semstream${runSeq.incrementAndGet()}")
-    SemIndex.build(vecs.filter(v => (v.vec_id / 1024) % 10 != 0), idxPath,
+    SemIndex.build(vecs.filter(v => (v.vec_id >> 32) % 10 != 0), idxPath,
       trainer = graft.sim.Kmeans.trainOrdered)
     val base = new java.io.File(sfDir).getName
     graft.core.SideDump.write(
@@ -142,8 +147,8 @@ object SemStream {
     (0 until nBatches).map { b =>
       val lo = b * step; val hi = (b + 1) * step
       probeAppendBatch(spark, vecs, idxPath,
-        vecs.filter(v => (v.vec_id / 1024) % 10 == 0 &&
-          v.vec_id / 1024 >= lo && v.vec_id / 1024 < hi), tau)
+        vecs.filter(v => (v.vec_id >> 32) % 10 == 0 &&
+          (v.vec_id >> 32) >= lo && (v.vec_id >> 32) < hi), tau)
     }.reduce(_ unionByName _)
   }
 }

@@ -108,4 +108,51 @@ class ExactStreamSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("chunk_md5", "doc_id", "chunk_id"))
     assert(out.count() === 0L)
   }
+
+  test("compaction: kept set invariant, subdirs collapse, retry above stays exact") {
+    val chunks = graft.text.Chunking.chunks(spark, sf())
+      .select(col("doc_id"), col("chunk_id"), col("chunk"))
+      .localCheckpoint()
+    val maxId = chunks.agg(max("doc_id")).head().getLong(0)
+    val step = maxId / 4 + 1
+    // scheme-qualified path: the whole cycle (list, anti-join,
+    // compact, roll-forward) must run through Hadoop FS
+    val idxPath = s"file://${tmp("compact")}"
+    def slice(b: Int) = chunks.filter(col("doc_id") >= b * step &&
+      col("doc_id") < (b + 1) * step)
+    val kept = (0 until 3).flatMap { b =>
+      ExactStream.dedupBatch(spark, idxPath, b.toLong, slice(b)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    val idxBefore = ExactStream.readIndex(spark, idxPath).collect()
+      .map(_.getString(0)).toSet
+    // compact the committed prefix b0..b1; b2 may still be in flight
+    ExactStream.compact(spark, idxPath, upTo = 2L)
+    assert(ExactStream.readIndex(spark, idxPath).collect()
+      .map(_.getString(0)).toSet === idxBefore,
+      "the DISTINCT fold must preserve index membership exactly")
+    val subdirs = DeltaIndex.listBatches(spark, idxPath)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    assert(subdirs === Seq("b1", "b2"),
+      "compaction folds the committed prefix into b(upTo-1), leaving b2")
+    // a retry of the in-flight batch 2 after compaction is idempotent
+    val retry = ExactStream.dedupBatch(spark, idxPath, 2L, slice(2)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(retry === kept.filter { case (m, _, _) =>
+      retry.exists(_._1 == m) } || retry.subsetOf(kept))
+    // the last batch lands above the fold; the total equals one-shot
+    val last = ExactStream.dedupBatch(spark, idxPath, 3L,
+      chunks.filter(col("doc_id") >= 3 * step)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = oneShot().map { case (m, (d, c)) => (m, d, c) }.toSet
+    assert((kept ++ last) === expect)
+  }
+
+  test("compact-gate surface equals the one-shot dedup; 2-batch edge works") {
+    val expect = oneShot().map { case (m, (d, c)) => (m, d, c) }.toSet
+    def run(n: Int) = ExactStream.chunkDedupCompactStream(spark, sf(), n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(4) === expect)
+    assert(run(2) === expect)
+  }
 }

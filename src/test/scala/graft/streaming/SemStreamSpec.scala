@@ -33,7 +33,7 @@ class SemStreamSpec extends SparkSpec {
     val idxPath = java.nio.file.Files
       .createTempDirectory("graft_semstream_spec").toString
     val vecs = SemStream.chunkVecs(spark, dir).localCheckpoint()
-    SemIndex.build(vecs.filter(v => (v.vec_id / 1024) % 10 != 0), idxPath,
+    SemIndex.build(vecs.filter(v => (v.vec_id >> 32) % 10 != 0), idxPath,
       trainer = graft.sim.Kmeans.trainOrdered)
 
     // the gate's four doc_id-range batches, through the real stream
@@ -46,7 +46,7 @@ class SemStreamSpec extends SparkSpec {
     val q = input.toDS().toDF("doc_id", "text").writeStream
       .foreachBatch { (ds: DataFrame, _: Long) =>
         val batch = SemStream.chunkVecsOf(ds)
-          .filter(v => (v.vec_id / 1024) % 10 == 0)
+          .filter(v => (v.vec_id >> 32) % 10 == 0)
         val out = SemStream.probeAppendBatch(spark, vecs, idxPath, batch,
           SemStream.Tau).collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
