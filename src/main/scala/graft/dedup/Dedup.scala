@@ -604,11 +604,18 @@ object Dedup {
     * Output: (doc_id, cluster_id) for every document in `docs`
     * (singletons map to themselves). */
   def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20, driverMaxEdges: Long = 4000000L): DataFrame = {
+      maxIters: Int = 20, driverMaxEdges: Long = 4000000L,
+      pairCountHint: Option[Long] = None): DataFrame = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
-    val small = edges.count() <= driverMaxEdges * 2
+    // regime pick: a caller that already knows (or bounds) its pair
+    // count passes the hint and skips the count() pre-scan — composed
+    // pipelines at corpus scale shouldn't pay a full pass over the
+    // edge frame just to choose a plan (r11 What's-wrong #3; the
+    // simhashPairsWide sizeHint twin). The count is of PAIRS; the
+    // doubled edge frame is compared against 2× the driver budget.
+    val small = pairCountHint.getOrElse(edges.count() / 2) <= driverMaxEdges
     lastHashMinIters = 0 // driver path reports 0; hash-min overwrites
     val labels = if (small) driverUnionFind(edges) else hashMinLabels(edges, maxIters)
     // broadcast only the driver-sized result; the large-regime label

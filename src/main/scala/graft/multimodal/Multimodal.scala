@@ -454,6 +454,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
       VideoFrames.decodeAviFrames(r.media) match {
+        // a frameless decode must emit zero rows, never a `by 0`
+        // stride (decodeAviFrames currently returns None for an empty
+        // movi list — this pins the no-rows behavior if that contract
+        // ever loosens, same hazard ADVICE r11 flagged below)
+        case Some((_, _, frames)) if frames.isEmpty => Seq.empty
         case Some((w, h, frames)) =>
           val stride = (frames.length + maxFrames - 1) / maxFrames
           (0 until frames.length by stride).map { f =>
@@ -465,9 +470,15 @@ object Multimodal {
         case None =>
           val (_, _, nf, _, _) = decodeHeaders(r.media)
             .getOrElse(decodeStub(r.kind, r.media))
-          val stride = (nf + maxFrames - 1) / maxFrames
-          (0L until nf by stride).map { f =>
-            (r.media_id, f, (r.media_id * 31 + f * 7) % 256)
+          // a parsed-but-frameless header (e.g. an MP4 with an empty
+          // stts) yields n_frames = 0 → emit no rows; the unguarded
+          // stride would be 0 and `by 0` throws (ADVICE r11)
+          if (nf <= 0L) Seq.empty
+          else {
+            val stride = (nf + maxFrames - 1) / maxFrames
+            (0L until nf by stride).map { f =>
+              (r.media_id, f, (r.media_id * 31 + f * 7) % 256)
+            }
           }
       }
     }.toDF("media_id", "frame_idx", "luma")

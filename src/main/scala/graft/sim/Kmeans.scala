@@ -69,7 +69,7 @@ object Kmeans {
 
   /** [[train]] seeded from the first `k` vectors in vec_id ORDER
     * rather than by vec_id VALUE — for corpora whose id space is not
-    * 0-dense (e.g. chunk vectors keyed doc_id·1024 + chunk_id, where
+    * 0-dense (e.g. chunk vectors keyed doc_id << 32 | chunk_id, where
     * no id falls below k once the low docs land in another slice).
     * Same determinism, same Lloyd rounds; a distributed sort-limit
     * replaces the id filter as the seed scan. */
@@ -102,16 +102,20 @@ object Kmeans {
     *    (cell, partition) order). */
   private[sim] def trainFrom(corpus: Dataset[Vec], seeds: Array[Centroid],
       iters: Int,
-      blockedAbove: Int = CentroidIndex.LinearBelow): Array[Centroid] = {
+      blockedAbove: Int = CentroidIndex.LinearBelow,
+      appendStages: Boolean = false): Array[Centroid] = {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
-    // stage log is PER TRAIN RUN: seedParallel resets it when it runs
-    // first, but the plain train/trainOrdered paths enter here
-    // directly — without this reset a long-lived session's repeated
-    // small-k trains would append 'lloyd round N' entries unboundedly
-    // and bleed one bench's stage report into the next
-    if (!seedStagesOpen) lastTrainStages = Nil
-    seedStagesOpen = false
+    // stage log is PER TRAIN RUN: the plain train/trainOrdered paths
+    // reset it on entry — without this a long-lived session's
+    // repeated small-k trains would append 'lloyd round N' entries
+    // unboundedly and bleed one bench's stage report into the next.
+    // trainParallel passes appendStages = true EXPLICITLY so its
+    // Lloyd rounds extend the seedParallel stages of the same run —
+    // composition state travels in the call, not in a shared mutable
+    // latch a seedParallel-without-trainFrom would leave dangling
+    // (ADVICE r11)
+    if (!appendStages) lastTrainStages = Nil
     var cents = seeds
     val blockedPrep =
       if (iters > 0 && seeds.length >= blockedAbove)
@@ -170,12 +174,6 @@ object Kmeans {
     * nanoTime pair per stage). */
   @volatile private[sim] var lastTrainStages: List[(String, Double)] = Nil
 
-  /** True between a [[seedParallel]] reset and the [[trainFrom]] that
-    * consumes its seeds, so the trainParallel composition logs ONE
-    * run's stages while standalone trainFrom entries reset their own
-    * log (the unbounded-append fix). */
-  @volatile private var seedStagesOpen: Boolean = false
-
   private def staged[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -215,7 +213,6 @@ object Kmeans {
     import corpus.sparkSession.implicits._
     val spark = corpus.sparkSession
     lastTrainStages = Nil
-    seedStagesOpen = true // let trainParallel's Lloyd rounds append
     val first = corpus.orderBy(col("vec_id")).head()
     var seeds: Array[Array[Double]] = Array(normalize(first.v))
     // SEEDING path switch (r11 adjudication of the r10 rebuild): the
@@ -528,7 +525,8 @@ object Kmeans {
     * is invisible to the gates). */
   def trainParallel(corpus: Dataset[Vec], k: Int, iters: Int,
       rounds: Int = 3, oversample: Double = 2.0): Array[Centroid] =
-    trainFrom(corpus, seedParallel(corpus, k, rounds, oversample), iters)
+    trainFrom(corpus, seedParallel(corpus, k, rounds, oversample), iters,
+      appendStages = true)
 
   /** Mean within-cluster cosine (×1e6, integer) — the spherical
     * k-means objective; must be non-decreasing over training. */

@@ -152,15 +152,30 @@ object TextAnalysis {
     * only pass over `text`. */
   private def mixMembership(spark: SparkSession, sfDir: String,
       budgetTokens: Long,
-      extra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      extra: Seq[(String, org.apache.spark.sql.Column)],
+      derived: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty): DataFrame = {
     val plan = mixPlan(spark, sfDir, budgetTokens)
       .select(col("lang"),
         least(col("full_epochs"), lit(MaxEpochs)).as("full_epochs"),
         col("resid_ppm"))
-    val extraCols = extra.map { case (n, _) => col(n) }
-    documents(spark, sfDir)
+    // `extra` is evaluated in the one projection over `text`;
+    // `derived` is a SECOND projection over the extra columns — the
+    // two stay separate stages (CollapseProject won't inline a
+    // non-cheap alias referenced more than once), so an expensive
+    // tokenization feeding several derived terms runs ONCE per row
+    // instead of once per mention (the r11 triple-tokenize
+    // curriculum flag: 37 s → single-scan at 133×). Only `derived`
+    // names are carried through the explode when present.
+    val carried = if (derived.isEmpty) extra else derived
+    val extraCols = carried.map { case (n, _) => col(n) }
+    val scanned = documents(spark, sfDir)
       .select(col("doc_id") +: col("lang") +:
         extra.map { case (n, c) => c.as(n) }: _*)
+    val projected =
+      if (derived.isEmpty) scanned
+      else scanned.select(col("doc_id") +: col("lang") +:
+        derived.map { case (n, c) => c.as(n) }: _*)
+    projected
       .join(broadcast(plan), Seq("lang"))
       .select(col("lang") +: col("doc_id") +: (extraCols ++
         Seq(col("full_epochs"), col("resid_ppm"),
@@ -199,15 +214,24 @@ object TextAnalysis {
       .select(col("lang"), col("doc_id"), col("epoch"),
         col("rank").as("train_order"))
 
+  /** The two quality COUNT expressions over `text` — the same
+    * arithmetic [[quality]] computes, factored so a carrying scan
+    * tokenizes once per count (not once per mention of the count). */
+  private val NTokensSql =
+    "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+  private val NStopSql =
+    "size(filter(split(lower(text), '[^a-z]+'), " +
+      "x -> x IN ('the','a','of','and','to','is','in')))"
+
   /** The `is_quality` predicate as one expression over `text` — the
     * same arithmetic [[quality]] builds from its intermediate counts
-    * (spec-pinned equal), for callers that need the flag carried
-    * through another scan. */
+    * (spec-pinned equal). REFERENCE form only: it mentions the token
+    * count twice, so inlined into a scan it tokenizes every document
+    * three times (the r11 26×-scaling curriculum finding) — hot paths
+    * project [[NTokensSql]]/[[NStopSql]] once and derive the flag
+    * from the columns instead ([[mixOrderCurriculum]]). */
   val QualityFlagSql: String =
-    "size(filter(split(text, '\\\\s+'), x -> x != '')) BETWEEN 5 AND 10000 AND " +
-      "size(filter(split(lower(text), '[^a-z]+'), " +
-      "x -> x IN ('the','a','of','and','to','is','in'))) * 20 >= " +
-      "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+    s"$NTokensSql BETWEEN 5 AND 10000 AND $NStopSql * 20 >= $NTokensSql"
 
   /** CURRICULUM training order — [[mixOrder]] with a quality
     * curriculum inside each epoch: every pass presents the clean
@@ -221,7 +245,11 @@ object TextAnalysis {
       budgetTokens: Long = 2500000L): DataFrame =
     SequencePacking.globalRank(
       mixMembership(spark, sfDir, budgetTokens,
-        Seq("is_quality" -> expr(QualityFlagSql).cast("long")))
+        extra = Seq("n_tokens" -> expr(NTokensSql).cast("long"),
+          "n_stop" -> expr(NStopSql).cast("long")),
+        derived = Seq("is_quality" ->
+          (col("n_tokens").between(5L, 10000L) &&
+            col("n_stop") * 20L >= col("n_tokens")).cast("long")))
         .withColumn("shuffle_key", epochShuffleKey),
       Seq(col("epoch"), col("is_quality").desc, col("shuffle_key"),
         col("doc_id")))
