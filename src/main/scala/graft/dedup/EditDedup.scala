@@ -87,12 +87,22 @@ object EditDedup {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   /** Normalized text per doc — the payload frame (joined ONCE, after
-    * candidate ids are final). */
+    * candidate ids are final), plus the 36-symbol character-frequency
+    * vector `cv`: each edit operation moves the count vector by at
+    * most 2 in L1 (substitution ±1 twice, indel ±1 once), so
+    * `ed(a,b) ≥ L1(cv_a, cv_b)/2` — a provably-implied candidate
+    * filter (the oracle runs the identical one) that rejects the
+    * common-phrase collisions content blocking inevitably admits
+    * (measured sf0.1: 663k candidates → the DP runs on the handful
+    * the bound can't separate). Ignoring the space character keeps
+    * the bound valid (a sub-alphabet L1 only shrinks). */
   private def normalized(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("nt"))
       .withColumn("len", length(col("nt")).cast("long"))
+      .withColumn("cv", array((('a' to 'z') ++ ('0' to '9')).map(c =>
+        col("len") - length(regexp_replace(col("nt"), c.toString, "")).cast("long")): _*))
 
   /** τ_max / chunk-length plumbing shared by the operator and the
     * [[blockingDrops]] audit. Adds `tmax`, `cl` (chunk length) to a
@@ -182,26 +192,45 @@ object EditDedup {
   def editPairs(spark: SparkSession, sfDir: String, cap: Int = 1000): DataFrame =
     editPairsOf(documents(spark, sfDir), cap)
 
+  /** The corpus pair set as a session-scoped build-once artifact (the
+    * [[LshIndex]] lifecycle): the capped/cluster/family gates are
+    * DERIVED views of one pair computation, so they read the pairs a
+    * production pipeline would have materialized anyway instead of
+    * re-running candidate generation per consumer. Default cap only;
+    * deterministic, so every consumer sees identical rows. */
+  private def pairsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.core.SessionScratch.path(spark, sfDir, "edit_pairs")
+    graft.core.SessionScratch.buildOnce(spark, path) {
+      editPairs(spark, sfDir).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Same over any (doc_id, text) frame. See the object doc for the
     * pigeonhole argument; plan shape: metadata-only candidates →
     * distinct pair ids → two 1:1 payload joins → one banded DP per
     * candidate. */
   def editPairsOf(docs: DataFrame, cap: Int = 1000): DataFrame = {
-    val norm = normalized(docs)
-    val chunks = chunkKeys(norm)
-    val grams = gramKeys(norm)
+    // read 4× (chunk keys, gram keys, two payload joins) — normalize
+    // and count once, not per consumer
+    val norm = normalized(docs).localCheckpoint()
     // df-cap, both sides: a key that is degenerate on either side is
     // dropped whole (both engines of the CAPPED gates mirror this;
-    // the uncapped-oracle gates assert the cap never bites instead)
-    def capped(side: DataFrame): DataFrame = {
-      val small = side.groupBy("l", "k", "pb", "lb").count()
-        .filter(col("count") <= cap)
-        .select(col("l"), col("k"), col("pb"), col("lb"))
-      side.join(small, Seq("l", "k", "pb", "lb"), "leftsemi")
-    }
+    // the uncapped-oracle gates assert the cap never bites instead).
+    // The count is a WINDOW over the join key, not an aggregate +
+    // semi-join: one shuffle per side instead of two, and the window
+    // leaves each side partitioned BY the join key, so the join below
+    // reuses the layout instead of re-shuffling (measured sf0.1:
+    // 36 s → 9 s for the full operator with this + the cv prefilter)
+    def capped(side: DataFrame): DataFrame =
+      side.withColumn("key_n", count(lit(1)).over(
+          Window.partitionBy(col("l"), col("k"), col("pb"), col("lb"))))
+        .filter(col("key_n") <= cap)
+        .drop("key_n")
     val theta = least(lit(MaxDist.toLong),
       expr(s"(a.len + b.len) DIV $LenBucket"))
-    val pairIds = capped(chunks).as("a").join(capped(grams).as("b"),
+    val pairIds = capped(chunkKeys(norm)).as("a")
+      .join(capped(gramKeys(norm)).as("b"),
         col("a.l") === col("b.l") && col("a.k") === col("b.k") &&
           col("a.pb") === col("b.pb") && col("a.lb") === col("b.lb") &&
           col("a.len") <= col("b.len") &&
@@ -213,11 +242,29 @@ object EditDedup {
       .distinct()
     pairIds
       .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a"),
-        col("len").as("len_a")), Seq("doc_a"))
+        col("len").as("len_a"), col("cv").as("cv_a")), Seq("doc_a"))
       .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
-        col("len").as("len_b")), Seq("doc_b"))
-      .withColumn("dist",
-        expr(s"CAST(levenshtein(nt_a, nt_b, ${MaxDist + 1}) AS BIGINT)"))
+        col("len").as("len_b"), col("cv").as("cv_b")), Seq("doc_b"))
+      // provably-implied rejection BEFORE the DP: ed >= L1(cv)/2, so
+      // L1 > 2θ can never pass the distance filter — the O(36) integer
+      // pass kills the common-phrase candidate mass, the O(len·65) DP
+      // runs only on survivors (same two-stage shape as the oracle)
+      .filter(expr(
+        s"""aggregate(zip_with(cv_a, cv_b, (x, y) -> abs(x - y)),
+           |  0L, (acc, x) -> acc + x)
+           |<= 2 * least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket)""".stripMargin))
+      // the DP band is the PAIR's own acceptance threshold, not the
+      // global MaxDist ceiling: levenshtein(a, b, θ+1) returns -1 the
+      // moment the distance provably exceeds θ, and the filter never
+      // accepts above θ — identical keep-set, ~2× narrower band at
+      // typical lengths (θ ≈ len/10 vs 64). Byte-identical strings
+      // (the bulk of a dup-saturated crawl) short-circuit to 0 on an
+      // O(len) equality instead of the O(len·θ) DP.
+      .withColumn("dist", expr(
+        s"""CAST(CASE WHEN nt_a = nt_b THEN 0
+           |  ELSE levenshtein(nt_a, nt_b, CAST(
+           |    least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket) + 1L
+           |    AS INT)) END AS BIGINT)""".stripMargin))
       .filter(col("dist") >= 0 &&
         col("dist") <= least(lit(MaxDist.toLong),
           expr(s"(len_a + len_b) DIV $LenBucket")))
@@ -233,7 +280,7 @@ object EditDedup {
     * partner id so both engines agree row-for-row. Two window ranks
     * over the (already bounded) pair set — no new shuffle shape. */
   def editPairsCapped(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
-    val pairs = editPairs(spark, sfDir)
+    val pairs = pairsCached(spark, sfDir)
     val ra = row_number().over(
       Window.partitionBy(col("doc_a")).orderBy(col("dist"), col("doc_b")))
     val rb = row_number().over(
@@ -255,7 +302,7 @@ object EditDedup {
   def familyReport(spark: SparkSession, sfDir: String): DataFrame = {
     val ngram = Dedup.ngramJaccard(spark, sfDir)
       .select(col("i"), col("j"), lit(1L).as("in_ngram"))
-    val edit = editPairs(spark, sfDir)
+    val edit = pairsCached(spark, sfDir)
       .select(col("doc_a").as("i"), col("doc_b").as("j"),
         lit(1L).as("in_edit"))
     ngram.join(edit, Seq("i", "j"), "full_outer")
@@ -275,7 +322,7 @@ object EditDedup {
     * same contract as the ngram/LSH cluster gates. */
   def editClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
-    val pairs = editPairsOf(docs)
+    val pairs = pairsCached(spark, sfDir)
       .select(col("doc_a").as("i"), col("doc_b").as("j"))
     Dedup.connectedComponents(docs, "doc_id", pairs)
   }
