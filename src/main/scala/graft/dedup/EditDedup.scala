@@ -176,7 +176,13 @@ object EditDedup {
     * frame a production run logs/inspects before trusting the pair
     * set at a new scale. Returns (side, l, k, pb, lb, cnt). */
   def blockingDrops(docs: DataFrame, cap: Int = 1000): DataFrame = {
+    // audit over DISTINCT texts — the frame the operator actually
+    // blocks after its exact-duplicate collapse
     val norm = normalized(docs)
+      .withColumn("gid", min(col("doc_id")).over(
+        Window.partitionBy(col("nt"))))
+      .filter(col("doc_id") === col("gid"))
+      .drop("gid")
     val c = chunkKeys(norm).groupBy("l", "k", "pb", "lb").count()
       .filter(col("count") > cap)
       .select(lit("chunk").as("side"), col("l"), col("k"), col("pb"),
@@ -211,9 +217,30 @@ object EditDedup {
     * distinct pair ids → two 1:1 payload joins → one banded DP per
     * candidate. */
   def editPairsOf(docs: DataFrame, cap: Int = 1000): DataFrame = {
-    // read 4× (chunk keys, gram keys, two payload joins) — normalize
-    // and count once, not per consumer
-    val norm = normalized(docs).localCheckpoint()
+    // ── exact-duplicate collapse BEFORE fuzzy blocking ──────────────
+    // Edit distance is a function of the two normalized TEXTS, and the
+    // threshold θ a function of their lengths — so byte-identical
+    // texts are interchangeable: collapse each distinct `nt` to its
+    // min-doc_id representative, run the q-chunk machinery on
+    // DISTINCT TEXTS only, and expand algebraically afterwards
+    // (within-group pairs at dist 0; rep-pair distances broadcast to
+    // every cross-group member pair — identical θ because identical
+    // lengths). Exactness-preserving by construction, and the
+    // scale-defining move on a dup-saturated corpus: the r12 133×
+    // rehearsal (500 k docs, 99% planted dups) spilled >70 GB pushing
+    // every member pair's ~33 chunk witnesses through the distinct —
+    // witness volume now scales with DISTINCT texts, while the
+    // (inherently output-sized) member-pair expansion is generated
+    // directly, never shuffled as witnesses. This is also the honest
+    // production composition (exact dedup runs before fuzzy dedup),
+    // fused so callers can't forget it.
+    val all = normalized(docs)
+      .withColumn("gid", min(col("doc_id")).over(
+        Window.partitionBy(col("nt"))))
+      .localCheckpoint()
+    val members = all.select(col("gid"), col("doc_id"))
+    val norm = all.filter(col("doc_id") === col("gid"))
+      .drop("gid")
     // df-cap, both sides: a key that is degenerate on either side is
     // dropped whole (both engines of the CAPPED gates mirror this;
     // the uncapped-oracle gates assert the cap never bites instead).
@@ -240,7 +267,7 @@ object EditDedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    pairIds
+    val repPairs = pairIds
       .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a"),
         col("len").as("len_a"), col("cv").as("cv_a")), Seq("doc_a"))
       .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
@@ -257,18 +284,32 @@ object EditDedup {
       // global MaxDist ceiling: levenshtein(a, b, θ+1) returns -1 the
       // moment the distance provably exceeds θ, and the filter never
       // accepts above θ — identical keep-set, ~2× narrower band at
-      // typical lengths (θ ≈ len/10 vs 64). Byte-identical strings
-      // (the bulk of a dup-saturated crawl) short-circuit to 0 on an
-      // O(len) equality instead of the O(len·θ) DP.
+      // typical lengths (θ ≈ len/10 vs 64). Reps are distinct texts,
+      // so no dist-0 fast path is needed here — identical texts never
+      // reach the DP at all.
       .withColumn("dist", expr(
-        s"""CAST(CASE WHEN nt_a = nt_b THEN 0
-           |  ELSE levenshtein(nt_a, nt_b, CAST(
-           |    least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket) + 1L
-           |    AS INT)) END AS BIGINT)""".stripMargin))
+        s"""CAST(levenshtein(nt_a, nt_b, CAST(
+           |  least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket) + 1L
+           |  AS INT)) AS BIGINT)""".stripMargin))
       .filter(col("dist") >= 0 &&
         col("dist") <= least(lit(MaxDist.toLong),
           expr(s"(len_a + len_b) DIV $LenBucket")))
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("dist"))
+    // ── expansion back to document pairs ────────────────────────────
+    // within-group: every two holders of one text are a dist-0 pair
+    // (0 ≤ θ always, θ ≥ 0); cross-group: each rep pair's distance
+    // and verdict apply verbatim to every (member × member) pair —
+    // same texts, same lengths, same θ
+    val within = members.as("x").join(members.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("dist"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("ga"), col("doc_id").as("da")), Seq("ga"))
+      .join(members.select(col("gid").as("gb"), col("doc_id").as("db")), Seq("gb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("dist"))
+    within.unionByName(cross)
   }
 
   /** OUTPUT-CAPPED edit pairs — [[editPairsOf]] bounded to each

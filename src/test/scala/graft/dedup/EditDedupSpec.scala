@@ -87,15 +87,37 @@ class EditDedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0L)))
   }
 
-  test("df-cap: a degenerate block key is dropped whole; drops are observable") {
-    // 70 identical docs share every key; cap=64 drops the keys whole
+  test("exact-duplicate collapse: identical docs pair at dist 0 regardless of cap") {
+    // byte-identical texts collapse to one representative BEFORE
+    // blocking, so a clique of identical docs is found through the
+    // within-group expansion — the df-cap cannot lose it (the truth
+    // the uncapped oracle states)
     val many = (1L to 70L).map(i => i -> base)
-    assert(pairs(many, cap = 64).isEmpty)
-    assert(EditDedup.blockingDrops(docs(many), cap = 64).count() > 0,
+    assert(pairs(many, cap = 2).size === 70 * 69 / 2)
+    assert(pairs(many, cap = 2).forall(_._3 === 0L))
+    // one distinct text -> one rep -> every block key has df 1
+    assert(EditDedup.blockingDrops(docs(many), cap = 2).isEmpty)
+  }
+
+  test("df-cap: a degenerate DISTINCT-text block key is dropped whole; drops observable") {
+    // 70 DISTINCT single-substitution variants of one ~600-char
+    // carrier (variant i flips position 8*i to '7'): every pair is a
+    // true dist-2 match, but each untouched chunk key is shared by
+    // ~69 variants — over cap=64 every shared key drops whole and the
+    // blocked path finds nothing (no identical texts, so the exact
+    // collapse cannot rescue it); the audit must surface the drops
+    val carrier = Iterator.continually(base).take(6).mkString(" ").take(600)
+    val variants = (0 until 70).map { i =>
+      (i + 1).toLong -> carrier.updated(8 * i, '7')
+    }
+    assert(pairs(variants, cap = 64).isEmpty)
+    assert(EditDedup.blockingDrops(docs(variants), cap = 64).count() > 0,
       "cap-dropped keys must surface in the blockingDrops audit")
-    // under the cap the same corpus pairs up fully: C(60,2) pairs
-    val fewer = (1L to 60L).map(i => i -> base)
-    assert(pairs(fewer, cap = 64).size === 60 * 59 / 2)
+    // with the cap above the clique size the full pair set appears,
+    // every distance the real 2-substitution Levenshtein
+    val full = pairs(variants, cap = 1000)
+    assert(full.size === 70 * 69 / 2)
+    assert(full.forall(_._3 === 2L), s"unexpected distances: ${full.take(3)}")
   }
 
   test("gate corpus: the df-cap provably does not bite (all-pairs oracle precondition)") {
