@@ -472,6 +472,14 @@ object SparkEntry {
       graft.multimodal.AudioDedup.audioDedupFb(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
+    // REAL baseline-JPEG decode (T.81: marker walk, DHT canonical
+    // codes, byte-stuffed entropy scan, dequant, full 2-D IDCT):
+    // block-constant fixtures make the lossy codec gate-exact (solid
+    // blocks carry only their DC coefficient, quant 1 keeps it, the
+    // IDCT reconstructs the gray exactly), so the oracle recomputes
+    // pixel sums from doc_id closed forms; doc_id % 5 == 3 rows are
+    // truncated streams pinning the (-1,...) fallback in-gate
+    "mm_jpeg_decode" -> ((s, dir) => graft.multimodal.Jpeg.decodeReport(s, dir)),
     // image resize: decode -> box-average -> QOI re-encode -> decode,
     // integer-exact; the oracle recomputes the PIXEL arithmetic from
     // the gate corpus' closed-form images (no dump taken on faith)
@@ -2294,6 +2302,36 @@ object SparkEntry {
     // (sum of aviGray over the w x h grid, integer-divided), the
     // mm_resize/mm_resample strongest-oracle shape on the time axis;
     // fake rows keep the stub count and luma formula
+    // the decoded-JPEG pixel statistics re-derived from doc_id
+    // closed forms alone: the block grid (nbx = 2 + id%6,
+    // nby = 2 + id%5), the per-block gray, and the block-position
+    // weight (1 + bx + nbx*by — a misplaced or transposed block
+    // cannot fake it); every solid block contributes 64 identical
+    // pixels, so sums scale by 64. Truncated rows (id % 5 = 3) owe
+    // the (-1,-1,-1,-1) fallback. The small constant grids are
+    // unnested standalone then cross-joined (the DuckDB
+    // unnest+join+filter bind-bug workaround).
+    "mm_jpeg_decode" ->
+      """WITH bxs AS (SELECT unnest(range(0, 8)) AS bx),
+        |bys AS (SELECT unnest(range(0, 7)) AS by),
+        |g AS (SELECT doc_id, 2 + doc_id % 6 AS nbx, 2 + doc_id % 5 AS nby
+        |      FROM documents),
+        |cells AS (
+        |  SELECT g.doc_id, g.nbx, g.nby, bx, by,
+        |    (g.doc_id * 11 + bx * 37 + by * 59) % 256 AS gray
+        |  FROM g, bxs, bys WHERE bx < g.nbx AND by < g.nby),
+        |ok AS (
+        |  SELECT doc_id, CAST(8 * nbx AS BIGINT) AS w,
+        |    CAST(8 * nby AS BIGINT) AS h,
+        |    CAST(64 * sum(gray) AS BIGINT) AS pix_sum,
+        |    CAST(64 * sum(gray * (1 + bx + nbx * by)) AS BIGINT) AS pix_wsum
+        |  FROM cells GROUP BY doc_id, nbx, nby)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.w END AS w,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.h END AS h,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
+        |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
     "mm_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, (doc_id // 3) % 2 = 0 AS real,

@@ -233,10 +233,12 @@ object ImageDedup {
     hash
   }
 
-  /** The per-image hash: real pixel decode (QOI, then BMP) + aHash
-    * when possible, stub otherwise. */
+  /** The per-image hash: real pixel decode (QOI, then BMP, then
+    * baseline JPEG — [[Jpeg.decodePixels]], r12) + aHash when
+    * possible, stub otherwise. */
   private[multimodal] def imageHash(bytes: Array[Byte]): Long =
     decodeQoiPixels(bytes).orElse(decodeBmpPixels(bytes))
+      .orElse(Jpeg.decodePixels(bytes))
       .flatMap { case (w, h, px) => aHash64(w, h, px) }
       .getOrElse(stubImageHash(bytes))
 

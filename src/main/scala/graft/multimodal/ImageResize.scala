@@ -104,6 +104,7 @@ object ImageResize {
 
   private def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     ImageDedup.decodeQoiPixels(bytes).orElse(ImageDedup.decodeBmpPixels(bytes))
+      .orElse(Jpeg.decodePixels(bytes)) // baseline JPEG, r12
 
   /** The corpus transform: image rows with decodable payloads are
     * replaced by their (tw × th) QOI re-encoding; everything else

@@ -257,4 +257,104 @@ object MediaSynth {
     riffBody.write(leList("LIST", "movi", moviBody.toByteArray))
     leList("RIFF", "AVI ", riffBody.toByteArray)
   }
+
+  // ── baseline JPEG (grayscale, block-constant; [[Jpeg]] decodes) ───
+
+  /** JPEG block grid — width/height are multiples of 8 by
+    * construction (the cropped-dims decode path is spec-covered with
+    * a patched SOF instead). */
+  def jpegNbx(docId: Long): Int = 2 + (docId % 6).toInt
+  def jpegNby(docId: Long): Int = 2 + (docId % 5).toInt
+
+  /** Per-BLOCK solid gray. Block-constant content is what makes the
+    * lossy format gate-exact: a solid block's DCT has ONLY the DC
+    * coefficient (8·(g−128)), the all-ones quant table keeps it
+    * verbatim, and the IDCT reconstructs exactly g — so the decoded
+    * pixels are a closed form of doc_id even though the codec is
+    * real baseline JPEG end to end. */
+  def jpegGray(docId: Long, bx: Int, by: Int): Int =
+    (((docId * 11 + bx * 37 + by * 59) % 256 + 256) % 256).toInt
+
+  /** Big-endian-bit writer for the entropy-coded segment: MSB-first,
+    * 0xFF bytes stuffed with 0x00, final byte padded with 1s. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { put(0xff, 8 - n); () }
+  }
+
+  /** A real baseline-JPEG stream for the doc: SOI, all-ones DQT,
+    * SOF0 (8-bit grayscale), our own canonical DHT pair (DC: twelve
+    * 4-bit category codes; AC: one 2-bit EOB code — any valid
+    * canonical table is legal JPEG, and the decoder must read DHT
+    * generally either way), SOS, DC-difference-coded scan (blocks are
+    * DC-only so each block is category+magnitude+EOB), EOI.
+    * `restartEvery > 0` adds a DRI segment and RSTn markers with DC
+    * predictor resets every that-many MCUs (spec-exercised; the gate
+    * uses the plain form). */
+  def jpeg(docId: Long, restartEvery: Int = 0): Array[Byte] = {
+    val nbx = jpegNbx(docId); val nby = jpegNby(docId)
+    val w = 8 * nbx; val h = 8 * nby
+    val out = new java.io.ByteArrayOutputStream(256)
+    def marker(m: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb, 0 +: Array.fill(64)(1)) // DQT slot 0, all ones
+    marker(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff,
+      w & 0xff, 1, 1, 0x11, 0)) // SOF0: 1 component, h=v=1, Tq=0
+    marker(0xc4, // DHT DC slot 0: 12 categories, all 4-bit codes
+      Array(0x00) ++ Array(0, 0, 0, 12) ++ Array.fill(12)(0) ++
+        (0 to 11).toArray)
+    marker(0xc4, // DHT AC slot 0: a single 2-bit EOB code
+      Array(0x10, 0, 1) ++ Array.fill(14)(0) ++ Array(0x00))
+    if (restartEvery > 0)
+      marker(0xdd, Array((restartEvery >> 8) & 0xff, restartEvery & 0xff))
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    var bw = new BitWriter(out)
+    var pred = 0
+    var mcu = 0
+    var by = 0
+    while (by < nby) {
+      var bx = 0
+      while (bx < nbx) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + ((mcu / restartEvery - 1) % 8))
+          bw = new BitWriter(out)
+          pred = 0
+        }
+        val dc = 8 * (jpegGray(docId, bx, by) - 128)
+        val diff = dc - pred
+        pred = dc
+        val s = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bw.put(s, 4) // DC category code == category value in our table
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        bw.put(0, 2) // EOB
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
 }

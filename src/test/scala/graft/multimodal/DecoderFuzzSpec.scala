@@ -32,7 +32,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "exif" -> (b => Multimodal.jpegExifOrientation(b)),
     "imageHash" -> (b => ImageDedup.imageHash(b)),
     "clipHash" -> (b => AudioDedup.clipHash(b)),
-    "aviFrames" -> (b => VideoFrames.decodeAviFrames(b)))
+    "aviFrames" -> (b => VideoFrames.decodeAviFrames(b)),
+    "jpegPixels" -> (b => Jpeg.decodePixels(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -72,7 +73,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
   test("single-byte mutations of real payloads decode or fall back, never throw") {
     val reals = Seq[(String, Array[Byte])](
       "qoi" -> MediaSynth.qoi(7L), "wav" -> MediaSynth.wav(13L),
-      "mp4" -> MediaSynth.mp4(20L), "avi" -> MediaSynth.avi(11L))
+      "mp4" -> MediaSynth.mp4(20L), "avi" -> MediaSynth.avi(11L),
+      "jpeg" -> MediaSynth.jpeg(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -90,7 +92,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
   test("every truncation prefix of a real payload is handled") {
     val reals = Seq[(String, Array[Byte])](
       "qoi" -> MediaSynth.qoi(19L), "wav" -> MediaSynth.wav(25L),
-      "mp4" -> MediaSynth.mp4(14L), "avi" -> MediaSynth.avi(17L))
+      "mp4" -> MediaSynth.mp4(14L), "avi" -> MediaSynth.avi(17L),
+      "jpeg" -> MediaSynth.jpeg(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0

@@ -1,0 +1,252 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline-JPEG decoder: gate-fixture roundtrip exactness, cropped
+  * (non-multiple-of-8) dims, restart intervals, general AC
+  * coefficients against an independent reference IDCT, 4:4:4 and
+  * 4:2:0 color, and malformed-stream totality. Pure JVM — no Spark
+  * session needed. */
+class JpegSpec extends AnyFunSuite {
+
+  test("encoder->decoder roundtrip is pixel-exact on block-constant fixtures") {
+    for (id <- Seq(0L, 1L, 7L, 59L, 123L, 456L)) {
+      val Some((w, h, px)) = Jpeg.decodePixels(MediaSynth.jpeg(id))
+      assert(w === 8 * MediaSynth.jpegNbx(id))
+      assert(h === 8 * MediaSynth.jpegNby(id))
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = MediaSynth.jpegGray(id, x / 8, y / 8)
+        val got = px(y * w + x) & 0xff
+        assert(got === expect, s"id=$id px($x,$y)")
+        // grayscale output: all three channels equal
+        assert(((px(y * w + x) >> 8) & 0xff) === got)
+      }
+    }
+  }
+
+  test("restart intervals: DRI + RSTn with predictor resets decode identically") {
+    for (id <- Seq(3L, 10L); every <- Seq(1, 2, 5)) {
+      val plain = Jpeg.decodePixels(MediaSynth.jpeg(id))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      val rst = Jpeg.decodePixels(MediaSynth.jpeg(id, restartEvery = every))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      assert(rst.isDefined && rst === plain, s"id=$id restartEvery=$every")
+    }
+  }
+
+  test("cropped dims: SOF smaller than the MCU grid crops the padded blocks") {
+    // patch the SOF dims of a real stream: the decoder must decode
+    // the full MCU grid but emit only w x h pixels
+    val id = 4L
+    val bytes = MediaSynth.jpeg(id)
+    val w0 = 8 * MediaSynth.jpegNbx(id); val h0 = 8 * MediaSynth.jpegNby(id)
+    val w1 = w0 - 3; val h1 = h0 - 5
+    // SOF0 starts after SOI(2) + DQT(2+2+67-2=69)... locate FFC0
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0)
+    val patched = bytes.clone()
+    patched(sof + 5) = ((h1 >> 8) & 0xff).toByte
+    patched(sof + 6) = (h1 & 0xff).toByte
+    patched(sof + 7) = ((w1 >> 8) & 0xff).toByte
+    patched(sof + 8) = (w1 & 0xff).toByte
+    val Some((w, h, px)) = Jpeg.decodePixels(patched)
+    assert(w === w1 && h === h1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) === MediaSynth.jpegGray(id, x / 8, y / 8))
+  }
+
+  // ── spec-side generalized encoder (constant-value components, any
+  //    sampling factors; same canonical tables as MediaSynth) ────────
+  private def beLen(body: Seq[Int]): Seq[Int] = {
+    val len = body.length + 2
+    Seq((len >> 8) & 0xff, len & 0xff) ++ body
+  }
+  private def colorJpeg(w: Int, h: Int, yv: Int, cbv: Int, crv: Int,
+      ySamp: (Int, Int)): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(xs: Seq[Int]): Unit = xs.foreach(out.write)
+    emit(Seq(0xff, 0xd8))
+    emit(Seq(0xff, 0xdb) ++ beLen(0 +: Seq.fill(64)(1)))
+    emit(Seq(0xff, 0xc0) ++ beLen(Seq(8, (h >> 8) & 0xff, h & 0xff,
+      (w >> 8) & 0xff, w & 0xff, 3,
+      1, (ySamp._1 << 4) | ySamp._2, 0, 2, 0x11, 0, 3, 0x11, 0)))
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x00, 0, 0, 0, 12) ++
+      Seq.fill(12)(0) ++ (0 to 11)))
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x10, 0, 1) ++ Seq.fill(14)(0) ++
+      Seq(0x00)))
+    emit(Seq(0xff, 0xda) ++ beLen(Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    // entropy: one MCU stream; constant components -> first block of
+    // each component carries its DC, later blocks diff 0
+    val bits = new StringBuilder
+    def putDc(diff: Int): Unit = {
+      val s = if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.append(("0000" + s.toBinaryString).takeRight(4))
+      if (s > 0) {
+        val v = if (diff < 0) diff + (1 << s) - 1 else diff
+        bits.append((("0" * s) + v.toBinaryString).takeRight(s))
+      }
+      bits.append("00") // EOB
+    }
+    val (hy, vy) = ySamp
+    val mcusX = (w + 8 * hy - 1) / (8 * hy)
+    val mcusY = (h + 8 * vy - 1) / (8 * vy)
+    val preds = Array(0, 0, 0)
+    val dcs = Array(8 * (yv - 128), 8 * (cbv - 128), 8 * (crv - 128))
+    for (_ <- 0 until mcusX * mcusY) {
+      for (_ <- 0 until hy * vy) { putDc(dcs(0) - preds(0)); preds(0) = dcs(0) }
+      putDc(dcs(1) - preds(1)); preds(1) = dcs(1)
+      putDc(dcs(2) - preds(2)); preds(2) = dcs(2)
+    }
+    while (bits.length % 8 != 0) bits.append("1")
+    bits.toString.grouped(8).foreach { byte =>
+      val v = Integer.parseInt(byte, 2)
+      out.write(v)
+      if (v == 0xff) out.write(0x00)
+    }
+    emit(Seq(0xff, 0xd9))
+    out.toByteArray
+  }
+
+  private def jfifRgb(yv: Int, cbv: Int, crv: Int): (Int, Int, Int) = {
+    def cl(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+    (cl(yv + 1.402 * (crv - 128)),
+      cl(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)),
+      cl(yv + 1.772 * (cbv - 128)))
+  }
+
+  test("color: 4:4:4 and 4:2:0 constant components decode to the JFIF RGB") {
+    for ((samp, w, h) <- Seq(((1, 1), 8, 8), ((2, 2), 16, 16))) {
+      val (yv, cbv, crv) = (90, 60, 190)
+      val Some((dw, dh, px)) =
+        Jpeg.decodePixels(colorJpeg(w, h, yv, cbv, crv, samp))
+      assert((dw, dh) === ((w, h)))
+      val (r, g, b) = jfifRgb(yv, cbv, crv)
+      for (p <- px) {
+        assert(((p >> 16) & 0xff) === r)
+        assert(((p >> 8) & 0xff) === g)
+        assert((p & 0xff) === b)
+      }
+    }
+  }
+
+  test("general AC coefficients: decode matches an independent reference IDCT within T.81 accuracy") {
+    // hand-build a single-block grayscale stream with three nonzero
+    // ACs through a custom AC table carrying exactly the needed
+    // (run,size) symbols, then compare against a from-scratch IDCT
+    val coefs = Map(0 -> 64, 1 -> 30, 5 -> -17, 9 -> 7) // zigzag idx -> value
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(xs: Seq[Int]): Unit = xs.foreach(out.write)
+    emit(Seq(0xff, 0xd8))
+    emit(Seq(0xff, 0xdb) ++ beLen(0 +: Seq.fill(64)(1)))
+    emit(Seq(0xff, 0xc0) ++ beLen(Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0)))
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x00, 0, 0, 0, 12) ++
+      Seq.fill(12)(0) ++ (0 to 11)))
+    // AC table: symbols {0x05 (r0,s5), 0x15 (r1,s5), 0x33 (r3,s3), 0x00 EOB}
+    // all as 3-bit codes (canonical: 000,001,010,011)
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x10, 0, 0, 4) ++ Seq.fill(13)(0) ++
+      Seq(0x05, 0x15, 0x33, 0x00)))
+    emit(Seq(0xff, 0xda) ++ beLen(Seq(1, 1, 0x00, 0, 63, 0)))
+    val bits = new StringBuilder
+    def mag(v: Int, s: Int): String = {
+      val m = if (v < 0) v + (1 << s) - 1 else v
+      (("0" * s) + m.toBinaryString).takeRight(s)
+    }
+    bits.append("0111").append(mag(64, 7)) // DC: category 7, value 64
+    bits.append("000").append(mag(30, 5)) // zz1: (r0,s5)
+    bits.append("001").append(mag(-17, 5)) // zz5 after 3 skipped... (r1? )
+    bits.append("010").append(mag(7, 3)) // (r3,s3) -> zz9
+    bits.append("011") // EOB
+    while (bits.length % 8 != 0) bits.append("1")
+    bits.toString.grouped(8).foreach { b =>
+      val v = Integer.parseInt(b, 2); out.write(v)
+      if (v == 0xff) out.write(0x00)
+    }
+    emit(Seq(0xff, 0xd9))
+    val Some((w, h, px)) = Jpeg.decodePixels(out.toByteArray)
+    assert((w, h) === ((8, 8)))
+    // reference: place the coefficients via an independent zigzag and
+    // run the textbook IDCT
+    def zigzagNat(i: Int): Int = {
+      // independent zigzag derivation: walk anti-diagonals
+      val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (s <- 0 until 15) {
+        val cells = (0 to s).map(k => (k, s - k)).filter {
+          case (x, y) => x < 8 && y < 8 }
+        val diag = if (s % 2 == 0) cells.map { case (x, y) => (y, x) }
+          else cells
+        diag.foreach { case (y, x) => order += y * 8 + x }
+      }
+      order(i)
+    }
+    val f = new Array[Int](64)
+    // our bit stream: DC 64; then after DC: zz1=30; the "001" symbol
+    // is (run=1,size=5) -> skips zz2..2? — recompute placements the
+    // T.81 way to keep the reference honest:
+    // k=1: (r0,s5) -> zz1 = 30
+    // k=2: (r1,s5) -> skip 1 (zz2), zz3 = -17... wait: run=1 means one
+    //   zero before the coef, so coef lands at k+1 = 3? No: k=2, r=1
+    //   -> k=3, coef at zz3; then k=4
+    // k=4: (r3,s3) -> k=7, coef at zz7; then k=8
+    // So the DECODED spectrum is zz{0,1,3,7}, not the map above — use
+    // exactly these:
+    f(0) = 64
+    f(zigzagNat(1)) = 30
+    f(zigzagNat(3)) = -17
+    f(zigzagNat(7)) = 7
+    def refIdct(fx: Array[Int]): Array[Int] = {
+      val o = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += 0.25 * cu * cv * fx(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+        val p = math.round(s).toInt + 128
+        o(y * 8 + x) = math.max(0, math.min(255, p))
+      }
+      o
+    }
+    val ref = refIdct(f)
+    for (i <- 0 until 64) {
+      val got = px(i) & 0xff
+      assert(math.abs(got - ref(i)) <= 1,
+        s"pixel $i: got $got ref ${ref(i)}")
+    }
+  }
+
+  test("totality: truncation at every prefix length returns None, never throws") {
+    val bytes = MediaSynth.jpeg(11L)
+    for (n <- 0 until bytes.length)
+      Jpeg.decodePixels(bytes.take(n)) // must not throw
+    // flipped marker bytes must not throw either
+    for (i <- 2 until math.min(bytes.length, 64)) {
+      val mut = bytes.clone(); mut(i) = (mut(i) ^ 0x81).toByte
+      Jpeg.decodePixels(mut)
+    }
+    assert(Jpeg.decodePixels(Array[Byte]()) === None)
+    assert(Jpeg.decodePixels("not a jpeg".getBytes) === None)
+  }
+
+  test("honesty boundary: progressive and 12-bit streams return None") {
+    val bytes = MediaSynth.jpeg(2L)
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    val prog = bytes.clone(); prog(sof + 1) = 0xc2.toByte // SOF2
+    assert(Jpeg.decodePixels(prog) === None)
+    val deep = bytes.clone(); deep(sof + 4) = 12.toByte // 12-bit precision
+    assert(Jpeg.decodePixels(deep) === None)
+  }
+}
