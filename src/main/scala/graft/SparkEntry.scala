@@ -456,6 +456,12 @@ object SparkEntry {
     // where possible, stub hash elsewhere; SimHash band machinery
     "mm_image_dedup" -> ((s, dir) =>
       graft.multimodal.ImageDedup.imageDedup(s, dir)),
+    // the JPEG path through the same decode -> aHash -> multi-probe
+    // pipeline: odd docs carry their even neighbor's image with one
+    // block perturbed (real near-dups, not byte copies); id%7==5 rows
+    // are truncated streams pinning the stub fallback in-gate
+    "mm_image_dedup_jpeg" -> ((s, dir) =>
+      graft.multimodal.Jpeg.imageDedupJpeg(s, dir)),
     // audio features: real PCM WAV sample decode on the gate corpus'
     // real rows, byte-length stub on the fakes
     "mm_audio_features" -> ((s, dir) =>
@@ -593,6 +599,8 @@ object SparkEntry {
     s"${graft.dedup.SemDedup.parDumpPath(graft.dedup.SemDedup.lastParBase)}/*.parquet"
   private def imgHashGlob: String =
     s"${graft.multimodal.ImageDedup.dumpPath(graft.multimodal.ImageDedup.lastBase)}/*.parquet"
+  private def jpegHashGlob: String =
+    s"${graft.multimodal.Jpeg.dedupDumpPath(graft.multimodal.Jpeg.lastDedupBase)}/*.parquet"
   private def audHashGlob: String =
     s"${graft.multimodal.AudioDedup.dumpPath(graft.multimodal.AudioDedup.lastBase)}/*.parquet"
   private def audFbGlob: String =
@@ -2646,6 +2654,9 @@ object SparkEntry {
     // decode, real or stub, happened in the JVM); banding, bucket cap
     // and the Hamming verify are the dedup_simhash oracle verbatim
     "mm_image_dedup" -> mediaHashPairsSql(imgHashGlob),
+    // JPEG-decode-fed perceptual pairs: same dumped-sig oracle — the
+    // decode is the faith, the pair machinery is re-derived
+    "mm_image_dedup_jpeg" -> mediaHashPairsSql(jpegHashGlob),
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
     "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),

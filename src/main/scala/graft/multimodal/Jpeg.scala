@@ -69,6 +69,49 @@ object Jpeg {
       .toDF("doc_id", "w", "h", "pix_sum", "pix_wsum")
   }
 
+  @volatile var lastDedupBase: String = "sf0.01"
+
+  def dedupDumpPath(base: String): String =
+    graft.core.SideDump.path("jpeghash_sigs", base)
+
+  /** Gate surface (`mm_image_dedup_jpeg`) — the JPEG path as a
+    * first-class member of the perceptual near-dup family: every odd
+    * doc carries its even neighbor's image with ONE block's gray
+    * perturbed by +8 (a real recompressed-thumbnail-style near-dup —
+    * the aHash moves by at most a few bits, never the byte stream),
+    * docs with id % 7 == 5 carry a truncated stream (the stub-hash
+    * fallback inside the same gate), and everything goes through the
+    * REAL decode → aHash → multi-probe banded-Hamming machinery
+    * ([[ImageDedup.imageHash]], the `mm_image_dedup` pipeline). The
+    * per-image hashes are side-dumped (the decode is the faith);
+    * DuckDB re-derives banding, caps, probes and the Hamming verify —
+    * the shared mediaHashPairs oracle. */
+  def imageDedupJpeg(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, maxHamming: Int = 15,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map(id => (id, ImageDedup.imageHash(dedupPayload(id))))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(sigs, "jpeghash_sigs", sfDir, maxHamming,
+      maxBucket)(lastDedupBase = _)
+  }
+
+  /** The near-dup fixture payload (shared with JpegSpec's planted-twin
+    * assertions). */
+  private[multimodal] def dedupPayload(id: Long): Array[Byte] =
+    if (id % 7 == 5) MediaSynth.jpeg(id).take(24) // undecodable -> stub
+    else if (id % 2 == 0) MediaSynth.jpeg(id)
+    else {
+      val twin = id - 1
+      MediaSynth.jpegOf(MediaSynth.jpegNbx(twin), MediaSynth.jpegNby(twin),
+        (bx, by) => {
+          val g = MediaSynth.jpegGray(twin, bx, by)
+          if (bx == 0 && by == 0) math.min(255, g + 8) else g
+        })
+    }
+
   /** cos((2x+1)·u·π/16) premultiplied by the C(u)/2 normalization —
     * idct(x) = Σ_u tab(x)(u)·F(u) per axis. */
   private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>

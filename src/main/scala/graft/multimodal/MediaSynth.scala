@@ -305,8 +305,15 @@ object MediaSynth {
     * `restartEvery > 0` adds a DRI segment and RSTn markers with DC
     * predictor resets every that-many MCUs (spec-exercised; the gate
     * uses the plain form). */
-  def jpeg(docId: Long, restartEvery: Int = 0): Array[Byte] = {
-    val nbx = jpegNbx(docId); val nby = jpegNby(docId)
+  def jpeg(docId: Long, restartEvery: Int = 0): Array[Byte] =
+    jpegOf(jpegNbx(docId), jpegNby(docId),
+      (bx, by) => jpegGray(docId, bx, by), restartEvery)
+
+  /** The generalized writer: any block grid, any per-block gray —
+    * the near-dup gate plants twins by reusing a neighbor's grid
+    * with one block perturbed. */
+  def jpegOf(nbx: Int, nby: Int, gray: (Int, Int) => Int,
+      restartEvery: Int = 0): Array[Byte] = {
     val w = 8 * nbx; val h = 8 * nby
     val out = new java.io.ByteArrayOutputStream(256)
     def marker(m: Int, body: Array[Int]): Unit = {
@@ -340,7 +347,7 @@ object MediaSynth {
           bw = new BitWriter(out)
           pred = 0
         }
-        val dc = 8 * (jpegGray(docId, bx, by) - 128)
+        val dc = 8 * (gray(bx, by) - 128)
         val diff = dc - pred
         pred = dc
         val s = if (diff == 0) 0

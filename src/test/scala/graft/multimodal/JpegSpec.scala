@@ -223,6 +223,23 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup fixture: twins land within the probe radius; stub rows diverge") {
+    // every decodable odd doc's image is its even neighbor's with one
+    // block +8 — the aHash must stay within Hamming 15 (the gate's
+    // multi-probe pigeonhole reach), and usually much closer
+    for (id <- 0L until 60L by 2 if id % 7 != 5 && (id + 1) % 7 != 5) {
+      val a = ImageDedup.imageHash(Jpeg.dedupPayload(id))
+      val b = ImageDedup.imageHash(Jpeg.dedupPayload(id + 1))
+      assert(java.lang.Long.bitCount(a ^ b) <= 15,
+        s"twin pair ($id, ${id + 1}) outside the probe radius")
+    }
+    // a truncated row takes the stub path: its hash must differ from
+    // the real decode's (or the gate would pass without decoding)
+    val realHash = ImageDedup.imageHash(MediaSynth.jpeg(5L))
+    val stubHash = ImageDedup.imageHash(Jpeg.dedupPayload(5L))
+    assert(realHash !== stubHash)
+  }
+
   test("totality: truncation at every prefix length returns None, never throws") {
     val bytes = MediaSynth.jpeg(11L)
     for (n <- 0 until bytes.length)
