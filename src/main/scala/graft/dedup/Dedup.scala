@@ -615,7 +615,19 @@ object Dedup {
     // edge frame just to choose a plan (r11 What's-wrong #3; the
     // simhashPairsWide sizeHint twin). The count is of PAIRS; the
     // doubled edge frame is compared against 2× the driver budget.
-    val small = pairCountHint.getOrElse(edges.count() / 2) <= driverMaxEdges
+    // A hint is trusted for the plan pick but NOT for driver safety:
+    // an underestimate would collect an unbounded edge list onto the
+    // driver (ADVICE r12), so the driver path is gated by a
+    // LIMIT-bounded probe of the already-materialized checkpoint —
+    // it stops at the cap instead of scanning everything, and an
+    // overflow degrades to hash-min instead of failing the job.
+    val edgeBudget = 2L * driverMaxEdges
+    val small = pairCountHint match {
+      case Some(h) => h <= driverMaxEdges &&
+        edges.limit(math.min(edgeBudget + 1, Int.MaxValue.toLong).toInt)
+          .count() <= edgeBudget
+      case None => edges.count() / 2 <= driverMaxEdges
+    }
     lastHashMinIters = 0 // driver path reports 0; hash-min overwrites
     val labels = if (small) driverUnionFind(edges) else hashMinLabels(edges, maxIters)
     // broadcast only the driver-sized result; the large-regime label

@@ -364,4 +364,126 @@ object MediaSynth {
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
+
+  /** A real PROGRESSIVE (SOF2) stream for the doc — same pixels as
+    * [[jpeg]], so the `mm_jpeg_decode` closed-form oracle is
+    * unchanged while the decode path exercised is T.81 §G end to
+    * end: a DC-first scan at Al=4, four DC successive-approximation
+    * refinement scans (Al 3→0; the block-constant DC = 8·(g−128) has
+    * a live bit at position 3, so the refinements carry real 1-bits,
+    * not a degenerate all-zero ladder), then an AC-first scan over
+    * the whole 1..63 band at Al=1 coded as a single EOB run per
+    * restart segment, and an AC refinement scan (Ah=1→Al=0) over the
+    * same band — every coefficient is recovered exactly, so the
+    * decoded frame is byte-identical to the baseline one. */
+  def jpegProgressive(docId: Long, restartEvery: Int = 0): Array[Byte] =
+    jpegProgressiveOf(jpegNbx(docId), jpegNby(docId),
+      (bx, by) => jpegGray(docId, bx, by), restartEvery)
+
+  /** The generalized progressive writer (grid + per-block gray), the
+    * [[jpegOf]] twin. */
+  def jpegProgressiveOf(nbx: Int, nby: Int, gray: (Int, Int) => Int,
+      restartEvery: Int = 0): Array[Byte] = {
+    val w = 8 * nbx; val h = 8 * nby
+    val nBlocks = nbx * nby
+    val out = new java.io.ByteArrayOutputStream(512)
+    def marker(m: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    def dcOf(bx: Int, by: Int): Int = 8 * (gray(bx, by) - 128)
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb, 0 +: Array.fill(64)(1)) // DQT slot 0, all ones
+    marker(0xc2, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff,
+      w & 0xff, 1, 1, 0x11, 0)) // SOF2: 1 component, h=v=1, Tq=0
+    marker(0xc4, // DHT DC slot 0: 12 categories, all 4-bit codes
+      Array(0x00) ++ Array(0, 0, 0, 12) ++ Array.fill(12)(0) ++
+        (0 to 11).toArray)
+    marker(0xc4, // DHT AC slot 0: the 15 EOBn symbols (r<<4), 4-bit codes
+      Array(0x10) ++ Array(0, 0, 0, 15) ++ Array.fill(12)(0) ++
+        (0 to 14).map(_ << 4).toArray)
+    if (restartEvery > 0)
+      marker(0xdd, Array((restartEvery >> 8) & 0xff, restartEvery & 0xff))
+
+    // one scan's entropy segment: per-block emit via `body`, RSTn +
+    // state reset every restartEvery blocks
+    def scan(sos: Array[Int])(body: (BitWriter, Int, Int) => Unit): Unit = {
+      marker(0xda, sos)
+      var bw = new BitWriter(out)
+      var blk = 0
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          if (restartEvery > 0 && blk > 0 && blk % restartEvery == 0) {
+            bw.flush()
+            out.write(0xff); out.write(0xd0 + ((blk / restartEvery - 1) % 8))
+            bw = new BitWriter(out)
+          }
+          body(bw, bx, by)
+          blk += 1
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+    }
+
+    // scan 1: DC first, Al=4 — diff-code DC >> 4
+    locally {
+      var pred = 0
+      scan(Array(1, 1, 0x00, 0, 0, 4)) { (bw, bx, by) =>
+        val blk = by * nbx + bx
+        if (restartEvery > 0 && blk > 0 && blk % restartEvery == 0)
+          pred = 0 // the scan helper just emitted RSTn before this block
+        val v = dcOf(bx, by) >> 4
+        val diff = v - pred
+        pred = v
+        val s = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bw.put(s, 4)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+    }
+    // scans 2..5: DC refinement, Ah=k+1 Al=k — one raw bit per block
+    for (k <- 3 to 0 by -1)
+      scan(Array(1, 1, 0x00, 0, 0, ((k + 1) << 4) | k)) { (bw, bx, by) =>
+        bw.put((dcOf(bx, by) >> k) & 1, 1)
+      }
+    // AC scans: the whole 1..63 band is zero (block-constant blocks),
+    // coded as one EOBn covering each restart segment's blocks
+    def emitEob(bw: BitWriter, n: Int): Unit = {
+      // EOBn: symbol (r<<4, size 0) + r extra bits, covers 2^r+extra
+      // blocks; our canonical AC table assigns the 4-bit codes 0..14
+      // to symbols 0x00,0x10,..,0xE0 in order, so code(symbol r<<4)=r
+      val r = 31 - Integer.numberOfLeadingZeros(n)
+      bw.put(r, 4)
+      if (r > 0) bw.put(n - (1 << r), r)
+    }
+    def acScan(ahal: Int): Unit = {
+      marker(0xda, Array(1, 1, 0x00, 1, 63, ahal))
+      var bw = new BitWriter(out)
+      var done = 0
+      var seg = 0
+      while (done < nBlocks) {
+        val segLen = if (restartEvery > 0)
+          math.min(restartEvery, nBlocks - done) else nBlocks
+        if (seg > 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + ((seg - 1) % 8))
+          bw = new BitWriter(out)
+        }
+        emitEob(bw, segLen)
+        done += segLen
+        seg += 1
+      }
+      bw.flush()
+    }
+    acScan(0x01) // AC first: Ss=1 Se=63 Ah=0 Al=1
+    acScan(0x10) // AC refine: Ah=1 Al=0 (zero history: no correction bits)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -22,18 +22,26 @@ import org.apache.spark.sql.SparkSession
   *
   *  1. write the folded frame to `.compact_b<id>` (dot-prefixed:
   *     Spark's file index ignores hidden paths, so readers never see
-  *     a half-written fold);
-  *  2. delete the input subdirs;
-  *  3. rename the staging dir to `b<id>`.
+  *     a half-written fold); the parquet committer's `_SUCCESS`
+  *     marker inside the staging dir IS the commit point;
+  *  2. delete every input subdir `b<j>` with `j <= id` — by
+  *     construction all of them (the fold target id is `upTo - 1`,
+  *     itself an input) — then rename the staging dir to `b<id>`.
   *
   * Every moment has a durable on-disk copy of the committed prefix
   * (ADVICE r11: the previous in-place form deleted the inputs while
   * the fold existed only as executor-memory localCheckpoint state — a
-  * crash between rm and write lost the whole committed prefix). A
-  * crash between 2 and 3 leaves the fold complete-but-hidden;
-  * [[rollForward]] finishes the rename at the next compaction OR
-  * read, keyed on the `_SUCCESS` marker (an incomplete staging write
-  * has none and is rolled back instead). */
+  * crash between rm and write lost the whole committed prefix). Step
+  * 2 is restart-safe because it is keyed ONLY on the marker, never on
+  * which inputs still exist: a crash (or a concurrent reader's
+  * [[rollForward]]) at ANY point inside step 2 resumes by deleting
+  * whatever `b<j> (j <= id)` remain and renaming (ADVICE r12: the
+  * previous form keyed the roll-forward on `!exists(target)`, but the
+  * target `b(upTo-1)` is itself an input, so a crash after deleting
+  * an EARLIER input left the stale target in place, the guard refused
+  * the rename, and readers saw a prefix with a gap). An incomplete
+  * staging write has no marker and is simply overwritten by the next
+  * compaction attempt. */
 object DeltaIndex {
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
@@ -67,27 +75,50 @@ object DeltaIndex {
     new Path(s"$idxPath/.compact_b$id")
 
   /** Finish interrupted compactions: a staging dir WITH a `_SUCCESS`
-    * marker whose target `b<id>` is missing is a completed fold that
-    * crashed between its input deletes and its rename — rename it
-    * now. Any other staging dir is left alone: hidden paths are
-    * invisible to readers, an incomplete write (no marker) is
-    * overwritten by the next compaction attempt, and deleting
-    * eagerly would race an IN-PROGRESS compaction whose inputs still
-    * exist. Idempotent — and because [[listBatches]] runs this, a
-    * reader that arrives inside the delete→rename window completes
-    * the rename itself and sees the folded prefix, never a gap. */
+    * marker is a COMMITTED fold whose input deletes and/or rename may
+    * not have finished — run [[commitCompaction]] on it now. Any
+    * other staging dir is left alone: hidden paths are invisible to
+    * readers, and an incomplete write (no marker) is overwritten by
+    * the next compaction attempt. Idempotent — and because
+    * [[listBatches]] runs this, a reader that arrives inside the
+    * delete→rename window completes the commit itself and sees the
+    * folded prefix, never a gap (including the partial-delete state
+    * where some inputs — possibly the stale target itself — still
+    * exist). */
   def rollForward(spark: SparkSession, idxPath: String): Unit = {
     val (fs, dir) = fsOf(spark, idxPath)
     if (!fs.exists(dir)) return
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith(".compact_b")) {
-        val target = new Path(s"$idxPath/${n.stripPrefix(".compact_")}")
-        if (fs.exists(new Path(st.getPath, "_SUCCESS")) && !fs.exists(target)) {
-          fs.rename(st.getPath, target); ()
+        n.stripPrefix(".compact_b").toLongOption.foreach { id =>
+          if (fs.exists(new Path(st.getPath, "_SUCCESS")))
+            commitCompaction(fs, idxPath, st.getPath, id)
         }
       }
     }
+  }
+
+  /** The commit step shared by [[compact]] and [[rollForward]]: the
+    * `_SUCCESS`-marked fold in `staging` supersedes EVERY `b<j>` with
+    * `j <= id` (all of them are its inputs by construction — the
+    * caller folds the full committed prefix below `id + 1`). Delete
+    * them all, then rename the staging dir into place. Keyed only on
+    * the marker, so re-running after a crash at any point (some
+    * inputs deleted, even the stale target still present) converges
+    * to the same end state; the folded copy stays durable in the
+    * hidden staging dir until the final rename. */
+  private def commitCompaction(fs: FileSystem, idxPath: String,
+      staging: Path, id: Long): Unit = {
+    fs.listStatus(new Path(idxPath)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("b")
+          && n.drop(1).toLongOption.exists(_ <= id)) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    fs.rename(staging, new Path(s"$idxPath/b$id"))
+    ()
   }
 
   /** Compact the committed prefix (batch ids strictly below `upTo`)
@@ -105,9 +136,7 @@ object DeltaIndex {
       val (fs, _) = fsOf(spark, idxPath)
       val staging = stagingPath(idxPath, upTo - 1)
       fold(parts).write.mode("overwrite").parquet(staging.toString)
-      parts.foreach(p => fs.delete(new Path(p), true))
-      fs.rename(staging, new Path(s"$idxPath/b${upTo - 1}"))
-      ()
+      commitCompaction(fs, idxPath, staging, upTo - 1)
     }
   }
 }

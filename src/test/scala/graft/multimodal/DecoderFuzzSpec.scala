@@ -74,7 +74,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val reals = Seq[(String, Array[Byte])](
       "qoi" -> MediaSynth.qoi(7L), "wav" -> MediaSynth.wav(13L),
       "mp4" -> MediaSynth.mp4(20L), "avi" -> MediaSynth.avi(11L),
-      "jpeg" -> MediaSynth.jpeg(9L))
+      "jpeg" -> MediaSynth.jpeg(9L),
+      "jpeg-prog" -> MediaSynth.jpegProgressive(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -93,7 +94,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val reals = Seq[(String, Array[Byte])](
       "qoi" -> MediaSynth.qoi(19L), "wav" -> MediaSynth.wav(25L),
       "mp4" -> MediaSynth.mp4(14L), "avi" -> MediaSynth.avi(17L),
-      "jpeg" -> MediaSynth.jpeg(23L))
+      "jpeg" -> MediaSynth.jpeg(23L),
+      "jpeg-prog" -> MediaSynth.jpegProgressive(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0

@@ -24,6 +24,19 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("TEM marker (standalone, no length segment) is skipped, not mis-parsed") {
+    val id = 7L
+    val bytes = MediaSynth.jpeg(id)
+    // splice FF 01 right after SOI — a valid position for the
+    // standalone TEM marker (ADVICE r12: the length-skip default case
+    // rejected such streams)
+    val patched = Array[Byte](bytes(0), bytes(1), 0xff.toByte, 0x01.toByte) ++
+      bytes.drop(2)
+    val plain = Jpeg.decodePixels(bytes).map { case (w, h, px) => (w, h, px.toSeq) }
+    val tem = Jpeg.decodePixels(patched).map { case (w, h, px) => (w, h, px.toSeq) }
+    assert(tem.isDefined && tem === plain)
+  }
+
   test("restart intervals: DRI + RSTn with predictor resets decode identically") {
     for (id <- Seq(3L, 10L); every <- Seq(1, 2, 5)) {
       val plain = Jpeg.decodePixels(MediaSynth.jpeg(id))
@@ -139,7 +152,8 @@ class JpegSpec extends AnyFunSuite {
     // hand-build a single-block grayscale stream with three nonzero
     // ACs through a custom AC table carrying exactly the needed
     // (run,size) symbols, then compare against a from-scratch IDCT
-    val coefs = Map(0 -> 64, 1 -> 30, 5 -> -17, 9 -> 7) // zigzag idx -> value
+    // decoded spectrum (zigzag idx -> value): {0:64, 1:30, 3:-17, 7:7}
+    // — derived from the (run,size) symbols written below
     val out = new java.io.ByteArrayOutputStream()
     def emit(xs: Seq[Int]): Unit = xs.foreach(out.write)
     emit(Seq(0xff, 0xd8))
@@ -158,9 +172,9 @@ class JpegSpec extends AnyFunSuite {
       (("0" * s) + m.toBinaryString).takeRight(s)
     }
     bits.append("0111").append(mag(64, 7)) // DC: category 7, value 64
-    bits.append("000").append(mag(30, 5)) // zz1: (r0,s5)
-    bits.append("001").append(mag(-17, 5)) // zz5 after 3 skipped... (r1? )
-    bits.append("010").append(mag(7, 3)) // (r3,s3) -> zz9
+    bits.append("000").append(mag(30, 5)) // (r0,s5) -> zz1
+    bits.append("001").append(mag(-17, 5)) // (r1,s5): skip zz2 -> zz3
+    bits.append("010").append(mag(7, 3)) // (r3,s3): skip zz4..6 -> zz7
     bits.append("011") // EOB
     while (bits.length % 8 != 0) bits.append("1")
     bits.toString.grouped(8).foreach { b =>
@@ -185,16 +199,9 @@ class JpegSpec extends AnyFunSuite {
       order(i)
     }
     val f = new Array[Int](64)
-    // our bit stream: DC 64; then after DC: zz1=30; the "001" symbol
-    // is (run=1,size=5) -> skips zz2..2? — recompute placements the
-    // T.81 way to keep the reference honest:
-    // k=1: (r0,s5) -> zz1 = 30
-    // k=2: (r1,s5) -> skip 1 (zz2), zz3 = -17... wait: run=1 means one
-    //   zero before the coef, so coef lands at k+1 = 3? No: k=2, r=1
-    //   -> k=3, coef at zz3; then k=4
-    // k=4: (r3,s3) -> k=7, coef at zz7; then k=8
-    // So the DECODED spectrum is zz{0,1,3,7}, not the map above — use
-    // exactly these:
+    // T.81 placement of the symbols above: k=1 (r0,s5) -> zz1=30;
+    // k=2 (r1,s5) skips zz2 -> zz3=-17; k=4 (r3,s3) skips zz4..6
+    // -> zz7=7; EOB. Spectrum: zz{0,1,3,7}.
     f(0) = 64
     f(zigzagNat(1)) = 30
     f(zigzagNat(3)) = -17
@@ -253,7 +260,7 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodePixels("not a jpeg".getBytes) === None)
   }
 
-  test("honesty boundary: progressive and 12-bit streams return None") {
+  test("honesty boundary: arithmetic, 12-bit, and malformed-SOF2 streams return None") {
     val bytes = MediaSynth.jpeg(2L)
     var sof = -1
     var i = 2
@@ -261,9 +268,134 @@ class JpegSpec extends AnyFunSuite {
       if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0) sof = i
       i += 1
     }
-    val prog = bytes.clone(); prog(sof + 1) = 0xc2.toByte // SOF2
-    assert(Jpeg.decodePixels(prog) === None)
+    val arith = bytes.clone(); arith(sof + 1) = 0xc9.toByte // SOF9
+    assert(Jpeg.decodePixels(arith) === None)
     val deep = bytes.clone(); deep(sof + 4) = 12.toByte // 12-bit precision
     assert(Jpeg.decodePixels(deep) === None)
+    // a baseline stream mislabeled SOF2 carries an Ss=0/Se=63 scan —
+    // not a legal progressive band split — and must be rejected, not
+    // guessed at
+    val prog = bytes.clone(); prog(sof + 1) = 0xc2.toByte
+    assert(Jpeg.decodePixels(prog) === None)
+  }
+
+  test("progressive: full successive-approximation ladder decodes pixel-identical to baseline") {
+    for (id <- Seq(0L, 1L, 7L, 59L, 123L, 456L)) {
+      val base = Jpeg.decodePixels(MediaSynth.jpeg(id))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      val prog = Jpeg.decodePixels(MediaSynth.jpegProgressive(id))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      assert(prog.isDefined && prog === base, s"id=$id")
+    }
+  }
+
+  test("progressive: restart intervals reset DC predictors and EOB runs") {
+    for (id <- Seq(3L, 10L); every <- Seq(1, 2, 5)) {
+      val plain = Jpeg.decodePixels(MediaSynth.jpegProgressive(id))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      val rst = Jpeg.decodePixels(MediaSynth.jpegProgressive(id, restartEvery = every))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      assert(rst.isDefined && rst === plain, s"id=$id restartEvery=$every")
+    }
+  }
+
+  test("progressive general AC: spectral bands + refinement corrections and a birth match the reference IDCT") {
+    // hand-build a single-block grayscale SOF2 stream whose final
+    // spectrum is zz{0:64, 1:30, 3:-17, 4:-1, 7:7}, assembled across
+    // four scans: DC first (Al=0); AC first over band 1..5 at Al=1
+    // (zz1=15, zz3=-8 in the shifted domain); AC refinement of that
+    // band (correction bit 0 for zz1, correction bit 1 for -16→-17,
+    // and the BIRTH of zz4=-1 behind one zero-history skip); AC first
+    // over band 6..63 (zz7=7) — every §G.1.2 branch with nonzero
+    // coefficients in one fixture
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(xs: Seq[Int]): Unit = xs.foreach(out.write)
+    emit(Seq(0xff, 0xd8))
+    emit(Seq(0xff, 0xdb) ++ beLen(0 +: Seq.fill(64)(1)))
+    emit(Seq(0xff, 0xc2) ++ beLen(Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0)))
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x00, 0, 0, 0, 12) ++
+      Seq.fill(12)(0) ++ (0 to 11)))
+    // AC table: symbols {0x04 (r0,s4), 0x14 (r1,s4), 0x11 (r1,s1),
+    // 0x13 (r1,s3), 0x00 EOB} as 3-bit codes 000..100
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x10, 0, 0, 5) ++ Seq.fill(13)(0) ++
+      Seq(0x04, 0x14, 0x11, 0x13, 0x00)))
+    def mag(v: Int, s: Int): String = {
+      val m = if (v < 0) v + (1 << s) - 1 else v
+      (("0" * s) + m.toBinaryString).takeRight(s)
+    }
+    def scan(sos: Seq[Int], bitstr: String): Unit = {
+      emit(Seq(0xff, 0xda) ++ beLen(sos))
+      var s = bitstr
+      while (s.length % 8 != 0) s += "1"
+      s.grouped(8).foreach { b =>
+        val v = Integer.parseInt(b, 2); out.write(v)
+        if (v == 0xff) out.write(0x00)
+      }
+    }
+    scan(Seq(1, 1, 0x00, 0, 0, 0x00), "0111" + mag(64, 7))
+    scan(Seq(1, 1, 0x00, 1, 5, 0x01),
+      "000" + mag(15, 4) + // (r0,s4) -> zz1 = 15<<1 = 30
+      "001" + mag(-8, 4) + // (r1,s4): skip zz2 -> zz3 = -8<<1 = -16
+      "100") // EOB
+    scan(Seq(1, 1, 0x00, 1, 5, 0x10),
+      "010" + // (r1,s1): birth after one zero-history skip (zz2)
+      "0" + // sign bit: negative birth (-1)
+      "0" + // correction bit for zz1 (30 stays 30)
+      "1" + // correction bit for zz3 (-16 -> -17); birth lands at zz4
+      "100") // EOB: remainder zz5 has zero history, no bits
+    scan(Seq(1, 1, 0x00, 6, 63, 0x00),
+      "011" + mag(7, 3) + // (r1,s3): skip zz6 -> zz7 = 7
+      "100") // EOB
+    emit(Seq(0xff, 0xd9))
+    val Some((w, h, px)) = Jpeg.decodePixels(out.toByteArray)
+    assert((w, h) === ((8, 8)))
+    def zigzagNat(i: Int): Int = {
+      val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (s <- 0 until 15) {
+        val cells = (0 to s).map(k => (k, s - k)).filter {
+          case (x, y) => x < 8 && y < 8 }
+        val diag = if (s % 2 == 0) cells.map { case (x, y) => (y, x) }
+          else cells
+        diag.foreach { case (y, x) => order += y * 8 + x }
+      }
+      order(i)
+    }
+    val f = new Array[Int](64)
+    f(0) = 64
+    f(zigzagNat(1)) = 30
+    f(zigzagNat(3)) = -17
+    f(zigzagNat(4)) = -1
+    f(zigzagNat(7)) = 7
+    val ref = {
+      val o = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += 0.25 * cu * cv * f(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+        val p = math.round(s).toInt + 128
+        o(y * 8 + x) = math.max(0, math.min(255, p))
+      }
+      o
+    }
+    for (i <- 0 until 64) {
+      val got = px(i) & 0xff
+      assert(math.abs(got - ref(i)) <= 1, s"pixel $i: got $got ref ${ref(i)}")
+    }
+  }
+
+  test("progressive: truncation at every prefix length returns None, never throws") {
+    val bytes = MediaSynth.jpegProgressive(11L)
+    for (n <- 0 until bytes.length)
+      assert(Jpeg.decodePixels(bytes.take(n)) === None, s"prefix $n")
+    // and single-byte corruptions stay total
+    for (i <- 2 until bytes.length) {
+      val mut = bytes.clone(); mut(i) = (mut(i) ^ 0x81).toByte
+      Jpeg.decodePixels(mut)
+    }
   }
 }

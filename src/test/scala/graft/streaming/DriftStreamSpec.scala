@@ -171,4 +171,39 @@ class DriftStreamSpec extends SparkSpec {
     assert(subdirs.toSeq === Seq("b1", "b2"),
       "the staged fold must have been renamed into place")
   }
+
+  test("compaction crash mid-delete (stale target still present) rolls forward, never a gap") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val step = maxId / 3 + 1
+    val idxPath = tmp("middelete")
+    (0 until 3).foreach { b =>
+      DriftStream.countBatch(spark, idxPath, b.toLong,
+        docs.filter(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step))
+    }
+    val before = rows(DriftStream.reportSoFar(spark, idxPath))
+    // reproduce the ADVICE-r12 crash state: the fold committed
+    // (_SUCCESS in staging), the delete loop removed b0 only, and the
+    // process died with the STALE TARGET b1 still on disk — the old
+    // !exists(target) guard refused the rename here and readers saw a
+    // prefix missing b0's counts
+    DriftStream.readCounts(spark, idxPath, before = 2L)
+      .write.mode("overwrite").parquet(s"$idxPath/.compact_b1")
+    locally {
+      val f = new java.io.File(idxPath, "b0")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
+    assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before,
+      "roll-forward must supersede the stale target, not refuse the rename")
+    val subdirs = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getName).sorted
+    assert(subdirs.toSeq === Seq("b1", "b2"),
+      "the staged fold must have replaced the stale b1")
+  }
 }
