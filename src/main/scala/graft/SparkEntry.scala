@@ -486,6 +486,20 @@ object SparkEntry {
     // pixel sums from doc_id closed forms; doc_id % 5 == 3 rows are
     // truncated streams pinning the (-1,...) fallback in-gate
     "mm_jpeg_decode" -> ((s, dir) => graft.multimodal.Jpeg.decodeReport(s, dir)),
+    // REAL PNG decode (RFC 2083: CRC'd chunk walk, multi-IDAT
+    // inflate, all five scanline filters, gray/truecolor/RGBA/
+    // gray+alpha): DEFLATE is lossless so every pixel is the doc_id
+    // closed form verbatim and the oracle recomputes the sums;
+    // doc_id % 5 == 3 rows are truncated streams pinning the
+    // (-1,...) fallback in-gate
+    "mm_png_decode" -> ((s, dir) => graft.multimodal.Png.decodeReport(s, dir)),
+    // the PNG path through the same decode -> aHash -> multi-probe
+    // near-dup pipeline (the mm_image_dedup_jpeg twin): odd docs
+    // carry their even neighbor's frame with the top-left 8x8
+    // region brightened (re-filtered and re-deflated, so the byte
+    // streams differ completely); id%7==5 rows are truncated
+    "mm_image_dedup_png" -> ((s, dir) =>
+      graft.multimodal.Png.imageDedupPng(s, dir)),
     // image resize: decode -> box-average -> QOI re-encode -> decode,
     // integer-exact; the oracle recomputes the PIXEL arithmetic from
     // the gate corpus' closed-form images (no dump taken on faith)
@@ -601,6 +615,8 @@ object SparkEntry {
     s"${graft.multimodal.ImageDedup.dumpPath(graft.multimodal.ImageDedup.lastBase)}/*.parquet"
   private def jpegHashGlob: String =
     s"${graft.multimodal.Jpeg.dedupDumpPath(graft.multimodal.Jpeg.lastDedupBase)}/*.parquet"
+  private def pngHashGlob: String =
+    s"${graft.multimodal.Png.dedupDumpPath(graft.multimodal.Png.lastDedupBase)}/*.parquet"
   private def audHashGlob: String =
     s"${graft.multimodal.AudioDedup.dumpPath(graft.multimodal.AudioDedup.lastBase)}/*.parquet"
   private def audFbGlob: String =
@@ -2340,6 +2356,40 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
         |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
+    // decoded-PNG pixel statistics re-derived from doc_id closed
+    // forms alone: dims (8 + id%11, 8 + id%6), the per-pixel gray
+    // (id*13 + x*29 + y*17) % 256, the color-type channel derivation
+    // (types 0/4 sum 3·gray; 2/6 sum gray + (gray+85)%256 +
+    // (gray+170)%256 — alpha is never summed), and the position
+    // weight (1 + x + w·y, which a misfiltered or shifted scanline
+    // cannot fake). Truncated rows (id % 5 = 3) owe the
+    // (-1,-1,-1,-1) fallback. Grids unnested standalone then
+    // cross-joined (the DuckDB unnest+join+filter bind-bug
+    // workaround).
+    "mm_png_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 18)) AS x),
+        |ys AS (SELECT unnest(range(0, 13)) AS y),
+        |g AS (SELECT doc_id, 8 + doc_id % 11 AS w, 8 + doc_id % 6 AS h
+        |      FROM documents),
+        |cells AS (
+        |  SELECT g.doc_id, g.w, g.h, x, y,
+        |    (g.doc_id * 13 + x * 29 + y * 17) % 256 AS gray
+        |  FROM g, xs, ys WHERE x < g.w AND y < g.h),
+        |ok AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |    CAST(sum(CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
+        |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
+        |      AS BIGINT) AS pix_sum,
+        |    CAST(sum((CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
+        |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
+        |      * (1 + x + w * y)) AS BIGINT) AS pix_wsum
+        |  FROM cells GROUP BY doc_id, w, h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.w END AS w,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.h END AS h,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
+        |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
     "mm_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, (doc_id // 3) % 2 = 0 AS real,
@@ -2657,6 +2707,7 @@ object SparkEntry {
     // JPEG-decode-fed perceptual pairs: same dumped-sig oracle — the
     // decode is the faith, the pair machinery is re-derived
     "mm_image_dedup_jpeg" -> mediaHashPairsSql(jpegHashGlob),
+    "mm_image_dedup_png" -> mediaHashPairsSql(pngHashGlob),
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
     "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),

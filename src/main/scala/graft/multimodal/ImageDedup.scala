@@ -234,10 +234,13 @@ object ImageDedup {
   }
 
   /** The per-image hash: real pixel decode (QOI, then BMP, then
-    * baseline JPEG — [[Jpeg.decodePixels]], r12) + aHash when
-    * possible, stub otherwise. */
+    * PNG — [[Png.decodePixels]], r13 — then baseline+progressive
+    * JPEG — [[Jpeg.decodePixels]], r12/r13) + aHash when possible,
+    * stub otherwise. Order is magic-byte disjoint, so it's a sniff
+    * chain, not a preference. */
   private[multimodal] def imageHash(bytes: Array[Byte]): Long =
     decodeQoiPixels(bytes).orElse(decodeBmpPixels(bytes))
+      .orElse(Png.decodePixels(bytes))
       .orElse(Jpeg.decodePixels(bytes))
       .flatMap { case (w, h, px) => aHash64(w, h, px) }
       .getOrElse(stubImageHash(bytes))

@@ -258,6 +258,116 @@ object MediaSynth {
     leList("RIFF", "AVI ", riffBody.toByteArray)
   }
 
+  // ── PNG (closed-form pixels, all five filters; [[Png]] decodes) ──
+
+  def pngW(docId: Long): Int = 8 + (docId % 11).toInt
+  def pngH(docId: Long): Int = 8 + (docId % 6).toInt
+
+  /** Per-pixel closed-form gray — the `mm_png_decode` oracle
+    * recomputes pixel sums from this in DuckDB (DEFLATE is lossless,
+    * so unlike JPEG no block-constant trick is needed; every pixel
+    * survives verbatim). */
+  def pngGray(docId: Long, x: Int, y: Int): Int =
+    (((docId * 13 + x * 29 + y * 17) % 256 + 256) % 256).toInt
+
+  /** Color type cycles through the four supported profiles:
+    * grayscale / truecolor / RGBA / gray+alpha. */
+  def pngColorType(docId: Long): Int = (docId % 4) match {
+    case 0 => 0; case 1 => 2; case 2 => 6; case _ => 4
+  }
+
+  /** A real PNG stream for the doc: signature, CRC'd IHDR, the
+    * filtered scanlines deflated with `java.util.zip.Deflater` and
+    * split across TWO IDAT chunks (the multi-IDAT concat path is part
+    * of the spec), IEND. The filter type cycles (docId + y) % 5 per
+    * row, so None/Sub/Up/Average/Paeth are all exercised on every
+    * image taller than 4 rows. Non-gray color types derive
+    * G = (gray+85)%256, B = (gray+170)%256, alpha = (gray+31)%256
+    * from the same closed form. */
+  def png(docId: Long): Array[Byte] =
+    pngOf(pngW(docId), pngH(docId), pngColorType(docId),
+      (x, y) => pngGray(docId, x, y), y => ((docId + y) % 5).toInt)
+
+  /** The generalized writer (dims + color type + per-pixel gray +
+    * per-row filter) — the near-dup gate plants twins by re-rendering
+    * a neighbor's frame with a perturbed region. */
+  def pngOf(w: Int, h: Int, colorType: Int, gray: (Int, Int) => Int,
+      filterOf: Int => Int): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2
+      case 6 => 4 case _ => sys.error(s"unsupported color type $colorType") }
+    val rowBytes = 1 + w * bpp
+    val raw = new Array[Byte](h * rowBytes)
+    // render unfiltered samples first (the filters reference them)
+    val px = Array.tabulate(h, w * bpp) { (y, i) =>
+      val g = gray(i / bpp, y)
+      val s = (i % bpp, colorType) match {
+        case (0, _) => g
+        case (1, 2) | (1, 6) => (g + 85) % 256
+        case (2, 2) | (2, 6) => (g + 170) % 256
+        case (1, 4) | (3, 6) => (g + 31) % 256
+        case _ => g
+      }
+      s.toByte
+    }
+    var y = 0
+    while (y < h) {
+      val ft = filterOf(y)
+      raw(y * rowBytes) = ft.toByte
+      var x = 0
+      while (x < w * bpp) {
+        val v = px(y)(x) & 0xff
+        val a = if (x >= bpp) px(y)(x - bpp) & 0xff else 0
+        val b = if (y > 0) px(y - 1)(x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) px(y - 1)(x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * rowBytes + 1 + x) = ((v - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream(deflated.length + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(tpe: String, body: Array[Byte]): Unit = {
+      be32(out, body.length)
+      val tb = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4)
+      out.write(body, 0, body.length)
+      be32(out, crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
+    ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val split = deflated.length / 2
+    chunk("IDAT", java.util.Arrays.copyOfRange(deflated, 0, split))
+    chunk("IDAT", java.util.Arrays.copyOfRange(deflated, split, deflated.length))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   // ── baseline JPEG (grayscale, block-constant; [[Jpeg]] decodes) ───
 
   /** JPEG block grid — width/height are multiples of 8 by

@@ -1,0 +1,244 @@
+package graft.multimodal
+
+/** PNG pixel decode — pure JVM, public spec (RFC 2083 / ISO 15948):
+  * the web's second image format onto the REAL pixel path (r12
+  * "What's missing #2" — header-only before this; every PNG fell to
+  * the byte-stub hash). Scope: 8-bit samples, color types 0
+  * (grayscale), 2 (truecolor), 4 (gray+alpha) and 6 (RGBA), no
+  * interlace — i.e. the CRC-checked chunk walk, multi-IDAT zlib
+  * stream inflated with `java.util.zip.Inflater` (a JVM builtin —
+  * DEFLATE is the one entropy codec we don't hand-roll), and all
+  * five scanline filters (None/Sub/Up/Average/Paeth) unfiltered at
+  * the color type's byte-per-pixel stride. Indexed color (type 3),
+  * 1/2/4/16-bit depths and Adam7 interlace return None — the
+  * documented honesty boundary, same totality contract as every
+  * decoder here: a value or None on arbitrary bytes, never a throw
+  * (DecoderFuzzSpec).
+  *
+  * Output is ARGB (alpha 255 for the alpha-less color types) — the
+  * same shape [[Jpeg.decodePixels]] and the QOI/BMP decoders emit,
+  * so [[ImageDedup.imageHash]]'s aHash consumes it unchanged. */
+object Png {
+
+  private val MaxPixels = 16L * 1024 * 1024
+
+  private val Sig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Gate surface (`mm_png_decode`): synthesize a real PNG per
+    * document ([[MediaSynth.png]] — closed-form grays, the color type
+    * cycling gray/truecolor/RGBA/gray+alpha by doc_id % 4, the filter
+    * type cycling through ALL FIVE filters by row), decode through
+    * the full production path (chunk walk, CRC, inflate, unfilter),
+    * and report per-image pixel statistics the oracle recomputes from
+    * doc_id closed forms: pix_sum = Σ (r+g+b) and the
+    * position-weighted pix_wsum = Σ (r+g+b)·(1 + x + w·y), which a
+    * misfiltered or shifted scanline cannot fake. Rows with
+    * doc_id % 5 == 3 get a TRUNCATED stream and must report the
+    * (-1,-1,-1,-1) fallback. Map-only over documents. */
+  def decodeReport(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map { id =>
+        val full = MediaSynth.png(id)
+        val payload = if (id % 5 == 3) full.take(24) else full
+        decodePixels(payload) match {
+          case Some((w, h, px)) =>
+            var sum = 0L; var wsum = 0L
+            var i = 0
+            while (i < px.length) {
+              val rgb = ((px(i) >> 16) & 0xff) + ((px(i) >> 8) & 0xff) +
+                (px(i) & 0xff)
+              val x = i % w; val y = i / w
+              sum += rgb
+              wsum += rgb.toLong * (1L + x + w.toLong * y)
+              i += 1
+            }
+            (id, w.toLong, h.toLong, sum, wsum)
+          case None => (id, -1L, -1L, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "w", "h", "pix_sum", "pix_wsum")
+  }
+
+  @volatile var lastDedupBase: String = "sf0.01"
+
+  def dedupDumpPath(base: String): String =
+    graft.core.SideDump.path("pnghash_sigs", base)
+
+  /** Gate surface (`mm_image_dedup_png`) — the PNG path in the
+    * perceptual near-dup family, the [[Jpeg.imageDedupJpeg]] twin:
+    * odd docs carry their even neighbor's image with one pixel-block
+    * region brightened by +8 (aHash moves a few bits, the byte stream
+    * completely), id % 7 == 5 docs carry a truncated stream (stub
+    * fallback in-gate), everything through decode → aHash →
+    * multi-probe banded Hamming. Hashes side-dumped; DuckDB
+    * re-derives banding/caps/probes/verify (the shared mediaHashPairs
+    * oracle). */
+  def imageDedupPng(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, maxHamming: Int = 15,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map(id => (id, ImageDedup.imageHash(dedupPayload(id))))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(sigs, "pnghash_sigs", sfDir, maxHamming,
+      maxBucket)(lastDedupBase = _)
+  }
+
+  /** The near-dup fixture payload (shared with PngSpec's planted-twin
+    * assertions): the twin re-renders the even neighbor's frame with
+    * the top-left 8×8 region brightened by +8 — a real re-encoded
+    * near-dup, filtered and deflated independently. */
+  private[multimodal] def dedupPayload(id: Long): Array[Byte] =
+    if (id % 7 == 5) MediaSynth.png(id).take(24) // undecodable -> stub
+    else if (id % 2 == 0) MediaSynth.png(id)
+    else {
+      val twin = id - 1
+      MediaSynth.pngOf(MediaSynth.pngW(twin), MediaSynth.pngH(twin),
+        MediaSynth.pngColorType(twin),
+        (x, y) => {
+          val g = MediaSynth.pngGray(twin, x, y)
+          if (x < 8 && y < 8) math.min(255, g + 8) else g
+        },
+        y => ((twin + y) % 5).toInt)
+    }
+
+  /** Decode a PNG to (width, height, ARGB pixels). None on anything
+    * outside the supported profile, malformed, truncated, or over the
+    * pixel ceiling — never a throw. */
+  def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try decode0(b)
+    catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException |
+      _: NegativeArraySizeException |
+      _: java.util.zip.DataFormatException => None }
+  }
+
+  private def decode0(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < Sig.length + 25) return None
+    var i = 0
+    while (i < Sig.length) { if (b(i) != Sig(i)) return None; i += 1 }
+    def beInt(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+    var width = 0; var height = 0
+    var colorType = -1
+    var bpp = 0 // bytes per pixel at 8-bit depth
+    val idat = new java.io.ByteArrayOutputStream(256)
+    var sawEnd = false
+    var p = Sig.length
+    while (!sawEnd) {
+      if (p + 12 > b.length) return None
+      val len = beInt(p)
+      if (len < 0 || len > Int.MaxValue - 12 || p + 12 + len > b.length)
+        return None
+      val tpe = new String(b, p + 4, 4, "US-ASCII")
+      // CRC32 over type + data (RFC 2083 §3.4)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, p + 4, 4 + len.toInt)
+      if (crc.getValue != beInt(p + 8 + len.toInt)) return None
+      tpe match {
+        case "IHDR" =>
+          if (len != 13 || colorType >= 0) return None
+          width = beInt(p + 8).toInt; height = beInt(p + 12).toInt
+          val depth = b(p + 16) & 0xff
+          colorType = b(p + 17) & 0xff
+          val (compression, filter, interlace) =
+            (b(p + 18) & 0xff, b(p + 19) & 0xff, b(p + 20) & 0xff)
+          if (width <= 0 || height <= 0 ||
+            width.toLong * height > MaxPixels) return None
+          if (depth != 8 || compression != 0 || filter != 0 ||
+            interlace != 0) return None // honesty boundary
+          bpp = colorType match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return None // indexed (3) out of scope
+          }
+        case "IDAT" =>
+          if (colorType < 0) return None
+          idat.write(b, p + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunks skipped (PLTE unused: no type 3)
+      }
+      p += 12 + len.toInt
+    }
+    if (colorType < 0) return None
+
+    // inflate the zlib stream to exactly h filtered scanlines
+    val rowBytes = 1 + width * bpp
+    val raw = new Array[Byte](height * rowBytes)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        inf.end(); return None // truncated / preset-dictionary stream
+      }
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+
+    // unfilter in place (RFC 2083 §6): a = left, bb = up, c = up-left
+    var y = 0
+    while (y < height) {
+      val row = y * rowBytes
+      val ft = raw(row) & 0xff
+      if (ft > 4) return None
+      var x = 1
+      while (x < rowBytes) {
+        val a = if (x > bpp) raw(row + x - bpp) & 0xff else 0
+        val bb = if (y > 0) raw(row - rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x > bpp) raw(row - rowBytes + x - bpp) & 0xff
+          else 0
+        val add = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => bb
+          case 3 => (a + bb) >> 1
+          case 4 => // Paeth predictor
+            val pp = a + bb - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
+            val pc = math.abs(pp - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+        }
+        raw(row + x) = (((raw(row + x) & 0xff) + add) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    // compose ARGB
+    val out = new Array[Int](width * height)
+    y = 0
+    while (y < height) {
+      val row = y * rowBytes + 1
+      var x = 0
+      while (x < width) {
+        val q = row + x * bpp
+        val px = colorType match {
+          case 0 =>
+            val g = raw(q) & 0xff
+            0xff000000 | (g << 16) | (g << 8) | g
+          case 2 =>
+            0xff000000 | ((raw(q) & 0xff) << 16) |
+              ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+          case 4 =>
+            val g = raw(q) & 0xff
+            ((raw(q + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+          case _ => // 6
+            ((raw(q + 3) & 0xff) << 24) | ((raw(q) & 0xff) << 16) |
+              ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+        }
+        out(y * width + x) = px
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, out))
+  }
+}

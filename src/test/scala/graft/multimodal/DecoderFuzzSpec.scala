@@ -33,7 +33,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "imageHash" -> (b => ImageDedup.imageHash(b)),
     "clipHash" -> (b => AudioDedup.clipHash(b)),
     "aviFrames" -> (b => VideoFrames.decodeAviFrames(b)),
-    "jpegPixels" -> (b => Jpeg.decodePixels(b)))
+    "jpegPixels" -> (b => Jpeg.decodePixels(b)),
+    "pngPixels" -> (b => Png.decodePixels(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -75,7 +76,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "qoi" -> MediaSynth.qoi(7L), "wav" -> MediaSynth.wav(13L),
       "mp4" -> MediaSynth.mp4(20L), "avi" -> MediaSynth.avi(11L),
       "jpeg" -> MediaSynth.jpeg(9L),
-      "jpeg-prog" -> MediaSynth.jpegProgressive(9L))
+      "jpeg-prog" -> MediaSynth.jpegProgressive(9L),
+      "png" -> MediaSynth.png(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -95,7 +97,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "qoi" -> MediaSynth.qoi(19L), "wav" -> MediaSynth.wav(25L),
       "mp4" -> MediaSynth.mp4(14L), "avi" -> MediaSynth.avi(17L),
       "jpeg" -> MediaSynth.jpeg(23L),
-      "jpeg-prog" -> MediaSynth.jpegProgressive(23L))
+      "jpeg-prog" -> MediaSynth.jpegProgressive(23L),
+      "png" -> MediaSynth.png(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0

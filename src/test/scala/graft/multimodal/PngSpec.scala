@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PNG decoder: writer→decoder roundtrip exactness across all four
+  * supported color types and all five scanline filters, multi-IDAT
+  * reassembly, CRC rejection, the honesty boundary (interlace /
+  * depth / indexed), near-dup twin behavior, and totality. Pure JVM —
+  * no Spark session needed. */
+class PngSpec extends AnyFunSuite {
+
+  test("writer->decoder roundtrip is pixel-exact across color types and filters") {
+    // ids cover doc_id % 4 = 0,1,2,3 (gray, truecolor, RGBA,
+    // gray+alpha) and enough rows that (id + y) % 5 hits all filters
+    for (id <- Seq(0L, 1L, 2L, 3L, 17L, 58L, 123L, 456L)) {
+      val Some((w, h, px)) = Png.decodePixels(MediaSynth.png(id))
+      assert(w === MediaSynth.pngW(id) && h === MediaSynth.pngH(id), s"id=$id")
+      val ct = MediaSynth.pngColorType(id)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = MediaSynth.pngGray(id, x, y)
+        val p = px(y * w + x)
+        val (ea, er, eg, eb) = ct match {
+          case 0 => (255, g, g, g)
+          case 2 => (255, g, (g + 85) % 256, (g + 170) % 256)
+          case 4 => ((g + 31) % 256, g, g, g)
+          case _ => ((g + 31) % 256, g, (g + 85) % 256, (g + 170) % 256)
+        }
+        assert(((p >>> 24), (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          === ((ea, er, eg, eb)), s"id=$id px($x,$y) ct=$ct")
+      }
+    }
+  }
+
+  test("every single filter type decodes exactly (fixed-filter renders)") {
+    for (ft <- 0 to 4) {
+      val bytes = MediaSynth.pngOf(11, 7, 2,
+        (x, y) => (x * 29 + y * 17 + ft * 7) % 256, _ => ft)
+      val Some((w, h, px)) = Png.decodePixels(bytes)
+      assert((w, h) === ((11, 7)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x * 29 + y * 17 + ft * 7) % 256
+        assert(((px(y * w + x) >> 16) & 0xff) === g, s"ft=$ft ($x,$y)")
+      }
+    }
+  }
+
+  test("corrupting any single byte either decodes or returns None - and CRC catches payload bytes") {
+    val bytes = MediaSynth.png(7L)
+    for (i <- 8 until bytes.length) {
+      val mut = bytes.clone(); mut(i) = (mut(i) ^ 0x40).toByte
+      Png.decodePixels(mut) // totality
+    }
+    // a flipped bit inside the IDAT payload must be caught by the CRC
+    // (locate the first IDAT chunk's data region and corrupt it)
+    var p = 8
+    var idatData = -1
+    while (idatData < 0) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      val tpe = new String(bytes, p + 4, 4, "US-ASCII")
+      if (tpe == "IDAT" && len > 0) idatData = p + 8
+      else p += 12 + len
+    }
+    val mut = bytes.clone()
+    mut(idatData) = (mut(idatData) ^ 0x01).toByte
+    assert(Png.decodePixels(mut) === None)
+  }
+
+  test("truncation at every prefix length returns None, never throws") {
+    val bytes = MediaSynth.png(13L)
+    for (n <- 0 until bytes.length)
+      assert(Png.decodePixels(bytes.take(n)) === None, s"prefix $n")
+  }
+
+  test("honesty boundary: interlaced, 16-bit, and indexed streams return None") {
+    val base = MediaSynth.png(4L)
+    // IHDR data starts at offset 16: w(4) h(4) depth ct comp filt interlace
+    def patched(off: Int, v: Byte): Array[Byte] = {
+      val m = base.clone()
+      m(off) = v
+      // re-CRC the IHDR chunk (type at 12, data 13 bytes)
+      val crc = new java.util.zip.CRC32
+      crc.update(m, 12, 4 + 13)
+      val cv = crc.getValue
+      m(29) = ((cv >> 24) & 0xff).toByte; m(30) = ((cv >> 16) & 0xff).toByte
+      m(31) = ((cv >> 8) & 0xff).toByte; m(32) = (cv & 0xff).toByte
+      m
+    }
+    assert(Png.decodePixels(patched(28, 1)) === None, "Adam7 interlace")
+    assert(Png.decodePixels(patched(24, 16)) === None, "16-bit depth")
+    assert(Png.decodePixels(patched(25, 3)) === None, "indexed color")
+    assert(Png.decodePixels(base).isDefined, "patch harness sanity")
+  }
+
+  test("near-dup fixture: twins land within the probe radius; stub rows diverge") {
+    // even/odd neighbors: re-rendered with a brightened 8x8 region —
+    // aHash must stay within the Hamming budget used by the gate
+    for (even <- Seq(0L, 2L, 8L, 16L)) {
+      val he = ImageDedup.imageHash(Png.dedupPayload(even))
+      val ho = ImageDedup.imageHash(Png.dedupPayload(even + 1))
+      assert(java.lang.Long.bitCount(he ^ ho) <= 15, s"pair ($even,${even + 1})")
+    }
+    // truncated rows take the stub path: far from their twin
+    val t = 5L // 5 % 7 == 5 -> truncated
+    assert(Png.decodePixels(Png.dedupPayload(t)) === None)
+  }
+
+  test("multi-IDAT: single-chunk and split streams decode identically") {
+    // decode the standard (two-IDAT) stream, then re-pack the same
+    // deflated bytes as ONE IDAT chunk and compare
+    val bytes = MediaSynth.png(9L)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var p = 8
+    while (p < bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      val tpe = new String(bytes, p + 4, 4, "US-ASCII")
+      chunks += ((tpe, java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)))
+      p += 12 + len
+    }
+    assert(chunks.count(_._1 == "IDAT") === 2, "writer emits two IDATs")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, 8)
+    def emit(tpe: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val tb = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body)
+      val cv = crc.getValue
+      out.write(((cv >> 24) & 0xff).toInt); out.write(((cv >> 16) & 0xff).toInt)
+      out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
+    }
+    val idat = chunks.filter(_._1 == "IDAT").map(_._2).reduce(_ ++ _)
+    chunks.foreach {
+      case ("IDAT", _) => // replaced by the single merged chunk below
+      case ("IEND", b) => emit("IDAT", idat); emit("IEND", b)
+      case (t, b) => emit(t, b)
+    }
+    val one = Png.decodePixels(out.toByteArray)
+      .map { case (w, h, px) => (w, h, px.toSeq) }
+    val two = Png.decodePixels(bytes)
+      .map { case (w, h, px) => (w, h, px.toSeq) }
+    assert(one.isDefined && one === two)
+  }
+}
