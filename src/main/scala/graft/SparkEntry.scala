@@ -182,6 +182,14 @@ object SparkEntry {
     // mean length). ASCII-normalized so DuckDB's byte-based
     // levenshtein equals Spark's codepoint-based one
     "dedup_edit_pairs" -> ((s, dir) => graft.dedup.EditDedup.editPairs(s, dir)),
+    // the exact-duplicate collapse lever forced through a hash gate
+    // on a fixture where it bites (1 + id%3 copies of every even doc)
+    "dedup_edit_pairs_collapsed" -> ((s, dir) =>
+      graft.dedup.EditDedup.editPairsCollapsed(s, dir)),
+    // exact dedup -> edit dedup on the residue, the production
+    // composition as one operator with a chained-CTE oracle
+    "dedup_residue_pipeline" -> ((s, dir) =>
+      graft.dedup.EditDedup.residuePipeline(s, dir)),
     // output-capped form: each doc keeps its k=1 best match at BOTH
     // endpoints (<= n*k rows on any corpus); k=1 bites on the gate
     // fixture (25 -> 23 pairs), so the rank bound is exercised
@@ -500,6 +508,17 @@ object SparkEntry {
     // streams differ completely); id%7==5 rows are truncated
     "mm_image_dedup_png" -> ((s, dir) =>
       graft.multimodal.Png.imageDedupPng(s, dir)),
+    // MJPEG-in-AVI: the first COMPRESSED-video pixel path — the RIFF
+    // walker composes with the T.81 decoder, one full JPEG per frame
+    // chunk; both sums recomputed from doc_id closed forms (the
+    // frame-weighted variant catches dropped/reordered frames)
+    "mm_video_frames_mjpeg" -> ((s, dir) =>
+      graft.multimodal.VideoFrames.videoFrameReportMjpeg(s, dir)),
+    // compressed-video near-dup: per-frame JPEG decode -> aHash ->
+    // temporal-majority fold -> banded Hamming; odd docs re-encode
+    // their even neighbor with one block of frame 0 perturbed
+    "mm_video_dedup_mjpeg" -> ((s, dir) =>
+      graft.multimodal.VideoFrames.videoDedupMjpeg(s, dir)),
     // image resize: decode -> box-average -> QOI re-encode -> decode,
     // integer-exact; the oracle recomputes the PIXEL arithmetic from
     // the gate corpus' closed-form images (no dump taken on faith)
@@ -623,6 +642,8 @@ object SparkEntry {
     s"${graft.multimodal.AudioDedup.fbDumpPath(graft.multimodal.AudioDedup.lastFbBase)}/*.parquet"
   private def vidHashGlob: String =
     s"${graft.multimodal.VideoFrames.dumpPath(graft.multimodal.VideoFrames.lastBase)}/*.parquet"
+  private def vidMjpegGlob: String =
+    s"${graft.multimodal.VideoFrames.mjpegDumpPath(graft.multimodal.VideoFrames.lastMjpegBase)}/*.parquet"
 
   /** This run's PQ codebook dumps: the standalone PQ trainer's books
     * (graft.sim.Pq.topKPq) and the session IVF-PQ index model
@@ -1613,6 +1634,18 @@ object SparkEntry {
     // ASCII normalization makes byte-based (DuckDB) == codepoint-
     // based (Spark) distances
     "dedup_edit_pairs" -> dedupEditPairsSql,
+    // the exact-duplicate collapse forced to BITE: the corpus has no
+    // byte-identical texts, so the gate replicates every even doc
+    // 1 + id%3 times and the same all-pairs truth (which knows
+    // nothing of the collapse) must match the collapsed engine's
+    // within-group dist-0 pairs + algebraic cross-group expansion
+    "dedup_edit_pairs_collapsed" -> dedupEditPairsSqlOver(dupFixtureSql),
+    // the documented production composition, chained-CTE oracle:
+    // exact dedup (min-id keeper per byte-identical text) over the
+    // duplicated fixture, then the edit all-pairs truth on the RESIDUE
+    "dedup_residue_pipeline" -> dedupEditPairsSqlOver(
+      s"""(SELECT min(doc_id) AS doc_id, text
+         |   FROM $dupFixtureSql fx GROUP BY text)""".stripMargin),
     // both-endpoint rank <= 1 output cap over the same exact pair
     // set; bites at gate scale (25 -> 23)
     "dedup_edit_pairs_capped" -> dedupEditPairsCappedSql(1),
@@ -2390,6 +2423,42 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
         |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
+    // decoded-MJPEG frame statistics re-derived from doc_id closed
+    // forms alone: the per-frame block grid (nbx = 1 + id%3,
+    // nby = 1 + id%2), frame count (3 + id%4), the per-frame
+    // per-block gray, and the frame- and block-position weight
+    // (1 + bx + nbx·by)·(1 + f) — a dropped, duplicated, reordered
+    // or misdecoded frame cannot fake it; solid blocks contribute
+    // 64 identical pixels so sums scale by 64. Fake rows (text
+    // payloads) owe the (0,0,0,-1,-1) fallback.
+    "mm_video_frames_mjpeg" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, (doc_id // 3) % 2 = 0 AS real,
+        |    1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby,
+        |    3 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fs AS (SELECT unnest(range(0, 7)) AS f),
+        |bxs AS (SELECT unnest(range(0, 3)) AS bx),
+        |bys AS (SELECT unnest(range(0, 2)) AS by),
+        |cells AS (
+        |  SELECT v.media_id, v.nbx, v.nby, v.nf, f, bx, by,
+        |    (v.media_id * 5 + f * 17 + by * 29 + bx * 11) % 256 AS gray
+        |  FROM v, fs, bxs, bys
+        |  WHERE v.real AND f < v.nf AND bx < v.nbx AND by < v.nby),
+        |ok AS (
+        |  SELECT media_id, CAST(8 * nbx AS BIGINT) AS width,
+        |    CAST(8 * nby AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+        |    CAST(64 * sum(gray) AS BIGINT) AS px_sum,
+        |    CAST(64 * sum(gray * (1 + bx + nbx * by) * (1 + f)) AS BIGINT)
+        |      AS px_wsum
+        |  FROM cells GROUP BY media_id, nbx, nby, nf)
+        |SELECT v.media_id,
+        |  CASE WHEN v.real THEN ok.width ELSE 0 END AS width,
+        |  CASE WHEN v.real THEN ok.height ELSE 0 END AS height,
+        |  CASE WHEN v.real THEN ok.n_frames ELSE 0 END AS n_frames,
+        |  CASE WHEN v.real THEN ok.px_sum ELSE -1 END AS px_sum,
+        |  CASE WHEN v.real THEN ok.px_wsum ELSE -1 END AS px_wsum
+        |FROM v LEFT JOIN ok ON ok.media_id = v.media_id""".stripMargin,
     "mm_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, (doc_id // 3) % 2 = 0 AS real,
@@ -2717,6 +2786,7 @@ object SparkEntry {
     // video near-dup: identical oracle shape over the video dump
     // (temporal-majority frame aHashes / byte fallback)
     "mm_video_dedup" -> mediaHashPairsSql(vidHashGlob),
+    "mm_video_dedup_mjpeg" -> mediaHashPairsSql(vidMjpegGlob),
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
@@ -3367,14 +3437,30 @@ object SparkEntry {
     * so ed ≥ L1/2); the MATERIALIZED barrier stops DuckDB from
     * hoisting the levenshtein above them (measured 16 s → 2.9 s at
     * the gate corpus). */
-  private def dedupEditPairsSql: String = {
+  private def dedupEditPairsSql: String = dedupEditPairsSqlOver("documents")
+
+  /** The duplicated-corpus gate fixture (SQL side; the Spark twin is
+    * [[graft.dedup.EditDedup.dupFixture]]): 1 + doc_id % 3
+    * byte-identical copies of every even-id document, copy c at id
+    * doc_id·4 + c. The unnest is standalone-then-cross-joined (the
+    * DuckDB bind-bug workaround). */
+  private def dupFixtureSql: String =
+    """(SELECT d.doc_id * 4 + cs.c AS doc_id, d.text
+      |   FROM documents d, (SELECT unnest(range(0, 3)) AS c) cs
+      |   WHERE d.doc_id % 2 = 0 AND cs.c <= d.doc_id % 3)""".stripMargin
+
+  /** The all-pairs banded-Levenshtein ground truth over any
+    * (doc_id, text) source — O(n²) with two provably-implied
+    * prefilters (length gap, character-frequency L1), NO blocking:
+    * the oracle IS the recall definition. */
+  private def dedupEditPairsSqlOver(src: String): String = {
     val chars = ('a' to 'z') ++ ('0' to '9')
     val cv = chars.map(c => s"len - length(replace(nt, '$c', ''))")
       .mkString("[", ", ", "]")
     s"""WITH n AS (
        |  SELECT doc_id,
        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
-       |  FROM documents),
+       |  FROM $src),
        |l AS (SELECT doc_id, nt, CAST(length(nt) AS BIGINT) AS len,
        |        $cv AS cv
        |      FROM n),

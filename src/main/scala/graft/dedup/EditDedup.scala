@@ -312,6 +312,49 @@ object EditDedup {
     within.unionByName(cross)
   }
 
+  /** The duplicated-corpus GATE fixture (the SQL twin lives in the
+    * oracle): 1 + doc_id % 3 byte-identical copies of every EVEN-id
+    * document, copy c at id doc_id·4 + c. The corpus itself has no
+    * exact-duplicate texts (its planted dups are near-dups), so this
+    * is the frame where [[editPairsOf]]'s exact-duplicate collapse
+    * actually BITES — groups of 1..3 holders per text. */
+  private[graft] def dupFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("c", explode(expr("sequence(0L, doc_id % 3)")))
+      .select((col("doc_id") * 4 + col("c")).as("doc_id"), col("text"))
+
+  /** Gate surface (`dedup_edit_pairs_collapsed`): [[editPairsOf]] on
+    * the duplicated fixture, hash-pinned by the SAME all-pairs
+    * banded-Levenshtein ground truth as `dedup_edit_pairs` — the
+    * oracle knows nothing of the collapse, so the within-group dist-0
+    * pairs and the algebraic cross-group expansion must both be
+    * exactly right (r12 next-round #5: the scale lever was spec-pinned
+    * only; this forces it through a CORRECTNESS row on a fixture
+    * where it engages). */
+  def editPairsCollapsed(spark: SparkSession, sfDir: String): DataFrame =
+    editPairsOf(dupFixture(documents(spark, sfDir)))
+
+  /** Gate surface (`dedup_residue_pipeline`): the documented
+    * production recipe — EXACT dedup first, FUZZY dedup on the
+    * residue — as one composed operator (r12 next-round #6: prose
+    * until now). Stage 1 keeps the min-id holder of each
+    * byte-identical text of the duplicated fixture; stage 2 runs the
+    * full q-chunk edit machinery on the residue only. The oracle
+    * chains the same two stages as CTEs (keeper GROUP BY, then the
+    * all-pairs truth). On a dup-saturated corpus this is the
+    * scale-defining composition: stage 2's witness volume scales with
+    * DISTINCT texts. */
+  def residuePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val fix = dupFixture(documents(spark, sfDir))
+    val residue = fix
+      .withColumn("gid", min(col("doc_id")).over(
+        Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    editPairsOf(residue)
+  }
+
   /** OUTPUT-CAPPED edit pairs — [[editPairsOf]] bounded to each
     * document's `k` best matches at BOTH endpoints: a pair survives
     * iff it ranks ≤ k by (dist, partner id) among doc_a's pairs AND

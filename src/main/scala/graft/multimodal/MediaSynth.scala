@@ -258,6 +258,74 @@ object MediaSynth {
     leList("RIFF", "AVI ", riffBody.toByteArray)
   }
 
+  // ── MJPEG-in-AVI (block-constant JPEG frames; [[VideoFrames]] +
+  //    [[Jpeg]] decode by composition) ────────────────────────────
+
+  def mjpegNbx(docId: Long): Int = 1 + (docId % 3).toInt
+  def mjpegNby(docId: Long): Int = 1 + (docId % 2).toInt
+
+  /** Per-frame per-BLOCK solid gray (same closed-form family as
+    * [[aviGray]], at block granularity — block-constant content is
+    * what keeps the lossy per-frame codec gate-exact, the
+    * [[jpegGray]] argument lifted to the time axis). */
+  def mjpegGray(docId: Long, f: Int, bx: Int, by: Int): Int =
+    (((docId * 5 + f * 17 + by * 29 + bx * 11) % 256 + 256) % 256).toInt
+
+  /** An MJPEG AVI for the doc: the [[avi]] container with
+    * biCompression 'MJPG' and one complete baseline JPEG
+    * ([[jpegOf]]) per '00dc' chunk. Frame count matches [[avi]]'s
+    * ([[aviFrames]]). */
+  def aviMjpeg(docId: Long): Array[Byte] =
+    aviMjpegOf(mjpegNbx(docId), mjpegNby(docId), aviFrames(docId),
+      (f, bx, by) => mjpegGray(docId, f, bx, by))
+
+  /** The generalized MJPEG writer (block grid, frame count, per-frame
+    * per-block gray) — the near-dup gate plants twins by re-encoding
+    * a neighbor's frames with one block of one frame perturbed. */
+  def aviMjpegOf(nbx: Int, nby: Int, n: Int,
+      gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val w = 8 * nbx; val h = 8 * nby
+    val frames = Array.tabulate(n)(f =>
+      jpegOf(nbx, nby, (bx, by) => gray(f, bx, by)))
+    val maxFrame = frames.map(_.length).max
+    val avih = new java.io.ByteArrayOutputStream(56)
+    le32(avih, 100000)           // microseconds per frame (10 fps)
+    le32(avih, maxFrame * 10)    // max bytes per sec
+    le32(avih, 0); le32(avih, 0) // padding, flags
+    le32(avih, n)                // total frames
+    le32(avih, 0); le32(avih, 1) // initial frames, streams
+    le32(avih, maxFrame)         // suggested buffer
+    le32(avih, w); le32(avih, h)
+    var i = 0
+    while (i < 16) { avih.write(0); i += 1 } // reserved[4]
+    val strh = new java.io.ByteArrayOutputStream(56)
+    "vids".foreach(c => strh.write(c)); "MJPG".foreach(c => strh.write(c))
+    le32(strh, 0); le32(strh, 0); le32(strh, 0) // flags, prio+lang, initial
+    le32(strh, 1); le32(strh, 10) // scale, rate (10 fps)
+    le32(strh, 0); le32(strh, n)  // start, length
+    le32(strh, maxFrame); le32(strh, 0xffffffff.toInt); le32(strh, 0)
+    le32(strh, 0); le32(strh, (h << 16) | w) // rcFrame
+    val strf = new java.io.ByteArrayOutputStream(40)
+    le32(strf, 40); le32(strf, w); le32(strf, h)
+    strf.write(1); strf.write(0); strf.write(24); strf.write(0) // planes, bpp
+    "MJPG".foreach(c => strf.write(c)) // biCompression fourcc
+    le32(strf, maxFrame) // sizeImage (nominal for compressed streams)
+    le32(strf, 0); le32(strf, 0); le32(strf, 0); le32(strf, 0)
+    val strlBody = new java.io.ByteArrayOutputStream(120)
+    leChunk(strlBody, "strh", strh.toByteArray)
+    leChunk(strlBody, "strf", strf.toByteArray)
+    val hdrlBody = new java.io.ByteArrayOutputStream(200)
+    leChunk(hdrlBody, "avih", avih.toByteArray)
+    hdrlBody.write(leList("LIST", "strl", strlBody.toByteArray))
+    val moviBody = new java.io.ByteArrayOutputStream(
+      frames.map(_.length + 16).sum)
+    frames.foreach(fr => leChunk(moviBody, "00dc", fr))
+    val riffBody = new java.io.ByteArrayOutputStream(1024)
+    riffBody.write(leList("LIST", "hdrl", hdrlBody.toByteArray))
+    riffBody.write(leList("LIST", "movi", moviBody.toByteArray))
+    leList("RIFF", "AVI ", riffBody.toByteArray)
+  }
+
   // ── PNG (closed-form pixels, all five filters; [[Png]] decodes) ──
 
   def pngW(docId: Long): Int = 8 + (docId % 11).toInt

@@ -3,14 +3,17 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.multimodal.Multimodal.MediaRow
 
-/** REAL video frame decode — uncompressed AVI (RIFF 'AVI ', 24-bit
-  * BI_RGB DIB frames in '00db' chunks), the one public video container
-  * a pure-JVM decoder can read end to end: the RIFF walk is
+/** REAL video frame decode — AVI (RIFF 'AVI '), two codecs: 24-bit
+  * BI_RGB DIB frames in '00db' chunks (uncompressed; the RIFF walk is
   * [[AudioFeatures.decodeWavPcm]]'s, the frame pixel layout is
-  * [[ImageDedup.decodeBmpPixels]]'s (bottom-up BGR rows, 4-byte row
-  * padding). This closes the video leg of the real-decode story: QOI
-  * images and PCM WAV audio already decode for real; codec-compressed
-  * video (the MP4 rows) keeps its honest header-only boundary.
+  * [[ImageDedup.decodeBmpPixels]]'s — bottom-up BGR rows, 4-byte row
+  * padding), and — r13 — MJPEG ('MJPG' biCompression, one complete
+  * JPEG stream per '00dc' chunk) decoded frame-by-frame through
+  * [[Jpeg.decodePixels]]: the first COMPRESSED-video pixels, obtained
+  * almost entirely by composition of the shipped RIFF walker and the
+  * T.81 decoder. This closes the video leg of the real-decode story:
+  * QOI images and PCM WAV audio already decode for real; H.264-class
+  * codec video (the MP4 rows) keeps its honest header-only boundary.
   *
   * Gate story (`mm_video_frames`): the gate corpus' real AVI rows
   * ([[MediaSynth.avi]]) have closed-form frame pixels
@@ -46,6 +49,7 @@ object VideoFrames {
 
     var w = -1; var h = -1
     var bppOk = false
+    var mjpeg = false // biCompression == 'MJPG' on the latched stream
     // the strf/frame filter is bound to the FIRST 'vids' STREAM, not
     // to whatever strf appears last in the RIFF: a multi-stream AVI
     // (video + audio, or two video streams) carries one strl LIST per
@@ -61,7 +65,8 @@ object VideoFrames {
     var vidsStream = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // offsets
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
-    def frameTag: String = f"$vidsStream%02ddb"
+    def frameTag: String =
+      if (mjpeg) f"$vidsStream%02ddc" else f"$vidsStream%02ddb"
 
     // walk chunks within [from, to); recurse into LISTs we care about
     def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
@@ -89,11 +94,14 @@ object VideoFrames {
               tag(body) == "vids") vidsStream = currentStrl
           case "strf" =>
             // BITMAPINFOHEADER: bpp at +14, compression at +16 — only
-            // the latched video stream's format counts
+            // the latched video stream's format counts. BI_RGB 24bpp
+            // is the raw-DIB path; fourcc 'MJPG' (0x47504A4D LE) is
+            // one complete JPEG per '..dc' chunk
             if (size >= 20 && currentStrl >= 0 && currentStrl == vidsStream) {
               val bpp = ((b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8))
               val comp = le32(body + 16)
-              bppOk = bpp == 24 && comp == 0
+              mjpeg = comp == 0x47504a4dL
+              bppOk = (bpp == 24 && comp == 0) || mjpeg
             }
           case fid if inMovi && vidsStream >= 0 && fid == frameTag =>
             frames += body; sizes += size.toInt
@@ -107,6 +115,23 @@ object VideoFrames {
     if (!bppOk || w <= 0 || h <= 0 || w > MaxFramePixels || h > MaxFramePixels ||
       w.toLong * h > MaxFramePixels) return None
     if (frames.isEmpty || frames.length > MaxFrames) return None
+    if (mjpeg) {
+      // composition: each '..dc' chunk is a complete JPEG stream;
+      // every frame must decode and match the container dims (an
+      // MJPEG stream whose frames disagree with avih is malformed)
+      val out = new Array[Array[Int]](frames.length)
+      var f = 0
+      while (f < frames.length) {
+        val sub = java.util.Arrays.copyOfRange(b, frames(f),
+          frames(f) + sizes(f))
+        Jpeg.decodePixels(sub) match {
+          case Some((fw, fh, px)) if fw == w && fh == h => out(f) = px
+          case _ => return None
+        }
+        f += 1
+      }
+      return Some((w, h, out))
+    }
     val rowSize = ((24 * w + 31) / 32) * 4
     if (rowSize.toLong * h > Int.MaxValue) return None
     val out = new Array[Array[Int]](frames.length)
@@ -262,6 +287,103 @@ object VideoFrames {
           (m.media_id, -1L, m.media.length.toLong, -1L)
       }
     }.toDF("media_id", "frame_idx", "out_bytes", "px_sum")
+  }
+
+  /** The MJPEG video table: real rows carry [[MediaSynth.aviMjpeg]]
+    * payloads (one complete JPEG per frame chunk), fakes the text
+    * bytes. Independent of [[aviTable]], so the raw-DIB gates are
+    * untouched. */
+  def mjpegTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload =
+          if (MediaSynth.isReal(id)) MediaSynth.aviMjpeg(id)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, "video", payload, "video/avi", payload.length.toLong)
+      }
+  }
+
+  /** Gate surface (`mm_video_frames_mjpeg`): the COMPRESSED-video
+    * pixel path — every real row's frames are full T.81 decodes, and
+    * the oracle recomputes both sums from doc_id closed forms
+    * ([[MediaSynth.mjpegGray]]): px_sum = Σ red over every pixel of
+    * every frame, and px_wsum = Σ red · (1 + bx + nbx·by) · (1 + f) —
+    * the block-position weight of `mm_jpeg_decode` with a frame-index
+    * factor on top, so a dropped, duplicated or reordered frame (and
+    * any misplaced block within one) breaks the hash. Undecodable
+    * rows report (0, 0, 0, -1, -1). */
+  def videoFrameReportMjpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = mjpegTable(spark, sfDir)
+    import media.sparkSession.implicits._
+    media.map { m =>
+      decodeAviFrames(m.media) match {
+        case Some((w, h, frames)) =>
+          val nbx = w / 8
+          var s = 0L; var ws = 0L
+          var f = 0
+          while (f < frames.length) {
+            val px = frames(f)
+            var i = 0
+            while (i < px.length) {
+              val r = (px(i) >>> 16) & 0xff
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              s += r
+              ws += r.toLong * (1L + bx + nbx.toLong * by) * (1L + f)
+              i += 1
+            }
+            f += 1
+          }
+          (m.media_id, w.toLong, h.toLong, frames.length.toLong, s, ws)
+        case None => (m.media_id, 0L, 0L, 0L, -1L, -1L)
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "px_sum", "px_wsum")
+  }
+
+  @volatile var lastMjpegBase: String = "sf0.01"
+
+  def mjpegDumpPath(base: String): String =
+    graft.core.SideDump.path("vidmjpeghash_sigs", base)
+
+  /** The MJPEG near-dup fixture payload (PngSpec-twin convention):
+    * odd docs re-encode their even neighbor's frames with ONE block
+    * of frame 0 brightened by +8 (the temporal-majority fold absorbs
+    * a single edited frame, so the fingerprint moves at most a few
+    * bits while the byte stream — every frame re-Huffman-coded —
+    * differs completely); id % 7 == 5 docs carry a truncated stream
+    * (stub fallback in-gate). */
+  private[multimodal] def mjpegDedupPayload(id: Long): Array[Byte] =
+    if (id % 7 == 5) MediaSynth.aviMjpeg(id).take(32) // undecodable -> stub
+    else if (id % 2 == 0) MediaSynth.aviMjpeg(id)
+    else {
+      val twin = id - 1
+      MediaSynth.aviMjpegOf(MediaSynth.mjpegNbx(twin),
+        MediaSynth.mjpegNby(twin), MediaSynth.aviFrames(twin),
+        (f, bx, by) => {
+          val g = MediaSynth.mjpegGray(twin, f, bx, by)
+          if (f == 0 && bx == 0 && by == 0) math.min(255, g + 8) else g
+        })
+    }
+
+  /** Gate surface (`mm_video_dedup_mjpeg`) — compressed video in the
+    * perceptual near-dup family: everything through the REAL
+    * per-frame JPEG decode → aHash → temporal-majority fold →
+    * multi-probe banded Hamming. Fingerprints side-dumped; DuckDB
+    * re-derives banding/caps/probes/verify (the shared mediaHashPairs
+    * oracle). */
+  def videoDedupMjpeg(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .map(id => (id, clipHash(mjpegDedupPayload(id))))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(sigs, "vidmjpeghash_sigs", sfDir, maxHamming,
+      maxBucket)(lastMjpegBase = _)
   }
 
   /** Gate surface (`mm_video_frames`): per video row, the decoded

@@ -99,6 +99,59 @@ class EditDedupSpec extends SparkSpec {
     assert(EditDedup.blockingDrops(docs(many), cap = 2).isEmpty)
   }
 
+  test("dup fixture: the collapse ENGAGES (groups up to 3) and the result equals brute force") {
+    // a tiny corpus with near-dup texts, fed through the gate's own
+    // dupFixture — byte-identical copies must pair within-group at
+    // dist 0 and inherit their representative's cross-group verdicts
+    val tiny = docs(Seq(
+      0L -> base,
+      2L -> (base.dropRight(3) + "zzz"), // near-dup of 0
+      4L -> "completely different short text here",
+      6L -> base)) // byte-identical to 0 BEFORE replication too
+    val fix = EditDedup.dupFixture(tiny)
+    val rows = fix.collect().map(r => (r.getLong(0), r.getString(1)))
+    // collapse precondition: strictly fewer distinct texts than rows
+    assert(rows.map(_._2).distinct.length < rows.length,
+      "the fixture must make the exact-duplicate collapse bite")
+    // ids 0 and 6 share a text: copies of BOTH originals form one group
+    val got = EditDedup.editPairsOf(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference over the fixture
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(norm(ta), norm(tb))
+      th = math.min(64, (norm(ta).length + norm(tb).length) / 20)
+      if d <= th
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === want)
+    // and within-group dist-0 pairs are actually present
+    assert(got.exists(_._3 == 0L), "collapse expansion must emit dist-0 pairs")
+  }
+
+  test("residue pipeline: stage 1 keeps min-id per text, stage 2 pairs only the residue") {
+    val tiny = docs(Seq(
+      0L -> base,
+      2L -> (base.dropRight(3) + "zzz"),
+      4L -> "completely different short text here",
+      6L -> base))
+    val fix = EditDedup.dupFixture(tiny)
+    val rows = fix.collect().map(r => (r.getLong(0), r.getString(1)))
+    val keepers = rows.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val got = {
+      import spark.implicits._
+      val residue = fix
+        .withColumn("gid", org.apache.spark.sql.functions.min($"doc_id")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy($"text")))
+        .filter($"doc_id" === $"gid").select("doc_id", "text")
+      EditDedup.editPairsOf(residue).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // every emitted id is a keeper, and no dist-0 pairs remain (the
+    // residue has no byte-identical texts by construction)
+    assert(got.forall(p => keepers(p._1) && keepers(p._2)))
+    assert(got.nonEmpty && got.forall(_._3 > 0L))
+  }
+
   test("df-cap: a degenerate DISTINCT-text block key is dropped whole; drops observable") {
     // 70 DISTINCT single-substitution variants of one ~600-char
     // carrier (variant i flips position 8*i to '7'): every pair is a

@@ -77,7 +77,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "mp4" -> MediaSynth.mp4(20L), "avi" -> MediaSynth.avi(11L),
       "jpeg" -> MediaSynth.jpeg(9L),
       "jpeg-prog" -> MediaSynth.jpegProgressive(9L),
-      "png" -> MediaSynth.png(9L))
+      "png" -> MediaSynth.png(9L),
+      "avi-mjpeg" -> MediaSynth.aviMjpeg(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -98,7 +99,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "mp4" -> MediaSynth.mp4(14L), "avi" -> MediaSynth.avi(17L),
       "jpeg" -> MediaSynth.jpeg(23L),
       "jpeg-prog" -> MediaSynth.jpegProgressive(23L),
-      "png" -> MediaSynth.png(23L))
+      "png" -> MediaSynth.png(23L),
+      "avi-mjpeg" -> MediaSynth.aviMjpeg(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0

@@ -23,6 +23,46 @@ class VideoFramesSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG roundtrip: every frame decodes through the T.81 path to the closed forms") {
+    for (id <- Seq(2L, 5L, 8L, 11L, 14L, 26L)) {
+      val bytes = MediaSynth.aviMjpeg(id)
+      val Some((w, h, frames)) = VideoFrames.decodeAviFrames(bytes)
+      assert(w === 8 * MediaSynth.mjpegNbx(id))
+      assert(h === 8 * MediaSynth.mjpegNby(id))
+      assert(frames.length === MediaSynth.aviFrames(id))
+      for (f <- frames.indices; y <- 0 until h; x <- 0 until w) {
+        val px = frames(f)(y * w + x)
+        val g = MediaSynth.mjpegGray(id, f, x / 8, y / 8)
+        assert(px === ((0xff << 24) | (g << 16) | (g << 8) | g),
+          s"id=$id f=$f ($x,$y)")
+      }
+    }
+  }
+
+  test("MJPEG malformed: truncation and a corrupted frame chunk decline whole") {
+    val good = MediaSynth.aviMjpeg(7L)
+    assert(VideoFrames.decodeAviFrames(good).isDefined)
+    assert(VideoFrames.decodeAviFrames(good.take(80)).isEmpty)
+    assert(VideoFrames.decodeAviFrames(good.dropRight(6)).isEmpty,
+      "a short final JPEG chunk must decline, not mis-decode")
+    // corrupt the first frame's SOI: the frame fails T.81 decode and
+    // the whole clip declines to the stub path
+    val dcAt = good.sliding(4).indexWhere(_.sameElements("00dc".getBytes))
+    assert(dcAt > 0)
+    val m = good.clone(); m(dcAt + 8) = 0x00
+    assert(VideoFrames.decodeAviFrames(m).isEmpty)
+  }
+
+  test("MJPEG near-dup fixture: twins fold within the probe radius; truncated rows stub") {
+    for (even <- Seq(0L, 2L, 8L, 16L)) {
+      val he = VideoFrames.clipHash(VideoFrames.mjpegDedupPayload(even))
+      val ho = VideoFrames.clipHash(VideoFrames.mjpegDedupPayload(even + 1))
+      assert(java.lang.Long.bitCount(he ^ ho) <= 15, s"pair ($even,${even + 1})")
+    }
+    assert(VideoFrames.decodeAviFrames(
+      VideoFrames.mjpegDedupPayload(5L)).isEmpty) // 5 % 7 == 5 -> stub
+  }
+
   test("malformed AVIs decline: truncation, compression, wrong bpp") {
     val good = MediaSynth.avi(5L)
     assert(VideoFrames.decodeAviFrames(good).isDefined)
