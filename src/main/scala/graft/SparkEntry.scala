@@ -354,6 +354,10 @@ object SparkEntry {
     // same membership, flag carried from the one scan
     "text_mix_order_curriculum" -> ((s, dir) =>
       graft.text.TextAnalysis.mixOrderCurriculum(s, dir)),
+    // decile-graded curriculum: corpus-wide stopword-ppm deciles via
+    // the histogram-selection machinery, cleanest decile first
+    "text_mix_order_bucketed" -> ((s, dir) =>
+      graft.text.TextAnalysis.mixOrderBucketed(s, dir)),
     // the ordered mixture cut into fixed-token-budget OUTPUT SHARDS
     // (the artifact a data loader mounts): rank + token prefix-sum
     // fused into ONE globalRankPack layout — one shuffle where
@@ -2622,6 +2626,34 @@ object SparkEntry {
          |    md5(CAST(me.doc_id AS VARCHAR) || ':' || CAST(me.epoch AS VARCHAR) || ':42'),
          |    me.doc_id) - 1 AS BIGINT) AS train_order
          |FROM me JOIN qf USING (doc_id)""".stripMargin,
+    // decile-graded curriculum: score = stopword ppm (truncating
+    // bigint div, 0 for token-less docs), cutoffs = the corpus score
+    // histogram's elements at ranks ceil(n·d/10) d=1..9 (the events
+    // histogram-selection definition with the corpus as one group),
+    // q_decile = #cutoffs strictly below the score, presented DESC
+    // inside each epoch over the same md5 shuffle
+    "text_mix_order_bucketed" ->
+      s"""WITH me AS ($textMixEpochsSql),
+         |sc AS (SELECT doc_id,
+         |    CASE WHEN n_tokens = 0 THEN 0
+         |         ELSE CAST(n_stop AS BIGINT) * 1000000 // n_tokens END AS score
+         |  FROM ($textQualitySql)),
+         |h AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+         |hc AS (SELECT score, c, sum(c) OVER (ORDER BY score) AS cum,
+         |         sum(c) OVER () AS n FROM h),
+         |cut AS (SELECT ds.d, hc.score AS cutoff
+         |  FROM hc, (SELECT unnest(range(1, 10)) AS d) ds
+         |  WHERE hc.cum - hc.c < CAST(ceil(hc.n * ds.d / 10.0) AS BIGINT)
+         |    AND CAST(ceil(hc.n * ds.d / 10.0) AS BIGINT) <= hc.cum),
+         |dec AS (SELECT sc.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN sc.score > cut.cutoff THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS q_decile
+         |  FROM sc LEFT JOIN cut ON TRUE GROUP BY sc.doc_id)
+         |SELECT me.lang, me.doc_id, me.epoch, dec.q_decile,
+         |  CAST(row_number() OVER (ORDER BY me.epoch, dec.q_decile DESC,
+         |    md5(CAST(me.doc_id AS VARCHAR) || ':' || CAST(me.epoch AS VARCHAR) || ':42'),
+         |    me.doc_id) - 1 AS BIGINT) AS train_order
+         |FROM me JOIN dec USING (doc_id)""".stripMargin,
     // the shard cut over that order: token prefix-sum div budget.
     // The oracle's global window cumsum is oracle-side only — the
     // engine's rank AND prefix sum come from one fused

@@ -256,6 +256,60 @@ object TextAnalysis {
       .select(col("lang"), col("doc_id"), col("epoch"), col("is_quality"),
         col("rank").as("train_order"))
 
+  /** BUCKETED curriculum training order (`text_mix_order_bucketed`) —
+    * [[mixOrderCurriculum]] with quality DECILES instead of the binary
+    * flag: real curriculum schedules grade from cleanest to noisiest,
+    * not clean/other. Score = stopword rate in parts-per-million
+    * (`n_stop·10⁶ div n_tokens`, 0 for token-less docs — truncating
+    * bigint division, exact in both engines); decile cutoffs are
+    * selected from the CORPUS-WIDE score VALUE HISTOGRAM at ranks
+    * ceil(n·d/10), d = 1..9 — the events-gate histogram-selection
+    * machinery ([[graft.queries.RelQueries]] histQuantilesSelect)
+    * applied with the corpus as the one group; `q_decile` =
+    * #cutoffs strictly below the doc's score (0..9, 9 = most
+    * stopword-dense ≈ cleanest natural text), presented descending
+    * inside each epoch with the same fresh per-epoch shuffle within a
+    * decile. Cost posture: the histogram is one map-side-combined
+    * aggregation bounded by the VALUE DOMAIN (≤ 10⁶ + 1 distinct ppm
+    * scores, single-partition window over that bounded frame), the
+    * 9-row cutoff list folds in as one broadcast literal — the
+    * curriculum premium stays one extra bounded aggregate over the
+    * single-tokenize scan (the r12 single-pass lesson carried over). */
+  def mixOrderBucketed(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scoreSql = s"CASE WHEN ($NTokensSql) = 0 THEN CAST(0 AS BIGINT) " +
+      s"ELSE (CAST(($NStopSql) AS BIGINT) * 1000000) DIV ($NTokensSql) END"
+    val hist = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(expr(scoreSql).cast("long").as("score"))
+      .groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score"))))
+      .withColumn("n", sum(col("c")).over(
+        Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("d", explode(expr("sequence(1, 9)")))
+      .withColumn("r", expr("cast(ceil(n * d / 10.0) as bigint)"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .agg(sort_array(collect_list(col("score"))).as("cuts"))
+    val mem = mixMembership(spark, sfDir, budgetTokens,
+        extra = Seq("n_tokens" -> expr(NTokensSql).cast("long"),
+          "n_stop" -> expr(NStopSql).cast("long")),
+        derived = Seq("score" -> expr(
+          "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (n_stop * 1000000) DIV n_tokens END")))
+      .withColumn("shuffle_key", epochShuffleKey)
+      .crossJoin(broadcast(cuts))
+      .withColumn("q_decile", expr(
+        "aggregate(cuts, CAST(0 AS BIGINT), " +
+          "(acc, t) -> acc + CASE WHEN score > t THEN 1 ELSE 0 END)"))
+    SequencePacking.globalRank(mem,
+      Seq(col("epoch"), col("q_decile").desc, col("shuffle_key"),
+        col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("epoch"), col("q_decile"),
+        col("rank").as("train_order"))
+  }
+
   /** OUTPUT SHARDS over the training order — the leg that turns the
     * ordered mixture into the fixed-size artifact a data loader
     * reads: walking the [[mixOrder]] order, cut a new shard every

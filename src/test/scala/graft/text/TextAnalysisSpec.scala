@@ -241,6 +241,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bucketed curriculum: decile-graded descent, driver-recomputed deciles, same membership") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.mixOrderBucketed(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // same membership as the uniform order
+    val uniform = TextAnalysis.mixOrder(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === uniform)
+    assert(got.map(_._5).sorted.toSeq === (0L until got.length).toSeq)
+    // driver reference: score = stopword ppm; cutoffs at ceil(n*d/10)
+    // over the sorted corpus multiset; decile = #cutoffs < score
+    val scores = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val stops = r.getString(1).toLowerCase.split("[^a-z]+")
+          .filter(_.nonEmpty)
+          .count(Set("the", "a", "of", "and", "to", "is", "in"))
+        val s = if (toks.isEmpty) 0L else stops.toLong * 1000000L / toks.length
+        r.getLong(0) -> s
+      }.toMap
+    val sorted = scores.values.toSeq.sorted
+    val n = sorted.length
+    val cutoffs = (1 to 9).map(d =>
+      sorted((math.ceil(n.toDouble * d / 10.0).toLong - 1).toInt))
+    val decile = scores.map { case (id, s) =>
+      id -> cutoffs.count(s > _).toLong }
+    assert(decile.values.toSet.size > 2,
+      "corpus must spread across >2 deciles or the bucketing is vacuous")
+    got.groupBy(_._3).foreach { case (e, g) =>
+      val seq = g.sortBy(_._5).map(_._4)
+      assert(seq.toSeq === seq.sorted.reverse.toSeq,
+        s"epoch $e: deciles must descend (cleanest first)")
+      assert(g.forall(t => t._4 === decile(t._2)),
+        s"epoch $e: engine deciles must equal the driver histogram selection")
+    }
+  }
+
   test("semantic drift: bucket report equals a driver fold over the embeddings") {
     import org.apache.spark.sql.functions._
     val got = TextAnalysis.sourceDriftSemantic(spark, sf()).collect()
