@@ -474,6 +474,13 @@ object SparkEntry {
     // are truncated streams pinning the stub fallback in-gate
     "mm_image_dedup_jpeg" -> ((s, dir) =>
       graft.multimodal.Jpeg.imageDedupJpeg(s, dir)),
+    // the media near-dup SCALE path: exact-signature collapse +
+    // 4x16-bit wide bands + radius-3 probes over the same JPEG
+    // fixture, pinned by the all-pairs Hamming <= 15 truth (the r13
+    // rehearsal finding: 8-bit bands + identical-sig cliques lose
+    // twins at 13x; this formulation keeps recall 1.0)
+    "mm_image_dedup_wide" -> ((s, dir) =>
+      graft.multimodal.Jpeg.imageDedupWide(s, dir)),
     // audio features: real PCM WAV sample decode on the gate corpus'
     // real rows, byte-length stub on the fakes
     "mm_audio_features" -> ((s, dir) =>
@@ -640,6 +647,8 @@ object SparkEntry {
     s"${graft.multimodal.Jpeg.dedupDumpPath(graft.multimodal.Jpeg.lastDedupBase)}/*.parquet"
   private def pngHashGlob: String =
     s"${graft.multimodal.Png.dedupDumpPath(graft.multimodal.Png.lastDedupBase)}/*.parquet"
+  private def jpegWideHashGlob: String =
+    s"${graft.multimodal.Jpeg.wideDumpPath(graft.multimodal.Jpeg.lastWideBase)}/*.parquet"
   private def audHashGlob: String =
     s"${graft.multimodal.AudioDedup.dumpPath(graft.multimodal.AudioDedup.lastBase)}/*.parquet"
   private def audFbGlob: String =
@@ -2809,6 +2818,14 @@ object SparkEntry {
     // decode is the faith, the pair machinery is re-derived
     "mm_image_dedup_jpeg" -> mediaHashPairsSql(jpegHashGlob),
     "mm_image_dedup_png" -> mediaHashPairsSql(pngHashGlob),
+    // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth
+    // (not its own plumbing): collapse expansion + wide pigeonhole
+    // must reach FULL recall, including the identical-sig stub clique
+    "mm_image_dedup_wide" ->
+      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$jpegWideHashGlob'))
+         |SELECT x.doc_id AS i, y.doc_id AS j
+         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 15""".stripMargin,
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
     "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),

@@ -513,6 +513,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Wide-band pairs with EXACT-SIGNATURE COLLAPSE — the
+    * [[EditDedup.editPairsOf]] collapse lever applied to the
+    * SIGNATURE domain, motivated by a MEASURED rehearsal failure
+    * (MediaIngestBench r13 at 13×, BENCH_NOTES): tiny images hash to
+    * LOW-ENTROPY aHashes (a 2×2-block frame has ~4 independent aHash
+    * cells), so at 65 k docs the 8-bit-band multi-probe scheme's
+    * buckets blow the df-cap and planted-twin recall collapsed to
+    * 0.31 — the r11 band-width law (bucket space must grow with
+    * log n) compounded by identical-signature cliques that cap out
+    * at ANY band width. Signatures being what the Hamming contract
+    * is computed ON, byte-identical sigs are interchangeable:
+    * collapse each distinct sig to its min-id holder, run the
+    * wide-band core (4 × 16-bit bands, radius-3 probes — pigeonhole
+    * ≤ 15) over DISTINCT SIGNATURES — occupancy now scales with sig
+    * entropy, not corpus size — and expand algebraically: within-sig
+    * pairs at dist 0, rep-pair verdicts inherited by every member
+    * pair (same sigs, same distance). Exactness-preserving by
+    * construction; the giant identical-sig cliques a real crawl's
+    * placeholder images form become generated OUTPUT, never shuffled
+    * candidates. The production scale path for every media hash
+    * family; gate `mm_image_dedup_wide` pins it against the
+    * all-pairs Hamming ≤ 15 truth. */
+  def simhashPairsWideCollapsedOf(sigs0: DataFrame, maxHamming: Int = 15,
+      maxBucket: Int = 1000): DataFrame = {
+    requireWideBand(maxHamming)
+    val sigs = sigs0.localCheckpoint()
+    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint()
+    val members = sigs
+      .join(reps.select(col("sig"), col("doc_id").as("rep")), Seq("sig"))
+      .select(col("rep"), col("doc_id"))
+    val repPairs = wideCore(reps, maxHamming, maxBucket)
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+    // rep pairs are distinct and groups are disjoint, so the union is
+    // duplicate-free without a distinct pass
+    val cross = repPairs
+      .join(members.select(col("rep").as("i"), col("doc_id").as("di")), Seq("i"))
+      .join(members.select(col("rep").as("j"), col("doc_id").as("dj")), Seq("j"))
+      .select(least(col("di"), col("dj")).as("i"),
+        greatest(col("di"), col("dj")).as("j"))
+    within.unionByName(cross)
+  }
+
   /** BALANCED wide-band SimHash — [[simhashPairsWideOf]] with the
     * Hamming-≤ 3 band radius SPLIT across the join instead of paid
     * entirely on the query side: the build side indexes every ≤ 1-bit

@@ -238,7 +238,7 @@ object ImageDedup {
     * JPEG — [[Jpeg.decodePixels]], r12/r13) + aHash when possible,
     * stub otherwise. Order is magic-byte disjoint, so it's a sniff
     * chain, not a preference. */
-  private[multimodal] def imageHash(bytes: Array[Byte]): Long =
+  private[graft] def imageHash(bytes: Array[Byte]): Long =
     decodeQoiPixels(bytes).orElse(decodeBmpPixels(bytes))
       .orElse(Png.decodePixels(bytes))
       .orElse(Jpeg.decodePixels(bytes))

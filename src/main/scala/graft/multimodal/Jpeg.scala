@@ -117,12 +117,39 @@ object Jpeg {
       maxBucket)(lastDedupBase = _)
   }
 
+  @volatile var lastWideBase: String = "sf0.01"
+
+  def wideDumpPath(base: String): String =
+    graft.core.SideDump.path("jpegwidehash_sigs", base)
+
+  /** Gate surface (`mm_image_dedup_wide`) — the SCALE PATH of the
+    * media near-dup family over the same JPEG fixture: exact-sig
+    * collapse + 4×16-bit wide bands + radius-3 probes
+    * ([[graft.dedup.Dedup.simhashPairsWideCollapsedOf]]), hash-pinned
+    * by the all-pairs Hamming ≤ 15 ground truth over the dumped sigs
+    * — the gate passes only if collapse expansion AND wide-band
+    * pigeonhole achieve FULL recall, the `dedup_simhash_wide`
+    * treatment applied to perceptual hashes (where the
+    * identical-sig-clique channel the rehearsal exposed actually
+    * exists: truncated stub rows share one signature). */
+  def imageDedupWide(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, maxHamming: Int = 15,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map(id => (id, ImageDedup.imageHash(dedupPayload(id))))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPairWide(sigs, "jpegwidehash_sigs", sfDir, maxHamming,
+      maxBucket)(lastWideBase = _)
+  }
+
   /** The near-dup fixture payload (shared with JpegSpec's planted-twin
     * assertions). Every third even doc arrives PROGRESSIVE — the
     * decoded pixels (and so the aHash and the pair set) are identical,
     * which is exactly the point: a real corpus mixes the two processes
     * and the near-dup machinery must not care. */
-  private[multimodal] def dedupPayload(id: Long): Array[Byte] =
+  private[graft] def dedupPayload(id: Long): Array[Byte] =
     if (id % 7 == 5) MediaSynth.jpeg(id).take(24) // undecodable -> stub
     else if (id % 2 == 0) {
       if (id % 3 == 0) MediaSynth.jpegProgressive(id) else MediaSynth.jpeg(id)

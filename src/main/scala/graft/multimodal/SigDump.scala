@@ -19,4 +19,18 @@ private[multimodal] object SigDump {
     recordBase(base)
     graft.dedup.Dedup.simhashPairsMultiProbeOf(sigs, maxHamming, maxBucket)
   }
+
+  /** The SCALE-PATH tail: same dump discipline, pairs via the
+    * collapse + wide-band machinery
+    * ([[graft.dedup.Dedup.simhashPairsWideCollapsedOf]]) — the
+    * formulation that keeps full recall when signatures are
+    * low-entropy or the corpus outgrows 8-bit bands. */
+  def dumpAndPairWide(sigsRaw: DataFrame, dumpKind: String, sfDir: String,
+      maxHamming: Int, maxBucket: Int)(recordBase: String => Unit): DataFrame = {
+    val sigs = sigsRaw.localCheckpoint()
+    val base = new java.io.File(sfDir).getName
+    graft.core.SideDump.write(sigs, dumpKind, base)
+    recordBase(base)
+    graft.dedup.Dedup.simhashPairsWideCollapsedOf(sigs, maxHamming, maxBucket)
+  }
 }

@@ -103,6 +103,46 @@ class SimhashOracleSpec extends SparkSpec {
     assert(bal.nonEmpty)
   }
 
+  test("collapse + wide: identical-sig cliques expand exactly, cross pairs inherit rep verdicts") {
+    import spark.implicits._
+    // a corpus with: a 5-member identical-sig clique (the truncated-
+    // stub shape that caps out at ANY band width), a near pair at
+    // Hamming 3 of the clique sig, a far sig, and a second 2-member
+    // clique near the far sig — brute-force all-pairs <= 15 is the
+    // contract
+    val cliqueSig = 0x0123456789abcdefL
+    val nearClique = cliqueSig ^ 0x7L // Hamming 3
+    val farSig = ~cliqueSig
+    val nearFar = farSig ^ (1L << 40) // Hamming 1 from far
+    val rows = (1L to 5L).map(i => (i, cliqueSig)) ++
+      Seq((6L, nearClique), (7L, farSig)) ++
+      Seq((8L, nearFar), (9L, nearFar))
+    val sigs = rows.toDF("doc_id", "sig")
+    val got = Dedup.simhashPairsWideCollapsedOf(sigs, 15, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 15
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    // the clique's C(5,2) pairs came from the collapse expansion, and
+    // every clique member pairs with the near sig via the ONE rep
+    assert(want.count(p => p._1 <= 5 && p._2 <= 5) === 10)
+    assert((1L to 5L).forall(i => want(math.min(i, 6L) -> math.max(i, 6L))))
+    // guard parity with the other wide entries
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWideCollapsedOf(sigs, 16, 1000)
+    }
+    // and on the gate corpus the collapsed form equals the plain wide
+    // form (no identical sigs there -> pure pass-through)
+    val gate = dumpedSigs().toSeq.toDF("doc_id", "sig")
+    val collapsed = Dedup.simhashPairsWideCollapsedOf(gate, 15, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simhashPairsWideOf(gate, 15, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collapsed === wide)
+  }
+
   test("balanced wide: adversarial per-band delta distributions match driver all-pairs") {
     // engineered signatures hitting every per-band delta weight the
     // canonical-witness rule must handle: delta 0 (identical band,
