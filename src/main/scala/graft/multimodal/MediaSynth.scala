@@ -351,21 +351,27 @@ object MediaSynth {
     * row, so None/Sub/Up/Average/Paeth are all exercised on every
     * image taller than 4 rows. Non-gray color types derive
     * G = (gray+85)%256, B = (gray+170)%256, alpha = (gray+31)%256
-    * from the same closed form. */
+    * from the same closed form. Docs with docId % 9 == 7 are ADAM7
+    * INTERLACED — interlacing is a lossless pixel reordering, so the
+    * `mm_png_decode` closed-form oracle pins the seven-pass path
+    * without changing a line of SQL. */
   def png(docId: Long): Array[Byte] =
     pngOf(pngW(docId), pngH(docId), pngColorType(docId),
-      (x, y) => pngGray(docId, x, y), y => ((docId + y) % 5).toInt)
+      (x, y) => pngGray(docId, x, y), y => ((docId + y) % 5).toInt,
+      interlaced = docId % 9 == 7)
 
   /** The generalized writer (dims + color type + per-pixel gray +
-    * per-row filter) — the near-dup gate plants twins by re-rendering
-    * a neighbor's frame with a perturbed region. */
+    * per-row filter + optional Adam7) — the near-dup gate plants
+    * twins by re-rendering a neighbor's frame with a perturbed
+    * region. Interlaced output serializes the seven RFC 2083 §2.6
+    * passes as independent sub-images (own scanline widths, own
+    * filter history, `filterOf` keyed on the pass-local row) into the
+    * one zlib stream. */
   def pngOf(w: Int, h: Int, colorType: Int, gray: (Int, Int) => Int,
-      filterOf: Int => Int): Array[Byte] = {
+      filterOf: Int => Int, interlaced: Boolean = false): Array[Byte] = {
     val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2
       case 6 => 4 case _ => sys.error(s"unsupported color type $colorType") }
-    val rowBytes = 1 + w * bpp
-    val raw = new Array[Byte](h * rowBytes)
-    // render unfiltered samples first (the filters reference them)
+    // full-frame unfiltered samples (the filters reference them)
     val px = Array.tabulate(h, w * bpp) { (y, i) =>
       val g = gray(i / bpp, y)
       val s = (i % bpp, colorType) match {
@@ -377,32 +383,49 @@ object MediaSynth {
       }
       s.toByte
     }
-    var y = 0
-    while (y < h) {
-      val ft = filterOf(y)
-      raw(y * rowBytes) = ft.toByte
-      var x = 0
-      while (x < w * bpp) {
-        val v = px(y)(x) & 0xff
-        val a = if (x >= bpp) px(y)(x - bpp) & 0xff else 0
-        val b = if (y > 0) px(y - 1)(x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) px(y - 1)(x - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case _ =>
-            val pp = a + b - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
-            val pc = math.abs(pp - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-        }
-        raw(y * rowBytes + 1 + x) = ((v - pred) & 0xff).toByte
-        x += 1
+    val layout = (if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
+      .map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy,
+          if (w > x0) (w - x0 + dx - 1) / dx else 0,
+          if (h > y0) (h - y0 + dy - 1) / dy else 0)
       }
-      y += 1
+      .filter(t => t._5 > 0 && t._6 > 0)
+    val rawOut = new java.io.ByteArrayOutputStream(h * (1 + w * bpp))
+    layout.foreach { case (x0, y0, dx, dy, wp, hp) =>
+      // the pass's own sample grid, then the standard filter pipeline
+      val sub = Array.tabulate(hp, wp * bpp) { (y, i) =>
+        px(y0 + y * dy)((x0 + (i / bpp) * dx) * bpp + i % bpp)
+      }
+      var y = 0
+      while (y < hp) {
+        val ft = filterOf(y)
+        rawOut.write(ft)
+        var x = 0
+        while (x < wp * bpp) {
+          val v = sub(y)(x) & 0xff
+          val a = if (x >= bpp) sub(y)(x - bpp) & 0xff else 0
+          val b = if (y > 0) sub(y - 1)(x) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) sub(y - 1)(x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case _ =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          rawOut.write((v - pred) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
     }
+    val raw = rawOut.toByteArray
     val deflated = {
       val d = new java.util.zip.Deflater()
       d.setInput(raw); d.finish()
@@ -427,7 +450,7 @@ object MediaSynth {
     val ihdr = new java.io.ByteArrayOutputStream(13)
     be32(ihdr, w); be32(ihdr, h)
     ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
-    ihdr.write(0)
+    ihdr.write(if (interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
     val split = deflated.length / 2
     chunk("IDAT", java.util.Arrays.copyOfRange(deflated, 0, split))

@@ -4,16 +4,18 @@ package graft.multimodal
   * the web's second image format onto the REAL pixel path (r12
   * "What's missing #2" — header-only before this; every PNG fell to
   * the byte-stub hash). Scope: 8-bit samples, color types 0
-  * (grayscale), 2 (truecolor), 4 (gray+alpha) and 6 (RGBA), no
-  * interlace — i.e. the CRC-checked chunk walk, multi-IDAT zlib
-  * stream inflated with `java.util.zip.Inflater` (a JVM builtin —
-  * DEFLATE is the one entropy codec we don't hand-roll), and all
-  * five scanline filters (None/Sub/Up/Average/Paeth) unfiltered at
-  * the color type's byte-per-pixel stride. Indexed color (type 3),
-  * 1/2/4/16-bit depths and Adam7 interlace return None — the
-  * documented honesty boundary, same totality contract as every
-  * decoder here: a value or None on arbitrary bytes, never a throw
-  * (DecoderFuzzSpec).
+  * (grayscale), 2 (truecolor), 4 (gray+alpha) and 6 (RGBA),
+  * SEQUENTIAL and ADAM7-INTERLACED — i.e. the CRC-checked chunk
+  * walk, multi-IDAT zlib stream inflated with
+  * `java.util.zip.Inflater` (a JVM builtin — DEFLATE is the one
+  * entropy codec we don't hand-roll), all five scanline filters
+  * (None/Sub/Up/Average/Paeth) unfiltered at the color type's
+  * byte-per-pixel stride, and the seven Adam7 passes decoded as
+  * independent sub-images (own scanline widths, own filter history)
+  * then scattered to frame positions (RFC 2083 §2.6). Indexed color
+  * (type 3) and 1/2/4/16-bit depths return None — the documented
+  * honesty boundary, same totality contract as every decoder here: a
+  * value or None on arbitrary bytes, never a throw (DecoderFuzzSpec).
   *
   * Output is ARGB (alpha 255 for the alpha-less color types) — the
   * same shape [[Jpeg.decodePixels]] and the QOI/BMP decoders emit,
@@ -28,7 +30,9 @@ object Png {
   /** Gate surface (`mm_png_decode`): synthesize a real PNG per
     * document ([[MediaSynth.png]] — closed-form grays, the color type
     * cycling gray/truecolor/RGBA/gray+alpha by doc_id % 4, the filter
-    * type cycling through ALL FIVE filters by row), decode through
+    * type cycling through ALL FIVE filters by row, doc_id % 9 == 7
+    * rows ADAM7 INTERLACED — a lossless reordering, so the same
+    * closed forms pin the seven-pass path), decode through
     * the full production path (chunk walk, CRC, inflate, unfilter),
     * and report per-image pixel statistics the oracle recomputes from
     * doc_id closed forms: pix_sum = Σ (r+g+b) and the
@@ -127,6 +131,7 @@ object Png {
 
     var width = 0; var height = 0
     var colorType = -1
+    var interlaced = false
     var bpp = 0 // bytes per pixel at 8-bit depth
     val idat = new java.io.ByteArrayOutputStream(256)
     var sawEnd = false
@@ -152,7 +157,8 @@ object Png {
           if (width <= 0 || height <= 0 ||
             width.toLong * height > MaxPixels) return None
           if (depth != 8 || compression != 0 || filter != 0 ||
-            interlace != 0) return None // honesty boundary
+            interlace > 1) return None // honesty boundary
+          interlaced = interlace == 1
           bpp = colorType match {
             case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
             case _ => return None // indexed (3) out of scope
@@ -167,9 +173,23 @@ object Png {
     }
     if (colorType < 0) return None
 
-    // inflate the zlib stream to exactly h filtered scanlines
-    val rowBytes = 1 + width * bpp
-    val raw = new Array[Byte](height * rowBytes)
+    // pass layout: one full-frame pass for sequential, the seven
+    // Adam7 sub-images for interlaced (RFC 2083 §2.6 — (x0, y0,
+    // dx, dy) per pass; passes whose sub-image is empty contribute
+    // no scanlines at all). Each pass is an independent sub-image:
+    // its own scanline lengths, its own filter history.
+    val layout = (if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
+      .map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy,
+          if (width > x0) (width - x0 + dx - 1) / dx else 0,
+          if (height > y0) (height - y0 + dy - 1) / dy else 0)
+      }
+      .filter(t => t._5 > 0 && t._6 > 0)
+
+    // inflate the one zlib stream to exactly the passes' scanlines
+    val raw = new Array[Byte](layout.map(t => t._6 * (1 + t._5 * bpp)).sum)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -183,61 +203,66 @@ object Png {
     inf.end()
     if (got < raw.length) return None
 
-    // unfilter in place (RFC 2083 §6): a = left, bb = up, c = up-left
-    var y = 0
-    while (y < height) {
-      val row = y * rowBytes
-      val ft = raw(row) & 0xff
-      if (ft > 4) return None
-      var x = 1
-      while (x < rowBytes) {
-        val a = if (x > bpp) raw(row + x - bpp) & 0xff else 0
-        val bb = if (y > 0) raw(row - rowBytes + x) & 0xff else 0
-        val c = if (y > 0 && x > bpp) raw(row - rowBytes + x - bpp) & 0xff
-          else 0
-        val add = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => bb
-          case 3 => (a + bb) >> 1
-          case 4 => // Paeth predictor
-            val pp = a + bb - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
-            val pc = math.abs(pp - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
-        }
-        raw(row + x) = (((raw(row + x) & 0xff) + add) & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-
-    // compose ARGB
     val out = new Array[Int](width * height)
-    y = 0
-    while (y < height) {
-      val row = y * rowBytes + 1
-      var x = 0
-      while (x < width) {
-        val q = row + x * bpp
-        val px = colorType match {
-          case 0 =>
-            val g = raw(q) & 0xff
-            0xff000000 | (g << 16) | (g << 8) | g
-          case 2 =>
-            0xff000000 | ((raw(q) & 0xff) << 16) |
-              ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
-          case 4 =>
-            val g = raw(q) & 0xff
-            ((raw(q + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
-          case _ => // 6
-            ((raw(q + 3) & 0xff) << 24) | ((raw(q) & 0xff) << 16) |
-              ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+    var off = 0
+    layout.foreach { case (x0, y0, dx, dy, wp, hp) =>
+      val rowBytes = 1 + wp * bpp
+      // unfilter the pass in place (RFC 2083 §6): a = left, bb = up,
+      // c = up-left — all within THIS pass's sub-image
+      var y = 0
+      while (y < hp) {
+        val row = off + y * rowBytes
+        val ft = raw(row) & 0xff
+        if (ft > 4) return None
+        var x = 1
+        while (x < rowBytes) {
+          val a = if (x > bpp) raw(row + x - bpp) & 0xff else 0
+          val bb = if (y > 0) raw(row - rowBytes + x) & 0xff else 0
+          val c = if (y > 0 && x > bpp) raw(row - rowBytes + x - bpp) & 0xff
+            else 0
+          val add = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => bb
+            case 3 => (a + bb) >> 1
+            case 4 => // Paeth predictor
+              val pp = a + bb - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
+              val pc = math.abs(pp - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+          }
+          raw(row + x) = (((raw(row + x) & 0xff) + add) & 0xff).toByte
+          x += 1
         }
-        out(y * width + x) = px
-        x += 1
+        y += 1
       }
-      y += 1
+      // scatter the pass's ARGB pixels to their frame positions
+      y = 0
+      while (y < hp) {
+        val row = off + y * rowBytes + 1
+        var x = 0
+        while (x < wp) {
+          val q = row + x * bpp
+          val px = colorType match {
+            case 0 =>
+              val g = raw(q) & 0xff
+              0xff000000 | (g << 16) | (g << 8) | g
+            case 2 =>
+              0xff000000 | ((raw(q) & 0xff) << 16) |
+                ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+            case 4 =>
+              val g = raw(q) & 0xff
+              ((raw(q + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+            case _ => // 6
+              ((raw(q + 3) & 0xff) << 24) | ((raw(q) & 0xff) << 16) |
+                ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+          }
+          out((y0 + y * dy) * width + (x0 + x * dx)) = px
+          x += 1
+        }
+        y += 1
+      }
+      off += hp * rowBytes
     }
     Some((width, height, out))
   }

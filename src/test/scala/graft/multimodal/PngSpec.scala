@@ -72,7 +72,7 @@ class PngSpec extends AnyFunSuite {
       assert(Png.decodePixels(bytes.take(n)) === None, s"prefix $n")
   }
 
-  test("honesty boundary: interlaced, 16-bit, and indexed streams return None") {
+  test("honesty boundary: 16-bit, indexed, and unknown-interlace streams return None") {
     val base = MediaSynth.png(4L)
     // IHDR data starts at offset 16: w(4) h(4) depth ct comp filt interlace
     def patched(off: Int, v: Byte): Array[Byte] = {
@@ -86,10 +86,43 @@ class PngSpec extends AnyFunSuite {
       m(31) = ((cv >> 8) & 0xff).toByte; m(32) = (cv & 0xff).toByte
       m
     }
-    assert(Png.decodePixels(patched(28, 1)) === None, "Adam7 interlace")
     assert(Png.decodePixels(patched(24, 16)) === None, "16-bit depth")
     assert(Png.decodePixels(patched(25, 3)) === None, "indexed color")
+    assert(Png.decodePixels(patched(28, 2)) === None, "unknown interlace method")
+    // a SEQUENTIAL stream mislabeled Adam7 has the wrong total
+    // scanline length for the seven-pass layout — rejected, not
+    // misread (12x12: sequential 12·(1+12·bpp) vs Adam7's per-pass sum)
+    assert(Png.decodePixels(patched(28, 1)) === None, "mislabeled Adam7")
     assert(Png.decodePixels(base).isDefined, "patch harness sanity")
+  }
+
+  test("Adam7: interlaced writer->decoder roundtrip is pixel-identical to sequential") {
+    // 7L % 9 == 7: the gate corpus' interlaced class; plus explicit
+    // dims that exercise empty and single-pixel passes
+    for ((w, h) <- Seq((8, 8), (9, 10), (1, 1), (3, 2), (16, 13), (5, 9));
+         ct <- Seq(0, 2, 6, 4)) {
+      val gray = (x: Int, y: Int) => (x * 29 + y * 17 + 11) % 256
+      val seqPx = Png.decodePixels(
+        MediaSynth.pngOf(w, h, ct, gray, y => y % 5))
+        .map { case (dw, dh, px) => (dw, dh, px.toSeq) }
+      val intPx = Png.decodePixels(
+        MediaSynth.pngOf(w, h, ct, gray, y => y % 5, interlaced = true))
+        .map { case (dw, dh, px) => (dw, dh, px.toSeq) }
+      assert(intPx.isDefined && intPx === seqPx, s"($w x $h ct=$ct)")
+    }
+    // and the gate corpus' own interlaced doc class decodes
+    val id = 7L
+    assert(id % 9 === 7)
+    val Some((w, h, px)) = Png.decodePixels(MediaSynth.png(id))
+    assert(w === MediaSynth.pngW(id) && h === MediaSynth.pngH(id))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(((px(y * w + x) >> 16) & 0xff) === MediaSynth.pngGray(id, x, y))
+  }
+
+  test("Adam7: truncation at every prefix length returns None, never throws") {
+    val bytes = MediaSynth.png(7L) // interlaced class
+    for (n <- 0 until bytes.length)
+      assert(Png.decodePixels(bytes.take(n)) === None, s"prefix $n")
   }
 
   test("near-dup fixture: twins land within the probe radius; stub rows diverge") {
