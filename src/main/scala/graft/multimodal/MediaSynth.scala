@@ -338,10 +338,18 @@ object MediaSynth {
   def pngGray(docId: Long, x: Int, y: Int): Int =
     (((docId * 13 + x * 29 + y * 17) % 256 + 256) % 256).toInt
 
-  /** Color type cycles through the four supported profiles:
-    * grayscale / truecolor / RGBA / gray+alpha. */
-  def pngColorType(docId: Long): Int = (docId % 4) match {
-    case 0 => 0; case 1 => 2; case 2 => 6; case _ => 4
+  /** Color type cycles through the five supported profiles:
+    * grayscale / truecolor / RGBA / gray+alpha, with HALF the
+    * truecolor class (docId % 8 == 1) emitted INDEXED (type 3) over a
+    * 256-entry palette whose entry g is exactly the truecolor channel
+    * derivation (g, (g+85)%256, (g+170)%256) — byte-identical pixels
+    * to type 2, so the `mm_png_decode` oracle's color-type arithmetic
+    * is untouched while the PLTE path is hash-pinned. */
+  def pngColorType(docId: Long): Int = (docId % 8) match {
+    case 1 => 3
+    case _ => (docId % 4) match {
+      case 0 => 0; case 1 => 2; case 2 => 6; case _ => 4
+    }
   }
 
   /** A real PNG stream for the doc: signature, CRC'd IHDR, the
@@ -369,8 +377,9 @@ object MediaSynth {
     * one zlib stream. */
   def pngOf(w: Int, h: Int, colorType: Int, gray: (Int, Int) => Int,
       filterOf: Int => Int, interlaced: Boolean = false): Array[Byte] = {
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2
-      case 6 => 4 case _ => sys.error(s"unsupported color type $colorType") }
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1
+      case 4 => 2; case 6 => 4
+      case _ => sys.error(s"unsupported color type $colorType") }
     // full-frame unfiltered samples (the filters reference them)
     val px = Array.tabulate(h, w * bpp) { (y, i) =>
       val g = gray(i / bpp, y)
@@ -452,6 +461,13 @@ object MediaSynth {
     ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
     ihdr.write(if (interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
+    if (colorType == 3) // palette entry g -> the truecolor derivation
+      chunk("PLTE", Array.tabulate(768) { i =>
+        val g = i / 3
+        (i % 3 match {
+          case 0 => g; case 1 => (g + 85) % 256; case _ => (g + 170) % 256
+        }).toByte
+      })
     val split = deflated.length / 2
     chunk("IDAT", java.util.Arrays.copyOfRange(deflated, 0, split))
     chunk("IDAT", java.util.Arrays.copyOfRange(deflated, split, deflated.length))

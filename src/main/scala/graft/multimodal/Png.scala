@@ -5,15 +5,18 @@ package graft.multimodal
   * "What's missing #2" — header-only before this; every PNG fell to
   * the byte-stub hash). Scope: 8-bit samples, color types 0
   * (grayscale), 2 (truecolor), 4 (gray+alpha) and 6 (RGBA),
-  * SEQUENTIAL and ADAM7-INTERLACED — i.e. the CRC-checked chunk
+  * PLUS 3 (indexed, PLTE/tRNS), SEQUENTIAL and ADAM7-INTERLACED —
+  * i.e. the CRC-checked chunk
   * walk, multi-IDAT zlib stream inflated with
   * `java.util.zip.Inflater` (a JVM builtin — DEFLATE is the one
   * entropy codec we don't hand-roll), all five scanline filters
   * (None/Sub/Up/Average/Paeth) unfiltered at the color type's
   * byte-per-pixel stride, and the seven Adam7 passes decoded as
   * independent sub-images (own scanline widths, own filter history)
-  * then scattered to frame positions (RFC 2083 §2.6). Indexed color
-  * (type 3) and 1/2/4/16-bit depths return None — the documented
+  * then scattered to frame positions (RFC 2083 §2.6); indexed rows
+  * look up a CRC'd PLTE (per-entry tRNS alpha honored; the types-0/2
+  * single-transparent-sample tRNS form is REJECTED rather than
+  * silently skipped). 1/2/4/16-bit depths return None — the documented
   * honesty boundary, same totality contract as every decoder here: a
   * value or None on arbitrary bytes, never a throw (DecoderFuzzSpec).
   *
@@ -133,6 +136,7 @@ object Png {
     var colorType = -1
     var interlaced = false
     var bpp = 0 // bytes per pixel at 8-bit depth
+    var palette: Array[Int] = null // ARGB entries (type 3)
     val idat = new java.io.ByteArrayOutputStream(256)
     var sawEnd = false
     var p = Sig.length
@@ -160,14 +164,35 @@ object Png {
             interlace > 1) return None // honesty boundary
           interlaced = interlace == 1
           bpp = colorType match {
-            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-            case _ => return None // indexed (3) out of scope
+            case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2
+            case 6 => 4
+            case _ => return None
+          }
+        case "PLTE" =>
+          if (colorType < 0 || len == 0 || len % 3 != 0 || len > 768)
+            return None
+          palette = Array.tabulate(len.toInt / 3) { i =>
+            0xff000000 | ((b(p + 8 + 3 * i) & 0xff) << 16) |
+              ((b(p + 9 + 3 * i) & 0xff) << 8) | (b(p + 10 + 3 * i) & 0xff)
+          }
+        case "tRNS" =>
+          // per-entry palette alpha for indexed color; the single-
+          // transparent-sample form for types 0/2 would silently
+          // change pixels if skipped, so it is REJECTED, not ignored
+          if (colorType != 3) return None
+          if (palette == null || len > palette.length) return None
+          var ti = 0
+          while (ti < len.toInt) {
+            palette(ti) = (palette(ti) & 0x00ffffff) |
+              ((b(p + 8 + ti) & 0xff) << 24)
+            ti += 1
           }
         case "IDAT" =>
           if (colorType < 0) return None
+          if (colorType == 3 && palette == null) return None // PLTE first
           idat.write(b, p + 8, len.toInt)
         case "IEND" => sawEnd = true
-        case _ => // ancillary chunks skipped (PLTE unused: no type 3)
+        case _ => // other ancillary chunks skipped
       }
       p += 12 + len.toInt
     }
@@ -250,6 +275,10 @@ object Png {
             case 2 =>
               0xff000000 | ((raw(q) & 0xff) << 16) |
                 ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+            case 3 =>
+              val idx = raw(q) & 0xff
+              if (idx >= palette.length) return None
+              palette(idx)
             case 4 =>
               val g = raw(q) & 0xff
               ((raw(q + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g

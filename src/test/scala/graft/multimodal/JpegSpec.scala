@@ -388,6 +388,66 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive color 4:2:0: interleaved DC scan + per-component AC grids decode to the JFIF RGB") {
+    // 16x16, Y sampled 2x2, Cb/Cr 1x1: the interleaved multi-component
+    // DC walk (per-component predictors, Y's 4 blocks per MCU) and the
+    // NON-interleaved AC scans over each component's own ceil-block
+    // grid (Y: 2x2 blocks, chroma: 1x1) — the code paths grayscale
+    // fixtures never touch
+    val (yv, cbv, crv) = (90, 60, 190)
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(xs: Seq[Int]): Unit = xs.foreach(out.write)
+    emit(Seq(0xff, 0xd8))
+    emit(Seq(0xff, 0xdb) ++ beLen(0 +: Seq.fill(64)(1)))
+    emit(Seq(0xff, 0xc2) ++ beLen(Seq(8, 0, 16, 0, 16, 3,
+      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)))
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x00, 0, 0, 0, 12) ++
+      Seq.fill(12)(0) ++ (0 to 11)))
+    // AC table: the single EOB symbol as a 2-bit code
+    emit(Seq(0xff, 0xc4) ++ beLen(Seq(0x10, 0, 1) ++ Seq.fill(14)(0) ++
+      Seq(0x00)))
+    def mag(v: Int, s: Int): String = {
+      val m = if (v < 0) v + (1 << s) - 1 else v
+      (("0" * s) + m.toBinaryString).takeRight(s)
+    }
+    def cat(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def dcBits(diff: Int): String = {
+      val s = cat(diff)
+      f"${s.toBinaryString}%4s".replace(' ', '0') + (if (s > 0) mag(diff, s) else "")
+    }
+    def scan(sos: Seq[Int], bitstr: String): Unit = {
+      emit(Seq(0xff, 0xda) ++ beLen(sos))
+      var s = bitstr
+      while (s.length % 8 != 0) s += "1"
+      s.grouped(8).foreach { b =>
+        val v = Integer.parseInt(b, 2); out.write(v)
+        if (v == 0xff) out.write(0x00)
+      }
+    }
+    val (dcY, dcCb, dcCr) = (8 * (yv - 128), 8 * (cbv - 128), 8 * (crv - 128))
+    // interleaved DC-first scan: one MCU = Y's 4 blocks (predictor
+    // runs within the component: first diff carries the value, the
+    // rest are 0) then Cb, then Cr — each with its OWN predictor
+    scan(Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0),
+      dcBits(dcY) + dcBits(0) + dcBits(0) + dcBits(0) +
+        dcBits(dcCb) + dcBits(dcCr))
+    // per-component AC scans over the components' own block grids:
+    // Y has ceil(16/8)^2 = 4 blocks, each chroma ceil(8/8)^2 = 1
+    scan(Seq(1, 1, 0x00, 1, 63, 0), "00" * 4)
+    scan(Seq(1, 2, 0x00, 1, 63, 0), "00")
+    scan(Seq(1, 3, 0x00, 1, 63, 0), "00")
+    emit(Seq(0xff, 0xd9))
+    val Some((w, h, px)) = Jpeg.decodePixels(out.toByteArray)
+    assert((w, h) === ((16, 16)))
+    val (er, eg, eb) = jfifRgb(yv, cbv, crv)
+    for (p <- px) {
+      assert(((p >> 16) & 0xff) === er)
+      assert(((p >> 8) & 0xff) === eg)
+      assert((p & 0xff) === eb)
+    }
+  }
+
   test("progressive: truncation at every prefix length returns None, never throws") {
     val bytes = MediaSynth.jpegProgressive(11L)
     for (n <- 0 until bytes.length)

@@ -2,11 +2,12 @@ package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** PNG decoder: writer→decoder roundtrip exactness across all four
-  * supported color types and all five scanline filters, multi-IDAT
-  * reassembly, CRC rejection, the honesty boundary (interlace /
-  * depth / indexed), near-dup twin behavior, and totality. Pure JVM —
-  * no Spark session needed. */
+/** PNG decoder: writer→decoder roundtrip exactness across all five
+  * supported color types (incl. indexed w/ PLTE + tRNS) and all five
+  * scanline filters, sequential AND Adam7-interlaced, multi-IDAT
+  * reassembly, CRC rejection, the honesty boundary (depth /
+  * palette-less indexed / unknown interlace), near-dup twin behavior,
+  * and totality. Pure JVM — no Spark session needed. */
 class PngSpec extends AnyFunSuite {
 
   test("writer->decoder roundtrip is pixel-exact across color types and filters") {
@@ -21,7 +22,8 @@ class PngSpec extends AnyFunSuite {
         val p = px(y * w + x)
         val (ea, er, eg, eb) = ct match {
           case 0 => (255, g, g, g)
-          case 2 => (255, g, (g + 85) % 256, (g + 170) % 256)
+          // indexed (3) uses the palette carrying the type-2 derivation
+          case 2 | 3 => (255, g, (g + 85) % 256, (g + 170) % 256)
           case 4 => ((g + 31) % 256, g, g, g)
           case _ => ((g + 31) % 256, g, (g + 85) % 256, (g + 170) % 256)
         }
@@ -72,7 +74,7 @@ class PngSpec extends AnyFunSuite {
       assert(Png.decodePixels(bytes.take(n)) === None, s"prefix $n")
   }
 
-  test("honesty boundary: 16-bit, indexed, and unknown-interlace streams return None") {
+  test("honesty boundary: 16-bit, palette-less indexed, and unknown-interlace streams return None") {
     val base = MediaSynth.png(4L)
     // IHDR data starts at offset 16: w(4) h(4) depth ct comp filt interlace
     def patched(off: Int, v: Byte): Array[Byte] = {
@@ -87,7 +89,8 @@ class PngSpec extends AnyFunSuite {
       m
     }
     assert(Png.decodePixels(patched(24, 16)) === None, "16-bit depth")
-    assert(Png.decodePixels(patched(25, 3)) === None, "indexed color")
+    assert(Png.decodePixels(patched(25, 3)) === None,
+      "indexed claim without a PLTE")
     assert(Png.decodePixels(patched(28, 2)) === None, "unknown interlace method")
     // a SEQUENTIAL stream mislabeled Adam7 has the wrong total
     // scanline length for the seven-pass layout — rejected, not
@@ -117,6 +120,69 @@ class PngSpec extends AnyFunSuite {
     assert(w === MediaSynth.pngW(id) && h === MediaSynth.pngH(id))
     for (y <- 0 until h; x <- 0 until w)
       assert(((px(y * w + x) >> 16) & 0xff) === MediaSynth.pngGray(id, x, y))
+  }
+
+  test("indexed color: gate-class roundtrip, tRNS alphas honored, missing PLTE rejected") {
+    // 1 % 8 == 1 and 17 % 8 == 1: indexed gate classes (covered by the
+    // roundtrip test above); here the tRNS and malformed legs
+    val bytes = MediaSynth.png(17L)
+    assert(MediaSynth.pngColorType(17L) === 3)
+    // splice a tRNS chunk right after PLTE: entries 0..2 get alphas
+    // 10, 20, 30; all other entries keep 255
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var p = 8
+    while (p < bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      chunks += ((new String(bytes, p + 4, 4, "US-ASCII"),
+        java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + len)))
+      p += 12 + len
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, 8)
+    def emit(tpe: String, body: Array[Byte]): Unit = {
+      val len = body.length
+      out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      val tb = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body)
+      val cv = crc.getValue
+      out.write(((cv >> 24) & 0xff).toInt); out.write(((cv >> 16) & 0xff).toInt)
+      out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
+    }
+    chunks.foreach {
+      case ("PLTE", b) =>
+        emit("PLTE", b); emit("tRNS", Array[Byte](10, 20, 30))
+      case (t, b) => emit(t, b)
+    }
+    val Some((w, h, px)) = Png.decodePixels(out.toByteArray)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = MediaSynth.pngGray(17L, x, y)
+      val ea = if (g <= 2) (g + 1) * 10 else 255
+      assert((px(y * w + x) >>> 24) === ea, s"alpha ($x,$y) g=$g")
+      assert(((px(y * w + x) >> 16) & 0xff) === g)
+    }
+    // indexed stream with the PLTE chunk REMOVED: rejected at IDAT
+    val noPlte = new java.io.ByteArrayOutputStream()
+    noPlte.write(bytes, 0, 8)
+    chunks.foreach { case (t, b) => if (t != "PLTE") emit2(noPlte, t, b) }
+    assert(Png.decodePixels(noPlte.toByteArray) === None)
+  }
+
+  private def emit2(out: java.io.ByteArrayOutputStream, tpe: String,
+      body: Array[Byte]): Unit = {
+    val len = body.length
+    out.write((len >> 24) & 0xff); out.write((len >> 16) & 0xff)
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    val tb = tpe.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(body)
+    out.write(tb); out.write(body)
+    val cv = crc.getValue
+    out.write(((cv >> 24) & 0xff).toInt); out.write(((cv >> 16) & 0xff).toInt)
+    out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
   }
 
   test("Adam7: truncation at every prefix length returns None, never throws") {
