@@ -512,6 +512,11 @@ object SparkEntry {
     // doc_id % 5 == 3 rows are truncated streams pinning the
     // (-1,...) fallback in-gate
     "mm_png_decode" -> ((s, dir) => graft.multimodal.Png.decodeReport(s, dir)),
+    // REAL GIF decode (GIF89a: block walk, the full variable-width
+    // LZW, palette lookup, 4-pass row de-interlace): LZW is lossless
+    // so every pixel is the doc_id closed form verbatim; truncated
+    // rows pin the fallback
+    "mm_gif_decode" -> ((s, dir) => graft.multimodal.Gif.decodeReport(s, dir)),
     // the PNG path through the same decode -> aHash -> multi-probe
     // near-dup pipeline (the mm_image_dedup_jpeg twin): odd docs
     // carry their even neighbor's frame with the top-left 8x8
@@ -2428,6 +2433,35 @@ object SparkEntry {
         |      AS BIGINT) AS pix_sum,
         |    CAST(sum((CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
         |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
+        |      * (1 + x + w * y)) AS BIGINT) AS pix_wsum
+        |  FROM cells GROUP BY doc_id, w, h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.w END AS w,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.h END AS h,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
+        |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
+    // decoded-GIF pixel statistics re-derived from doc_id closed
+    // forms alone: dims (8 + id%10, 8 + id%7), the per-pixel palette
+    // index (id*19 + x*23 + y*41) % 256, and the palette's channel
+    // derivation (g, (g+85)%256, (g+170)%256) — LZW and the
+    // doc_id % 6 == 2 row interlace are lossless, so one closed form
+    // covers every row class. Truncated rows (id % 5 = 3) owe the
+    // (-1,-1,-1,-1) fallback.
+    "mm_gif_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 18)) AS x),
+        |ys AS (SELECT unnest(range(0, 15)) AS y),
+        |g AS (SELECT doc_id, 8 + doc_id % 10 AS w, 8 + doc_id % 7 AS h
+        |      FROM documents),
+        |cells AS (
+        |  SELECT g.doc_id, g.w, g.h, x, y,
+        |    (g.doc_id * 19 + x * 23 + y * 41) % 256 AS gray
+        |  FROM g, xs, ys WHERE x < g.w AND y < g.h),
+        |ok AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |    CAST(sum(gray + (gray + 85) % 256 + (gray + 170) % 256)
+        |      AS BIGINT) AS pix_sum,
+        |    CAST(sum((gray + (gray + 85) % 256 + (gray + 170) % 256)
         |      * (1 + x + w * y)) AS BIGINT) AS pix_wsum
         |  FROM cells GROUP BY doc_id, w, h)
         |SELECT d.doc_id,

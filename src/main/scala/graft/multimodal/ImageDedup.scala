@@ -241,6 +241,7 @@ object ImageDedup {
   private[graft] def imageHash(bytes: Array[Byte]): Long =
     decodeQoiPixels(bytes).orElse(decodeBmpPixels(bytes))
       .orElse(Png.decodePixels(bytes))
+      .orElse(Gif.decodePixels(bytes))
       .orElse(Jpeg.decodePixels(bytes))
       .flatMap { case (w, h, px) => aHash64(w, h, px) }
       .getOrElse(stubImageHash(bytes))

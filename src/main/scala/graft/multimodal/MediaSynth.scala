@@ -258,6 +258,77 @@ object MediaSynth {
     leList("RIFF", "AVI ", riffBody.toByteArray)
   }
 
+  // ── GIF (closed-form indexed pixels over LZW; [[Gif]] decodes) ───
+
+  def gifW(docId: Long): Int = 8 + (docId % 10).toInt
+  def gifH(docId: Long): Int = 8 + (docId % 7).toInt
+
+  /** Per-pixel closed-form palette index (= gray; the palette maps
+    * g → (g, (g+85)%256, (g+170)%256), the shared channel
+    * derivation). LZW is lossless, so the `mm_gif_decode` oracle
+    * recomputes pixel sums verbatim. */
+  def gifGray(docId: Long, x: Int, y: Int): Int =
+    (((docId * 19 + x * 23 + y * 41) % 256 + 256) % 256).toInt
+
+  /** A real GIF89a stream for the doc: logical screen descriptor,
+    * 256-entry global color table, image descriptor (docs with
+    * docId % 6 == 2 ROW-INTERLACED — lossless reordering, same
+    * closed forms), and a genuinely LZW-coded index stream: CLEAR
+    * before every literal keeps the dictionary empty so the code
+    * width stays fixed — a legal (if unambitious) LZW encoding the
+    * decoder must handle exactly like an optimal one. */
+  def gif(docId: Long): Array[Byte] =
+    gifOf(gifW(docId), gifH(docId), (x, y) => gifGray(docId, x, y),
+      interlaced = docId % 6 == 2)
+
+  /** The generalized writer (dims + per-pixel index + interlace). */
+  def gifOf(w: Int, h: Int, gray: (Int, Int) => Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(w * h * 3)
+    "GIF89a".foreach(c => out.write(c))
+    le16(out, w); le16(out, h)
+    out.write(0xf7) // global table, 256 entries, 8-bit color resolution
+    out.write(0); out.write(0) // background, aspect
+    var g = 0
+    while (g < 256) { // palette entry g -> the shared channel derivation
+      out.write(g); out.write((g + 85) % 256); out.write((g + 170) % 256)
+      g += 1
+    }
+    out.write(0x2c) // image descriptor
+    le16(out, 0); le16(out, 0); le16(out, w); le16(out, h)
+    out.write(if (interlaced) 0x40 else 0)
+    // LZW payload: minCodeSize 8 -> 9-bit codes, LSB-first
+    out.write(8)
+    val clear = 256; val end = 257
+    val bits = new java.io.ByteArrayOutputStream(w * h * 3)
+    var acc = 0L; var n = 0
+    def put(v: Int): Unit = {
+      acc |= v.toLong << n; n += 9
+      while (n >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    val rows: Seq[Int] =
+      if (!interlaced) 0 until h
+      else (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++
+        (1 until h by 2)
+    rows.foreach { y =>
+      var x = 0
+      while (x < w) { put(clear); put(gray(x, y)); x += 1 }
+    }
+    put(end)
+    if (n > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var p = 0
+    while (p < data.length) { // <= 255-byte sub-blocks
+      val sz = math.min(255, data.length - p)
+      out.write(sz)
+      out.write(data, p, sz)
+      p += sz
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   // ── MJPEG-in-AVI (block-constant JPEG frames; [[VideoFrames]] +
   //    [[Jpeg]] decode by composition) ────────────────────────────
 

@@ -34,7 +34,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "clipHash" -> (b => AudioDedup.clipHash(b)),
     "aviFrames" -> (b => VideoFrames.decodeAviFrames(b)),
     "jpegPixels" -> (b => Jpeg.decodePixels(b)),
-    "pngPixels" -> (b => Png.decodePixels(b)))
+    "pngPixels" -> (b => Png.decodePixels(b)),
+    "gifPixels" -> (b => Gif.decodePixels(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -78,6 +79,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg" -> MediaSynth.jpeg(9L),
       "jpeg-prog" -> MediaSynth.jpegProgressive(9L),
       "png" -> MediaSynth.png(9L),
+      "gif" -> MediaSynth.gif(9L),
       "avi-mjpeg" -> MediaSynth.aviMjpeg(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
@@ -100,6 +102,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg" -> MediaSynth.jpeg(23L),
       "jpeg-prog" -> MediaSynth.jpegProgressive(23L),
       "png" -> MediaSynth.png(23L),
+      "gif" -> MediaSynth.gif(23L),
       "avi-mjpeg" -> MediaSynth.aviMjpeg(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
