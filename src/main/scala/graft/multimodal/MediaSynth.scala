@@ -437,7 +437,10 @@ object MediaSynth {
   def png(docId: Long): Array[Byte] =
     pngOf(pngW(docId), pngH(docId), pngColorType(docId),
       (x, y) => pngGray(docId, x, y), y => ((docId + y) % 5).toInt,
-      interlaced = docId % 9 == 7)
+      interlaced = docId % 9 == 7,
+      // 16-bit class (high byte = the closed-form gray, low byte a
+      // decoy the decoder must skip); indexed stays 8-bit per spec
+      depth = if (docId % 11 == 6 && pngColorType(docId) != 3) 16 else 8)
 
   /** The generalized writer (dims + color type + per-pixel gray +
     * per-row filter + optional Adam7) — the near-dup gate plants
@@ -447,21 +450,29 @@ object MediaSynth {
     * filter history, `filterOf` keyed on the pass-local row) into the
     * one zlib stream. */
   def pngOf(w: Int, h: Int, colorType: Int, gray: (Int, Int) => Int,
-      filterOf: Int => Int, interlaced: Boolean = false): Array[Byte] = {
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1
+      filterOf: Int => Int, interlaced: Boolean = false,
+      depth: Int = 8): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1
       case 4 => 2; case 6 => 4
       case _ => sys.error(s"unsupported color type $colorType") }
-    // full-frame unfiltered samples (the filters reference them)
-    val px = Array.tabulate(h, w * bpp) { (y, i) =>
-      val g = gray(i / bpp, y)
-      val s = (i % bpp, colorType) match {
+    val bps = depth / 8
+    val bpp = channels * bps
+    // full-frame unfiltered 8-bit channel samples (the filters
+    // reference the BYTE stream, built below)
+    val ch = Array.tabulate(h, w * channels) { (y, i) =>
+      val g = gray(i / channels, y)
+      (i % channels, colorType) match {
         case (0, _) => g
         case (1, 2) | (1, 6) => (g + 85) % 256
         case (2, 2) | (2, 6) => (g + 170) % 256
         case (1, 4) | (3, 6) => (g + 31) % 256
         case _ => g
       }
-      s.toByte
+    }
+    val px = Array.tabulate(h, w * bpp) { (y, i) =>
+      val s = ch(y)(i / bps)
+      // 16-bit: high byte carries the sample, low byte is a decoy
+      (if (i % bps == 0) s else (s * 7 + 13) % 256).toByte
     }
     val layout = (if (!interlaced) Seq((0, 0, 1, 1))
       else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -529,7 +540,7 @@ object MediaSynth {
     }
     val ihdr = new java.io.ByteArrayOutputStream(13)
     be32(ihdr, w); be32(ihdr, h)
-    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
+    ihdr.write(depth); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
     ihdr.write(if (interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
     if (colorType == 3) // palette entry g -> the truecolor derivation

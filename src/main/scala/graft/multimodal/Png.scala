@@ -16,7 +16,9 @@ package graft.multimodal
   * then scattered to frame positions (RFC 2083 §2.6); indexed rows
   * look up a CRC'd PLTE (per-entry tRNS alpha honored; the types-0/2
   * single-transparent-sample tRNS form is REJECTED rather than
-  * silently skipped). 1/2/4/16-bit depths return None — the documented
+  * silently skipped). 16-BIT depths decode to their high bytes (the
+  * 8-bit-preserving projection). 1/2/4-bit depths return None — the
+  * documented
   * honesty boundary, same totality contract as every decoder here: a
   * value or None on arbitrary bytes, never a throw (DecoderFuzzSpec).
   *
@@ -135,7 +137,8 @@ object Png {
     var width = 0; var height = 0
     var colorType = -1
     var interlaced = false
-    var bpp = 0 // bytes per pixel at 8-bit depth
+    var bpp = 0 // bytes per pixel (channels x bytes-per-sample)
+    var bps = 1 // bytes per sample (1 for 8-bit, 2 for 16-bit)
     var palette: Array[Int] = null // ARGB entries (type 3)
     val idat = new java.io.ByteArrayOutputStream(256)
     var sawEnd = false
@@ -160,14 +163,19 @@ object Png {
             (b(p + 18) & 0xff, b(p + 19) & 0xff, b(p + 20) & 0xff)
           if (width <= 0 || height <= 0 ||
             width.toLong * height > MaxPixels) return None
-          if (depth != 8 || compression != 0 || filter != 0 ||
+          // 16-bit samples decode to their HIGH byte (the only
+          // 8-bit-preserving projection; RFC 2083 network order puts
+          // it first) — indexed color is 8-bit-only per the spec
+          if ((depth != 8 && !(depth == 16 && colorType != 3)) ||
+            compression != 0 || filter != 0 ||
             interlace > 1) return None // honesty boundary
           interlaced = interlace == 1
-          bpp = colorType match {
+          bps = depth / 8
+          bpp = bps * (colorType match {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2
             case 6 => 4
             case _ => return None
-          }
+          })
         case "PLTE" =>
           if (colorType < 0 || len == 0 || len % 3 != 0 || len > 768)
             return None
@@ -268,23 +276,22 @@ object Png {
         var x = 0
         while (x < wp) {
           val q = row + x * bpp
+          def smp(k: Int): Int = raw(q + k * bps) & 0xff // high byte
           val px = colorType match {
             case 0 =>
-              val g = raw(q) & 0xff
+              val g = smp(0)
               0xff000000 | (g << 16) | (g << 8) | g
             case 2 =>
-              0xff000000 | ((raw(q) & 0xff) << 16) |
-                ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+              0xff000000 | (smp(0) << 16) | (smp(1) << 8) | smp(2)
             case 3 =>
               val idx = raw(q) & 0xff
               if (idx >= palette.length) return None
               palette(idx)
             case 4 =>
-              val g = raw(q) & 0xff
-              ((raw(q + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
+              val g = smp(0)
+              (smp(1) << 24) | (g << 16) | (g << 8) | g
             case _ => // 6
-              ((raw(q + 3) & 0xff) << 24) | ((raw(q) & 0xff) << 16) |
-                ((raw(q + 1) & 0xff) << 8) | (raw(q + 2) & 0xff)
+              (smp(3) << 24) | (smp(0) << 16) | (smp(1) << 8) | smp(2)
           }
           out((y0 + y * dy) * width + (x0 + x * dx)) = px
           x += 1

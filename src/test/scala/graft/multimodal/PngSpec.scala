@@ -185,6 +185,36 @@ class PngSpec extends AnyFunSuite {
     out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
   }
 
+  test("16-bit depth: samples decode to their high bytes; the low-byte decoys are skipped") {
+    for (ct <- Seq(0, 2, 6, 4); interlaced <- Seq(false, true)) {
+      val gray = (x: Int, y: Int) => (x * 29 + y * 17 + 3) % 256
+      val got = Png.decodePixels(
+        MediaSynth.pngOf(9, 7, ct, gray, y => y % 5, interlaced, depth = 16))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      val want = Png.decodePixels(
+        MediaSynth.pngOf(9, 7, ct, gray, y => y % 5, interlaced))
+        .map { case (w, h, px) => (w, h, px.toSeq) }
+      assert(got.isDefined && got === want, s"ct=$ct interlaced=$interlaced")
+    }
+    // the gate corpus' 16-bit class (id % 11 == 6, non-indexed)
+    val id = 6L
+    assert(id % 11 === 6)
+    assert(MediaSynth.pngColorType(id) !== 3)
+    val Some((w, h, px)) = Png.decodePixels(MediaSynth.png(id))
+    assert(w === MediaSynth.pngW(id))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(((px(y * w + x) >> 16) & 0xff) === MediaSynth.pngGray(id, x, y))
+    // indexed 16-bit is illegal per spec and must decline
+    val base = MediaSynth.png(17L) // indexed class
+    val m = base.clone(); m(24) = 16
+    val crc = new java.util.zip.CRC32
+    crc.update(m, 12, 17)
+    val cv = crc.getValue
+    m(29) = ((cv >> 24) & 0xff).toByte; m(30) = ((cv >> 16) & 0xff).toByte
+    m(31) = ((cv >> 8) & 0xff).toByte; m(32) = (cv & 0xff).toByte
+    assert(Png.decodePixels(m) === None)
+  }
+
   test("Adam7: truncation at every prefix length returns None, never throws") {
     val bytes = MediaSynth.png(7L) // interlaced class
     for (n <- 0 until bytes.length)
