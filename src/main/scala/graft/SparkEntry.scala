@@ -517,6 +517,10 @@ object SparkEntry {
     // so every pixel is the doc_id closed form verbatim; truncated
     // rows pin the fallback
     "mm_gif_decode" -> ((s, dir) => graft.multimodal.Gif.decodeReport(s, dir)),
+    // the GIF path through the decode -> aHash -> multi-probe
+    // near-dup pipeline (the JPEG/PNG twins' shape)
+    "mm_image_dedup_gif" -> ((s, dir) =>
+      graft.multimodal.Gif.imageDedupGif(s, dir)),
     // the PNG path through the same decode -> aHash -> multi-probe
     // near-dup pipeline (the mm_image_dedup_jpeg twin): odd docs
     // carry their even neighbor's frame with the top-left 8x8
@@ -652,6 +656,8 @@ object SparkEntry {
     s"${graft.multimodal.Jpeg.dedupDumpPath(graft.multimodal.Jpeg.lastDedupBase)}/*.parquet"
   private def pngHashGlob: String =
     s"${graft.multimodal.Png.dedupDumpPath(graft.multimodal.Png.lastDedupBase)}/*.parquet"
+  private def gifHashGlob: String =
+    s"${graft.multimodal.Gif.dedupDumpPath(graft.multimodal.Gif.lastDedupBase)}/*.parquet"
   private def jpegWideHashGlob: String =
     s"${graft.multimodal.Jpeg.wideDumpPath(graft.multimodal.Jpeg.lastWideBase)}/*.parquet"
   private def audHashGlob: String =
@@ -2852,6 +2858,7 @@ object SparkEntry {
     // decode is the faith, the pair machinery is re-derived
     "mm_image_dedup_jpeg" -> mediaHashPairsSql(jpegHashGlob),
     "mm_image_dedup_png" -> mediaHashPairsSql(pngHashGlob),
+    "mm_image_dedup_gif" -> mediaHashPairsSql(gifHashGlob),
     // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth
     // (not its own plumbing): collapse expansion + wide pigeonhole
     // must reach FULL recall, including the identical-sig stub clique

@@ -57,6 +57,43 @@ object Gif {
       .toDF("doc_id", "w", "h", "pix_sum", "pix_wsum")
   }
 
+  @volatile var lastDedupBase: String = "sf0.01"
+
+  def dedupDumpPath(base: String): String =
+    graft.core.SideDump.path("gifhash_sigs", base)
+
+  /** Gate surface (`mm_image_dedup_gif`) — GIF in the perceptual
+    * near-dup family (the JPEG/PNG twins' shape): odd docs carry
+    * their even neighbor's frame with the top-left 8×8 region
+    * brightened by +8, re-LZW-coded (byte streams differ completely,
+    * the aHash moves a few bits); id % 7 == 5 docs carry a truncated
+    * stream (stub fallback in-gate). Hashes side-dumped; DuckDB
+    * re-derives banding/caps/probes/verify. */
+  def imageDedupGif(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, maxHamming: Int = 15,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map(id => (id, ImageDedup.imageHash(dedupPayload(id))))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(sigs, "gifhash_sigs", sfDir, maxHamming,
+      maxBucket)(lastDedupBase = _)
+  }
+
+  /** The near-dup fixture payload (shared with GifSpec). */
+  private[multimodal] def dedupPayload(id: Long): Array[Byte] =
+    if (id % 7 == 5) MediaSynth.gif(id).take(20) // undecodable -> stub
+    else if (id % 2 == 0) MediaSynth.gif(id)
+    else {
+      val twin = id - 1
+      MediaSynth.gifOf(MediaSynth.gifW(twin), MediaSynth.gifH(twin),
+        (x, y) => {
+          val g = MediaSynth.gifGray(twin, x, y)
+          if (x < 8 && y < 8) math.min(255, g + 8) else g
+        })
+    }
+
   /** Decode a GIF's first frame to (width, height, ARGB pixels).
     * None on anything malformed, truncated, or over the pixel
     * ceiling — never a throw. */

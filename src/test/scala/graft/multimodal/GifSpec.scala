@@ -101,6 +101,16 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup fixture: twins land within the probe radius; stub rows diverge") {
+    // evens whose odd twin is NOT the truncated class (id % 7 == 5)
+    for (even <- Seq(0L, 2L, 8L, 16L)) {
+      val he = ImageDedup.imageHash(Gif.dedupPayload(even))
+      val ho = ImageDedup.imageHash(Gif.dedupPayload(even + 1))
+      assert(java.lang.Long.bitCount(he ^ ho) <= 15, s"pair ($even,${even + 1})")
+    }
+    assert(Gif.decodePixels(Gif.dedupPayload(5L)) === None) // 5 % 7 == 5
+  }
+
   test("truncation at every prefix length returns None, never throws") {
     val bytes = MediaSynth.gif(11L)
     for (n <- 0 until bytes.length)
