@@ -354,10 +354,14 @@ object MediaSynth {
     * per-block gray) — the near-dup gate plants twins by re-encoding
     * a neighbor's frames with one block of one frame perturbed. */
   def aviMjpegOf(nbx: Int, nby: Int, n: Int,
-      gray: (Int, Int, Int) => Int): Array[Byte] = {
+      gray: (Int, Int, Int) => Int,
+      progressiveFrames: Boolean = false): Array[Byte] = {
     val w = 8 * nbx; val h = 8 * nby
-    val frames = Array.tabulate(n)(f =>
-      jpegOf(nbx, nby, (bx, by) => gray(f, bx, by)))
+    val frames = Array.tabulate(n) { f =>
+      if (progressiveFrames) jpegProgressiveOf(nbx, nby,
+        (bx, by) => gray(f, bx, by))
+      else jpegOf(nbx, nby, (bx, by) => gray(f, bx, by))
+    }
     val maxFrame = frames.map(_.length).max
     val avih = new java.io.ByteArrayOutputStream(56)
     le32(avih, 100000)           // microseconds per frame (10 fps)

@@ -39,6 +39,20 @@ class VideoFramesSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG with PROGRESSIVE frames: the codec composition is frame-format-agnostic") {
+    for (id <- Seq(2L, 11L)) {
+      val base = VideoFrames.decodeAviFrames(MediaSynth.aviMjpeg(id))
+        .map { case (w, h, fr) => (w, h, fr.map(_.toSeq).toSeq) }
+      val prog = VideoFrames.decodeAviFrames(
+        MediaSynth.aviMjpegOf(MediaSynth.mjpegNbx(id), MediaSynth.mjpegNby(id),
+          MediaSynth.aviFrames(id),
+          (f, bx, by) => MediaSynth.mjpegGray(id, f, bx, by),
+          progressiveFrames = true))
+        .map { case (w, h, fr) => (w, h, fr.map(_.toSeq).toSeq) }
+      assert(prog.isDefined && prog === base, s"id=$id")
+    }
+  }
+
   test("MJPEG malformed: truncation and a corrupted frame chunk decline whole") {
     val good = MediaSynth.aviMjpeg(7L)
     assert(VideoFrames.decodeAviFrames(good).isDefined)
