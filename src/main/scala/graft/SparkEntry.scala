@@ -483,6 +483,10 @@ object SparkEntry {
       graft.multimodal.Jpeg.imageDedupWide(s, dir)),
     // audio features: real PCM WAV sample decode on the gate corpus'
     // real rows, byte-length stub on the fakes
+    // extended WAV profile: stereo mean-downmix (truncating) +
+    // 8-bit widening + rate/channel readout, closed-form oracle
+    "mm_audio_features_ext" -> ((s, dir) =>
+      graft.multimodal.AudioFeatures.extFeatureReport(s, dir)),
     "mm_audio_features" -> ((s, dir) =>
       graft.multimodal.AudioFeatures.audioFeatures(s, dir)),
     // perceptual audio near-dup: energy-delta fingerprint over real
@@ -2819,6 +2823,48 @@ object SparkEntry {
     // zeros-break-runs rule) — the gate passes only if the JVM RIFF
     // walk + 16-bit LE sample decode read the real WAV correctly;
     // fake rows take the documented stub arithmetic
+    // extended-WAV features re-derived from doc_id closed forms:
+    // per-channel samples (16-bit signed / 8-bit widened x256 about
+    // 128), per-frame MEAN downmix with truncating division (// in
+    // DuckDB == Java /), then the shared peak/crossings/energy folds;
+    // rate and channels pin the fmt-chunk readout; truncated rows
+    // (id % 5 = 3) owe the all-(-1) fallback
+    "mm_audio_features_ext" ->
+      """WITH ext AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS c,
+        |    CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS bits,
+        |    32 + doc_id % 64 AS n,
+        |    8000 + 525 * (doc_id % 4) AS rate
+        |  FROM documents),
+        |si AS (SELECT doc_id, c, bits, unnest(range(0, n)) AS i FROM ext),
+        |cs AS (SELECT unnest(range(0, 2)) AS ch),
+        |smp AS (
+        |  SELECT si.doc_id, si.c, si.i,
+        |    CASE WHEN si.bits = 16
+        |      THEN (si.doc_id * 31 + si.i * 97 + cs.ch * 53) % 4001 - 2000
+        |      ELSE ((si.doc_id * 13 + si.i * 29 + cs.ch * 7) % 256 - 128) * 256
+        |    END AS s
+        |  FROM si, cs WHERE cs.ch < si.c),
+        |mix AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) // max(c) AS m
+        |  FROM smp GROUP BY doc_id, i),
+        |lagd AS (SELECT doc_id, m,
+        |    lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM mix),
+        |f AS (
+        |  SELECT doc_id, count(*) AS n_samples, max(abs(m)) AS peak_abs,
+        |    coalesce(sum(CASE WHEN m <> 0 AND prev <> 0
+        |                       AND sign(m) <> sign(prev) THEN 1 ELSE 0 END), 0)
+        |      AS zero_crossings,
+        |    sum(m * m) AS energy
+        |  FROM lagd GROUP BY doc_id)
+        |SELECT e.doc_id,
+        |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE e.rate END AS BIGINT) AS rate,
+        |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE e.c END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.n_samples END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.peak_abs END AS BIGINT) AS peak_abs,
+        |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.zero_crossings END AS BIGINT) AS zero_crossings,
+        |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.energy END AS BIGINT) AS energy
+        |FROM ext e JOIN f ON f.doc_id = e.doc_id""".stripMargin,
     "mm_audio_features" ->
       """WITH a AS (
         |  SELECT doc_id, strlen(text) AS tl FROM documents WHERE doc_id % 3 = 1),

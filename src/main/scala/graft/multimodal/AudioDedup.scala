@@ -19,7 +19,7 @@ import graft.multimodal.Multimodal.MediaRow
   * bit depends only on two adjacent region sums.
   *
   * Sample decode is REAL pure-JVM for canonical 16-bit PCM WAV
-  * ([[AudioFeatures.decodeWavPcm]] — first channel); payloads the
+  * ([[AudioFeatures.decodeWavPcm]] — mean-downmixed); payloads the
   * decoder cannot read (codec-compressed audio, the gate corpus'
   * fake text-byte rows, clips shorter than 65 samples) take the
   * documented byte-level fallback: the same delta rule over byte

@@ -7,7 +7,7 @@ import graft.multimodal.Multimodal.MediaRow
   * one audio container whose samples need no codec: PCM WAV (RIFF
   * `fmt `/`data` chunk walk, 16-bit little-endian samples read
   * directly — the audio twin of [[ImageDedup]]'s QOI/BMP pixel
-  * work). Features are INTEGER-EXACT over the first channel (no
+  * work). Features are INTEGER-EXACT over the mean-downmixed stream (no
   * mixing arithmetic, no floats):
   *
   *  - `n_samples`: frames in the data chunk;
@@ -35,9 +35,15 @@ object AudioFeatures {
   /** Frame-count ceiling (executor safety: 8 MB of 16-bit mono). */
   private[multimodal] val MaxFrames = 4 * 1024 * 1024
 
-  /** Decode a 16-bit PCM WAV payload to (sampleRate, channels,
-    * first-channel samples). None for any other flavor. */
-  private[multimodal] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+  /** Decode a PCM WAV payload to (sampleRate, channels, samples):
+    * 16-bit signed or 8-bit unsigned (widened by ×256 about the
+    * 128 center — the standard lossless embedding), any channel
+    * count, multichannel MEAN-DOWNMIXED per frame (truncating integer
+    * division — exactly mirrorable in SQL; r13: the previous
+    * first-channel projection made a channel-swapped stereo re-export
+    * hash differently from its source, which is wrong for near-dup).
+    * None for any other flavor. */
+  private[graft] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     if (b.length < 44) return None
     def tag(p: Int): String =
       if (b.length < p + 4) "" else new String(b, p, 4, "US-ASCII")
@@ -50,6 +56,7 @@ object AudioFeatures {
     var fmtOk = false
     var channels = 0
     var rate = 0
+    var bits = 0
     var dataStart = -1
     var dataLen = -1L
     while (p + 8 <= b.length && (!fmtOk || dataStart < 0)) {
@@ -60,8 +67,9 @@ object AudioFeatures {
         val audioFormat = leShort(p + 8)
         channels = leShort(p + 10)
         rate = leInt(p + 12).toInt
-        val bits = leShort(p + 22)
-        if (audioFormat != 1 || bits != 16 || channels < 1) return None
+        bits = leShort(p + 22)
+        if (audioFormat != 1 || (bits != 16 && bits != 8) || channels < 1)
+          return None
         fmtOk = true
       } else if (id == "data") {
         dataStart = p + 8
@@ -70,14 +78,23 @@ object AudioFeatures {
       p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataStart < 0) return None
-    val frameBytes = 2 * channels
+    val sampleBytes = bits / 8
+    val frameBytes = sampleBytes * channels
     val frames = (dataLen / frameBytes).toInt
     if (frames <= 0 || frames > MaxFrames) return None
     val out = new Array[Short](frames)
     var f = 0
     while (f < frames) {
       val at = dataStart + f * frameBytes
-      out(f) = ((b(at) & 0xff) | (b(at + 1) << 8)).toShort
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val q = at + c * sampleBytes
+        sum += (if (bits == 16) (b(q) & 0xff) | (b(q + 1) << 8)
+          else ((b(q) & 0xff) - 128) * 256)
+        c += 1
+      }
+      out(f) = (sum / channels).toShort // mean downmix, truncating
       f += 1
     }
     Some((rate, channels, out))
@@ -129,4 +146,32 @@ object AudioFeatures {
     * stream), stub arithmetic on the rest. */
   def audioFeatures(spark: SparkSession, sfDir: String): DataFrame =
     audioFeaturesOf(Multimodal.mediaTable(spark, sfDir))
+
+  /** Gate surface (`mm_audio_features_ext`): the EXTENDED-profile WAV
+    * path — mono/stereo by doc_id parity (stereo frames mean-
+    * downmixed with truncating division), 16-bit/8-bit by doc_id % 4
+    * (8-bit widened ×256 about the 128 center), varying sample rate —
+    * all re-synthesized by the oracle from the
+    * [[MediaSynth.wavExtSample16]]/[[MediaSynth.wavExtByte8]] closed
+    * forms and refolded in SQL (rate and channel count are reported,
+    * so a misread fmt chunk cannot hide). Rows with doc_id % 5 == 3
+    * get a TRUNCATED stream and owe the all-(-1) fallback. Map-only
+    * over documents. */
+  def extFeatureReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map { id =>
+        val full = MediaSynth.wavExt(id)
+        val payload = if (id % 5 == 3) full.take(24) else full
+        decodeWavPcm(payload) match {
+          case Some((rate, ch, samples)) =>
+            val (n, peak, zc, energy) = featuresOf(samples)
+            (id, rate.toLong, ch.toLong, n, peak, zc, energy)
+          case None => (id, -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "rate", "channels", "n_samples", "peak_abs",
+        "zero_crossings", "energy")
+  }
 }

@@ -258,6 +258,53 @@ object MediaSynth {
     leList("RIFF", "AVI ", riffBody.toByteArray)
   }
 
+  // ── extended WAV (stereo / 8-bit; [[AudioFeatures]] downmixes) ───
+
+  def wavExtChannels(docId: Long): Int = 1 + (docId % 2).toInt
+  def wavExtBits(docId: Long): Int = if (docId % 4 < 2) 16 else 8
+  def wavExtFrames(docId: Long): Int = 32 + (docId % 64).toInt
+  def wavExtRate(docId: Long): Int = 8000 + 525 * (docId % 4).toInt
+
+  /** Closed-form per-channel samples: 16-bit signed, 8-bit raw
+    * unsigned (decodes as (raw−128)·256) — the `mm_audio_features_ext`
+    * oracle re-synthesizes the exact downmixed stream from these. */
+  def wavExtSample16(docId: Long, ch: Int, i: Int): Int =
+    ((docId * 31 + i * 97 + ch * 53) % 4001 - 2000).toInt
+  def wavExtByte8(docId: Long, ch: Int, i: Int): Int =
+    ((docId * 13 + i * 29 + ch * 7) % 256).toInt
+
+  /** A real PCM WAV in the EXTENDED profile: mono/stereo by doc_id
+    * parity, 16-bit/8-bit by doc_id % 4, varying sample rate —
+    * the fixture behind the stereo-downmix + 8-bit-widening gate. */
+  def wavExt(docId: Long): Array[Byte] = {
+    val c = wavExtChannels(docId); val bits = wavExtBits(docId)
+    val n = wavExtFrames(docId); val rate = wavExtRate(docId)
+    val bps = bits / 8
+    val dataLen = n * c * bps
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen + 1)
+    "RIFF".foreach(ch0 => out.write(ch0))
+    le32(out, 4 + 24 + 8 + dataLen + (dataLen & 1))
+    "WAVE".foreach(ch0 => out.write(ch0))
+    "fmt ".foreach(ch0 => out.write(ch0))
+    le32(out, 16); le16(out, 1); le16(out, c)
+    le32(out, rate); le32(out, rate * c * bps)
+    le16(out, c * bps); le16(out, bits)
+    "data".foreach(ch0 => out.write(ch0))
+    le32(out, dataLen)
+    var i = 0
+    while (i < n) {
+      var ch = 0
+      while (ch < c) {
+        if (bits == 16) le16(out, wavExtSample16(docId, ch, i) & 0xffff)
+        else out.write(wavExtByte8(docId, ch, i))
+        ch += 1
+      }
+      i += 1
+    }
+    if ((dataLen & 1) == 1) out.write(0) // RIFF word alignment
+    out.toByteArray
+  }
+
   // ── GIF (closed-form indexed pixels over LZW; [[Gif]] decodes) ───
 
   def gifW(docId: Long): Int = 8 + (docId % 10).toInt

@@ -32,10 +32,12 @@ class AudioFeaturesSpec extends SparkSpec {
     assert(energy === n.toLong * 1000L * 1000L)
   }
 
-  test("stereo: only the first channel is analyzed; silence breaks crossing runs") {
-    // ch0: 5, -5, 0, 7, -7 ; ch1: loud garbage that must be ignored
-    val frames = Seq(Seq(5, 30000), Seq(-5, -30000), Seq(0, 30000),
-      Seq(7, -30000), Seq(-7, 30000))
+  test("stereo: frames MEAN-downmix (truncating); silence breaks crossing runs") {
+    // per-frame mean of the two channels, integer division truncating
+    // toward zero: (5+5)/2=5, (-5-5)/2=-5, (1-1)/2=0, (7+8)/2=7,
+    // (-7-8)/2=-7 (Java semantics; the SQL twin uses //)
+    val frames = Seq(Seq(5, 5), Seq(-5, -5), Seq(1, -1),
+      Seq(7, 8), Seq(-7, -8))
     val Some((_, ch, samples)) = AudioFeatures.decodeWavPcm(wav(44100, 2, frames))
     assert(ch === 2)
     assert(samples.toSeq === Seq[Short](5, -5, 0, 7, -7))
@@ -45,6 +47,28 @@ class AudioFeaturesSpec extends SparkSpec {
     // 5→-5 crosses; -5→0 silence; 0→7 restarts a run; 7→-7 crosses
     assert(zc === 2L)
     assert(energy === (25L + 25L + 0L + 49L + 49L))
+    // a CHANNEL-SWAPPED re-export decodes to the identical stream —
+    // the near-dup property the first-channel projection broke
+    val swapped = AudioFeatures.decodeWavPcm(wav(44100, 2, frames.map(_.reverse)))
+    assert(swapped.map(_._3.toSeq) === Some(samples.toSeq))
+  }
+
+  test("8-bit PCM: unsigned samples widen x256 about the 128 center") {
+    // hand-build an 8-bit mono WAV: fmt bits=8, one byte per frame
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val samples8 = Array[Int](128, 0, 255, 129, 127)
+    val data = samples8.map(_.toByte)
+    val body = "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val bytes = "RIFF".getBytes ++ le32(body.length) ++ body
+    val Some((rate, ch, s)) = AudioFeatures.decodeWavPcm(bytes)
+    assert((rate, ch) === ((8000, 1)))
+    assert(s.toSeq === Seq[Short](0, -32768, 32512, 256, -256))
   }
 
   test("negative samples decode correctly (LE sign extension)") {
@@ -53,14 +77,14 @@ class AudioFeaturesSpec extends SparkSpec {
     assert(s.toSeq === Seq[Short](-32768, 32767, -1))
   }
 
-  test("non-PCM, 8-bit, truncated and fake payloads fall back to the stub") {
+  test("non-PCM, odd-depth, truncated and fake payloads fall back to the stub") {
     val good = wav(8000, 1, Seq(Seq(1), Seq(2)))
     // non-PCM audioFormat
     val nonPcm = good.clone(); nonPcm(20) = 3
     assert(AudioFeatures.decodeWavPcm(nonPcm).isEmpty)
-    // 8-bit
-    val eightBit = good.clone(); eightBit(34) = 8
-    assert(AudioFeatures.decodeWavPcm(eightBit).isEmpty)
+    // 24-bit (out of scope; 8 and 16 decode)
+    val deep = good.clone(); deep(34) = 24
+    assert(AudioFeatures.decodeWavPcm(deep).isEmpty)
     // truncated data chunk
     assert(AudioFeatures.decodeWavPcm(good.dropRight(1)).isEmpty)
     // arbitrary bytes

@@ -80,6 +80,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg-prog" -> MediaSynth.jpegProgressive(9L),
       "png" -> MediaSynth.png(9L),
       "gif" -> MediaSynth.gif(9L),
+      "wav-ext" -> MediaSynth.wavExt(9L),
       "avi-mjpeg" -> MediaSynth.aviMjpeg(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
@@ -103,6 +104,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg-prog" -> MediaSynth.jpegProgressive(23L),
       "png" -> MediaSynth.png(23L),
       "gif" -> MediaSynth.gif(23L),
+      "wav-ext" -> MediaSynth.wavExt(23L),
       "avi-mjpeg" -> MediaSynth.aviMjpeg(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
