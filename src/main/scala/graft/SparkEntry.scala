@@ -481,6 +481,11 @@ object SparkEntry {
     // twins at 13x; this formulation keeps recall 1.0)
     "mm_image_dedup_wide" -> ((s, dir) =>
       graft.multimodal.Jpeg.imageDedupWide(s, dir)),
+    // the streaming crawl twin: per-batch decode+hash landed as
+    // DeltaIndex subdirs with a mid-stream staged compaction, then
+    // the same banded pair machinery over the reassembled index
+    "mm_image_dedup_stream" -> ((s, dir) =>
+      graft.streaming.MediaStream.imageDedupStream(s, dir)),
     // audio features: real PCM WAV sample decode on the gate corpus'
     // real rows, byte-length stub on the fakes
     // extended WAV profile: stereo mean-downmix (truncating) +
@@ -662,6 +667,8 @@ object SparkEntry {
     s"${graft.multimodal.Png.dedupDumpPath(graft.multimodal.Png.lastDedupBase)}/*.parquet"
   private def gifHashGlob: String =
     s"${graft.multimodal.Gif.dedupDumpPath(graft.multimodal.Gif.lastDedupBase)}/*.parquet"
+  private def jpegStreamHashGlob: String =
+    s"${graft.streaming.MediaStream.dumpPath(graft.streaming.MediaStream.lastBase)}/*.parquet"
   private def jpegWideHashGlob: String =
     s"${graft.multimodal.Jpeg.wideDumpPath(graft.multimodal.Jpeg.lastWideBase)}/*.parquet"
   private def audHashGlob: String =
@@ -2905,6 +2912,7 @@ object SparkEntry {
     "mm_image_dedup_jpeg" -> mediaHashPairsSql(jpegHashGlob),
     "mm_image_dedup_png" -> mediaHashPairsSql(pngHashGlob),
     "mm_image_dedup_gif" -> mediaHashPairsSql(gifHashGlob),
+    "mm_image_dedup_stream" -> mediaHashPairsSql(jpegStreamHashGlob),
     // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth
     // (not its own plumbing): collapse expansion + wide pigeonhole
     // must reach FULL recall, including the identical-sig stub clique

@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
   * run-scoped for the DuckDB oracle, record the dump base for the
   * oracle glob, then run the multi-probe banded-Hamming pair
   * machinery. One copy of the cache/dump discipline instead of three. */
-private[multimodal] object SigDump {
+private[graft] object SigDump {
 
   def dumpAndPair(sigsRaw: DataFrame, dumpKind: String, sfDir: String,
       maxHamming: Int, maxBucket: Int)(recordBase: String => Unit): DataFrame = {
