@@ -333,6 +333,11 @@ object SparkEntry {
     "ann_pca_topk" -> ((s, dir) => graft.sim.Pca.topKL2Pca(s, dir)),
     "ann_pca_reduced" -> ((s, dir) => graft.sim.Pca.topKL2PcaReduced(s, dir)),
     // ---- text analysis ----
+    // compressed-crawl ingestion: per-doc gzip members decoded
+    // through the production gunzip (truncated rows pin the
+    // fallback); counts of the DECODED text against the plain column
+    "text_gzip_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.ingestReport(s, dir)),
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
     // token-budget mixture plan: per-language available tokens vs the
     // mixture weights' targets, and the epochs/resid-sampling rates
@@ -2557,6 +2562,18 @@ object SparkEntry {
         |  CAST(sum(w.wt) > 0 AS INT) AS label
         |FROM toks JOIN w ON toks.t = w.t
         |GROUP BY toks.doc_id""".stripMargin,
+    // gzip-ingest: the oracle recomputes the DECODED text's counts
+    // from the plain text column (whitespace tokens + character
+    // count, the text_tokens definitions); truncated members
+    // (id % 5 = 3) owe the (-1, -1) fallback
+    "text_gzip_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,

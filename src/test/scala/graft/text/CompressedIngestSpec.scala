@@ -1,0 +1,53 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gzip text ingestion: roundtrip, truncation totality, the
+  * decompression-bomb ceiling, non-gzip rejection, and multi-member
+  * concatenation. Pure JVM — no Spark session needed. */
+class CompressedIngestSpec extends AnyFunSuite {
+
+  test("roundtrip is byte-exact, including empty and high-codepoint text") {
+    for (s <- Seq("", "hello world", "a" * 100000,
+      "café 你好 😀")) {
+      val b = s.getBytes("UTF-8")
+      assert(CompressedIngest.gunzip(CompressedIngest.gzip(b))
+        .map(new String(_, "UTF-8")) === Some(s))
+    }
+  }
+
+  test("truncation at every prefix length returns None, never throws") {
+    val full = CompressedIngest.gzip("the quick brown fox".getBytes("UTF-8"))
+    for (n <- 0 until full.length)
+      assert(CompressedIngest.gunzip(full.take(n)) === None, s"prefix $n")
+  }
+
+  test("single-byte corruptions decode or decline, never throw; CRC catches payload flips") {
+    val full = CompressedIngest.gzip(("lorem ipsum " * 50).getBytes("UTF-8"))
+    for (i <- full.indices) {
+      val m = full.clone(); m(i) = (m(i) ^ 0x11).toByte
+      CompressedIngest.gunzip(m) // totality
+    }
+  }
+
+  test("decompression bomb: output past the ceiling declines instead of allocating") {
+    // 4 MiB of zeros compresses to ~4 KiB; a 1 KiB ceiling must refuse
+    val bomb = CompressedIngest.gzip(new Array[Byte](4 * 1024 * 1024))
+    assert(bomb.length < 16 * 1024, "fixture sanity: the bomb is small")
+    assert(CompressedIngest.gunzip(bomb, maxLen = 1024) === None)
+    assert(CompressedIngest.gunzip(bomb).isDefined, "default ceiling admits 4 MiB")
+  }
+
+  test("non-gzip bytes decline") {
+    assert(CompressedIngest.gunzip("plainly not gzip".getBytes) === None)
+    assert(CompressedIngest.gunzip(Array[Byte](0x1f, 0x8b.toByte)) === None)
+    assert(CompressedIngest.gunzip(Array.empty[Byte]) === None)
+  }
+
+  test("concatenated members decode as the concatenated payload (WARC-slice shape)") {
+    val a = CompressedIngest.gzip("first doc ".getBytes("UTF-8"))
+    val b = CompressedIngest.gzip("second doc".getBytes("UTF-8"))
+    assert(CompressedIngest.gunzip(a ++ b).map(new String(_, "UTF-8"))
+      === Some("first doc second doc"))
+  }
+}
