@@ -2855,20 +2855,36 @@ object SparkEntry {
     // (id % 5 = 3) owe the all-(-1) fallback
     "mm_audio_features_ext" ->
       """WITH ext AS (
-        |  SELECT doc_id, 1 + doc_id % 2 AS c,
-        |    CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS bits,
+        |  SELECT doc_id, 1 + doc_id % 2 AS c, doc_id % 4 AS fc,
         |    32 + doc_id % 64 AS n,
         |    8000 + 525 * (doc_id % 4) AS rate
         |  FROM documents),
-        |si AS (SELECT doc_id, c, bits, unnest(range(0, n)) AS i FROM ext),
+        |si AS (SELECT doc_id, c, fc, unnest(range(0, n)) AS i FROM ext),
         |cs AS (SELECT unnest(range(0, 2)) AS ch),
-        |smp AS (
-        |  SELECT si.doc_id, si.c, si.i,
-        |    CASE WHEN si.bits = 16
-        |      THEN (si.doc_id * 31 + si.i * 97 + cs.ch * 53) % 4001 - 2000
-        |      ELSE ((si.doc_id * 13 + si.i * 29 + cs.ch * 7) % 256 - 128) * 256
-        |    END AS s
+        |raw AS (
+        |  SELECT si.doc_id, si.c, si.fc, si.i, cs.ch,
+        |    (si.doc_id * 13 + si.i * 29 + cs.ch * 7) % 256 AS r
         |  FROM si, cs WHERE cs.ch < si.c),
+        |smp AS (
+        |  SELECT doc_id, c, i,
+        |    CASE fc
+        |      WHEN 0 THEN (doc_id * 31 + i * 97 + ch * 53) % 4001 - 2000
+        |      WHEN 1 THEN (r - 128) * 256
+        |      WHEN 2 THEN -- G.711 u-law expansion (CCITT)
+        |        CASE WHEN (255 - r) >= 128
+        |          THEN 132 - ((((255 - r) & 15) * 8 + 132) << (((255 - r) // 16) & 7))
+        |          ELSE ((((255 - r) & 15) * 8 + 132) << (((255 - r) // 16) & 7)) - 132
+        |        END
+        |      ELSE -- G.711 A-law expansion (CCITT)
+        |        CASE WHEN xor(r, 85) >= 128 THEN 1 ELSE -1 END *
+        |        CASE ((xor(r, 85) // 16) & 7)
+        |          WHEN 0 THEN (xor(r, 85) & 15) * 16 + 8
+        |          WHEN 1 THEN (xor(r, 85) & 15) * 16 + 264
+        |          ELSE ((xor(r, 85) & 15) * 16 + 264)
+        |            << (((xor(r, 85) // 16) & 7) - 1)
+        |        END
+        |    END AS s
+        |  FROM raw),
         |mix AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) // max(c) AS m
         |  FROM smp GROUP BY doc_id, i),
         |lagd AS (SELECT doc_id, m,

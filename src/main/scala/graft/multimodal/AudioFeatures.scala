@@ -35,13 +35,17 @@ object AudioFeatures {
   /** Frame-count ceiling (executor safety: 8 MB of 16-bit mono). */
   private[multimodal] val MaxFrames = 4 * 1024 * 1024
 
-  /** Decode a PCM WAV payload to (sampleRate, channels, samples):
-    * 16-bit signed or 8-bit unsigned (widened by ×256 about the
-    * 128 center — the standard lossless embedding), any channel
-    * count, multichannel MEAN-DOWNMIXED per frame (truncating integer
-    * division — exactly mirrorable in SQL; r13: the previous
-    * first-channel projection made a channel-swapped stereo re-export
-    * hash differently from its source, which is wrong for near-dup).
+  /** Decode a WAV payload to (sampleRate, channels, samples):
+    * PCM (format 1) at 16-bit signed or 8-bit unsigned (widened by
+    * ×256 about the 128 center — the standard lossless embedding),
+    * plus the G.711 telephony codings — µ-law (format 7) and A-law
+    * (format 6), both 8-bit, expanded through the canonical CCITT
+    * decode arithmetic ([[ulaw]]/[[alaw]] — integer-exact, mirrored
+    * verbatim in the gate's SQL). Any channel count; multichannel
+    * frames MEAN-DOWNMIX per frame (truncating integer division —
+    * exactly mirrorable in SQL; r13: the previous first-channel
+    * projection made a channel-swapped stereo re-export hash
+    * differently from its source, which is wrong for near-dup).
     * None for any other flavor. */
   private[graft] def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     if (b.length < 44) return None
@@ -57,6 +61,7 @@ object AudioFeatures {
     var channels = 0
     var rate = 0
     var bits = 0
+    var fmt = 0
     var dataStart = -1
     var dataLen = -1L
     while (p + 8 <= b.length && (!fmtOk || dataStart < 0)) {
@@ -64,12 +69,13 @@ object AudioFeatures {
       val size = leInt(p + 4)
       if (size < 0 || p + 8 + size > b.length) return None
       if (id == "fmt " && size >= 16) {
-        val audioFormat = leShort(p + 8)
+        fmt = leShort(p + 8)
         channels = leShort(p + 10)
         rate = leInt(p + 12).toInt
         bits = leShort(p + 22)
-        if (audioFormat != 1 || (bits != 16 && bits != 8) || channels < 1)
-          return None
+        val ok = (fmt == 1 && (bits == 16 || bits == 8)) ||
+          ((fmt == 6 || fmt == 7) && bits == 8)
+        if (!ok || channels < 1) return None
         fmtOk = true
       } else if (id == "data") {
         dataStart = p + 8
@@ -90,14 +96,42 @@ object AudioFeatures {
       var c = 0
       while (c < channels) {
         val q = at + c * sampleBytes
-        sum += (if (bits == 16) (b(q) & 0xff) | (b(q + 1) << 8)
-          else ((b(q) & 0xff) - 128) * 256)
+        sum += (fmt match {
+          case 1 => if (bits == 16) (b(q) & 0xff) | (b(q + 1) << 8)
+            else ((b(q) & 0xff) - 128) * 256
+          case 7 => ulaw(b(q) & 0xff)
+          case _ => alaw(b(q) & 0xff) // 6
+        })
         c += 1
       }
       out(f) = (sum / channels).toShort // mean downmix, truncating
       f += 1
     }
     Some((rate, channels, out))
+  }
+
+  /** Canonical G.711 µ-law expansion (CCITT): complement, expand the
+    * 4-bit mantissa at the 3-bit exponent around the 0x84 bias, sign
+    * from bit 7. Range ±32124 (the textbook table's endpoints). */
+  private[multimodal] def ulaw(r: Int): Int = {
+    val u = ~r & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Canonical G.711 A-law expansion (CCITT): xor 0x55, segment 0
+    * adds the half-step 8, segment 1 the 0x108 offset, higher
+    * segments shift; sign from bit 7. Range ±32256. */
+  private[multimodal] def alaw(r: Int): Int = {
+    val a = r ^ 0x55
+    val seg = (a >> 4) & 7
+    val t0 = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case _ => (t0 + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
   }
 
   /** (n_samples, peak_abs, zero_crossings, energy) — integer-exact. */

@@ -261,7 +261,11 @@ object MediaSynth {
   // ── extended WAV (stereo / 8-bit; [[AudioFeatures]] downmixes) ───
 
   def wavExtChannels(docId: Long): Int = 1 + (docId % 2).toInt
-  def wavExtBits(docId: Long): Int = if (docId % 4 < 2) 16 else 8
+  /** Format class by doc_id % 4: PCM16 / PCM8 / µ-law / A-law. */
+  def wavExtFormat(docId: Long): Int = (docId % 4) match {
+    case 0 => 1; case 1 => 1; case 2 => 7; case _ => 6
+  }
+  def wavExtBits(docId: Long): Int = if (docId % 4 == 0) 16 else 8
   def wavExtFrames(docId: Long): Int = 32 + (docId % 64).toInt
   def wavExtRate(docId: Long): Int = 8000 + 525 * (docId % 4).toInt
 
@@ -273,11 +277,15 @@ object MediaSynth {
   def wavExtByte8(docId: Long, ch: Int, i: Int): Int =
     ((docId * 13 + i * 29 + ch * 7) % 256).toInt
 
-  /** A real PCM WAV in the EXTENDED profile: mono/stereo by doc_id
-    * parity, 16-bit/8-bit by doc_id % 4, varying sample rate —
-    * the fixture behind the stereo-downmix + 8-bit-widening gate. */
+  /** A real WAV in the EXTENDED profile: mono/stereo by doc_id
+    * parity; PCM16 / PCM8 / G.711 µ-law / A-law by doc_id % 4 (the
+    * telephony formats carry [[wavExtByte8]] raw codewords the
+    * decoder expands through the canonical CCITT arithmetic); varying
+    * sample rate — the fixture behind the downmix + widening +
+    * companding gate. */
   def wavExt(docId: Long): Array[Byte] = {
     val c = wavExtChannels(docId); val bits = wavExtBits(docId)
+    val fmt = wavExtFormat(docId)
     val n = wavExtFrames(docId); val rate = wavExtRate(docId)
     val bps = bits / 8
     val dataLen = n * c * bps
@@ -286,7 +294,7 @@ object MediaSynth {
     le32(out, 4 + 24 + 8 + dataLen + (dataLen & 1))
     "WAVE".foreach(ch0 => out.write(ch0))
     "fmt ".foreach(ch0 => out.write(ch0))
-    le32(out, 16); le16(out, 1); le16(out, c)
+    le32(out, 16); le16(out, fmt); le16(out, c)
     le32(out, rate); le32(out, rate * c * bps)
     le16(out, c * bps); le16(out, bits)
     "data".foreach(ch0 => out.write(ch0))

@@ -77,6 +77,33 @@ class AudioFeaturesSpec extends SparkSpec {
     assert(s.toSeq === Seq[Short](-32768, 32767, -1))
   }
 
+  test("G.711 expansion: canonical table endpoints and signs") {
+    // u-law: 0xFF/0x7F are +0/-0, 0x00 is the negative extreme -32124,
+    // 0x80 the positive extreme +32124 (CCITT table endpoints)
+    assert(AudioFeatures.ulaw(0xff) === 0)
+    assert(AudioFeatures.ulaw(0x7f) === 0)
+    assert(AudioFeatures.ulaw(0x00) === -32124)
+    assert(AudioFeatures.ulaw(0x80) === 32124)
+    // A-law: 0x55/0xD5 are the -8/+8 half-steps, 0x2A/0xAA the
+    // extremes -32256/+32256
+    assert(AudioFeatures.alaw(0x55) === -8)
+    assert(AudioFeatures.alaw(0xd5) === 8)
+    assert(AudioFeatures.alaw(0x2a) === -32256)
+    assert(AudioFeatures.alaw(0xaa) === 32256)
+    // a telephony WAV (format 7, 8-bit) decodes through the expansion
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val data = Array[Int](0xff, 0x00, 0x80, 0x7f).map(_.toByte)
+    val body = "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(7) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val bytes = "RIFF".getBytes ++ le32(body.length) ++ body
+    val Some((_, _, s)) = AudioFeatures.decodeWavPcm(bytes)
+    assert(s.toSeq === Seq[Short](0, -32124, 32124, 0))
+  }
+
   test("non-PCM, odd-depth, truncated and fake payloads fall back to the stub") {
     val good = wav(8000, 1, Seq(Seq(1), Seq(2)))
     // non-PCM audioFormat
