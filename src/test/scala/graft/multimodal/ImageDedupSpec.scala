@@ -175,4 +175,23 @@ class ImageDedupSpec extends SparkSpec {
     assert(nReal >= nFake && nFake > 0,
       s"gate must cross both hash paths: real=$nReal fake=$nFake")
   }
+
+  test("media pair tail switches to the collapse+wide regime above MediaWideAbove") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // gate-scale corpora keep the multi-probe plan (and so the
+    // registered oracles); corpus-scale frames take the scale path
+    // that survived 500k where multi-probe OOM'd (BENCH_NOTES r13)
+    val small = (0L until 100L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(small, "regime_probe_sigs", sf(), 15, 1000)(_ => ())
+      .count()
+    assert(!SigDump.lastWide)
+    val big = spark.range(SigDump.MediaWideAbove)
+      .select(col("id").as("doc_id"),
+        (col("id") % 97 * lit(0x0101010101010101L)).as("sig"))
+    SigDump.dumpAndPair(big, "regime_probe_sigs", sf(), 15, 1000)(_ => ())
+    assert(SigDump.lastWide,
+      "at MediaWideAbove the tail must pick the collapse+wide path")
+  }
 }
