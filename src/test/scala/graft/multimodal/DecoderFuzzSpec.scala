@@ -80,7 +80,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg-prog" -> MediaSynth.jpegProgressive(9L),
       "png" -> MediaSynth.png(9L),
       "gif" -> MediaSynth.gif(9L),
-      "wav-ext" -> MediaSynth.wavExt(9L),
+      "wav-ext" -> MediaSynth.wavExt(9L), // stereo PCM8
+      "wav-ulaw" -> MediaSynth.wavExt(14L), // 14 % 4 == 2 -> u-law
+      "png-interlaced" -> MediaSynth.png(7L),
+      "png-indexed" -> MediaSynth.png(17L),
+      "png-16bit" -> MediaSynth.png(6L),
+      "gif-interlaced" -> MediaSynth.gif(2L),
       "avi-mjpeg" -> MediaSynth.aviMjpeg(9L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
@@ -104,7 +109,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg-prog" -> MediaSynth.jpegProgressive(23L),
       "png" -> MediaSynth.png(23L),
       "gif" -> MediaSynth.gif(23L),
-      "wav-ext" -> MediaSynth.wavExt(23L),
+      "wav-ext" -> MediaSynth.wavExt(23L), // 23 % 4 == 3 -> A-law
+      "png-interlaced" -> MediaSynth.png(25L), // 25 % 9 == 7
+      "png-indexed" -> MediaSynth.png(33L), // 33 % 8 == 1
+      "gif-interlaced" -> MediaSynth.gif(14L),
       "avi-mjpeg" -> MediaSynth.aviMjpeg(23L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
