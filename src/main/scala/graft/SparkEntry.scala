@@ -2939,31 +2939,29 @@ object SparkEntry {
     // image near-dup: the per-image hashes are the dumped faith (the
     // decode, real or stub, happened in the JVM); banding, bucket cap
     // and the Hamming verify are the dedup_simhash oracle verbatim
-    "mm_image_dedup" -> mediaHashPairsSql(imgHashGlob),
+    "mm_image_dedup" -> mediaPairsOracle("imghash_sigs", imgHashGlob),
     // JPEG-decode-fed perceptual pairs: same dumped-sig oracle — the
     // decode is the faith, the pair machinery is re-derived
-    "mm_image_dedup_jpeg" -> mediaHashPairsSql(jpegHashGlob),
-    "mm_image_dedup_png" -> mediaHashPairsSql(pngHashGlob),
-    "mm_image_dedup_gif" -> mediaHashPairsSql(gifHashGlob),
-    "mm_image_dedup_stream" -> mediaHashPairsSql(jpegStreamHashGlob),
+    "mm_image_dedup_jpeg" -> mediaPairsOracle("jpeghash_sigs", jpegHashGlob),
+    "mm_image_dedup_png" -> mediaPairsOracle("pnghash_sigs", pngHashGlob),
+    "mm_image_dedup_gif" -> mediaPairsOracle("gifhash_sigs", gifHashGlob),
+    "mm_image_dedup_stream" ->
+      mediaPairsOracle("jpegstreamhash_sigs", jpegStreamHashGlob),
     // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth
     // (not its own plumbing): collapse expansion + wide pigeonhole
     // must reach FULL recall, including the identical-sig stub clique
-    "mm_image_dedup_wide" ->
-      s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$jpegWideHashGlob'))
-         |SELECT x.doc_id AS i, y.doc_id AS j
-         |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.sig, y.sig)) <= 15""".stripMargin,
+    "mm_image_dedup_wide" -> allPairsHamming15Sql(jpegWideHashGlob),
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
-    "mm_audio_dedup" -> mediaHashPairsSql(audHashGlob),
+    "mm_audio_dedup" -> mediaPairsOracle("audhash_sigs", audHashGlob),
     // filterbank (Haitsma-Kalker) audio near-dup: same oracle shape
     // over the spectral fingerprint dump
-    "mm_audio_dedup_fb" -> mediaHashPairsSql(audFbGlob),
+    "mm_audio_dedup_fb" -> mediaPairsOracle("audfb_sigs", audFbGlob),
     // video near-dup: identical oracle shape over the video dump
     // (temporal-majority frame aHashes / byte fallback)
-    "mm_video_dedup" -> mediaHashPairsSql(vidHashGlob),
-    "mm_video_dedup_mjpeg" -> mediaHashPairsSql(vidMjpegGlob),
+    "mm_video_dedup" -> mediaPairsOracle("vidhash_sigs", vidHashGlob),
+    "mm_video_dedup_mjpeg" ->
+      mediaPairsOracle("vidmjpeghash_sigs", vidMjpegGlob),
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
@@ -3810,6 +3808,29 @@ object SparkEntry {
     * re-derived as 64-bit arithmetic (the dedup_simhash_multiprobe
     * oracle); the dumped signatures are the only faith. Shared by the
     * image and audio perceptual near-dup gates. */
+  /** The regime-aware oracle for a [[graft.multimodal.SigDump
+    * .dumpAndPair]] family: the multi-probe re-derivation when the
+    * query took the 8-bit multi-probe path, the all-pairs Hamming
+    * ground truth when the measured switch routed it to the exact
+    * collapse+wide path (Verify dumps oracle_sql.json AFTER the
+    * queries ran, so the per-kind regime record is authoritative
+    * here — ADVICE r13: previously a corpus crossing the regime
+    * boundary would hash-mismatch even with a correct engine). */
+  private def mediaPairsOracle(dumpKind: String, glob: String): String =
+    if (graft.multimodal.SigDump.pickedWide(dumpKind))
+      allPairsHamming15Sql(glob)
+    else mediaHashPairsSql(glob)
+
+  /** The all-pairs Hamming ≤ 15 ground truth over a dumped
+    * `sigs(doc_id, sig)` frame — the oracle of the exact
+    * collapse+wide regime (`mm_image_dedup_wide` and any family the
+    * measured switch routes wide). */
+  private def allPairsHamming15Sql(glob: String): String =
+    s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$glob'))
+       |SELECT x.doc_id AS i, y.doc_id AS j
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 15""".stripMargin
+
   private def mediaHashPairsSql(glob: String): String =
     s"""WITH sigs AS (SELECT doc_id, sig FROM read_parquet('$glob')),
        |$simhashBandCte,

@@ -180,7 +180,7 @@ object EditDedup {
     // blocks after its exact-duplicate collapse
     val norm = normalized(docs)
       .withColumn("gid", min(col("doc_id")).over(
-        Window.partitionBy(col("nt"))))
+        Window.partitionBy(md5(col("nt")))))
       .filter(col("doc_id") === col("gid"))
       .drop("gid")
     val c = chunkKeys(norm).groupBy("l", "k", "pb", "lb").count()
@@ -233,10 +233,16 @@ object EditDedup {
     // (inherently output-sized) member-pair expansion is generated
     // directly, never shuffled as witnesses. This is also the honest
     // production composition (exact dedup runs before fuzzy dedup),
-    // fused so callers can't forget it.
+    // fused so callers can't forget it. The window partitions by
+    // md5(nt), NOT nt itself: WindowExec shuffles AND SORTS on the
+    // partition spec, and on multi-KB documents a full-text sort key
+    // is O(len) per comparison — the 16-byte digest is the same
+    // grouping under the engine-wide md5-exactness bet Dedup.exact
+    // already documents, and gid = min(doc_id) is invariant to the
+    // key representation (r13 "What's wrong #2").
     val all = normalized(docs)
       .withColumn("gid", min(col("doc_id")).over(
-        Window.partitionBy(col("nt"))))
+        Window.partitionBy(md5(col("nt")))))
       .localCheckpoint()
     val members = all.select(col("gid"), col("doc_id"))
     val norm = all.filter(col("doc_id") === col("gid"))
@@ -347,9 +353,11 @@ object EditDedup {
     * DISTINCT texts. */
   def residuePipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val fix = dupFixture(documents(spark, sfDir))
+    // keeper window keyed by md5(text), not text — the 16-byte sort
+    // key discipline (Dedup.exact convention; r13 "What's wrong #2")
     val residue = fix
       .withColumn("gid", min(col("doc_id")).over(
-        Window.partitionBy(col("text"))))
+        Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     editPairsOf(residue)

@@ -223,17 +223,22 @@ object Png {
 
     // inflate the one zlib stream to exactly the passes' scanlines
     val raw = new Array[Byte](layout.map(t => t._6 * (1 + t._5 * bpp)).sum)
+    // try/finally: inflate THROWS DataFormatException on any
+    // malformed zlib stream — a hot path on fuzz/crawl input — and
+    // Inflater holds native zlib memory that must not wait for GC
+    // finalization on executors decoding millions of bad payloads
+    // (ADVICE r13)
     val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
     var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
-        inf.end(); return None // truncated / preset-dictionary stream
+    try {
+      inf.setInput(idat.toByteArray)
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated / preset-dictionary stream
+        got += n
       }
-      got += n
-    }
-    inf.end()
+    } finally inf.end()
     if (got < raw.length) return None
 
     val out = new Array[Int](width * height)

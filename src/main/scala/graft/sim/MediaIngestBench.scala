@@ -81,7 +81,10 @@ object MediaIngestBench {
     // driver spot-check: the distributed hashes are the real thing
     val sample = index.filter(col("doc_id") < 64).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (0L until 64L).foreach { id =>
+    // bounded by nDocs: args are user-supplied, and a sub-64-doc run
+    // must fail assertions with a message, not NoSuchElementException
+    // (ADVICE r13)
+    (0L until math.min(64L, nDocs.toLong)).foreach { id =>
       val want = graft.multimodal.ImageDedup.imageHash(
         graft.multimodal.Jpeg.dedupPayload(id))
       assert(sample(id) == want, s"hash mismatch doc $id")
@@ -100,6 +103,16 @@ object MediaIngestBench {
         .localCheckpoint()
     }
     val nPairs = pairs.count()
+    // the production entry point itself: dumpAndPair must MEASURE the
+    // over-cap occupancy of this low-entropy frame and route it wide
+    // (r13 What's wrong #1 — the old doc-count switch kept 65k on the
+    // 0.31-recall path; the regime pick is asserted, not assumed)
+    val routed = timed("dumpAndPair auto-routed pair pass (measured regime pick)") {
+      graft.multimodal.SigDump.dumpAndPair(index, "ingest_probe_sigs",
+        s"ingest$nDocs", 15, 1000)(_ => ()).localCheckpoint()
+    }
+    assert(graft.multimodal.SigDump.lastWide,
+      "dumpAndPair must measure the over-cap occupancy and pick wide")
     // exact truth for the planted twins, FROM THE SIGNATURES: a twin
     // (even, even+1) is in-contract iff its two sigs are within the
     // Hamming budget — the pigeonhole claim verified at scale, with
@@ -111,10 +124,14 @@ object MediaIngestBench {
     def twinHits(p: org.apache.spark.sql.DataFrame): Long =
       p.filter(col("j") === col("i") + 1 && col("i") % 2 === 0).count()
     val wideHits = twinHits(pairs)
+    val routedHits = twinHits(routed)
     println(s"[media-ingest] multi-probe twin recall: ${twinHits(mpPairs)} / $twinTruth")
     println(s"[media-ingest] collapse+wide pairs: $nPairs, twin recall: $wideHits / $twinTruth")
+    println(s"[media-ingest] dumpAndPair-routed twin recall: $routedHits / $twinTruth")
     assert(wideHits == twinTruth,
       s"the scale path must find exactly the in-contract twins: $wideHits != $twinTruth")
+    assert(routedHits == twinTruth,
+      s"the PRODUCTION entry must reach full recall via the measured switch: $routedHits != $twinTruth")
     println("[media-ingest] OK")
     spark.stop()
   }

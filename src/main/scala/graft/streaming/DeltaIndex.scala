@@ -23,25 +23,34 @@ import org.apache.spark.sql.SparkSession
   *  1. write the folded frame to `.compact_b<id>` (dot-prefixed:
   *     Spark's file index ignores hidden paths, so readers never see
   *     a half-written fold); the parquet committer's `_SUCCESS`
-  *     marker inside the staging dir IS the commit point;
-  *  2. delete every input subdir `b<j>` with `j <= id` — by
-  *     construction all of them (the fold target id is `upTo - 1`,
-  *     itself an input) — then rename the staging dir to `b<id>`.
+  *     marker inside the staging dir IS the durability point;
+  *  2. atomically rename the staging dir to `c<id>` ("compacted
+  *     through id" — a namespace DISJOINT from the raw `b<j>`
+  *     landings, so the rename never collides with an input). The
+  *     rename IS the commit: filesystem rename is atomic on
+  *     HDFS/local (and the object-store committers emulate it), so
+  *     exactly ONE actor's rename succeeds — every racer sees
+  *     `false` and skips to cleanup;
+  *  3. cleanup: delete every superseded dir — `b<j>` with `j <= id`
+  *     and `c<j>` with `j < id`. Cleanup NEVER touches `c<id>`
+  *     itself, so a lagging racer replaying this step cannot destroy
+  *     the live fold.
   *
-  * Every moment has a durable on-disk copy of the committed prefix
-  * (ADVICE r11: the previous in-place form deleted the inputs while
-  * the fold existed only as executor-memory localCheckpoint state — a
-  * crash between rm and write lost the whole committed prefix). Step
-  * 2 is restart-safe because it is keyed ONLY on the marker, never on
-  * which inputs still exist: a crash (or a concurrent reader's
-  * [[rollForward]]) at ANY point inside step 2 resumes by deleting
-  * whatever `b<j> (j <= id)` remain and renaming (ADVICE r12: the
-  * previous form keyed the roll-forward on `!exists(target)`, but the
-  * target `b(upTo-1)` is itself an input, so a crash after deleting
-  * an EARLIER input left the stale target in place, the guard refused
-  * the rename, and readers saw a prefix with a gap). An incomplete
-  * staging write has no marker and is simply overwritten by the next
-  * compaction attempt. */
+  * Readers resolve the directory as: the HIGHEST `c<id>` (if any)
+  * plus every `b<j>` with `j > id` — superseded dirs that a crashed
+  * cleanup left behind are ignored, and the next compaction's
+  * cleanup removes them. Every moment has a durable on-disk copy of
+  * the committed prefix (ADVICE r11: the original in-place form
+  * deleted the inputs while the fold existed only as
+  * executor-memory localCheckpoint state), and the commit is
+  * SINGLE-WINNER (ADVICE r13: the previous delete-then-rename form —
+  * fold renamed to `b<id>`, an input's own name — let a lagging
+  * concurrent roll-forward delete the freshly renamed fold as "input
+  * j <= id" and then silently fail its own rename, losing the whole
+  * committed prefix; with the rename-first `c<id>` scheme there is
+  * no window in which the only copy of the fold has a deletable
+  * name). An incomplete staging write has no marker and is simply
+  * overwritten by the next compaction attempt. */
 object DeltaIndex {
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
@@ -49,42 +58,50 @@ object DeltaIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Batch subdirs `b<id>` with id strictly below `before`, sorted by
+  /** The committed log with ids strictly below `before`, sorted by
     * id, as fully-qualified path strings (empty when the index does
-    * not exist yet). Rolls forward any completed-but-unrenamed
-    * compaction first, so a reader after a crash sees the folded
-    * prefix, not a gap. */
+    * not exist yet): the highest compacted fold `c<id>` (if any)
+    * followed by the raw batch subdirs `b<j>` above it. Rolls
+    * forward any completed-but-unrenamed compaction first, so a
+    * reader after a crash sees the folded prefix, not a gap. */
   def listBatches(spark: SparkSession, idxPath: String,
       before: Long = Long.MaxValue): Seq[String] = {
     rollForward(spark, idxPath)
     val (fs, dir) = fsOf(spark, idxPath)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toIndexedSeq
+    val entries = fs.listStatus(dir).toIndexedSeq
       .filter(_.isDirectory)
       .flatMap { st =>
         val n = st.getPath.getName
-        if (n.startsWith("b")) n.drop(1).toLongOption
-          .filter(_ < before).map(id => (id, st.getPath.toString))
+        if ((n.startsWith("b") || n.startsWith("c")))
+          n.drop(1).toLongOption.filter(_ < before)
+            .map(id => (n.head, id, st.getPath.toString))
         else None
       }
-      .sortBy(_._1).map(_._2)
+    val cMax = entries.collect { case ('c', id, _) => id } match {
+      case s if s.isEmpty => -1L
+      case s => s.max
+    }
+    entries
+      .filter { case (kind, id, _) =>
+        if (kind == 'c') id == cMax else id > cMax
+      }
+      .sortBy(_._2).map(_._3)
   }
 
-  /** The staging path of a compaction targeting `b<id>`. */
+  /** The staging path of a compaction targeting `c<id>`. */
   private def stagingPath(idxPath: String, id: Long): Path =
     new Path(s"$idxPath/.compact_b$id")
 
   /** Finish interrupted compactions: a staging dir WITH a `_SUCCESS`
-    * marker is a COMMITTED fold whose input deletes and/or rename may
+    * marker is a DURABLE fold whose commit rename and/or cleanup may
     * not have finished — run [[commitCompaction]] on it now. Any
     * other staging dir is left alone: hidden paths are invisible to
     * readers, and an incomplete write (no marker) is overwritten by
-    * the next compaction attempt. Idempotent — and because
+    * the next compaction attempt. Idempotent and race-safe — because
     * [[listBatches]] runs this, a reader that arrives inside the
-    * delete→rename window completes the commit itself and sees the
-    * folded prefix, never a gap (including the partial-delete state
-    * where some inputs — possibly the stale target itself — still
-    * exist). */
+    * rename→cleanup window completes the commit itself and sees the
+    * folded prefix, never a gap. */
   def rollForward(spark: SparkSession, idxPath: String): Unit = {
     val (fs, dir) = fsOf(spark, idxPath)
     if (!fs.exists(dir)) return
@@ -100,35 +117,46 @@ object DeltaIndex {
   }
 
   /** The commit step shared by [[compact]] and [[rollForward]]: the
-    * `_SUCCESS`-marked fold in `staging` supersedes EVERY `b<j>` with
-    * `j <= id` (all of them are its inputs by construction — the
-    * caller folds the full committed prefix below `id + 1`). Delete
-    * them all, then rename the staging dir into place. Keyed only on
-    * the marker, so re-running after a crash at any point (some
-    * inputs deleted, even the stale target still present) converges
-    * to the same end state; the folded copy stays durable in the
-    * hidden staging dir until the final rename. */
-  private def commitCompaction(fs: FileSystem, idxPath: String,
+    * `_SUCCESS`-marked fold in `staging` supersedes every `b<j>` with
+    * `j <= id` and every `c<j>` with `j < id` (all of them are its
+    * inputs by construction — the caller folds the full committed
+    * prefix below `id + 1`). Step 1, the atomic rename to `c<id>`,
+    * is the SINGLE-WINNER commit: when two actors race (a compactor
+    * plus a reader's roll-forward, or two readers), exactly one
+    * rename succeeds — the others observe `false` (source already
+    * gone) and fall through to the cleanup, which is idempotent and
+    * by construction never deletes `c<id>` itself, so no interleaving
+    * can destroy the committed fold (ADVICE r13; raced deliberately
+    * in DriftStreamSpec). `private[streaming]` so the spec can drive
+    * the lagging-committer interleaving deterministically. */
+  private[streaming] def commitCompaction(fs: FileSystem, idxPath: String,
       staging: Path, id: Long): Unit = {
-    fs.listStatus(new Path(idxPath)).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("b")
-          && n.drop(1).toLongOption.exists(_ <= id)) {
-        fs.delete(st.getPath, true); ()
+    val target = new Path(s"$idxPath/c$id")
+    // a lost race surfaces as either `false` (HDFS contract) or
+    // FileNotFoundException on the vanished source (RawLocalFileSystem)
+    val won = try fs.rename(staging, target) catch {
+      case _: java.io.FileNotFoundException => false
+    }
+    if (won || fs.exists(target)) {
+      fs.listStatus(new Path(idxPath)).foreach { st =>
+        val n = st.getPath.getName
+        val superseded = st.isDirectory && (
+          (n.startsWith("b") && n.drop(1).toLongOption.exists(_ <= id)) ||
+          (n.startsWith("c") && n.drop(1).toLongOption.exists(_ < id)))
+        if (superseded) { fs.delete(st.getPath, true); () }
       }
     }
-    fs.rename(staging, new Path(s"$idxPath/b$id"))
-    ()
   }
 
   /** Compact the committed prefix (batch ids strictly below `upTo`)
-    * into one subdir `b(upTo-1)` using `fold` (sum for counts,
+    * into one fold `c(upTo-1)` using `fold` (sum for counts,
     * distinct for a seen-key set — any fold the index's read side is
-    * invariant under). `upTo` is the caller's committed watermark —
-    * never inferred from the directory, because the highest landed
-    * subdir may belong to an in-flight batch whose retry overwrites
-    * it (folding a partial landing would double-count). Subdirs at or
-    * above `upTo` are untouched and keep composing. */
+    * invariant under; its inputs may include the previous fold).
+    * `upTo` is the caller's committed watermark — never inferred
+    * from the directory, because the highest landed subdir may
+    * belong to an in-flight batch whose retry overwrites it (folding
+    * a partial landing would double-count). Subdirs at or above
+    * `upTo` are untouched and keep composing. */
   def compact(spark: SparkSession, idxPath: String, upTo: Long)(
       fold: Seq[String] => org.apache.spark.sql.DataFrame): Unit = {
     val parts = listBatches(spark, idxPath, before = upTo)

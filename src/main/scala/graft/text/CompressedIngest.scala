@@ -24,22 +24,29 @@ object CompressedIngest {
   /** Decompress one gzip member stream; None on anything malformed,
     * truncated, non-gzip, or larger than `maxLen`. */
   def gunzip(b: Array[Byte], maxLen: Int = MaxBytes): Option[Array[Byte]] = {
+    // try/finally around the stream: GZIPInputStream holds a native
+    // zlib Inflater, and the malformed-stream path (an exception out
+    // of read) is HOT on a real crawl — leaking it until finalization
+    // builds native memory pressure on executors decoding millions of
+    // bad members (ADVICE r13)
+    var in: java.util.zip.GZIPInputStream = null
     try {
-      val in = new java.util.zip.GZIPInputStream(
+      in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 3, 4096))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) {
-        if (out.size() + n > maxLen) { in.close(); return None }
+        if (out.size() + n > maxLen) return None
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      in.close()
       Some(out.toByteArray)
     } catch {
       case _: java.io.IOException | _: RuntimeException |
         _: ArrayIndexOutOfBoundsException => None
+    } finally {
+      if (in != null) try in.close() catch { case _: java.io.IOException => }
     }
   }
 

@@ -176,17 +176,56 @@ class ImageDedupSpec extends SparkSpec {
       s"gate must cross both hash paths: real=$nReal fake=$nFake")
   }
 
-  test("media pair tail switches to the collapse+wide regime above MediaWideAbove") {
+  test("media pair regime switches on MEASURED bucket occupancy, not doc count") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // gate-scale corpora keep the multi-probe plan (and so the
-    // registered oracles); corpus-scale frames take the scale path
-    // that survived 500k where multi-probe OOM'd (BENCH_NOTES r13)
+    // high-entropy gate-scale frame: every band bucket far under the
+    // cap -> the multi-probe plan (and so the registered multi-probe
+    // oracles) — the sf0.01 gate corpora all measure maxOcc <= 215
     val small = (0L until 100L).map(i => (i, i * 0x9E3779B97F4A7C15L))
       .toDF("doc_id", "sig")
     SigDump.dumpAndPair(small, "regime_probe_sigs", sf(), 15, 1000)(_ => ())
       .count()
     assert(!SigDump.lastWide)
+    assert(!SigDump.pickedWide("regime_probe_sigs"))
+  }
+
+  test("low-entropy SUB-100k frame takes the wide path with full twin recall (r13 What's wrong #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r13 rehearsal shape at spec scale: 5k docs whose sigs
+    // collapse onto 4 base values (identical-sig cliques of ~1250 —
+    // every band bucket holding one is OVER the 1000 cap, so the
+    // 8-bit multi-probe scheme would silently drop it and lose the
+    // planted twins); the old doc-count switch (>= 100k) kept this
+    // frame on the measured-bad path
+    val bases = Array(0L, -1L, 0x00000000ffffffffL, 0x5a5a5a5aa5a5a5a5L)
+    val lowEntropy = (0L until 5000L).map { i =>
+      val base = bases((i % 4).toInt)
+      // odd docs: the even neighbor's sig with one bit flipped — an
+      // in-contract (Hamming 1) planted twin
+      (i, if (i % 2 == 1) bases(((i - 1) % 4).toInt) ^ (1L << (i % 63).toInt)
+          else base)
+    }.toDF("doc_id", "sig")
+    val pairs = SigDump.dumpAndPair(lowEntropy, "regime_probe_low_sigs",
+      sf(), 15, 1000)(_ => ()).localCheckpoint()
+    assert(SigDump.lastWide,
+      "measured over-cap occupancy must route a sub-100k frame wide")
+    assert(SigDump.pickedWide("regime_probe_low_sigs"))
+    // full twin recall through the AUTO-ROUTED path (not the explicit
+    // wide entry): every (even, even+1) twin is Hamming 1 <= 15
+    val twins = pairs.filter(col("j") === col("i") + 1 &&
+      col("i") % 2 === 0).count()
+    assert(twins === 2500L,
+      s"auto-routed wide path must find every planted twin: $twins / 2500")
+  }
+
+  test("media pair tail also switches wide above the MediaWideAbove cost stop") {
+    import org.apache.spark.sql.functions._
+    // high-entropy-enough that occupancy alone might not trip at this
+    // size, but the row count is in the multi-probe OOM regime
+    // (bucket lists measured to kill executors at 500k, BENCH_NOTES
+    // r13) — the cost stop routes it wide regardless
     val big = spark.range(SigDump.MediaWideAbove)
       .select(col("id").as("doc_id"),
         (col("id") % 97 * lit(0x0101010101010101L)).as("sig"))

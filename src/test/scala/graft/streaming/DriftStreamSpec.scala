@@ -89,10 +89,10 @@ class DriftStreamSpec extends SparkSpec {
     // compact the COMMITTED prefix b0..b1; b2 may still be in flight
     DriftStream.compact(spark, idxPath, upTo = 2L)
     val subdirs = new java.io.File(idxPath).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
       .map(_.getName).sorted
-    assert(subdirs.toSeq === Seq("b1", "b2"),
-      "compaction folds the committed prefix into b(upTo-1), leaving b2")
+    assert(subdirs.toSeq === Seq("b2", "c1"),
+      "compaction folds the committed prefix into c(upTo-1), leaving b2")
     assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before)
     // a RETRY of the in-flight batch 2 after compaction stays exact
     DriftStream.countBatch(spark, idxPath, 2L,
@@ -166,9 +166,9 @@ class DriftStreamSpec extends SparkSpec {
     // prefix here)
     assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before)
     val subdirs = new java.io.File(idxPath).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
       .map(_.getName).sorted
-    assert(subdirs.toSeq === Seq("b1", "b2"),
+    assert(subdirs.toSeq === Seq("b2", "c1"),
       "the staged fold must have been renamed into place")
   }
 
@@ -199,11 +199,45 @@ class DriftStreamSpec extends SparkSpec {
       rm(f)
     }
     assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before,
-      "roll-forward must supersede the stale target, not refuse the rename")
+      "roll-forward must supersede the stale input, not refuse the commit")
     val subdirs = new java.io.File(idxPath).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
       .map(_.getName).sorted
-    assert(subdirs.toSeq === Seq("b1", "b2"),
-      "the staged fold must have replaced the stale b1")
+    assert(subdirs.toSeq === Seq("b2", "c1"),
+      "the staged fold must have superseded and removed the stale b1")
+  }
+
+  test("commit race (ADVICE r13): a lagging committer after a completed commit cannot destroy the fold") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val step = maxId / 3 + 1
+    val idxPath = tmp("race")
+    (0 until 3).foreach { b =>
+      DriftStream.countBatch(spark, idxPath, b.toLong,
+        docs.filter(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step))
+    }
+    val before = rows(DriftStream.reportSoFar(spark, idxPath))
+    // stage a durable fold of b0..b1 (the pre-commit state both
+    // racers observed: staging exists, _SUCCESS present)
+    DriftStream.readCounts(spark, idxPath, before = 2L)
+      .write.mode("overwrite").parquet(s"$idxPath/.compact_b1")
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$idxPath/.compact_b1")
+    // racer A wins: full commit (rename to c1 + cleanup of b0, b1)
+    DeltaIndex.commitCompaction(fs, idxPath, staging, 1L)
+    assert(new java.io.File(idxPath, "c1").isDirectory)
+    // racer B lags: it saw the _SUCCESS-marked staging BEFORE A's
+    // commit and replays the whole commit step now. Under the old
+    // delete-then-rename-to-b1 protocol this deleted A's freshly
+    // renamed fold (j <= id) and then silently failed its own rename
+    // — the committed prefix was lost. The single-winner rename must
+    // make this a harmless cleanup replay.
+    DeltaIndex.commitCompaction(fs, idxPath, staging, 1L)
+    assert(new java.io.File(idxPath, "c1").isDirectory,
+      "a lagging committer must never delete the live fold")
+    assert(rows(DriftStream.reportSoFar(spark, idxPath)) === before,
+      "the committed prefix survives the raced commit intact")
   }
 }

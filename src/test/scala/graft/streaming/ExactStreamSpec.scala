@@ -133,8 +133,8 @@ class ExactStreamSpec extends SparkSpec {
       "the DISTINCT fold must preserve index membership exactly")
     val subdirs = DeltaIndex.listBatches(spark, idxPath)
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
-    assert(subdirs === Seq("b1", "b2"),
-      "compaction folds the committed prefix into b(upTo-1), leaving b2")
+    assert(subdirs === Seq("c1", "b2"),
+      "compaction folds the committed prefix into c(upTo-1), leaving b2")
     // a retry of the in-flight batch 2 after compaction is idempotent
     val retry = ExactStream.dedupBatch(spark, idxPath, 2L, slice(2)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

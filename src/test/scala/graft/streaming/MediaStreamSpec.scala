@@ -41,4 +41,30 @@ class MediaStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 === p5)
   }
+
+  test("batch id-range filter pushes into the parquet scan (r13 What's wrong #3)") {
+    val plan = MediaStream.batchSigs(spark, sf(), 10L, 20L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").matches(
+        "(?s).*PushedFilters:\\[[^\\]]*doc_id[^\\]]*\\].*"),
+      s"expected a pushed doc_id row-group filter, plan was:\n$plan")
+  }
+
+  test("index root goes through SessionScratch — no stray temp dirs accumulate") {
+    def dirs(): Set[String] = java.nio.file.Files
+      .list(java.nio.file.Paths.get("/tmp")).toArray.map(_.toString)
+      .filter(_.contains("graft_media_stream")).toSet
+    val before = dirs()
+    MediaStream.imageDedupStream(spark, sf(), nBatches = 2).count()
+    val created = dirs() -- before
+    // every dir this run created carries the session-scratch key
+    // (md5 + appId → registered for shutdown-hook deletion); the old
+    // createTempDirectory root accumulated an anonymous dir per run
+    assert(created.forall(_.contains(spark.sparkContext.applicationId)),
+      s"media-stream index dirs outside the session-scratch key: $created")
+    // and repeat runs REUSE the one keyed root instead of minting more
+    MediaStream.imageDedupStream(spark, sf(), nBatches = 2).count()
+    assert((dirs() -- before) === created, "a second run minted a new dir")
+  }
 }
