@@ -2433,12 +2433,17 @@ object SparkEntry {
     // forms alone: dims (8 + id%11, 8 + id%6), the per-pixel gray
     // (id*13 + x*29 + y*17) % 256, the color-type channel derivation
     // (types 0/4 sum 3·gray; 2/6 sum gray + (gray+85)%256 +
-    // (gray+170)%256 — alpha is never summed), and the position
-    // weight (1 + x + w·y, which a misfiltered or shifted scanline
-    // cannot fake). Truncated rows (id % 5 = 3) owe the
-    // (-1,-1,-1,-1) fallback. Grids unnested standalone then
-    // cross-joined (the DuckDB unnest+join+filter bind-bug
-    // workaround).
+    // (gray+170)%256 — alpha is never summed), the SUB-BYTE classes
+    // (id%13 = 5/9/11 -> 4/2/1-bit gray: the stored sample is
+    // gray >> (8-d) and the decoded 8-bit value scales by
+    // 255/(2^d-1) = 17/85/255; id%13 = 3 -> 4-bit indexed, palette
+    // entry i carries the truecolor derivation of i*17), the 16-bit
+    // class (id%11 = 6: stored s*257, proper scaling returns gray
+    // verbatim — same arithmetic as 8-bit), and the position weight
+    // (1 + x + w·y, which a misfiltered or shifted scanline cannot
+    // fake). Truncated rows (id % 5 = 3) owe the (-1,-1,-1,-1)
+    // fallback. Grids unnested standalone then cross-joined (the
+    // DuckDB unnest+join+filter bind-bug workaround).
     "mm_png_decode" ->
       """WITH xs AS (SELECT unnest(range(0, 18)) AS x),
         |ys AS (SELECT unnest(range(0, 13)) AS y),
@@ -2448,15 +2453,23 @@ object SparkEntry {
         |  SELECT g.doc_id, g.w, g.h, x, y,
         |    (g.doc_id * 13 + x * 29 + y * 17) % 256 AS gray
         |  FROM g, xs, ys WHERE x < g.w AND y < g.h),
+        |pix AS (
+        |  SELECT doc_id, w, h, x, y, CASE
+        |    WHEN doc_id % 13 = 5 THEN 3 * ((gray // 16) * 17)
+        |    WHEN doc_id % 13 = 9 THEN 3 * ((gray // 64) * 85)
+        |    WHEN doc_id % 13 = 11 THEN 3 * ((gray // 128) * 255)
+        |    WHEN doc_id % 13 = 3 THEN (gray // 16) * 17
+        |      + ((gray // 16) * 17 + 85) % 256
+        |      + ((gray // 16) * 17 + 170) % 256
+        |    WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
+        |    ELSE gray + (gray + 85) % 256 + (gray + 170) % 256
+        |    END AS rgb
+        |  FROM cells),
         |ok AS (
         |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
-        |    CAST(sum(CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
-        |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
-        |      AS BIGINT) AS pix_sum,
-        |    CAST(sum((CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
-        |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
-        |      * (1 + x + w * y)) AS BIGINT) AS pix_wsum
-        |  FROM cells GROUP BY doc_id, w, h)
+        |    CAST(sum(rgb) AS BIGINT) AS pix_sum,
+        |    CAST(sum(rgb * (1 + x + w * y)) AS BIGINT) AS pix_wsum
+        |  FROM pix GROUP BY doc_id, w, h)
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.w END AS w,
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.h END AS h,

@@ -474,13 +474,39 @@ object MediaSynth {
     * 256-entry palette whose entry g is exactly the truecolor channel
     * derivation (g, (g+85)%256, (g+170)%256) — byte-identical pixels
     * to type 2, so the `mm_png_decode` oracle's color-type arithmetic
-    * is untouched while the PLTE path is hash-pinned. */
-  def pngColorType(docId: Long): Int = (docId % 8) match {
-    case 1 => 3
-    case _ => (docId % 4) match {
-      case 0 => 0; case 1 => 2; case 2 => 6; case _ => 4
+    * is untouched while the PLTE path is hash-pinned. The SUB-BYTE
+    * classes (docId % 13 ∈ {5, 9, 11} → 1/2/4-bit grayscale,
+    * docId % 13 == 3 → 4-bit indexed over a 16-entry palette) take
+    * precedence — low-bit paletted/gray PNGs (icons, early-web) are
+    * common in crawls (r13 "What's missing #4"). */
+  def pngColorType(docId: Long): Int = (docId % 13) match {
+    case 5 | 9 | 11 => 0
+    case 3 => 3
+    case _ => (docId % 8) match {
+      case 1 => 3
+      case _ => (docId % 4) match {
+        case 0 => 0; case 1 => 2; case 2 => 6; case _ => 4
+      }
     }
   }
+
+  /** Bit depth per doc: the sub-byte classes (4/2/1-bit gray,
+    * 4-bit indexed), the 16-bit class (docId % 11 == 6, non-indexed),
+    * 8-bit otherwise. */
+  def pngDepth(docId: Long): Int = (docId % 13) match {
+    case 5 | 3 => 4
+    case 9 => 2
+    case 11 => 1
+    case _ => if (docId % 11 == 6 && pngColorType(docId) != 3) 16 else 8
+  }
+
+  /** The STORED sample for a pixel: the closed-form gray quantized to
+    * the doc's bit depth (right-shift — so the decoded 8-bit value is
+    * `(gray >> (8-d)) * 255/(2^d-1)`, which the oracle recomputes).
+    * 8/16-bit docs store the gray verbatim (16-bit as gray·257, the
+    * exact 8-bit-preserving encoding). */
+  def pngSample(docId: Long, x: Int, y: Int): Int =
+    pngGray(docId, x, y) >> (8 - math.min(8, pngDepth(docId)))
 
   /** A real PNG stream for the doc: signature, CRC'd IHDR, the
     * filtered scanlines deflated with `java.util.zip.Deflater` and
@@ -495,27 +521,32 @@ object MediaSynth {
     * without changing a line of SQL. */
   def png(docId: Long): Array[Byte] =
     pngOf(pngW(docId), pngH(docId), pngColorType(docId),
-      (x, y) => pngGray(docId, x, y), y => ((docId + y) % 5).toInt,
+      (x, y) => pngSample(docId, x, y), y => ((docId + y) % 5).toInt,
       interlaced = docId % 9 == 7,
-      // 16-bit class (high byte = the closed-form gray, low byte a
-      // decoy the decoder must skip); indexed stays 8-bit per spec
-      depth = if (docId % 11 == 6 && pngColorType(docId) != 3) 16 else 8)
+      depth = pngDepth(docId))
 
-  /** The generalized writer (dims + color type + per-pixel gray +
+  /** The generalized writer (dims + color type + per-pixel SAMPLE +
     * per-row filter + optional Adam7) — the near-dup gate plants
     * twins by re-rendering a neighbor's frame with a perturbed
     * region. Interlaced output serializes the seven RFC 2083 §2.6
     * passes as independent sub-images (own scanline widths, own
     * filter history, `filterOf` keyed on the pass-local row) into the
-    * one zlib stream. */
+    * one zlib stream. `gray` yields the STORED sample at the given
+    * depth: for sub-byte depths the caller pre-quantizes (values in
+    * [0, 2^d)); 16-bit samples are emitted as s·257 (low byte = high
+    * byte — the exact 8-bit-preserving 16-bit encoding, so proper
+    * 16→8 scaling round-trips the closed form). Sub-byte rows pack
+    * samples MSB-first with row-final padding bits zero (RFC 2083
+    * §2.3); the filter stride for depth < 8 is one byte. */
   def pngOf(w: Int, h: Int, colorType: Int, gray: (Int, Int) => Int,
       filterOf: Int => Int, interlaced: Boolean = false,
       depth: Int = 8): Array[Byte] = {
     val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1
       case 4 => 2; case 6 => 4
       case _ => sys.error(s"unsupported color type $colorType") }
-    val bps = depth / 8
-    val bpp = channels * bps
+    require(depth >= 8 || channels == 1, "sub-byte is gray/indexed only")
+    val bps = math.max(1, depth / 8)
+    val bpp = channels * bps // filter stride in BYTES (min 1)
     // full-frame unfiltered 8-bit channel samples (the filters
     // reference the BYTE stream, built below)
     val ch = Array.tabulate(h, w * channels) { (y, i) =>
@@ -528,11 +559,6 @@ object MediaSynth {
         case _ => g
       }
     }
-    val px = Array.tabulate(h, w * bpp) { (y, i) =>
-      val s = ch(y)(i / bps)
-      // 16-bit: high byte carries the sample, low byte is a decoy
-      (if (i % bps == 0) s else (s * 7 + 13) % 256).toByte
-    }
     val layout = (if (!interlaced) Seq((0, 0, 1, 1))
       else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)))
@@ -544,16 +570,39 @@ object MediaSynth {
       .filter(t => t._5 > 0 && t._6 > 0)
     val rawOut = new java.io.ByteArrayOutputStream(h * (1 + w * bpp))
     layout.foreach { case (x0, y0, dx, dy, wp, hp) =>
-      // the pass's own sample grid, then the standard filter pipeline
-      val sub = Array.tabulate(hp, wp * bpp) { (y, i) =>
-        px(y0 + y * dy)((x0 + (i / bpp) * dx) * bpp + i % bpp)
+      // the pass's own unfiltered scanline BYTES: >= 8-bit depths lay
+      // samples out big-endian (16-bit as s·257); sub-byte depths
+      // pack wp samples MSB-first into ceil(wp·depth/8) bytes
+      val rowLen = if (depth >= 8) wp * bpp else (wp * depth + 7) / 8
+      val sub = Array.ofDim[Byte](hp, rowLen)
+      var yy = 0
+      while (yy < hp) {
+        if (depth >= 8) {
+          var i = 0
+          while (i < wp * bpp) {
+            val s = ch(yy * dy + y0)((x0 + (i / bpp) * dx) * channels +
+              (i % bpp) / bps)
+            sub(yy)(i) = s.toByte // s*257 high byte == low byte == s
+            i += 1
+          }
+        } else {
+          var x = 0
+          while (x < wp) {
+            val s = ch(yy * dy + y0)(x0 + x * dx) & ((1 << depth) - 1)
+            val bit = x * depth
+            sub(yy)(bit / 8) =
+              (sub(yy)(bit / 8) | (s << (8 - depth - bit % 8))).toByte
+            x += 1
+          }
+        }
+        yy += 1
       }
       var y = 0
       while (y < hp) {
         val ft = filterOf(y)
         rawOut.write(ft)
         var x = 0
-        while (x < wp * bpp) {
+        while (x < rowLen) {
           val v = sub(y)(x) & 0xff
           val a = if (x >= bpp) sub(y)(x - bpp) & 0xff else 0
           val b = if (y > 0) sub(y - 1)(x) & 0xff else 0
@@ -602,13 +651,20 @@ object MediaSynth {
     ihdr.write(depth); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
     ihdr.write(if (interlaced) 1 else 0)
     chunk("IHDR", ihdr.toByteArray)
-    if (colorType == 3) // palette entry g -> the truecolor derivation
-      chunk("PLTE", Array.tabulate(768) { i =>
-        val g = i / 3
+    if (colorType == 3) {
+      // palette entry i -> the truecolor derivation of the SCALED
+      // index (scale = 255/(2^d−1): 1 for 8-bit, 17 for the 4-bit
+      // class — so a 4-bit index i decodes to the same channels as an
+      // 8-bit index i·17, and one oracle arithmetic covers both)
+      val n = if (depth < 8) 1 << depth else 256
+      val scale = if (depth < 8) 255 / ((1 << depth) - 1) else 1
+      chunk("PLTE", Array.tabulate(3 * n) { i =>
+        val g = (i / 3) * scale
         (i % 3 match {
           case 0 => g; case 1 => (g + 85) % 256; case _ => (g + 170) % 256
         }).toByte
       })
+    }
     val split = deflated.length / 2
     chunk("IDAT", java.util.Arrays.copyOfRange(deflated, 0, split))
     chunk("IDAT", java.util.Arrays.copyOfRange(deflated, split, deflated.length))

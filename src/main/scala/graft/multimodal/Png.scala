@@ -16,10 +16,11 @@ package graft.multimodal
   * then scattered to frame positions (RFC 2083 §2.6); indexed rows
   * look up a CRC'd PLTE (per-entry tRNS alpha honored; the types-0/2
   * single-transparent-sample tRNS form is REJECTED rather than
-  * silently skipped). 16-BIT depths decode to their high bytes (the
-  * 8-bit-preserving projection). 1/2/4-bit depths return None — the
-  * documented
-  * honesty boundary, same totality contract as every decoder here: a
+  * silently skipped). ALL legal bit depths decode (r14, closing r13
+  * "What's missing #4"): 16-bit samples scale to 8-bit by
+  * round(s·255/65535); 1/2/4-bit grayscale (MSB-first packed,
+  * row-padded) scales by 255/(2^d−1); 1/2/4-bit indexed samples are
+  * palette indices. Same totality contract as every decoder here: a
   * value or None on arbitrary bytes, never a throw (DecoderFuzzSpec).
   *
   * Output is ARGB (alpha 255 for the alpha-less color types) — the
@@ -42,7 +43,12 @@ object Png {
     * and report per-image pixel statistics the oracle recomputes from
     * doc_id closed forms: pix_sum = Σ (r+g+b) and the
     * position-weighted pix_wsum = Σ (r+g+b)·(1 + x + w·y), which a
-    * misfiltered or shifted scanline cannot fake. Rows with
+    * misfiltered or shifted scanline cannot fake. The doc_id % 13
+    * classes route through the sub-byte depths (4/2/1-bit gray,
+    * 4-bit indexed — decoded grays are the quantized closed form
+    * (gray >> (8−d))·255/(2^d−1), which the oracle recomputes);
+    * doc_id % 11 == 6 rows are 16-bit (stored s·257, so proper
+    * scaling returns the closed form verbatim). Rows with
     * doc_id % 5 == 3 get a TRUNCATED stream and must report the
     * (-1,-1,-1,-1) fallback. Map-only over documents. */
   def decodeReport(spark: org.apache.spark.sql.SparkSession,
@@ -107,13 +113,19 @@ object Png {
     else if (id % 2 == 0) MediaSynth.png(id)
     else {
       val twin = id - 1
+      // re-render at the NEIGHBOR's depth class (quantizing the
+      // perturbed gray the same way), so the twin is a true re-encode
+      // of the same image family, not a depth-8 re-render whose
+      // quantization alone moves aHash bits
+      val shift = 8 - math.min(8, MediaSynth.pngDepth(twin))
       MediaSynth.pngOf(MediaSynth.pngW(twin), MediaSynth.pngH(twin),
         MediaSynth.pngColorType(twin),
         (x, y) => {
           val g = MediaSynth.pngGray(twin, x, y)
-          if (x < 8 && y < 8) math.min(255, g + 8) else g
+          (if (x < 8 && y < 8) math.min(255, g + 8) else g) >> shift
         },
-        y => ((twin + y) % 5).toInt)
+        y => ((twin + y) % 5).toInt,
+        depth = MediaSynth.pngDepth(twin))
     }
 
   /** Decode a PNG to (width, height, ARGB pixels). None on anything
@@ -137,8 +149,9 @@ object Png {
     var width = 0; var height = 0
     var colorType = -1
     var interlaced = false
-    var bpp = 0 // bytes per pixel (channels x bytes-per-sample)
-    var bps = 1 // bytes per sample (1 for 8-bit, 2 for 16-bit)
+    var depth = 8 // bit depth (1/2/4/8/16)
+    var bpp = 0 // filter stride: bytes per pixel, min 1 (RFC 2083 §6)
+    var bps = 1 // bytes per sample (1 for <= 8-bit, 2 for 16-bit)
     var palette: Array[Int] = null // ARGB entries (type 3)
     val idat = new java.io.ByteArrayOutputStream(256)
     var sawEnd = false
@@ -157,25 +170,34 @@ object Png {
         case "IHDR" =>
           if (len != 13 || colorType >= 0) return None
           width = beInt(p + 8).toInt; height = beInt(p + 12).toInt
-          val depth = b(p + 16) & 0xff
+          depth = b(p + 16) & 0xff
           colorType = b(p + 17) & 0xff
           val (compression, filter, interlace) =
             (b(p + 18) & 0xff, b(p + 19) & 0xff, b(p + 20) & 0xff)
           if (width <= 0 || height <= 0 ||
             width.toLong * height > MaxPixels) return None
-          // 16-bit samples decode to their HIGH byte (the only
-          // 8-bit-preserving projection; RFC 2083 network order puts
-          // it first) — indexed color is 8-bit-only per the spec
-          if ((depth != 8 && !(depth == 16 && colorType != 3)) ||
-            compression != 0 || filter != 0 ||
-            interlace > 1) return None // honesty boundary
+          // legal depth x color-type combos (RFC 2083 §4.1.1):
+          // sub-byte (1/2/4) only for grayscale and indexed; 16-bit
+          // for everything EXCEPT indexed. 16-bit samples scale to
+          // 8-bit by round(s·255/65535); sub-byte grays scale by
+          // 255/(2^d−1); indexed samples are palette INDICES (never
+          // scaled).
+          val depthOk = depth match {
+            case 8 => true
+            case 16 => colorType != 3
+            case 1 | 2 | 4 => colorType == 0 || colorType == 3
+            case _ => false
+          }
+          if (!depthOk || compression != 0 || filter != 0 ||
+            interlace > 1) return None
           interlaced = interlace == 1
-          bps = depth / 8
-          bpp = bps * (colorType match {
+          bps = math.max(1, depth / 8)
+          val channels = colorType match {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2
             case 6 => 4
             case _ => return None
-          })
+          }
+          bpp = math.max(1, channels * depth / 8)
         case "PLTE" =>
           if (colorType < 0 || len == 0 || len % 3 != 0 || len > 768)
             return None
@@ -221,8 +243,13 @@ object Png {
       }
       .filter(t => t._5 > 0 && t._6 > 0)
 
-    // inflate the one zlib stream to exactly the passes' scanlines
-    val raw = new Array[Byte](layout.map(t => t._6 * (1 + t._5 * bpp)).sum)
+    // inflate the one zlib stream to exactly the passes' scanlines;
+    // sub-byte rows pack ceil(wp·depth/8) bytes (channels == 1 for
+    // every sub-byte color type, so bits-per-pixel == depth)
+    def passRowBytes(wp: Int): Int =
+      if (depth >= 8) wp * bpp else (wp * depth + 7) / 8
+    val raw =
+      new Array[Byte](layout.map(t => t._6 * (1 + passRowBytes(t._5))).sum)
     // try/finally: inflate THROWS DataFormatException on any
     // malformed zlib stream — a hot path on fuzz/crawl input — and
     // Inflater holds native zlib memory that must not wait for GC
@@ -244,7 +271,7 @@ object Png {
     val out = new Array[Int](width * height)
     var off = 0
     layout.foreach { case (x0, y0, dx, dy, wp, hp) =>
-      val rowBytes = 1 + wp * bpp
+      val rowBytes = 1 + passRowBytes(wp)
       // unfilter the pass in place (RFC 2083 §6): a = left, bb = up,
       // c = up-left — all within THIS pass's sub-image
       var y = 0
@@ -281,15 +308,30 @@ object Png {
         var x = 0
         while (x < wp) {
           val q = row + x * bpp
-          def smp(k: Int): Int = raw(q + k * bps) & 0xff // high byte
+          // sample k of the pixel, scaled to 8-bit: 16-bit scales by
+          // round(s·255/65535) (exact integer form), 8-bit verbatim
+          def smp(k: Int): Int =
+            if (bps == 2) {
+              val s16 = ((raw(q + 2 * k) & 0xff) << 8) |
+                (raw(q + 2 * k + 1) & 0xff)
+              (s16 * 255 + 32767) / 65535
+            } else raw(q + k) & 0xff
+          // sub-byte sample of pixel x, MSB-first packed, UNSCALED
+          def sub(): Int = {
+            val bit = x * depth
+            ((raw(row + bit / 8) & 0xff) >> (8 - depth - bit % 8)) &
+              ((1 << depth) - 1)
+          }
           val px = colorType match {
             case 0 =>
-              val g = smp(0)
+              // gray scales by 255/(2^d−1) (an integer for d=1/2/4)
+              val g = if (depth < 8) sub() * (255 / ((1 << depth) - 1))
+                else smp(0)
               0xff000000 | (g << 16) | (g << 8) | g
             case 2 =>
               0xff000000 | (smp(0) << 16) | (smp(1) << 8) | smp(2)
             case 3 =>
-              val idx = raw(q) & 0xff
+              val idx = if (depth < 8) sub() else raw(q) & 0xff
               if (idx >= palette.length) return None
               palette(idx)
             case 4 =>

@@ -12,13 +12,18 @@ class PngSpec extends AnyFunSuite {
 
   test("writer->decoder roundtrip is pixel-exact across color types and filters") {
     // ids cover doc_id % 4 = 0,1,2,3 (gray, truecolor, RGBA,
-    // gray+alpha) and enough rows that (id + y) % 5 hits all filters
-    for (id <- Seq(0L, 1L, 2L, 3L, 17L, 58L, 123L, 456L)) {
+    // gray+alpha), the sub-byte depth classes (id % 13 = 5/9/11/3),
+    // and enough rows that (id + y) % 5 hits all filters
+    for (id <- Seq(0L, 1L, 2L, 3L, 17L, 58L, 123L, 456L, 5L, 9L, 11L, 29L)) {
       val Some((w, h, px)) = Png.decodePixels(MediaSynth.png(id))
       assert(w === MediaSynth.pngW(id) && h === MediaSynth.pngH(id), s"id=$id")
       val ct = MediaSynth.pngColorType(id)
+      val d = MediaSynth.pngDepth(id)
       for (y <- 0 until h; x <- 0 until w) {
-        val g = MediaSynth.pngGray(id, x, y)
+        // the decoded 8-bit gray: the depth-quantized closed form,
+        // scaled back by 255/(2^d-1) (identity for d = 8/16)
+        val g0 = MediaSynth.pngGray(id, x, y)
+        val g = if (d < 8) (g0 >> (8 - d)) * (255 / ((1 << d) - 1)) else g0
         val p = px(y * w + x)
         val (ea, er, eg, eb) = ct match {
           case 0 => (255, g, g, g)
@@ -28,9 +33,50 @@ class PngSpec extends AnyFunSuite {
           case _ => ((g + 31) % 256, g, (g + 85) % 256, (g + 170) % 256)
         }
         assert(((p >>> 24), (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
-          === ((ea, er, eg, eb)), s"id=$id px($x,$y) ct=$ct")
+          === ((ea, er, eg, eb)), s"id=$id px($x,$y) ct=$ct d=$d")
       }
     }
+  }
+
+  test("sub-byte depths: 1/2/4-bit gray and 4-bit indexed roundtrip, sequential and Adam7") {
+    // explicit dims exercising row-padding bits (w not a multiple of
+    // the samples-per-byte count) and the interlaced sub-image packing
+    for (d <- Seq(1, 2, 4); (w, h) <- Seq((8, 8), (9, 5), (13, 7), (3, 2));
+         interlaced <- Seq(false, true)) {
+      val scale = 255 / ((1 << d) - 1)
+      val sample = (x: Int, y: Int) => (x * 29 + y * 17 + d) % (1 << d)
+      val got = Png.decodePixels(MediaSynth.pngOf(w, h, 0, sample,
+        y => y % 5, interlaced, depth = d))
+      assert(got.isDefined, s"d=$d ($w x $h) interlaced=$interlaced")
+      val (dw, dh, px) = got.get
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(((px(y * w + x) >> 16) & 0xff) === sample(x, y) * scale,
+          s"d=$d ($x,$y) interlaced=$interlaced")
+    }
+    // 4-bit INDEXED gate class (id % 13 == 3): palette entry i
+    // carries the truecolor derivation of i*17
+    val id = 29L
+    assert(id % 13 === 3 && MediaSynth.pngColorType(id) === 3 &&
+      MediaSynth.pngDepth(id) === 4)
+    val Some((w, h, px)) = Png.decodePixels(MediaSynth.png(id))
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (MediaSynth.pngGray(id, x, y) >> 4) * 17
+      val p = px(y * w + x)
+      assert((((p >> 16) & 0xff), ((p >> 8) & 0xff), (p & 0xff))
+        === ((base, (base + 85) % 256, (base + 170) % 256)), s"($x,$y)")
+    }
+    // sub-byte truecolor is illegal per RFC 2083 §4.1.1 and must
+    // decline (patch the 4-bit gray gate class' IHDR to type 2)
+    val m = MediaSynth.png(5L).clone()
+    assert(MediaSynth.pngDepth(5L) === 4)
+    m(25) = 2
+    val crc = new java.util.zip.CRC32
+    crc.update(m, 12, 17)
+    val cv = crc.getValue
+    m(29) = ((cv >> 24) & 0xff).toByte; m(30) = ((cv >> 16) & 0xff).toByte
+    m(31) = ((cv >> 8) & 0xff).toByte; m(32) = (cv & 0xff).toByte
+    assert(Png.decodePixels(m) === None)
   }
 
   test("every single filter type decodes exactly (fixed-filter renders)") {
@@ -74,7 +120,7 @@ class PngSpec extends AnyFunSuite {
       assert(Png.decodePixels(bytes.take(n)) === None, s"prefix $n")
   }
 
-  test("honesty boundary: 16-bit, palette-less indexed, and unknown-interlace streams return None") {
+  test("malformed streams return None: depth/length mismatch, palette-less indexed, unknown interlace") {
     val base = MediaSynth.png(4L)
     // IHDR data starts at offset 16: w(4) h(4) depth ct comp filt interlace
     def patched(off: Int, v: Byte): Array[Byte] = {
@@ -88,7 +134,10 @@ class PngSpec extends AnyFunSuite {
       m(31) = ((cv >> 8) & 0xff).toByte; m(32) = (cv & 0xff).toByte
       m
     }
-    assert(Png.decodePixels(patched(24, 16)) === None, "16-bit depth")
+    // depth patched to 16 on an 8-bit stream: the inflated scanline
+    // length no longer matches the claimed layout — rejected
+    assert(Png.decodePixels(patched(24, 16)) === None, "depth/stream mismatch")
+    assert(Png.decodePixels(patched(24, 3)) === None, "illegal depth 3")
     assert(Png.decodePixels(patched(25, 3)) === None,
       "indexed claim without a PLTE")
     assert(Png.decodePixels(patched(28, 2)) === None, "unknown interlace method")
@@ -185,7 +234,7 @@ class PngSpec extends AnyFunSuite {
     out.write(((cv >> 8) & 0xff).toInt); out.write((cv & 0xff).toInt)
   }
 
-  test("16-bit depth: samples decode to their high bytes; the low-byte decoys are skipped") {
+  test("16-bit depth: s*257 samples scale back to the 8-bit closed form exactly") {
     for (ct <- Seq(0, 2, 6, 4); interlaced <- Seq(false, true)) {
       val gray = (x: Int, y: Int) => (x * 29 + y * 17 + 3) % 256
       val got = Png.decodePixels(
