@@ -542,6 +542,20 @@ object SparkEntry {
     // streams differ completely); id%7==5 rows are truncated
     "mm_image_dedup_png" -> ((s, dir) =>
       graft.multimodal.Png.imageDedupPng(s, dir)),
+    // REAL VP8L WebP decode (RFC 9649: RIFF walk, LSB-first bit
+    // reading, simple/normal prefix codes, color cache, LZ77 with 2D
+    // distance codes, meta prefix codes, all four transforms): VP8L
+    // is lossless so every variant decodes to the closed-form pixels
+    // and the oracle recomputes the sums; the doc_id % 7 variant
+    // cycles the whole spec surface; truncated rows (id % 5 == 3)
+    // pin the (-1,...) fallback
+    "mm_webp_decode" -> ((s, dir) => graft.multimodal.Webp.decodeReport(s, dir)),
+    // the WebP path through the decode -> aHash -> multi-probe
+    // near-dup pipeline (the JPEG/PNG/GIF twins' shape): odd docs
+    // re-encode their even neighbor (same VP8L variant) with the
+    // top-left 8x8 region brightened; id%9==5 rows are truncated
+    "mm_image_dedup_webp" -> ((s, dir) =>
+      graft.multimodal.Webp.imageDedupWebp(s, dir)),
     // MJPEG-in-AVI: the first COMPRESSED-video pixel path — the RIFF
     // walker composes with the T.81 decoder, one full JPEG per frame
     // chunk; both sums recomputed from doc_id closed forms (the
@@ -672,6 +686,8 @@ object SparkEntry {
     s"${graft.multimodal.Png.dedupDumpPath(graft.multimodal.Png.lastDedupBase)}/*.parquet"
   private def gifHashGlob: String =
     s"${graft.multimodal.Gif.dedupDumpPath(graft.multimodal.Gif.lastDedupBase)}/*.parquet"
+  private def webpHashGlob: String =
+    s"${graft.multimodal.Webp.dedupDumpPath(graft.multimodal.Webp.lastDedupBase)}/*.parquet"
   private def jpegStreamHashGlob: String =
     s"${graft.streaming.MediaStream.dumpPath(graft.streaming.MediaStream.lastBase)}/*.parquet"
   private def jpegWideHashGlob: String =
@@ -2505,6 +2521,40 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
         |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
+    // decoded-WebP (VP8L) pixel statistics re-derived from doc_id
+    // closed forms alone: dims (8 + id%8, 8 + id%5), the per-pixel
+    // gray (id*23 + x*31 + y*43) % 256, the channel derivation
+    // (gray + (gray+85)%256 + (gray+170)%256 — alpha never summed),
+    // the palette variant's 32-level quantization (id%7 = 2 ->
+    // (gray//8)*8), and the position weight (1 + x + w·y). Every
+    // VP8L variant is LOSSLESS, so one closed form covers all seven
+    // feature classes. Truncated rows (id % 5 = 3) owe the
+    // (-1,-1,-1,-1) fallback.
+    "mm_webp_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 15)) AS x),
+        |ys AS (SELECT unnest(range(0, 12)) AS y),
+        |g AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        |      FROM documents),
+        |cells AS (
+        |  SELECT g.doc_id, g.w, g.h, x, y,
+        |    CASE WHEN g.doc_id % 7 = 2
+        |      THEN (((g.doc_id * 23 + x * 31 + y * 43) % 256) // 8) * 8
+        |      ELSE (g.doc_id * 23 + x * 31 + y * 43) % 256
+        |    END AS gray
+        |  FROM g, xs, ys WHERE x < g.w AND y < g.h),
+        |ok AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |    CAST(sum(gray + (gray + 85) % 256 + (gray + 170) % 256)
+        |      AS BIGINT) AS pix_sum,
+        |    CAST(sum((gray + (gray + 85) % 256 + (gray + 170) % 256)
+        |      * (1 + x + w * y)) AS BIGINT) AS pix_wsum
+        |  FROM cells GROUP BY doc_id, w, h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.w END AS w,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.h END AS h,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
+        |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
     // decoded-MJPEG frame statistics re-derived from doc_id closed
     // forms alone: the per-frame block grid (nbx = 1 + id%3,
     // nby = 1 + id%2), frame count (3 + id%4), the per-frame
@@ -2958,6 +3008,7 @@ object SparkEntry {
     "mm_image_dedup_jpeg" -> mediaPairsOracle("jpeghash_sigs", jpegHashGlob),
     "mm_image_dedup_png" -> mediaPairsOracle("pnghash_sigs", pngHashGlob),
     "mm_image_dedup_gif" -> mediaPairsOracle("gifhash_sigs", gifHashGlob),
+    "mm_image_dedup_webp" -> mediaPairsOracle("webphash_sigs", webpHashGlob),
     "mm_image_dedup_stream" ->
       mediaPairsOracle("jpegstreamhash_sigs", jpegStreamHashGlob),
     // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth

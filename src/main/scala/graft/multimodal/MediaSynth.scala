@@ -672,6 +672,484 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ── WebP / VP8L (lossless closed-form pixels; [[Webp]] decodes) ──
+
+  def webpW(docId: Long): Int = 8 + (docId % 8).toInt
+  def webpH(docId: Long): Int = 8 + (docId % 5).toInt
+
+  /** Per-pixel closed-form gray — VP8L is lossless, so the
+    * `mm_webp_decode` oracle recomputes pixel sums from this (the
+    * palette variant quantizes to 32 levels: (gray >> 3) * 8). */
+  def webpGray(docId: Long, x: Int, y: Int): Int =
+    (((docId * 23 + x * 31 + y * 43) % 256 + 256) % 256).toInt
+
+  /** Which VP8L feature the doc's stream exercises — the corpus
+    * cycles the WHOLE spec surface: 0 plain literals, 1
+    * subtract-green, 2 color-indexing (32-entry palette), 3 color
+    * cache + LZ77 runs, 4 predictor transform (modes cycling through
+    * all 14), 5 color transform, 6 meta prefix codes (2 groups). */
+  def webpVariant(docId: Long): Int = (docId % 7).toInt
+
+  /** The decoded ARGB pixel the oracle expects: channel derivation
+    * (g, (g+85)%256, (g+170)%256), alpha 255; variant 2 (palette)
+    * uses the 32-level quantized gray. */
+  def webpPixel(docId: Long, x: Int, y: Int): Int = {
+    val g0 = webpGray(docId, x, y)
+    val g = if (webpVariant(docId) == 2) (g0 >> 3) * 8 else g0
+    0xff000000 | (g << 16) | (((g + 85) % 256) << 8) | ((g + 170) % 256)
+  }
+
+  def webp(docId: Long): Array[Byte] =
+    webpOf(webpW(docId), webpH(docId), webpVariant(docId), docId.toInt,
+      (x, y) => webpPixel(docId, x, y))
+
+  // ── VP8L bit-level writer machinery (mirrors [[Webp]]'s reader) ───
+
+  /** LSB-first bit sink (VP8L bit order; RFC 9649 §"RIFF Header"). */
+  private final class BitW {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private var cur = 0
+    private var n = 0
+    def bit(v: Int): Unit = {
+      cur |= (v & 1) << n; n += 1
+      if (n == 8) { out.write(cur); cur = 0; n = 0 }
+    }
+    /** fixed-width field, LSB first. */
+    def bits(v: Int, w: Int): Unit = {
+      var i = 0
+      while (i < w) { bit((v >> i) & 1); i += 1 }
+    }
+    /** prefix code, MSB of the code first. */
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bit((c >> i) & 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (n > 0) { out.write(cur); cur = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Canonical code assignment (the DEFLATE rule the decoder
+    * inverts): codes numbered in (length, symbol) order. */
+  private def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = lens.max
+    val count = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) count(l) += 1)
+    val next = new Array[Int](maxLen + 2)
+    var c = 0
+    for (l <- 1 to maxLen) { next(l) = c; c = (c + count(l)) << 1 }
+    val codes = new Array[Int](lens.length)
+    for (s <- lens.indices if lens(s) > 0) {
+      codes(s) = next(lens(s)); next(lens(s)) += 1
+    }
+    codes
+  }
+
+  /** Complete uniform-ish code lengths over the used symbol set: with
+    * n >= 3 used symbols and L = ceil(log2 n), the first 2^L - n get
+    * length L-1 and the rest L (Kraft-complete by construction). */
+  private def uniformLens(alphabet: Int, used: Seq[Int]): Array[Int] = {
+    val lens = new Array[Int](alphabet)
+    val n = used.size
+    var l = 1
+    while ((1 << l) < n) l += 1
+    val short = (1 << l) - n
+    used.sorted.zipWithIndex.foreach { case (s, i) =>
+      lens(s) = if (i < short) l - 1 else l
+    }
+    lens
+  }
+
+  /** Write one prefix code (simple form for <= 2 used symbols, the
+    * normal code-length-coded form with a max_symbol cap otherwise)
+    * and return per-symbol (code, len) for emission. */
+  private def writeCode(bw: BitW, alphabet: Int,
+      used0: Seq[Int]): (Array[Int], Array[Int]) = {
+    val used = used0.distinct.sorted
+    require(used.nonEmpty && used.last < alphabet, s"bad used set")
+    if (used.size <= 2) {
+      bw.bit(1) // simple
+      bw.bit(used.size - 1)
+      val s0 = used.head
+      if (s0 <= 1) { bw.bit(0); bw.bit(s0) }
+      else { bw.bit(1); bw.bits(s0, 8) }
+      if (used.size == 2) bw.bits(used(1), 8)
+      val lens = new Array[Int](alphabet)
+      // single-symbol codes read zero bits; two-symbol codes one bit
+      if (used.size == 2) used.foreach(lens(_) = 1)
+      (canonicalCodes(lens), lens)
+    } else {
+      bw.bit(0) // normal
+      val lens = uniformLens(alphabet, used)
+      val maxUsed = used.last
+      // code-length code over the DISTINCT lens values present in
+      // [0, maxUsed] (0 for the gaps) — emitted literally, no repeats
+      val clUsed = (0 to maxUsed).map(lens(_)).distinct.sorted
+      val clLens = new Array[Int](19)
+      if (clUsed.size == 1) clLens(clUsed.head) = 1
+      else if (clUsed.size == 2) clUsed.foreach(clLens(_) = 1)
+      else { // {0, L-1, L}: 1 + 2 + 2 bits, Kraft-complete
+        clLens(clUsed.head) = 1
+        clLens(clUsed(1)) = 2; clLens(clUsed(2)) = 2
+      }
+      val order = graft.multimodal.Webp.ClOrder
+      val nCl = (0 until 19).filter(i => clLens(order(i)) > 0).max + 1
+      bw.bits(nCl - 4, 4)
+      for (i <- 0 until nCl) bw.bits(clLens(order(i)), 3)
+      val clCodes = canonicalCodes(clLens)
+      val clSingle = clUsed.size == 1
+      // cap reads at maxUsed+1 via the max_symbol mechanism
+      bw.bit(1)
+      val value = maxUsed + 1 - 2
+      var k = 0
+      while ((1 << (2 + 2 * k)) <= value) k += 1
+      bw.bits(k, 3)
+      bw.bits(value, 2 + 2 * k)
+      for (s <- 0 to maxUsed)
+        if (!clSingle) bw.code(clCodes(lens(s)), clLens(lens(s)))
+      (canonicalCodes(lens), lens)
+    }
+  }
+
+  /** Inverse of the LZ77 prefix-value mapping: value -> (symbol,
+    * extra-bit count, extra bits). */
+  private def invPrefix(v: Int): (Int, Int, Int) = {
+    require(v >= 1)
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      var sym = 4
+      while (true) {
+        val eb = (sym - 2) >> 1
+        val offset = (2 + (sym & 1)) << eb
+        if (v >= offset + 1 && v <= offset + (1 << eb))
+          return (sym, eb, v - offset - 1)
+        sym += 1
+      }
+      sys.error("unreachable")
+    }
+  }
+
+  /** One coded op in the image-data stream. */
+  private sealed trait Vop { def group: Int }
+  private final case class VLit(group: Int, px: Int) extends Vop
+  private final case class VCache(group: Int, idx: Int) extends Vop
+  private final case class VRef(group: Int, len: Int, distCode: Int) extends Vop
+
+  /** Emit an op stream: per-group code sets (green/red/blue/alpha/
+    * distance over each group's used symbols), then the ops. */
+  private def writeImageData(bw: BitW, ops: Seq[Vop], nGroups: Int,
+      cacheBits: Int): Unit = {
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greens = Array.fill(nGroups)(scala.collection.mutable.SortedSet.empty[Int])
+    val reds = Array.fill(nGroups)(scala.collection.mutable.SortedSet.empty[Int])
+    val blues = Array.fill(nGroups)(scala.collection.mutable.SortedSet.empty[Int])
+    val alphas = Array.fill(nGroups)(scala.collection.mutable.SortedSet.empty[Int])
+    val dists = Array.fill(nGroups)(scala.collection.mutable.SortedSet.empty[Int])
+    ops.foreach {
+      case VLit(g, px) =>
+        greens(g) += (px >> 8) & 0xff
+        reds(g) += (px >> 16) & 0xff
+        blues(g) += px & 0xff
+        alphas(g) += (px >>> 24)
+      case VCache(g, idx) => greens(g) += 256 + 24 + idx
+      case VRef(g, len, dc) =>
+        greens(g) += 256 + invPrefix(len)._1
+        dists(g) += invPrefix(dc)._1
+    }
+    val codes = (0 until nGroups).map { g =>
+      val gr = writeCode(bw, 256 + 24 + cacheSize,
+        if (greens(g).isEmpty) Seq(0) else greens(g).toSeq)
+      val re = writeCode(bw, 256, if (reds(g).isEmpty) Seq(0) else reds(g).toSeq)
+      val bl = writeCode(bw, 256, if (blues(g).isEmpty) Seq(0) else blues(g).toSeq)
+      val al = writeCode(bw, 256, if (alphas(g).isEmpty) Seq(0) else alphas(g).toSeq)
+      val di = writeCode(bw, 40, if (dists(g).isEmpty) Seq(0) else dists(g).toSeq)
+      (gr, re, bl, al, di)
+    }
+    def put(ct: (Array[Int], Array[Int]), sym: Int): Unit =
+      bw.code(ct._1(sym), ct._2(sym))
+    ops.foreach {
+      case VLit(g, px) =>
+        val (gr, re, bl, al, _) = codes(g)
+        put(gr, (px >> 8) & 0xff)
+        put(re, (px >> 16) & 0xff)
+        put(bl, px & 0xff)
+        put(al, px >>> 24)
+      case VCache(g, idx) =>
+        put(codes(g)._1, 256 + 24 + idx)
+      case VRef(g, len, dc) =>
+        val (gr, _, _, _, di) = codes(g)
+        val (ls, leb, lex) = invPrefix(len)
+        put(gr, 256 + ls)
+        bw.bits(lex, leb)
+        val (ds, deb, dex) = invPrefix(dc)
+        put(di, ds)
+        bw.bits(dex, deb)
+    }
+  }
+
+  /** Entropy-code a sub-image (transform data, entropy image,
+    * palette): all-literal, no cache; `isMain` adds the meta bit the
+    * level-0 reader expects. */
+  private def writeEntropyLiteral(bw: BitW, px: Array[Int],
+      isMain: Boolean): Unit = {
+    bw.bit(0) // no color cache
+    if (isMain) bw.bit(0) // no meta prefix codes
+    writeImageData(bw, px.map(VLit(0, _)).toSeq, 1, 0)
+  }
+
+  /** Componentwise pixel subtract (mod 256 per channel) — the guard
+    * bits at 8/24 stop a low-lane borrow from decrementing the high
+    * lane. */
+  private def subPx(a: Int, b: Int): Int = {
+    val ag = ((((a >>> 8) & 0x00ff00ff) | 0x01000100) -
+      ((b >>> 8) & 0x00ff00ff)) & 0x00ff00ff
+    val rb = (((a & 0x00ff00ff) | 0x01000100) -
+      (b & 0x00ff00ff)) & 0x00ff00ff
+    (ag << 8) | rb
+  }
+
+  /** A real RIFF/WEBP/VP8L stream for `pixels` exercising `variant`
+    * (see [[webpVariant]]); `seed` varies the per-block predictor
+    * modes / color-transform elements across the corpus. Every
+    * variant is LOSSLESS: [[Webp.decodePixels]] must return `pixelOf`
+    * verbatim. */
+  def webpOf(w: Int, h: Int, variant: Int, seed: Int,
+      pixelOf: (Int, Int) => Int): Array[Byte] = {
+    val px = Array.tabulate(h, w)((y, x) => pixelOf(x, y)).flatten
+    val bw = new BitW
+    bw.bits(0x2f, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bit(0) // alpha hint
+    bw.bits(0, 3) // version
+
+    variant match {
+      case 1 => // subtract-green
+        bw.bit(1); bw.bits(2, 2)
+        bw.bit(0)
+        val res = px.map { v =>
+          val g = (v >> 8) & 0xff
+          val r = (((v >> 16) & 0xff) - g) & 0xff
+          val b = ((v & 0xff) - g) & 0xff
+          (v & 0xff00ff00) | (r << 16) | b
+        }
+        bw.bit(0); bw.bit(0) // no cache, no meta
+        writeImageData(bw, res.map(VLit(0, _)).toSeq, 1, 0)
+
+      case 2 => // color-indexing, 32-entry palette (no bundling)
+        val palette = Array.tabulate(32) { i =>
+          val g = i * 8
+          0xff000000 | (g << 16) | (((g + 85) % 256) << 8) | ((g + 170) % 256)
+        }
+        val lookup = palette.zipWithIndex.toMap
+        bw.bit(1); bw.bits(3, 2)
+        bw.bits(palette.length - 1, 8)
+        val deltas = palette.indices.map(i =>
+          if (i == 0) palette(0) else subPx(palette(i), palette(i - 1)))
+        writeEntropyLiteral(bw, deltas.toArray, isMain = false)
+        bw.bit(0)
+        val idxPx = px.map(p => 0xff000000 | (lookup(p) << 8))
+        bw.bit(0); bw.bit(0)
+        writeImageData(bw, idxPx.map(VLit(0, _)).toSeq, 1, 0)
+
+      case 3 => // color cache + LZ77 runs
+        bw.bit(0) // no transform
+        val cacheBits = 6
+        val cache = new Array[Int](1 << cacheBits)
+        def slot(p: Int): Int = (0x1e35a7bd * p) >>> (32 - cacheBits)
+        val ops = scala.collection.mutable.ArrayBuffer.empty[Vop]
+        var i = 0
+        var refParity = 0
+        while (i < px.length) {
+          var run = 0
+          if (i > 0)
+            while (i + run < px.length && px(i + run) == px(i - 1)) run += 1
+          if (run >= 3) {
+            // distance 1: as the 2D plane code ((1,0) = code 2) and
+            // the plain form (121) on alternating runs
+            val dc = if (refParity == 0) 2 else 121
+            refParity ^= 1
+            ops += VRef(0, run, dc)
+            var j = 0
+            while (j < run) { cache(slot(px(i + j))) = px(i + j); j += 1 }
+            i += run
+          } else if (cache(slot(px(i))) == px(i)) {
+            ops += VCache(0, slot(px(i)))
+            i += 1
+          } else {
+            cache(slot(px(i))) = px(i)
+            ops += VLit(0, px(i))
+            i += 1
+          }
+        }
+        bw.bit(1); bw.bits(cacheBits, 4) // color cache
+        bw.bit(0) // no meta
+        writeImageData(bw, ops.toSeq, 1, cacheBits)
+
+      case 4 => // predictor transform, modes cycling through all 14
+        val bits = 3
+        val subW = (w + 7) >> 3; val subH = (h + 7) >> 3
+        def mode(bx: Int, by: Int): Int = (bx + by * 3 + seed) % 14
+        bw.bit(1); bw.bits(0, 2)
+        bw.bits(bits - 3, 3)
+        val sub = Array.tabulate(subH, subW)((by, bx) =>
+          0xff000000 | (mode(bx, by) << 8)).flatten
+        writeEntropyLiteral(bw, sub, isMain = false)
+        bw.bit(0)
+        val res = new Array[Int](px.length)
+        var p = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pred =
+              if (p == 0) 0xff000000
+              else if (y == 0) px(p - 1)
+              else if (x == 0) px(p - w)
+              else Webp.predict(mode(x >> bits, y >> bits),
+                px(p - 1), px(p - w), px(p - w - 1), px(p - w + 1))
+            res(p) = subPx(px(p), pred)
+            p += 1; x += 1
+          }
+          y += 1
+        }
+        bw.bit(0); bw.bit(0)
+        writeImageData(bw, res.map(VLit(0, _)).toSeq, 1, 0)
+
+      case 5 => // color transform, per-block elements from the seed
+        val bits = 3
+        val subW = (w + 7) >> 3; val subH = (h + 7) >> 3
+        def elem(bx: Int, by: Int): Int = {
+          val g2r = (bx * 47 + by * 13 + seed) & 0xff
+          val g2b = (bx * 29 + by * 71 + seed * 3) & 0xff
+          val r2b = (bx * 17 + by * 101 + seed * 7) & 0xff
+          0xff000000 | (r2b << 16) | (g2b << 8) | g2r
+        }
+        bw.bit(1); bw.bits(1, 2)
+        bw.bits(bits - 3, 3)
+        val sub = Array.tabulate(subH, subW)((by, bx) => elem(bx, by)).flatten
+        writeEntropyLiteral(bw, sub, isMain = false)
+        bw.bit(0)
+        def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+        val res = new Array[Int](px.length)
+        var p = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val e = elem(x >> bits, y >> bits)
+            val v = px(p)
+            val g = (v >> 8) & 0xff
+            val r0 = (v >> 16) & 0xff
+            val r = (r0 - delta(e & 0xff, g)) & 0xff
+            val b = ((v & 0xff) - delta((e >> 8) & 0xff, g) -
+              delta((e >> 16) & 0xff, r0)) & 0xff
+            res(p) = (v & 0xff00ff00) | (r << 16) | b
+            p += 1; x += 1
+          }
+          y += 1
+        }
+        bw.bit(0); bw.bit(0)
+        writeImageData(bw, res.map(VLit(0, _)).toSeq, 1, 0)
+
+      case 6 => // meta prefix codes: two groups split by block parity
+        bw.bit(0) // no transform
+        val metaBits = 2
+        val metaW = (w + 3) >> 2; val metaH = (h + 3) >> 2
+        def group(bx: Int, by: Int): Int = (bx + by) & 1
+        bw.bit(0) // no cache
+        bw.bit(1) // meta prefix codes
+        bw.bits(metaBits - 2, 3)
+        val meta = Array.tabulate(metaH, metaW)((by, bx) =>
+          0xff000000 | (group(bx, by) << 8)).flatten
+        writeEntropyLiteral(bw, meta, isMain = false)
+        val ops = new Array[Vop](px.length)
+        var p = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            ops(p) = VLit(group(x >> metaBits, y >> metaBits), px(p))
+            p += 1; x += 1
+          }
+          y += 1
+        }
+        writeImageData(bw, ops.toSeq, 2, 0)
+
+      case _ => // plain literals
+        bw.bit(0)
+        bw.bit(0); bw.bit(0)
+        writeImageData(bw, px.map(VLit(0, _)).toSeq, 1, 0)
+    }
+
+    // RIFF container (even-padded VP8L chunk)
+    val payload = bw.toBytes
+    val out = new java.io.ByteArrayOutputStream(payload.length + 24)
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def le32o(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val padded = payload.length + (payload.length & 1)
+    fourcc("RIFF"); le32o(4 + 8 + padded); fourcc("WEBP")
+    fourcc("VP8L"); le32o(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Small-palette writer (2/4/16 entries) exercising the sub-byte
+    * pixel-BUNDLING path: indices packed LSB-first into the green
+    * channel at the reduced width. Palette entry i carries the
+    * truecolor derivation of i * (255/(n-1))-ish scaled grays so
+    * entries stay distinct. */
+  def webpBundledOf(w: Int, h: Int, paletteSize: Int,
+      idxOf: (Int, Int) => Int): Array[Byte] = {
+    require(Set(2, 4, 16)(paletteSize))
+    val scale = 255 / (paletteSize - 1)
+    val palette = Array.tabulate(paletteSize) { i =>
+      val g = i * scale
+      0xff000000 | (g << 16) | (((g + 85) % 256) << 8) | ((g + 170) % 256)
+    }
+    val bw = new BitW
+    bw.bits(0x2f, 8)
+    bw.bits(w - 1, 14); bw.bits(h - 1, 14)
+    bw.bit(0); bw.bits(0, 3)
+    bw.bit(1); bw.bits(3, 2)
+    bw.bits(paletteSize - 1, 8)
+    val deltas = palette.indices.map(i =>
+      if (i == 0) palette(0) else subPx(palette(i), palette(i - 1)))
+    writeEntropyLiteral(bw, deltas.toArray, isMain = false)
+    bw.bit(0)
+    val xbits = if (paletteSize <= 2) 3 else if (paletteSize <= 4) 2 else 1
+    val perByte = 1 << xbits
+    val bitsPer = 8 >> xbits
+    val packedW = (w + perByte - 1) >> xbits
+    val packed = Array.tabulate(h, packedW) { (y, bx) =>
+      var v = 0
+      var j = 0
+      while (j < perByte) {
+        val x = (bx << xbits) + j
+        if (x < w) v |= (idxOf(x, y) & ((1 << bitsPer) - 1)) << (bitsPer * j)
+        j += 1
+      }
+      0xff000000 | (v << 8)
+    }.flatten
+    bw.bit(0); bw.bit(0)
+    writeImageData(bw, packed.map(VLit(0, _)).toSeq, 1, 0)
+    val payload = bw.toBytes
+    val out = new java.io.ByteArrayOutputStream(payload.length + 24)
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def le32o(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val padded = payload.length + (payload.length & 1)
+    fourcc("RIFF"); le32o(4 + 8 + padded); fourcc("WEBP")
+    fourcc("VP8L"); le32o(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
   // ── baseline JPEG (grayscale, block-constant; [[Jpeg]] decodes) ───
 
   /** JPEG block grid — width/height are multiples of 8 by

@@ -204,6 +204,35 @@ object Multimodal {
       else None
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       decodeJpegSof(b)
+    } else if (b.length >= 20 && tag(0) == "RIFF" && tag(8) == "WEBP") {
+      // WebP: VP8L dims are the two 14-bit LSB-first fields after the
+      // 0x2f signature byte; lossy VP8 dims are in the keyframe
+      // header (RFC 6386 §9.1: 3-byte frame tag, 0x9d012a start code,
+      // two LE u16s masked to 14 bits) — header-only support for the
+      // lossy format ([[Webp.decodePixels]] documents the pixel
+      // boundary)
+      var p = 12
+      var res: Option[(Long, Long, Long, Long, Long)] = None
+      while (res.isEmpty && p + 8 <= b.length) {
+        val size = leInt(p + 4)
+        if (size < 0 || p + 8 + size > b.length) return None
+        tag(p) match {
+          case "VP8L" if size >= 5 && (b(p + 8) & 0xff) == 0x2f =>
+            val w = 1L + ((b(p + 9) & 0xff) | ((b(p + 10) & 0x3f) << 8))
+            val h = 1L + (((b(p + 10) & 0xff) >> 6) |
+              ((b(p + 11) & 0xff) << 2) | ((b(p + 12) & 0x0f) << 10))
+            res = Some((w, h, 1L, 0L, 1L))
+          case "VP8 " if size >= 10 && (b(p + 8) & 1) == 0 &&
+              (b(p + 11) & 0xff) == 0x9d && (b(p + 12) & 0xff) == 0x01 &&
+              (b(p + 13) & 0xff) == 0x2a =>
+            val w = (leShort(p + 14) & 0x3fff).toLong
+            val h = (leShort(p + 16) & 0x3fff).toLong
+            if (w > 0 && h > 0) res = Some((w, h, 1L, 0L, 1L))
+          case _ =>
+        }
+        p += 8 + size.toInt + (size.toInt & 1)
+      }
+      res
     } else if (b.length >= 12 && tag(4) == "ftyp") {
       decodeMp4Moov(b)
     } else None

@@ -35,7 +35,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "aviFrames" -> (b => VideoFrames.decodeAviFrames(b)),
     "jpegPixels" -> (b => Jpeg.decodePixels(b)),
     "pngPixels" -> (b => Png.decodePixels(b)),
-    "gifPixels" -> (b => Gif.decodePixels(b)))
+    "gifPixels" -> (b => Gif.decodePixels(b)),
+    "webpPixels" -> (b => Webp.decodePixels(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -65,7 +66,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "jpeg" -> Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
       "ftyp" -> (Array[Byte](0, 0, 0, 0x14) ++ "ftypisom".getBytes),
       "riff-avi" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
-        "AVI ".getBytes))
+        "AVI ".getBytes),
+      "riff-webp" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
+        "WEBPVP8L".getBytes ++ Array[Byte](8, 0, 0, 0, 0x2f)))
     for ((tag, magic) <- magics; i <- 0 until 60) {
       val len = (Mix.splitmix64(i * 104729L + tag.hashCode).abs % 512L).toInt
       assertTotal(s"$tag#$i", magic ++ bytes(i + 31L, len))
@@ -85,8 +88,16 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "png-interlaced" -> MediaSynth.png(7L),
       "png-indexed" -> MediaSynth.png(17L),
       "png-16bit" -> MediaSynth.png(6L),
+      "png-4bit" -> MediaSynth.png(5L), // 5 % 13 == 5
+      "png-4bit-indexed" -> MediaSynth.png(29L), // 29 % 13 == 3
       "gif-interlaced" -> MediaSynth.gif(2L),
-      "avi-mjpeg" -> MediaSynth.aviMjpeg(9L))
+      "avi-mjpeg" -> MediaSynth.aviMjpeg(9L),
+      "webp-plain" -> MediaSynth.webp(0L),
+      "webp-palette" -> MediaSynth.webp(2L),
+      "webp-cache-lz77" -> MediaSynth.webp(3L),
+      "webp-predictor" -> MediaSynth.webp(4L),
+      "webp-meta" -> MediaSynth.webp(6L),
+      "webp-bundled" -> MediaSynth.webpBundledOf(9, 7, 4, (x, y) => (x + y) % 4))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -112,8 +123,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "wav-ext" -> MediaSynth.wavExt(23L), // 23 % 4 == 3 -> A-law
       "png-interlaced" -> MediaSynth.png(25L), // 25 % 9 == 7
       "png-indexed" -> MediaSynth.png(33L), // 33 % 8 == 1
+      "png-1bit" -> MediaSynth.png(24L), // 24 % 13 == 11
       "gif-interlaced" -> MediaSynth.gif(14L),
-      "avi-mjpeg" -> MediaSynth.aviMjpeg(23L))
+      "avi-mjpeg" -> MediaSynth.aviMjpeg(23L),
+      "webp-subgreen" -> MediaSynth.webp(22L), // 22 % 7 == 1
+      "webp-color-transform" -> MediaSynth.webp(19L), // 19 % 7 == 5
+      "webp-meta" -> MediaSynth.webp(27L)) // 27 % 7 == 6
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0
