@@ -509,6 +509,19 @@ object SparkEntry {
     // (integer arithmetic end to end); same banded pair machinery
     "mm_audio_dedup_fb" -> ((s, dir) =>
       graft.multimodal.AudioDedup.audioDedupFb(s, dir)),
+    // REAL FLAC decode (RFC 9639: metadata walk, frame headers with
+    // CRC-8, all four subframe types, Rice/Rice2/escape residuals,
+    // the four channel assignments, wasted bits, frame CRC-16):
+    // FLAC is lossless, so the oracle re-synthesizes the exact
+    // closed-form samples and refolds the features in SQL; truncated
+    // rows (id % 5 == 3) pin the all-(-1) fallback
+    "mm_flac_decode" -> ((s, dir) => graft.multimodal.Flac.decodeReport(s, dir)),
+    // compressed audio in the fingerprint near-dup family: odd docs
+    // are LOSSLESS RE-ENCODES of their even neighbor (same samples,
+    // different subframe/assignment/residual choices -> identical
+    // fingerprints at completely different bytes); id%9==5 truncated
+    "mm_audio_dedup_flac" -> ((s, dir) =>
+      graft.multimodal.Flac.audioDedupFlac(s, dir)),
     "mm_kind_summary" -> ((s, dir) => graft.multimodal.Multimodal.kindSummary(s, dir)),
     "mm_frames" -> ((s, dir) => graft.multimodal.Multimodal.frameSample(s, dir)),
     // REAL baseline-JPEG decode (T.81: marker walk, DHT canonical
@@ -688,6 +701,56 @@ object SparkEntry {
     s"${graft.multimodal.Gif.dedupDumpPath(graft.multimodal.Gif.lastDedupBase)}/*.parquet"
   private def webpHashGlob: String =
     s"${graft.multimodal.Webp.dedupDumpPath(graft.multimodal.Webp.lastDedupBase)}/*.parquet"
+  private def flacHashGlob: String =
+    s"${graft.multimodal.Flac.dedupDumpPath(graft.multimodal.Flac.lastDedupBase)}/*.parquet"
+
+  /** The `mm_flac_decode` oracle: FLAC is lossless, so the features
+    * refold from the closed-form samples alone — the per-(ch, i)
+    * source (the wasted-bits class id % 13 = 6 uses even samples of
+    * half range), the CONSTANT-block override ((doc_id + i/64) % 5 =
+    * 0 pins every sample in the block to the block-start form), the
+    * truncating mean downmix, and the same lag-based
+    * feature fold as mm_audio_features_ext. */
+  private def flacDecodeSql: String = {
+    def base(j: String): String =
+      s"""CASE WHEN si.doc_id % 13 = 6
+         |      THEN ((si.doc_id * 37 + ($j) * 101 + cs.ch * 59) % 2001 - 1000) * 2
+         |      ELSE (si.doc_id * 37 + ($j) * 101 + cs.ch * 59) % 4001 - 2000
+         |      END""".stripMargin
+    s"""WITH ext AS (
+       |  SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 96 AS n,
+       |    8000 + 525 * (doc_id % 4) AS rate
+       |  FROM documents),
+       |si AS (SELECT doc_id, c, unnest(range(0, n)) AS i FROM ext),
+       |cs AS (SELECT unnest(range(0, 2)) AS ch),
+       |smp AS (
+       |  SELECT si.doc_id, si.c, si.i,
+       |    CASE WHEN (si.doc_id + si.i // 64) % 5 = 0
+       |      THEN ${base("(si.i // 64) * 64")}
+       |      ELSE ${base("si.i")}
+       |    END AS s
+       |  FROM si, cs WHERE cs.ch < si.c),
+       |mix AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) // max(c) AS m
+       |  FROM smp GROUP BY doc_id, i),
+       |lagd AS (SELECT doc_id, m,
+       |    lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |  FROM mix),
+       |f AS (
+       |  SELECT doc_id, count(*) AS n_samples, max(abs(m)) AS peak_abs,
+       |    coalesce(sum(CASE WHEN m <> 0 AND prev <> 0
+       |                       AND sign(m) <> sign(prev) THEN 1 ELSE 0 END), 0)
+       |      AS zero_crossings,
+       |    sum(m * m) AS energy
+       |  FROM lagd GROUP BY doc_id)
+       |SELECT e.doc_id,
+       |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE e.rate END AS BIGINT) AS rate,
+       |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE e.c END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.n_samples END AS BIGINT) AS n_samples,
+       |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.peak_abs END AS BIGINT) AS peak_abs,
+       |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.zero_crossings END AS BIGINT) AS zero_crossings,
+       |  CAST(CASE WHEN e.doc_id % 5 = 3 THEN -1 ELSE f.energy END AS BIGINT) AS energy
+       |FROM ext e JOIN f ON f.doc_id = e.doc_id""".stripMargin
+  }
   private def jpegStreamHashGlob: String =
     s"${graft.streaming.MediaStream.dumpPath(graft.streaming.MediaStream.lastBase)}/*.parquet"
   private def jpegWideHashGlob: String =
@@ -3009,6 +3072,8 @@ object SparkEntry {
     "mm_image_dedup_png" -> mediaPairsOracle("pnghash_sigs", pngHashGlob),
     "mm_image_dedup_gif" -> mediaPairsOracle("gifhash_sigs", gifHashGlob),
     "mm_image_dedup_webp" -> mediaPairsOracle("webphash_sigs", webpHashGlob),
+    "mm_flac_decode" -> flacDecodeSql,
+    "mm_audio_dedup_flac" -> mediaPairsOracle("flachash_sigs", flacHashGlob),
     "mm_image_dedup_stream" ->
       mediaPairsOracle("jpegstreamhash_sigs", jpegStreamHashGlob),
     // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth

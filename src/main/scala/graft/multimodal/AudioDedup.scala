@@ -110,10 +110,12 @@ object AudioDedup {
     hash
   }
 
-  /** The per-clip fingerprint: real PCM decode + energy delta when
-    * possible, byte fallback otherwise. */
+  /** The per-clip fingerprint: real PCM decode (WAV, then FLAC —
+    * [[Flac.decodePcm]], r14; magic-disjoint sniff) + energy delta
+    * when possible, byte fallback otherwise. */
   private[multimodal] def clipHash(bytes: Array[Byte]): Long =
     AudioFeatures.decodeWavPcm(bytes)
+      .orElse(Flac.decodePcm(bytes))
       .flatMap { case (_, _, samples) => audioHash(samples) }
       .getOrElse(stubAudioHash(bytes))
 
@@ -185,6 +187,7 @@ object AudioDedup {
   /** Filterbank per-clip fingerprint with the shared fallback chain. */
   private[multimodal] def clipHashFb(bytes: Array[Byte]): Long =
     AudioFeatures.decodeWavPcm(bytes)
+      .orElse(Flac.decodePcm(bytes))
       .flatMap { case (_, _, samples) => filterbankHash(samples) }
       .getOrElse(stubAudioHash(bytes))
 

@@ -672,6 +672,237 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ── FLAC (lossless closed-form samples; [[Flac]] decodes) ────────
+
+  def flacChannels(docId: Long): Int = 1 + (docId % 2).toInt
+  def flacFrames(docId: Long): Int = 64 + (docId % 96).toInt
+  def flacRate(docId: Long): Int = 8000 + 525 * (docId % 4).toInt
+
+  /** Source sample closed form — the wasted-bits class (id % 13 == 6)
+    * uses even samples, so every subframe stores s >> 1 behind one
+    * wasted bit and reconstructs losslessly. */
+  def flacSample(docId: Long, ch: Int, i: Int): Int =
+    if (docId % 13 == 6)
+      (((docId * 37 + i * 101 + ch * 59) % 2001).toInt - 1000) * 2
+    else ((docId * 37 + i * 101 + ch * 59) % 4001).toInt - 2000
+
+  /** Effective sample: blocks where (id + i/64) % 5 == 0 are CONSTANT
+    * (every sample equals the block-start closed form) so the
+    * CONSTANT subframe class is honestly exercised; the oracle
+    * mirrors the CASE. */
+  def flacEffSample(docId: Long, ch: Int, i: Int): Int =
+    if ((docId + i / 64) % 5 == 0) flacSample(docId, ch, (i / 64) * 64)
+    else flacSample(docId, ch, i)
+
+  def flac(docId: Long): Array[Byte] = flacOf(docId, docId.toInt)
+
+  /** MSB-first bit sink (FLAC bit order) with byte-level access for
+    * the in-stream CRCs. */
+  private final class BitWMsb {
+    private var buf = new Array[Byte](256)
+    private var nBytes = 0
+    private var cur = 0
+    private var nb = 0
+    def bit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nb += 1
+      if (nb == 8) {
+        if (nBytes == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(nBytes) = cur.toByte; nBytes += 1; cur = 0; nb = 0
+      }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >> i) & 1); i -= 1 }
+    }
+    def bitsLong(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    def signed(v: Int, n: Int): Unit = bits(v & ((1 << n) - 1), n)
+    def unaryZeros(q: Int): Unit = {
+      var i = 0
+      while (i < q) { bit(0); i += 1 }
+      bit(1)
+    }
+    def align(): Unit = while (nb != 0) bit(0)
+    def size: Int = { require(nb == 0); nBytes }
+    def crc8Over(from: Int): Int = Flac.crc8(buf, from, nBytes)
+    def crc16Over(from: Int): Int = Flac.crc16(buf, from, nBytes)
+    def toBytes: Array[Byte] = { require(nb == 0)
+      java.util.Arrays.copyOf(buf, nBytes) }
+  }
+
+  /** A real FLAC stream for the doc: fLaC marker, STREAMINFO, then
+    * 64-sample blocks whose encode choices all cycle on `seed` —
+    * subframe types (CONSTANT on the constant blocks, else VERBATIM /
+    * FIXED-1 / FIXED-2 / LPC-2 per channel), stereo channel
+    * assignments (independent / left-side / right-side / mid-side;
+    * the wasted-bits class stays independent so mid stays integral),
+    * Rice vs Rice2 residual methods, a partitioned+ESCAPED residual
+    * class, 8- vs 16-bit blocksize header codes, the sample-rate
+    * table code where the rate allows it, STREAMINFO-deferred vs
+    * explicit sample-size codes, and fixed- vs variable-blocking
+    * UTF-8 numbers (the variable class crosses the multi-byte
+    * encoding). Same samples re-encode to a completely different
+    * byte stream under a different `seed` — the lossless re-encode
+    * twin of `mm_audio_dedup_flac`. */
+  def flacOf(docId: Long, seed: Int): Array[Byte] = {
+    val nCh = flacChannels(docId)
+    val n = flacFrames(docId)
+    val rate = flacRate(docId)
+    val wasted = if (docId % 13 == 6) 1 else 0
+    val B = 64
+    val bw = new BitWMsb
+    // fLaC + STREAMINFO (last-block flag set, type 0, length 34)
+    bw.bits('f', 8); bw.bits('L', 8); bw.bits('a', 8); bw.bits('C', 8)
+    bw.bits(0x80, 8); bw.bits(34, 24)
+    bw.bits(B, 16); bw.bits(B, 16) // min/max blocksize
+    bw.bits(0, 24); bw.bits(0, 24) // min/max framesize unknown
+    bw.bits(rate, 20)
+    bw.bits(nCh - 1, 3)
+    bw.bits(15, 5) // bps - 1 = 15
+    bw.bitsLong(n.toLong, 36)
+    for (_ <- 0 until 16) bw.bits(0, 8) // MD5 unavailable
+
+    val variableBlocking = docId % 11 == 4
+    var b = 0
+    var off = 0
+    while (off < n) {
+      val bs = math.min(B, n - off)
+      val frameStart = bw.size
+      // channel assignment for this frame
+      val assign =
+        if (nCh == 1) 0
+        else if (wasted > 0) Seq(0, 8, 9)((seed / 2 + b) % 3)
+        else Seq(0, 8, 9, 10)((seed / 2 + b) % 4)
+      // header
+      bw.bits(0x3ffe, 14)
+      bw.bit(0)
+      bw.bit(if (variableBlocking) 1 else 0)
+      val bsCode = if ((seed + b) % 9 == 2) 7 else 6
+      bw.bits(bsCode, 4)
+      val rateCode = if (rate == 8000 && (seed + b) % 2 == 0) 4 else 0
+      bw.bits(rateCode, 4)
+      bw.bits(if (assign == 0) nCh - 1 else assign, 4)
+      bw.bits(if ((seed + b) % 2 == 1) 0 else 4, 3) // bps: deferred/16
+      bw.bit(0)
+      // UTF-8 coded number (frame index, or first-sample index for
+      // the variable-blocking class — the latter crosses 2 bytes)
+      val num = if (variableBlocking) off else b
+      if (num < 0x80) bw.bits(num, 8)
+      else { bw.bits(0xc0 | (num >> 6), 8); bw.bits(0x80 | (num & 0x3f), 8) }
+      if (bsCode == 6) bw.bits(bs - 1, 8) else bw.bits(bs - 1, 16)
+      bw.bits(bw.crc8Over(frameStart), 8)
+
+      // channel-transformed sequences
+      val src = Array.tabulate(nCh, bs)((c, k) =>
+        flacEffSample(docId, c, off + k))
+      val chans: Array[Array[Int]] = assign match {
+        case 8 => Array(src(0), Array.tabulate(bs)(k => src(0)(k) - src(1)(k)))
+        case 9 => Array(Array.tabulate(bs)(k => src(0)(k) - src(1)(k)), src(1))
+        case 10 => Array(
+          Array.tabulate(bs)(k => (src(0)(k) + src(1)(k)) >> 1),
+          Array.tabulate(bs)(k => src(0)(k) - src(1)(k)))
+        case _ => src
+      }
+      val constant = (docId + b) % 5 == 0
+      var c = 0
+      while (c < chans.length) {
+        val extra = assign match {
+          case 8 | 10 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case _ => 0
+        }
+        // blocks shorter than the predictor warmup fall to VERBATIM
+        writeFlacSubframe(bw, chans(c), 16 + extra, wasted,
+          if (constant) -1
+          else if (bs <= 2) 0
+          else (seed + b + c) % 4, seed + b)
+        c += 1
+      }
+      bw.align()
+      bw.bits(bw.crc16Over(frameStart), 16)
+      b += 1
+      off += bs
+    }
+    bw.toBytes
+  }
+
+  /** One subframe: `tpe` -1 CONSTANT, 0 VERBATIM, 1/2 FIXED order,
+    * 3 LPC-2 (coefs 3, -2, shift 1, precision 4). Residual methods
+    * cycle Rice/Rice2 on `resSeed`; resSeed % 7 == 3 blocks use a
+    * 2-partition layout with the second partition ESCAPED (raw
+    * 15-bit). */
+  private def writeFlacSubframe(bw: BitWMsb, vals: Array[Int], bps: Int,
+      wasted: Int, tpe: Int, resSeed: Int): Unit = {
+    val n = vals.length
+    bw.bit(0)
+    val w = if (wasted == 0) vals else vals.map(_ >> wasted)
+    val eb = bps - wasted
+    def writeWasted(): Unit =
+      if (wasted > 0) { bw.bit(1); bw.unaryZeros(wasted - 1) } else bw.bit(0)
+    def writeResiduals(res: Array[Int], order: Int): Unit = {
+      val rice2 = resSeed % 3 == 1
+      bw.bits(if (rice2) 1 else 0, 2)
+      val paramBits = if (rice2) 5 else 4
+      val escaped = resSeed % 7 == 3 && n % 2 == 0 && n / 2 >= order
+      bw.bits(if (escaped) 1 else 0, 4) // partition order
+      val parts = if (escaped) 2 else 1
+      var i = order
+      var part = 0
+      while (part < parts) {
+        val count = (n / parts) - (if (part == 0) order else 0)
+        if (part == 1) { // ESCAPE: raw signed 15-bit
+          bw.bits((1 << paramBits) - 1, paramBits)
+          bw.bits(15, 5)
+          var k = 0
+          while (k < count) { bw.signed(res(i), 15); i += 1; k += 1 }
+        } else {
+          val param = 13
+          bw.bits(param, paramBits)
+          var k = 0
+          while (k < count) {
+            val v = (res(i) << 1) ^ (res(i) >> 31) // zigzag
+            bw.unaryZeros(v >>> param)
+            bw.bits(v & ((1 << param) - 1), param)
+            i += 1; k += 1
+          }
+        }
+        part += 1
+      }
+    }
+    tpe match {
+      case -1 =>
+        bw.bits(0, 6); writeWasted()
+        bw.signed(w(0), eb)
+      case 0 =>
+        bw.bits(1, 6); writeWasted()
+        w.foreach(bw.signed(_, eb))
+      case 1 | 2 =>
+        bw.bits(8 + tpe, 6); writeWasted()
+        for (i <- 0 until tpe) bw.signed(w(i), eb)
+        val res = Array.tabulate(n - tpe) { k =>
+          val i = k + tpe
+          if (tpe == 1) w(i) - w(i - 1)
+          else w(i) - (2 * w(i - 1) - w(i - 2))
+        }
+        // res is indexed from 0 but writeResiduals walks from `order`
+        // over the FULL-length layout — pad the warmup positions
+        writeResiduals(Array.fill(tpe)(0) ++ res, tpe)
+      case _ =>
+        bw.bits(32 + 1, 6); writeWasted() // LPC order 2 -> type 33
+        bw.signed(w(0), eb); bw.signed(w(1), eb)
+        bw.bits(3, 4) // precision - 1
+        bw.signed(1, 5) // shift
+        bw.signed(3, 4); bw.signed(-2, 4) // coefficients
+        val res = Array.fill(2)(0) ++ Array.tabulate(n - 2) { k =>
+          val i = k + 2
+          w(i) - ((3L * w(i - 1) - 2L * w(i - 2)) >> 1).toInt
+        }
+        writeResiduals(res, 2)
+    }
+  }
+
   // ── WebP / VP8L (lossless closed-form pixels; [[Webp]] decodes) ──
 
   def webpW(docId: Long): Int = 8 + (docId % 8).toInt

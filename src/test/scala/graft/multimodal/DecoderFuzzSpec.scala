@@ -36,7 +36,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpegPixels" -> (b => Jpeg.decodePixels(b)),
     "pngPixels" -> (b => Png.decodePixels(b)),
     "gifPixels" -> (b => Gif.decodePixels(b)),
-    "webpPixels" -> (b => Webp.decodePixels(b)))
+    "webpPixels" -> (b => Webp.decodePixels(b)),
+    "flacPcm" -> (b => Flac.decodePcm(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -68,7 +69,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "riff-avi" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
         "AVI ".getBytes),
       "riff-webp" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
-        "WEBPVP8L".getBytes ++ Array[Byte](8, 0, 0, 0, 0x2f)))
+        "WEBPVP8L".getBytes ++ Array[Byte](8, 0, 0, 0, 0x2f)),
+      "flac" -> "fLaC".getBytes)
     for ((tag, magic) <- magics; i <- 0 until 60) {
       val len = (Mix.splitmix64(i * 104729L + tag.hashCode).abs % 512L).toInt
       assertTotal(s"$tag#$i", magic ++ bytes(i + 31L, len))
@@ -97,7 +99,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "webp-cache-lz77" -> MediaSynth.webp(3L),
       "webp-predictor" -> MediaSynth.webp(4L),
       "webp-meta" -> MediaSynth.webp(6L),
-      "webp-bundled" -> MediaSynth.webpBundledOf(9, 7, 4, (x, y) => (x + y) % 4))
+      "webp-bundled" -> MediaSynth.webpBundledOf(9, 7, 4, (x, y) => (x + y) % 4),
+      "flac-mono" -> MediaSynth.flac(4L),
+      "flac-stereo" -> MediaSynth.flac(9L),
+      "flac-wasted" -> MediaSynth.flac(6L), // 6 % 13 == 6
+      "flac-variable" -> MediaSynth.flac(15L)) // 15 % 11 == 4
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -128,7 +134,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "avi-mjpeg" -> MediaSynth.aviMjpeg(23L),
       "webp-subgreen" -> MediaSynth.webp(22L), // 22 % 7 == 1
       "webp-color-transform" -> MediaSynth.webp(19L), // 19 % 7 == 5
-      "webp-meta" -> MediaSynth.webp(27L)) // 27 % 7 == 6
+      "webp-meta" -> MediaSynth.webp(27L), // 27 % 7 == 6
+      "flac-stereo" -> MediaSynth.flac(17L),
+      "flac-escape" -> MediaSynth.flac(3L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0
