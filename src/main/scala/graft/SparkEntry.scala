@@ -336,6 +336,11 @@ object SparkEntry {
     // compressed-crawl ingestion: per-doc gzip members decoded
     // through the production gunzip (truncated rows pin the
     // fallback); counts of the DECODED text against the plain column
+    // streaming gzip ingest: ordered batches through the delta-log
+    // (mid-stream staged compaction) must reassemble to EXACTLY the
+    // one-shot batch report — the oracle is the batch twin's SQL
+    "text_gzip_ingest_stream" -> ((s, dir) =>
+      graft.streaming.GzipStream.ingestStream(s, dir)),
     "text_gzip_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.ingestReport(s, dir)),
     "text_tokens" -> ((s, dir) => graft.text.TextAnalysis.tokenCount(s, dir)),
@@ -2693,6 +2698,15 @@ object SparkEntry {
     // count, the text_tokens definitions); truncated members
     // (id % 5 = 3) owe the (-1, -1) fallback
     "text_gzip_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    // the streaming replay owes the identical frame — same oracle
+    "text_gzip_ingest_stream" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
         |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
