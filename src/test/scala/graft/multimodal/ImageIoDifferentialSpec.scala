@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** INDEPENDENT-DECODER differential: the JDK ships its own PNG and
+  * GIF decoders (javax.imageio — a codebase sharing nothing with
+  * ours), and both formats are LOSSLESS, so on every synthetic
+  * fixture the two decoders must agree ARGB-for-ARGB. This is the
+  * cross-check a writer→reader round-trip cannot provide: a
+  * mirrored convention (bit order, filter sign, palette layout)
+  * passes a round-trip on both sides but cannot fool a foreign
+  * implementation. (WebP/FLAC/QOI have no JDK twin; their
+  * independent pins are the spec-table/closed-form oracles.) */
+class ImageIoDifferentialSpec extends AnyFunSuite {
+
+  /** ImageIO's decoded pixels WITHOUT Java2D color-space conversion:
+    * getRGB pushes gray images through a CS_GRAY -> sRGB transform
+    * (a gamma lift — a Java2D rendering choice, not PNG decoding), so
+    * component-model images are read from the RASTER and scaled
+    * per-band by round(s*255/(2^depth-1)); indexed images keep
+    * getRGB (IndexColorModel lookup is identity in sRGB). */
+  private def viaImageIo(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Int](w * h)
+      img.getColorModel match {
+        case _: java.awt.image.IndexColorModel =>
+          img.getRGB(0, 0, w, h, px, 0, w)
+        case cm =>
+          val raster = img.getRaster
+          val nb = raster.getNumBands
+          def scaled(x: Int, y: Int, b: Int): Int = {
+            val bits = cm.getComponentSize(b)
+            val s = raster.getSample(x, y, b)
+            if (bits == 8) s
+            else (s * 255 + ((1 << bits) - 1) / 2) / ((1 << bits) - 1)
+          }
+          for (y <- 0 until h; x <- 0 until w) {
+            val (r, g, b, a) = nb match {
+              case 1 =>
+                val v = scaled(x, y, 0); (v, v, v, 255)
+              case 2 =>
+                val v = scaled(x, y, 0); (v, v, v, scaled(x, y, 1))
+              case 3 =>
+                (scaled(x, y, 0), scaled(x, y, 1), scaled(x, y, 2), 255)
+              case _ =>
+                (scaled(x, y, 0), scaled(x, y, 1), scaled(x, y, 2),
+                  scaled(x, y, 3))
+            }
+            px(y * w + x) = (a << 24) | (r << 16) | (g << 8) | b
+          }
+      }
+      Some((w, h, px))
+    }
+  }
+
+  private def same(tag: String, ours: Option[(Int, Int, Array[Int])],
+      jdk: Option[(Int, Int, Array[Int])]): Unit = {
+    assert(ours.isDefined, s"$tag: our decoder declined")
+    assert(jdk.isDefined, s"$tag: ImageIO declined")
+    val (w, h, a) = ours.get
+    val (jw, jh, b) = jdk.get
+    assert((w, h) === ((jw, jh)), s"$tag dims")
+    for (i <- a.indices)
+      assert(a(i) === b(i), s"$tag px(${i % w},${i / w}): " +
+        f"ours=0x${a(i)}%08x jdk=0x${b(i)}%08x")
+  }
+
+  test("PNG: every corpus depth/color/filter/interlace class matches javax.imageio exactly") {
+    // 60 ids cover doc_id % 4 color types, % 8 indexed, % 13 sub-byte
+    // classes, % 9 interlace, % 11 16-bit, all five filters
+    for (id <- 0L until 60L)
+      same(s"png id=$id ct=${MediaSynth.pngColorType(id)} d=${MediaSynth.pngDepth(id)}",
+        Png.decodePixels(MediaSynth.png(id)),
+        viaImageIo(MediaSynth.png(id)))
+  }
+
+  test("PNG: sub-byte gray and indexed fixtures (explicit dims incl. padded rows) match") {
+    for (d <- Seq(1, 2, 4); (w, h) <- Seq((9, 5), (13, 7)); il <- Seq(false, true)) {
+      val sample = (x: Int, y: Int) => (x * 29 + y * 17 + d) % (1 << d)
+      val bytes = MediaSynth.pngOf(w, h, 0, sample, y => y % 5, il, depth = d)
+      same(s"png sub-byte d=$d ${w}x$h il=$il",
+        Png.decodePixels(bytes), viaImageIo(bytes))
+    }
+  }
+
+  test("GIF: sequential and interlaced corpus classes match javax.imageio exactly") {
+    for (id <- 0L until 40L)
+      same(s"gif id=$id", Gif.decodePixels(MediaSynth.gif(id)),
+        viaImageIo(MediaSynth.gif(id)))
+  }
+
+  test("BMP: the dedup fixture payloads match javax.imageio exactly") {
+    // ImageDedup's BMP decoder vs the JDK's on the synthetic 24-bit
+    // fixtures (bottom-up rows, padding)
+    for (id <- Seq(0L, 7L, 13L, 29L)) {
+      val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+      val bytes = {
+        // minimal BITMAPINFOHEADER 24-bit bottom-up BMP
+        val rowPad = (4 - (w * 3) % 4) % 4
+        val dataLen = (w * 3 + rowPad) * h
+        val out = new java.io.ByteArrayOutputStream()
+        def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+          out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+        def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        out.write('B'); out.write('M'); le32(54 + dataLen); le32(0); le32(54)
+        le32(40); le32(w); le32(h); le16(1); le16(24); le32(0); le32(dataLen)
+        le32(2835); le32(2835); le32(0); le32(0)
+        for (y <- h - 1 to 0 by -1) {
+          for (x <- 0 until w) {
+            val g = ((id * 7 + x * 13 + y * 31) % 256).toInt
+            out.write((g + 170) % 256); out.write((g + 85) % 256); out.write(g)
+          }
+          for (_ <- 0 until rowPad) out.write(0)
+        }
+        out.toByteArray
+      }
+      same(s"bmp id=$id", ImageDedup.decodeBmpPixels(bytes), viaImageIo(bytes))
+    }
+  }
+}
