@@ -2594,10 +2594,13 @@ object SparkEntry {
     // gray (id*23 + x*31 + y*43) % 256, the channel derivation
     // (gray + (gray+85)%256 + (gray+170)%256 — alpha never summed),
     // the palette variant's 32-level quantization (id%7 = 2 ->
-    // (gray//8)*8), and the position weight (1 + x + w·y). Every
-    // VP8L variant is LOSSLESS, so one closed form covers all seven
-    // feature classes. Truncated rows (id % 5 = 3) owe the
-    // (-1,-1,-1,-1) fallback.
+    // (gray//8)*8), the cache+LZ77 variant's PLATEAUED form (id%7 =
+    // 3 -> x plateaus of 4, rows repeating every 3 — the pixel
+    // repetition that makes the encoder emit real backrefs and cache
+    // hits, so the decoder's LZ77/cache branches are hash-gated),
+    // and the position weight (1 + x + w·y). Every VP8L variant is
+    // LOSSLESS, so the closed forms cover all seven feature classes.
+    // Truncated rows (id % 5 = 3) owe the (-1,-1,-1,-1) fallback.
     "mm_webp_decode" ->
       """WITH xs AS (SELECT unnest(range(0, 15)) AS x),
         |ys AS (SELECT unnest(range(0, 12)) AS y),
@@ -2607,6 +2610,8 @@ object SparkEntry {
         |  SELECT g.doc_id, g.w, g.h, x, y,
         |    CASE WHEN g.doc_id % 7 = 2
         |      THEN (((g.doc_id * 23 + x * 31 + y * 43) % 256) // 8) * 8
+        |      WHEN g.doc_id % 7 = 3
+        |      THEN (g.doc_id * 23 + (x - x % 4) * 31 + (y % 3) * 43) % 256
         |      ELSE (g.doc_id * 23 + x * 31 + y * 43) % 256
         |    END AS gray
         |  FROM g, xs, ys WHERE x < g.w AND y < g.h),

@@ -921,12 +921,25 @@ object MediaSynth {
     * all 14), 5 color transform, 6 meta prefix codes (2 groups). */
   def webpVariant(docId: Long): Int = (docId % 7).toInt
 
+  /** The variant-aware effective gray: variant 2 (palette) quantizes
+    * to 32 levels; variant 3 (cache + LZ77) PLATEAUS the gradient
+    * (4-px horizontal runs, rows repeating every 3) so the encoder
+    * genuinely emits backward references AND color-cache hits — a
+    * smooth gradient never repeats a pixel, which would leave the
+    * decoder's LZ77/cache branches outside the hash gate. */
+  def webpEffGray(docId: Long, x: Int, y: Int): Int = {
+    val v = webpVariant(docId)
+    val g0 =
+      if (v == 3) webpGray(docId, x - x % 4, y % 3)
+      else webpGray(docId, x, y)
+    if (v == 2) (g0 >> 3) * 8 else g0
+  }
+
   /** The decoded ARGB pixel the oracle expects: channel derivation
-    * (g, (g+85)%256, (g+170)%256), alpha 255; variant 2 (palette)
-    * uses the 32-level quantized gray. */
+    * (g, (g+85)%256, (g+170)%256) over the effective gray, alpha
+    * 255. */
   def webpPixel(docId: Long, x: Int, y: Int): Int = {
-    val g0 = webpGray(docId, x, y)
-    val g = if (webpVariant(docId) == 2) (g0 >> 3) * 8 else g0
+    val g = webpEffGray(docId, x, y)
     0xff000000 | (g << 16) | (((g + 85) % 256) << 8) | ((g + 170) % 256)
   }
 
@@ -983,6 +996,10 @@ object MediaSynth {
   private def uniformLens(alphabet: Int, used: Seq[Int]): Array[Int] = {
     val lens = new Array[Int](alphabet)
     val n = used.size
+    if (n == 1) { // degenerate single-symbol code (0-bit reads)
+      lens(used.head) = 1
+      return lens
+    }
     var l = 1
     while ((1 << l) < n) l += 1
     val short = (1 << l) - n
@@ -999,7 +1016,9 @@ object MediaSynth {
       used0: Seq[Int]): (Array[Int], Array[Int]) = {
     val used = used0.distinct.sorted
     require(used.nonEmpty && used.last < alphabet, s"bad used set")
-    if (used.size <= 2) {
+    // the simple form carries symbols in at most 8 bits — length/
+    // cache symbols (>= 256 in the green alphabet) need normal codes
+    if (used.size <= 2 && used.last < 256) {
       bw.bit(1) // simple
       bw.bit(used.size - 1)
       val s0 = used.head

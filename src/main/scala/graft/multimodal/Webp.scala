@@ -552,12 +552,19 @@ object Webp {
     else if (id % 2 == 0) MediaSynth.webp(id)
     else {
       val twin = id - 1
+      val v = MediaSynth.webpVariant(twin)
       MediaSynth.webpOf(MediaSynth.webpW(twin), MediaSynth.webpH(twin),
-        MediaSynth.webpVariant(twin), twin.toInt,
+        v, twin.toInt,
         (x, y) => {
-          val g0 = MediaSynth.webpGray(twin, x, y)
+          // the neighbor's variant-aware gray (plateaued for the
+          // cache+LZ77 class, quantized for the palette class) with
+          // the brighten applied between the two — a uniform +8 over
+          // an 8x8 region keeps variant-3 plateaus constant, so the
+          // twin is a true re-encode of a near-identical image
+          val g0 = if (v == 3) MediaSynth.webpGray(twin, x - x % 4, y % 3)
+            else MediaSynth.webpGray(twin, x, y)
           val g1 = if (x < 8 && y < 8) math.min(255, g0 + 8) else g0
-          val g = if (MediaSynth.webpVariant(twin) == 2) (g1 >> 3) * 8 else g1
+          val g = if (v == 2) (g1 >> 3) * 8 else g1
           0xff000000 | (g << 16) | (((g + 85) % 256) << 8) | ((g + 170) % 256)
         })
     }

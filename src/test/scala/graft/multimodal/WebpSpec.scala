@@ -71,6 +71,34 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("cache+LZ77 variant really emits refs and cache hits (stream shrinks; constant image runs)") {
+    // the plateaued variant-3 pixels must compress: the same pixels
+    // encoded literal-only (variant 0) are strictly longer — the
+    // proof that backrefs/cache symbols are actually in the stream
+    // (and therefore that the decoder's LZ77/cache branches are on
+    // the gate path, not dead code)
+    for (id <- Seq(3L, 10L, 17L, 31L)) {
+      assert(MediaSynth.webpVariant(id) === 3, s"id=$id")
+      val w = MediaSynth.webpW(id); val h = MediaSynth.webpH(id)
+      val pix = (x: Int, y: Int) => MediaSynth.webpPixel(id, x, y)
+      val withRefs = MediaSynth.webpOf(w, h, 3, id.toInt, pix)
+      val literal = MediaSynth.webpOf(w, h, 0, id.toInt, pix)
+      assert(withRefs.length < literal.length,
+        s"id=$id: ${withRefs.length} !< ${literal.length}")
+      val a = Webp.decodePixels(withRefs).map(t => (t._1, t._2, t._3.toSeq))
+      val b = Webp.decodePixels(literal).map(t => (t._1, t._2, t._3.toSeq))
+      assert(a.isDefined && a === b, s"id=$id")
+    }
+    // a constant image through variant 3: one literal + one long run
+    val const = MediaSynth.webpOf(16, 12, 3, 0, (_, _) => 0xff204060)
+    val Some((w, h, px)) = Webp.decodePixels(const)
+    assert((w, h) === ((16, 12)))
+    assert(px.forall(_ == 0xff204060))
+    // one literal + one 191-px run + code tables + RIFF overhead:
+    // anything near the 192-literal size (~700 B) means no run fired
+    assert(const.length < 120, s"constant image must be tiny, got ${const.length}")
+  }
+
   test("sub-byte palette bundling: 2/4/16-entry palettes pack 8/4/2 indices per byte") {
     for (n <- Seq(2, 4, 16); (w, h) <- Seq((8, 8), (13, 5), (9, 11))) {
       val scale = 255 / (n - 1)
