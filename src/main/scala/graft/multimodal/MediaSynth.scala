@@ -746,7 +746,7 @@ object MediaSynth {
     * encoding). Same samples re-encode to a completely different
     * byte stream under a different `seed` — the lossless re-encode
     * twin of `mm_audio_dedup_flac`. */
-  def flacOf(docId: Long, seed: Int): Array[Byte] = {
+  def flacOf(docId: Long, seed: Int, forceTpe: Int = -2): Array[Byte] = {
     val nCh = flacChannels(docId)
     val n = flacFrames(docId)
     val rate = flacRate(docId)
@@ -813,11 +813,16 @@ object MediaSynth {
           case 9 => if (c == 0) 1 else 0
           case _ => 0
         }
-        // blocks shorter than the predictor warmup fall to VERBATIM
+        // blocks shorter than the predictor warmup fall to VERBATIM;
+        // the cycle covers VERBATIM, FIXED 0/1/2/3 and LPC-2.
+        // FIXED-4 stays off the corpus cycle (side-channel residuals
+        // could reach ±64000, past the escape range) but is reachable
+        // via forceTpe = 6 on MONO docs — FlacSpec drives it
         writeFlacSubframe(bw, chans(c), 16 + extra, wasted,
-          if (constant) -1
-          else if (bs <= 2) 0
-          else (seed + b + c) % 4, seed + b)
+          if (forceTpe != -2 && bs > 4) forceTpe
+          else if (constant) -1
+          else if (bs <= 3) 0
+          else (seed + b + c) % 6, seed + b)
         c += 1
       }
       bw.align()
@@ -829,10 +834,11 @@ object MediaSynth {
   }
 
   /** One subframe: `tpe` -1 CONSTANT, 0 VERBATIM, 1/2 FIXED order,
-    * 3 LPC-2 (coefs 3, -2, shift 1, precision 4). Residual methods
-    * cycle Rice/Rice2 on `resSeed`; resSeed % 7 == 3 blocks use a
-    * 2-partition layout with the second partition ESCAPED (raw
-    * 15-bit). */
+    * 3 LPC-2 (coefs 3, -2, shift 1, precision 4), 4 FIXED-0,
+    * 5 FIXED-3. Residual methods cycle Rice/Rice2 on `resSeed`;
+    * resSeed % 7 == 3 blocks use a 2-partition layout with the
+    * second partition ESCAPED (raw 16-bit — covers FIXED-3's ±16000
+    * residual range). */
   private def writeFlacSubframe(bw: BitWMsb, vals: Array[Int], bps: Int,
       wasted: Int, tpe: Int, resSeed: Int): Unit = {
     val n = vals.length
@@ -852,11 +858,11 @@ object MediaSynth {
       var part = 0
       while (part < parts) {
         val count = (n / parts) - (if (part == 0) order else 0)
-        if (part == 1) { // ESCAPE: raw signed 15-bit
+        if (part == 1) { // ESCAPE: raw signed 16-bit
           bw.bits((1 << paramBits) - 1, paramBits)
-          bw.bits(15, 5)
+          bw.bits(16, 5)
           var k = 0
-          while (k < count) { bw.signed(res(i), 15); i += 1; k += 1 }
+          while (k < count) { bw.signed(res(i), 16); i += 1; k += 1 }
         } else {
           val param = 13
           bw.bits(param, paramBits)
@@ -871,6 +877,24 @@ object MediaSynth {
         part += 1
       }
     }
+    // FIXED residual at `order` over the (wasted-shifted) samples
+    def fixedRes(order: Int): Array[Int] =
+      Array.fill(order)(0) ++ Array.tabulate(n - order) { k =>
+        val i = k + order
+        order match {
+          case 0 => w(i)
+          case 1 => w(i) - w(i - 1)
+          case 2 => w(i) - (2 * w(i - 1) - w(i - 2))
+          case 3 => w(i) - (3 * w(i - 1) - 3 * w(i - 2) + w(i - 3))
+          case _ => w(i) - (4 * w(i - 1) - 6 * w(i - 2) + 4 * w(i - 3) -
+            w(i - 4))
+        }
+      }
+    def writeFixed(order: Int): Unit = {
+      bw.bits(8 + order, 6); writeWasted()
+      for (i <- 0 until order) bw.signed(w(i), eb)
+      writeResiduals(fixedRes(order), order)
+    }
     tpe match {
       case -1 =>
         bw.bits(0, 6); writeWasted()
@@ -878,17 +902,10 @@ object MediaSynth {
       case 0 =>
         bw.bits(1, 6); writeWasted()
         w.foreach(bw.signed(_, eb))
-      case 1 | 2 =>
-        bw.bits(8 + tpe, 6); writeWasted()
-        for (i <- 0 until tpe) bw.signed(w(i), eb)
-        val res = Array.tabulate(n - tpe) { k =>
-          val i = k + tpe
-          if (tpe == 1) w(i) - w(i - 1)
-          else w(i) - (2 * w(i - 1) - w(i - 2))
-        }
-        // res is indexed from 0 but writeResiduals walks from `order`
-        // over the FULL-length layout — pad the warmup positions
-        writeResiduals(Array.fill(tpe)(0) ++ res, tpe)
+      case 1 | 2 => writeFixed(tpe)
+      case 4 => writeFixed(0)
+      case 5 => writeFixed(3)
+      case 6 => writeFixed(4)
       case _ =>
         bw.bits(32 + 1, 6); writeWasted() // LPC order 2 -> type 33
         bw.signed(w(0), eb); bw.signed(w(1), eb)
@@ -1081,10 +1098,55 @@ object MediaSynth {
   }
 
   /** One coded op in the image-data stream. */
-  private sealed trait Vop { def group: Int }
-  private final case class VLit(group: Int, px: Int) extends Vop
-  private final case class VCache(group: Int, idx: Int) extends Vop
-  private final case class VRef(group: Int, len: Int, distCode: Int) extends Vop
+  private[multimodal] sealed trait Vop { def group: Int }
+  private[multimodal] final case class VLit(group: Int, px: Int) extends Vop
+  private[multimodal] final case class VCache(group: Int, idx: Int) extends Vop
+  private[multimodal] final case class VRef(group: Int, len: Int, distCode: Int) extends Vop
+
+  /** The variant-3 op builder (exposed for WebpSpec's op-census):
+    * greedy detection of horizontal runs (distance 1), the corpus'
+    * three-row vertical period (distance 3·w — plane code (0,3)), and
+    * color-cache hits; distances alternate between their 2D plane
+    * code and the plain 120+d form so both decode paths stay on the
+    * gate. Cache state mirrors the decoder exactly (insert on
+    * literals and copied pixels, not on hits). */
+  private[multimodal] def lz77Ops(px: Array[Int], w: Int,
+      cacheBits: Int): Seq[Vop] = {
+    val cache = new Array[Int](1 << cacheBits)
+    def slot(p: Int): Int = (0x1e35a7bd * p) >>> (32 - cacheBits)
+    val vDist = 3 * w
+    val vCode = graft.multimodal.Webp.PlaneCodes.indexOf((0, 3)) + 1
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Vop]
+    var i = 0
+    var refParity = 0
+    while (i < px.length) {
+      var run = 0
+      if (i > 0)
+        while (i + run < px.length && px(i + run) == px(i - 1)) run += 1
+      var vrun = 0
+      if (i >= vDist)
+        while (i + vrun < px.length && px(i + vrun) == px(i + vrun - vDist))
+          vrun += 1
+      val (len, dist, dc2d) =
+        if (vrun > run) (vrun, vDist, vCode) else (run, 1, 2)
+      if (len >= 3) {
+        val dc = if (refParity == 0) dc2d else 120 + dist
+        refParity ^= 1
+        ops += VRef(0, len, dc)
+        var j = 0
+        while (j < len) { cache(slot(px(i + j))) = px(i + j); j += 1 }
+        i += len
+      } else if (cache(slot(px(i))) == px(i)) {
+        ops += VCache(0, slot(px(i)))
+        i += 1
+      } else {
+        cache(slot(px(i))) = px(i)
+        ops += VLit(0, px(i))
+        i += 1
+      }
+    }
+    ops.toSeq
+  }
 
   /** Emit an op stream: per-group code sets (green/red/blue/alpha/
     * distance over each group's used symbols), then the ops. */
@@ -1206,36 +1268,9 @@ object MediaSynth {
       case 3 => // color cache + LZ77 runs
         bw.bit(0) // no transform
         val cacheBits = 6
-        val cache = new Array[Int](1 << cacheBits)
-        def slot(p: Int): Int = (0x1e35a7bd * p) >>> (32 - cacheBits)
-        val ops = scala.collection.mutable.ArrayBuffer.empty[Vop]
-        var i = 0
-        var refParity = 0
-        while (i < px.length) {
-          var run = 0
-          if (i > 0)
-            while (i + run < px.length && px(i + run) == px(i - 1)) run += 1
-          if (run >= 3) {
-            // distance 1: as the 2D plane code ((1,0) = code 2) and
-            // the plain form (121) on alternating runs
-            val dc = if (refParity == 0) 2 else 121
-            refParity ^= 1
-            ops += VRef(0, run, dc)
-            var j = 0
-            while (j < run) { cache(slot(px(i + j))) = px(i + j); j += 1 }
-            i += run
-          } else if (cache(slot(px(i))) == px(i)) {
-            ops += VCache(0, slot(px(i)))
-            i += 1
-          } else {
-            cache(slot(px(i))) = px(i)
-            ops += VLit(0, px(i))
-            i += 1
-          }
-        }
         bw.bit(1); bw.bits(cacheBits, 4) // color cache
         bw.bit(0) // no meta
-        writeImageData(bw, ops.toSeq, 1, cacheBits)
+        writeImageData(bw, lz77Ops(px, w, cacheBits), 1, cacheBits)
 
       case 4 => // predictor transform, modes cycling through all 14
         val bits = 3

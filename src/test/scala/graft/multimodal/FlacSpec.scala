@@ -34,6 +34,17 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("FIXED order 4 (decoder-only corpus path) roundtrips via the forced encoder") {
+    // mono docs only (side channels could push F4 residuals past the
+    // escape range); seed 4 keeps (seed+b) % 7 off the escape class
+    for (id <- Seq(8L, 20L, 64L)) {
+      assert(MediaSynth.flacChannels(id) === 1)
+      val got = Flac.decodePcm(MediaSynth.flacOf(id, 4, forceTpe = 6))
+      assert(got.isDefined, s"id=$id")
+      assert(got.get._3.toSeq === expectedMix(id), s"id=$id")
+    }
+  }
+
   test("lossless re-encode: a different seed changes every byte region but no sample") {
     for (id <- Seq(0L, 1L, 2L, 7L, 32L, 58L)) {
       val a = MediaSynth.flacOf(id, id.toInt)

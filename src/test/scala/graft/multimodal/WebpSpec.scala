@@ -99,6 +99,32 @@ class WebpSpec extends AnyFunSuite {
     assert(const.length < 120, s"constant image must be tiny, got ${const.length}")
   }
 
+  test("op census: corpus variant-3 docs emit literals, cache hits, horizontal AND vertical refs in both distance forms") {
+    var lits = 0; var caches = 0
+    var h2d = 0; var hPlain = 0; var v2d = 0; var vPlain = 0
+    for (id <- 0L until 500L if MediaSynth.webpVariant(id) == 3) {
+      val wI = MediaSynth.webpW(id); val hI = MediaSynth.webpH(id)
+      val pxs = Array.tabulate(hI, wI)((y, x) =>
+        MediaSynth.webpPixel(id, x, y)).flatten
+      MediaSynth.lz77Ops(pxs, wI, 6).foreach {
+        case MediaSynth.VLit(_, _) => lits += 1
+        case MediaSynth.VCache(_, _) => caches += 1
+        case MediaSynth.VRef(_, _, dc) =>
+          if (dc == 2) h2d += 1
+          else if (dc == 121) hPlain += 1
+          else if (dc > 120) vPlain += 1
+          else v2d += 1
+      }
+    }
+    // every decoder branch the variant claims must actually occur in
+    // the gate corpus — a zero here means a formally-registered but
+    // unexercised path (the bug this test was added to prevent)
+    assert(lits > 0, "no literals")
+    assert(caches > 0, "no color-cache hits in the corpus")
+    assert(h2d > 0 && hPlain > 0, s"horizontal refs missing a form: 2d=$h2d plain=$hPlain")
+    assert(v2d > 0 && vPlain > 0, s"vertical refs missing a form: 2d=$v2d plain=$vPlain")
+  }
+
   test("sub-byte palette bundling: 2/4/16-entry palettes pack 8/4/2 indices per byte") {
     for (n <- Seq(2, 4, 16); (w, h) <- Seq((8, 8), (13, 5), (9, 11))) {
       val scale = 255 / (n - 1)
