@@ -514,6 +514,13 @@ object SparkEntry {
     // (integer arithmetic end to end); same banded pair machinery
     "mm_audio_dedup_fb" -> ((s, dir) =>
       graft.multimodal.AudioDedup.audioDedupFb(s, dir)),
+    // REAL baseline-TIFF decode (TIFF 6.0: both byte orders, IFD
+    // walk, gray/RGB/RGBA/palette/WhiteIsZero photometrics,
+    // multi-strip, PackBits): lossless, so the oracle recomputes
+    // pixel sums from doc_id closed forms (the WhiteIsZero class
+    // stores inverted samples and decodes back to the same forms);
+    // truncated rows (id % 5 == 3) pin the fallback
+    "mm_tiff_decode" -> ((s, dir) => graft.multimodal.Tiff.decodeReport(s, dir)),
     // REAL FLAC decode (RFC 9639: metadata walk, frame headers with
     // CRC-8, all four subframe types, Rice/Rice2/escape residuals,
     // the four channel assignments, wasted bits, frame CRC-16):
@@ -3091,6 +3098,36 @@ object SparkEntry {
     "mm_image_dedup_png" -> mediaPairsOracle("pnghash_sigs", pngHashGlob),
     "mm_image_dedup_gif" -> mediaPairsOracle("gifhash_sigs", gifHashGlob),
     "mm_image_dedup_webp" -> mediaPairsOracle("webphash_sigs", webpHashGlob),
+    // decoded-TIFF pixel statistics from doc_id closed forms: dims
+    // (8 + id%9, 8 + id%6), gray (id*29 + x*37 + y*53) % 256, the
+    // photometric classes' channel derivation (id%4 in (0,3) -> gray
+    // classes sum 3*gray — WhiteIsZero decodes BACK to gray; else
+    // gray + (gray+85)%256 + (gray+170)%256 — alpha never summed),
+    // the position weight. Truncated rows owe the (-1,...) fallback.
+    "mm_tiff_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 17)) AS x),
+        |ys AS (SELECT unnest(range(0, 14)) AS y),
+        |g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h
+        |      FROM documents),
+        |cells AS (
+        |  SELECT g.doc_id, g.w, g.h, x, y,
+        |    (g.doc_id * 29 + x * 37 + y * 53) % 256 AS gray
+        |  FROM g, xs, ys WHERE x < g.w AND y < g.h),
+        |ok AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |    CAST(sum(CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
+        |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
+        |      AS BIGINT) AS pix_sum,
+        |    CAST(sum((CASE WHEN doc_id % 4 IN (0, 3) THEN 3 * gray
+        |      ELSE gray + (gray + 85) % 256 + (gray + 170) % 256 END)
+        |      * (1 + x + w * y)) AS BIGINT) AS pix_wsum
+        |  FROM cells GROUP BY doc_id, w, h)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.w END AS w,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.h END AS h,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_sum END AS pix_sum,
+        |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
+        |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
     "mm_flac_decode" -> flacDecodeSql,
     "mm_audio_dedup_flac" -> mediaPairsOracle("flachash_sigs", flacHashGlob),
     "mm_image_dedup_stream" ->

@@ -235,16 +235,17 @@ object ImageDedup {
 
   /** The per-image hash: real pixel decode (QOI, then BMP, then
     * PNG — [[Png.decodePixels]], r13 — then baseline+progressive
-    * JPEG — [[Jpeg.decodePixels]], r12/r13 — then VP8L WebP —
-    * [[Webp.decodePixels]], r14) + aHash when possible, stub
-    * otherwise. Order is magic-byte disjoint, so it's a sniff chain,
-    * not a preference. */
+    * JPEG — [[Jpeg.decodePixels]], r12/r13 — then VP8L WebP and
+    * baseline TIFF — [[Webp.decodePixels]]/[[Tiff.decodePixels]],
+    * r14) + aHash when possible, stub otherwise. Order is magic-byte
+    * disjoint, so it's a sniff chain, not a preference. */
   private[graft] def imageHash(bytes: Array[Byte]): Long =
     decodeQoiPixels(bytes).orElse(decodeBmpPixels(bytes))
       .orElse(Png.decodePixels(bytes))
       .orElse(Gif.decodePixels(bytes))
       .orElse(Jpeg.decodePixels(bytes))
       .orElse(Webp.decodePixels(bytes))
+      .orElse(Tiff.decodePixels(bytes))
       .flatMap { case (w, h, px) => aHash64(w, h, px) }
       .getOrElse(stubImageHash(bytes))
 

@@ -672,6 +672,154 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ── TIFF (baseline profile, closed-form pixels; [[Tiff]] decodes) ─
+
+  def tiffW(docId: Long): Int = 8 + (docId % 9).toInt
+  def tiffH(docId: Long): Int = 8 + (docId % 6).toInt
+
+  /** Per-pixel closed-form gray — TIFF baseline is lossless, so the
+    * `mm_tiff_decode` oracle recomputes pixel sums from this. */
+  def tiffGray(docId: Long, x: Int, y: Int): Int =
+    (((docId * 29 + x * 37 + y * 53) % 256 + 256) % 256).toInt
+
+  /** Photometric class: 1 BlackIsZero gray, 2 RGB (spp 4 with alpha
+    * on the id % 8 == 1 half), 3 palette, 0 WhiteIsZero (samples
+    * STORED inverted, so decode returns the same closed form). */
+  def tiffPhotometric(docId: Long): Int = (docId % 4) match {
+    case 0 => 1; case 1 => 2; case 2 => 3; case _ => 0
+  }
+
+  /** A real baseline TIFF for the doc: byte order by parity (`II`
+    * even, `MM` odd), 4-row strips, PackBits on the id % 3 == 1
+    * class, the photometric classes above, 16-bit ColorMap entries
+    * v·257 so the high-byte projection is exact. The writer never
+    * emits the 0x80 control: TIFF 6.0 defines it as a no-op but
+    * real decoders disagree (the JDK's PackBits treats it as a
+    * repeat — measured in ImageIoDifferentialSpec's development),
+    * which is exactly why conforming encoders avoid it; OUR decoder
+    * keeps the spec's skip semantics, pinned by a hand-built strip
+    * in TiffSpec. */
+  def tiff(docId: Long): Array[Byte] = {
+    val w = tiffW(docId); val h = tiffH(docId)
+    val le = docId % 2 == 0
+    val photometric = tiffPhotometric(docId)
+    val spp = if (photometric == 2) (if (docId % 8 == 1) 4 else 3) else 1
+    val packbits = docId % 3 == 1
+    val rowsPerStrip = 4
+
+    // post-photometric stored bytes
+    val data = new Array[Byte](w * h * spp)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = tiffGray(docId, x, y)
+      val q = (y * w + x) * spp
+      photometric match {
+        case 0 => data(q) = (255 - g).toByte // WhiteIsZero stores inverted
+        case 1 => data(q) = g.toByte
+        case 3 => data(q) = g.toByte // palette index
+        case _ =>
+          data(q) = g.toByte
+          data(q + 1) = ((g + 85) % 256).toByte
+          data(q + 2) = ((g + 170) % 256).toByte
+          if (spp == 4) data(q + 3) = ((g + 31) % 256).toByte
+      }
+    }
+    val rawStrips = (0 until h by rowsPerStrip).map { y0 =>
+      java.util.Arrays.copyOfRange(data, y0 * w * spp,
+        math.min(h, y0 + rowsPerStrip) * w * spp)
+    }
+    val strips = rawStrips.map { raw =>
+      if (!packbits) raw
+      else {
+        val out = new java.io.ByteArrayOutputStream(raw.length + 16)
+        var i = 0
+        while (i < raw.length) {
+          var run = 1
+          while (i + run < raw.length && raw(i + run) == raw(i) && run < 128)
+            run += 1
+          if (run >= 2) { out.write(1 - run); out.write(raw(i)); i += run }
+          else {
+            var j = i + 1
+            while (j < raw.length && j - i < 128 &&
+              !(j + 2 < raw.length && raw(j) == raw(j + 1) &&
+                raw(j) == raw(j + 2))) j += 1
+            out.write(j - i - 1); out.write(raw, i, j - i); i = j
+          }
+        }
+        out.toByteArray
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream(data.length + 512)
+    def w16(v: Int): Unit =
+      if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit =
+      if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      else { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+
+    // [header][strip data][pad][IFD][aux values]
+    out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+    w16(42)
+    val stripOffsets = strips.scanLeft(8)(_ + _.length).init
+    val dataEnd = 8 + strips.map(_.length).sum
+    val ifdOff = dataEnd + (dataEnd & 1) // IFDs sit at even offsets
+    w32(ifdOff)
+    strips.foreach(s => out.write(s, 0, s.length))
+    if ((dataEnd & 1) == 1) out.write(0)
+
+    case class Entry(tag: Int, tpe: Int, count: Int,
+      inline: Option[Int], aux: Seq[Int])
+    val multiStrip = strips.length > 1
+    val entries = Seq(
+      Entry(256, 3, 1, Some(w), Nil),
+      Entry(257, 3, 1, Some(h), Nil),
+      if (spp == 1) Entry(258, 3, 1, Some(8), Nil)
+      else Entry(258, 3, spp, None, Seq.fill(spp)(8)),
+      Entry(259, 3, 1, Some(if (packbits) 32773 else 1), Nil),
+      Entry(262, 3, 1, Some(photometric), Nil),
+      if (multiStrip) Entry(273, 4, strips.length, None, stripOffsets)
+      else Entry(273, 4, 1, Some(stripOffsets.head), Nil),
+      Entry(277, 3, 1, Some(spp), Nil),
+      Entry(278, 3, 1, Some(rowsPerStrip), Nil),
+      if (multiStrip) Entry(279, 4, strips.length, None,
+        strips.map(_.length))
+      else Entry(279, 4, 1, Some(strips.head.length), Nil),
+      Entry(284, 3, 1, Some(1), Nil)) ++ // chunky planar config
+      (if (photometric == 3)
+        Seq(Entry(320, 3, 768, None,
+          // entry i: the truecolor derivation of i, as v*257
+          (0 until 256).map(i => i * 257) ++
+            (0 until 256).map(i => ((i + 85) % 256) * 257) ++
+            (0 until 256).map(i => ((i + 170) % 256) * 257)))
+      else Nil) ++
+      // the 4th sample is declared unassociated alpha (tag 338) so
+      // foreign readers agree with our interpretation
+      (if (spp == 4) Seq(Entry(338, 3, 1, Some(2), Nil)) else Nil)
+
+    w16(entries.length)
+    var auxOff = ifdOff + 2 + entries.length * 12 + 4
+    entries.foreach { en =>
+      w16(en.tag); w16(en.tpe); w32(en.count)
+      en.inline match {
+        case Some(v) =>
+          // a SHORT value occupies the slot's first two bytes in the
+          // file's byte order; a LONG fills it
+          if (en.tpe == 3) { w16(v); w16(0) } else w32(v)
+        case None =>
+          w32(auxOff)
+          auxOff += en.aux.length * (if (en.tpe == 3) 2 else 4)
+      }
+    }
+    w32(0) // no next IFD
+    entries.foreach { en =>
+      if (en.inline.isEmpty)
+        en.aux.foreach(v => if (en.tpe == 3) w16(v) else w32(v))
+    }
+    out.toByteArray
+  }
+
   // ── FLAC (lossless closed-form samples; [[Flac]] decodes) ────────
 
   def flacChannels(docId: Long): Int = 1 + (docId % 2).toInt

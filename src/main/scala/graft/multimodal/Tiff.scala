@@ -1,0 +1,231 @@
+package graft.multimodal
+
+/** Baseline TIFF pixel decode — pure JVM, public spec (TIFF 6.0):
+  * the scan/dataset interchange format onto the real pixel path.
+  * Scope (the baseline-TIFF profile):
+  *
+  *  - both byte orders (`II` little-endian, `MM` big-endian), the
+  *    42 magic, first-IFD walk with inline-vs-offset values
+  *    (BYTE/SHORT/LONG entry types);
+  *  - photometric interpretations 0 (WhiteIsZero — samples inverted
+  *    on decode), 1 (BlackIsZero), 2 (RGB, 3 or 4 samples — the 4th
+  *    treated as alpha) and 3 (palette-color through the 16-bit
+  *    ColorMap, high byte);
+  *  - 8-bit samples, chunky planar configuration, multi-strip images
+  *    (StripOffsets/StripByteCounts/RowsPerStrip), compression 1
+  *    (none) and 32773 (PackBits, decoded per strip with the
+  *    -128 no-op rule).
+  *
+  * Everything else (bilevel/16-bit, LZW/JPEG-in-TIFF, tiles, planar
+  * 2) returns None — the documented boundary; the format's long tail
+  * is endless, and this profile covers the bulk of scanned/exported
+  * corpora. Independent pins: the closed-form gate oracle AND
+  * ImageIoDifferentialSpec (the JDK ships its own TIFF reader).
+  * Same totality contract as every decoder (DecoderFuzzSpec). */
+object Tiff {
+
+  private val MaxPixels = 16L * 1024 * 1024
+
+  private final class Malformed extends RuntimeException(null, null, false, false)
+
+  def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try decode0(b)
+    catch { case _: Malformed | _: ArrayIndexOutOfBoundsException |
+      _: NegativeArraySizeException => None }
+
+  private def decode0(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 8) return None
+    val le = if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(p: Int): Int = {
+      if (p + 2 > b.length) throw new Malformed
+      if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    }
+    def u32(p: Int): Long = {
+      if (p + 4 > b.length) throw new Malformed
+      if (le) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    var width = 0; var height = 0
+    var bits = Array(1) // BitsPerSample defaults to 1 per spec
+    var compression = 1
+    var photometric = -1
+    var spp = 1
+    var rowsPerStrip = Long.MaxValue
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var colorMap: Array[Int] = null // 3 * 2^bits SHORT values
+    var planar = 1
+
+    var e = 0
+    while (e < n) {
+      val p = ifd.toInt + 2 + e * 12
+      if (p + 12 > b.length) return None
+      val tag = u16(p)
+      val tpe = u16(p + 2)
+      val count = u32(p + 4)
+      if (count < 0 || count > (1 << 20)) throw new Malformed
+      val elemSize = tpe match {
+        case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+        case 3 | 8 => 2 // SHORT
+        case 4 | 9 => 4 // LONG
+        case 5 | 10 => 8 // RATIONAL
+        case _ => 0
+      }
+      // values live inline when they fit the 4-byte slot
+      val valAt =
+        if (elemSize > 0 && elemSize * count <= 4) p + 8
+        else u32(p + 8).toInt
+      def ints(i: Int): Long = tpe match {
+        case 1 => if (valAt + i >= b.length) throw new Malformed
+          else b(valAt + i) & 0xffL
+        case 3 => u16(valAt + 2 * i).toLong
+        case 4 => u32(valAt + 4 * i)
+        case _ => throw new Malformed
+      }
+      tag match {
+        case 256 => width = ints(0).toInt
+        case 257 => height = ints(0).toInt
+        case 258 => bits = Array.tabulate(count.toInt)(ints(_).toInt)
+        case 259 => compression = ints(0).toInt
+        case 262 => photometric = ints(0).toInt
+        case 273 => stripOffsets = Array.tabulate(count.toInt)(ints)
+        case 277 => spp = ints(0).toInt
+        case 278 => rowsPerStrip = ints(0)
+        case 279 => stripCounts = Array.tabulate(count.toInt)(ints)
+        case 284 => planar = ints(0).toInt
+        case 320 => colorMap = Array.tabulate(count.toInt)(ints(_).toInt)
+        case _ => // ancillary tags skipped
+      }
+      e += 1
+    }
+
+    // the supported profile
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height > MaxPixels) return None
+    if (planar != 1) return None
+    if (compression != 1 && compression != 32773) return None
+    if (!bits.forall(_ == 8)) return None
+    val channels = photometric match {
+      case 0 | 1 => 1
+      case 2 => if (spp == 3 || spp == 4) spp else return None
+      case 3 => 1
+      case _ => return None
+    }
+    if (photometric != 2 && spp != channels) return None
+    if (photometric == 3 &&
+      (colorMap == null || colorMap.length < 3 * 256)) return None
+    if (stripOffsets == null) return None
+    val counts =
+      if (stripCounts != null) stripCounts
+      else if (compression == 1 && stripOffsets.length == 1)
+        Array(width.toLong * height * channels) // spec allows omission
+      else return None
+    if (counts.length != stripOffsets.length) return None
+
+    // concatenate decoded strip bytes
+    val rowBytes = width * channels
+    val data = new Array[Byte](rowBytes * height)
+    var got = 0
+    var s = 0
+    while (s < stripOffsets.length && got < data.length) {
+      val off = stripOffsets(s)
+      val len = counts(s)
+      if (off < 0 || len < 0 || off + len > b.length) return None
+      if (compression == 1) {
+        val take = math.min(len, (data.length - got).toLong).toInt
+        System.arraycopy(b, off.toInt, data, got, take)
+        got += take
+      } else { // PackBits
+        var p = off.toInt
+        val end = (off + len).toInt
+        while (p < end && got < data.length) {
+          val ctl = b(p); p += 1
+          if (ctl >= 0) { // literal run of ctl+1 bytes
+            val cnt = math.min(ctl + 1, data.length - got)
+            if (p + ctl + 1 > end) return None
+            System.arraycopy(b, p, data, got, cnt)
+            got += cnt; p += ctl + 1
+          } else if (ctl != -128) { // repeat next byte 1-ctl times
+            if (p >= end) return None
+            val cnt = math.min(1 - ctl, data.length - got)
+            java.util.Arrays.fill(data, got, got + cnt, b(p))
+            got += cnt; p += 1
+          } // -128: no-op
+        }
+      }
+      s += 1
+    }
+    if (got < data.length) return None
+
+    val out = new Array[Int](width * height)
+    var i = 0
+    while (i < out.length) {
+      val q = i * channels
+      out(i) = photometric match {
+        case 0 =>
+          val g = 255 - (data(q) & 0xff) // WhiteIsZero
+          0xff000000 | (g << 16) | (g << 8) | g
+        case 1 =>
+          val g = data(q) & 0xff
+          0xff000000 | (g << 16) | (g << 8) | g
+        case 3 =>
+          val idx = data(q) & 0xff
+          // ColorMap entries are 16-bit; the 8-bit projection is the
+          // high byte (entries here are v*257 so this is exact)
+          0xff000000 | ((colorMap(idx) >> 8) << 16) |
+            ((colorMap(256 + idx) >> 8) << 8) | (colorMap(512 + idx) >> 8)
+        case _ =>
+          val a = if (channels == 4) data(q + 3) & 0xff else 255
+          (a << 24) | ((data(q) & 0xff) << 16) |
+            ((data(q + 1) & 0xff) << 8) | (data(q + 2) & 0xff)
+      }
+      i += 1
+    }
+    Some((width, height, out))
+  }
+
+  /** Gate surface (`mm_tiff_decode`): synthesize a real TIFF per
+    * document ([[MediaSynth.tiff]] — byte order by parity,
+    * photometric class by doc_id % 4 with the WhiteIsZero class
+    * storing inverted samples so every class decodes to the same
+    * closed forms, PackBits on the doc_id % 3 == 1 class,
+    * multi-strip throughout), decode through the full production
+    * path, and report the pixel statistics the oracle recomputes
+    * from doc_id closed forms. Rows with doc_id % 5 == 3 get a
+    * TRUNCATED stream and owe the (-1,-1,-1,-1) fallback. */
+  def decodeReport(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map { id =>
+        val full = MediaSynth.tiff(id)
+        val payload = if (id % 5 == 3) full.take(16) else full
+        decodePixels(payload) match {
+          case Some((w, h, px)) =>
+            var sum = 0L; var wsum = 0L
+            var i = 0
+            while (i < px.length) {
+              val rgb = ((px(i) >> 16) & 0xff) + ((px(i) >> 8) & 0xff) +
+                (px(i) & 0xff)
+              val x = i % w; val y = i / w
+              sum += rgb
+              wsum += rgb.toLong * (1L + x + w.toLong * y)
+              i += 1
+            }
+            (id, w.toLong, h.toLong, sum, wsum)
+          case None => (id, -1L, -1L, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "w", "h", "pix_sum", "pix_wsum")
+  }
+}

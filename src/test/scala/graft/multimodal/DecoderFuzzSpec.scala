@@ -37,7 +37,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "pngPixels" -> (b => Png.decodePixels(b)),
     "gifPixels" -> (b => Gif.decodePixels(b)),
     "webpPixels" -> (b => Webp.decodePixels(b)),
-    "flacPcm" -> (b => Flac.decodePcm(b)))
+    "flacPcm" -> (b => Flac.decodePcm(b)),
+    "tiffPixels" -> (b => Tiff.decodePixels(b)))
 
   private def assertTotal(label: String, payload: Array[Byte]): Unit =
     decoders.foreach { case (name, f) =>
@@ -70,7 +71,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
         "AVI ".getBytes),
       "riff-webp" -> ("RIFF".getBytes ++ Array[Byte](0x10, 0, 0, 0) ++
         "WEBPVP8L".getBytes ++ Array[Byte](8, 0, 0, 0, 0x2f)),
-      "flac" -> "fLaC".getBytes)
+      "flac" -> "fLaC".getBytes,
+      "tiff-ii" -> Array[Byte]('I', 'I', 42, 0),
+      "tiff-mm" -> Array[Byte]('M', 'M', 0, 42))
     for ((tag, magic) <- magics; i <- 0 until 60) {
       val len = (Mix.splitmix64(i * 104729L + tag.hashCode).abs % 512L).toInt
       assertTotal(s"$tag#$i", magic ++ bytes(i + 31L, len))
@@ -103,7 +106,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "flac-mono" -> MediaSynth.flac(4L),
       "flac-stereo" -> MediaSynth.flac(9L),
       "flac-wasted" -> MediaSynth.flac(6L), // 6 % 13 == 6
-      "flac-variable" -> MediaSynth.flac(15L)) // 15 % 11 == 4
+      "flac-variable" -> MediaSynth.flac(15L), // 15 % 11 == 4
+      "tiff-packbits" -> MediaSynth.tiff(1L),
+      "tiff-palette" -> MediaSynth.tiff(2L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream
@@ -136,7 +141,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "webp-color-transform" -> MediaSynth.webp(19L), // 19 % 7 == 5
       "webp-meta" -> MediaSynth.webp(27L), // 27 % 7 == 6
       "flac-stereo" -> MediaSynth.flac(17L),
-      "flac-escape" -> MediaSynth.flac(3L))
+      "flac-escape" -> MediaSynth.flac(3L),
+      "tiff-white-zero" -> MediaSynth.tiff(3L))
     for ((tag, real) <- reals) {
       val stride = math.max(1, real.length / 127)
       var n = 0

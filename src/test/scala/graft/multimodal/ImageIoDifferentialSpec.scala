@@ -92,6 +92,15 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
         viaImageIo(MediaSynth.gif(id)))
   }
 
+  test("TIFF: byte orders, photometric classes and PackBits match javax.imageio exactly") {
+    // 48 ids cover II/MM, gray/RGB/RGBA/palette/WhiteIsZero,
+    // uncompressed/PackBits, the -128 no-op class, multi-strip
+    for (id <- 0L until 48L)
+      same(s"tiff id=$id pm=${MediaSynth.tiffPhotometric(id)}",
+        Tiff.decodePixels(MediaSynth.tiff(id)),
+        viaImageIo(MediaSynth.tiff(id)))
+  }
+
   test("BMP: the dedup fixture payloads match javax.imageio exactly") {
     // ImageDedup's BMP decoder vs the JDK's on the synthetic 24-bit
     // fixtures (bottom-up rows, padding)

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline TIFF decoder: writer→decoder roundtrip across byte
+  * orders, photometric classes (BlackIsZero / RGB / RGBA / palette /
+  * WhiteIsZero), PackBits (incl. the -128 no-op), multi-strip
+  * layouts, the profile boundary, and totality. Pure JVM. */
+class TiffSpec extends AnyFunSuite {
+
+  test("writer->decoder roundtrip is pixel-exact across byte orders and photometric classes") {
+    // 48 ids = 12 cycles of the %4 photometric classes under both
+    // byte orders, both compressions, the RGBA half, the no-op class
+    for (id <- 0L until 48L) {
+      val got = Tiff.decodePixels(MediaSynth.tiff(id))
+      assert(got.isDefined, s"id=$id pm=${MediaSynth.tiffPhotometric(id)}")
+      val (w, h, px) = got.get
+      assert((w, h) === ((MediaSynth.tiffW(id), MediaSynth.tiffH(id))), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = MediaSynth.tiffGray(id, x, y)
+        val p = px(y * w + x)
+        val (er, eg, eb) = MediaSynth.tiffPhotometric(id) match {
+          case 0 | 1 => (g, g, g)
+          case _ => (g, (g + 85) % 256, (g + 170) % 256)
+        }
+        val ea = if (id % 8 == 1) (g + 31) % 256 else 255
+        assert(((p >>> 24), (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          === ((ea, er, eg, eb)),
+          s"id=$id px($x,$y) pm=${MediaSynth.tiffPhotometric(id)}")
+      }
+    }
+  }
+
+  test("PackBits 0x80 control is a no-op per TIFF 6.0 (hand-built strip; the JDK disagrees, so the writer never emits it)") {
+    // 4x2 gray, one PackBits strip: [noop][repeat 10 x4][noop]
+    // [literal 20 30 40 50]
+    val strip = Array[Byte](-128, -3, 10, -128, 3, 20, 30, 40, 50)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write('I'); out.write('I'); w16(42)
+    val ifdOff = 8 + strip.length + (strip.length & 1)
+    w32(ifdOff)
+    out.write(strip, 0, strip.length)
+    if ((strip.length & 1) == 1) out.write(0)
+    val entries = Seq( // (tag, type, count, inlineValue)
+      (256, 3, 1, 4), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 32773),
+      (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 2),
+      (279, 4, 1, strip.length), (284, 3, 1, 1))
+    w16(entries.length)
+    entries.foreach { case (tag, tpe, count, v) =>
+      w16(tag); w16(tpe); w32(count)
+      if (tpe == 3) { w16(v); w16(0) } else w32(v)
+    }
+    w32(0)
+    val Some((w, h, px)) = Tiff.decodePixels(out.toByteArray)
+    assert((w, h) === ((4, 2)))
+    assert(px.map(_ & 0xff).toSeq === Seq(10, 10, 10, 10, 20, 30, 40, 50))
+  }
+
+  test("truncation at every prefix length returns None, never throws") {
+    for (id <- Seq(1L, 4L)) { // PackBits+MM and none+II classes
+      val bytes = MediaSynth.tiff(id)
+      for (n <- 0 until bytes.length)
+        assert(Tiff.decodePixels(bytes.take(n)) === None, s"id=$id prefix $n")
+    }
+  }
+
+  test("corrupting any single byte either decodes or returns None, never throws") {
+    for (id <- Seq(0L, 1L, 2L, 3L)) {
+      val bytes = MediaSynth.tiff(id)
+      for (i <- bytes.indices) {
+        val mut = bytes.clone(); mut(i) = (mut(i) ^ 0x40).toByte
+        Tiff.decodePixels(mut) // totality
+      }
+    }
+  }
+
+  test("profile boundary: LZW/tiled/planar-2/bilevel decline; imageHash dispatches TIFF") {
+    val base = MediaSynth.tiff(0L) // II, uncompressed gray
+    // patch the Compression entry (tag 259) to LZW (5): entries are
+    // 12 bytes from IFD+2; find the tag by scan
+    def patched(tag: Int, newVal: Int): Array[Byte] = {
+      val m = base.clone()
+      def u16(p: Int): Int = (m(p) & 0xff) | ((m(p + 1) & 0xff) << 8)
+      val ifd = (m(4) & 0xff) | ((m(5) & 0xff) << 8) |
+        ((m(6) & 0xff) << 16) | ((m(7) & 0xff) << 24)
+      val n = u16(ifd)
+      for (e <- 0 until n) {
+        val p = ifd + 2 + e * 12
+        if (u16(p) == tag) { m(p + 8) = (newVal & 0xff).toByte
+          m(p + 9) = ((newVal >> 8) & 0xff).toByte }
+      }
+      m
+    }
+    assert(Tiff.decodePixels(patched(259, 5)) === None, "LZW declines")
+    assert(Tiff.decodePixels(patched(284, 2)) === None, "planar-2 declines")
+    assert(Tiff.decodePixels(patched(258, 1)) === None, "bilevel declines")
+    assert(Tiff.decodePixels(base).isDefined, "patch harness sanity")
+    // dispatch: the TIFF path feeds the real aHash, not the stub
+    val Some((w, h, px)) = Tiff.decodePixels(base)
+    assert(ImageDedup.imageHash(base) === ImageDedup.aHash64(w, h, px).get)
+  }
+}
