@@ -336,6 +336,11 @@ object SparkEntry {
     // compressed-crawl ingestion: per-doc gzip members decoded
     // through the production gunzip (truncated rows pin the
     // fallback); counts of the DECODED text against the plain column
+    // deflate content-encoding ingest: BOTH wild flavors (zlib
+    // wrapper and raw deflate) through one sniff; oracle = the
+    // decoded text's counts (the gzip gate's shape)
+    "text_deflate_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.deflateIngestReport(s, dir)),
     // streaming gzip ingest: ordered batches through the delta-log
     // (mid-stream staged compaction) must reassemble to EXACTLY the
     // one-shot batch report — the oracle is the batch twin's SQL
@@ -2710,6 +2715,16 @@ object SparkEntry {
     // count, the text_tokens definitions); truncated members
     // (id % 5 = 3) owe the (-1, -1) fallback
     "text_gzip_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    // deflate-ingest: decoded counts from the plain text column;
+    // truncated members (id % 5 = 3) owe the (-1, -1) fallback
+    "text_deflate_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
         |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))

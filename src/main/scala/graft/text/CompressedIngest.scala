@@ -50,6 +50,81 @@ object CompressedIngest {
     }
   }
 
+  /** Decompress one DEFLATE document — the HTTP `deflate`
+    * content-encoding a crawl carries alongside gzip, which arrives
+    * in two incompatible flavors in the wild: the RFC 2616-correct
+    * zlib wrapper (RFC 1950) and the widespread raw-deflate
+    * misimplementation (RFC 1951 with no wrapper). Tries the zlib
+    * form first, then raw — the sniff order every robust HTTP client
+    * uses. Same totality and bomb-guard contract as [[gunzip]]. */
+  def inflate(b: Array[Byte], maxLen: Int = MaxBytes): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 3, 4096))
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          // a zero-output call can BE the finishing call (empty
+          // payload): only an UNfinished stream wanting input is
+          // truncated
+          if (n == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated / preset-dictionary stream
+          if (out.size() + n > maxLen) return None
+          out.write(buf, 0, n)
+        }
+        Some(out.toByteArray)
+      } catch {
+        case _: java.util.zip.DataFormatException |
+          _: RuntimeException | _: ArrayIndexOutOfBoundsException => None
+      } finally inf.end() // release native zlib state (ADVICE r13)
+    }
+    run(nowrap = false).orElse(run(nowrap = true))
+  }
+
+  /** The matching writers (fixture side): zlib-wrapped and raw
+    * deflate via `Deflater` — the gate depends only on
+    * decode(encode(x)) == x. */
+  def zlib(b: Array[Byte]): Array[Byte] = deflate0(b, nowrap = false)
+  def rawDeflate(b: Array[Byte]): Array[Byte] = deflate0(b, nowrap = true)
+
+  private def deflate0(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Gate surface (`text_deflate_ingest`): per document, deflate the
+    * text — the zlib wrapper on even ids, RAW deflate on odd (both
+    * wild flavors of the `deflate` content-encoding) — truncate the
+    * id % 5 == 3 members, decode through [[inflate]], and report the
+    * decoded token/char counts (the gzip gate's oracle shape). */
+  def deflateIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val full = if (id % 2 == 0) zlib(raw) else rawDeflate(raw)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        inflate(payload) match {
+          case Some(bytes) =>
+            val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            (id, t.split("\\s+").count(_.nonEmpty).toLong,
+              t.codePointCount(0, t.length).toLong)
+          case None => (id, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_chars")
+  }
+
   /** The matching writer (fixture side): one RFC 1952 member via
     * `GZIPOutputStream` — byte layout is the JDK's, but the GATE
     * never depends on the compressed bytes, only on decode(encode(x))

@@ -50,4 +50,27 @@ class CompressedIngestSpec extends AnyFunSuite {
     assert(CompressedIngest.gunzip(a ++ b).map(new String(_, "UTF-8"))
       === Some("first doc second doc"))
   }
+  test("deflate: both wild flavors (zlib-wrapped and raw) roundtrip through one sniff") {
+    for (text <- Seq("", "hello deflate world", "\u00e9\u4e2d\ud83d\ude00 mixed",
+        ("token " * 500).trim)) {
+      val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      for (enc <- Seq(CompressedIngest.zlib(raw), CompressedIngest.rawDeflate(raw)))
+        assert(CompressedIngest.inflate(enc).map(
+          new String(_, java.nio.charset.StandardCharsets.UTF_8)) === Some(text))
+    }
+  }
+
+  test("deflate: truncation prefixes and the bomb guard decline, never throw") {
+    val raw = ("word " * 200).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    for (enc <- Seq(CompressedIngest.zlib(raw), CompressedIngest.rawDeflate(raw))) {
+      for (n <- 0 until enc.length) {
+        val got = CompressedIngest.inflate(enc.take(n))
+        // a prefix either declines or (raw-retry pathology) yields
+        // SOMETHING -- it must never equal the full payload or throw
+        assert(got.forall(_.length < raw.length), s"prefix $n")
+      }
+      assert(CompressedIngest.inflate(enc, maxLen = 10) === None, "bomb guard")
+    }
+  }
+
 }
