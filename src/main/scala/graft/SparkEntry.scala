@@ -3106,13 +3106,18 @@ object SparkEntry {
     // image near-dup: the per-image hashes are the dumped faith (the
     // decode, real or stub, happened in the JVM); banding, bucket cap
     // and the Hamming verify are the dedup_simhash oracle verbatim
-    "mm_image_dedup" -> mediaPairsOracle("imghash_sigs", imgHashGlob),
+    "mm_image_dedup" -> mediaPairsOracle("imghash_sigs",
+      graft.multimodal.ImageDedup.lastBase, imgHashGlob),
     // JPEG-decode-fed perceptual pairs: same dumped-sig oracle — the
     // decode is the faith, the pair machinery is re-derived
-    "mm_image_dedup_jpeg" -> mediaPairsOracle("jpeghash_sigs", jpegHashGlob),
-    "mm_image_dedup_png" -> mediaPairsOracle("pnghash_sigs", pngHashGlob),
-    "mm_image_dedup_gif" -> mediaPairsOracle("gifhash_sigs", gifHashGlob),
-    "mm_image_dedup_webp" -> mediaPairsOracle("webphash_sigs", webpHashGlob),
+    "mm_image_dedup_jpeg" -> mediaPairsOracle("jpeghash_sigs",
+      graft.multimodal.Jpeg.lastDedupBase, jpegHashGlob),
+    "mm_image_dedup_png" -> mediaPairsOracle("pnghash_sigs",
+      graft.multimodal.Png.lastDedupBase, pngHashGlob),
+    "mm_image_dedup_gif" -> mediaPairsOracle("gifhash_sigs",
+      graft.multimodal.Gif.lastDedupBase, gifHashGlob),
+    "mm_image_dedup_webp" -> mediaPairsOracle("webphash_sigs",
+      graft.multimodal.Webp.lastDedupBase, webpHashGlob),
     // decoded-TIFF pixel statistics from doc_id closed forms: dims
     // (8 + id%9, 8 + id%6), gray (id*29 + x*37 + y*53) % 256, the
     // photometric classes' channel derivation (id%4 in (0,3) -> gray
@@ -3144,24 +3149,30 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 5 = 3 THEN -1 ELSE ok.pix_wsum END AS pix_wsum
         |FROM documents d JOIN ok ON ok.doc_id = d.doc_id""".stripMargin,
     "mm_flac_decode" -> flacDecodeSql,
-    "mm_audio_dedup_flac" -> mediaPairsOracle("flachash_sigs", flacHashGlob),
+    "mm_audio_dedup_flac" -> mediaPairsOracle("flachash_sigs",
+      graft.multimodal.Flac.lastDedupBase, flacHashGlob),
     "mm_image_dedup_stream" ->
-      mediaPairsOracle("jpegstreamhash_sigs", jpegStreamHashGlob),
+      mediaPairsOracle("jpegstreamhash_sigs",
+        graft.streaming.MediaStream.lastBase, jpegStreamHashGlob),
     // the scale path owes the ALL-PAIRS Hamming <= 15 ground truth
     // (not its own plumbing): collapse expansion + wide pigeonhole
     // must reach FULL recall, including the identical-sig stub clique
     "mm_image_dedup_wide" -> allPairsHamming15Sql(jpegWideHashGlob),
     // audio near-dup: identical oracle shape over the audio
     // fingerprint dump (energy-delta over real PCM / byte fallback)
-    "mm_audio_dedup" -> mediaPairsOracle("audhash_sigs", audHashGlob),
+    "mm_audio_dedup" -> mediaPairsOracle("audhash_sigs",
+      graft.multimodal.AudioDedup.lastBase, audHashGlob),
     // filterbank (Haitsma-Kalker) audio near-dup: same oracle shape
     // over the spectral fingerprint dump
-    "mm_audio_dedup_fb" -> mediaPairsOracle("audfb_sigs", audFbGlob),
+    "mm_audio_dedup_fb" -> mediaPairsOracle("audfb_sigs",
+      graft.multimodal.AudioDedup.lastFbBase, audFbGlob),
     // video near-dup: identical oracle shape over the video dump
     // (temporal-majority frame aHashes / byte fallback)
-    "mm_video_dedup" -> mediaPairsOracle("vidhash_sigs", vidHashGlob),
+    "mm_video_dedup" -> mediaPairsOracle("vidhash_sigs",
+      graft.multimodal.VideoFrames.lastBase, vidHashGlob),
     "mm_video_dedup_mjpeg" ->
-      mediaPairsOracle("vidmjpeghash_sigs", vidMjpegGlob),
+      mediaPairsOracle("vidmjpeghash_sigs",
+        graft.multimodal.VideoFrames.lastMjpegBase, vidMjpegGlob),
     "mm_kind_summary" ->
       s"""SELECT kind, count(*) AS n,
          |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
@@ -4016,8 +4027,9 @@ object SparkEntry {
     * queries ran, so the per-kind regime record is authoritative
     * here — ADVICE r13: previously a corpus crossing the regime
     * boundary would hash-mismatch even with a correct engine). */
-  private def mediaPairsOracle(dumpKind: String, glob: String): String =
-    if (graft.multimodal.SigDump.pickedWide(dumpKind))
+  private def mediaPairsOracle(dumpKind: String, base: String,
+      glob: String): String =
+    if (graft.multimodal.SigDump.pickedWide(dumpKind, base))
       allPairsHamming15Sql(glob)
     else mediaHashPairsSql(glob)
 

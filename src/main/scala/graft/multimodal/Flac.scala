@@ -310,9 +310,9 @@ object Flac {
         f += 1
       }
       if (totalSamples > 0 && got >= totalSamples) {
-        // trailing bytes after the declared sample count are not a
-        // valid stream continuation
-        if (r.pos != b.length) return None
+        // stop at the STREAMINFO-declared sample count; trailing bytes
+        // (ID3v1 tags, padding junk) are common in wild files and do
+        // not invalidate the decoded audio
         return finish(rate, channels, out, grow, got, totalSamples)
       }
     }
@@ -423,6 +423,11 @@ object Flac {
         var k = 0
         while (k < count) {
           val q = r.unary()
+          // q << param must not overflow Int: a hostile stream can
+          // drive unary q arbitrarily high; decode-or-reject, never
+          // silently wrap into garbage samples
+          if (param > 0 && q >= (1 << (31 - param))) throw new Malformed
+          if (q > 0x3fffffff) throw new Malformed
           val v = (q << param) | r.read(param)
           dst(i) = (v >>> 1) ^ -(v & 1) // zigzag
           i += 1; k += 1

@@ -1425,7 +1425,7 @@ object MediaSynth {
         val subW = (w + 7) >> 3; val subH = (h + 7) >> 3
         def mode(bx: Int, by: Int): Int = (bx + by * 3 + seed) % 14
         bw.bit(1); bw.bits(0, 2)
-        bw.bits(bits - 3, 3)
+        bw.bits(bits - 2, 3) // field stores (bits - 2), RFC 9649 §4.1
         val sub = Array.tabulate(subH, subW)((by, bx) =>
           0xff000000 | (mode(bx, by) << 8)).flatten
         writeEntropyLiteral(bw, sub, isMain = false)
@@ -1459,7 +1459,7 @@ object MediaSynth {
           0xff000000 | (r2b << 16) | (g2b << 8) | g2r
         }
         bw.bit(1); bw.bits(1, 2)
-        bw.bits(bits - 3, 3)
+        bw.bits(bits - 2, 3) // field stores (bits - 2), RFC 9649 §4.1
         val sub = Array.tabulate(subH, subW)((by, bx) => elem(bx, by)).flatten
         writeEntropyLiteral(bw, sub, isMain = false)
         bw.bit(0)

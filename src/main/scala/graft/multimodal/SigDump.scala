@@ -55,15 +55,17 @@ private[graft] object SigDump {
     * the regime-switch spec, the lastHashMinIters convention). */
   @volatile private[graft] var lastWide: Boolean = false
 
-  /** Per-dump-kind regime record — the oracle selection in
-    * SparkEntry reads this AFTER the query ran (Verify dumps
+  /** Per-(dumpKind, dump base) regime record — the oracle selection
+    * in SparkEntry reads this AFTER the query ran (Verify dumps
     * oracle_sql.json last), so each family's oracle matches the plan
-    * its corpus actually took. */
+    * its corpus actually took. Keyed by base as well as kind so the
+    * same family run on two corpora in one session keeps both
+    * records (r14 What's-wrong #1: kind-only was last-write-wins). */
   private val regime =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
 
-  private[graft] def pickedWide(dumpKind: String): Boolean =
-    Option(regime.get(dumpKind)).exists(identity)
+  private[graft] def pickedWide(dumpKind: String, base: String): Boolean =
+    Option(regime.get((dumpKind, base))).exists(identity)
 
   def dumpAndPair(sigsRaw: DataFrame, dumpKind: String, sfDir: String,
       maxHamming: Int, maxBucket: Int)(recordBase: String => Unit): DataFrame = {
@@ -84,7 +86,7 @@ private[graft] object SigDump {
       if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0) / 8, st.getLong(1))
     val wide = maxOcc > maxBucket || n >= MediaWideAbove
     lastWide = wide
-    regime.put(dumpKind, wide)
+    regime.put((dumpKind, base), wide)
     if (wide)
       graft.dedup.Dedup.simhashPairsWideCollapsedOf(sigs, maxHamming,
         maxBucket)
@@ -102,7 +104,7 @@ private[graft] object SigDump {
     val base = new java.io.File(sfDir).getName
     graft.core.SideDump.write(sigs, dumpKind, base)
     recordBase(base)
-    regime.put(dumpKind, true)
+    regime.put((dumpKind, base), true)
     graft.dedup.Dedup.simhashPairsWideCollapsedOf(sigs, maxHamming, maxBucket)
   }
 }

@@ -187,8 +187,11 @@ object Webp {
             case 17 => (3 + br.bits(3), 0)
             case _ => (11 + br.bits(7), 0)
           }
+          // a repeat run that would write past the alphabet is a
+          // malformed stream (libwebp rejects it), not a clamp
+          if (symbol + repeat > alphabet) throw new MalformedWebp
           var r = repeat
-          while (r > 0 && symbol < alphabet) {
+          while (r > 0) {
             lens(symbol) = value; symbol += 1; r -= 1
           }
         }
@@ -623,7 +626,10 @@ object Webp {
       seen |= 1 << t
       t match {
         case 0 | 1 =>
-          val bits = 3 + br.bits(3)
+          // RFC 9649 §4.1/§4.2: size_bits field carries (bits - 2), so
+          // the block granularity is 2 + ReadBits(3) (NOT 3 + …, which is
+          // the LZ77 repeat bias at code 17 — a distinct field).
+          val bits = 2 + br.bits(3)
           val subW = (w + (1 << bits) - 1) >> bits
           val subH = (height + (1 << bits) - 1) >> bits
           val sub = decodeEntropyImage(br, subW, subH)

@@ -75,6 +75,12 @@ object CompressedIngest {
           if (out.size() + n > maxLen) return None
           out.write(buf, 0, n)
         }
+        // plausibility floor for the RAW fallback (r14 What's wrong
+        // #2): a stored-block reading of arbitrary bytes can
+        // terminate cleanly early; a genuine raw-deflate body is
+        // exactly the stream, so the parse must consume (almost) all
+        // of its input — slack 4 covers writer padding
+        if (nowrap && inf.getBytesRead < b.length - 4) return None
         Some(out.toByteArray)
       } catch {
         case _: java.util.zip.DataFormatException |

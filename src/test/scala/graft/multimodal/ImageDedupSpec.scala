@@ -187,7 +187,8 @@ class ImageDedupSpec extends SparkSpec {
     SigDump.dumpAndPair(small, "regime_probe_sigs", sf(), 15, 1000)(_ => ())
       .count()
     assert(!SigDump.lastWide)
-    assert(!SigDump.pickedWide("regime_probe_sigs"))
+    assert(!SigDump.pickedWide("regime_probe_sigs",
+      new java.io.File(sf()).getName))
   }
 
   test("low-entropy SUB-100k frame takes the wide path with full twin recall (r13 What's wrong #1)") {
@@ -211,13 +212,32 @@ class ImageDedupSpec extends SparkSpec {
       sf(), 15, 1000)(_ => ()).localCheckpoint()
     assert(SigDump.lastWide,
       "measured over-cap occupancy must route a sub-100k frame wide")
-    assert(SigDump.pickedWide("regime_probe_low_sigs"))
+    assert(SigDump.pickedWide("regime_probe_low_sigs",
+      new java.io.File(sf()).getName))
     // full twin recall through the AUTO-ROUTED path (not the explicit
     // wide entry): every (even, even+1) twin is Hamming 1 <= 15
     val twins = pairs.filter(col("j") === col("i") + 1 &&
       col("i") % 2 === 0).count()
     assert(twins === 2500L,
       s"auto-routed wide path must find every planted twin: $twins / 2500")
+  }
+
+  test("regime record keyed by (dumpKind, base): two corpora in one session keep both picks (r14 What's wrong #1)") {
+    import spark.implicits._
+    // SAME dump kind run on two corpora (distinct sfDir basenames):
+    // first a narrow (high-entropy) corpus, then a wide (low-entropy)
+    // one — kind-only keying was last-write-wins and would report the
+    // second corpus's regime for the first's oracle re-derivation
+    val kind = "regime_two_corpora_sigs"
+    val narrow = (0L until 100L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(narrow, kind, sf(), 15, 1000)(_ => ()).count()
+    val wide = (0L until 5000L).map(i => (i, (i % 4) * Long.MaxValue / 3))
+      .toDF("doc_id", "sig")
+    SigDump.dumpAndPair(wide, kind, sf("sf0.01"), 15, 1000)(_ => ()).count()
+    assert(!SigDump.pickedWide(kind, "sf0.001"),
+      "the narrow corpus's record must survive the wide corpus's run")
+    assert(SigDump.pickedWide(kind, "sf0.01"))
   }
 
   test("media pair tail also switches wide above the MediaWideAbove cost stop") {

@@ -44,6 +44,38 @@ class WebpSpec extends AnyFunSuite {
       assert(math.max(1, dy * w + dx) >= 1)
   }
 
+  test("transform size_bits field carries (blockBits - 2) in the raw bitstream (ADVICE r14)") {
+    // RFC 9649 §4.1/§4.2: `size_bits = ReadBits(3); block_size =
+    // 1 << (size_bits + 2)` — the field stores (bits - 2), NOT the
+    // (bits - 3) bias both sides carried through r14 (an encoder+
+    // decoder pair that drift TOGETHER still roundtrip, so this pin
+    // reads the raw bits with its own LSB reader, independent of
+    // Webp.Br and MediaSynth.BitW). Variants 4 (predictor) and 5
+    // (color transform) both encode 8-px blocks (bits = 3).
+    for (variant <- Seq(4, 5)) {
+      val bytes = MediaSynth.webpOf(24, 16, variant, 7,
+        (x, y) => 0xff000000 | ((x * 31 + y * 57) % 256) << 8)
+      // RIFF(12) + "VP8L" + size(8) = 20-byte offset to the 0x2f tag
+      assert(bytes(20) === 0x2f.toByte)
+      var pos = 21 * 8 // bit cursor, LSB-first within each byte
+      def rd(n: Int): Int = {
+        var v = 0
+        for (i <- 0 until n) {
+          v |= ((bytes(pos >> 3) >> (pos & 7)) & 1) << i
+          pos += 1
+        }
+        v
+      }
+      assert(rd(14) === 23, "width-1")
+      assert(rd(14) === 15, "height-1")
+      rd(1); assert(rd(3) === 0, "version")
+      assert(rd(1) === 1, "transform present")
+      assert(rd(2) === (if (variant == 4) 0 else 1), "transform type")
+      assert(rd(3) === 3 - 2,
+        s"variant $variant: size_bits field must store blockBits - 2")
+    }
+  }
+
   test("all 14 predictor modes roundtrip on a multi-block image") {
     // 40x24 with 8-px blocks = 5x3 = 15 blocks -> every mode appears
     val w = 40; val h = 24
