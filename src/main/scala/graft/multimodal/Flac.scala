@@ -26,9 +26,13 @@ package graft.multimodal
   * Output is (sampleRate, channels, mean-downmixed 16-bit samples) —
   * the exact shape [[AudioFeatures.decodeWavPcm]] emits, so the
   * fingerprint chains ([[AudioDedup.clipHash]]) consume it unchanged.
-  * Sample sizes over 16 bits return None (the documented boundary —
-  * the corpus and the dedup arithmetic are 16-bit; a 24-bit path
-  * would need a widened feature fold, not a lossy projection). Same
+  * Sample sizes of 17-24 bits (20- and 24-bit are common in archival
+  * audio) decode at full depth and are then EXPLICITLY projected into
+  * the 16-bit fingerprint domain — each reconstructed channel sample
+  * is floor-shifted `>> (bps - 16)` BEFORE the mean downmix, a
+  * documented projection (the fingerprint arithmetic is 16-bit), not
+  * a silent truncation. Sample sizes over 24 bits return None (the
+  * remaining documented boundary). Same
   * totality contract as every decoder here: a value or None on
   * arbitrary bytes, never a throw (DecoderFuzzSpec). */
 object Flac {
@@ -212,7 +216,12 @@ object Flac {
       p += 4 + len
     }
     if (!sawStreamInfo || rate <= 0) return None
-    if (bps > 16) return None // documented boundary
+    if (bps > 24) return None // documented boundary (>24-bit)
+    // explicit projection into the 16-bit fingerprint domain: each
+    // reconstructed channel sample floor-shifts by (bps - 16) before
+    // the mean downmix (exact for streams whose low bits ride a
+    // 16-bit signal; a documented projection otherwise)
+    val shift = if (bps > 16) bps - 16 else 0
     if (totalSamples > MaxFrames) return None
 
     val out = new Array[Short](
@@ -289,19 +298,24 @@ object Flac {
       // ── channel reconstruction + mean downmix ──
       var f = 0
       while (f < blockSize) {
+        // reconstruct each channel at full depth, project to the
+        // 16-bit domain, THEN mean-downmix — so >16-bit streams fold
+        // identically to their 16-bit projections
         val sum: Int = chAssign match {
           case 8 => // left, side: right = left - side
-            chans(0)(f) + (chans(0)(f) - chans(1)(f))
+            val l = chans(0)(f); val rr = l - chans(1)(f)
+            (l >> shift) + (rr >> shift)
           case 9 => // side, right: left = right + side
-            (chans(1)(f) + chans(0)(f)) + chans(1)(f)
+            val rr = chans(1)(f); val l = rr + chans(0)(f)
+            (l >> shift) + (rr >> shift)
           case 10 => // mid, side
             val mid2 = (chans(0)(f) << 1) | (chans(1)(f) & 1)
             val l = (mid2 + chans(1)(f)) >> 1
             val rr = (mid2 - chans(1)(f)) >> 1
-            l + rr
+            (l >> shift) + (rr >> shift)
           case _ =>
             var s = 0; var cc = 0
-            while (cc < nCh) { s += chans(cc)(f); cc += 1 }
+            while (cc < nCh) { s += chans(cc)(f) >> shift; cc += 1 }
             s
         }
         val m = (sum / nCh).toShort
@@ -337,7 +351,7 @@ object Flac {
       if (r.readBit() == 1) 1 + r.unary()
       else 0
     val eb = bps - wasted
-    if (eb <= 0 || eb > 17) throw new Malformed
+    if (eb <= 0 || eb > 25) throw new Malformed // 24-bit + 1 side bit
     tpe match {
       case 0 => // CONSTANT
         val v = r.signed(eb)

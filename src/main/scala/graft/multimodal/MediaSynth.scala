@@ -842,6 +842,31 @@ object MediaSynth {
     if ((docId + i / 64) % 5 == 0) flacSample(docId, ch, (i / 64) * 64)
     else flacSample(docId, ch, i)
 
+  /** Stream sample size: the id % 7 == 2 class carries REAL 24-bit
+    * streams (r14 ask #7). Their samples are the 16-bit closed form
+    * shifted up with a non-trivial low byte ([[flacLow]]), so the
+    * decoder's explicit `>> (bps - 16)` projection into the 16-bit
+    * fingerprint domain reproduces [[flacEffSample]] exactly — the
+    * `mm_flac_decode` oracle and every fingerprint gate are
+    * byte-for-byte unchanged while the streams themselves exercise
+    * the 24-bit subframe/residual paths. */
+  def flacBps(docId: Long): Int = if (docId % 7 == 2) 24 else 16
+
+  /** 24-bit class low byte — EVEN, so the wasted-bits class
+    * (id % 13 == 6) keeps its shared factor of 2. */
+  def flacLow(docId: Long, ch: Int, i: Int): Int =
+    ((docId * 13 + i * 7 + ch * 3) % 128).toInt * 2
+
+  /** Effective sample in the STREAM's bit depth (what flacOf
+    * encodes): the 24-bit class is s16 * 256 + low, floor-shifting
+    * back to s16 under the decoder's projection since low ∈ [0, 256). */
+  def flacEffStreamSample(docId: Long, ch: Int, i: Int): Int = {
+    val j = if ((docId + i / 64) % 5 == 0) (i / 64) * 64 else i
+    if (flacBps(docId) == 24)
+      flacSample(docId, ch, j) * 256 + flacLow(docId, ch, j)
+    else flacSample(docId, ch, j)
+  }
+
   def flac(docId: Long): Array[Byte] = flacOf(docId, docId.toInt)
 
   /** MSB-first bit sink (FLAC bit order) with byte-level access for
@@ -898,6 +923,7 @@ object MediaSynth {
     val nCh = flacChannels(docId)
     val n = flacFrames(docId)
     val rate = flacRate(docId)
+    val bps = flacBps(docId)
     val wasted = if (docId % 13 == 6) 1 else 0
     val B = 64
     val bw = new BitWMsb
@@ -908,7 +934,7 @@ object MediaSynth {
     bw.bits(0, 24); bw.bits(0, 24) // min/max framesize unknown
     bw.bits(rate, 20)
     bw.bits(nCh - 1, 3)
-    bw.bits(15, 5) // bps - 1 = 15
+    bw.bits(bps - 1, 5)
     bw.bitsLong(n.toLong, 36)
     for (_ <- 0 until 16) bw.bits(0, 8) // MD5 unavailable
 
@@ -932,7 +958,9 @@ object MediaSynth {
       val rateCode = if (rate == 8000 && (seed + b) % 2 == 0) 4 else 0
       bw.bits(rateCode, 4)
       bw.bits(if (assign == 0) nCh - 1 else assign, 4)
-      bw.bits(if ((seed + b) % 2 == 1) 0 else 4, 3) // bps: deferred/16
+      // bps code: deferred to STREAMINFO or explicit (4 = 16-bit,
+      // 6 = 24-bit)
+      bw.bits(if ((seed + b) % 2 == 1) 0 else if (bps == 24) 6 else 4, 3)
       bw.bit(0)
       // UTF-8 coded number (frame index, or first-sample index for
       // the variable-blocking class — the latter crosses 2 bytes)
@@ -944,7 +972,7 @@ object MediaSynth {
 
       // channel-transformed sequences
       val src = Array.tabulate(nCh, bs)((c, k) =>
-        flacEffSample(docId, c, off + k))
+        flacEffStreamSample(docId, c, off + k))
       val chans: Array[Array[Int]] = assign match {
         case 8 => Array(src(0), Array.tabulate(bs)(k => src(0)(k) - src(1)(k)))
         case 9 => Array(Array.tabulate(bs)(k => src(0)(k) - src(1)(k)), src(1))
@@ -966,7 +994,7 @@ object MediaSynth {
         // FIXED-4 stays off the corpus cycle (side-channel residuals
         // could reach ±64000, past the escape range) but is reachable
         // via forceTpe = 6 on MONO docs — FlacSpec drives it
-        writeFlacSubframe(bw, chans(c), 16 + extra, wasted,
+        writeFlacSubframe(bw, chans(c), bps + extra, wasted,
           if (forceTpe != -2 && bs > 4) forceTpe
           else if (constant) -1
           else if (bs <= 3) 0
@@ -996,9 +1024,15 @@ object MediaSynth {
     def writeWasted(): Unit =
       if (wasted > 0) { bw.bit(1); bw.unaryZeros(wasted - 1) } else bw.bit(0)
     def writeResiduals(res: Array[Int], order: Int): Unit = {
-      val rice2 = resSeed % 3 == 1
+      // the 24-bit domain's residuals run ~2^8 larger, so its Rice
+      // parameter is 21 — past the 4-bit field's 14 cap, forcing
+      // Rice2 — and its escape width 25 (FIXED-3 side residuals
+      // bound at 8 * 2^20 < 2^24)
+      val wide = bps > 17
+      val rice2 = resSeed % 3 == 1 || wide
       bw.bits(if (rice2) 1 else 0, 2)
       val paramBits = if (rice2) 5 else 4
+      val rawW = if (wide) 25 else 16
       val escaped = resSeed % 7 == 3 && n % 2 == 0 && n / 2 >= order
       bw.bits(if (escaped) 1 else 0, 4) // partition order
       val parts = if (escaped) 2 else 1
@@ -1006,13 +1040,13 @@ object MediaSynth {
       var part = 0
       while (part < parts) {
         val count = (n / parts) - (if (part == 0) order else 0)
-        if (part == 1) { // ESCAPE: raw signed 16-bit
+        if (part == 1) { // ESCAPE: raw signed rawW-bit
           bw.bits((1 << paramBits) - 1, paramBits)
-          bw.bits(16, 5)
+          bw.bits(rawW, 5)
           var k = 0
-          while (k < count) { bw.signed(res(i), 16); i += 1; k += 1 }
+          while (k < count) { bw.signed(res(i), rawW); i += 1; k += 1 }
         } else {
-          val param = 13
+          val param = if (wide) 21 else 13
           bw.bits(param, paramBits)
           var k = 0
           while (k < count) {

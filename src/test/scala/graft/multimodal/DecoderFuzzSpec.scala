@@ -106,6 +106,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "flac-mono" -> MediaSynth.flac(4L),
       "flac-stereo" -> MediaSynth.flac(9L),
       "flac-wasted" -> MediaSynth.flac(6L), // 6 % 13 == 6
+      "flac-24bit" -> MediaSynth.flac(16L), // 16 % 7 == 2
+      "flac-24bit-wasted" -> MediaSynth.flac(58L), // 58: 24-bit + wasted
       "flac-variable" -> MediaSynth.flac(15L), // 15 % 11 == 4
       "tiff-packbits" -> MediaSynth.tiff(1L),
       "tiff-palette" -> MediaSynth.tiff(2L))

@@ -114,11 +114,12 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decodePcm(Flac.dedupPayload(5L)) === None) // 5 % 9 == 5
   }
 
-  test("unsupported shapes decline: >16-bit streams, bad sync, empty") {
+  test("unsupported shapes decline: >24-bit streams, bad sync, empty") {
     assert(Flac.decodePcm(Array.emptyByteArray) === None)
     assert(Flac.decodePcm("fLaC".getBytes) === None)
-    // patch STREAMINFO bps-1 from 15 to 23 (24-bit): documented None
-    val bytes = MediaSynth.flac(2L)
+    // patch STREAMINFO bps-1 from 15 to 31 (32-bit): documented None
+    // (id 3 is a 16-bit doc — 3 % 7 != 2)
+    val bytes = MediaSynth.flac(3L)
     val m = bytes.clone()
     // bps-1 is 5 bits straddling bytes 20-21 of the stream
     // (fLaC(4) + hdr(4) + 10 bytes sizes + 20 bits rate + 3 bits ch):
@@ -126,5 +127,31 @@ class FlacSpec extends AnyFunSuite {
     // last bit of byte 20, low 4 bits the top of byte 21
     m(20) = (m(20) | 0x01).toByte // was 0 (15 = 0b01111), make 0b11111=31 -> bps 32
     assert(Flac.decodePcm(m) === None)
+  }
+
+  test("24-bit class (r14 ask #7): real 24-bit streams project exactly into the 16-bit domain") {
+    // id % 7 == 2 docs carry true 24-bit streams whose samples are
+    // s16 * 256 + an even non-trivial low byte; the decoder's
+    // per-channel >> 8 projection must reproduce the 16-bit closed
+    // form, so expectedMix (the fingerprint-domain oracle) holds
+    // unchanged. ids cross mono (16), stereo (9, 23), the
+    // wasted-bits interplay (58 = 6 mod 13), variable blocking
+    // (37 = 4 mod 11) and a constant-block doc (100 = 0 mod 5).
+    for (id <- Seq(2L, 9L, 16L, 23L, 37L, 58L, 100L)) {
+      assert(MediaSynth.flacBps(id) === 24, s"id=$id must be 24-bit")
+      // low byte non-trivial: the raw stream samples are NOT s16<<8
+      assert((0 until 8).exists(i => MediaSynth.flacLow(id, 0, i) != 0))
+      val bytes = MediaSynth.flac(id)
+      val got = Flac.decodePcm(bytes)
+      assert(got.isDefined, s"id=$id")
+      val (rate, ch, samples) = got.get
+      assert(rate === MediaSynth.flacRate(id))
+      assert(ch === MediaSynth.flacChannels(id))
+      assert(samples.toSeq === expectedMix(id), s"id=$id projection")
+      // lossless re-encode twin still collides at Hamming 0
+      val twin = MediaSynth.flacOf(id, id.toInt + 3)
+      assert(!java.util.Arrays.equals(bytes, twin))
+      assert(AudioDedup.clipHash(bytes) === AudioDedup.clipHash(twin))
+    }
   }
 }
