@@ -691,7 +691,10 @@ object MediaSynth {
 
   /** A real baseline TIFF for the doc: byte order by parity (`II`
     * even, `MM` odd), 4-row strips, PackBits on the id % 3 == 1
-    * class, the photometric classes above, 16-bit ColorMap entries
+    * class, LZW on the id % 3 == 2 class (with the
+    * horizontal-differencing Predictor, tag 317 = 2, on its
+    * id % 6 == 2 half — the pairing archival TIFFs actually use),
+    * the photometric classes above, 16-bit ColorMap entries
     * v·257 so the high-byte projection is exact. The writer never
     * emits the 0x80 control: TIFF 6.0 defines it as a no-op but
     * real decoders disagree (the JDK's PackBits treats it as a
@@ -699,12 +702,19 @@ object MediaSynth {
     * which is exactly why conforming encoders avoid it; OUR decoder
     * keeps the spec's skip semantics, pinned by a hand-built strip
     * in TiffSpec. */
-  def tiff(docId: Long): Array[Byte] = {
-    val w = tiffW(docId); val h = tiffH(docId)
+  def tiff(docId: Long): Array[Byte] =
+    tiffOf(docId, tiffW(docId), tiffH(docId))
+
+  /** [[tiff]] at explicit dims — lets specs build LARGE strips whose
+    * LZW code stream crosses every width boundary (9→12) and the
+    * 4094-entry Clear against the JDK's own TIFF reader. */
+  private[multimodal] def tiffOf(docId: Long, w: Int, h: Int): Array[Byte] = {
     val le = docId % 2 == 0
     val photometric = tiffPhotometric(docId)
     val spp = if (photometric == 2) (if (docId % 8 == 1) 4 else 3) else 1
     val packbits = docId % 3 == 1
+    val lzw = docId % 3 == 2
+    val predictor2 = lzw && docId % 6 == 2
     val rowsPerStrip = 4
 
     // post-photometric stored bytes
@@ -727,8 +737,18 @@ object MediaSynth {
       java.util.Arrays.copyOfRange(data, y0 * w * spp,
         math.min(h, y0 + rowsPerStrip) * w * spp)
     }
-    val strips = rawStrips.map { raw =>
-      if (!packbits) raw
+    val strips = rawStrips.map { raw0 =>
+      val raw =
+        if (!predictor2) raw0
+        else { // horizontal differencing, per row, per channel
+          val d = raw0.clone()
+          val rowB = w * spp
+          for (y <- 0 until raw0.length / rowB; q <- (rowB - 1) to spp by -1)
+            d(y * rowB + q) = (d(y * rowB + q) - d(y * rowB + q - spp)).toByte
+          d
+        }
+      if (lzw) tiffLzw(raw)
+      else if (!packbits) raw
       else {
         val out = new java.io.ByteArrayOutputStream(raw.length + 16)
         var i = 0
@@ -777,7 +797,8 @@ object MediaSynth {
       Entry(257, 3, 1, Some(h), Nil),
       if (spp == 1) Entry(258, 3, 1, Some(8), Nil)
       else Entry(258, 3, spp, None, Seq.fill(spp)(8)),
-      Entry(259, 3, 1, Some(if (packbits) 32773 else 1), Nil),
+      Entry(259, 3, 1,
+        Some(if (packbits) 32773 else if (lzw) 5 else 1), Nil),
       Entry(262, 3, 1, Some(photometric), Nil),
       if (multiStrip) Entry(273, 4, strips.length, None, stripOffsets)
       else Entry(273, 4, 1, Some(stripOffsets.head), Nil),
@@ -787,6 +808,8 @@ object MediaSynth {
         strips.map(_.length))
       else Entry(279, 4, 1, Some(strips.head.length), Nil),
       Entry(284, 3, 1, Some(1), Nil)) ++ // chunky planar config
+      // IFD entries stay tag-sorted: 317 between 284 and 320
+      (if (predictor2) Seq(Entry(317, 3, 1, Some(2), Nil)) else Nil) ++
       (if (photometric == 3)
         Seq(Entry(320, 3, 768, None,
           // entry i: the truecolor derivation of i, as v*257
@@ -817,6 +840,57 @@ object MediaSynth {
       if (en.inline.isEmpty)
         en.aux.foreach(v => if (en.tpe == 3) w16(v) else w32(v))
     }
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first code
+    * packing, widths 9→12 bumping at the early-change boundary
+    * (next entry index == 2^width - 1), a leading Clear, a Clear
+    * when the table reaches entry 4094 (the libtiff convention),
+    * EOI last. The exact mirror of [[Tiff.lzwStrip]] — TiffLzwSpec
+    * roundtrips both across every width boundary. */
+  private[multimodal] def tiffLzw(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    var acc = 0L; var nbits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    put(256) // leading Clear
+    var omega = -1
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key = Integer.valueOf((omega << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          put(omega)
+          dict.put(key, Integer.valueOf(next)); next += 1
+          // the encoder bumps one entry LATER than the decoder
+          // ((1<<w) vs (1<<w)-1, the libtiff pair): the decoder's
+          // add count runs one code behind, and this asymmetry is
+          // exactly the "early change" the TIFF spec describes
+          if (width < 12 && next == (1 << width)) width += 1
+          if (next == 4094) { // table nearly full: clear and restart
+            put(256)
+            dict.clear(); next = 258; width = 9
+          }
+          omega = k
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) put(omega)
+    put(257) // EOI
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
     out.toByteArray
   }
 

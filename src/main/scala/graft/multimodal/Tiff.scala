@@ -13,11 +13,16 @@ package graft.multimodal
   *    ColorMap, high byte);
   *  - 8-bit samples, chunky planar configuration, multi-strip images
   *    (StripOffsets/StripByteCounts/RowsPerStrip), compression 1
-  *    (none) and 32773 (PackBits, decoded per strip with the
-  *    -128 no-op rule).
+  *    (none), 5 (LZW — the dominant archival-TIFF compression:
+  *    MSB-first code packing, 9-12 bit widths with the EARLY-CHANGE
+  *    rule, per-strip Clear/EOI; same algorithm family as [[Gif]]'s
+  *    LZW, different packing convention and width boundary) and
+  *    32773 (PackBits, decoded per strip with the -128 no-op rule);
+  *  - the horizontal-differencing Predictor (tag 317, value 2) LZW
+  *    pairs with in practice, undone row-wise after decompression.
   *
-  * Everything else (bilevel/16-bit, LZW/JPEG-in-TIFF, tiles, planar
-  * 2) returns None — the documented boundary; the format's long tail
+  * Everything else (bilevel/16-bit, JPEG-in-TIFF, tiles, planar 2)
+  * returns None — the documented boundary; the format's long tail
   * is endless, and this profile covers the bulk of scanned/exported
   * corpora. Independent pins: the closed-form gate oracle AND
   * ImageIoDifferentialSpec (the JDK ships its own TIFF reader).
@@ -64,6 +69,7 @@ object Tiff {
     var stripCounts: Array[Long] = null
     var colorMap: Array[Int] = null // 3 * 2^bits SHORT values
     var planar = 1
+    var predictor = 1
 
     var e = 0
     while (e < n) {
@@ -102,6 +108,7 @@ object Tiff {
         case 278 => rowsPerStrip = ints(0)
         case 279 => stripCounts = Array.tabulate(count.toInt)(ints)
         case 284 => planar = ints(0).toInt
+        case 317 => predictor = ints(0).toInt
         case 320 => colorMap = Array.tabulate(count.toInt)(ints(_).toInt)
         case _ => // ancillary tags skipped
       }
@@ -112,7 +119,9 @@ object Tiff {
     if (width <= 0 || height <= 0 ||
       width.toLong * height > MaxPixels) return None
     if (planar != 1) return None
-    if (compression != 1 && compression != 32773) return None
+    if (compression != 1 && compression != 5 && compression != 32773)
+      return None
+    if (predictor != 1 && predictor != 2) return None
     if (!bits.forall(_ == 8)) return None
     val channels = photometric match {
       case 0 | 1 => 1
@@ -144,6 +153,9 @@ object Tiff {
         val take = math.min(len, (data.length - got).toLong).toInt
         System.arraycopy(b, off.toInt, data, got, take)
         got += take
+      } else if (compression == 5) { // LZW, per strip
+        got = lzwStrip(b, off.toInt, (off + len).toInt, data, got,
+          data.length)
       } else { // PackBits
         var p = off.toInt
         val end = (off + len).toInt
@@ -165,6 +177,21 @@ object Tiff {
       s += 1
     }
     if (got < data.length) return None
+
+    if (predictor == 2) {
+      // undo horizontal differencing: each sample adds its left
+      // neighbor of the SAME channel, row-wise (TIFF 6.0 §14)
+      var y = 0
+      while (y < height) {
+        var q = y * rowBytes + channels
+        val rowEnd = (y + 1) * rowBytes
+        while (q < rowEnd) {
+          data(q) = (data(q) + data(q - channels)).toByte
+          q += 1
+        }
+        y += 1
+      }
+    }
 
     val out = new Array[Int](width * height)
     var i = 0
@@ -191,6 +218,75 @@ object Tiff {
       i += 1
     }
     Some((width, height, out))
+  }
+
+  /** TIFF-variant LZW strip decode (TIFF 6.0 §13): 8-bit roots,
+    * Clear 256, EOI 257, first table entry 258, codes packed
+    * MSB-first, widths 9-12 bumping at the EARLY-CHANGE boundary
+    * (next entry index == 2^width - 1 — one code earlier than GIF's
+    * convention). Writes into dst(got until limit); returns the new
+    * fill point; Malformed on truncation, a non-root first code, or
+    * an out-of-range code. */
+  private[multimodal] def lzwStrip(b: Array[Byte], off: Int, end: Int,
+      dst: Array[Byte], got0: Int, limit: Int): Int = {
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val seq = new Array[Byte](4096)
+    var next = 258; var width = 9
+    var prev = -1
+    var got = got0
+    var acc = 0L; var nbits = 0; var p = off
+    def emit(code0: Int): Unit = {
+      var n = 0; var c = code0
+      while (c > Eoi) {
+        if (n >= seq.length) throw new Malformed
+        seq(n) = suffix(c); n += 1; c = prefix(c)
+      }
+      if (c >= 256) throw new Malformed // a chain must root in a byte
+      if (got + n + 1 > limit) throw new Malformed
+      dst(got) = c.toByte; got += 1
+      var i = n - 1
+      while (i >= 0) { dst(got) = seq(i); got += 1; i -= 1 }
+    }
+    def firstByte(code0: Int): Int = {
+      var c = code0
+      while (c > Eoi) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done) {
+      while (nbits < width && p < end) {
+        acc = (acc << 8) | (b(p) & 0xffL); nbits += 8; p += 1
+      }
+      if (nbits < width) throw new Malformed // truncated strip
+      val code = ((acc >>> (nbits - width)) & ((1 << width) - 1)).toInt
+      nbits -= width
+      if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (code == Eoi) done = true
+      else if (prev < 0) {
+        if (code >= 256) throw new Malformed // first must be a root
+        emit(code); prev = code
+      } else {
+        if (code > next || (code == next && next >= 4096))
+          throw new Malformed
+        if (code == next) { // the self-referential case
+          prefix(next) = prev; suffix(next) = firstByte(prev).toByte
+          next += 1
+          emit(code)
+        } else {
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstByte(code).toByte
+            next += 1
+          }
+          emit(code)
+        }
+        prev = code
+        if (width < 12 && next == (1 << width) - 1) width += 1
+      }
+      if (got >= limit) done = true // strip filled; trailing EOI optional
+    }
+    got
   }
 
   /** Gate surface (`mm_tiff_decode`): synthesize a real TIFF per

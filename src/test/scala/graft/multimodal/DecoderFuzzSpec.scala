@@ -110,7 +110,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "flac-24bit-wasted" -> MediaSynth.flac(58L), // 58: 24-bit + wasted
       "flac-variable" -> MediaSynth.flac(15L), // 15 % 11 == 4
       "tiff-packbits" -> MediaSynth.tiff(1L),
-      "tiff-palette" -> MediaSynth.tiff(2L))
+      "tiff-lzw-predictor" -> MediaSynth.tiff(2L), // 2 % 6 == 2
+      "tiff-lzw" -> MediaSynth.tiff(5L),
+      "tiff-palette" -> MediaSynth.tiff(14L))
     for ((tag, real) <- reals) {
       // flip one byte at a time — every offset for the small payloads,
       // a prime stride over the qoi pixel stream

@@ -101,6 +101,24 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
         viaImageIo(MediaSynth.tiff(id)))
   }
 
+  test("TIFF LZW: corpus classes and a deep-width stream match javax.imageio exactly") {
+    // id % 3 == 2 (LZW) and id % 6 == 2 (LZW + predictor 2): the JDK
+    // TIFF plugin decodes both, so the code packing, early-change
+    // boundaries and the differencing direction get a foreign pin
+    for (id <- Seq(2L, 5L, 8L, 11L, 14L, 20L, 26L, 32L, 38L, 44L))
+      same(s"tiff-lzw id=$id pred=${id % 6 == 2}",
+        Tiff.decodePixels(MediaSynth.tiff(id)),
+        viaImageIo(MediaSynth.tiff(id)))
+    // a 128x96 single-channel LZW image: ~12k dictionary entries
+    // cross EVERY width boundary (511 -> 1023 -> 2047) and the
+    // 4094-entry Clear — the deep-width conventions against a
+    // decoder that shares no code with ours
+    for (id <- Seq(2L, 8L)) { // predictor-2 and plain LZW classes
+      val big = MediaSynth.tiffOf(id, 128, 96)
+      same(s"tiff-lzw-big id=$id", Tiff.decodePixels(big), viaImageIo(big))
+    }
+  }
+
   test("BMP: the dedup fixture payloads match javax.imageio exactly") {
     // ImageDedup's BMP decoder vs the JDK's on the synthetic 24-bit
     // fixtures (bottom-up rows, padding)

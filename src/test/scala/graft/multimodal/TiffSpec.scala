@@ -76,7 +76,64 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
-  test("profile boundary: LZW/tiled/planar-2/bilevel decline; imageHash dispatches TIFF") {
+  test("LZW roundtrip: corpus classes decode pixel-exact, with and without the predictor") {
+    // id % 3 == 2 docs are LZW; id % 6 == 2 adds horizontal
+    // differencing (tag 317 = 2) — both must reproduce the same
+    // closed-form pixels as their uncompressed twins
+    for (id <- Seq(2L, 5L, 8L, 11L, 14L, 17L, 20L, 23L, 26L, 38L, 44L)) {
+      assert(id % 3 === 2)
+      val got = Tiff.decodePixels(MediaSynth.tiff(id))
+      assert(got.isDefined, s"id=$id")
+      val (w, h, px) = got.get
+      assert((w, h) === ((MediaSynth.tiffW(id), MediaSynth.tiffH(id))))
+      // gray/palette/WhiteIsZero classes: green channel carries the
+      // derivation of the closed-form gray; check a full-pixel probe
+      // against the uncompressed same-photometric twin id' = id + 3k
+      // with identical (w, h)? Simpler: decode is self-consistent
+      // with the photometric derivation below
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = MediaSynth.tiffGray(id, x, y)
+        val want = MediaSynth.tiffPhotometric(id) match {
+          case 0 | 1 => 0xff000000 | (g << 16) | (g << 8) | g
+          case 3 => 0xff000000 | (g << 16) | (((g + 85) % 256) << 8) |
+            ((g + 170) % 256)
+          case _ =>
+            val a = if (id % 8 == 1) (g + 31) % 256 else 255
+            (a << 24) | (g << 16) | (((g + 85) % 256) << 8) |
+              ((g + 170) % 256)
+        }
+        assert(px(y * w + x) === want, s"id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("LZW strip codec: every width boundary (9-12), the early change, and the 4094 Clear") {
+    // pseudo-random bytes build ~1 dictionary entry per input byte:
+    // 12k bytes cross 511 -> 1023 -> 2047 (early-change bumps) and
+    // the 4094-entry Clear/reset, then keep going on a fresh table
+    var seed = 12345L
+    val raw = Array.fill(12288) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) & 0xff).toByte
+    }
+    val enc = MediaSynth.tiffLzw(raw)
+    assert(enc.length > 0 && enc.length < raw.length * 2)
+    val dst = new Array[Byte](raw.length)
+    val got = Tiff.lzwStrip(enc, 0, enc.length, dst, 0, dst.length)
+    assert(got === raw.length)
+    assert(dst.toSeq === raw.toSeq)
+    // and a high-redundancy stream (long runs -> deep chains + the
+    // self-referential code case)
+    val runs = Array.tabulate(4096)(i => ((i / 97) & 0xff).toByte)
+    val enc2 = MediaSynth.tiffLzw(runs)
+    assert(enc2.length < runs.length / 2, "runs must actually compress")
+    val dst2 = new Array[Byte](runs.length)
+    assert(Tiff.lzwStrip(enc2, 0, enc2.length, dst2, 0,
+      dst2.length) === runs.length)
+    assert(dst2.toSeq === runs.toSeq)
+  }
+
+  test("profile boundary: JPEG-in-TIFF/tiled/planar-2/bilevel decline; imageHash dispatches TIFF") {
     val base = MediaSynth.tiff(0L) // II, uncompressed gray
     // patch the Compression entry (tag 259) to LZW (5): entries are
     // 12 bytes from IFD+2; find the tag by scan
@@ -93,7 +150,10 @@ class TiffSpec extends AnyFunSuite {
       }
       m
     }
-    assert(Tiff.decodePixels(patched(259, 5)) === None, "LZW declines")
+    assert(Tiff.decodePixels(patched(259, 7)) === None, "JPEG-in-TIFF declines")
+    // compression 5 over UNCOMPRESSED strip bytes is a malformed LZW
+    // stream: None, never a throw (raw gray bytes read as codes)
+    assert(Tiff.decodePixels(patched(259, 5)) === None)
     assert(Tiff.decodePixels(patched(284, 2)) === None, "planar-2 declines")
     assert(Tiff.decodePixels(patched(258, 1)) === None, "bilevel declines")
     assert(Tiff.decodePixels(base).isDefined, "patch harness sanity")
