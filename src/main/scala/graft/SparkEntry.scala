@@ -341,6 +341,11 @@ object SparkEntry {
     // decoded text's counts (the gzip gate's shape)
     "text_deflate_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.deflateIngestReport(s, dir)),
+    // zstd ingest: real RFC 8878 frames (Huffman literals, FSE
+    // sequences, repcodes, checksum) through the pure-JVM decoder;
+    // skippable-frame and multi-frame (.jsonl.zst shard) classes
+    "text_zstd_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.zstdIngestReport(s, dir)),
     // streaming gzip ingest: ordered batches through the delta-log
     // (mid-stream staged compaction) must reassemble to EXACTLY the
     // one-shot batch report — the oracle is the batch twin's SQL
@@ -2724,6 +2729,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // deflate-ingest: decoded counts from the plain text column;
     // truncated members (id % 5 = 3) owe the (-1, -1) fallback
+    "text_zstd_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     "text_deflate_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1

@@ -131,6 +131,49 @@ object CompressedIngest {
       .toDF("doc_id", "n_tokens", "n_chars")
   }
 
+  /** Gate surface (`text_zstd_ingest`): per document, compress the
+    * text into REAL zstd frames through [[Zstd.compress]] (Huffman
+    * literals, predefined-FSE sequences, repcodes, checksum — the
+    * frames the reference CLI verifies in ZstdSpec) and decode
+    * through the full production path. Classes: id % 7 == 1 rows
+    * carry a leading SKIPPABLE frame; id % 7 == 4 rows are a
+    * TWO-FRAME concatenation split mid-text (the `.jsonl.zst` shard
+    * shape); id % 5 == 3 rows get a TRUNCATED stream (always
+    * single-frame so the cut can never land on a frame boundary) and
+    * owe the (-1, -1) fallback. Same oracle shape as the gzip and
+    * deflate twins. Map-only over documents. */
+  def zstdIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val full: Array[Byte] =
+          if (id % 5 == 3) Zstd.compress(raw) // truncated class: one frame
+          else if (id % 7 == 1) {
+            val skip = new java.io.ByteArrayOutputStream()
+            def le32(v: Long): Unit =
+              for (i <- 0 until 4) skip.write(((v >> (8 * i)) & 0xff).toInt)
+            le32(0x184d2a5aL); le32(12L)
+            for (i <- 0 until 12) skip.write(i)
+            skip.toByteArray ++ Zstd.compress(raw)
+          } else if (id % 7 == 4) {
+            val cut = raw.length / 2 // byte split: concatenation restores
+            Zstd.compress(java.util.Arrays.copyOfRange(raw, 0, cut)) ++
+              Zstd.compress(java.util.Arrays.copyOfRange(raw, cut, raw.length))
+          } else Zstd.compress(raw)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        Zstd.decompress(payload) match {
+          case Some(bytes) =>
+            val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            (id, t.split("\\s+").count(_.nonEmpty).toLong,
+              t.codePointCount(0, t.length).toLong)
+          case None => (id, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_chars")
+  }
+
   /** The matching writer (fixture side): one RFC 1952 member via
     * `GZIPOutputStream` — byte layout is the JDK's, but the GATE
     * never depends on the compressed bytes, only on decode(encode(x))
