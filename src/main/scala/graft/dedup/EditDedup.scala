@@ -240,10 +240,9 @@ object EditDedup {
     // grouping under the engine-wide md5-exactness bet Dedup.exact
     // already documents, and gid = min(doc_id) is invariant to the
     // key representation (r13 "What's wrong #2").
-    val all = normalized(docs)
+    val all = graft.core.Materialize.frame(normalized(docs)
       .withColumn("gid", min(col("doc_id")).over(
-        Window.partitionBy(md5(col("nt")))))
-      .localCheckpoint()
+        Window.partitionBy(md5(col("nt"))))), "editdedup_all")
     val members = all.select(col("gid"), col("doc_id"))
     val norm = all.filter(col("doc_id") === col("gid"))
       .drop("gid")

@@ -69,7 +69,7 @@ private[graft] object SigDump {
 
   def dumpAndPair(sigsRaw: DataFrame, dumpKind: String, sfDir: String,
       maxHamming: Int, maxBucket: Int)(recordBase: String => Unit): DataFrame = {
-    val sigs = sigsRaw.localCheckpoint()
+    val sigs = graft.core.Materialize.frame(sigsRaw, "sigdump")
     val base = new java.io.File(sfDir).getName
     graft.core.SideDump.write(sigs, dumpKind, base)
     recordBase(base)
@@ -100,7 +100,7 @@ private[graft] object SigDump {
     * corpus the measured switch would route to multi-probe. */
   def dumpAndPairWide(sigsRaw: DataFrame, dumpKind: String, sfDir: String,
       maxHamming: Int, maxBucket: Int)(recordBase: String => Unit): DataFrame = {
-    val sigs = sigsRaw.localCheckpoint()
+    val sigs = graft.core.Materialize.frame(sigsRaw, "sigdump")
     val base = new java.io.File(sfDir).getName
     graft.core.SideDump.write(sigs, dumpKind, base)
     recordBase(base)

@@ -83,10 +83,9 @@ object ExactStream {
       .groupBy(col("chunk_md5"))
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
       .select(col("chunk_md5"), col("f.doc_id"), col("f.chunk_id"))
-    val kept = firstInBatch
+    val kept = graft.core.Materialize.frame(firstInBatch
       .join(readIndex(spark, idxPath, before = batchId),
-        Seq("chunk_md5"), "left_anti")
-      .localCheckpoint()
+        Seq("chunk_md5"), "left_anti"), "exactstream_kept")
     kept.select(col("chunk_md5"))
       .write.mode("overwrite").parquet(s"$idxPath/b$batchId")
     kept
@@ -130,9 +129,10 @@ object ExactStream {
         org.apache.spark.sql.types.StructType.fromDDL(
           "chunk_md5 STRING, doc_id BIGINT, chunk_id BIGINT"))
     val step = maxId / nBatches + 1
-    val chunks = graft.text.Chunking.chunksOf(docs)
-      .select(col("doc_id"), col("chunk_id"), col("chunk"))
-      .localCheckpoint()
+    val chunks = graft.core.Materialize.frame(
+      graft.text.Chunking.chunksOf(docs)
+        .select(col("doc_id"), col("chunk_id"), col("chunk")),
+      "exactstream_chunks")
     val idxPath = graft.core.SessionScratch.path(spark, sfDir,
       s"graft_exactstream${runSeq.incrementAndGet()}")
     (0 until nBatches).map { b =>

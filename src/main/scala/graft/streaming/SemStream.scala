@@ -106,8 +106,9 @@ object SemStream {
   def probeAppendBatch(spark: SparkSession, corpus: Dataset[Vec],
       idxPath: String, batch: Dataset[Vec], tau: Double): DataFrame = {
     import spark.implicits._
-    val out = SemIndex.probeFrom(spark, corpus, idxPath, batch, tau)
-      .localCheckpoint()
+    val out = graft.core.Materialize.frame(
+      SemIndex.probeFrom(spark, corpus, idxPath, batch, tau),
+      "semstream_probe")
     SemIndex.append(spark, idxPath,
       batch.join(out.filter(col("kept")).select("vec_id"),
         Seq("vec_id"), "left_semi").as[Vec])
@@ -135,7 +136,9 @@ object SemStream {
     val step = maxId / nBatches + 1
     // feeds the index build, four corpus re-fetches and four batch
     // slices — materialize so the FNV fold runs once, not nine times
-    val vecs = chunkVecs(spark, sfDir).localCheckpoint()
+    val vecs = graft.core.Materialize.frame(
+      chunkVecs(spark, sfDir).toDF(), "semstream_vecs")
+      .as[graft.sim.Similarity.Vec]
     val idxPath = graft.core.SessionScratch.path(spark, sfDir,
       s"graft_semstream${runSeq.incrementAndGet()}")
     SemIndex.build(vecs.filter(v => (v.vec_id >> 32) % 10 != 0), idxPath,
