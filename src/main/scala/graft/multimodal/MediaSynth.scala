@@ -715,6 +715,7 @@ object MediaSynth {
     val packbits = docId % 3 == 1
     val lzw = docId % 3 == 2
     val predictor2 = lzw && docId % 6 == 2
+    val tiled = docId % 11 == 7 // tags 322-325; 16x16 edge-padded tiles
     val rowsPerStrip = 4
 
     // post-photometric stored bytes
@@ -733,16 +734,30 @@ object MediaSynth {
           if (spp == 4) data(q + 3) = ((g + 31) % 256).toByte
       }
     }
-    val rawStrips = (0 until h by rowsPerStrip).map { y0 =>
-      java.util.Arrays.copyOfRange(data, y0 * w * spp,
-        math.min(h, y0 + rowsPerStrip) * w * spp)
-    }
-    val strips = rawStrips.map { raw0 =>
+    val tileW = 16; val tileH = 16
+    val tilesAcross = (w + tileW - 1) / tileW
+    val rawSegs: Seq[(Array[Byte], Int)] = // (segment bytes, row bytes)
+      if (tiled) {
+        val down = (h + tileH - 1) / tileH
+        for (ty <- 0 until down; tx <- 0 until tilesAcross) yield {
+          // full-size tile, zero-padded past the image edge
+          val tile = new Array[Byte](tileW * tileH * spp)
+          val copyW = math.min(tileW, w - tx * tileW) * spp
+          val copyH = math.min(tileH, h - ty * tileH)
+          for (y <- 0 until copyH)
+            System.arraycopy(data, ((ty * tileH + y) * w + tx * tileW) * spp,
+              tile, y * tileW * spp, copyW)
+          (tile, tileW * spp)
+        }
+      } else (0 until h by rowsPerStrip).map { y0 =>
+        (java.util.Arrays.copyOfRange(data, y0 * w * spp,
+          math.min(h, y0 + rowsPerStrip) * w * spp), w * spp)
+      }
+    val strips = rawSegs.map { case (raw0, rowB) =>
       val raw =
         if (!predictor2) raw0
         else { // horizontal differencing, per row, per channel
           val d = raw0.clone()
-          val rowB = w * spp
           for (y <- 0 until raw0.length / rowB; q <- (rowB - 1) to spp by -1)
             d(y * rowB + q) = (d(y * rowB + q) - d(y * rowB + q - spp)).toByte
           d
@@ -800,14 +815,16 @@ object MediaSynth {
       Entry(259, 3, 1,
         Some(if (packbits) 32773 else if (lzw) 5 else 1), Nil),
       Entry(262, 3, 1, Some(photometric), Nil),
-      if (multiStrip) Entry(273, 4, strips.length, None, stripOffsets)
-      else Entry(273, 4, 1, Some(stripOffsets.head), Nil),
-      Entry(277, 3, 1, Some(spp), Nil),
-      Entry(278, 3, 1, Some(rowsPerStrip), Nil),
-      if (multiStrip) Entry(279, 4, strips.length, None,
-        strips.map(_.length))
-      else Entry(279, 4, 1, Some(strips.head.length), Nil),
-      Entry(284, 3, 1, Some(1), Nil)) ++ // chunky planar config
+      if (tiled) Entry(277, 3, 1, Some(spp), Nil)
+      else if (multiStrip) Entry(273, 4, strips.length, None, stripOffsets)
+      else Entry(273, 4, 1, Some(stripOffsets.head), Nil)) ++
+      (if (tiled) Nil
+      else Seq(Entry(277, 3, 1, Some(spp), Nil),
+        Entry(278, 3, 1, Some(rowsPerStrip), Nil),
+        if (multiStrip) Entry(279, 4, strips.length, None,
+          strips.map(_.length))
+        else Entry(279, 4, 1, Some(strips.head.length), Nil))) ++
+      Seq(Entry(284, 3, 1, Some(1), Nil)) ++ // chunky planar config
       // IFD entries stay tag-sorted: 317 between 284 and 320
       (if (predictor2) Seq(Entry(317, 3, 1, Some(2), Nil)) else Nil) ++
       (if (photometric == 3)
@@ -816,6 +833,16 @@ object MediaSynth {
           (0 until 256).map(i => i * 257) ++
             (0 until 256).map(i => ((i + 85) % 256) * 257) ++
             (0 until 256).map(i => ((i + 170) % 256) * 257)))
+      else Nil) ++
+      // tile geometry + segments (tag-sorted after 320)
+      (if (tiled) Seq(
+        Entry(322, 3, 1, Some(tileW), Nil),
+        Entry(323, 3, 1, Some(tileH), Nil),
+        if (strips.length > 1) Entry(324, 4, strips.length, None, stripOffsets)
+        else Entry(324, 4, 1, Some(stripOffsets.head), Nil),
+        if (strips.length > 1) Entry(325, 4, strips.length, None,
+          strips.map(_.length))
+        else Entry(325, 4, 1, Some(strips.head.length), Nil))
       else Nil) ++
       // the 4th sample is declared unassociated alpha (tag 338) so
       // foreign readers agree with our interpretation

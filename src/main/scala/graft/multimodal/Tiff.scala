@@ -19,9 +19,12 @@ package graft.multimodal
   *    LZW, different packing convention and width boundary) and
   *    32773 (PackBits, decoded per strip with the -128 no-op rule);
   *  - the horizontal-differencing Predictor (tag 317, value 2) LZW
-  *    pairs with in practice, undone row-wise after decompression.
+  *    pairs with in practice, undone row-wise after decompression;
+  *  - TILED images (tags 322-325): per-tile decompression with the
+  *    same codec set, edge tiles padded to the full tile grid and
+  *    cropped on the blit, predictor undone per tile row.
   *
-  * Everything else (bilevel/16-bit, JPEG-in-TIFF, tiles, planar 2)
+  * Everything else (bilevel/16-bit, JPEG-in-TIFF, planar 2)
   * returns None — the documented boundary; the format's long tail
   * is endless, and this profile covers the bulk of scanned/exported
   * corpora. Independent pins: the closed-form gate oracle AND
@@ -70,6 +73,9 @@ object Tiff {
     var colorMap: Array[Int] = null // 3 * 2^bits SHORT values
     var planar = 1
     var predictor = 1
+    var tileW = 0; var tileH = 0
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
 
     var e = 0
     while (e < n) {
@@ -110,6 +116,10 @@ object Tiff {
         case 284 => planar = ints(0).toInt
         case 317 => predictor = ints(0).toInt
         case 320 => colorMap = Array.tabulate(count.toInt)(ints(_).toInt)
+        case 322 => tileW = ints(0).toInt
+        case 323 => tileH = ints(0).toInt
+        case 324 => tileOffsets = Array.tabulate(count.toInt)(ints)
+        case 325 => tileCounts = Array.tabulate(count.toInt)(ints)
         case _ => // ancillary tags skipped
       }
       e += 1
@@ -132,65 +142,104 @@ object Tiff {
     if (photometric != 2 && spp != channels) return None
     if (photometric == 3 &&
       (colorMap == null || colorMap.length < 3 * 256)) return None
-    if (stripOffsets == null) return None
-    val counts =
-      if (stripCounts != null) stripCounts
-      else if (compression == 1 && stripOffsets.length == 1)
-        Array(width.toLong * height * channels) // spec allows omission
-      else return None
-    if (counts.length != stripOffsets.length) return None
 
-    // concatenate decoded strip bytes
-    val rowBytes = width * channels
-    val data = new Array[Byte](rowBytes * height)
-    var got = 0
-    var s = 0
-    while (s < stripOffsets.length && got < data.length) {
-      val off = stripOffsets(s)
-      val len = counts(s)
-      if (off < 0 || len < 0 || off + len > b.length) return None
+    /** Decompress one strip/tile segment into dst(got until limit);
+      * returns the new fill point or -1 on a malformed segment. */
+    def segment(off: Long, len: Long, dst: Array[Byte], got0: Int,
+        limit: Int): Int = {
+      if (off < 0 || len < 0 || off + len > b.length) return -1
+      var got = got0
       if (compression == 1) {
-        val take = math.min(len, (data.length - got).toLong).toInt
-        System.arraycopy(b, off.toInt, data, got, take)
-        got += take
-      } else if (compression == 5) { // LZW, per strip
-        got = lzwStrip(b, off.toInt, (off + len).toInt, data, got,
-          data.length)
+        val take = math.min(len, (limit - got).toLong).toInt
+        System.arraycopy(b, off.toInt, dst, got, take)
+        got + take
+      } else if (compression == 5) { // LZW
+        lzwStrip(b, off.toInt, (off + len).toInt, dst, got, limit)
       } else { // PackBits
         var p = off.toInt
         val end = (off + len).toInt
-        while (p < end && got < data.length) {
+        while (p < end && got < limit) {
           val ctl = b(p); p += 1
           if (ctl >= 0) { // literal run of ctl+1 bytes
-            val cnt = math.min(ctl + 1, data.length - got)
-            if (p + ctl + 1 > end) return None
-            System.arraycopy(b, p, data, got, cnt)
+            val cnt = math.min(ctl + 1, limit - got)
+            if (p + ctl + 1 > end) return -1
+            System.arraycopy(b, p, dst, got, cnt)
             got += cnt; p += ctl + 1
           } else if (ctl != -128) { // repeat next byte 1-ctl times
-            if (p >= end) return None
-            val cnt = math.min(1 - ctl, data.length - got)
-            java.util.Arrays.fill(data, got, got + cnt, b(p))
+            if (p >= end) return -1
+            val cnt = math.min(1 - ctl, limit - got)
+            java.util.Arrays.fill(dst, got, got + cnt, b(p))
             got += cnt; p += 1
           } // -128: no-op
         }
+        got
       }
-      s += 1
     }
-    if (got < data.length) return None
 
-    if (predictor == 2) {
-      // undo horizontal differencing: each sample adds its left
-      // neighbor of the SAME channel, row-wise (TIFF 6.0 §14)
-      var y = 0
-      while (y < height) {
-        var q = y * rowBytes + channels
-        val rowEnd = (y + 1) * rowBytes
-        while (q < rowEnd) {
-          data(q) = (data(q) + data(q - channels)).toByte
-          q += 1
+    /** Undo horizontal differencing row-wise (TIFF 6.0 §14). */
+    def undoPredictor(dst: Array[Byte], rowB: Int, rows: Int): Unit =
+      if (predictor == 2) {
+        var y = 0
+        while (y < rows) {
+          var q = y * rowB + channels
+          val rowEnd = (y + 1) * rowB
+          while (q < rowEnd) {
+            dst(q) = (dst(q) + dst(q - channels)).toByte
+            q += 1
+          }
+          y += 1
         }
-        y += 1
       }
+
+    val rowBytes = width * channels
+    val data = new Array[Byte](rowBytes * height)
+    if (tileOffsets != null) {
+      // ── tiled layout: full-size edge-padded tiles, cropped blit ──
+      if (stripOffsets != null) return None // exactly one layout
+      if (tileW <= 0 || tileH <= 0 || tileW % 16 != 0 || tileH % 16 != 0)
+        return None
+      if (tileCounts == null ||
+        tileCounts.length != tileOffsets.length) return None
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileH - 1) / tileH
+      if (tileOffsets.length != across * down) return None
+      val tileRowB = tileW * channels
+      val tileBuf = new Array[Byte](tileRowB * tileH)
+      var t = 0
+      while (t < tileOffsets.length) {
+        val got = segment(tileOffsets(t), tileCounts(t), tileBuf, 0,
+          tileBuf.length)
+        if (got < tileBuf.length) return None
+        undoPredictor(tileBuf, tileRowB, tileH)
+        val tx = (t % across) * tileW
+        val ty = (t / across) * tileH
+        val copyW = math.min(tileW, width - tx) * channels
+        val copyH = math.min(tileH, height - ty)
+        var y = 0
+        while (y < copyH) {
+          System.arraycopy(tileBuf, y * tileRowB, data,
+            (ty + y) * rowBytes + tx * channels, copyW)
+          y += 1
+        }
+        t += 1
+      }
+    } else {
+      if (stripOffsets == null) return None
+      val counts =
+        if (stripCounts != null) stripCounts
+        else if (compression == 1 && stripOffsets.length == 1)
+          Array(width.toLong * height * channels) // spec allows omission
+        else return None
+      if (counts.length != stripOffsets.length) return None
+      var got = 0
+      var s = 0
+      while (s < stripOffsets.length && got < data.length) {
+        got = segment(stripOffsets(s), counts(s), data, got, data.length)
+        if (got < 0) return None
+        s += 1
+      }
+      if (got < data.length) return None
+      undoPredictor(data, rowBytes, height)
     }
 
     val out = new Array[Int](width * height)

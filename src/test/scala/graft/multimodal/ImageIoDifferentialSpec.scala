@@ -119,6 +119,20 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF tiles: multi-tile grids with edge padding match javax.imageio exactly") {
+    // id % 11 == 7 docs are tiled (16x16, tags 322-325); at 48x40 the
+    // grid is 3x3 with padded right/bottom edges. 18: uncompressed MM
+    // RGB; 29: LZW; 62: LZW + predictor-2 (the full pairing)
+    for (id <- Seq(18L, 29L, 62L)) {
+      assert(id % 11 === 7)
+      val big = MediaSynth.tiffOf(id, 48, 40)
+      same(s"tiff-tiled id=$id", Tiff.decodePixels(big), viaImageIo(big))
+      // and the corpus-dims variant (single padded tile)
+      same(s"tiff-tiled-small id=$id",
+        Tiff.decodePixels(MediaSynth.tiff(id)), viaImageIo(MediaSynth.tiff(id)))
+    }
+  }
+
   test("BMP: the dedup fixture payloads match javax.imageio exactly") {
     // ImageDedup's BMP decoder vs the JDK's on the synthetic 24-bit
     // fixtures (bottom-up rows, padding)

@@ -133,7 +133,7 @@ class TiffSpec extends AnyFunSuite {
     assert(dst2.toSeq === runs.toSeq)
   }
 
-  test("profile boundary: JPEG-in-TIFF/tiled/planar-2/bilevel decline; imageHash dispatches TIFF") {
+  test("profile boundary: JPEG-in-TIFF/planar-2/bilevel decline; imageHash dispatches TIFF") {
     val base = MediaSynth.tiff(0L) // II, uncompressed gray
     // patch the Compression entry (tag 259) to LZW (5): entries are
     // 12 bytes from IFD+2; find the tag by scan
