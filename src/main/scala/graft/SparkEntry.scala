@@ -346,6 +346,10 @@ object SparkEntry {
     // skippable-frame and multi-frame (.jsonl.zst shard) classes
     "text_zstd_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.zstdIngestReport(s, dir)),
+    // streaming zstd ingest: ordered batches through the delta-log
+    // must reassemble to EXACTLY the one-shot batch report
+    "text_zstd_ingest_stream" -> ((s, dir) =>
+      graft.streaming.ZstdStream.ingestStream(s, dir)),
     // streaming gzip ingest: ordered batches through the delta-log
     // (mid-stream staged compaction) must reassemble to EXACTLY the
     // one-shot batch report — the oracle is the batch twin's SQL
@@ -2729,6 +2733,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // deflate-ingest: decoded counts from the plain text column;
     // truncated members (id % 5 = 3) owe the (-1, -1) fallback
+    // the streaming replay owes the identical frame — same oracle
+    "text_zstd_ingest_stream" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     "text_zstd_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1

@@ -142,9 +142,16 @@ object CompressedIngest {
     * single-frame so the cut can never land on a frame boundary) and
     * owe the (-1, -1) fallback. Same oracle shape as the gzip and
     * deflate twins. Map-only over documents. */
-  def zstdIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+  def zstdIngestReport(spark: SparkSession, sfDir: String): DataFrame =
+    zstdIngestReportOf(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** [[zstdIngestReport]] over an arbitrary documents frame — the
+    * composition point [[graft.streaming.ZstdStream]]'s per-batch
+    * ranges reuse (same fixture classes, same counts). */
+  def zstdIngestReportOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    docs
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
