@@ -717,6 +717,9 @@ object MediaSynth {
     val predictor2 = lzw && docId % 6 == 2
     val tiled = docId % 11 == 7 // tags 322-325; 16x16 edge-padded tiles
     val rowsPerStrip = 4
+    // separate sample planes (tag 284 = 2), strips only
+    val planar2 = docId % 13 == 9 && !tiled &&
+      (if (photometric == 2) true else false)
 
     // post-photometric stored bytes
     val data = new Array[Byte](w * h * spp)
@@ -748,6 +751,15 @@ object MediaSynth {
             System.arraycopy(data, ((ty * tileH + y) * w + tx * tileW) * spp,
               tile, y * tileW * spp, copyW)
           (tile, tileW * spp)
+        }
+      } else if (planar2) {
+        // plane-major strip runs: all of sample 0's strips, then 1's…
+        for (c <- 0 until spp; y0 <- 0 until h by rowsPerStrip) yield {
+          val rows = math.min(rowsPerStrip, h - y0)
+          val seg = new Array[Byte](rows * w)
+          for (y <- 0 until rows; x <- 0 until w)
+            seg(y * w + x) = data(((y0 + y) * w + x) * spp + c)
+          (seg, w)
         }
       } else (0 until h by rowsPerStrip).map { y0 =>
         (java.util.Arrays.copyOfRange(data, y0 * w * spp,
@@ -824,7 +836,7 @@ object MediaSynth {
         if (multiStrip) Entry(279, 4, strips.length, None,
           strips.map(_.length))
         else Entry(279, 4, 1, Some(strips.head.length), Nil))) ++
-      Seq(Entry(284, 3, 1, Some(1), Nil)) ++ // chunky planar config
+      Seq(Entry(284, 3, 1, Some(if (planar2) 2 else 1), Nil)) ++
       // IFD entries stay tag-sorted: 317 between 284 and 320
       (if (predictor2) Seq(Entry(317, 3, 1, Some(2), Nil)) else Nil) ++
       (if (photometric == 3)

@@ -22,9 +22,12 @@ package graft.multimodal
   *    pairs with in practice, undone row-wise after decompression;
   *  - TILED images (tags 322-325): per-tile decompression with the
   *    same codec set, edge tiles padded to the full tile grid and
-  *    cropped on the blit, predictor undone per tile row.
+  *    cropped on the blit, predictor undone per tile row;
+  *  - planar configuration 2 (separate sample planes, strips only):
+  *    per-plane strip runs interleaved after decode, the predictor's
+  *    row stride dropping to one channel.
   *
-  * Everything else (bilevel/16-bit, JPEG-in-TIFF, planar 2)
+  * Everything else (bilevel/16-bit, JPEG-in-TIFF, tiled planar-2)
   * returns None — the documented boundary; the format's long tail
   * is endless, and this profile covers the bulk of scanned/exported
   * corpora. Independent pins: the closed-form gate oracle AND
@@ -128,7 +131,7 @@ object Tiff {
     // the supported profile
     if (width <= 0 || height <= 0 ||
       width.toLong * height > MaxPixels) return None
-    if (planar != 1) return None
+    if (planar != 1 && planar != 2) return None
     if (compression != 1 && compression != 5 && compression != 32773)
       return None
     if (predictor != 1 && predictor != 2) return None
@@ -196,6 +199,7 @@ object Tiff {
     if (tileOffsets != null) {
       // ── tiled layout: full-size edge-padded tiles, cropped blit ──
       if (stripOffsets != null) return None // exactly one layout
+      if (planar == 2 && channels > 1) return None // documented boundary
       if (tileW <= 0 || tileH <= 0 || tileW % 16 != 0 || tileH % 16 != 0)
         return None
       if (tileCounts == null ||
@@ -222,6 +226,44 @@ object Tiff {
           y += 1
         }
         t += 1
+      }
+    } else if (planar == 2 && channels > 1) {
+      // ── separate planes: one strip run per sample, interleave ──
+      if (stripOffsets == null || stripCounts == null) return None
+      if (stripOffsets.length % channels != 0) return None
+      val perPlane = stripOffsets.length / channels
+      val plane = new Array[Byte](width * height)
+      var c = 0
+      while (c < channels) {
+        var got = 0
+        var s = 0
+        while (s < perPlane && got < plane.length) {
+          val k = c * perPlane + s
+          got = segment(stripOffsets(k), stripCounts(k), plane, got,
+            plane.length)
+          if (got < 0) return None
+          s += 1
+        }
+        if (got < plane.length) return None
+        // planar predictor differences within ONE channel: stride 1
+        if (predictor == 2) {
+          var y = 0
+          while (y < height) {
+            var q = y * width + 1
+            val rowEnd = (y + 1) * width
+            while (q < rowEnd) {
+              plane(q) = (plane(q) + plane(q - 1)).toByte
+              q += 1
+            }
+            y += 1
+          }
+        }
+        var i = 0
+        while (i < plane.length) {
+          data(i * channels + c) = plane(i)
+          i += 1
+        }
+        c += 1
       }
     } else {
       if (stripOffsets == null) return None

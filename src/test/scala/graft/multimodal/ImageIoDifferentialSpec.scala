@@ -133,6 +133,19 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF planar-2: separate sample planes match javax.imageio exactly") {
+    // spp > 1 docs with id % 13 == 9 store plane-major strip runs;
+    // 9: RGBA uncompressed, 61: RGB (61 % 3 == 1 -> PackBits planes),
+    // 113: RGBA LZW planes (113 % 3 == 2)
+    for (id <- Seq(9L, 61L, 113L)) {
+      assert(id % 13 === 9 && MediaSynth.tiffPhotometric(id) === 2)
+      same(s"tiff-planar2 id=$id", Tiff.decodePixels(MediaSynth.tiff(id)),
+        viaImageIo(MediaSynth.tiff(id)))
+      val big = MediaSynth.tiffOf(id, 40, 24) // multi-strip planes
+      same(s"tiff-planar2-big id=$id", Tiff.decodePixels(big), viaImageIo(big))
+    }
+  }
+
   test("BMP: the dedup fixture payloads match javax.imageio exactly") {
     // ImageDedup's BMP decoder vs the JDK's on the synthetic 24-bit
     // fixtures (bottom-up rows, padding)

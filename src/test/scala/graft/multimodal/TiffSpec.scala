@@ -133,7 +133,7 @@ class TiffSpec extends AnyFunSuite {
     assert(dst2.toSeq === runs.toSeq)
   }
 
-  test("profile boundary: JPEG-in-TIFF/planar-2/bilevel decline; imageHash dispatches TIFF") {
+  test("profile boundary: JPEG-in-TIFF/planar-3/bilevel decline; imageHash dispatches TIFF") {
     val base = MediaSynth.tiff(0L) // II, uncompressed gray
     // patch the Compression entry (tag 259) to LZW (5): entries are
     // 12 bytes from IFD+2; find the tag by scan
@@ -154,7 +154,10 @@ class TiffSpec extends AnyFunSuite {
     // compression 5 over UNCOMPRESSED strip bytes is a malformed LZW
     // stream: None, never a throw (raw gray bytes read as codes)
     assert(Tiff.decodePixels(patched(259, 5)) === None)
-    assert(Tiff.decodePixels(patched(284, 2)) === None, "planar-2 declines")
+    // planar-2 on a SINGLE-sample image is planar-1 by definition
+    // (TIFF 6.0: the field is irrelevant when spp = 1) — still decodes
+    assert(Tiff.decodePixels(patched(284, 2)).isDefined)
+    assert(Tiff.decodePixels(patched(284, 3)) === None, "planar-3 declines")
     assert(Tiff.decodePixels(patched(258, 1)) === None, "bilevel declines")
     assert(Tiff.decodePixels(base).isDefined, "patch harness sanity")
     // dispatch: the TIFF path feeds the real aHash, not the stub
