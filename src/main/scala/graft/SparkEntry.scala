@@ -3060,7 +3060,12 @@ object SparkEntry {
         |  FROM si, cs WHERE cs.ch < si.c),
         |smp AS (
         |  SELECT doc_id, c, i,
-        |    CASE fc
+        |    -- doc_id % 9 = 5: IEEE-float streams carrying the exact
+        |    -- 16-bit closed form (the decoder's rint projection is
+        |    -- exact on s16/32768 floats)
+        |    CASE WHEN doc_id % 9 = 5
+        |      THEN (doc_id * 31 + i * 97 + ch * 53) % 4001 - 2000
+        |    ELSE CASE fc
         |      WHEN 0 THEN (doc_id * 31 + i * 97 + ch * 53) % 4001 - 2000
         |      WHEN 1 THEN (r - 128) * 256
         |      WHEN 2 THEN -- G.711 u-law expansion (CCITT)
@@ -3076,7 +3081,7 @@ object SparkEntry {
         |          ELSE ((xor(r, 85) & 15) * 16 + 264)
         |            << (((xor(r, 85) // 16) & 7) - 1)
         |        END
-        |    END AS s
+        |    END END AS s
         |  FROM raw),
         |mix AS (SELECT doc_id, i, CAST(sum(s) AS BIGINT) // max(c) AS m
         |  FROM smp GROUP BY doc_id, i),

@@ -41,7 +41,9 @@ object AudioFeatures {
     * plus the G.711 telephony codings — µ-law (format 7) and A-law
     * (format 6), both 8-bit, expanded through the canonical CCITT
     * decode arithmetic ([[ulaw]]/[[alaw]] — integer-exact, mirrored
-    * verbatim in the gate's SQL). Any channel count; multichannel
+    * verbatim in the gate's SQL), and IEEE float (format 3, 32-bit),
+    * projected rint(f · 32768) clamped into the 16-bit domain (exact
+    * on any float that IS a 16-bit sample; NaN reads as silence). Any channel count; multichannel
     * frames MEAN-DOWNMIX per frame (truncating integer division —
     * exactly mirrorable in SQL; r13: the previous first-channel
     * projection made a channel-swapped stereo re-export hash
@@ -74,7 +76,8 @@ object AudioFeatures {
         rate = leInt(p + 12).toInt
         bits = leShort(p + 22)
         val ok = (fmt == 1 && (bits == 16 || bits == 8)) ||
-          ((fmt == 6 || fmt == 7) && bits == 8)
+          ((fmt == 6 || fmt == 7) && bits == 8) ||
+          (fmt == 3 && bits == 32)
         if (!ok || channels < 1) return None
         fmtOk = true
       } else if (id == "data") {
@@ -99,6 +102,13 @@ object AudioFeatures {
         sum += (fmt match {
           case 1 => if (bits == 16) (b(q) & 0xff) | (b(q + 1) << 8)
             else ((b(q) & 0xff) - 128) * 256
+          case 3 =>
+            val f0 = java.lang.Float.intBitsToFloat(
+              (b(q) & 0xff) | ((b(q + 1) & 0xff) << 8) |
+                ((b(q + 2) & 0xff) << 16) | (b(q + 3) << 24))
+            if (java.lang.Float.isNaN(f0)) 0
+            else math.max(-32768, math.min(32767,
+              math.rint(f0 * 32768.0).toInt))
           case 7 => ulaw(b(q) & 0xff)
           case _ => alaw(b(q) & 0xff) // 6
         })

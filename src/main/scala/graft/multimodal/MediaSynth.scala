@@ -261,11 +261,21 @@ object MediaSynth {
   // ── extended WAV (stereo / 8-bit; [[AudioFeatures]] downmixes) ───
 
   def wavExtChannels(docId: Long): Int = 1 + (docId % 2).toInt
-  /** Format class by doc_id % 4: PCM16 / PCM8 / µ-law / A-law. */
-  def wavExtFormat(docId: Long): Int = (docId % 4) match {
-    case 0 => 1; case 1 => 1; case 2 => 7; case _ => 6
-  }
-  def wavExtBits(docId: Long): Int = if (docId % 4 == 0) 16 else 8
+  /** IEEE-float class (doc_id % 9 == 5, overriding the % 4 format
+    * cycle): format 3, 32-bit floats s16 / 32768 — EXACT in binary
+    * (|s16| < 2^12), so the decoder's rint(f · 32768) projection
+    * reproduces [[wavExtSample16]] and the oracle's 16-bit closed
+    * form covers the class unchanged. */
+  def wavExtFloat(docId: Long): Boolean = docId % 9 == 5
+  /** Format class by doc_id % 4: PCM16 / PCM8 / µ-law / A-law;
+    * the % 9 == 5 override is IEEE float (format 3). */
+  def wavExtFormat(docId: Long): Int =
+    if (wavExtFloat(docId)) 3
+    else (docId % 4) match {
+      case 0 => 1; case 1 => 1; case 2 => 7; case _ => 6
+    }
+  def wavExtBits(docId: Long): Int =
+    if (wavExtFloat(docId)) 32 else if (docId % 4 == 0) 16 else 8
   def wavExtFrames(docId: Long): Int = 32 + (docId % 64).toInt
   def wavExtRate(docId: Long): Int = 8000 + 525 * (docId % 4).toInt
 
@@ -303,7 +313,10 @@ object MediaSynth {
     while (i < n) {
       var ch = 0
       while (ch < c) {
-        if (bits == 16) le16(out, wavExtSample16(docId, ch, i) & 0xffff)
+        if (fmt == 3)
+          le32(out, java.lang.Float.floatToIntBits(
+            wavExtSample16(docId, ch, i) / 32768.0f))
+        else if (bits == 16) le16(out, wavExtSample16(docId, ch, i) & 0xffff)
         else out.write(wavExtByte8(docId, ch, i))
         ch += 1
       }

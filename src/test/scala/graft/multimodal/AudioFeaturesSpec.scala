@@ -104,6 +104,36 @@ class AudioFeaturesSpec extends SparkSpec {
     assert(s.toSeq === Seq[Short](0, -32124, 32124, 0))
   }
 
+  test("IEEE-float WAV (format 3): rint projection reproduces the 16-bit closed form") {
+    // id % 9 == 5 overrides the % 4 cycle with 32-bit float streams;
+    // 5: mono, 14: stereo (mean downmix over projected channels),
+    // 32: mono at a different rate class
+    for (id <- Seq(5L, 14L, 32L)) {
+      assert(MediaSynth.wavExtFormat(id) === 3)
+      val got = AudioFeatures.decodeWavPcm(MediaSynth.wavExt(id))
+      assert(got.isDefined, s"id=$id")
+      val (rate, c, samples) = got.get
+      assert(rate === MediaSynth.wavExtRate(id))
+      assert(c === MediaSynth.wavExtChannels(id))
+      val want = (0 until MediaSynth.wavExtFrames(id)).map { i =>
+        var sum = 0
+        for (ch <- 0 until c) sum += MediaSynth.wavExtSample16(id, ch, i)
+        (sum / c).toShort
+      }
+      assert(samples.toSeq === want, s"id=$id")
+    }
+    // NaN lanes read as silence, infinities clamp — totality, not garbage
+    val base = MediaSynth.wavExt(5L)
+    val m = base.clone()
+    // first float sample starts at byte 44 (header is exactly 44 here)
+    m(44) = 0; m(45) = 0; m(46) = 0xc0.toByte; m(47) = 0x7f.toByte // NaN
+    val Some((_, _, mut)) = AudioFeatures.decodeWavPcm(m)
+    // id 5 is STEREO: the NaN lane contributes silence, the intact
+    // channel its closed-form sample — the mean downmix of the pair
+    assert(mut(0) ===
+      ((0 + MediaSynth.wavExtSample16(5L, 1, 0)) / 2).toShort)
+  }
+
   test("non-PCM, odd-depth, truncated and fake payloads fall back to the stub") {
     val good = wav(8000, 1, Seq(Seq(1), Seq(2)))
     // non-PCM audioFormat

@@ -89,7 +89,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "png" -> MediaSynth.png(9L),
       "gif" -> MediaSynth.gif(9L),
       "wav-ext" -> MediaSynth.wavExt(9L), // stereo PCM8
-      "wav-ulaw" -> MediaSynth.wavExt(14L), // 14 % 4 == 2 -> u-law
+      "wav-ulaw" -> MediaSynth.wavExt(18L), // 18 % 4 == 2 -> u-law
+      "wav-float" -> MediaSynth.wavExt(14L), // 14 % 9 == 5 -> IEEE float
       "png-interlaced" -> MediaSynth.png(7L),
       "png-indexed" -> MediaSynth.png(17L),
       "png-16bit" -> MediaSynth.png(6L),
