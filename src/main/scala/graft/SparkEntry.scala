@@ -3062,8 +3062,9 @@ object SparkEntry {
         |  SELECT doc_id, c, i,
         |    -- doc_id % 9 = 5: IEEE-float streams carrying the exact
         |    -- 16-bit closed form (the decoder's rint projection is
-        |    -- exact on s16/32768 floats)
-        |    CASE WHEN doc_id % 9 = 5
+        |    -- exact on s16/32768 floats); % 9 = 7: 24-bit PCM whose
+        |    -- floor >> 8 projection reproduces the same closed form
+        |    CASE WHEN doc_id % 9 = 5 OR doc_id % 9 = 7
         |      THEN (doc_id * 31 + i * 97 + ch * 53) % 4001 - 2000
         |    ELSE CASE fc
         |      WHEN 0 THEN (doc_id * 31 + i * 97 + ch * 53) % 4001 - 2000

@@ -41,9 +41,11 @@ object AudioFeatures {
     * plus the G.711 telephony codings — µ-law (format 7) and A-law
     * (format 6), both 8-bit, expanded through the canonical CCITT
     * decode arithmetic ([[ulaw]]/[[alaw]] — integer-exact, mirrored
-    * verbatim in the gate's SQL), and IEEE float (format 3, 32-bit),
+    * verbatim in the gate's SQL), IEEE float (format 3, 32-bit),
     * projected rint(f · 32768) clamped into the 16-bit domain (exact
-    * on any float that IS a 16-bit sample; NaN reads as silence). Any channel count; multichannel
+    * on any float that IS a 16-bit sample; NaN reads as silence),
+    * and 24-bit PCM, floor-projected `>> 8` per channel before the
+    * downmix (the 24-bit FLAC projection). Any channel count; multichannel
     * frames MEAN-DOWNMIX per frame (truncating integer division —
     * exactly mirrorable in SQL; r13: the previous first-channel
     * projection made a channel-swapped stereo re-export hash
@@ -75,7 +77,7 @@ object AudioFeatures {
         channels = leShort(p + 10)
         rate = leInt(p + 12).toInt
         bits = leShort(p + 22)
-        val ok = (fmt == 1 && (bits == 16 || bits == 8)) ||
+        val ok = (fmt == 1 && (bits == 16 || bits == 8 || bits == 24)) ||
           ((fmt == 6 || fmt == 7) && bits == 8) ||
           (fmt == 3 && bits == 32)
         if (!ok || channels < 1) return None
@@ -100,7 +102,11 @@ object AudioFeatures {
       while (c < channels) {
         val q = at + c * sampleBytes
         sum += (fmt match {
-          case 1 => if (bits == 16) (b(q) & 0xff) | (b(q + 1) << 8)
+          case 1 =>
+            if (bits == 16) (b(q) & 0xff) | (b(q + 1) << 8)
+            else if (bits == 24) // floor >> 8 into the 16-bit domain
+              (((b(q) & 0xff) | ((b(q + 1) & 0xff) << 8) |
+                (b(q + 2) << 16)) >> 8)
             else ((b(q) & 0xff) - 128) * 256
           case 3 =>
             val f0 = java.lang.Float.intBitsToFloat(

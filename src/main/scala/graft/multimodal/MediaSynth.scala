@@ -267,15 +267,28 @@ object MediaSynth {
     * reproduces [[wavExtSample16]] and the oracle's 16-bit closed
     * form covers the class unchanged. */
   def wavExtFloat(docId: Long): Boolean = docId % 9 == 5
+  /** 24-bit PCM class (doc_id % 9 == 7 override): samples are
+    * s16 · 256 + an even low byte — the 24-bit FLAC construction —
+    * so the decoder's floor `>> 8` projection reproduces
+    * [[wavExtSample16]] exactly. */
+  def wavExtPcm24(docId: Long): Boolean = docId % 9 == 7
   /** Format class by doc_id % 4: PCM16 / PCM8 / µ-law / A-law;
-    * the % 9 == 5 override is IEEE float (format 3). */
+    * the % 9 == 5 override is IEEE float (format 3), % 9 == 7
+    * 24-bit PCM. */
   def wavExtFormat(docId: Long): Int =
     if (wavExtFloat(docId)) 3
+    else if (wavExtPcm24(docId)) 1
     else (docId % 4) match {
       case 0 => 1; case 1 => 1; case 2 => 7; case _ => 6
     }
   def wavExtBits(docId: Long): Int =
-    if (wavExtFloat(docId)) 32 else if (docId % 4 == 0) 16 else 8
+    if (wavExtFloat(docId)) 32
+    else if (wavExtPcm24(docId)) 24
+    else if (docId % 4 == 0) 16 else 8
+  /** The 24-bit class's low byte (even — shared convention with
+    * [[flacLow]]). */
+  def wavExtLow(docId: Long, ch: Int, i: Int): Int =
+    ((docId * 17 + i * 11 + ch * 5) % 128).toInt * 2
   def wavExtFrames(docId: Long): Int = 32 + (docId % 64).toInt
   def wavExtRate(docId: Long): Int = 8000 + 525 * (docId % 4).toInt
 
@@ -316,6 +329,12 @@ object MediaSynth {
         if (fmt == 3)
           le32(out, java.lang.Float.floatToIntBits(
             wavExtSample16(docId, ch, i) / 32768.0f))
+        else if (bits == 24) {
+          val v = wavExtSample16(docId, ch, i) * 256 +
+            wavExtLow(docId, ch, i)
+          out.write(v & 0xff); out.write((v >> 8) & 0xff)
+          out.write((v >> 16) & 0xff)
+        }
         else if (bits == 16) le16(out, wavExtSample16(docId, ch, i) & 0xffff)
         else out.write(wavExtByte8(docId, ch, i))
         ch += 1

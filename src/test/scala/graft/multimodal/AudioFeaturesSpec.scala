@@ -134,13 +134,34 @@ class AudioFeaturesSpec extends SparkSpec {
       ((0 + MediaSynth.wavExtSample16(5L, 1, 0)) / 2).toShort)
   }
 
+  test("24-bit PCM WAV: floor >> 8 projection reproduces the 16-bit closed form") {
+    // id % 9 == 7 overrides with 24-bit PCM (s16*256 + even low byte)
+    for (id <- Seq(7L, 16L, 25L)) {
+      assert(MediaSynth.wavExtBits(id) === 24)
+      val got = AudioFeatures.decodeWavPcm(MediaSynth.wavExt(id))
+      assert(got.isDefined, s"id=$id")
+      val (rate, c, samples) = got.get
+      assert(rate === MediaSynth.wavExtRate(id))
+      assert(c === MediaSynth.wavExtChannels(id))
+      val want = (0 until MediaSynth.wavExtFrames(id)).map { i =>
+        var sum = 0
+        for (ch <- 0 until c) sum += MediaSynth.wavExtSample16(id, ch, i)
+        (sum / c).toShort
+      }
+      assert(samples.toSeq === want, s"id=$id")
+      // low bytes are non-trivial: the streams are NOT s16 << 8
+      assert((0 until 8).exists(i => MediaSynth.wavExtLow(id, 0, i) != 0))
+    }
+  }
+
   test("non-PCM, odd-depth, truncated and fake payloads fall back to the stub") {
     val good = wav(8000, 1, Seq(Seq(1), Seq(2)))
-    // non-PCM audioFormat
+    // non-PCM audioFormat (format 3 requires 32-bit; 16-bit floats
+    // don't exist in WAV — declines)
     val nonPcm = good.clone(); nonPcm(20) = 3
     assert(AudioFeatures.decodeWavPcm(nonPcm).isEmpty)
-    // 24-bit (out of scope; 8 and 16 decode)
-    val deep = good.clone(); deep(34) = 24
+    // unsupported depth (8/16/24 PCM decode; 20 does not)
+    val deep = good.clone(); deep(34) = 20
     assert(AudioFeatures.decodeWavPcm(deep).isEmpty)
     // truncated data chunk
     assert(AudioFeatures.decodeWavPcm(good.dropRight(1)).isEmpty)

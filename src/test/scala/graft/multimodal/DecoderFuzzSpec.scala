@@ -91,6 +91,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "wav-ext" -> MediaSynth.wavExt(9L), // stereo PCM8
       "wav-ulaw" -> MediaSynth.wavExt(18L), // 18 % 4 == 2 -> u-law
       "wav-float" -> MediaSynth.wavExt(14L), // 14 % 9 == 5 -> IEEE float
+      "wav-24bit" -> MediaSynth.wavExt(16L), // 16 % 9 == 7 -> 24-bit PCM
       "png-interlaced" -> MediaSynth.png(7L),
       "png-indexed" -> MediaSynth.png(17L),
       "png-16bit" -> MediaSynth.png(6L),
