@@ -57,6 +57,37 @@ object DecodeScaleBench {
         }.reduce(_ + _)
     }
 
+    timed(s"tiff encode+decode x $nDocs") {
+      spark.range(0, nDocs.toLong).as[Long]
+        .map { id =>
+          graft.multimodal.Tiff.decodePixels(graft.multimodal.MediaSynth.tiff(id))
+            .map { case (w, h, px) =>
+              var s = 0L; var i = 0
+              while (i < px.length) { s += px(i) & 0xff; i += 1 }
+              s + w + h
+            }.getOrElse(-1L)
+        }.reduce(_ + _)
+    }
+    // zstd round-trip at a crawl-document shape: ~2 KB text per doc
+    // through compress + the full decode path (Huffman literals, FSE
+    // sequences, repcodes, checksum)
+    timed(s"zstd compress+decompress x $nDocs") {
+      spark.range(0, nDocs.toLong).as[Long]
+        .map { id =>
+          val text = new StringBuilder(2048)
+          var i = 0
+          while (i < 80) { text.append("w").append((id + i * 7) % 211).append(' '); i += 1 }
+          text.append("tail of document ").append(id)
+          val raw = text.toString.getBytes("UTF-8")
+          graft.text.Zstd.decompress(graft.text.Zstd.compress(raw))
+            .map { out =>
+              var s = 0L; var k = 0
+              while (k < out.length) { s += out(k); k += 1 }
+              s
+            }.getOrElse(-1L)
+        }.reduce(_ + _)
+    }
+
     // spot-check: the decode really is the closed form at scale ids
     val ids = Seq(0L, nDocs / 2L, nDocs - 1L)
     ids.foreach { id =>
