@@ -346,6 +346,14 @@ object SparkEntry {
     // skippable-frame and multi-frame (.jsonl.zst shard) classes
     "text_zstd_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.zstdIngestReport(s, dir)),
+    // LZ4 ingest: real frame-format payloads (the Kafka/Hadoop-side
+    // compression) through the pure-JVM decoder, lz4-java-pinned
+    "text_lz4_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.lz4IngestReport(s, dir)),
+    // snappy ingest: raw blocks (the Parquet/Kafka shape) + framed
+    // .sz chunks through the pure-JVM decoder, snappy-java-pinned
+    "text_snappy_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.snappyIngestReport(s, dir)),
     // streaming zstd ingest: ordered batches through the delta-log
     // must reassemble to EXACTLY the one-shot batch report
     "text_zstd_ingest_stream" -> ((s, dir) =>
@@ -2733,6 +2741,22 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // deflate-ingest: decoded counts from the plain text column;
     // truncated members (id % 5 = 3) owe the (-1, -1) fallback
+    "text_snappy_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "text_lz4_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     // the streaming replay owes the identical frame — same oracle
     "text_zstd_ingest_stream" ->
       """SELECT doc_id,

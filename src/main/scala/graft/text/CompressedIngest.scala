@@ -181,6 +181,71 @@ object CompressedIngest {
       .toDF("doc_id", "n_tokens", "n_chars")
   }
 
+  /** Gate surface (`text_lz4_ingest`): per document, compress the
+    * text into REAL LZ4 frames through [[Lz4.compress]] (the frames
+    * lz4-java's reference reader verifies in Lz4Spec) and decode
+    * through the full production path. Classes mirror the zstd gate:
+    * id % 7 == 1 leading skippable frame, id % 7 == 4 two-frame
+    * `.jsonl.lz4` shard shape, id % 5 == 3 truncated (single-frame)
+    * owing (-1, -1). Map-only over documents. */
+  def lz4IngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val full: Array[Byte] =
+          if (id % 5 == 3) Lz4.compress(raw)
+          else if (id % 7 == 1) {
+            val skip = new java.io.ByteArrayOutputStream()
+            def le32(v: Long): Unit =
+              for (i <- 0 until 4) skip.write(((v >> (8 * i)) & 0xff).toInt)
+            le32(0x184d2a5cL); le32(8L)
+            for (i <- 0 until 8) skip.write(i)
+            skip.toByteArray ++ Lz4.compress(raw)
+          } else if (id % 7 == 4) {
+            val cut = raw.length / 2
+            Lz4.compress(java.util.Arrays.copyOfRange(raw, 0, cut)) ++
+              Lz4.compress(java.util.Arrays.copyOfRange(raw, cut, raw.length))
+          } else Lz4.compress(raw)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        Lz4.decompress(payload) match {
+          case Some(bytes) =>
+            val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            (id, t.split("\\s+").count(_.nonEmpty).toLong,
+              t.codePointCount(0, t.length).toLong)
+          case None => (id, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_chars")
+  }
+
+  /** Gate surface (`text_snappy_ingest`): per document, compress the
+    * text with [[Snappy]] (snappy-java-pinned) — RAW blocks (the
+    * Parquet/Kafka shape) on most rows, the FRAMED format (.sz,
+    * checksummed chunks) on id % 7 == 1, truncated raw on
+    * id % 5 == 3 owing (-1, -1). Map-only over documents. */
+  def snappyIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val full: Array[Byte] =
+          if (id % 5 != 3 && id % 7 == 1) Snappy.compressFramed(raw)
+          else Snappy.compress(raw)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        Snappy.decompress(payload) match {
+          case Some(bytes) =>
+            val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            (id, t.split("\\s+").count(_.nonEmpty).toLong,
+              t.codePointCount(0, t.length).toLong)
+          case None => (id, -1L, -1L)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_chars")
+  }
+
   /** The matching writer (fixture side): one RFC 1952 member via
     * `GZIPOutputStream` — byte layout is the JDK's, but the GATE
     * never depends on the compressed bytes, only on decode(encode(x))

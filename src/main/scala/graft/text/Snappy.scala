@@ -1,0 +1,237 @@
+package graft.text
+
+/** Snappy codec — pure JVM, public spec (google/snappy
+  * format_description.txt + framing_format.txt): the block
+  * compression Parquet pages, Kafka batches and Hadoop files carry.
+  * Fully generative (tag bytes + varints — no normative tables), and
+  * the REFERENCE implementation (snappy-java) ships on the Spark
+  * classpath, so SnappySpec differentials both directions: their
+  * blocks through our decoder byte-exact, ours through their
+  * `Snappy.uncompress`.
+  *
+  * Scope:
+  *  - the raw block format: varint preamble (uncompressed length),
+  *    literals with 1-/2-/3-/4-/5-byte length encodings, copy ops
+  *    with 1-byte (len 4-11, 11-bit offset), 2-byte and 4-byte
+  *    offsets, overlap-safe copies;
+  *  - the FRAMING format (.sz): the sNaPpY stream identifier,
+  *    compressed (0x00) and uncompressed (0x01) chunks with masked
+  *    CRC32C verification, padding (0xfe) and skippable (0x80-0xfd)
+  *    chunks, unskippable reserved chunks rejected;
+  *  - [[decompress]] sniffs framed vs raw by the stream-identifier
+  *    magic.
+  *
+  * The compressor emits raw blocks (greedy hash-table matches,
+  * 2-byte-offset copies) and [[compressFramed]] wraps them in
+  * checksummed frames. Same totality contract as [[Zstd]]/[[Lz4]];
+  * 64 MiB bomb guard. */
+object Snappy {
+
+  private val MaxBytes = 64 * 1024 * 1024
+
+  private final class Malformed extends RuntimeException(null, null, false, false)
+
+  private val FrameMagic: Array[Byte] =
+    Array[Byte](0xff.toByte, 0x06, 0x00, 0x00, 's', 'N', 'a', 'P', 'p', 'Y')
+
+  /** Sniff framed vs raw and decode; None on anything malformed. */
+  def decompress(b: Array[Byte], maxLen: Int = MaxBytes): Option[Array[Byte]] =
+    try {
+      if (b.length >= 10 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(b, 10), FrameMagic))
+        Some(framed(b, maxLen))
+      else Some(raw(b, 0, b.length, maxLen))
+    } catch { case _: Malformed | _: ArrayIndexOutOfBoundsException |
+      _: NegativeArraySizeException => None }
+
+  private def u8(b: Array[Byte], p: Int): Int = {
+    if (p >= b.length) throw new Malformed
+    b(p) & 0xff
+  }
+
+  /** Raw snappy block over [off, off+len). */
+  private def raw(b: Array[Byte], off: Int, len: Int, maxLen: Int): Array[Byte] = {
+    val end = off + len
+    if (end > b.length) throw new Malformed
+    // varint preamble: uncompressed length
+    var p = off
+    var expect = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      val v = u8(b, p); p += 1
+      expect |= (v & 0x7fL) << shift
+      shift += 7
+      if (shift > 35) throw new Malformed
+      more = (v & 0x80) != 0
+    }
+    if (expect > maxLen) throw new Malformed
+    val out = new Array[Byte](expect.toInt)
+    var n = 0
+    while (p < end) {
+      val tag = u8(b, p); p += 1
+      (tag & 3) match {
+        case 0 => // literal
+          var litLen = tag >>> 2
+          if (litLen >= 60) {
+            val extra = litLen - 59 // 1..4 length bytes, LE
+            litLen = 0
+            var i = 0
+            while (i < extra) { litLen |= u8(b, p) << (8 * i); p += 1; i += 1 }
+            if (litLen < 0) throw new Malformed
+          }
+          val cnt = litLen + 1
+          if (p + cnt > end || n + cnt > out.length) throw new Malformed
+          System.arraycopy(b, p, out, n, cnt)
+          p += cnt; n += cnt
+        case c =>
+          val (mLen, offset) = c match {
+            case 1 =>
+              (((tag >>> 2) & 7) + 4, ((tag >>> 5) << 8) | u8(b, { p += 1; p - 1 }))
+            case 2 =>
+              val o = u8(b, p) | (u8(b, p + 1) << 8); p += 2
+              ((tag >>> 2) + 1, o)
+            case _ =>
+              val o = u8(b, p) | (u8(b, p + 1) << 8) | (u8(b, p + 2) << 16) |
+                (u8(b, p + 3) << 24); p += 4
+              if (o < 0) throw new Malformed
+              ((tag >>> 2) + 1, o)
+          }
+          if (offset <= 0 || offset > n || n + mLen > out.length)
+            throw new Malformed
+          var i = 0
+          val src = n - offset
+          while (i < mLen) { out(n + i) = out(src + i); i += 1 }
+          n += mLen
+      }
+    }
+    if (n != out.length) throw new Malformed
+    out
+  }
+
+  /** CRC32C masked per the framing spec. */
+  private def maskedCrc(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C
+    c.update(b, off, len)
+    val crc = c.getValue.toInt
+    (((crc >>> 15) | (crc << 17)) + 0xa282ead8) & 0xffffffffL
+  }
+
+  private def framed(b: Array[Byte], maxLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length * 2)
+    var p = 0
+    var sawId = false
+    while (p < b.length) {
+      val tpe = u8(b, p)
+      val len = u8(b, p + 1) | (u8(b, p + 2) << 8) | (u8(b, p + 3) << 16)
+      p += 4
+      if (p + len > b.length) throw new Malformed
+      tpe match {
+        case 0xff => // stream identifier
+          if (len != 6 || b(p) != 's' || b(p + 1) != 'N' || b(p + 2) != 'a' ||
+            b(p + 3) != 'P' || b(p + 4) != 'p' || b(p + 5) != 'Y')
+            throw new Malformed
+          sawId = true
+        case 0x00 => // compressed chunk: masked CRC of the UNCOMPRESSED data
+          if (!sawId || len < 4) throw new Malformed
+          val want = (u8(b, p).toLong | (u8(b, p + 1).toLong << 8) |
+            (u8(b, p + 2).toLong << 16) | (u8(b, p + 3).toLong << 24))
+          val data = raw(b, p + 4, len - 4, maxLen - out.size())
+          if (maskedCrc(data, 0, data.length) != want) throw new Malformed
+          if (out.size() + data.length > maxLen) throw new Malformed
+          out.write(data, 0, data.length)
+        case 0x01 => // uncompressed chunk
+          if (!sawId || len < 4) throw new Malformed
+          val want = (u8(b, p).toLong | (u8(b, p + 1).toLong << 8) |
+            (u8(b, p + 2).toLong << 16) | (u8(b, p + 3).toLong << 24))
+          if (maskedCrc(b, p + 4, len - 4) != want) throw new Malformed
+          if (out.size() + len - 4 > maxLen) throw new Malformed
+          out.write(b, p + 4, len - 4)
+        case 0xfe => // padding
+        case t if t >= 0x80 && t <= 0xfd => // skippable
+        case _ => throw new Malformed // reserved unskippable
+      }
+      p += len
+    }
+    if (!sawId) throw new Malformed
+    out.toByteArray
+  }
+
+  // ════════════════════════════ encoder ═══════════════════════════
+
+  /** Raw snappy block: greedy hash-table matches with 2-byte-offset
+    * copies (≤ 64 bytes per op, the canonical emission). snappy-java's
+    * `Snappy.uncompress` decodes these byte-exact (SnappySpec). */
+  def compress(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(content.length / 2 + 32)
+    // varint preamble
+    var v = content.length
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    def literal(from: Int, len: Int): Unit = {
+      if (len == 0) return
+      val l = len - 1
+      if (l < 60) out.write(l << 2)
+      else if (l < 256) { out.write(60 << 2); out.write(l) }
+      else { out.write(61 << 2); out.write(l & 0xff); out.write(l >> 8) }
+      out.write(content, from, len)
+    }
+    def copy2(offset: Int, len: Int): Unit = { // 1 <= len <= 64
+      out.write(((len - 1) << 2) | 2)
+      out.write(offset & 0xff); out.write((offset >> 8) & 0xff)
+    }
+    val table = new Array[Int](1 << 14)
+    def hash4(p: Int): Int = {
+      val x = (content(p) & 0xff) | ((content(p + 1) & 0xff) << 8) |
+        ((content(p + 2) & 0xff) << 16) | ((content(p + 3) & 0xff) << 24)
+      (x * 0x9e3779b1) >>> 18
+    }
+    var anchor = 0
+    var p = 0
+    while (p + 4 <= content.length) {
+      val h = hash4(p)
+      val cand = table(h) - 1
+      table(h) = p + 1
+      if (cand >= 0 && cand < p && p - cand <= 65535 &&
+        content(cand) == content(p) && content(cand + 1) == content(p + 1) &&
+        content(cand + 2) == content(p + 2) && content(cand + 3) == content(p + 3)) {
+        var mLen = 4
+        while (p + mLen < content.length &&
+          content(cand + mLen) == content(p + mLen)) mLen += 1
+        literal(anchor, p - anchor)
+        val offset = p - cand
+        var rest = mLen
+        while (rest > 64) { copy2(offset, 64); rest -= 64 }
+        copy2(offset, rest)
+        p += mLen
+        anchor = p
+      } else p += 1
+    }
+    literal(anchor, content.length - anchor)
+    out.toByteArray
+  }
+
+  /** The framing format (.sz): stream identifier + one compressed
+    * chunk per ≤ 65536-byte segment (masked CRC32C of the
+    * uncompressed data). */
+  def compressFramed(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(content.length / 2 + 64)
+    out.write(FrameMagic, 0, FrameMagic.length)
+    var off = 0
+    while (off < content.length || (off == 0 && content.length == 0)) {
+      val end = math.min(off + 65536, content.length)
+      val seg = java.util.Arrays.copyOfRange(content, off, end)
+      val body = compress(seg)
+      val crc = maskedCrc(seg, 0, seg.length)
+      val chunkLen = 4 + body.length
+      out.write(0x00)
+      out.write(chunkLen & 0xff); out.write((chunkLen >> 8) & 0xff)
+      out.write((chunkLen >> 16) & 0xff)
+      for (i <- 0 until 4) out.write(((crc >> (8 * i)) & 0xff).toInt)
+      out.write(body, 0, body.length)
+      off = end
+      if (content.length == 0) off = 1 // emitted the single empty chunk
+    }
+    out.toByteArray
+  }
+}

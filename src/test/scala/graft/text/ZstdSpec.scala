@@ -156,6 +156,33 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("zstd-jni randomized differential: 120 frames x 4 levels decode byte-exact; our frames decode under zstd-jni") {
+    // the reference implementation ships ON THE SPARK CLASSPATH
+    // (zstd-jni) — a randomized foreign differential, not just the
+    // committed static vectors: structured/random/repetitive payloads
+    // at levels crossing the fast/lazy/btopt match finders
+    for (i <- 0 until 30; level <- Seq(1, 3, 9, 19)) {
+      val payload = (i % 3) match {
+        case 0 => lcg(1 + (i * 173) % 6000, i + 1L) // incompressible
+        case 1 => // repetitive with period drift
+          Array.tabulate(200 + i * 97)(k => ((k * (2 + i % 7)) % 26 + 97).toByte)
+        case _ => // word soup
+          (0 until 300 + i * 13).map(k => "t" + ((k * 31 + i) % 53) + " ")
+            .mkString.getBytes("UTF-8")
+      }
+      val foreign = com.github.luben.zstd.Zstd.compress(payload, level)
+      val got = Zstd.decompress(foreign)
+      assert(got.isDefined, s"i=$i level=$level must decode")
+      assert(java.util.Arrays.equals(got.get, payload), s"i=$i level=$level")
+      // and the reverse: zstd-jni must accept OUR frames
+      val ours = Zstd.compress(payload)
+      val back = com.github.luben.zstd.Zstd.decompress(ours,
+        payload.length max 1)
+      assert(java.util.Arrays.equals(back, payload),
+        s"i=$i: zstd-jni rejected or mis-decoded our frame")
+    }
+  }
+
   test("bomb guard: output past the ceiling declines instead of allocating") {
     // big payload with a tiny maxLen cap
     assert(Zstd.decompress(vector("big_l3.zst"), maxLen = 1024).isEmpty)
