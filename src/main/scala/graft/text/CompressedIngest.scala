@@ -220,6 +220,31 @@ object CompressedIngest {
       .toDF("doc_id", "n_tokens", "n_chars")
   }
 
+  /** Magic-sniffing dispatcher — the crawl-side entry point when the
+    * container/encoding header is missing or untrusted: gzip
+    * (1f 8b), zstd (28 b5 2f fd, incl. its skippable frames), LZ4
+    * frame (04 22 4d 18, incl. skippables), framed snappy (the
+    * sNaPpY identifier), else the two deflate flavors ([[inflate]]'s
+    * zlib-then-raw sniff). RAW snappy is NOT sniffable (no magic) —
+    * callers that know the payload is raw snappy call
+    * [[Snappy.decompress]] directly (the Parquet/Kafka shape always
+    * knows). Totality and bomb guards inherited from every branch. */
+  def decodeAny(b: Array[Byte], maxLen: Int = MaxBytes): Option[Array[Byte]] = {
+    if (b.length < 2) return None
+    val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+    if (b0 == 0x1f && b1 == 0x8b) gunzip(b, maxLen)
+    else if (b.length >= 4 && b0 == 0x28 && b1 == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) Zstd.decompress(b, maxLen)
+    else if (b.length >= 4 && b0 == 0x04 && b1 == 0x22 &&
+      (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) Lz4.decompress(b, maxLen)
+    else if (b.length >= 8 && (b0 & 0xf0) == 0x50 && b1 == 0x2a &&
+      (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18)
+      // a LEADING skippable frame: zstd and lz4 share the range — try both
+      Zstd.decompress(b, maxLen).orElse(Lz4.decompress(b, maxLen))
+    else if (b.length >= 10 && b0 == 0xff && b1 == 0x06) Snappy.decompress(b, maxLen)
+    else inflate(b, maxLen)
+  }
+
   /** Gate surface (`text_snappy_ingest`): per document, compress the
     * text with [[Snappy]] (snappy-java-pinned) — RAW blocks (the
     * Parquet/Kafka shape) on most rows, the FRAMED format (.sz,

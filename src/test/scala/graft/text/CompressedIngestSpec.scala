@@ -73,4 +73,33 @@ class CompressedIngestSpec extends AnyFunSuite {
     }
   }
 
+
+  test("decodeAny: one sniff dispatches gzip/zstd/lz4/framed-snappy/deflate") {
+    val data = ("sniff me " * 50).getBytes
+    val shapes = Seq(
+      "gzip" -> CompressedIngest.gzip(data),
+      "zstd" -> Zstd.compress(data),
+      "lz4" -> Lz4.compress(data),
+      "snappy-framed" -> Snappy.compressFramed(data),
+      "zlib" -> CompressedIngest.zlib(data),
+      "raw-deflate" -> CompressedIngest.rawDeflate(data))
+    for ((name, payload) <- shapes) {
+      val got = CompressedIngest.decodeAny(payload)
+      assert(got.isDefined, s"$name must sniff-decode")
+      assert(java.util.Arrays.equals(got.get, data), s"$name content")
+    }
+    // a leading skippable frame still lands on the right codec
+    def skippable(magic: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Unit =
+        for (i <- 0 until 4) out.write(((v >> (8 * i)) & 0xff).toInt)
+      le32(magic); le32(4L); out.write(Array[Byte](1, 2, 3, 4), 0, 4)
+      out.toByteArray
+    }
+    assert(java.util.Arrays.equals(
+      CompressedIngest.decodeAny(skippable(0x184d2a53L) ++ Zstd.compress(data)).get, data))
+    assert(java.util.Arrays.equals(
+      CompressedIngest.decodeAny(skippable(0x184d2a51L) ++ Lz4.compress(data)).get, data))
+    assert(CompressedIngest.decodeAny("garbage bytes that are nothing".getBytes).isEmpty)
+  }
 }
