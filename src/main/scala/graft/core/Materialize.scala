@@ -34,27 +34,32 @@ object Materialize {
       val root = spark.conf.getOption("graft.scratch.dir").getOrElse("/tmp")
       val p = s"$root/graft_ckpt_${tag}_${counter.incrementAndGet()}_" +
         spark.sparkContext.applicationId
-      registerForCleanup(p)
+      // cleanup through the path's OWN filesystem: the scratch dir is
+      // HDFS/S3 on a real cluster, where java.io.File deletion is a
+      // silent no-op leaking every checkpointed frame (code-review r15)
+      val hconf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      registerForCleanup(p, hconf)
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
   }
 
-  private val cleanupPaths =
-    scala.collection.mutable.Set.empty[String]
+  private val cleanupPaths = scala.collection.mutable
+    .Set.empty[(String, org.apache.hadoop.conf.Configuration)]
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cleanupPaths.synchronized(cleanupPaths.toSeq).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(p))
+      cleanupPaths.synchronized(cleanupPaths.toSeq).foreach { case (p, conf) =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+        } catch { case _: Exception => () } // best-effort at shutdown
       }))
     true
   }
-  private def registerForCleanup(p: String): Unit = {
+  private def registerForCleanup(p: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     require(hookInstalled)
-    cleanupPaths.synchronized { cleanupPaths += p; () }
+    cleanupPaths.synchronized { cleanupPaths += ((p, conf)); () }
   }
 }

@@ -960,6 +960,13 @@ object MediaSynth {
       i += 1
     }
     if (omega >= 0) put(omega)
+    // the decoder performs one more add while PROCESSING the flush
+    // code above (the encoder has no paired add for it), so when that
+    // phantom add lands exactly on the decoder's early-change
+    // boundary the EOI must be written one bit wider — without this,
+    // a strip whose dictionary ends exactly at 510/1022/2046 entries
+    // desyncs on the EOI read (code-review r15)
+    if (width < 12 && next == (1 << width) - 1) width += 1
     put(257) // EOI
     if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
     out.toByteArray

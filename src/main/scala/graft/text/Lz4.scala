@@ -83,24 +83,31 @@ object Lz4 {
     * block start for independent ones). */
   private def block(b: Array[Byte], p0: Int, end: Int, out: Out,
       windowStart: Int): Unit = {
+    // every read is bounded by the DECLARED block end, not the whole
+    // buffer: a corrupt block must never consume the next block's
+    // bytes and terminate cleanly with garbage (code-review r15)
+    def u8e(p: Int): Int = {
+      if (p >= end) throw new Malformed
+      b(p) & 0xff
+    }
     var p = p0
     while (p < end) {
-      val token = u8(b, p); p += 1
+      val token = u8e(p); p += 1
       var litLen = token >>> 4
       if (litLen == 15) {
         var x = 255
-        while (x == 255) { x = u8(b, p); p += 1; litLen += x
+        while (x == 255) { x = u8e(p); p += 1; litLen += x
           if (litLen > MaxBytes) throw new Malformed }
       }
       if (p + litLen > end) throw new Malformed
       out.append(b, p, litLen)
       p += litLen
       if (p < end) { // a match follows (the last sequence has none)
-        val offset = u8(b, p) | (u8(b, p + 1) << 8); p += 2
+        val offset = u8e(p) | (u8e(p + 1) << 8); p += 2
         var mLen = (token & 15) + 4
         if ((token & 15) == 15) {
           var x = 255
-          while (x == 255) { x = u8(b, p); p += 1; mLen += x
+          while (x == 255) { x = u8e(p); p += 1; mLen += x
             if (mLen > MaxBytes) throw new Malformed }
         }
         out.copyMatch(offset, mLen, windowStart)

@@ -118,7 +118,11 @@ object Snappy {
   }
 
   private def framed(b: Array[Byte], maxLen: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(b.length * 2)
+    // small initial capacity: b.length*2 would overflow Int past 1 GiB
+    // (an uncaught IllegalArgumentException breaking totality) and
+    // eagerly doubles the allocation for every normal input
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length, 64), 1 << 20))
     var p = 0
     var sawId = false
     while (p < b.length) {
@@ -173,7 +177,16 @@ object Snappy {
       val l = len - 1
       if (l < 60) out.write(l << 2)
       else if (l < 256) { out.write(60 << 2); out.write(l) }
-      else { out.write(61 << 2); out.write(l & 0xff); out.write(l >> 8) }
+      else if (l < 65536) {
+        out.write(61 << 2); out.write(l & 0xff); out.write(l >> 8)
+      } else if (l < (1 << 24)) { // 3-byte form: >64 KiB literal runs
+        out.write(62 << 2)
+        out.write(l & 0xff); out.write((l >> 8) & 0xff); out.write(l >> 16)
+      } else { // 4-byte form
+        out.write(63 << 2)
+        out.write(l & 0xff); out.write((l >> 8) & 0xff)
+        out.write((l >> 16) & 0xff); out.write(l >>> 24)
+      }
       out.write(content, from, len)
     }
     def copy2(offset: Int, len: Int): Unit = { // 1 <= len <= 64

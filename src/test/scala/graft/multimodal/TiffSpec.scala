@@ -133,6 +133,26 @@ class TiffSpec extends AnyFunSuite {
     assert(dst2.toSeq === runs.toSeq)
   }
 
+  test("LZW flush at the early-change boundary: every stream length 1-600 roundtrips (code-review r15)") {
+    // the decoder performs one phantom add while processing the FLUSH
+    // code; when that add lands exactly on the 510/1022/2046 boundary
+    // the EOI must be written one bit wider. Sweeping lengths crosses
+    // the exact boundary strips the old encoder desynced on.
+    var seed = 424242L
+    def rnd(): Byte = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) & 0xff).toByte
+    }
+    for (len <- 1 to 600) {
+      val raw = Array.fill(len)(rnd())
+      val enc = MediaSynth.tiffLzw(raw)
+      val dst = new Array[Byte](len)
+      assert(Tiff.lzwStrip(enc, 0, enc.length, dst, 0, len) === len,
+        s"len=$len")
+      assert(dst.toSeq === raw.toSeq, s"len=$len")
+    }
+  }
+
   test("profile boundary: JPEG-in-TIFF/planar-3/bilevel decline; imageHash dispatches TIFF") {
     val base = MediaSynth.tiff(0L) // II, uncompressed gray
     // patch the Compression entry (tag 259) to LZW (5): entries are

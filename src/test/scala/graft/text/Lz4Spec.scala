@@ -137,6 +137,24 @@ class Lz4Spec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt block never reads past its declared end (code-review r15)") {
+    // hand-built frame, NO checksums/content-size: one block whose
+    // last token declares a match but truncates before the full
+    // offset — the old decoder consumed the EndMark bytes as the
+    // offset and returned garbage; it must be None
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit =
+      for (i <- 0 until 4) out.write(((v >> (8 * i)) & 0xff).toInt)
+    le32(0x184d2204L)
+    val hdr = Array[Byte](0x60, 0x40) // v01 + independent, 64 KiB
+    out.write(hdr, 0, 2)
+    out.write(((Xxh32.hash(hdr, 0, 2, 0) >>> 8) & 0xff).toInt)
+    le32(3L) // compressed block, 3 bytes
+    out.write(0x14); out.write('A'); out.write(0x05) // truncated match
+    le32(0L) // EndMark
+    assert(Lz4.decompress(out.toByteArray).isEmpty)
+  }
+
   test("bomb guard and XXH32 vectors") {
     assert(Lz4.decompress(Lz4.compress(("x" * 100000).getBytes),
       maxLen = 1024).isEmpty)

@@ -89,6 +89,19 @@ class SnappySpec extends AnyFunSuite {
     assert(Snappy.decompress(res).isEmpty)
   }
 
+  test("long incompressible literals: the 3- and 4-byte length forms (code-review r15)") {
+    // > 64 KiB of incompressible bytes forces one literal run past the
+    // 2-byte length form; the old encoder silently truncated the length
+    val big3 = lcg(70000, 17L)
+    assert(java.util.Arrays.equals(Snappy.decompress(Snappy.compress(big3)).get, big3))
+    assert(java.util.Arrays.equals(
+      org.xerial.snappy.Snappy.uncompress(Snappy.compress(big3)), big3))
+    // and past 16 MiB - the 4-byte form (one doc, kept under the bomb guard)
+    val big4 = lcg((1 << 24) + 99, 23L)
+    assert(java.util.Arrays.equals(
+      Snappy.decompress(Snappy.compress(big4), maxLen = 32 * 1024 * 1024).get, big4))
+  }
+
   test("truncation and random blobs are total; bomb guard") {
     val z = Snappy.compressFramed(("prefix " * 300).getBytes)
     for (n <- 0 until z.length)
