@@ -354,6 +354,10 @@ object SparkEntry {
     // .sz chunks through the pure-JVM decoder, snappy-java-pinned
     "text_snappy_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.snappyIngestReport(s, dir)),
+    // WARC ingest: the crawl container itself (ISO 28500, the
+    // CommonCrawl per-record-gzip shape) down to the HTTP payload
+    "text_warc_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.warcIngestReport(s, dir)),
     // streaming zstd ingest: ordered batches through the delta-log
     // must reassemble to EXACTLY the one-shot batch report
     "text_zstd_ingest_stream" -> ((s, dir) =>
@@ -2741,6 +2745,16 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // deflate-ingest: decoded counts from the plain text column;
     // truncated members (id % 5 = 3) owe the (-1, -1) fallback
+    "text_warc_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1 ELSE 3 END AS BIGINT)
+        |    AS n_records,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     "text_snappy_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1

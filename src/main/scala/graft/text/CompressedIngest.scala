@@ -271,6 +271,49 @@ object CompressedIngest {
       .toDF("doc_id", "n_tokens", "n_chars")
   }
 
+  /** Gate surface (`text_warc_ingest`): per document, build a real
+    * 3-record WARC (warcinfo + request + response whose HTTP payload
+    * is the doc text), per-record-gzip on even ids (the CommonCrawl
+    * shape) and plain on odd, truncated on id % 5 == 3 owing
+    * (-1, -1, -1); extract the response payload through
+    * [[Warc.records]] + [[Warc.httpPayload]] and report record count
+    * + the decoded token/char counts. Map-only over documents. */
+  def warcIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+        val full = Warc.write(Seq(
+          Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-info>") ->
+            "software: graft\r\n".getBytes,
+          Seq("WARC-Type" -> "request",
+            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-req>") ->
+            s"GET /doc/$id HTTP/1.1\r\nHost: example.org\r\n\r\n".getBytes,
+          Seq("WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-resp>") -> http),
+          gzipPerRecord = id % 2 == 0)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        (for {
+          recs <- Warc.records(payload)
+          resp <- recs.find(_.warcType == "response")
+          doc <- Warc.httpPayload(resp.block)
+        } yield {
+          val t = new String(doc, java.nio.charset.StandardCharsets.UTF_8)
+          (id, recs.length.toLong,
+            t.split("\\s+").count(_.nonEmpty).toLong,
+            t.codePointCount(0, t.length).toLong)
+        }).getOrElse((id, -1L, -1L, -1L))
+      }
+      .toDF("doc_id", "n_records", "n_tokens", "n_chars")
+  }
+
   /** The matching writer (fixture side): one RFC 1952 member via
     * `GZIPOutputStream` — byte layout is the JDK's, but the GATE
     * never depends on the compressed bytes, only on decode(encode(x))

@@ -1,0 +1,145 @@
+package graft.text
+
+/** WARC (Web ARChive, ISO 28500) record ingest — the container web
+  * crawls actually ship in: CommonCrawl distributes `.warc.gz` files
+  * holding one gzip member PER RECORD, each record a version line
+  * (`WARC/1.0`), `Name: value` headers, an empty line, then
+  * `Content-Length` octets of block, then CRLF CRLF. Response
+  * records carry an HTTP message whose payload starts after the HTTP
+  * header's empty line.
+  *
+  * Scope:
+  *  - [[records]]: parse a concatenated stream of records from plain
+  *    WARC bytes OR per-record-gzip bytes (sniffed by the 1f 8b
+  *    magic; the JDK's GZIPInputStream already concatenates members,
+  *    so the gzip path is decode-then-parse);
+  *  - header parsing: case-insensitive names, the version line,
+  *    Content-Length-driven block extraction (no guessing), strict
+  *    CRLF CRLF record terminators;
+  *  - [[httpPayload]]: split an HTTP message block at the first
+  *    CRLF CRLF — the response-body extraction step between "crawl
+  *    record" and "document text";
+  *  - totality: None on malformed version lines, non-numeric or
+  *    out-of-range lengths, truncation anywhere (WarcSpec fuzzes).
+  *
+  * Scale posture: map-only over a binary column (one WARC slice per
+  * row — the WET/WARC-slice shape upstream splitters emit), bounded
+  * by [[CompressedIngest.MaxBytes]] through the gzip path. */
+object Warc {
+
+  final case class Record(headers: Map[String, String], block: Array[Byte]) {
+    def warcType: String = headers.getOrElse("warc-type", "")
+    def targetUri: String = headers.getOrElse("warc-target-uri", "")
+  }
+
+  /** Parse all records; gzip-sniffing. None on any malformed record. */
+  def records(b: Array[Byte]): Option[Seq[Record]] = {
+    val plain =
+      if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+        CompressedIngest.gunzip(b) match {
+          case Some(x) => x
+          case None => return None
+        }
+      else b
+    parse(plain)
+  }
+
+  private def parse(b: Array[Byte]): Option[Seq[Record]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var p = 0
+    while (p < b.length) {
+      // version line
+      val vEnd = lineEnd(b, p)
+      if (vEnd < 0) return None
+      val version = ascii(b, p, vEnd)
+      if (!version.startsWith("WARC/")) return None
+      p = vEnd + 2
+      // headers until the empty line
+      val hdrs = scala.collection.mutable.Map.empty[String, String]
+      var done = false
+      while (!done) {
+        val e = lineEnd(b, p)
+        if (e < 0) return None
+        if (e == p) { done = true; p += 2 }
+        else {
+          val line = ascii(b, p, e)
+          val c = line.indexOf(':')
+          if (c <= 0) return None
+          hdrs(line.substring(0, c).trim.toLowerCase) =
+            line.substring(c + 1).trim
+          p = e + 2
+        }
+      }
+      val len = hdrs.get("content-length") match {
+        case Some(v) if v.forall(_.isDigit) && v.length <= 10 => v.toLong
+        case _ => return None
+      }
+      if (len > Int.MaxValue - 8 || p + len + 4 > b.length) return None
+      val block = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+      p += len.toInt
+      // the record terminator: CRLF CRLF
+      if (b(p) != '\r' || b(p + 1) != '\n' || b(p + 2) != '\r' ||
+        b(p + 3) != '\n') return None
+      p += 4
+      out += Record(hdrs.toMap, block)
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** The HTTP payload of a response record's block: the bytes after
+    * the first CRLF CRLF (the HTTP header separator); None when the
+    * block is not an HTTP message. */
+  def httpPayload(block: Array[Byte]): Option[Array[Byte]] = {
+    if (block.length < 4 || !ascii(block, 0,
+      math.min(block.length, 5)).startsWith("HTTP/")) return None
+    var i = 0
+    while (i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+        block(i + 2) == '\r' && block(i + 3) == '\n')
+        return Some(java.util.Arrays.copyOfRange(block, i + 4, block.length))
+      i += 1
+    }
+    None
+  }
+
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      if (b(i) == '\n') return -1 // bare LF: malformed per ISO 28500
+      i += 1
+    }
+    -1
+  }
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ── fixture writer (the CommonCrawl per-record-gzip shape) ───────
+
+  /** Serialize records; `gzipPerRecord` emits one gzip member per
+    * record — the CommonCrawl convention whose member boundaries
+    * allow random access into a shard. */
+  def write(recs: Seq[(Seq[(String, String)], Array[Byte])],
+      gzipPerRecord: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    recs.foreach { case (hdrs, block) =>
+      val r = new java.io.ByteArrayOutputStream(block.length + 256)
+      def line(s: String): Unit = {
+        r.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        r.write('\r'); r.write('\n')
+      }
+      line("WARC/1.0")
+      hdrs.foreach { case (k, v) => line(s"$k: $v") }
+      line(s"Content-Length: ${block.length}")
+      line("")
+      r.write(block, 0, block.length)
+      line(""); line("")
+      val bytes = r.toByteArray
+      if (gzipPerRecord) {
+        val gz = CompressedIngest.gzip(bytes)
+        out.write(gz, 0, gz.length)
+      } else out.write(bytes, 0, bytes.length)
+    }
+    out.toByteArray
+  }
+}

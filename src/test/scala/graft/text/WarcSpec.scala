@@ -1,0 +1,83 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC record ingest: both serializations (plain and the CommonCrawl
+  * per-record-gzip shape) roundtrip, header parsing is
+  * case-insensitive and Content-Length-driven, HTTP payload
+  * extraction lands on the body bytes, and the parser is total under
+  * truncation and garbage. */
+class WarcSpec extends AnyFunSuite {
+
+  private def fixture(text: String): Seq[(Seq[(String, String)], Array[Byte])] = {
+    val body = text.getBytes("UTF-8")
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+      .getBytes("US-ASCII") ++ body
+    Seq(
+      Seq("WARC-Type" -> "warcinfo") -> "software: graft\r\n".getBytes,
+      Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> "https://example.org/x") ->
+        "GET /x HTTP/1.1\r\n\r\n".getBytes,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/x") -> http)
+  }
+
+  test("plain and per-record-gzip serializations parse to the same records") {
+    val recs = fixture("hello warc world éé")
+    for (gz <- Seq(false, true)) {
+      val got = Warc.records(Warc.write(recs, gzipPerRecord = gz))
+      assert(got.isDefined, s"gz=$gz")
+      assert(got.get.length === 3)
+      assert(got.get.map(_.warcType) === Seq("warcinfo", "request", "response"))
+      assert(got.get(2).targetUri === "https://example.org/x")
+      val payload = Warc.httpPayload(got.get(2).block)
+      assert(payload.isDefined)
+      assert(new String(payload.get, "UTF-8") === "hello warc world éé")
+    }
+  }
+
+  test("header names are case-insensitive; Content-Length drives the block") {
+    // a block CONTAINING \r\n\r\n must not confuse the parser: the
+    // length field, not a scan, bounds it
+    val tricky = "line1\r\n\r\nline2 looks like a terminator".getBytes
+    val bytes = Warc.write(Seq(
+      Seq("wArC-tYpE" -> "resource") -> tricky), gzipPerRecord = false)
+    val got = Warc.records(bytes)
+    assert(got.isDefined && got.get.head.warcType === "resource")
+    assert(got.get.head.block.toSeq === tricky.toSeq)
+  }
+
+  test("truncation at every prefix is None or a response-less prefix, never a lie") {
+    val full = Warc.write(fixture("truncate me " * 20), gzipPerRecord = false)
+    for (n <- 0 until full.length) {
+      Warc.records(java.util.Arrays.copyOf(full, n)) match {
+        case None => // malformed, fine
+        case Some(recs) =>
+          // a clean record-boundary cut may parse a PREFIX — it must
+          // be a strict prefix (never a fabricated response record)
+          assert(recs.length < 3, s"prefix $n parsed all records?")
+      }
+    }
+    val gz = Warc.write(fixture("truncate me " * 20), gzipPerRecord = true)
+    for (n <- 0 until gz.length)
+      Warc.records(java.util.Arrays.copyOf(gz, n)) match {
+        case None =>
+        case Some(recs) => assert(recs.length < 3, s"gz prefix $n")
+      }
+  }
+
+  test("malformed shapes decline: bad version, bare LF, bad length, missing terminator") {
+    assert(Warc.records("WARC/1.0\r\n".getBytes).isEmpty)
+    assert(Warc.records("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
+    assert(Warc.records(Array.emptyByteArray).isEmpty)
+    assert(Warc.records(
+      "WARC/1.0\nWARC-Type: x\n\n".getBytes).isEmpty) // bare LF
+    assert(Warc.records(
+      "WARC/1.0\r\nContent-Length: zz\r\n\r\n".getBytes).isEmpty)
+    val good = Warc.write(fixture("x"), gzipPerRecord = false)
+    val noTerm = java.util.Arrays.copyOf(good, good.length - 1)
+    assert(Warc.records(noTerm).isEmpty)
+    // httpPayload on a non-HTTP block
+    assert(Warc.httpPayload("plain text".getBytes).isEmpty)
+  }
+}
