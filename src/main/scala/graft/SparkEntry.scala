@@ -2743,8 +2743,9 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
         |    ELSE length(text) END AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
-    // deflate-ingest: decoded counts from the plain text column;
-    // truncated members (id % 5 = 3) owe the (-1, -1) fallback
+    // warc-ingest: 3 records per doc (warcinfo + request + response);
+    // decoded response-payload counts from the plain text column;
+    // truncated slices (id % 5 = 3) owe the (-1, -1, -1) fallback
     "text_warc_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1 ELSE 3 END AS BIGINT)

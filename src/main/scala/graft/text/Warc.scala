@@ -27,6 +27,10 @@ package graft.text
   * by [[CompressedIngest.MaxBytes]] through the gzip path. */
 object Warc {
 
+  /** One record. `headers` is last-wins per (lowercased) name — the
+    * repeatable fields ISO 28500 allows (WARC-Concurrent-To) collapse;
+    * none of this module's consumers read them, and the full-fidelity
+    * form would be Map[String, Seq[String]] when one does. */
   final case class Record(headers: Map[String, String], block: Array[Byte]) {
     def warcType: String = headers.getOrElse("warc-type", "")
     def targetUri: String = headers.getOrElse("warc-target-uri", "")
@@ -54,24 +58,33 @@ object Warc {
       val version = ascii(b, p, vEnd)
       if (!version.startsWith("WARC/")) return None
       p = vEnd + 2
-      // headers until the empty line
+      // headers until the empty line; values are UTF-8 per ISO 28500
+      // (URIs may carry non-ASCII); folded continuation lines
+      // (leading SP/HT) extend the previous value
       val hdrs = scala.collection.mutable.Map.empty[String, String]
+      var lastName: String = null
       var done = false
       while (!done) {
         val e = lineEnd(b, p)
         if (e < 0) return None
         if (e == p) { done = true; p += 2 }
         else {
-          val line = ascii(b, p, e)
-          val c = line.indexOf(':')
-          if (c <= 0) return None
-          hdrs(line.substring(0, c).trim.toLowerCase) =
-            line.substring(c + 1).trim
+          val line = utf8(b, p, e)
+          if (line.head == ' ' || line.head == '\t') {
+            if (lastName == null) return None
+            hdrs(lastName) = hdrs(lastName) + " " + line.trim
+          } else {
+            val c = line.indexOf(':')
+            if (c <= 0) return None
+            lastName = line.substring(0, c).trim.toLowerCase
+            hdrs(lastName) = line.substring(c + 1).trim
+          }
           p = e + 2
         }
       }
       val len = hdrs.get("content-length") match {
-        case Some(v) if v.forall(_.isDigit) && v.length <= 10 => v.toLong
+        case Some(v) if v.nonEmpty && v.forall(_.isDigit) &&
+          v.length <= 10 => v.toLong
         case _ => return None
       }
       if (len > Int.MaxValue - 8 || p + len + 4 > b.length) return None
@@ -113,6 +126,8 @@ object Warc {
   }
   private def ascii(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, until - from, java.nio.charset.StandardCharsets.US_ASCII)
+  private def utf8(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
 
   // ── fixture writer (the CommonCrawl per-record-gzip shape) ───────
 
@@ -125,7 +140,8 @@ object Warc {
     recs.foreach { case (hdrs, block) =>
       val r = new java.io.ByteArrayOutputStream(block.length + 256)
       def line(s: String): Unit = {
-        r.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        // header lines are UTF-8 per ISO 28500 (URIs may be non-ASCII)
+        r.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         r.write('\r'); r.write('\n')
       }
       line("WARC/1.0")

@@ -66,6 +66,31 @@ class WarcSpec extends AnyFunSuite {
       }
   }
 
+  test("UTF-8 header values, folded headers, empty Content-Length (review r15)") {
+    // non-ASCII WARC-Target-URI survives (ISO 28500 headers are UTF-8)
+    val uri = "https://example.org/caf\u00e9/\u00fcber"
+    val bytes = Warc.write(Seq(
+      Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> uri) ->
+        "x".getBytes), gzipPerRecord = false)
+    val got = Warc.records(bytes)
+    assert(got.isDefined && got.get.head.targetUri === uri)
+    // a folded header (continuation line) extends the previous value
+    val folded = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Foo: first part\r\n second part\r\n" +
+      "Content-Length: 1\r\n\r\nZ\r\n\r\n").getBytes
+    val fr = Warc.records(folded)
+    assert(fr.isDefined)
+    assert(fr.get.head.headers("warc-foo") === "first part second part")
+    // an EMPTY Content-Length declines (was a NumberFormatException)
+    assert(Warc.records(
+      ("WARC/1.0\r\nWARC-Type: x\r\nContent-Length:\r\n\r\n" +
+        "\r\n\r\n").getBytes).isEmpty)
+    // a folded line BEFORE any header declines
+    assert(Warc.records(
+      ("WARC/1.0\r\n folded first\r\nContent-Length: 0\r\n\r\n" +
+        "\r\n\r\n").getBytes).isEmpty)
+  }
+
   test("malformed shapes decline: bad version, bare LF, bad length, missing terminator") {
     assert(Warc.records("WARC/1.0\r\n".getBytes).isEmpty)
     assert(Warc.records("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
