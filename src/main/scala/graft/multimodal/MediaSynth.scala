@@ -746,12 +746,16 @@ object MediaSynth {
     val spp = if (photometric == 2) (if (docId % 8 == 1) 4 else 3) else 1
     val packbits = docId % 3 == 1
     val lzw = docId % 3 == 2
-    val predictor2 = lzw && docId % 6 == 2
+    val predictor2 = lzw && docId % 6 == 2 && docId % 19 != 13
     val tiled = docId % 11 == 7 // tags 322-325; 16x16 edge-padded tiles
     val rowsPerStrip = 4
     // separate sample planes (tag 284 = 2), strips only
     val planar2 = docId % 13 == 9 && !tiled &&
       (if (photometric == 2) true else false)
+    // 16-bit class (strips only, no palette/predictor): samples are
+    // v*257 = (v, v) in EITHER byte order, so the decoder's
+    // round(v16*255/65535) scale-back is exact and the oracle holds
+    val bits16 = docId % 19 == 13 && photometric != 3 && !tiled && !planar2
 
     // post-photometric stored bytes
     val data = new Array[Byte](w * h * spp)
@@ -769,6 +773,19 @@ object MediaSynth {
           if (spp == 4) data(q + 3) = ((g + 31) % 256).toByte
       }
     }
+    // 16-bit expansion: each stored byte v becomes the two bytes of
+    // v*257 — identical in both byte orders (hi = lo = v)
+    val (data16, sampleBytes) =
+      if (!bits16) (data, 1)
+      else {
+        val d = new Array[Byte](data.length * 2)
+        var i = 0
+        while (i < data.length) {
+          d(2 * i) = data(i); d(2 * i + 1) = data(i); i += 1
+        }
+        (d, 2)
+      }
+
     val tileW = 16; val tileH = 16
     val tilesAcross = (w + tileW - 1) / tileW
     val rawSegs: Seq[(Array[Byte], Int)] = // (segment bytes, row bytes)
@@ -794,8 +811,9 @@ object MediaSynth {
           (seg, w)
         }
       } else (0 until h by rowsPerStrip).map { y0 =>
-        (java.util.Arrays.copyOfRange(data, y0 * w * spp,
-          math.min(h, y0 + rowsPerStrip) * w * spp), w * spp)
+        val rowB = w * spp * sampleBytes
+        (java.util.Arrays.copyOfRange(data16, y0 * rowB,
+          math.min(h, y0 + rowsPerStrip) * rowB), rowB)
       }
     val strips = rawSegs.map { case (raw0, rowB) =>
       val raw =
@@ -854,8 +872,8 @@ object MediaSynth {
     val entries = Seq(
       Entry(256, 3, 1, Some(w), Nil),
       Entry(257, 3, 1, Some(h), Nil),
-      if (spp == 1) Entry(258, 3, 1, Some(8), Nil)
-      else Entry(258, 3, spp, None, Seq.fill(spp)(8)),
+      if (spp == 1) Entry(258, 3, 1, Some(if (bits16) 16 else 8), Nil)
+      else Entry(258, 3, spp, None, Seq.fill(spp)(if (bits16) 16 else 8)),
       Entry(259, 3, 1,
         Some(if (packbits) 32773 else if (lzw) 5 else 1), Nil),
       Entry(262, 3, 1, Some(photometric), Nil),

@@ -27,7 +27,13 @@ package graft.multimodal
   *    per-plane strip runs interleaved after decode, the predictor's
   *    row stride dropping to one channel.
   *
-  * Everything else (bilevel/16-bit, JPEG-in-TIFF, tiled planar-2)
+  *  - 16-bit samples (gray/RGB/RGBA, strips, plain or
+  *    LZW/PackBits): scaled round(v·255/65535) into the 8-bit
+  *    domain — the PNG 16-bit convention, and exactly the JDK
+  *    raster scaling ImageIoDifferentialSpec compares against;
+  *    16-bit with predictor/tiles/planar-2/palette stays None.
+  *
+  * Everything else (bilevel, JPEG-in-TIFF, tiled planar-2)
   * returns None — the documented boundary; the format's long tail
   * is endless, and this profile covers the bulk of scanned/exported
   * corpora. Independent pins: the closed-form gate oracle AND
@@ -135,7 +141,10 @@ object Tiff {
     if (compression != 1 && compression != 5 && compression != 32773)
       return None
     if (predictor != 1 && predictor != 2) return None
-    if (!bits.forall(_ == 8)) return None
+    val bps =
+      if (bits.forall(_ == 8)) 8
+      else if (bits.forall(_ == 16)) 16
+      else return None
     val channels = photometric match {
       case 0 | 1 => 1
       case 2 => if (spp == 3 || spp == 4) spp else return None
@@ -145,6 +154,9 @@ object Tiff {
     if (photometric != 2 && spp != channels) return None
     if (photometric == 3 &&
       (colorMap == null || colorMap.length < 3 * 256)) return None
+    // the 16-bit profile: strips only, no predictor, no palette
+    if (bps == 16 && (photometric == 3 || predictor == 2 ||
+      tileOffsets != null || (planar == 2 && channels > 1))) return None
 
     /** Decompress one strip/tile segment into dst(got until limit);
       * returns the new fill point or -1 on a malformed segment. */
@@ -194,7 +206,7 @@ object Tiff {
         }
       }
 
-    val rowBytes = width * channels
+    val rowBytes = width * channels * (bps / 8)
     val data = new Array[Byte](rowBytes * height)
     if (tileOffsets != null) {
       // ── tiled layout: full-size edge-padded tiles, cropped blit ──
@@ -270,7 +282,7 @@ object Tiff {
       val counts =
         if (stripCounts != null) stripCounts
         else if (compression == 1 && stripOffsets.length == 1)
-          Array(width.toLong * height * channels) // spec allows omission
+          Array(rowBytes.toLong * height) // spec allows omission
         else return None
       if (counts.length != stripOffsets.length) return None
       var got = 0
@@ -284,27 +296,44 @@ object Tiff {
       undoPredictor(data, rowBytes, height)
     }
 
+    // 16-bit samples scale into the 8-bit domain once, up front
+    val data8 =
+      if (bps == 8) data
+      else {
+        val d8 = new Array[Byte](width * height * channels)
+        var sI = 0
+        while (sI < d8.length) {
+          val q = sI * 2
+          val v =
+            if (le) (data(q) & 0xff) | ((data(q + 1) & 0xff) << 8)
+            else ((data(q) & 0xff) << 8) | (data(q + 1) & 0xff)
+          d8(sI) = ((v * 255 + 32767) / 65535).toByte
+          sI += 1
+        }
+        d8
+      }
+
     val out = new Array[Int](width * height)
     var i = 0
     while (i < out.length) {
       val q = i * channels
       out(i) = photometric match {
         case 0 =>
-          val g = 255 - (data(q) & 0xff) // WhiteIsZero
+          val g = 255 - (data8(q) & 0xff) // WhiteIsZero
           0xff000000 | (g << 16) | (g << 8) | g
         case 1 =>
-          val g = data(q) & 0xff
+          val g = data8(q) & 0xff
           0xff000000 | (g << 16) | (g << 8) | g
         case 3 =>
-          val idx = data(q) & 0xff
+          val idx = data8(q) & 0xff
           // ColorMap entries are 16-bit; the 8-bit projection is the
           // high byte (entries here are v*257 so this is exact)
           0xff000000 | ((colorMap(idx) >> 8) << 16) |
             ((colorMap(256 + idx) >> 8) << 8) | (colorMap(512 + idx) >> 8)
         case _ =>
-          val a = if (channels == 4) data(q + 3) & 0xff else 255
-          (a << 24) | ((data(q) & 0xff) << 16) |
-            ((data(q + 1) & 0xff) << 8) | (data(q + 2) & 0xff)
+          val a = if (channels == 4) data8(q + 3) & 0xff else 255
+          (a << 24) | ((data8(q) & 0xff) << 16) |
+            ((data8(q + 1) & 0xff) << 8) | (data8(q + 2) & 0xff)
       }
       i += 1
     }

@@ -146,6 +146,20 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF 16-bit: gray and RGB samples match javax.imageio exactly") {
+    // id % 19 == 13 docs carry 16-bit samples (v*257); 13: RGB
+    // PackBits MM, 32: gray LZW II, 51: WhiteIsZero uncompressed MM
+    // (inverted 16-bit storage), 89: RGBA LZW MM
+    for (id <- Seq(13L, 32L, 51L, 89L)) {
+      assert(id % 19 === 13 && MediaSynth.tiffPhotometric(id) != 3)
+      same(s"tiff-16bit id=$id pm=${MediaSynth.tiffPhotometric(id)}",
+        Tiff.decodePixels(MediaSynth.tiff(id)),
+        viaImageIo(MediaSynth.tiff(id)))
+      val big = MediaSynth.tiffOf(id, 40, 24)
+      same(s"tiff-16bit-big id=$id", Tiff.decodePixels(big), viaImageIo(big))
+    }
+  }
+
   test("BMP: the dedup fixture payloads match javax.imageio exactly") {
     // ImageDedup's BMP decoder vs the JDK's on the synthetic 24-bit
     // fixtures (bottom-up rows, padding)
