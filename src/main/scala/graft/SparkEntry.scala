@@ -358,6 +358,19 @@ object SparkEntry {
     // CommonCrawl per-record-gzip shape) down to the HTTP payload
     "text_warc_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.warcIngestReport(s, dir)),
+    // WARC shard → slice splitting by gzip member boundaries (the
+    // random-access CommonCrawl property): slice-parse must equal
+    // whole-shard parse before any row reports
+    "text_warc_split" -> ((s, dir) =>
+      graft.text.CompressedIngest.warcSplitReport(s, dir)),
+    // HTML → text extraction (WHATWG rules, HTMLEditorKit-pinned):
+    // tag/script/style/template strip, entities, block newlines
+    "text_html_extract" -> ((s, dir) =>
+      graft.text.HtmlIngest.htmlExtractReport(s, dir)),
+    // the crawl chain end-to-end: warc → http → charset (WHATWG
+    // precedence incl. lying signals) → html → text
+    "text_warc_html" -> ((s, dir) =>
+      graft.text.HtmlIngest.warcHtmlReport(s, dir)),
     // streaming zstd ingest: ordered batches through the delta-log
     // must reassemble to EXACTLY the one-shot batch report
     "text_zstd_ingest_stream" -> ((s, dir) =>
@@ -2755,6 +2768,59 @@ object SparkEntry {
         |  END AS BIGINT) AS n_tokens,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
         |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    // warc-split: the shard's 3 members slice apart and re-parse to
+    // the same records; counts from the response payload (plain text
+    // column); truncated shards (id % 5 = 3, cut mid-member) owe -1s
+    "text_warc_split" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1 ELSE 3 END AS BIGINT)
+        |    AS n_slices,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    // html-extract: every well-formed class extracts to exactly
+    // "Doc {id}\nDoc {id}\n{text}\nend of doc" — 7 extra tokens, and
+    // 2*len("Doc {id}") + len("end of doc") + 3 newlines = +13 chars;
+    // the malformed class (unterminated <script>, id % 5 = 3) owes -1
+    "text_html_extract" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) + 7
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) + 2 * length('Doc ' || CAST(doc_id AS VARCHAR)) + 13
+        |  END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    // warc-html: charset class = doc_id % 4 (utf-8 header / cp1252
+    // header over a lying meta / meta-only iso-8859-1 label → cp1252
+    // per WHATWG / BOM over a lying header). The title's code-point
+    // sum pins the DECODE char-for-char (a latin-1 misread of cp1252
+    // byte 0x80 or a cp1252 misread of the BOM page changes it); the
+    // count columns add the per-class title tokens/chars to the plain
+    // column's own. Truncated rows (id % 5 = 3) owe the fallback.
+    "text_warc_html" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 3 THEN ''
+        |    WHEN doc_id % 4 IN (1, 2) THEN 'windows-1252'
+        |    ELSE 'UTF-8' END AS charset,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    WHEN doc_id % 4 = 0 THEN 10907
+        |    WHEN doc_id % 4 = 1 THEN 18232
+        |    WHEN doc_id % 4 = 2 THEN 1561
+        |    ELSE 10790 END AS BIGINT) AS head_cp_sum,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + CASE WHEN doc_id % 4 IN (1, 2) THEN 4 ELSE 3 END + 3
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text)
+        |      + CASE WHEN doc_id % 4 = 0 THEN 13 WHEN doc_id % 4 = 1 THEN 22
+        |             WHEN doc_id % 4 = 2 THEN 15 ELSE 11 END + 12
+        |  END AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
     "text_snappy_ingest" ->
       """SELECT doc_id,

@@ -314,6 +314,62 @@ object CompressedIngest {
       .toDF("doc_id", "n_records", "n_tokens", "n_chars")
   }
 
+  /** Gate surface (`text_warc_split`): per document, build the same
+    * 3-record WARC as [[warcIngestReport]] but ALWAYS per-record-gzip
+    * (the CommonCrawl shard shape), split it into per-member slices
+    * through [[Warc.memberBounds]] — the shard→slice operator a real
+    * multi-GB `.warc.gz` needs before any per-row decode — parse each
+    * slice INDEPENDENTLY, and require slice-parse ≡ whole-shard parse
+    * (record count and response text both) before reporting. A row
+    * where the two parses disagree owes the fallback even if one of
+    * them "worked" — the splitter must never change what a shard
+    * means. Truncated shards (id % 5 == 3, cut mid-member) owe
+    * (-1, -1, -1): [[Warc.memberBounds]] is strict. Map-only. */
+  def warcSplitReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+        val full = Warc.write(Seq(
+          Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-info>") ->
+            "software: graft\r\n".getBytes,
+          Seq("WARC-Type" -> "request",
+            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-req>") ->
+            s"GET /doc/$id HTTP/1.1\r\nHost: example.org\r\n\r\n".getBytes,
+          Seq("WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-resp>") -> http),
+          gzipPerRecord = true)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        (for {
+          slices <- Warc.memberSlices(payload)
+          perSlice <- {
+            val parsed = slices.map(Warc.records)
+            if (parsed.forall(_.isDefined)) Some(parsed.flatMap(_.get))
+            else None
+          }
+          whole <- Warc.records(payload)
+          // the splitter must preserve meaning: same records either way
+          if whole.length == perSlice.length &&
+            whole.map(_.warcType) == perSlice.map(_.warcType)
+          resp <- perSlice.find(_.warcType == "response")
+          doc <- Warc.httpPayload(resp.block)
+        } yield {
+          val t = new String(doc, java.nio.charset.StandardCharsets.UTF_8)
+          (id, slices.length.toLong,
+            t.split("\\s+").count(_.nonEmpty).toLong,
+            t.codePointCount(0, t.length).toLong)
+        }).getOrElse((id, -1L, -1L, -1L))
+      }
+      .toDF("doc_id", "n_slices", "n_tokens", "n_chars")
+  }
+
   /** The matching writer (fixture side): one RFC 1952 member via
     * `GZIPOutputStream` — byte layout is the JDK's, but the GATE
     * never depends on the compressed bytes, only on decode(encode(x))

@@ -99,6 +99,28 @@ object Warc {
     if (out.isEmpty) None else Some(out.toSeq)
   }
 
+  /** One HTTP header value from a response record's block (case-
+    * insensitive name, first occurrence), without touching the
+    * payload — the Content-Type lookup charset resolution needs.
+    * None when the block is not an HTTP message or the header is
+    * absent. */
+  def httpHeader(block: Array[Byte], name: String): Option[String] = {
+    if (block.length < 5 || !ascii(block, 0, 5).startsWith("HTTP/")) return None
+    var p = lineEnd(block, 0)
+    if (p < 0) return None
+    p += 2
+    while (p < block.length) {
+      val e = lineEnd(block, p)
+      if (e < 0 || e == p) return None // payload separator / truncation
+      val line = utf8(block, p, e)
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase(name))
+        return Some(line.substring(c + 1).trim)
+      p = e + 2
+    }
+    None
+  }
+
   /** The HTTP payload of a response record's block: the bytes after
     * the first CRLF CRLF (the HTTP header separator); None when the
     * block is not an HTTP message. */
@@ -128,6 +150,96 @@ object Warc {
     new String(b, from, until - from, java.nio.charset.StandardCharsets.US_ASCII)
   private def utf8(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+
+  // ── shard → slice splitting (gzip member boundaries) ─────────────
+
+  /** Split a multi-member `.warc.gz` SHARD into per-member slices by
+    * RFC 1952 member boundaries — the random-access property the
+    * CommonCrawl per-record-gzip convention exists for, and the
+    * missing link (r15 verdict #2b) between "a real ~1 GB crawl file"
+    * and the one-slice-per-row posture everything downstream assumes.
+    *
+    * Returns (offset, length) views into the compressed shard, one
+    * per member. Bounded memory: each member's deflate stream is
+    * inflated through a fixed 8 KiB buffer purely to locate its end
+    * and verify its CRC32 + ISIZE trailer — output bytes are counted
+    * into the checksum and DISCARDED, never buffered, so the peak
+    * footprint is the buffer regardless of member size. STRICT:
+    * trailing garbage, a truncated final member, a bad trailer, or
+    * reserved FLG bits → None — a partial shard must not silently
+    * pass as whole (callers that want salvage cut the shard first).
+    *
+    * WarcSplitSpec proves shard-parse ≡ concatenated per-slice parse
+    * on multi-member fixtures and totality under truncation at every
+    * prefix. */
+  def memberBounds(b: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = 0
+    while (p < b.length) {
+      val start = p
+      // RFC 1952 member header
+      if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+        (b(p + 1) & 0xff) != 0x8b || (b(p + 2) & 0xff) != 8) return None
+      val flg = b(p + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved bits
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) return None
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+        if (p > b.length) return None
+      }
+      if ((flg & 8) != 0) { // FNAME, zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        p += 2
+        if (p > b.length) return None
+      }
+      // deflate body: inflate-and-discard to find the member end
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, b.length - p)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](8192)
+        var size = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0 && !inf.finished() && inf.needsInput())
+            return None // truncated deflate stream
+          crc.update(buf, 0, n)
+          size += n
+        }
+        p += inf.getBytesRead.toInt
+        // trailer: CRC32 + ISIZE, both LE
+        if (p + 8 > b.length) return None
+        def le32(q: Int): Long =
+          (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
+            ((b(q + 2) & 0xffL) << 16) | ((b(q + 3) & 0xffL) << 24)
+        if (le32(p) != crc.getValue || le32(p + 4) != (size & 0xffffffffL))
+          return None
+        p += 8
+      } finally inf.end() // release native zlib state
+      out += ((start, p - start))
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** [[memberBounds]] materialized: the per-member compressed slices
+    * themselves — each independently decodable by [[records]]. */
+  def memberSlices(b: Array[Byte]): Option[Seq[Array[Byte]]] =
+    memberBounds(b).map(_.map { case (off, len) =>
+      java.util.Arrays.copyOfRange(b, off, off + len)
+    })
 
   // ── fixture writer (the CommonCrawl per-record-gzip shape) ───────
 

@@ -1,0 +1,186 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML → text extraction: tag stripping, raw-text/RCDATA elements,
+  * character references (numeric + named, error cases), block-level
+  * line boundaries, attribute tokenization, whitespace
+  * canonicalization, totality under truncation — and a FOREIGN PIN:
+  * the JDK's own independent HTML parser
+  * (javax.swing.text.html.parser.ParserDelegator, the HTMLEditorKit
+  * engine) extracts the same visible token stream from the same
+  * pages (the ImageIO differential strategy applied to text). */
+class HtmlSpec extends AnyFunSuite {
+
+  private def ex(html: String): String = {
+    val r = Html.extractText(html)
+    assert(r.isDefined, s"unexpected malformed: $html")
+    r.get
+  }
+
+  test("tags strip; block tags are line boundaries; inline tags are not") {
+    assert(ex("<p>hello</p><p>world</p>") === "hello\nworld")
+    assert(ex("a<b>b</b>c") === "abc")
+    assert(ex("<div>x</div><div>y</div>") === "x\ny")
+    assert(ex("one<br>two<br/>three") === "one\ntwo\nthree")
+    assert(ex("<ul><li>a</li><li>b</li></ul>") === "a\nb")
+    assert(ex("<table><tr><td>1</td><td>2</td></tr></table>") === "1\n2")
+    assert(ex("<h1>Title</h1>body <a href='x'>link</a> text")
+      === "Title\nbody link text")
+    assert(ex("<em>in</em><strong>line</strong>") === "inline")
+  }
+
+  test("script/style/template content is dropped wholesale") {
+    assert(ex("<script>var x = '<p>not text</p>';</script>after") === "after")
+    assert(ex("""<script type="text/javascript">if(1<2){a();}</script>x""") === "x")
+    assert(ex("<style>p{color:red} .c>div{}</style>visible") === "visible")
+    assert(ex("<template><p>inert dom</p></template>shown") === "shown")
+    // close-tag scan is case-insensitive, tolerates attributes/space
+    assert(ex("<SCRIPT>x()</ScRiPt >done") === "done")
+    // nothing inside a raw-text element is a tag — not even comments
+    assert(ex("<script><!-- not a comment --></script>t") === "t")
+  }
+
+  test("RCDATA (title/textarea): text kept, references decoded, tags literal") {
+    assert(ex("<title>My &amp; Page</title>") === "My & Page")
+    assert(ex("<title>a <b> c</title>") === "a <b> c")
+    assert(ex("<textarea>default &lt;text&gt;</textarea>") === "default <text>")
+  }
+
+  test("character references: numeric, named, and the error table") {
+    assert(ex("&#101;&#x61;&#111;") === "eao")
+    assert(ex("caf&eacute; &euro;5 &copy;") === "café €5 ©")
+    assert(ex("a&amp;b &lt;c&gt; &quot;d&quot;") === "a&b <c> \"d\"")
+    // unknown / unterminated stay literal (ambiguous ampersand)
+    assert(ex("AT&T rocks") === "AT&T rocks")
+    assert(ex("&zzz; &noSemicolon and &#;") === "&zzz; &noSemicolon and &#;")
+    // NUL, surrogates, out-of-range → U+FFFD per the numeric table
+    assert(ex("&#0;") === "�")
+    assert(ex("&#xD800;") === "�")
+    assert(ex("&#x110000;") === "�")
+    assert(ex("&#1114111;") === new String(Character.toChars(0x10ffff)))
+    // &nbsp; normalizes to a plain space (training-text convention)
+    assert(ex("a&nbsp;b") === "a b")
+    assert(ex("&shy;soft") === "soft")
+  }
+
+  test("attribute tokenization: quoted '>' does not end the tag") {
+    assert(ex("""<div data-x="a>b">inside</div>""") === "inside")
+    assert(ex("""<div data-x='c>d' id=e>f</div>""") === "f")
+    assert(ex("""<img alt="x>y">tail""") === "tail")
+  }
+
+  test("comments, doctype, bogus comments, literal '<'") {
+    assert(ex("a<!-- <p>ghost</p> -->b") === "ab")
+    assert(ex("<!DOCTYPE html>x") === "x")
+    assert(ex("<![CDATA[ghost]]>y") === "y")
+    assert(ex("<?php ghost ?>z") === "z")
+    assert(ex("</>q") === "q")
+    // '<' not opening a tag is text (the data-state rule)
+    assert(ex("1 < 2 and 2 <3") === "1 < 2 and 2 <3")
+    assert(ex("x <école>") === "x <école>")
+    // eof-in-comment: comment runs to EOF, text before it survives
+    assert(ex("keep<!-- runs to eof") === "keep")
+  }
+
+  test("whitespace canonicalization") {
+    assert(ex("<p>  a   b\t c </p>\n\n<p> d </p>") === "a b c\nd")
+    assert(ex("<div></div><div>  </div>only") === "only")
+  }
+
+  test("malformed ONLY on unterminated raw-text elements") {
+    assert(Html.extractText("text<script>var x = 1;") === None)
+    assert(Html.extractText("<style>p{}") === None)
+    assert(Html.extractText("<template><p>x") === None)
+    // unterminated RCDATA is malformed the same way
+    assert(Html.extractText("<title>never closed") === None)
+    // but an unterminated PLAIN tag is not (eof-in-tag drops the tag)
+    assert(Html.extractText("ok<div class=") === Some("ok"))
+  }
+
+  test("totality: every prefix of a soup page returns, never throws") {
+    val page = HtmlIngest.plant(1L, "the quick brown fox jumps") +
+      "&#x1F600;&bad<&amp;<!--x--><b>tail</b>"
+    for (n <- 0 to page.length)
+      Html.extractText(page.substring(0, n)) // must not throw
+  }
+
+  test("plant(): every well-formed class extracts the canonical text") {
+    val text = "spark query window merge"
+    // base (id 0), entity class (id 1 → %7==1), soup class (id 11 → %7==4)
+    for (id <- Seq(0L, 1L, 11L, 2L, 6L)) {
+      assert(Html.extractText(HtmlIngest.plant(id, text))
+        === Some(s"Doc $id\nDoc $id\n$text\nend of doc"), s"id=$id")
+    }
+    // malformed class (id % 5 == 3)
+    assert(Html.extractText(HtmlIngest.plant(3L, text)) === None)
+    assert(Html.extractText(HtmlIngest.plant(13L, text)) === None)
+  }
+
+  // ── the foreign pin: JDK HTMLEditorKit parser differential ────────
+
+  /** Visible-token extraction through the JDK's ParserDelegator: an
+    * INDEPENDENT implementation (HTML 3.2-era DTD) — the differential
+    * corpus sticks to constructs both parsers define identically
+    * (standard tags, latin-1 named entities, numeric references,
+    * comments, script/style). */
+  private def editorKitTokens(html: String): Seq[String] = {
+    val sb = new StringBuilder
+    var skip = 0
+    val cb = new javax.swing.text.html.HTMLEditorKit.ParserCallback {
+      import javax.swing.text.html.HTML
+      override def handleStartTag(t: HTML.Tag,
+          a: javax.swing.text.MutableAttributeSet, pos: Int): Unit =
+        if (t == HTML.Tag.SCRIPT || t == HTML.Tag.STYLE) skip += 1
+      override def handleEndTag(t: HTML.Tag, pos: Int): Unit =
+        if (t == HTML.Tag.SCRIPT || t == HTML.Tag.STYLE) skip = math.max(0, skip - 1)
+      override def handleText(data: Array[Char], pos: Int): Unit =
+        if (skip == 0) { sb.appendAll(data); sb.append(' ') }
+    }
+    new javax.swing.text.html.parser.ParserDelegator()
+      .parse(new java.io.StringReader(html), cb, true)
+    sb.toString.split("\\s+").toSeq.filter(_.nonEmpty)
+  }
+
+  private def ourTokens(html: String): Seq[String] =
+    ex(html).split("\\s+").toSeq.filter(_.nonEmpty)
+
+  test("FOREIGN PIN: HTMLEditorKit extracts the same visible tokens") {
+    val pages = Seq(
+      "<html><head><title>T one</title></head><body><p>alpha beta</p>" +
+        "<div>gamma</div></body></html>",
+      "<p>caf&eacute; costs &#8364;5 &amp; more</p><p>next &uuml;ber</p>",
+      "<h1>Header</h1><ul><li>first item</li><li>second item</li></ul>" +
+        "<table><tr><td>cell one</td><td>cell two</td></tr></table>",
+      "<p>before</p><!-- a <b>commented</b> fragment --><p>after</p>",
+      // style belongs in head for the 3.2-era DTD: in-body <style>
+      // content leaks through the kit's handleText without a
+      // bracketing handleStartTag — a known vintage gap, so the
+      // differential places it where both parsers agree
+      "<html><head><style>p{color:red}</style></head><body><p>keep</p>" +
+        "<p>and keep</p></body></html>",
+      "a <b>bold</b> and <i>italic</i> and <a href=\"x\">linked</a> words",
+      "<p>numeric &#101;&#x61;&#111; refs</p>")
+    for (p <- pages)
+      assert(ourTokens(p) === editorKitTokens(p), s"page: $p")
+  }
+
+  test("FOREIGN PIN: the planted gate pages agree with HTMLEditorKit") {
+    // base and soup classes only: the entity class uses &#x61;-style
+    // hex refs (fine) but its &nbsp; footer decodes to U+00A0 in the
+    // editor kit vs the plain space our canonical form prescribes —
+    // normalize both sides' NBSP before comparing
+    val text = "spark query window merge fast scan"
+    for (id <- Seq(0L, 2L, 1L, 11L)) {
+      val page = HtmlIngest.plant(id, text)
+      val ours = ourTokens(page)
+      // the 3.2-era kit predates WHATWG bogus comments and emits
+      // `<?php … ?>` as text — strip the construct from ITS input
+      // only (our side parses the full page)
+      val theirs = editorKitTokens(page.replace("<?php ghost ?>", ""))
+        .map(_.replace('\u00a0', ' ').trim).filter(_.nonEmpty)
+        .flatMap(_.split(' '))
+      assert(ours === theirs, s"id=$id")
+    }
+  }
+}
