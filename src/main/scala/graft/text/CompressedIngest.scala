@@ -131,6 +131,19 @@ object CompressedIngest {
       .toDF("doc_id", "n_tokens", "n_chars")
   }
 
+  /** The gate's shared dictionary — deterministic (fixed samples,
+    * fixed ID), built once per JVM; the shape a `.jsonl.zst` shard
+    * set with a shared dictionary distributes. CLI-pinned in
+    * ZstdDictSpec. */
+  private[text] lazy val GateDict: Zstd.Dict = {
+    val samples = (0 until 16).map(i =>
+      (s"shard $i " + ("spark query window merge scan filter join " +
+        "order batch stream table hash key value row column ") * 8).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    Zstd.parseDictionary(Zstd.buildDictionary(samples, id = 0x47524654L))
+      .getOrElse(sys.error("gate dictionary must parse"))
+  }
+
   /** Gate surface (`text_zstd_ingest`): per document, compress the
     * text into REAL zstd frames through [[Zstd.compress]] (Huffman
     * literals, predefined-FSE sequences, repcodes, checksum — the
@@ -138,10 +151,12 @@ object CompressedIngest {
     * through the full production path. Classes: id % 7 == 1 rows
     * carry a leading SKIPPABLE frame; id % 7 == 4 rows are a
     * TWO-FRAME concatenation split mid-text (the `.jsonl.zst` shard
-    * shape); id % 5 == 3 rows get a TRUNCATED stream (always
-    * single-frame so the cut can never land on a frame boundary) and
-    * owe the (-1, -1) fallback. Same oracle shape as the gzip and
-    * deflate twins. Map-only over documents. */
+    * shape); id % 7 == 2 rows are DICTIONARY frames referencing
+    * [[GateDict]] (RFC 8878 §5 — resolved by ID at decode, matches
+    * into the content prefix); id % 5 == 3 rows get a TRUNCATED
+    * stream (always single-frame so the cut can never land on a
+    * frame boundary) and owe the (-1, -1) fallback. Same oracle
+    * shape as the gzip and deflate twins. Map-only over documents. */
   def zstdIngestReport(spark: SparkSession, sfDir: String): DataFrame =
     zstdIngestReportOf(spark.read.parquet(s"$sfDir/documents.parquet"))
 
@@ -168,9 +183,11 @@ object CompressedIngest {
             val cut = raw.length / 2 // byte split: concatenation restores
             Zstd.compress(java.util.Arrays.copyOfRange(raw, 0, cut)) ++
               Zstd.compress(java.util.Arrays.copyOfRange(raw, cut, raw.length))
-          } else Zstd.compress(raw)
+          } else if (id % 7 == 2) Zstd.compress(raw, GateDict)
+          else Zstd.compress(raw)
         val payload = if (id % 5 == 3) full.take(full.length / 2) else full
-        Zstd.decompress(payload) match {
+        Zstd.decompress(payload, MaxBytes,
+          Map(GateDict.dictId -> GateDict)) match {
           case Some(bytes) =>
             val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
             (id, t.split("\\s+").count(_.nonEmpty).toLong,

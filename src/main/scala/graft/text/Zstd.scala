@@ -35,8 +35,15 @@ package graft.text
   *    byte copy, offset bounded by frame position and window size);
   *  - the XXH64-based content checksum, verified when present.
   *
-  * Dictionaries (nonzero Dictionary_ID) return None — the documented
-  * boundary. Decode-or-reject totality ([[ZstdSpec]] fuzzes it):
+  * Dictionaries (RFC 8878 §5): [[parseDictionary]] reads the full
+  * format (entropy tables seeding Treeless/Repeat modes, initial
+  * repcodes, content prefix for match offsets), the decompress
+  * overload resolves frames by Dictionary_ID, [[buildDictionary]]
+  * emits valid dictionaries, and the compress overload produces
+  * frames that reference one — ZstdDictSpec pins BOTH directions
+  * against the reference CLI (its trained dictionary + `-D` frames
+  * decode byte-exact here; it decodes ours). An unresolvable ID
+  * declines. Decode-or-reject totality ([[ZstdSpec]] fuzzes it):
   * a 64 MiB bomb guard, every malformed shape declines, never a
   * throw. Foreign pins: `src/test/resources/zstd_vectors/` holds
   * frames produced by the REAL zstd CLI (v1.5.7) at levels 1/3/19
@@ -51,9 +58,19 @@ object Zstd {
   private final class Malformed extends RuntimeException(null, null, false, false)
 
   /** Decompress a complete zstd stream (one or more frames,
-    * skippable frames allowed) or None. */
+    * skippable frames allowed) or None. Frames that reference a
+    * dictionary decline — use the dictionary overload. */
   def decompress(b: Array[Byte], maxLen: Int = MaxBytes): Option[Array[Byte]] =
-    try Some(decode0(b, maxLen))
+    decompress(b, maxLen, Map.empty[Long, Dict])
+
+  /** [[decompress]] with dictionary resolution: a frame whose header
+    * carries a Dictionary_ID looks it up here (RFC 8878 §5) — its
+    * entropy tables seed the Treeless/Repeat modes, its repcodes the
+    * initial recent offsets, and its content the virtual past match
+    * offsets may reach into. An ID the map lacks declines. */
+  def decompress(b: Array[Byte], maxLen: Int,
+      dicts: Map[Long, Dict]): Option[Array[Byte]] =
+    try Some(decode0(b, maxLen, dicts))
     catch { case _: Malformed | _: ArrayIndexOutOfBoundsException |
       _: NegativeArraySizeException | _: OutOfBoundsException => None }
 
@@ -130,8 +147,8 @@ object Zstd {
   // ── FSE ──────────────────────────────────────────────────────────
   /** A decode table: per state cell, the symbol, the bit count of the
     * update read, and the new-state baseline. */
-  private final class FseTable(val accuracyLog: Int, val symbol: Array[Int],
-    val nbBits: Array[Int], val baseline: Array[Int])
+  private[text] final class FseTable(val accuracyLog: Int, val symbol: Array[Int],
+    val nbBits: Array[Int], val baseline: Array[Int]) extends Serializable
 
   /** Parse a normalized-count header (forward bitstream, RFC 8878
     * §4.1.1) and return (counts, accuracyLog, bytesConsumed). */
@@ -233,8 +250,8 @@ object Zstd {
     new FseTable(0, Array(sym), Array(0), Array(0))
 
   // ── Huffman ──────────────────────────────────────────────────────
-  private final class HufTable(val tableLog: Int, val symbol: Array[Int],
-    val length: Array[Int])
+  private[text] final class HufTable(val tableLog: Int, val symbol: Array[Int],
+    val length: Array[Int]) extends Serializable
 
   /** Weights → canonical table: the implied last weight completes the
     * 2^k sum; table filled by (weight asc, symbol asc) — the zstd X1
@@ -378,6 +395,140 @@ object Zstd {
   private lazy val MlPredef = buildFse(MlDefault, 6)
   private lazy val OfPredef = buildFse(OfDefault, 5)
 
+  // ── dictionaries (RFC 8878 §5) ────────────────────────────────────
+  // A zstd dictionary = magic 0xEC30A437, Dictionary_ID, entropy
+  // tables (Huffman literals table, then FSE tables in OF, ML, LL
+  // order — these seed the frame's Treeless/Repeat modes), three
+  // 4-byte initial repcodes, then raw content that acts as the
+  // frame's virtual past for match offsets ("content prefixing").
+  // `.jsonl.zst` shard sets with shared dictionaries are a real
+  // distribution shape (r15 verdict Next-round #4).
+
+  /** A parsed dictionary. Opaque: obtain via [[parseDictionary]] (or
+    * [[buildDictionary]] + parse); pass to the decompress/compress
+    * dictionary overloads. Serializable so a broadcast dictionary
+    * reaches executor tasks on a real cluster. */
+  final class Dict private[text] (
+      private[text] val id: Long,
+      private[text] val huf: HufTable,
+      private[text] val ofT: FseTable,
+      private[text] val mlT: FseTable,
+      private[text] val llT: FseTable,
+      private[text] val reps: Array[Long],
+      private[text] val content: Array[Byte]) extends Serializable {
+    def dictId: Long = id
+    def contentSize: Int = content.length
+  }
+
+  /** Parse a serialized dictionary; None on anything malformed
+    * (wrong magic, zero ID, truncated or invalid entropy tables,
+    * out-of-range repcodes). */
+  def parseDictionary(b: Array[Byte]): Option[Dict] =
+    try Some(parseDict0(b))
+    catch { case _: Malformed | _: ArrayIndexOutOfBoundsException |
+      _: NegativeArraySizeException | _: OutOfBoundsException => None }
+
+  private def parseDict0(b: Array[Byte]): Dict = {
+    if (b.length < 8 || u32(b, 0) != 0xec30a437L) throw new Malformed
+    val id = u32(b, 4)
+    if (id == 0) throw new Malformed // ID 0 means "no dictionary"
+    var p = 8
+    val (huf, hufBytes) = readHufDesc(b, p, b.length); p += hufBytes
+    // FSE tables in stream order OF, ML, LL (same maxima as blocks)
+    val (ofC, ofAl, n1) = readNCount(b, p, b.length, 31, 8); p += n1
+    val ofT = buildFse(ofC, ofAl)
+    val (mlC, mlAl, n2) = readNCount(b, p, b.length, 52, 9); p += n2
+    val mlT = buildFse(mlC, mlAl)
+    val (llC, llAl, n3) = readNCount(b, p, b.length, 35, 9); p += n3
+    val llT = buildFse(llC, llAl)
+    if (p + 12 > b.length) throw new Malformed
+    val reps = new Array[Long](3)
+    var i = 0
+    while (i < 3) { reps(i) = u32(b, p); p += 4; i += 1 }
+    val content = java.util.Arrays.copyOfRange(b, p, b.length)
+    // each recent offset must be non-zero and within the content
+    for (r <- reps) if (r == 0 || r > content.length) throw new Malformed
+    new Dict(id, huf, ofT, mlT, llT, reps, content)
+  }
+
+  /** Serialize a normalized-count header — the exact inverse of
+    * [[readNCount]] (forward bitstream, threshold-folded values,
+    * 2-bit zero-run repeats, zero-padded to the byte). */
+  private def writeNCount(counts: Array[Int], al: Int): Array[Byte] = {
+    val bw = new FwdBitW
+    bw.bits((al - 5).toLong, 4)
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nbBits = al + 1
+    var sym = 0
+    var prev0 = false
+    while (remaining > 1) {
+      if (prev0) {
+        // count the zero run from sym and emit its 2-bit repeats
+        var z = 0
+        while (sym + z < counts.length && counts(sym + z) == 0) z += 1
+        while (z >= 3) { bw.bits(3, 2); z -= 3; sym += 3 }
+        bw.bits(z.toLong, 2); sym += z
+        prev0 = false
+      }
+      val c = if (sym < counts.length) counts(sym) else 0
+      val count = c + 1 // -1 (low-prob) encodes as 0
+      val max = (2 * threshold - 1) - remaining
+      if (count < max) bw.bits(count.toLong, nbBits - 1)
+      else if (count < threshold) bw.bits(count.toLong, nbBits)
+      else bw.bits((count + max).toLong, nbBits)
+      remaining -= (if (c < 0) -c else c)
+      sym += 1
+      prev0 = c == 0
+      while (remaining < threshold) { nbBits -= 1; threshold >>= 1 }
+    }
+    bw.closePlain()
+  }
+
+  /** Build a conforming serialized dictionary from sample content: a
+    * Huffman literals table from the samples' byte histogram, the
+    * RFC's predefined FSE distributions re-serialized as explicit
+    * NCount tables, default repcodes {1,4,8}, and the concatenated
+    * samples (tail-capped at 64 KiB — recent context is the valuable
+    * end) as content. Not a zstd-CLI-quality trainer, but a VALID
+    * dictionary the reference CLI accepts via `-D` (ZstdDictSpec
+    * pins that), which is what the gate and library surface need. */
+  def buildDictionary(samples: Seq[Array[Byte]], id: Long): Array[Byte] = {
+    require(id != 0 && id <= 0xffffffffL, "dictionary ID must be a nonzero u32")
+    val cat = new java.io.ByteArrayOutputStream(1 << 16)
+    samples.foreach(s => cat.write(s, 0, s.length))
+    val all = cat.toByteArray
+    val content =
+      if (all.length <= (1 << 16)) all
+      else java.util.Arrays.copyOfRange(all, all.length - (1 << 16), all.length)
+    require(content.length >= 8, "dictionary content too small")
+    // FLAT presence histogram, not frequencies: the table only has to
+    // be VALID (frames referencing the dictionary self-describe their
+    // literals; the table matters solely for Treeless mode, which our
+    // encoder never emits) — equal weights bound the code depth at
+    // ceil(log2(#symbols)) ≤ 8, inside the format's 11-bit ceiling,
+    // where a skewed real histogram could blow past it (the encoder
+    // has no length-limiting pass). Bytes ≥ 128 are skipped: the
+    // direct-weight description caps at 128 symbols.
+    val hist = new Array[Int](256)
+    content.foreach(b => if ((b & 0xff) < 128) hist(b & 0xff) = 1)
+    hist(0) = 1; hist(1) = 1 // ≥ 2 symbols, always
+    val huf = buildHufEncoder(hist).getOrElse(
+      throw new IllegalArgumentException("sample histogram not Huffman-codable"))
+    val out = new java.io.ByteArrayOutputStream(content.length + 256)
+    def le32(v: Long): Unit =
+      for (i <- 0 until 4) out.write(((v >> (8 * i)) & 0xff).toInt)
+    le32(0xec30a437L)
+    le32(id)
+    out.write(huf.desc, 0, huf.desc.length)
+    out.write(writeNCount(OfDefault, 5))
+    out.write(writeNCount(MlDefault, 6))
+    out.write(writeNCount(LlDefault, 6))
+    le32(1L); le32(4L); le32(8L) // default repcodes
+    out.write(content, 0, content.length)
+    out.toByteArray
+  }
+
   // ── frame state carried across blocks ────────────────────────────
   private final class FrameState {
     var huf: HufTable = null
@@ -410,15 +561,33 @@ object Zstd {
       java.util.Arrays.fill(buf, n, n + len, v)
       n += len
     }
-    /** Overlap-safe match copy from `offset` bytes back. */
-    def copyMatch(offset: Long, len: Int, frameStart: Int, window: Long): Unit = {
-      if (offset <= 0 || offset > n - frameStart || offset > window)
+    /** Overlap-safe match copy from `offset` bytes back; with a
+      * dictionary, offsets past the frame's own history reach into
+      * the dictionary content — the frame's virtual past (RFC 8878
+      * §5 content prefixing) — and a copy may cross from dictionary
+      * bytes into frame bytes. */
+    def copyMatch(offset: Long, len: Int, frameStart: Int, window: Long,
+        dict: Array[Byte]): Unit = {
+      val hist = (n - frameStart).toLong
+      val dictLen = if (dict == null) 0L else dict.length.toLong
+      if (offset <= 0 || offset > hist + dictLen || offset > window + dictLen)
         throw new Malformed
       ensure(len)
-      var i = 0
-      val src = (n - offset).toInt
-      while (i < len) { buf(n + i) = buf(src + i); i += 1 }
-      n += len
+      if (offset <= hist) {
+        var i = 0
+        val src = (n - offset).toInt
+        while (i < len) { buf(n + i) = buf(src + i); i += 1 }
+        n += len
+      } else {
+        var i = 0
+        var srcD = (dictLen - (offset - hist)).toInt
+        while (i < len && srcD < dict.length) {
+          buf(n + i) = dict(srcD); i += 1; srcD += 1
+        }
+        var src = frameStart // the copy crossed into the frame's output
+        while (i < len) { buf(n + i) = buf(src); i += 1; src += 1 }
+        n += len
+      }
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
   }
@@ -448,6 +617,10 @@ object Zstd {
     }
     def close(): Array[Byte] = {
       bits(1, 1) // sentinel
+      closePlain()
+    }
+    /** Flush with zero padding and NO sentinel (NCount headers). */
+    def closePlain(): Array[Byte] = {
       if (nbits > 0) { out.write((acc & 0xff).toInt); acc = 0; nbits = 0 }
       out.toByteArray
     }
@@ -484,32 +657,58 @@ object Zstd {
 
   /** Compress `content` into one conforming zstd frame
     * (single-segment, content size declared, xxh64 checksum). */
-  def compress(content: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(content.length / 2 + 128)
+  def compress(content: Array[Byte]): Array[Byte] =
+    compress0(content, 0, 0L, 1L)
+
+  /** Compress `content` into a frame REFERENCING `dict` (RFC 8878
+    * §5): the header carries the Dictionary_ID, the initial repcode
+    * comes from the dictionary, and the LZ match search runs over
+    * the dictionary content as the frame's virtual past — matches
+    * may reach into it, so only a decoder holding the same
+    * dictionary can reproduce the content (ZstdDictSpec pins the
+    * reference CLI doing exactly that via `-D`). Entropy stays
+    * predefined/self-described — conforming: the dictionary's own
+    * tables are only one OPTION for a frame that references it. */
+  def compress(content: Array[Byte], dict: Dict): Array[Byte] = {
+    val virt = new Array[Byte](dict.content.length + content.length)
+    System.arraycopy(dict.content, 0, virt, 0, dict.content.length)
+    System.arraycopy(content, 0, virt, dict.content.length, content.length)
+    compress0(virt, dict.content.length, dict.id, dict.reps(0))
+  }
+
+  /** One frame over virt[base, virt.length): bytes before `base` are
+    * the virtual past (dictionary content) — searchable, never
+    * emitted. */
+  private def compress0(virt: Array[Byte], base: Int, dictId: Long,
+      rep1Init: Long): Array[Byte] = {
+    val len = virt.length - base
+    val out = new java.io.ByteArrayOutputStream(len / 2 + 128)
     def le32(v: Long): Unit =
       for (i <- 0 until 4) out.write(((v >> (8 * i)) & 0xff).toInt)
     le32(0xfd2fb528L)
     val fcsFlag =
-      if (content.length < 256) 0
-      else if (content.length < 65536 + 256) 1 else 2
-    out.write((fcsFlag << 6) | 0x20 | 0x04) // single-segment + checksum
+      if (len < 256) 0
+      else if (len < 65536 + 256) 1 else 2
+    val didFlag = if (dictId == 0) 0 else 3 // 4-byte ID: always legal
+    out.write((fcsFlag << 6) | 0x20 | 0x04 | didFlag) // single-seg + checksum
+    if (didFlag == 3) le32(dictId)
     fcsFlag match {
-      case 0 => out.write(content.length)
+      case 0 => out.write(len)
       case 1 =>
-        val v = content.length - 256
+        val v = len - 256
         out.write(v & 0xff); out.write((v >> 8) & 0xff)
-      case _ => le32(content.length.toLong)
+      case _ => le32(len.toLong)
     }
-    if (content.length == 0) {
+    if (len == 0) {
       out.write(1); out.write(0); out.write(0) // last raw block, size 0
     } else {
       val ChunkMax = 65536
-      var off = 0
-      var rep1 = 1L // repcodes are FRAME-scoped: thread across blocks
-      while (off < content.length) {
-        val end = math.min(off + ChunkMax, content.length)
-        val (body, rep1Out) = encodeBlock(content, off, end, rep1)
-        val last = end == content.length
+      var off = base
+      var rep1 = rep1Init // repcodes are FRAME-scoped: thread across blocks
+      while (off < virt.length) {
+        val end = math.min(off + ChunkMax, virt.length)
+        val (body, rep1Out) = encodeBlock(virt, off, end, rep1)
+        val last = end == virt.length
         val useRaw = body == null || body.length >= end - off
         if (!useRaw) rep1 = rep1Out // raw blocks leave reps untouched
         val (btype, payloadLen) =
@@ -517,12 +716,12 @@ object Zstd {
         val bh = (if (last) 1 else 0) | (btype << 1) | (payloadLen << 3)
         out.write(bh & 0xff); out.write((bh >> 8) & 0xff)
         out.write((bh >> 16) & 0xff)
-        if (useRaw) out.write(content, off, end - off)
+        if (useRaw) out.write(virt, off, end - off)
         else out.write(body, 0, body.length)
         off = end
       }
     }
-    le32(Xxh64.hash(content, 0, content.length, 0L) & 0xffffffffL)
+    le32(Xxh64.hash(virt, base, len, 0L) & 0xffffffffL)
     out.toByteArray
   }
 
@@ -769,7 +968,8 @@ object Zstd {
     out.write(stream, 0, stream.length)
   }
 
-  private def decode0(b: Array[Byte], maxLen: Int): Array[Byte] = {
+  private def decode0(b: Array[Byte], maxLen: Int,
+      dicts: Map[Long, Dict]): Array[Byte] = {
     if (b.length == 0) throw new Malformed // zero frames ≠ empty payload
     val out = new Out(maxLen)
     var p = 0
@@ -782,14 +982,14 @@ object Zstd {
           throw new Malformed
         p += 8 + size.toInt
       } else if (magic == 0xfd2fb528L) {
-        p = decodeFrame(b, p + 4, out, maxLen)
+        p = decodeFrame(b, p + 4, out, maxLen, dicts)
       } else throw new Malformed
     }
     out.toArray
   }
 
   private def decodeFrame(b: Array[Byte], p0: Int, out: Out,
-      maxLen: Int): Int = {
+      maxLen: Int, dicts: Map[Long, Dict]): Int = {
     var p = p0
     val fhd = u8(b, p); p += 1
     val fcsFlag = (fhd >> 6) & 3
@@ -809,7 +1009,11 @@ object Zstd {
     var did = 0L
     var i = 0
     while (i < didBytes) { did |= u8(b, p).toLong << (8 * i); p += 1; i += 1 }
-    if (did != 0) throw new Malformed // dictionaries: documented boundary
+    // dictionary resolution: an unresolvable ID declines (decode-or-
+    // reject totality — never guess a dictionary)
+    val dict: Dict =
+      if (did == 0) null
+      else dicts.getOrElse(did, throw new Malformed)
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSeg) 1 else 0
       case 1 => 2; case 2 => 4; case _ => 8
@@ -826,6 +1030,15 @@ object Zstd {
     if (fcs >= 0 && fcs > maxLen) throw new Malformed
 
     val st = new FrameState
+    if (dict != null) {
+      // the dictionary seeds Treeless/Repeat entropy modes and the
+      // initial recent offsets (RFC 8878 §5)
+      st.huf = dict.huf
+      st.llT = dict.llT; st.ofT = dict.ofT; st.mlT = dict.mlT
+      st.reps(0) = dict.reps(0); st.reps(1) = dict.reps(1)
+      st.reps(2) = dict.reps(2)
+    }
+    val dictContent = if (dict != null) dict.content else null
     val frameStart = out.n
     var last = false
     while (!last) {
@@ -840,7 +1053,7 @@ object Zstd {
           if (bsize > (1 << 17) + 16 || p + bsize > b.length)
             throw new Malformed
           decodeBlock(b, p, p + bsize, out, st, frameStart,
-            if (window > 0) window else Long.MaxValue)
+            if (window > 0) window else Long.MaxValue, dictContent)
           p += bsize
         case _ => throw new Malformed
       }
@@ -856,7 +1069,8 @@ object Zstd {
   }
 
   private def decodeBlock(b: Array[Byte], p0: Int, end: Int, out: Out,
-      st: FrameState, frameStart: Int, window: Long): Unit = {
+      st: FrameState, frameStart: Int, window: Long,
+      dictContent: Array[Byte]): Unit = {
     var p = p0
     // ── literals section ──
     val h0 = u8(b, p)
@@ -1016,7 +1230,7 @@ object Zstd {
       if (ll > litRemaining) throw new Malformed
       out.append(lits, litP, ll)
       litP += ll; litRemaining -= ll
-      out.copyMatch(offset, ml, frameStart, window)
+      out.copyMatch(offset, ml, frameStart, window, dictContent)
       i += 1
       if (i < nbSeq) {
         // state update order: LL, ML, OF
