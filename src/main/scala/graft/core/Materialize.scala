@@ -45,8 +45,12 @@ object Materialize {
     }
   }
 
+  // keyed BY PATH (ADVICE r15): Configuration never compares equal
+  // across instances, so a (path, conf) tuple set re-registers the
+  // same path forever; last-registered conf wins, which is fine —
+  // any conf that resolves the path's filesystem deletes it
   private val cleanupPaths = scala.collection.mutable
-    .Set.empty[(String, org.apache.hadoop.conf.Configuration)]
+    .Map.empty[String, org.apache.hadoop.conf.Configuration]
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       cleanupPaths.synchronized(cleanupPaths.toSeq).foreach { case (p, conf) =>
@@ -60,6 +64,6 @@ object Materialize {
   private def registerForCleanup(p: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     require(hookInstalled)
-    cleanupPaths.synchronized { cleanupPaths += ((p, conf)); () }
+    cleanupPaths.synchronized { cleanupPaths(p) = conf; () }
   }
 }

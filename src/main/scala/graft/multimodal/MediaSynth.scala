@@ -819,9 +819,15 @@ object MediaSynth {
       val raw =
         if (!predictor2) raw0
         else { // horizontal differencing, per row, per channel
+          // a planar segment holds ONE channel, so its per-pixel
+          // stride is 1, not spp (ADVICE r15 — the classes are
+          // disjoint today, docId%6==2 is even while planar2 needs
+          // docId%4==1 odd, but the stride must be right per segment
+          // if they ever co-occur)
+          val stride = if (planar2) 1 else spp
           val d = raw0.clone()
-          for (y <- 0 until raw0.length / rowB; q <- (rowB - 1) to spp by -1)
-            d(y * rowB + q) = (d(y * rowB + q) - d(y * rowB + q - spp)).toByte
+          for (y <- 0 until raw0.length / rowB; q <- (rowB - 1) to stride by -1)
+            d(y * rowB + q) = (d(y * rowB + q) - d(y * rowB + q - stride)).toByte
           d
         }
       if (lzw) tiffLzw(raw)

@@ -242,10 +242,18 @@ object CompressedIngest {
     * (1f 8b), zstd (28 b5 2f fd, incl. its skippable frames), LZ4
     * frame (04 22 4d 18, incl. skippables), framed snappy (the
     * sNaPpY identifier), else the two deflate flavors ([[inflate]]'s
-    * zlib-then-raw sniff). RAW snappy is NOT sniffable (no magic) —
-    * callers that know the payload is raw snappy call
-    * [[Snappy.decompress]] directly (the Parquet/Kafka shape always
-    * knows). Totality and bomb guards inherited from every branch. */
+    * zlib-then-raw sniff), and LAST, raw snappy (no magic to sniff,
+    * but its grammar is strict — varint preamble + tag stream that
+    * must consume the input exactly and produce exactly the declared
+    * length — so it rejects garbage cheaply; DecodeAnySpec measures
+    * the false-accept rate at zero over randomized and cross-format
+    * corpora for inputs ≥ 4 bytes, the r14 inflate-plausibility-
+    * floor treatment). The raw-snappy fallback additionally requires
+    * a NON-EMPTY decode: a lone 0x00 byte is a valid empty raw block,
+    * which as a fallback reading of unknown bytes is meaningless —
+    * callers that KNOW the payload is raw snappy (the Parquet/Kafka
+    * shape always knows) call [[Snappy.decompress]] directly and keep
+    * empty. Totality and bomb guards inherited from every branch. */
   def decodeAny(b: Array[Byte], maxLen: Int = MaxBytes): Option[Array[Byte]] = {
     if (b.length < 2) return None
     val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
@@ -260,6 +268,7 @@ object CompressedIngest {
       Zstd.decompress(b, maxLen).orElse(Lz4.decompress(b, maxLen))
     else if (b.length >= 10 && b0 == 0xff && b1 == 0x06) Snappy.decompress(b, maxLen)
     else inflate(b, maxLen)
+      .orElse(Snappy.decompress(b, maxLen).filter(_.nonEmpty))
   }
 
   /** Gate surface (`text_snappy_ingest`): per document, compress the

@@ -118,6 +118,14 @@ object Snappy {
   }
 
   private def framed(b: Array[Byte], maxLen: Int): Array[Byte] = {
+    // FORMAT-INHERENT CAVEAT (ADVICE r15): the framing format has no
+    // end-of-stream marker — end of input IS end of stream — so a
+    // framed stream truncated EXACTLY on a chunk boundary decodes to
+    // a silently-partial payload (truncation anywhere inside a chunk
+    // is caught by the length/CRC checks). Callers that know the
+    // uncompressed length must verify it; callers that need strict
+    // totality use a length-framed container (the gates' truncated
+    // class cuts mid-chunk, where detection is guaranteed).
     // small initial capacity: b.length*2 would overflow Int past 1 GiB
     // (an uncaught IllegalArgumentException breaking totality) and
     // eagerly doubles the allocation for every normal input

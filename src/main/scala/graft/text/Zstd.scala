@@ -1029,6 +1029,13 @@ object Zstd {
     if (window > MaxWindow) throw new Malformed
     if (fcs >= 0 && fcs > maxLen) throw new Malformed
 
+    // Block_Maximum_Size = min(Window_Size, 128 KB) — RFC 8878 §3.1.1:
+    // raw/RLE block sizes ARE regenerated sizes and compressed blocks
+    // may not regenerate past it either (ADVICE r15: the decoder
+    // previously accepted some nonconforming streams the reference
+    // rejects; memory was already bounded by the maxLen guard)
+    val blockMax =
+      math.min(if (window > 0) window else 1L << 17, 1L << 17).toInt
     val st = new FrameState
     if (dict != null) {
       // the dictionary seeds Treeless/Repeat entropy modes and the
@@ -1047,13 +1054,19 @@ object Zstd {
       val btype = (bh >> 1) & 3
       val bsize = bh >>> 3
       btype match {
-        case 0 => out.append(b, p, bsize); p += bsize
-        case 1 => out.fill(b(p), bsize); p += 1
+        case 0 =>
+          if (bsize > blockMax) throw new Malformed
+          out.append(b, p, bsize); p += bsize
+        case 1 =>
+          if (bsize > blockMax) throw new Malformed
+          out.fill(b(p), bsize); p += 1
         case 2 =>
-          if (bsize > (1 << 17) + 16 || p + bsize > b.length)
+          if (bsize > (1 << 17) || p + bsize > b.length)
             throw new Malformed
+          val before = out.n
           decodeBlock(b, p, p + bsize, out, st, frameStart,
             if (window > 0) window else Long.MaxValue, dictContent)
+          if (out.n - before > blockMax) throw new Malformed
           p += bsize
         case _ => throw new Malformed
       }
