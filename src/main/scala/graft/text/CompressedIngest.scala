@@ -340,6 +340,26 @@ object CompressedIngest {
       .toDF("doc_id", "n_records", "n_tokens", "n_chars")
   }
 
+  /** HTTP content-coding dispatch (RFC 9110 §8.4.1): decode a
+    * response body per its `Content-Encoding` header value — the
+    * named-coding complement to the magic-sniffing [[decodeAny]]
+    * (when the header NAMES the coding, trust it; sniff only when
+    * it is missing or unknown bytes arrive). `identity` passes
+    * through; gzip/x-gzip, deflate (both wild flavors), zstd and
+    * snappy map to their decoders; an unknown coding declines —
+    * never guess past an explicit label. */
+  def contentDecode(encoding: String, b: Array[Byte],
+      maxLen: Int = MaxBytes): Option[Array[Byte]] =
+    encoding.trim.toLowerCase match {
+      case "" | "identity" => Some(b)
+      case "gzip" | "x-gzip" => gunzip(b, maxLen)
+      case "deflate" => inflate(b, maxLen)
+      case "zstd" => Zstd.decompress(b, maxLen)
+      case "snappy" => Snappy.decompress(b, maxLen)
+      case "lz4" => Lz4.decompress(b, maxLen)
+      case _ => None // br etc.: documented boundary, decline honestly
+    }
+
   /** Gate surface (`text_warc_split`): per document, build the same
     * 3-record WARC as [[warcIngestReport]] but ALWAYS per-record-gzip
     * (the CommonCrawl shard shape), split it into per-member slices

@@ -114,18 +114,33 @@ object HtmlIngest {
       case 2 => "text/html" // meta prescan must find it
       case 3 => "text/html; charset=iso-8859-1" // lies; the BOM wins
     }
+    // transfer-compression class (orthogonal to the charset class):
+    // real crawls gzip their HTML — id % 3 == 1 ships the body
+    // gzipped, id % 3 == 2 zstd, with the Content-Encoding header
+    // naming the coding (RFC 9110); the BOM/meta/charset signals all
+    // sit INSIDE the coded bytes, so decode order matters and a
+    // wrong order hash-mismatches
+    val (wireBytes, cenc) = (id % 3) match {
+      case 1 => (CompressedIngest.gzip(bodyBytes), Some("gzip"))
+      case 2 => (Zstd.compress(bodyBytes), Some("zstd"))
+      case _ => (bodyBytes, None)
+    }
     (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
-      s"Content-Length: ${bodyBytes.length}\r\n\r\n")
-      .getBytes(StandardCharsets.US_ASCII) ++ bodyBytes
+      cenc.map(e => s"Content-Encoding: $e\r\n").getOrElse("") +
+      s"Content-Length: ${wireBytes.length}\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII) ++ wireBytes
   }
 
   /** Gate surface (`text_warc_html`): per document, a real 3-record
     * WARC whose response payload is an HTML page in a class-determined
     * charset (utf-8 / cp1252 / meta-only iso-8859-1 label / BOM —
     * including deliberately LYING signals that the WHATWG precedence
-    * order must overrule), per-record-gzip on even ids; extract
-    * through records → httpHeader(Content-Type) → CharsetSniff.decode
-    * → Html.extractText and report the resolved charset name, the
+    * order must overrule), body transfer-compressed per an orthogonal
+    * class (id % 3: identity / gzip / zstd with the Content-Encoding
+    * header naming the coding), per-record-gzip on even ids; extract
+    * through records → httpHeader(Content-Encoding) → contentDecode →
+    * httpHeader(Content-Type) → CharsetSniff.decode →
+    * Html.extractText and report the resolved charset name, the
     * title's code-point sum (pins the decode char-for-char) and the
     * token/char counts. Truncated slices (id % 5 == 3) owe the
     * (-1, "", -1, -1, -1) fallback. Map-only. */
@@ -151,7 +166,13 @@ object HtmlIngest {
         (for {
           recs <- Warc.records(payload)
           resp <- recs.find(_.warcType == "response")
-          body <- Warc.httpPayload(resp.block)
+          wire <- Warc.httpPayload(resp.block)
+          // content-coding first (RFC 9110), charset second: the
+          // BOM/meta signals live inside the coded bytes
+          body <- Warc.httpHeader(resp.block, "Content-Encoding") match {
+            case Some(e) => CompressedIngest.contentDecode(e, wire)
+            case None => Some(wire)
+          }
           ctype = Warc.httpHeader(resp.block, "Content-Type")
           (csName, decoded) = CharsetSniff.decode(ctype, body)
           t <- Html.extractText(decoded)

@@ -28,6 +28,27 @@ class DecodeAnySpec extends AnyFunSuite {
         === Some(text), name)
   }
 
+  test("contentDecode: named HTTP content-codings route, unknown declines") {
+    val text = "content coded body " * 20
+    val raw = s(text)
+    val cases = Seq(
+      ("identity", raw), ("gzip", CompressedIngest.gzip(raw)),
+      ("x-gzip", CompressedIngest.gzip(raw)),
+      ("deflate", CompressedIngest.zlib(raw)),
+      ("deflate", CompressedIngest.rawDeflate(raw)), // the wild flavor
+      ("zstd", Zstd.compress(raw)), ("lz4", Lz4.compress(raw)),
+      ("snappy", Snappy.compress(raw)), ("GZIP", CompressedIngest.gzip(raw)))
+    for ((enc, payload) <- cases)
+      assert(CompressedIngest.contentDecode(enc, payload)
+        .map(new String(_, "UTF-8")) === Some(text), enc)
+    // an explicit label is TRUSTED: wrong bytes under it decline
+    // rather than falling through to a sniff
+    assert(CompressedIngest.contentDecode("gzip", raw) === None)
+    // unknown codings decline honestly
+    assert(CompressedIngest.contentDecode("br", raw) === None)
+    assert(CompressedIngest.contentDecode("compress", raw) === None)
+  }
+
   test("the raw-snappy fallback keeps the non-empty requirement") {
     // a lone 0x00 is a VALID empty raw block — as a fallback reading
     // of unknown bytes it is meaningless and must decline
