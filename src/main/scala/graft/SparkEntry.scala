@@ -371,6 +371,11 @@ object SparkEntry {
     // precedence incl. lying signals) → html → text
     "text_warc_html" -> ((s, dir) =>
       graft.text.HtmlIngest.warcHtmlReport(s, dir)),
+    // the whole chain as ONE operator (shard → slices → records →
+    // content-coding → charset → html → text): truncated shards
+    // yield NO rows — the failure-honesty contract
+    "text_crawl_extract" -> ((s, dir) =>
+      graft.text.CrawlExtract.crawlExtractReport(s, dir)),
     // streaming zstd ingest: ordered batches through the delta-log
     // must reassemble to EXACTLY the one-shot batch report
     "text_zstd_ingest_stream" -> ((s, dir) =>
@@ -2822,6 +2827,28 @@ object SparkEntry {
         |             WHEN doc_id % 4 = 2 THEN 15 ELSE 11 END + 12
         |  END AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
+    // crawl-extract: the one-call operator over per-doc shards; same
+    // class constants as text_warc_html, but truncated docs vanish
+    // from the output (no fallback rows) — the oracle filters them;
+    // the response record is always the shard's third member (idx 2)
+    "text_crawl_extract" ->
+      """SELECT doc_id,
+        |  CAST(2 AS BIGINT) AS member,
+        |  'https://example.org/page/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'windows-1252'
+        |    ELSE 'UTF-8' END AS charset,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 10907
+        |    WHEN doc_id % 4 = 1 THEN 18232
+        |    WHEN doc_id % 4 = 2 THEN 1561
+        |    ELSE 10790 END AS BIGINT) AS head_cp_sum,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    + CASE WHEN doc_id % 4 IN (1, 2) THEN 4 ELSE 3 END + 3
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(length(text)
+        |    + CASE WHEN doc_id % 4 = 0 THEN 13 WHEN doc_id % 4 = 1 THEN 22
+        |           WHEN doc_id % 4 = 2 THEN 15 ELSE 11 END + 12
+        |    AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 5 <> 3""".stripMargin,
     "text_snappy_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1

@@ -63,7 +63,7 @@ object CharsetSniff {
   }
 
   private def byLabel(label: String): Option[Charset] = {
-    val l = label.trim.toLowerCase
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
     Labels.get(l).orElse {
       try { if (Charset.isSupported(l)) Some(Charset.forName(l)) else None }
       catch { case _: IllegalArgumentException => None }
@@ -83,7 +83,7 @@ object CharsetSniff {
   /** The `charset` parameter of a Content-Type value (quoted or bare),
     * case-insensitive, per RFC 9110's media-type parameter grammar. */
   def contentTypeCharset(contentType: String): Option[String] = {
-    val lower = contentType.toLowerCase
+    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
     val i = lower.indexOf("charset")
     if (i < 0) return None
     var p = i + 7
@@ -112,7 +112,7 @@ object CharsetSniff {
     * content="...; charset=X">`, first declaration wins. */
   def metaCharset(body: Array[Byte]): Option[String] = {
     val win = new String(body, 0, math.min(body.length, 1024),
-      StandardCharsets.ISO_8859_1).toLowerCase
+      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
     val m1 = java.util.regex.Pattern
       .compile("<meta[^>]*?charset\\s*=\\s*[\"']?([a-z0-9_.:+-]+)")
       .matcher(win)

@@ -350,7 +350,7 @@ object CompressedIngest {
     * never guess past an explicit label. */
   def contentDecode(encoding: String, b: Array[Byte],
       maxLen: Int = MaxBytes): Option[Array[Byte]] =
-    encoding.trim.toLowerCase match {
+    encoding.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "" | "identity" => Some(b)
       case "gzip" | "x-gzip" => gunzip(b, maxLen)
       case "deflate" => inflate(b, maxLen)

@@ -147,7 +147,7 @@ object Html {
             (c >= '0' && c <= '9')
         }) q += 1
         if (q < n && q > p + 1 && html.charAt(q) == ';')
-          Named.get(html.substring(p + 1, q).toLowerCase) match {
+          Named.get(html.substring(p + 1, q).toLowerCase(java.util.Locale.ROOT)) match {
             case Some(s) => out.append(s); q + 1
             case None => out.append('&'); p + 1 // ambiguous ampersand
           }
@@ -220,7 +220,7 @@ object Html {
             (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
               (ch >= '0' && ch <= '9')
           }) q += 1
-          val name = html.substring(nameStart, q).toLowerCase
+          val name = html.substring(nameStart, q).toLowerCase(java.util.Locale.ROOT)
           if (c1 == '/' && name.isEmpty) {
             // "</>" / "</ " — bogus comment per the spec
             val e = html.indexOf('>', i + 2)

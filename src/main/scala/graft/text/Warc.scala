@@ -76,7 +76,7 @@ object Warc {
           } else {
             val c = line.indexOf(':')
             if (c <= 0) return None
-            lastName = line.substring(0, c).trim.toLowerCase
+            lastName = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
             hdrs(lastName) = line.substring(c + 1).trim
           }
           p = e + 2
