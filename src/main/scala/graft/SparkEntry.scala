@@ -343,7 +343,8 @@ object SparkEntry {
       graft.text.CompressedIngest.deflateIngestReport(s, dir)),
     // zstd ingest: real RFC 8878 frames (Huffman literals, FSE
     // sequences, repcodes, checksum) through the pure-JVM decoder;
-    // skippable-frame and multi-frame (.jsonl.zst shard) classes
+    // skippable-frame, multi-frame (.jsonl.zst shard) and DICTIONARY
+    // (id-resolved, content-prefixed) classes
     "text_zstd_ingest" -> ((s, dir) =>
       graft.text.CompressedIngest.zstdIngestReport(s, dir)),
     // LZ4 ingest: real frame-format payloads (the Kafka/Hadoop-side

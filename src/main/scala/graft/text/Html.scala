@@ -21,8 +21,11 @@ package graft.text
   *  - raw-text elements: `script` and `style` content runs to the
   *    matching case-insensitive `</name` — nothing inside is text;
   *    `template` content is likewise dropped (it is inert DOM, never
-  *    rendered); `title` and `textarea` are RCDATA — their content IS
-  *    text with character references decoded;
+  *    rendered) to the FIRST close tag — unlike script/style,
+  *    templates can nest in real DOM parsing, a documented
+  *    simplification this text extractor accepts; `title` and
+  *    `textarea` are RCDATA — their content IS text with character
+  *    references decoded;
   *  - character references: `&#D;` / `&#xH;` numeric forms (out-of-
   *    range, surrogate and NUL code points → U+FFFD per the spec's
   *    numeric-reference error table) and the core named set below;
@@ -118,15 +121,20 @@ object Html {
         var q = if (hex) p + 3 else p + 2
         var v = 0L
         var any = false
-        while (q < n && v <= 0x10ffffL && {
+        while (q < n && {
           val c = html.charAt(q)
           val d =
             if (c >= '0' && c <= '9') c - '0'
             else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
             else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
             else -1
-          if (d >= 0) { v = v * (if (hex) 16 else 10) + d; any = true; true }
-          else false
+          // consume EVERY digit even once overflowed (the spec reads
+          // the whole reference, then the error table maps it to
+          // U+FFFD) — the cap just keeps v from wrapping
+          if (d >= 0) {
+            if (v <= 0x10ffffL) v = v * (if (hex) 16 else 10) + d
+            any = true; true
+          } else false
         }) q += 1
         if (!any || q >= n || html.charAt(q) != ';') {
           out.append('&'); return p + 1 // not a reference: literal &

@@ -58,6 +58,8 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex("&#0;") === "�")
     assert(ex("&#xD800;") === "�")
     assert(ex("&#x110000;") === "�")
+    // overflow consumes EVERY digit before mapping to U+FFFD
+    assert(ex("&#99999999999999;x") === "�x")
     assert(ex("&#1114111;") === new String(Character.toChars(0x10ffff)))
     // &nbsp; normalizes to a plain space (training-text convention)
     assert(ex("a&nbsp;b") === "a b")
