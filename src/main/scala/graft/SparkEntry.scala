@@ -377,6 +377,14 @@ object SparkEntry {
     // yield NO rows — the failure-honesty contract
     "text_crawl_extract" -> ((s, dir) =>
       graft.text.CrawlExtract.crawlExtractReport(s, dir)),
+    // WET extracted-text containers (the OTHER CommonCrawl shape:
+    // conversion records carrying already-extracted plain text)
+    "text_wet_ingest" -> ((s, dir) =>
+      graft.text.CompressedIngest.wetIngestReport(s, dir)),
+    // boilerplate removal (jusText/boilerpipe-style link-density
+    // blocks): nav/share/footer dropped, main content kept exactly
+    "text_html_main" -> ((s, dir) =>
+      graft.text.Boilerplate.htmlMainReport(s, dir)),
     // streaming zstd ingest: ordered batches through the delta-log
     // must reassemble to EXACTLY the one-shot batch report
     "text_zstd_ingest_stream" -> ((s, dir) =>
@@ -2850,6 +2858,29 @@ object SparkEntry {
         |           WHEN doc_id % 4 = 2 THEN 15 ELSE 11 END + 12
         |    AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 5 <> 3""".stripMargin,
+    // html-main: boilerplate blocks (nav/share/footer/link farms)
+    // drop; every well-formed class keeps EXACTLY the document text,
+    // so the oracle is the plain counts; malformed (id % 5 = 3,
+    // unterminated script) owes (-1, -1)
+    "text_html_main" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    // wet-ingest: conversion-record plain text; the UTF-16LE class
+    // (id % 4 = 1) pins that the record's Content-Type charset
+    // parameter is read; truncated containers owe (-1, -1)
+    "text_wet_ingest" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |  END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
+        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
     "text_snappy_ingest" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1

@@ -131,10 +131,31 @@ object CharsetSniff {
         (cs, 0)
     }
 
+  /** [[decode]] with a UTF-8 default instead of windows-1252 — for
+    * PRODUCED formats (WET extracted-text records) whose convention
+    * is UTF-8, as opposed to wild-web HTML bytes where the WHATWG
+    * en-locale default applies. BOM and an explicit Content-Type
+    * charset parameter still take precedence; no meta prescan
+    * (plain text has no meta). */
+  def decodeWet(contentType: Option[String], body: Array[Byte]): (String, String) = {
+    val (cs, skip) = bom(body) match {
+      case Some((c, s)) => (c, s)
+      case None =>
+        (contentType.flatMap(contentTypeCharset).flatMap(byLabel)
+          .getOrElse(StandardCharsets.UTF_8), 0)
+    }
+    decodeWith(cs, body, skip)
+  }
+
   /** Resolve + decode, totally (malformed sequences → U+FFFD).
     * Returns (canonical charset name, decoded text). */
   def decode(contentType: Option[String], body: Array[Byte]): (String, String) = {
     val (cs, skip) = resolve(contentType, body)
+    decodeWith(cs, body, skip)
+  }
+
+  private def decodeWith(cs: Charset, body: Array[Byte],
+      skip: Int): (String, String) = {
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)

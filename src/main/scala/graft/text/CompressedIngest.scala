@@ -416,6 +416,53 @@ object CompressedIngest {
       .toDF("doc_id", "n_slices", "n_tokens", "n_chars")
   }
 
+  /** Gate surface (`text_wet_ingest`): WET extracted-text containers —
+    * the OTHER CommonCrawl distribution (WARC files whose
+    * `WARC-Type: conversion` records carry the already-extracted
+    * plain text; most LLM corpora start here, not from raw WARC).
+    * Per document: a warcinfo + conversion record pair where the
+    * conversion block is the text (UTF-8 — the WET convention; the
+    * record's own Content-Type header carries the charset parameter,
+    * resolved through [[CharsetSniff]] with a UTF-8 default rather
+    * than the HTML path's windows-1252: WET is a produced format,
+    * not wild-web bytes). id % 4 == 1 rows label and encode UTF-16LE
+    * to pin that the header parameter is actually read.
+    * Per-record-gzip on even ids, truncated id % 5 == 3 rows owe
+    * (-1, -1). Map-only over documents. */
+  def wetIngestReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val utf16 = id % 4 == 1
+        val body =
+          if (utf16) text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val ctype =
+          if (utf16) "text/plain; charset=utf-16le" else "text/plain"
+        val full = Warc.write(Seq(
+          Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:uuid:$id-info>") ->
+            "software: graft-wet\r\n".getBytes,
+          Seq("WARC-Type" -> "conversion",
+            "WARC-Target-URI" -> s"https://example.org/doc/$id",
+            "Content-Type" -> ctype,
+            "WARC-Record-ID" -> s"<urn:uuid:$id-conv>") -> body),
+          gzipPerRecord = id % 2 == 0)
+        val payload = if (id % 5 == 3) full.take(full.length / 2) else full
+        (for {
+          recs <- Warc.records(payload)
+          conv <- recs.find(_.warcType == "conversion")
+        } yield {
+          val (_, t) = CharsetSniff.decodeWet(
+            conv.headers.get("content-type"), conv.block)
+          (id, t.split("\\s+").count(_.nonEmpty).toLong,
+            t.codePointCount(0, t.length).toLong)
+        }).getOrElse((id, -1L, -1L))
+      }
+      .toDF("doc_id", "n_tokens", "n_chars")
+  }
+
   /** The matching writer (fixture side): one RFC 1952 member via
     * `GZIPOutputStream` — byte layout is the JDK's, but the GATE
     * never depends on the compressed bytes, only on decode(encode(x))

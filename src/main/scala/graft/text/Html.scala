@@ -98,23 +98,49 @@ object Html {
     "bull" -> "•", "dagger" -> "†", "prime" -> "′",
     "minus" -> "−", "shy" -> "")
 
+  /** Event sink for [[walk]] — the tokenizer core feeds visible text,
+    * line boundaries and (non-raw-text) tag open/close events; the
+    * consumers differ only in what they accumulate ([[extractText]]
+    * builds one buffer; [[Boilerplate]] builds per-block records with
+    * link-char accounting). */
+  private[text] trait Sink {
+    def ch(c: Char): Unit
+    def codePoint(cp: Int): Unit
+    def str(s: String): Unit
+    def boundary(): Unit
+    def open(name: String): Unit = ()
+    def close(name: String): Unit = ()
+  }
+
   /** Extract visible text. None ONLY on an unterminated raw-text
     * element (see object doc); every other malformation degrades per
     * the WHATWG error rules. */
   def extractText(html: String): Option[String] = {
+    val out = new java.lang.StringBuilder(math.min(html.length, 1 << 16))
+    val sink = new Sink {
+      def ch(c: Char): Unit = out.append(c)
+      def codePoint(cp: Int): Unit = out.appendCodePoint(cp)
+      def str(s: String): Unit = out.append(s)
+      def boundary(): Unit = out.append('\n')
+    }
+    if (walk(html, sink)) Some(canonical(out.toString)) else None
+  }
+
+  /** The tokenizer core; false on the one malformed shape (an
+    * unterminated raw-text element). */
+  private[text] def walk(html: String, out: Sink): Boolean = {
     val n = html.length
-    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
     var i = 0
     var malformed = false
 
-    // emit a line boundary into the raw buffer (canonicalized later)
-    def boundary(): Unit = out.append('\n')
+    // emit a line boundary (canonicalized by the consumer)
+    def boundary(): Unit = out.boundary()
 
     // decode one character reference starting at `&` (index p);
     // returns the index AFTER the reference, appending its value —
     // or appends the literal '&' and returns p+1 when not a reference
     def reference(p: Int): Int = {
-      if (p + 1 >= n) { out.append('&'); return p + 1 }
+      if (p + 1 >= n) { out.ch('&'); return p + 1 }
       if (html.charAt(p + 1) == '#') {
         val hex = p + 2 < n &&
           (html.charAt(p + 2) == 'x' || html.charAt(p + 2) == 'X')
@@ -137,7 +163,7 @@ object Html {
           } else false
         }) q += 1
         if (!any || q >= n || html.charAt(q) != ';') {
-          out.append('&'); return p + 1 // not a reference: literal &
+          out.ch('&'); return p + 1 // not a reference: literal &
         }
         // numeric-reference error table: NUL, out-of-range and
         // surrogate code points are replaced with U+FFFD
@@ -145,7 +171,7 @@ object Html {
           if (v == 0 || v > 0x10ffffL || (v >= 0xd800L && v <= 0xdfffL))
             0xfffd
           else v.toInt
-        out.appendCodePoint(cp)
+        out.codePoint(cp)
         q + 1
       } else {
         var q = p + 1
@@ -156,10 +182,10 @@ object Html {
         }) q += 1
         if (q < n && q > p + 1 && html.charAt(q) == ';')
           Named.get(html.substring(p + 1, q).toLowerCase(java.util.Locale.ROOT)) match {
-            case Some(s) => out.append(s); q + 1
-            case None => out.append('&'); p + 1 // ambiguous ampersand
+            case Some(s) => out.str(s); q + 1
+            case None => out.ch('&'); p + 1 // ambiguous ampersand
           }
-        else { out.append('&'); p + 1 }
+        else { out.ch('&'); p + 1 }
       }
     }
 
@@ -203,8 +229,8 @@ object Html {
     while (i < n && !malformed) {
       val c = html.charAt(i)
       if (c == '&') i = reference(i)
-      else if (c != '<') { out.append(c); i += 1 }
-      else if (i + 1 >= n) { out.append('<'); i += 1 }
+      else if (c != '<') { out.ch(c); i += 1 }
+      else if (i + 1 >= n) { out.ch('<'); i += 1 }
       else {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
@@ -249,24 +275,25 @@ object Html {
                 var p = afterTag
                 while (p < close)
                   if (html.charAt(p) == '&') p = reference(p)
-                  else { out.append(html.charAt(p)); p += 1 }
+                  else { out.ch(html.charAt(p)); p += 1 }
                 boundary()
                 i = tagEnd(close + 2 + name.length)
               }
             } else {
               if (Block.contains(name)) boundary()
+              if (c1 == '/') out.close(name) else out.open(name)
               i = afterTag
             }
           }
-        } else { out.append('<'); i += 1 } // literal "<" (data state)
+        } else { out.ch('<'); i += 1 } // literal "<" (data state)
       }
     }
-    if (malformed) None else Some(canonical(out.toString))
+    !malformed
   }
 
   /** Canonical whitespace: U+00A0 → space, per-line `\s+` collapse,
     * trim, drop empties, join with `\n`. */
-  private def canonical(raw: String): String =
+  private[text] def canonical(raw: String): String =
     raw.replace('\u00a0', ' ')
       .split('\n')
       .map(_.replaceAll("\\s+", " ").trim)
