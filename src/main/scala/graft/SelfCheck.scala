@@ -78,8 +78,14 @@ object SelfCheck {
           .toSeq.sorted.map(n => s"$n: bench row has no task_ms attribution")
         val noGc = (artifact.queries.keySet -- artifact.gcMs.keySet)
           .toSeq.sorted.map(n => s"$n: bench row has no gc_ms attribution")
-        val negAttr = (artifact.taskMs ++ artifact.gcMs).toSeq.sortBy(_._1)
-          .collect { case (n, v) if v < 0 => s"$n: negative attribution $v" }
+        // the two maps share keys — checked separately so a negative
+        // task_ms isn't masked by that key's gc_ms (and the finding
+        // names WHICH metric went negative)
+        val negAttr =
+          (artifact.taskMs.toSeq.collect { case (n, v) if v < 0 =>
+            s"$n: negative task_ms attribution $v" } ++
+            artifact.gcMs.toSeq.collect { case (n, v) if v < 0 =>
+              s"$n: negative gc_ms attribution $v" }).sorted
         noTask ++ noGc ++ negAttr
       }
     missing ++ negative ++ stray ++ attribution

@@ -2799,14 +2799,19 @@ object SparkEntry {
     // html-extract: every well-formed class extracts to exactly
     // "Doc {id}\nDoc {id}\n{text}\nend of doc" — 7 extra tokens, and
     // 2*len("Doc {id}") + len("end of doc") + 3 newlines = +13 chars;
-    // the malformed class (unterminated <script>, id % 5 = 3) owes -1
+    // the entity class (id % 7 = 1) appends the LEGACY-reference
+    // suffix " © & é é" (&copy &AMP &eacute &#233 — semicolonless
+    // forms) = +4 tokens / +8 chars; the malformed class
+    // (unterminated <script>, id % 5 = 3) owes -1
     "text_html_extract" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
         |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) + 7
+        |      + CASE WHEN doc_id % 7 = 1 THEN 4 ELSE 0 END
         |  END AS BIGINT) AS n_tokens,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
         |    ELSE length(text) + 2 * length('Doc ' || CAST(doc_id AS VARCHAR)) + 13
+        |      + CASE WHEN doc_id % 7 = 1 THEN 8 ELSE 0 END
         |  END AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
     // warc-html: charset class = doc_id % 4 (utf-8 header / cp1252
@@ -2837,38 +2842,54 @@ object SparkEntry {
         |  END AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
     // crawl-extract: the one-call operator over per-doc shards; same
-    // class constants as text_warc_html, but truncated docs vanish
-    // from the output (no fallback rows) — the oracle filters them;
-    // the response record is always the shard's third member (idx 2)
+    // class constants as text_warc_html (incl. the chunked /
+    // gzip-then-chunked transfer classes, which change the wire
+    // bytes but not the text), but truncated docs AND declined media
+    // types (application/pdf, id % 7 = 6) vanish from the output (no
+    // fallback rows) — the oracle filters both; the text/plain class
+    // (id % 7 = 5) bypasses the HTML tokenizer, so its literal
+    // "<tag>" survives and its single line is the whole body; the
+    // response record is always the shard's third member (idx 2)
     "text_crawl_extract" ->
       """SELECT doc_id,
         |  CAST(2 AS BIGINT) AS member,
         |  'https://example.org/page/' || CAST(doc_id AS VARCHAR) AS uri,
-        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'windows-1252'
+        |  CASE WHEN doc_id % 7 = 5 THEN 'UTF-8'
+        |    WHEN doc_id % 4 IN (1, 2) THEN 'windows-1252'
         |    ELSE 'UTF-8' END AS charset,
-        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 10907
+        |  CAST(CASE WHEN doc_id % 7 = 5 THEN
+        |      list_aggregate(list_transform(
+        |        string_split(text || ' plain <tag> kept', ''),
+        |        x -> ascii(x)), 'sum')
+        |    WHEN doc_id % 4 = 0 THEN 10907
         |    WHEN doc_id % 4 = 1 THEN 18232
         |    WHEN doc_id % 4 = 2 THEN 1561
         |    ELSE 10790 END AS BIGINT) AS head_cp_sum,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |    + CASE WHEN doc_id % 4 IN (1, 2) THEN 4 ELSE 3 END + 3
+        |    + CASE WHEN doc_id % 7 = 5 THEN 3
+        |        WHEN doc_id % 4 IN (1, 2) THEN 7 ELSE 6 END
         |    AS BIGINT) AS n_tokens,
         |  CAST(length(text)
-        |    + CASE WHEN doc_id % 4 = 0 THEN 13 WHEN doc_id % 4 = 1 THEN 22
-        |           WHEN doc_id % 4 = 2 THEN 15 ELSE 11 END + 12
+        |    + CASE WHEN doc_id % 7 = 5 THEN 17
+        |        WHEN doc_id % 4 = 0 THEN 25 WHEN doc_id % 4 = 1 THEN 34
+        |        WHEN doc_id % 4 = 2 THEN 27 ELSE 23 END
         |    AS BIGINT) AS n_chars
-        |FROM documents WHERE doc_id % 5 <> 3""".stripMargin,
-    // html-main: boilerplate blocks (nav/share/footer/link farms)
-    // drop; every well-formed class keeps EXACTLY the document text,
-    // so the oracle is the plain counts; malformed (id % 5 = 3,
-    // unterminated script) owes (-1, -1)
+        |FROM documents WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 6""".stripMargin,
+    // html-main: boilerplate blocks (nav/share/footer/link farms +
+    // the link-free no-stopword crumb + the over-threshold boundary
+    // blocks) drop; every well-formed class keeps the document text
+    // PLUS the two at-threshold boundary keepers — link density
+    // exactly 0.4 (50 chars / 7 tokens) and exactly 25 canonical
+    // chars (8 tokens) — a fixed +15 tokens / +77 chars (75 + 2
+    // joining newlines); malformed (id % 5 = 3, unterminated script)
+    // owes (-1, -1)
     "text_html_main" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
-        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) + 15
         |  END AS BIGINT) AS n_tokens,
         |  CAST(CASE WHEN doc_id % 5 = 3 THEN -1
-        |    ELSE length(text) END AS BIGINT) AS n_chars
+        |    ELSE length(text) + 77 END AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
     // wet-ingest: conversion-record plain text; the UTF-16LE class
     // (id % 4 = 1) pins that the record's Content-Type charset

@@ -285,6 +285,16 @@ object EditDedup {
         s"""aggregate(zip_with(cv_a, cv_b, (x, y) -> abs(x - y)),
            |  0L, (acc, x) -> acc + x)
            |<= 2 * least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket)""".stripMargin))
+      // spread the DP survivors across the cluster before the
+      // expensive banded-DP projection: the candidate join leaves
+      // its (small at gate scale, key-clustered) output on a handful
+      // of partitions — measured ~4.4-of-32 average parallelism on
+      // the bench's single biggest wall (r16 "What's wrong #1"). A
+      // round-robin repartition of the L1 SURVIVORS (post-prefilter,
+      // so only rows that will actually run the DP shuffle their
+      // texts) costs one small exchange and buys full-width DP
+      // execution; row set — and thus the output hash — unchanged
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       // the DP band is the PAIR's own acceptance threshold, not the
       // global MaxDist ceiling: levenshtein(a, b, θ+1) returns -1 the
       // moment the distance provably exceeds θ, and the filter never

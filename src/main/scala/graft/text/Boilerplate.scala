@@ -19,12 +19,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (linkChars / chars) exceeds [[MaxLinkDensity]], or when it is
   *    SHORT (< [[MinShortChars]] canonical chars) and contains any
   *    link text at all (share bars, "read more" stubs);
+  *  - jusText's second axis (r16 verdict #4): a block BELOW
+  *    [[LengthLow]] canonical chars whose stopword density (share of
+  *    whitespace tokens in the engine's stopword list,
+  *    case-insensitive) is under [[MinStopDensity]] is boilerplate
+  *    even with zero links — breadcrumbs, tag clouds and nav crumbs
+  *    rendered without anchors carry no function words, sentences
+  *    do. The axis is deliberately NOT applied above [[LengthLow]]:
+  *    a long link-free block is content in this family's terms
+  *    (jusText itself only trusts the stopword signal against its
+  *    length bands, and the corpus floor — documents text is ≥ 44
+  *    chars — sits above the band this rule judges);
   *  - kept blocks join with `\n` in document order.
   *
   * The thresholds are fixed constants, not tuned knobs: the gate
-  * plants nav/footer/share blocks that any reasonable setting must
-  * drop and main content no reasonable setting may touch (documents
-  * text is ≥ 44 chars and link-free). Totality mirrors
+  * plants nav/footer/share/crumb blocks that any reasonable setting
+  * must drop, main content no reasonable setting may touch, and —
+  * pinning the constants themselves against silent drift (r16
+  * verdict #7) — BOUNDARY blocks sitting exactly on each side of
+  * [[MaxLinkDensity]] and [[MinShortChars]]. Totality mirrors
   * [[Html.extractText]]: None only on an unterminated raw-text
   * element. Map-only; one pass. */
 object Boilerplate {
@@ -36,6 +49,19 @@ object Boilerplate {
   /** Blocks shorter than this (canonical chars) that contain ANY
     * link text are boilerplate stubs ("share", "read more"). */
   val MinShortChars: Int = 25
+
+  /** The stopword axis's length band: blocks below this (canonical
+    * chars) are judged by stopword density; at or above it, length
+    * plus the link rules decide. Sits under the corpus documents
+    * floor (44 chars at sf0.1) by design — the axis judges crumbs,
+    * not content. */
+  val LengthLow: Int = 40
+
+  /** Minimum stopword density (stopword tokens / tokens,
+    * case-insensitive, [[QualityClassifier.StopWords]]) for a block
+    * under [[LengthLow]] to count as prose — jusText's stopwords_low
+    * band. */
+  val MinStopDensity: Double = 0.30
 
   /** One visible-text block with link accounting. `text` is
     * canonical (collapsed/trimmed); `chars`/`linkChars` are counted
@@ -86,19 +112,40 @@ object Boilerplate {
   def mainText(html: String): Option[String] =
     blocks(html).map(_.filter(keep).map(_.text).mkString("\n"))
 
+  /** Stopword density of a block's canonical text: stopword tokens
+    * over all whitespace tokens, case-insensitive; 0 for an empty
+    * block. */
+  def stopDensity(text: String): Double = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) 0.0
+    else toks.count(t =>
+      QualityClassifier.StopWords.contains(
+        t.toLowerCase(java.util.Locale.ROOT))).toDouble / toks.length
+  }
+
   /** The classification rule (public so audits can report per-block
     * verdicts). */
-  def keep(b: Block): Boolean =
+  def keep(b: Block): Boolean = {
+    val canonLen = b.text.codePointCount(0, b.text.length)
     b.linkDensity <= MaxLinkDensity &&
-      !(b.text.codePointCount(0, b.text.length) < MinShortChars && b.linkChars > 0)
+      !(canonLen < MinShortChars && b.linkChars > 0) &&
+      !(canonLen < LengthLow && stopDensity(b.text) < MinStopDensity)
+  }
 
   /** Gate surface (`text_html_main`): per document, plant a page
     * whose body is the document text wrapped with boilerplate any
     * reasonable classifier must drop — a nav link row, a share stub,
-    * a link-dense footer (plus per-class comment soup / extra link
-    * farms) — and extract through [[mainText]]. Every well-formed
-    * class reduces to exactly the document text, so the oracle is
-    * the plain counts; the malformed class (unterminated script,
+    * a link-dense footer, a link-FREE no-stopword crumb row only the
+    * stopword axis can separate (plus per-class comment soup / extra
+    * link farms) — AND four threshold-BOUNDARY blocks that pin the
+    * constants: link density exactly [[MaxLinkDensity]] (20/50,
+    * kept) vs just over (21/50, dropped), and exactly
+    * [[MinShortChars]] canonical chars with a link (kept) vs one
+    * char fewer (dropped). Extract through [[mainText]]: every
+    * well-formed class reduces to the document text plus the two
+    * kept boundary blocks (fixed 15 tokens / 77 chars including
+    * their newlines), so the oracle is the plain counts plus those
+    * constants; the malformed class (unterminated script,
     * id % 5 == 3) owes (-1, -1). Map-only. */
   def htmlMainReport(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -124,6 +171,22 @@ object Boilerplate {
     val bad = id % 5 == 3
     val nav = """<nav><a href="/">home</a> <a href="/a">about</a> """ +
       """<a href="/c">contact</a> <a href="/b">blog</a></nav>"""
+    // link-free crumb row: 29 chars, zero links, zero stopwords —
+    // invisible to the link rules, dropped by the stopword axis
+    val crumb = """<div>Home Products Support Sitemap</div>"""
+    // boundary blocks (doc): densities 20/50 = MaxLinkDensity exactly
+    // (KEEP — the rule is <=) and 21/50 just over (DROP); lengths
+    // exactly MinShortChars = 25 with a link (KEEP — the rule is <)
+    // and 24 (DROP). The density keeper ALSO pins the stopword
+    // axis's length band: its own stopword density (2/7) is below
+    // MinStopDensity, so it survives only because 50 >= LengthLow
+    // exempts it; the length keeper (25 chars) passes the axis at 6/8
+    val densityKeep = """<p>the boundary keep block is xx """ +
+      """<a href="#k">aaaaaaaaaaaaaaaaaaaa</a></p>"""
+    val densityDrop = """<p>the boundary drop block is x """ +
+      """<a href="#d">bbbbbbbbbbbbbbbbbbbbb</a></p>"""
+    val lenKeep = """<p>a of and to is in block <a href="#">x</a></p>"""
+    val lenDrop = """<p>a of and to is in blok <a href="#">x</a></p>"""
     val share = """<p>share <a href="#t">tweet</a></p>"""
     val footer = """<footer><a href="/tos">terms</a> <a href="/p">privacy</a> """ +
       """<a href="/i">imprint</a> ©</footer>"""
@@ -135,7 +198,8 @@ object Boilerplate {
       if (soup) "<!--<p>ghost</p>--><?php ghost ?>" else ""
     val tail = if (bad) "<script>var ghost = 1;" else ""
     s"""<!DOCTYPE html><html><head><style>nav{display:flex}</style>""" +
-      s"""<script>track("<p>");</script></head><body>$nav$soupBits""" +
-      s"""<p>${escape(text)}</p>$farm$share$footer$tail</body></html>"""
+      s"""<script>track("<p>");</script></head><body>$nav$crumb$soupBits""" +
+      s"""<p>${escape(text)}</p>$densityKeep$densityDrop$lenKeep$lenDrop""" +
+      s"""$farm$share$footer$tail</body></html>"""
   }
 }

@@ -107,16 +107,79 @@ object CharsetSniff {
 
   /** The WHATWG meta prescan over the first 1024 bytes: bytes are
     * ASCII-transparent for every label this table carries, so the
-    * window is scanned as latin-1 (byte-identity) text. Matches
-    * `<meta charset=X>` and `<meta http-equiv="content-type"
-    * content="...; charset=X">`, first declaration wins. */
+    * window is scanned as latin-1 (byte-identity) text. Per the
+    * spec's prescan ("§13.2.3.2 determining the character encoding",
+    * the "get an attribute" steps), only two shapes DECLARE an
+    * encoding: a `charset` ATTRIBUTE on a meta tag, or an
+    * `http-equiv=content-type` meta whose `content` attribute value
+    * carries a `charset=` parameter. A `charset=` that merely occurs
+    * inside some other attribute's value (a description mentioning
+    * "charset=koi8-r") is NOT a declaration. First declaration wins. */
   def metaCharset(body: Array[Byte]): Option[String] = {
     val win = new String(body, 0, math.min(body.length, 1024),
-      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
-    val m1 = java.util.regex.Pattern
-      .compile("<meta[^>]*?charset\\s*=\\s*[\"']?([a-z0-9_.:+-]+)")
-      .matcher(win)
-    if (m1.find()) Some(m1.group(1)) else None
+      StandardCharsets.ISO_8859_1)
+    val lower = win.toLowerCase(java.util.Locale.ROOT)
+    var i = lower.indexOf("<meta")
+    while (i >= 0) {
+      val after = i + 5
+      // a real tag: "<meta" followed by whitespace, '/' or '>'
+      if (after < lower.length && (lower.charAt(after) == ' ' ||
+        lower.charAt(after) == '\t' || lower.charAt(after) == '\n' ||
+        lower.charAt(after) == '\r' || lower.charAt(after) == '\f' ||
+        lower.charAt(after) == '/' || lower.charAt(after) == '>')) {
+        val attrs = tagAttributes(lower, after)
+        val declared = attrs.get("charset").filter(_.nonEmpty)
+          .orElse {
+            if (attrs.get("http-equiv").exists(_.trim == "content-type"))
+              attrs.get("content").flatMap(contentTypeCharset)
+                .map(_.toLowerCase(java.util.Locale.ROOT))
+            else None
+          }
+        if (declared.isDefined) return declared
+      }
+      i = lower.indexOf("<meta", i + 5)
+    }
+    None
+  }
+
+  /** The spec's "get an attribute" loop over one tag's body starting
+    * just past the tag name: (lowercased) name → value, FIRST
+    * occurrence of a name wins, ends at the first top-level '>'.
+    * Quoted values may contain '>' and whitespace; unquoted values
+    * run to whitespace or '>'. */
+  private def tagAttributes(lower: String, from: Int): Map[String, String] = {
+    val attrs = scala.collection.mutable.Map.empty[String, String]
+    val n = lower.length
+    var p = from
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    while (p < n && lower.charAt(p) != '>') {
+      while (p < n && (ws(lower.charAt(p)) || lower.charAt(p) == '/')) p += 1
+      if (p >= n || lower.charAt(p) == '>') return attrs.toMap
+      val nameStart = p
+      while (p < n && !ws(lower.charAt(p)) && lower.charAt(p) != '=' &&
+        lower.charAt(p) != '/' && lower.charAt(p) != '>') p += 1
+      val name = lower.substring(nameStart, p)
+      while (p < n && ws(lower.charAt(p))) p += 1
+      var value = ""
+      if (p < n && lower.charAt(p) == '=') {
+        p += 1
+        while (p < n && ws(lower.charAt(p))) p += 1
+        if (p < n && (lower.charAt(p) == '"' || lower.charAt(p) == '\'')) {
+          val q = lower.charAt(p)
+          p += 1
+          val vStart = p
+          while (p < n && lower.charAt(p) != q) p += 1
+          value = lower.substring(vStart, p)
+          if (p < n) p += 1
+        } else {
+          val vStart = p
+          while (p < n && !ws(lower.charAt(p)) && lower.charAt(p) != '>') p += 1
+          value = lower.substring(vStart, p)
+        }
+      }
+      if (name.nonEmpty && !attrs.contains(name)) attrs(name) = value
+    }
+    attrs.toMap
   }
 
   /** Resolve per the precedence order in the object doc. Returns the

@@ -268,7 +268,12 @@ object CompressedIngest {
       Zstd.decompress(b, maxLen).orElse(Lz4.decompress(b, maxLen))
     else if (b.length >= 10 && b0 == 0xff && b1 == 0x06) Snappy.decompress(b, maxLen)
     else inflate(b, maxLen)
-      .orElse(Snappy.decompress(b, maxLen).filter(_.nonEmpty))
+      // the raw-snappy fallback only below the measured false-accept
+      // floor: 2-3 byte junk can parse as a tiny literal (01 00 41 →
+      // "A"); DecodeAnySpec's zero-false-accept measurement starts at
+      // 4 bytes, so shorter inputs keep the pre-fallback None
+      .orElse(if (b.length >= 4) Snappy.decompress(b, maxLen).filter(_.nonEmpty)
+        else None)
   }
 
   /** Gate surface (`text_snappy_ingest`): per document, compress the

@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** The crawl chain as ONE operator: multi-member `.warc.gz` shard →
   * gzip member slices → WARC records → HTTP response payload →
-  * Content-Encoding decode → charset resolution → HTML → training
-  * text. Composes [[Warc.memberSlices]], [[Warc.records]],
+  * Transfer-Encoding decode (chunked et al., RFC 9112) →
+  * Content-Encoding decode → charset resolution → media-type
+  * dispatch (HTML through the tokenizer, text/plain as-is, anything
+  * else declined) → training text. Composes [[Warc.memberSlices]],
+  * [[Warc.records]], [[Warc.transferDecode]],
   * [[CompressedIngest.contentDecode]], [[CharsetSniff.decode]] and
   * [[Html.extractText]] — each foreign-pinned individually; the
   * `text_crawl_extract` gate pins the composition end-to-end against
@@ -42,34 +45,78 @@ object CrawlExtract {
               .flatMap { r =>
                 for {
                   wire <- Warc.httpPayload(r.block)
-                  body <- Warc.httpHeader(r.block, "Content-Encoding") match {
-                    case Some(e) => CompressedIngest.contentDecode(e, wire)
+                  // transfer codings first (RFC 9112 §6.1: hop
+                  // framing), then content codings (RFC 9110),
+                  // then the charset — each layer wraps the next
+                  unframed <- Warc.httpHeader(r.block, "Transfer-Encoding") match {
+                    case Some(te) => Warc.transferDecode(te, wire)
                     case None => Some(wire)
                   }
-                  (cs, decoded) = CharsetSniff.decode(
-                    Warc.httpHeader(r.block, "Content-Type"), body)
-                  text <- Html.extractText(decoded)
+                  body <- Warc.httpHeader(r.block, "Content-Encoding") match {
+                    case Some(e) => CompressedIngest.contentDecode(e, unframed)
+                    case None => Some(unframed)
+                  }
+                  ctype = Warc.httpHeader(r.block, "Content-Type")
+                  (cs, decoded) = CharsetSniff.decode(ctype, body)
+                  text <- mediaType(ctype) match {
+                    case "text/html" | "application/xhtml+xml" =>
+                      Html.extractText(decoded)
+                    case "text/plain" => Some(decoded)
+                    case _ => None // JSON/PDF/images: decline, don't garble
+                  }
                 } yield Extracted(id, i, r.targetUri, cs, text)
               }
           }.toSeq
       }
   }
 
+  /** The media type of a Content-Type value: the part before any
+    * parameters, trimmed and lowercased (RFC 9110 §8.3's grammar is
+    * ASCII-case-insensitive). A MISSING header defaults to text/html
+    * — the dominant crawl shape, and the only honest guess for a
+    * response record a crawler chose to store. */
+  private def mediaType(ctype: Option[String]): String =
+    ctype.map(_.split(';')(0).trim
+      .toLowerCase(java.util.Locale.ROOT)).getOrElse("text/html")
+
   /** Gate surface (`text_crawl_extract`): per document, the
     * `text_warc_html` fixture (charset classes with lying signals,
-    * Content-Encoding classes, truncation) built as an ALWAYS
-    * per-record-gzip shard, run through [[extract]] — the one-call
-    * operator — and reported in the same shape. Docs whose shard is
-    * truncated (id % 5 == 3) produce NO output row (the operator's
-    * failure-honesty contract), so the oracle simply filters them
-    * out instead of owing fallback rows. */
+    * Content-Encoding AND Transfer-Encoding classes, truncation)
+    * built as an ALWAYS per-record-gzip shard, run through
+    * [[extract]] — the one-call operator — and reported in the same
+    * shape. Two media-type classes override the HTML page: a
+    * `text/plain` response (id % 7 == 5) whose body must BYPASS the
+    * HTML tokenizer — its text contains a literal `<word>` that the
+    * tokenizer would eat as a tag — and an `application/pdf`
+    * response (id % 7 == 6) the operator must DECLINE. Docs whose
+    * shard is truncated (id % 5 == 3) and declined media types
+    * produce NO output row (the operator's failure-honesty
+    * contract), so the oracle simply filters both out instead of
+    * owing fallback rows. */
   def crawlExtractReport(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val shards = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
-        val http = HtmlIngest.httpResponse(id, text)
+        val http = (id % 7) match {
+          case 5 =>
+            // text/plain: the angle-bracketed word proves the bytes
+            // skipped the HTML tokenizer (it would vanish as a tag)
+            val body = (text + " plain <tag> kept")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n")
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+          case 6 =>
+            // an unroutable media type: must contribute no row
+            val body = ("%PDF-1.4 " + text)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (s"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n")
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+          case _ => HtmlIngest.httpResponse(id, text)
+        }
         val full = Warc.write(Seq(
           Seq("WARC-Type" -> "warcinfo",
             "WARC-Record-ID" -> s"<urn:uuid:$id-info>") ->

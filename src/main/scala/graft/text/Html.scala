@@ -28,9 +28,12 @@ package graft.text
   *    references decoded;
   *  - character references: `&#D;` / `&#xH;` numeric forms (out-of-
   *    range, surrogate and NUL code points → U+FFFD per the spec's
-  *    numeric-reference error table) and the core named set below;
-  *    an unknown or unterminated reference stays literal (the
-  *    ambiguous-ampersand rule);
+  *    numeric-reference error table; a missing trailing `;` still
+  *    decodes per the missing-semicolon rule), the case-sensitive
+  *    named set below (full HTML 4.01 + apos + legacy uppercase),
+  *    and the WHATWG legacy semicolonless forms (`&copy`, `&eacute`)
+  *    by longest-prefix match; an unknown reference stays literal
+  *    (the ambiguous-ampersand rule);
   *  - block-level elements (p, div, li, tr, h1-h6, br, …) contribute
   *    line boundaries; inline elements (a, b, span, em, …) contribute
   *    nothing — the CSS initial display values the spec's rendering
@@ -71,32 +74,111 @@ object Html {
     "figure", "figcaption", "form", "fieldset", "legend", "address",
     "details", "summary", "body", "html", "head")
 
-  /** Core named character references (WHATWG named-references table,
-    * the entries that dominate wild pages; all require the trailing
-    * `;` here — the legacy semicolonless forms are not accepted). */
-  private val Named: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
-    "reg" -> "®", "trade" -> "™", "hellip" -> "…",
-    "mdash" -> "—", "ndash" -> "–", "lsquo" -> "‘",
-    "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
-    "laquo" -> "«", "raquo" -> "»", "middot" -> "·",
-    "sect" -> "§", "para" -> "¶", "deg" -> "°",
-    "plusmn" -> "±", "times" -> "×", "divide" -> "÷",
-    "frac12" -> "½", "frac14" -> "¼", "sup2" -> "²",
-    "sup3" -> "³", "euro" -> "€", "pound" -> "£",
-    "yen" -> "¥", "cent" -> "¢", "szlig" -> "ß",
-    "aelig" -> "æ", "oslash" -> "ø", "aring" -> "å",
-    "agrave" -> "à", "aacute" -> "á", "acirc" -> "â",
-    "atilde" -> "ã", "auml" -> "ä", "ccedil" -> "ç",
-    "egrave" -> "è", "eacute" -> "é", "ecirc" -> "ê",
-    "euml" -> "ë", "igrave" -> "ì", "iacute" -> "í",
-    "iuml" -> "ï", "ntilde" -> "ñ", "ograve" -> "ò",
-    "oacute" -> "ó", "ocirc" -> "ô", "otilde" -> "õ",
-    "ouml" -> "ö", "ugrave" -> "ù", "uacute" -> "ú",
-    "ucirc" -> "û", "uuml" -> "ü", "yacute" -> "ý",
-    "bull" -> "•", "dagger" -> "†", "prime" -> "′",
-    "minus" -> "−", "shy" -> "")
+  /** The ISO-8859-1 entity names for code points 160..255 IN CODE
+    * POINT ORDER (HTML 4.01 §24.2 / the same rows of the WHATWG
+    * named-references table) — built positionally so each name's
+    * value is its index's code point, not a hand-typed glyph. */
+  private val Latin1Names: Seq[String] = Seq(
+    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar",
+    "sect", "uml", "copy", "ordf", "laquo", "not", "shy", "reg",
+    "macr", "deg", "plusmn", "sup2", "sup3", "acute", "micro",
+    "para", "middot", "cedil", "sup1", "ordm", "raquo", "frac14",
+    "frac12", "frac34", "iquest", "Agrave", "Aacute", "Acirc",
+    "Atilde", "Auml", "Aring", "AElig", "Ccedil", "Egrave",
+    "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+    "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml",
+    "times", "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml",
+    "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+    "atilde", "auml", "aring", "aelig", "ccedil", "egrave",
+    "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+    "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml",
+    "divide", "oslash", "ugrave", "uacute", "ucirc", "uuml",
+    "yacute", "thorn", "yuml")
+
+  /** Named character references, CASE-SENSITIVE per the WHATWG table
+    * (`&Aacute;` and `&aacute;` are different letters): the complete
+    * HTML 4.01 set (§24.2 Latin-1, §24.3 symbols/Greek, §24.4
+    * markup/i18n — the 252 names that dominate wild pages) plus
+    * `apos` and the uppercase legacy aliases (AMP/LT/GT/QUOT/COPY/
+    * REG/TRADE). The long WHATWG tail (MathML operators like
+    * `&NotGreaterGreater;`) is out of scope — a documented fidelity
+    * boundary, not an error path: unknown names stay literal.
+    * `shy` (U+00AD) maps to the empty string — the training-text
+    * convention drops discretionary hyphenation points. */
+  private[text] val Entities: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    Latin1Names.zipWithIndex.foreach { case (n, i) =>
+      b += n -> new String(Character.toChars(160 + i))
+    }
+    // markup-significant + i18n (HTML4 §24.4) + apos + legacy upper
+    Seq("quot" -> 34, "amp" -> 38, "apos" -> 39, "lt" -> 60, "gt" -> 62,
+      "QUOT" -> 34, "AMP" -> 38, "LT" -> 60, "GT" -> 62,
+      "COPY" -> 169, "REG" -> 174, "TRADE" -> 8482,
+      "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
+      "Yuml" -> 376, "circ" -> 710, "tilde" -> 732,
+      "ensp" -> 8194, "emsp" -> 8195, "thinsp" -> 8201,
+      "zwnj" -> 8204, "zwj" -> 8205, "lrm" -> 8206, "rlm" -> 8207,
+      "ndash" -> 8211, "mdash" -> 8212,
+      "lsquo" -> 8216, "rsquo" -> 8217, "sbquo" -> 8218,
+      "ldquo" -> 8220, "rdquo" -> 8221, "bdquo" -> 8222,
+      "dagger" -> 8224, "Dagger" -> 8225, "permil" -> 8240,
+      "lsaquo" -> 8249, "rsaquo" -> 8250, "euro" -> 8364,
+      // symbols + Greek (HTML4 §24.3)
+      "fnof" -> 402,
+      "Alpha" -> 913, "Beta" -> 914, "Gamma" -> 915, "Delta" -> 916,
+      "Epsilon" -> 917, "Zeta" -> 918, "Eta" -> 919, "Theta" -> 920,
+      "Iota" -> 921, "Kappa" -> 922, "Lambda" -> 923, "Mu" -> 924,
+      "Nu" -> 925, "Xi" -> 926, "Omicron" -> 927, "Pi" -> 928,
+      "Rho" -> 929, "Sigma" -> 931, "Tau" -> 932, "Upsilon" -> 933,
+      "Phi" -> 934, "Chi" -> 935, "Psi" -> 936, "Omega" -> 937,
+      "alpha" -> 945, "beta" -> 946, "gamma" -> 947, "delta" -> 948,
+      "epsilon" -> 949, "zeta" -> 950, "eta" -> 951, "theta" -> 952,
+      "iota" -> 953, "kappa" -> 954, "lambda" -> 955, "mu" -> 956,
+      "nu" -> 957, "xi" -> 958, "omicron" -> 959, "pi" -> 960,
+      "rho" -> 961, "sigmaf" -> 962, "sigma" -> 963, "tau" -> 964,
+      "upsilon" -> 965, "phi" -> 966, "chi" -> 967, "psi" -> 968,
+      "omega" -> 969, "thetasym" -> 977, "upsih" -> 978, "piv" -> 982,
+      "bull" -> 8226, "hellip" -> 8230, "prime" -> 8242,
+      "Prime" -> 8243, "oline" -> 8254, "frasl" -> 8260,
+      "weierp" -> 8472, "image" -> 8465, "real" -> 8476,
+      "trade" -> 8482, "alefsym" -> 8501,
+      "larr" -> 8592, "uarr" -> 8593, "rarr" -> 8594, "darr" -> 8595,
+      "harr" -> 8596, "crarr" -> 8629,
+      "lArr" -> 8656, "uArr" -> 8657, "rArr" -> 8658, "dArr" -> 8659,
+      "hArr" -> 8660,
+      "forall" -> 8704, "part" -> 8706, "exist" -> 8707,
+      "empty" -> 8709, "nabla" -> 8711, "isin" -> 8712,
+      "notin" -> 8713, "ni" -> 8715, "prod" -> 8719, "sum" -> 8721,
+      "minus" -> 8722, "lowast" -> 8727, "radic" -> 8730,
+      "prop" -> 8733, "infin" -> 8734, "ang" -> 8736,
+      "and" -> 8743, "or" -> 8744, "cap" -> 8745, "cup" -> 8746,
+      "int" -> 8747, "there4" -> 8756, "sim" -> 8764, "cong" -> 8773,
+      "asymp" -> 8776, "ne" -> 8800, "equiv" -> 8801,
+      "le" -> 8804, "ge" -> 8805, "sub" -> 8834, "sup" -> 8835,
+      "nsub" -> 8836, "sube" -> 8838, "supe" -> 8839,
+      "oplus" -> 8853, "otimes" -> 8855, "perp" -> 8869,
+      "sdot" -> 8901, "lceil" -> 8968, "rceil" -> 8969,
+      "lfloor" -> 8970, "rfloor" -> 8971, "lang" -> 9001,
+      "rang" -> 9002, "loz" -> 9674, "spades" -> 9824,
+      "clubs" -> 9827, "hearts" -> 9829, "diams" -> 9830
+    ).foreach { case (n, cp) =>
+      b += n -> new String(Character.toChars(cp))
+    }
+    b.result() + ("shy" -> "")
+  }
+
+  /** The WHATWG legacy names that decode WITHOUT a trailing `;`
+    * (the without-semicolon rows of the named-references table —
+    * exactly the 96 Latin-1 names plus amp/lt/gt/quot and their
+    * uppercase aliases plus COPY/REG). Matching is longest-prefix on
+    * a failed strict match: in `&notit;` the legacy `not` prefix
+    * decodes and `it;` stays text — the spec's "flush code points
+    * consumed as a character reference" rule. */
+  private[text] val Legacy: Map[String, String] =
+    (Latin1Names ++ Seq("amp", "AMP", "lt", "LT", "gt", "GT",
+      "quot", "QUOT", "COPY", "REG")).map(n => n -> Entities(n)).toMap
+
+  private val LegacyMaxLen: Int = Legacy.keysIterator.map(_.length).max
 
   /** Event sink for [[walk]] — the tokenizer core feeds visible text,
     * line boundaries and (non-raw-text) tag open/close events; the
@@ -162,9 +244,7 @@ object Html {
             any = true; true
           } else false
         }) q += 1
-        if (!any || q >= n || html.charAt(q) != ';') {
-          out.ch('&'); return p + 1 // not a reference: literal &
-        }
+        if (!any) { out.ch('&'); return p + 1 } // no digits: literal &
         // numeric-reference error table: NUL, out-of-range and
         // surrogate code points are replaced with U+FFFD
         val cp =
@@ -172,7 +252,10 @@ object Html {
             0xfffd
           else v.toInt
         out.codePoint(cp)
-        q + 1
+        // a missing ';' is a parse error but STILL DECODES per the
+        // spec's missing-semicolon-after-character-reference rule
+        // (only the digits are consumed)
+        if (q < n && html.charAt(q) == ';') q + 1 else q
       } else {
         var q = p + 1
         while (q < n && q - p <= 32 && {
@@ -180,28 +263,46 @@ object Html {
           (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
             (c >= '0' && c <= '9')
         }) q += 1
-        if (q < n && q > p + 1 && html.charAt(q) == ';')
-          Named.get(html.substring(p + 1, q).toLowerCase(java.util.Locale.ROOT)) match {
-            case Some(s) => out.str(s); q + 1
-            case None => out.ch('&'); p + 1 // ambiguous ampersand
-          }
-        else { out.ch('&'); p + 1 }
+        val run = html.substring(p + 1, q)
+        if (q < n && run.nonEmpty && html.charAt(q) == ';' &&
+          Entities.contains(run)) {
+          out.str(Entities(run)); q + 1
+        } else {
+          // no strict `name;` match: the longest legacy
+          // (semicolonless) prefix decodes, the rest stays text —
+          // `&copy2024` is "©2024", `&notit;` is "¬it;"
+          var len = math.min(run.length, LegacyMaxLen)
+          while (len > 0 && !Legacy.contains(run.substring(0, len))) len -= 1
+          if (len > 0) { out.str(Legacy(run.substring(0, len))); p + 1 + len }
+          else { out.ch('&'); p + 1 } // ambiguous ampersand
+        }
       }
     }
 
     // scan past a tag's attributes honoring quoted values; returns
     // the index AFTER the closing '>' (or n at EOF — eof-in-tag
-    // drops the partial tag, emitting nothing)
+    // drops the partial tag, emitting nothing). A quote opens a
+    // value ONLY immediately after '=' (plus optional whitespace) —
+    // the before-attribute-value state; a quote anywhere else in the
+    // tag is a plain character (an unquoted value like alt=world's
+    // must not swallow text to the next quote)
     def tagEnd(p0: Int): Int = {
       var p = p0
       while (p < n) {
         val c = html.charAt(p)
-        if (c == '"' || c == '\'') {
+        if (c == '>') return p + 1
+        else if (c == '=') {
           p += 1
-          while (p < n && html.charAt(p) != c) p += 1
-          if (p < n) p += 1
-        } else if (c == '>') return p + 1
-        else p += 1
+          while (p < n && (html.charAt(p) == ' ' || html.charAt(p) == '\t' ||
+            html.charAt(p) == '\n' || html.charAt(p) == '\r' ||
+            html.charAt(p) == '\f')) p += 1
+          if (p < n && (html.charAt(p) == '"' || html.charAt(p) == '\'')) {
+            val qc = html.charAt(p)
+            p += 1
+            while (p < n && html.charAt(p) != qc) p += 1
+            if (p < n) p += 1
+          }
+        } else p += 1
       }
       n
     }

@@ -28,7 +28,14 @@ object HtmlIngest {
         case 'o' => "&#111;"
         case c => c.toString
       } else escape(text)
-    val footer = if (ent) "end&nbsp;of&nbsp;doc" else "end of doc"
+    // the entity class's footer additionally exercises the WHATWG
+    // LEGACY forms: semicolonless named refs (&copy &AMP &eacute —
+    // case-sensitive, uppercase alias included) and a semicolonless
+    // NUMERIC ref (&#233 terminated by '<'), decoding to the fixed
+    // suffix " © & é é" the oracle owes as a per-class constant
+    val footer =
+      if (ent) "end&nbsp;of&nbsp;doc &copy &AMP &eacute &#233"
+      else "end of doc"
     val soupBits =
       if (soup) "<!--<p>ghost comment</p>--><![CDATA[ghost cdata]]><?php ghost ?>"
       else ""
@@ -92,7 +99,13 @@ object HtmlIngest {
     val title = Titles(cls)
     val meta = cls match {
       case 1 => """<meta charset="utf-8">""" // lies; the header wins
-      case 2 => """<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">"""
+      case 2 =>
+        // the DECOY comes first: a charset= inside a description
+        // value is NOT a declaration (WHATWG prescan honors only the
+        // charset attribute / http-equiv=content-type) — a prescan
+        // that greps any "charset=" resolves koi8-r and mismatches
+        """<meta name="description" content="a page where charset=koi8-r is discussed">""" +
+          """<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">"""
       case _ => ""
     }
     val html =
@@ -125,20 +138,38 @@ object HtmlIngest {
       case 2 => (Zstd.compress(bodyBytes), Some("zstd"))
       case _ => (bodyBytes, None)
     }
+    // transfer-coding class (r16 verdict #1, orthogonal again): the
+    // body AS STORED may be chunked (RFC 9112 §7.1) — id % 7 == 2
+    // plain-chunked, id % 7 == 3 "gzip, chunked" (sender gzips THEN
+    // chunks, so the reader must dechunk FIRST — §6.1 order); both
+    // wrap OUTSIDE the Content-Encoding layer, and per §6.2 a
+    // chunked message carries no Content-Length header
+    val (storedBytes, tenc) = (id % 7) match {
+      case 2 => (Warc.chunked(wireBytes, 97), Some("chunked"))
+      case 3 => (Warc.chunked(CompressedIngest.gzip(wireBytes), 61),
+        Some("gzip, chunked"))
+      case _ => (wireBytes, None)
+    }
     (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
       cenc.map(e => s"Content-Encoding: $e\r\n").getOrElse("") +
-      s"Content-Length: ${wireBytes.length}\r\n\r\n")
-      .getBytes(StandardCharsets.US_ASCII) ++ wireBytes
+      tenc.map(e => s"Transfer-Encoding: $e\r\n")
+        .getOrElse(s"Content-Length: ${storedBytes.length}\r\n") +
+      "\r\n").getBytes(StandardCharsets.US_ASCII) ++ storedBytes
   }
 
   /** Gate surface (`text_warc_html`): per document, a real 3-record
     * WARC whose response payload is an HTML page in a class-determined
-    * charset (utf-8 / cp1252 / meta-only iso-8859-1 label / BOM —
-    * including deliberately LYING signals that the WHATWG precedence
-    * order must overrule), body transfer-compressed per an orthogonal
-    * class (id % 3: identity / gzip / zstd with the Content-Encoding
-    * header naming the coding), per-record-gzip on even ids; extract
-    * through records → httpHeader(Content-Encoding) → contentDecode →
+    * charset (utf-8 / cp1252 / meta-only iso-8859-1 label behind a
+    * charset= DECOY in a description meta / BOM — including
+    * deliberately LYING signals that the WHATWG precedence order
+    * must overrule), body content-coded per an orthogonal class
+    * (id % 3: identity / gzip / zstd with the Content-Encoding
+    * header naming the coding) and transfer-coded per another
+    * (id % 7: plain / chunked / gzip-then-chunked with the
+    * Transfer-Encoding header naming them in application order),
+    * per-record-gzip on even ids; extract through records →
+    * httpHeader(Transfer-Encoding) → transferDecode →
+    * httpHeader(Content-Encoding) → contentDecode →
     * httpHeader(Content-Type) → CharsetSniff.decode →
     * Html.extractText and report the resolved charset name, the
     * title's code-point sum (pins the decode char-for-char) and the
@@ -167,11 +198,16 @@ object HtmlIngest {
           recs <- Warc.records(payload)
           resp <- recs.find(_.warcType == "response")
           wire <- Warc.httpPayload(resp.block)
-          // content-coding first (RFC 9110), charset second: the
-          // BOM/meta signals live inside the coded bytes
-          body <- Warc.httpHeader(resp.block, "Content-Encoding") match {
-            case Some(e) => CompressedIngest.contentDecode(e, wire)
+          // transfer-coding first (RFC 9112 — chunked is message
+          // framing), content-coding second (RFC 9110), charset
+          // last: the BOM/meta signals live inside the coded bytes
+          unframed <- Warc.httpHeader(resp.block, "Transfer-Encoding") match {
+            case Some(te) => Warc.transferDecode(te, wire)
             case None => Some(wire)
+          }
+          body <- Warc.httpHeader(resp.block, "Content-Encoding") match {
+            case Some(e) => CompressedIngest.contentDecode(e, unframed)
+            case None => Some(unframed)
           }
           ctype = Warc.httpHeader(resp.block, "Content-Type")
           (csName, decoded) = CharsetSniff.decode(ctype, body)

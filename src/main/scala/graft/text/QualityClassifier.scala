@@ -48,7 +48,9 @@ object QualityClassifier {
     h
   }
 
-  private val StopWords = Set("the", "a", "of", "and", "to", "is", "in")
+  /** Shared with [[Boilerplate]]'s stopword-density axis — one
+    * engine-wide list, per the r16 verdict's reuse note. */
+  private[text] val StopWords = Set("the", "a", "of", "and", "to", "is", "in")
 
   /** Word tokens + DISCRETIZED DENSE FEATURES as synthetic tokens
     * (the fastText trick): log2-bucketed whitespace-token length and

@@ -137,6 +137,106 @@ object Warc {
     None
   }
 
+  /** RFC 9112 §7.1 chunked transfer decoding — the crawl chain's
+    * first real-crawl stumbling block (r16 verdict #1): wget-produced
+    * WARCs and a real fraction of CommonCrawl response records store
+    * the body AS TRANSMITTED, chunk-size lines and all; without
+    * de-chunking, Content-Encoding decode sees `1a3\r\n…` interleaved
+    * with the payload and the record silently drops.
+    *
+    * Grammar implemented exactly: `chunk-size [;chunk-ext] CRLF
+    * chunk-data CRLF` repeated, `0 [;chunk-ext] CRLF`, then an
+    * optional trailer section (`field-line CRLF` each) closed by a
+    * final CRLF. Chunk extensions and trailer fields are consumed
+    * and ignored (the spec permits both). STRICT None on truncation,
+    * a non-hex size line, a missing chunk-data CRLF, or a missing
+    * trailer terminator — a partial body must not silently pass as
+    * whole. Total output is bomb-guarded at `maxLen`. */
+  def dechunk(b: Array[Byte],
+      maxLen: Int = CompressedIngest.MaxBytes): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var p = 0
+    while (true) {
+      val e = lineEnd(b, p)
+      if (e < 0) return None
+      val line = ascii(b, p, e)
+      val semi = line.indexOf(';')
+      val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (sizeStr.isEmpty || sizeStr.length > 7 ||
+        !sizeStr.forall(c => (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) return None
+      val size = java.lang.Integer.parseInt(sizeStr, 16)
+      p = e + 2
+      if (size == 0) {
+        // trailer section: field lines until the closing empty line
+        var done = false
+        while (!done) {
+          val t = lineEnd(b, p)
+          if (t < 0) return None
+          if (t == p) { done = true } else p = t + 2
+        }
+        // trailing garbage after the terminator is a framing error
+        if (p + 2 != b.length) return None
+        return Some(out.toByteArray)
+      }
+      if (out.size() + size > maxLen) return None // bomb guard
+      if (p + size + 2 > b.length) return None // truncated chunk-data
+      out.write(b, p, size)
+      p += size
+      if (b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Apply a `Transfer-Encoding` header value (RFC 9112 §6.1): the
+    * listed codings were applied in order by the sender, so the
+    * recipient reverses them — `gzip, chunked` means de-chunk FIRST,
+    * then gunzip. `chunked`/`identity` and the compression codings
+    * gzip/x-gzip/deflate map to their decoders; an unknown coding
+    * declines — never guess past an explicit label. */
+  def transferDecode(te: String, b: Array[Byte],
+      maxLen: Int = CompressedIngest.MaxBytes): Option[Array[Byte]] = {
+    val codings = te.split(',').map(
+      _.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    codings.reverseIterator.foldLeft(Option(b)) { (acc, coding) =>
+      acc.flatMap { bytes =>
+        coding match {
+          case "chunked" => dechunk(bytes, maxLen)
+          case "identity" => Some(bytes)
+          case "gzip" | "x-gzip" => CompressedIngest.gunzip(bytes, maxLen)
+          case "deflate" => CompressedIngest.inflate(bytes, maxLen)
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** The chunked serialization of `body` for fixtures and the
+    * dechunk≡identity spec: fixed-size chunks, a chunk extension on
+    * the first chunk and a trailer field after the last — the
+    * optional grammar the decoder must consume and ignore. */
+  def chunked(body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0)
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0,
+        s.length)
+    var p = 0
+    var first = true
+    while (p < body.length) {
+      val len = math.min(chunkSize, body.length - p)
+      put(java.lang.Integer.toHexString(len) +
+        (if (first) ";graft=ext" else "") + "\r\n")
+      out.write(body, p, len)
+      put("\r\n")
+      p += len
+      first = false
+    }
+    put("0\r\nX-Graft-Trailer: done\r\n\r\n")
+    out.toByteArray
+  }
+
   private def lineEnd(b: Array[Byte], from: Int): Int = {
     var i = from
     while (i + 1 < b.length) {

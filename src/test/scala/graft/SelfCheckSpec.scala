@@ -34,6 +34,27 @@ class SelfCheckSpec extends AnyFunSuite {
     assert(SelfCheck.findings(stray).exists(_.contains("error recorded")))
   }
 
+  test("negative attribution is flagged per metric, not masked by the other map") {
+    // r16 advice: taskMs ++ gcMs let a key's gc_ms overwrite its
+    // negative task_ms — each map must be checked on its own, and
+    // the finding must NAME the metric
+    val full = SparkEntry.queries.keys.map(_ -> 0.1).toMap
+    val k = SparkEntry.queries.keys.head
+    val taskMs = full.keys.map(_ -> 1L).toMap + (k -> -5L)
+    val gcMs = full.keys.map(_ -> 0L).toMap // k's gc_ms is fine
+    val a = SelfCheck.BenchArtifact(full, Map.empty, Map.empty, taskMs, gcMs)
+    val fs = SelfCheck.findings(a)
+    assert(fs.exists(f => f.contains(k) && f.contains("negative task_ms")), fs)
+    // and symmetrically for gc_ms
+    val b = SelfCheck.BenchArtifact(full, Map.empty, Map.empty,
+      full.keys.map(_ -> 1L).toMap, gcMs + (k -> -3L))
+    assert(SelfCheck.findings(b)
+      .exists(f => f.contains(k) && f.contains("negative gc_ms")))
+    // both clean → no attribution findings
+    assert(SelfCheck.findings(SelfCheck.BenchArtifact(full, Map.empty,
+      Map.empty, full.keys.map(_ -> 1L).toMap, gcMs)).isEmpty)
+  }
+
   test("parse reads the plans map; planDrift flags only changed shared keys") {
     val cur = SelfCheck.parse(
       """{"queries":{"q1":0.5,"q2":0.4,"q3":0.3},

@@ -27,17 +27,49 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(!keep(Block("home about contact blog and more links here xx", 47, 40)))
     // short + any link = stub
     assert(!keep(Block("share tweet", 11, 5)))
-    // short but link-free survives (headings)
+    // short but link-free survives WHEN it reads like prose (headings
+    // with function words)
     assert(keep(Block("A Heading", 9, 0)))
     // long with a MODERATE link share survives (inline citations)
     assert(keep(Block("a" * 80 + " link", 85, 4)))
   }
 
-  test("mainText: every well-formed plant class reduces to the text") {
+  test("keep: the stopword axis separates crumbs a link rule cannot see") {
+    import Boilerplate.{keep, Block, stopDensity}
+    // link-FREE crumb rows: zero stopwords, under LengthLow → drop
+    assert(!keep(Block("Home Products Support Sitemap", 29, 0)))
+    assert(!keep(Block("News Blog Shop Careers Press", 28, 0)))
+    // the same words as prose (function words present) → keep
+    assert(keep(Block("the home of products and support", 32, 0)))
+    // AT or above LengthLow the axis does not apply — a long
+    // link-free block is content even with zero stopwords
+    assert(keep(Block("Widget Catalog Spring Summer Autumn Winter xx", 45, 0)))
+    assert(stopDensity("the home of products") === 0.5)
+    assert(stopDensity("Home Products") === 0.0)
+    assert(stopDensity("") === 0.0)
+  }
+
+  test("keep: threshold boundaries pin the constants exactly") {
+    import Boilerplate.{keep, Block}
+    val keep50 = "the boundary keep block is xx " + "a" * 20
+    val drop50 = "the boundary drop block is x " + "b" * 21
+    // density 20/50 = MaxLinkDensity exactly: kept (rule is <=)
+    assert(keep(Block(keep50, 50, 20)))
+    // 21/50 just over: dropped
+    assert(!keep(Block(drop50, 50, 21)))
+    // exactly MinShortChars canonical chars with a link: kept
+    assert(keep(Block("a of and to is in block x", 25, 1)))
+    // one char fewer: dropped
+    assert(!keep(Block("a of and to is in blok x", 24, 1)))
+  }
+
+  test("mainText: every well-formed plant class keeps the text + boundary keepers") {
     val text = "spark query window merge scan filter join order batch"
+    val kept = s"$text\nthe boundary keep block is xx ${"a" * 20}" +
+      "\na of and to is in block x"
     for (id <- Seq(0L, 1L, 11L, 2L, 6L))
       assert(Boilerplate.mainText(Boilerplate.plant(id, text))
-        === Some(text), s"id=$id")
+        === Some(kept), s"id=$id")
     assert(Boilerplate.mainText(Boilerplate.plant(3L, text)) === None)
   }
 

@@ -32,6 +32,32 @@ class CharsetSniffSpec extends AnyFunSuite {
     assert(CharsetSniff.metaCharset(late) === None)
   }
 
+  test("meta prescan honors only real declarations (charset attr / http-equiv)") {
+    // a charset= inside a DESCRIPTION meta's content value is not a
+    // declaration (the WHATWG prescan's attribute rules)
+    assert(CharsetSniff.metaCharset(
+      """<meta name="description" content="pages where charset=koi8-r appears">"""
+        .getBytes) === None)
+    // ...and must not shadow the real declaration after it
+    assert(CharsetSniff.metaCharset(
+      ("""<meta name="description" content="about charset=koi8-r">""" +
+        """<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">""")
+        .getBytes) === Some("iso-8859-1"))
+    // a content="...charset=..." WITHOUT http-equiv=content-type is inert
+    assert(CharsetSniff.metaCharset(
+      """<meta content="text/html; charset=utf-16">""".getBytes) === None)
+    // unquoted + self-closing + single-quoted forms all parse (in
+    // the unquoted form the spec's value scan runs to whitespace or
+    // '>', so the self-closing slash needs the usual space)
+    assert(CharsetSniff.metaCharset(
+      "<meta charset=utf-8 />".getBytes) === Some("utf-8"))
+    assert(CharsetSniff.metaCharset(
+      "<meta charset='shift_jis'>".getBytes) === Some("shift_jis"))
+    // "<metadata" is not a meta tag
+    assert(CharsetSniff.metaCharset(
+      "<metadata charset=utf-8>".getBytes) === None)
+  }
+
   test("precedence: BOM > header > meta > windows-1252 default") {
     val utf8Bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
     // BOM wins over a lying header

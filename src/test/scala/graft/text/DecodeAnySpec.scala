@@ -112,4 +112,23 @@ class DecodeAnySpec extends AnyFunSuite {
     }
     assert(accepts === 0, s"cross-format false-accepts: $accepts")
   }
+
+  test("the raw-snappy fallback is gated at the measured 4-byte floor") {
+    // 2-3 byte junk CAN parse as a tiny raw-snappy literal (01 00 41
+    // → "A"); below the floor decodeAny must keep the pre-fallback
+    // None instead of inventing text (r16 advice)
+    assert(Snappy.decompress(Array[Byte](0x01, 0x00, 0x41))
+      .exists(_.nonEmpty)) // the hazard is real...
+    assert(CompressedIngest.decodeAny(Array[Byte](0x01, 0x00, 0x41))
+      .isEmpty) // ...and the gate closes it
+    assert(CompressedIngest.decodeAny(Array[Byte](0x01, 0x00)).isEmpty)
+    // at >= 4 bytes raw snappy still reaches the fallback (provided
+    // the deflate sniff ahead of it declines — dispatch order is
+    // deflate first, so pick an input where it does)
+    val tiny = Snappy.compress("abcd".getBytes)
+    assert(tiny.length >= 4)
+    assert(CompressedIngest.inflate(tiny).isEmpty, "fixture: deflate declines")
+    assert(CompressedIngest.decodeAny(tiny).map(new String(_))
+      === Some("abcd"))
+  }
 }

@@ -53,7 +53,7 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex("a&amp;b &lt;c&gt; &quot;d&quot;") === "a&b <c> \"d\"")
     // unknown / unterminated stay literal (ambiguous ampersand)
     assert(ex("AT&T rocks") === "AT&T rocks")
-    assert(ex("&zzz; &noSemicolon and &#;") === "&zzz; &noSemicolon and &#;")
+    assert(ex("&zzz; &xSemicolon and &#;") === "&zzz; &xSemicolon and &#;")
     // NUL, surrogates, out-of-range → U+FFFD per the numeric table
     assert(ex("&#0;") === "�")
     assert(ex("&#xD800;") === "�")
@@ -66,10 +66,58 @@ class HtmlSpec extends AnyFunSuite {
     assert(ex("&shy;soft") === "soft")
   }
 
+  test("numeric references decode without the trailing ';' (missing-semicolon rule)") {
+    assert(ex("caf&#233 au lait") === "café au lait")
+    assert(ex("x&#x61 y") === "xa y")
+    // only the digits are consumed — a following ';'-less boundary
+    // at EOF or a tag works the same way
+    assert(ex("&#8364") === "€")
+    assert(ex("<p>&#233</p>") === "é")
+  }
+
+  test("WHATWG legacy semicolonless named references decode by longest prefix") {
+    assert(ex("&copy 2024 Graft") === "© 2024 Graft")
+    assert(ex("caf&eacute au lait") === "café au lait")
+    assert(ex("AT&amp T &AMP &COPY x") === "AT& T & © x")
+    assert(ex("R&reg, x&nbsp.") === "R®, x .")
+    // longest-prefix: the legacy name decodes, the tail stays text
+    assert(ex("&copy2024") === "©2024")
+    assert(ex("&ampx") === "&x")
+    // a strict `name;` match beats a legacy prefix: &notin; is ∉,
+    // not ¬in; — but &notit; has no strict match, so `not` decodes
+    assert(ex("&notin;") === "∉")
+    assert(ex("&notit;") === "¬it;")
+    // non-legacy names still REQUIRE the semicolon
+    assert(ex("&euro 5") === "&euro 5")
+    assert(ex("&hellip and") === "&hellip and")
+  }
+
+  test("named references are case-sensitive per the WHATWG table") {
+    assert(ex("&Aacute; &aacute;") === "Á á")
+    assert(ex("&Omega; &omega;") === "Ω ω")
+    // names in no case variant of the table stay literal
+    assert(ex("&NBSP; &EURO;") === "&NBSP; &EURO;")
+    // the HTML4 symbol/Greek/punctuation sets resolve
+    assert(ex("&larr; &rarr; &infin; &ne; &le; &ge;") === "← → ∞ ≠ ≤ ≥")
+    assert(ex("&OElig;&oelig; &Scaron;&scaron; &permil;") === "Œœ Šš ‰")
+    assert(ex("&alpha;&beta;&gamma; &sum; &radic;") === "αβγ ∑ √")
+  }
+
   test("attribute tokenization: quoted '>' does not end the tag") {
     assert(ex("""<div data-x="a>b">inside</div>""") === "inside")
     assert(ex("""<div data-x='c>d' id=e>f</div>""") === "f")
     assert(ex("""<img alt="x>y">tail""") === "tail")
+  }
+
+  test("quotes open a value only after '=' (unquoted apostrophes don't swallow text)") {
+    // an apostrophe INSIDE an unquoted value is a plain character —
+    // it must not open a quoted-value scan past the real '>'
+    assert(ex("""<img alt=world's src=x>kept text""") === "kept text")
+    assert(ex("""<p title=it's>body</p> more""") === "body\nmore")
+    // whitespace between '=' and the quote still opens the value
+    assert(ex("""<div data-x= "a>b">in</div>""") === "in")
+    // a quote with no preceding '=' (boolean-ish soup) is plain
+    assert(ex("""<div "x>y">z""") === "y\">z")
   }
 
   test("comments, doctype, bogus comments, literal '<'") {
@@ -109,11 +157,15 @@ class HtmlSpec extends AnyFunSuite {
 
   test("plant(): every well-formed class extracts the canonical text") {
     val text = "spark query window merge"
-    // base (id 0), entity class (id 1 → %7==1), soup class (id 11 → %7==4)
-    for (id <- Seq(0L, 1L, 11L, 2L, 6L)) {
+    // base (id 0), soup class (id 11 → %7==4), others
+    for (id <- Seq(0L, 11L, 2L, 6L)) {
       assert(Html.extractText(HtmlIngest.plant(id, text))
         === Some(s"Doc $id\nDoc $id\n$text\nend of doc"), s"id=$id")
     }
+    // the entity class (id % 7 == 1) appends the decoded LEGACY
+    // suffix: &copy &AMP &eacute &#233 → " © & é é"
+    assert(Html.extractText(HtmlIngest.plant(1L, text))
+      === Some(s"Doc 1\nDoc 1\n$text\nend of doc © & é é"))
     // malformed class (id % 5 == 3)
     assert(Html.extractText(HtmlIngest.plant(3L, text)) === None)
     assert(Html.extractText(HtmlIngest.plant(13L, text)) === None)

@@ -91,6 +91,61 @@ class WarcSpec extends AnyFunSuite {
         "\r\n\r\n").getBytes).isEmpty)
   }
 
+  test("dechunk: chunked encoding is identity on the body (RFC 9112 §7.1)") {
+    val body = ("chunk me please — twenty different ways φωνή " * 50)
+      .getBytes("UTF-8")
+    // every chunk size: same body back (exts + trailer consumed)
+    for (cs <- Seq(1, 7, 97, 8192, body.length, body.length * 2)) {
+      val wire = Warc.chunked(body, cs)
+      assert(Warc.dechunk(wire).map(_.toSeq) === Some(body.toSeq), s"cs=$cs")
+    }
+    // an empty body is just the last-chunk + trailer
+    assert(Warc.dechunk(Warc.chunked(Array.emptyByteArray, 8))
+      .map(_.length) === Some(0))
+    // chunk data may contain CRLF and bare LF — the size line, not a
+    // scan, bounds it
+    val tricky = "a\r\nb\nc\r\n\r\nd".getBytes("US-ASCII")
+    assert(Warc.dechunk(Warc.chunked(tricky, 3)).map(_.toSeq)
+      === Some(tricky.toSeq))
+    // hex sizes with uppercase digits parse
+    assert(Warc.dechunk(
+      "A\r\n0123456789\r\n0\r\n\r\n".getBytes("US-ASCII")).map(_.toSeq)
+      === Some("0123456789".getBytes.toSeq))
+  }
+
+  test("dechunk: strict None on truncation, bad sizes, trailing garbage") {
+    val wire = Warc.chunked("strict framing body".getBytes, 5)
+    for (n <- 0 until wire.length)
+      assert(Warc.dechunk(java.util.Arrays.copyOf(wire, n)).isEmpty,
+        s"prefix $n")
+    assert(Warc.dechunk("zz\r\nxx\r\n0\r\n\r\n".getBytes).isEmpty) // bad hex
+    assert(Warc.dechunk("5\r\nabcdeXX0\r\n\r\n".getBytes).isEmpty) // no data CRLF
+    assert(Warc.dechunk((new String(wire, "ISO-8859-1") + "junk")
+      .getBytes("ISO-8859-1")).isEmpty) // trailing garbage
+    assert(Warc.dechunk(Array.emptyByteArray).isEmpty)
+    // bomb guard: declared sizes summing past maxLen decline
+    assert(Warc.dechunk("5\r\nabcde\r\n0\r\n\r\n".getBytes, maxLen = 4).isEmpty)
+  }
+
+  test("transferDecode: coding lists reverse in application order (§6.1)") {
+    val body = "the gzip-then-chunked body must dechunk FIRST".getBytes
+    // sender: gzip, then chunk; reader: dechunk, then gunzip
+    val wire = Warc.chunked(CompressedIngest.gzip(body), 7)
+    assert(Warc.transferDecode("gzip, chunked", wire).map(_.toSeq)
+      === Some(body.toSeq))
+    // spacing/case-insensitivity of the list
+    assert(Warc.transferDecode(" GZIP ,  Chunked ", wire).map(_.toSeq)
+      === Some(body.toSeq))
+    assert(Warc.transferDecode("chunked", Warc.chunked(body, 9)).map(_.toSeq)
+      === Some(body.toSeq))
+    assert(Warc.transferDecode("identity", body).map(_.toSeq)
+      === Some(body.toSeq))
+    // the WRONG order must fail (dechunking gzip bytes): never guess
+    assert(Warc.transferDecode("chunked, gzip", wire).isEmpty)
+    // unknown codings decline
+    assert(Warc.transferDecode("br, chunked", Warc.chunked(body, 9)).isEmpty)
+  }
+
   test("malformed shapes decline: bad version, bare LF, bad length, missing terminator") {
     assert(Warc.records("WARC/1.0\r\n".getBytes).isEmpty)
     assert(Warc.records("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
