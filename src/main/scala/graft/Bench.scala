@@ -42,6 +42,36 @@ object Bench {
         }
       }
     })
+    // opt-in per-stage diagnostics (SPARK_GRAFT_STAGE_DEBUG=1): one
+    // stderr line per completed stage — wall, summed task time, task
+    // count and the longest task — the skew/serialization breakdown
+    // the aggregate task_ms attribution can't show. Dev-loop only;
+    // never part of the JSON artifact.
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")) {
+      val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) stageTask.merge(e.stageId,
+            (m.executorRunTime, m.executorRunTime, 1),
+            (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+        }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val wall = (for {s <- i.submissionTime; c <- i.completionTime}
+            yield c - s).getOrElse(-1L)
+          val (sum, mx, nt) =
+            stageTask.getOrDefault(i.stageId, (0L, 0L, 0))
+          System.err.println(f"[stage] id=${i.stageId}%-4d wall=${wall}%6dms " +
+            f"task_sum=${sum}%7dms task_max=${mx}%6dms n=${nt}%4d " +
+            f"planned=${i.numTasks}%4d " +
+            s"name=${i.name.takeWhile(_ != '\n').take(60)} " +
+            s"rdds=${i.rddInfos.map(_.name).filter(_ != null).distinct.mkString("|").take(120)}")
+        }
+      })
+    }
     // task-end events arrive on an async listener bus: after an action
     // returns, the counters may still be catching up. Settle = read
     // until two consecutive reads agree (50 ms apart, 2 s cap) —

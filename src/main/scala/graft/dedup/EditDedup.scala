@@ -254,15 +254,36 @@ object EditDedup {
     // leaves each side partitioned BY the join key, so the join below
     // reuses the layout instead of re-shuffling (measured sf0.1:
     // 36 s → 9 s for the full operator with this + the cv prefilter)
+    // EXPLICIT width on the key shuffle: the window's own exchange is
+    // AQE-coalescible, and at gate scale its map output is a few MB,
+    // so AQE folds the whole witness join to ~4 partitions and the
+    // quadratic per-key expansion runs 4-wide (r16 "What's wrong #1" —
+    // measured 15.6 s task over 4 tasks). A user-specified
+    // repartition on the SAME keys is exactly one shuffle (the window
+    // and the join both reuse it: ClusteredDistribution on l,k,pb,lb
+    // is satisfied) that AQE must not coalesce. Width pinned to
+    // defaultParallelism scales with the cluster; skew stays bounded
+    // by the df-cap itself, not AQE's skew splitter.
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    // widen the key-GENERATION input only when it arrives narrower
+    // than the cluster: the collapsed distinct-texts frame is a
+    // 1-partition localCheckpoint at gate scale, so the q-gram
+    // explode (the map side of the exchange below) would run 1-2
+    // wide — measured 6 s of the 12 s wall. At production scale the
+    // frame is already wide and this is a no-op, so the honest
+    // full-corpus shuffle is never paid where it would hurt.
+    val normWide =
+      if (norm.rdd.getNumPartitions < np) norm.repartition(np) else norm
     def capped(side: DataFrame): DataFrame =
-      side.withColumn("key_n", count(lit(1)).over(
+      side.repartition(np, col("l"), col("k"), col("pb"), col("lb"))
+        .withColumn("key_n", count(lit(1)).over(
           Window.partitionBy(col("l"), col("k"), col("pb"), col("lb"))))
         .filter(col("key_n") <= cap)
         .drop("key_n")
     val theta = least(lit(MaxDist.toLong),
       expr(s"(a.len + b.len) DIV $LenBucket"))
-    val pairIds = capped(chunkKeys(norm)).as("a")
-      .join(capped(gramKeys(norm)).as("b"),
+    val pairIds = capped(chunkKeys(normWide)).as("a")
+      .join(capped(gramKeys(normWide)).as("b"),
         col("a.l") === col("b.l") && col("a.k") === col("b.k") &&
           col("a.pb") === col("b.pb") && col("a.lb") === col("b.lb") &&
           col("a.len") <= col("b.len") &&
@@ -271,7 +292,15 @@ object EditDedup {
           abs(col("a.pos") - col("b.pos")) <= theta)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+      // distinct as explicit-width repartition + local dedup: the
+      // same one shuffle a plain distinct() costs, but USER-SPECIFIED
+      // so AQE cannot coalesce it — everything downstream (the
+      // broadcast payload joins, the L1 prefilter, and the banded DP,
+      // which predicate pushdown evaluates in THIS stage) runs at
+      // full width. This was the bench's biggest wall: 49 s of DP
+      // task time squeezed into 4 AQE-coalesced tasks.
+      .repartition(np, col("doc_a"), col("doc_b"))
+      .dropDuplicates(Seq("doc_a", "doc_b"))
     val repPairs = pairIds
       .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a"),
         col("len").as("len_a"), col("cv").as("cv_a")), Seq("doc_a"))
@@ -285,16 +314,11 @@ object EditDedup {
         s"""aggregate(zip_with(cv_a, cv_b, (x, y) -> abs(x - y)),
            |  0L, (acc, x) -> acc + x)
            |<= 2 * least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket)""".stripMargin))
-      // spread the DP survivors across the cluster before the
-      // expensive banded-DP projection: the candidate join leaves
-      // its (small at gate scale, key-clustered) output on a handful
-      // of partitions — measured ~4.4-of-32 average parallelism on
-      // the bench's single biggest wall (r16 "What's wrong #1"). A
-      // round-robin repartition of the L1 SURVIVORS (post-prefilter,
-      // so only rows that will actually run the DP shuffle their
-      // texts) costs one small exchange and buys full-width DP
-      // execution; row set — and thus the output hash — unchanged
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // (no repartition HERE: the dist<=θ filter's levenshtein is
+      // alias-substituted and predicate-pushed below any exchange at
+      // this point, so a post-L1 repartition moves nothing — the DP
+      // executes in the pair-id stage above, which is why THAT
+      // exchange carries the explicit width)
       // the DP band is the PAIR's own acceptance threshold, not the
       // global MaxDist ceiling: levenshtein(a, b, θ+1) returns -1 the
       // moment the distance provably exceeds θ, and the filter never
