@@ -281,11 +281,18 @@ object Dedup {
     * identical content. */
   private[graft] def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sigs = docShingles(spark, sfDir)
-      .as[(Long, Seq[String])]
-      .filter(_._2.nonEmpty)
-      .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
-      .toDF()
+    // checkpoint (widened when narrow) BEFORE the side dump: the
+    // dump's coalesce(1) otherwise RECOMPUTES the shingle+simhash
+    // pass serially (measured 3.8 s, r17 stage audit), and every
+    // downstream consumer pays the pass again — one wide computation,
+    // one cheap dump read, one shared frame
+    val sigs = graft.core.Widen.ifNarrow(
+      docShingles(spark, sfDir)
+        .as[(Long, Seq[String])]
+        .filter(_._2.nonEmpty)
+        .map { case (id, feats) => SimhashRow(id, simhash64(feats)) }
+        .toDF()
+        .localCheckpoint())
     val base = new java.io.File(sfDir).getName
     graft.core.SideDump.write(sigs, "simhash_sigs", base)
     lastSimhashBase = base
@@ -303,6 +310,15 @@ object Dedup {
   /** Exact-band candidate pairs (i, j, dist) from a signature frame. */
   private[graft] def simhashBandPairs(sigs: DataFrame, maxBucket: Int): DataFrame =
     simhashBanded(sigs)
+      // explicit width on the bucket shuffle: the grouped frame is a
+      // few KB (≤ 2048 buckets), so AQE folds the ENSURE_REQUIREMENTS
+      // exchange to 1-4 partitions — but the QUADRATIC member-pair
+      // explode above it is row-expanding compute AQE's byte
+      // heuristic cannot see (r17 stage audit: 6.5 s serial on the
+      // image-dedup gates). A user repartition on the same keys is
+      // the same single shuffle at pinned width.
+      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("h"))
       .groupBy(col("band"), col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -343,17 +359,24 @@ object Dedup {
   private[graft] def simhashPairsMultiProbeOf(sigs0: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     // three consumers (buckets, probes, exact-band pairs) — materialize
-    // the narrow signature pass once
-    val sigs = sigs0.localCheckpoint()
+    // the narrow signature pass once; widened when the checkpoint
+    // arrives narrow so every consumer's map side runs at cluster
+    // width (graft.core.Widen, r17 stage audit)
+    val sigs = graft.core.Widen.ifNarrow(sigs0.localCheckpoint())
+    val np = sigs.sparkSession.sparkContext.defaultParallelism
     val banded = simhashBanded(sigs)
     val buckets = banded
       .groupBy(col("band"), col("h"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(1, maxBucket))
-    // radius-1 probes: flip each of the 8 bits of the band byte
+    // radius-1 probes: flip each of the 8 bits of the band byte;
+    // explicit width on the join-key shuffle — the probe×bucket join
+    // EXPANDS rows (explode(members)), which AQE's byte-based
+    // coalescing under-provisions to 1-2 tasks at gate scale
     val probes = banded.select(col("doc_id"), col("sig"), col("band"),
       explode(expr(
         "transform(sequence(0, 7), p -> h ^ shiftleft(1L, p))")).as("h"))
+      .repartition(np, col("band"), col("h"))
     val viaProbe = probes.join(buckets, Seq("band", "h"))
       .select(col("doc_id").as("a"), col("sig").as("siga"),
         explode(col("members")).as("m"))
@@ -393,7 +416,11 @@ object Dedup {
       maxHamming: Int = 15, maxBucket: Int = 1000,
       sizeHint: Option[Long] = None): DataFrame = {
     requireWideBand(maxHamming)
-    val sigs = simhashSigs(spark, sfDir).localCheckpoint()
+    // widened when narrow: the 4·697 probe-mask explode below is the
+    // heavy map stage, and a 1-partition checkpoint would run it
+    // serial — measured 9.4 s of the 11.4 s gate wall (r17 audit)
+    val sigs = graft.core.Widen.ifNarrow(
+      simhashSigs(spark, sfDir).localCheckpoint())
     // regime pick: a caller-supplied size hint skips the count()
     // pre-scan — composed pipelines at corpus scale should not pay a
     // full pass over the signature frame just to choose a plan
@@ -413,8 +440,8 @@ object Dedup {
   def simhashPairsWideBalanced(spark: SparkSession, sfDir: String,
       maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame = {
     requireWideBand(maxHamming)
-    wideBalancedCore(simhashSigs(spark, sfDir).localCheckpoint(),
-      maxHamming, maxBucket)
+    wideBalancedCore(graft.core.Widen.ifNarrow(
+      simhashSigs(spark, sfDir).localCheckpoint()), maxHamming, maxBucket)
   }
 
   /** The 4 × 16-bit wide-band schemes are pigeonhole-complete ONLY
@@ -538,10 +565,15 @@ object Dedup {
   def simhashPairsWideCollapsedOf(sigs0: DataFrame, maxHamming: Int = 15,
       maxBucket: Int = 1000): DataFrame = {
     requireWideBand(maxHamming)
-    val sigs = sigs0.localCheckpoint()
-    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("sig"))
-      .localCheckpoint()
+    // both checkpoints widened when narrow (graft.core.Widen): reps
+    // feeds wideCore's 4·697 probe-mask explode, which a 1-partition
+    // checkpoint runs serial — measured 5 s of the flac gate wall
+    // (r17 stage audit)
+    val sigs = graft.core.Widen.ifNarrow(sigs0.localCheckpoint())
+    val reps = graft.core.Widen.ifNarrow(
+      sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("sig"))
+        .localCheckpoint())
     val members = sigs
       .join(reps.select(col("sig"), col("doc_id").as("rep")), Seq("sig"))
       .select(col("rep"), col("doc_id"))

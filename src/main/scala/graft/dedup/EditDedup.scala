@@ -269,11 +269,8 @@ object EditDedup {
     // than the cluster: the collapsed distinct-texts frame is a
     // 1-partition localCheckpoint at gate scale, so the q-gram
     // explode (the map side of the exchange below) would run 1-2
-    // wide — measured 6 s of the 12 s wall. At production scale the
-    // frame is already wide and this is a no-op, so the honest
-    // full-corpus shuffle is never paid where it would hurt.
-    val normWide =
-      if (norm.rdd.getNumPartitions < np) norm.repartition(np) else norm
+    // wide — measured 6 s of the 12 s wall ([[graft.core.Widen]]).
+    val normWide = graft.core.Widen.ifNarrow(norm)
     def capped(side: DataFrame): DataFrame =
       side.repartition(np, col("l"), col("k"), col("pb"), col("lb"))
         .withColumn("key_n", count(lit(1)).over(

@@ -73,8 +73,12 @@ object Gif {
       sfDir: String, maxHamming: Int = 15,
       maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id").as[Long]
+    // widened when narrow (graft.core.Widen): the per-row synth +
+    // full pixel/sample decode below is the gate's entire cost, and
+    // the single-file scan would run it 1-wide (r17 stage audit)
+    val sigs = graft.core.Widen.ifNarrow(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id"))
+      .as[Long]
       .map(id => (id, ImageDedup.imageHash(dedupPayload(id))))
       .toDF("doc_id", "sig")
     SigDump.dumpAndPair(sigs, "gifhash_sigs", sfDir, maxHamming,

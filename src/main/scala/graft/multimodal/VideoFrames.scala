@@ -378,8 +378,12 @@ object VideoFrames {
   def videoDedupMjpeg(spark: SparkSession, sfDir: String,
       maxHamming: Int = 15, maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val sigs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+    // widened when narrow (graft.core.Widen): per-row MJPEG synth +
+    // frame decode is the gate's entire cost (r17 stage audit)
+    val sigs = graft.core.Widen.ifNarrow(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(org.apache.spark.sql.functions.col("doc_id")))
+      .as[Long]
       .map(id => (id, clipHash(mjpegDedupPayload(id))))
       .toDF("doc_id", "sig")
     SigDump.dumpAndPair(sigs, "vidmjpeghash_sigs", sfDir, maxHamming,
