@@ -20,8 +20,23 @@ import org.apache.spark.sql.DataFrame
   * (`df.rdd.getNumPartitions`), not data, so it costs planning time
   * only. */
 object Widen {
+
+  /** Inputs below this planner-estimated size are ALWAYS widened: a
+    * shuffle of ≤ 64 MB is sub-second, and the partition-count check
+    * alone is blind to the single-row-group case — Spark plans a
+    * small one-row-group parquet file as np BYTE-RANGE splits, but
+    * every row lands in the one split holding the row group's start,
+    * so the frame LOOKS wide and runs serial. Plan statistics
+    * (file bytes for scans) see through that; frames whose stats are
+    * unknown (LogicalRDD defaults to huge) fall back to the honest
+    * partition count. */
+  val SmallBytes: Long = 64L << 20
+
   def ifNarrow(df: DataFrame): DataFrame = {
     val np = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+    val small =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= SmallBytes
+      catch { case _: Throwable => false }
+    if (small || df.rdd.getNumPartitions < np) df.repartition(np) else df
   }
 }

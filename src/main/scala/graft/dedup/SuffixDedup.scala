@@ -440,6 +440,12 @@ object SuffixDedup {
     // three consumers (vocab size, vocab collect, round-0 rank) —
     // materialize the tokenize+explode once instead of re-running the
     // regex split per job
+    // NOT widened (r17 audit): the tokenize pass is ~2.5 s serial at
+    // gate scale, but every downstream doubling round inherits the
+    // width, and the loop's ~30 small stages at 32 tasks each cost
+    // MORE in per-task overhead (measured task_ms 26 k → 96 k, wall
+    // up ~2×) than the serial tokenize saves. At production scale the
+    // scan is wide on its own and the rounds carry real data per task.
     val tokened = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
         expr(graft.text.Tok.alphaToks).as("toks"))
