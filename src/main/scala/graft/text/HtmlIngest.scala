@@ -94,7 +94,7 @@ object HtmlIngest {
 
   /** Build the class-determined HTTP response bytes (header + HTML in
     * the class charset). Returns (http message bytes). */
-  private[text] def httpResponse(id: Long, text: String): Array[Byte] = {
+  private[graft] def httpResponse(id: Long, text: String): Array[Byte] = {
     val cls = (id % 4).toInt
     val title = Titles(cls)
     val meta = cls match {
