@@ -48,25 +48,39 @@ object Bench {
     // the aggregate task_ms attribution can't show. Dev-loop only;
     // never part of the JSON artifact.
     if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")) {
-      val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]
+      // per-stage rollup: run/deser/gc/cpu sums, longest task, task
+      // count, shuffle records read+written — enough to separate real
+      // row work from per-task fixed overhead (deser, GC, non-CPU wait)
+      final case class St(run: Long, mx: Long, n: Int, deser: Long,
+          gc: Long, cpuNs: Long, rRead: Long, rWrite: Long)
+      val stageTask = new java.util.concurrent.ConcurrentHashMap[Int, St]
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
           if (m != null) stageTask.merge(e.stageId,
-            (m.executorRunTime, m.executorRunTime, 1),
-            (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+            St(m.executorRunTime, m.executorRunTime, 1,
+              m.executorDeserializeTime, m.jvmGCTime, m.executorCpuTime,
+              m.shuffleReadMetrics.recordsRead,
+              m.shuffleWriteMetrics.recordsWritten),
+            (a, b) => St(a.run + b.run, math.max(a.mx, b.mx), a.n + b.n,
+              a.deser + b.deser, a.gc + b.gc, a.cpuNs + b.cpuNs,
+              a.rRead + b.rRead, a.rWrite + b.rWrite))
         }
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = e.stageInfo
           val wall = (for {s <- i.submissionTime; c <- i.completionTime}
             yield c - s).getOrElse(-1L)
-          val (sum, mx, nt) =
-            stageTask.getOrDefault(i.stageId, (0L, 0L, 0))
+          // evict after printing: the map otherwise grows unboundedly
+          // over a long session and would fold any later re-attempt's
+          // tasks into a stale entry
+          val s = Option(stageTask.remove(i.stageId))
+            .getOrElse(St(0, 0, 0, 0, 0, 0, 0, 0))
           System.err.println(f"[stage] id=${i.stageId}%-4d wall=${wall}%6dms " +
-            f"task_sum=${sum}%7dms task_max=${mx}%6dms n=${nt}%4d " +
-            f"planned=${i.numTasks}%4d " +
+            f"task_sum=${s.run}%7dms task_max=${s.mx}%6dms n=${s.n}%4d " +
+            f"planned=${i.numTasks}%4d deser=${s.deser}%5dms gc=${s.gc}%5dms " +
+            f"cpu=${s.cpuNs / 1000000}%7dms rin=${s.rRead}%8d rout=${s.rWrite}%8d " +
             s"name=${i.name.takeWhile(_ != '\n').take(60)} " +
             s"rdds=${i.rddInfos.map(_.name).filter(_ != null).distinct.mkString("|").take(120)}")
         }
@@ -132,8 +146,12 @@ object Bench {
     final case class Run(wall: Double, taskMs: Long, gcMs: Long)
     val results = selected.map { case (name, fn) =>
       var lastDf: org.apache.spark.sql.DataFrame = null
-      val runsSeen = (0 until runs).map { _ =>
+      val runsSeen = (0 until runs).map { r =>
         quiesce()
+        // stage-debug runs need the [stage] lines attributable to a
+        // query without guessing from stage ids
+        if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
+          System.err.println(s"[query] $name run=$r")
         // counters are already stable here: the previous run ended
         // with settle() and quiesce() runs no Spark jobs
         val (task0, gc0) = (taskMs.get, gcMs.get)

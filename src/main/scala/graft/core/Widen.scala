@@ -32,11 +32,43 @@ object Widen {
     * partition count. */
   val SmallBytes: Long = 64L << 20
 
-  def ifNarrow(df: DataFrame): DataFrame = {
+  /** Row floor for [[ifNarrow]]'s `minRows`: below this, widening a
+    * frame whose DOWNSTREAM maps are cheap costs more than it buys —
+    * the r17 series showed the sub-second mm_*_dedup keys paying
+    * +0.8–1.0 s for widened signature frames of ~1.7 k rows whose
+    * banding/probe maps take milliseconds (r18 stage audit: each
+    * post-widen 32-task stage carries a uniform ~0.3–0.9 s/task fixed
+    * overhead — scheduling + checkpoint-block fan-out — replicated
+    * across every consumer stage). Callers whose downstream compute
+    * is heavy PER ROW (pixel decode, q-gram explode, 697-mask probes)
+    * must NOT pass a floor: 5 k rows × 20 ms/row is 100 s of serial
+    * work that 32 cores should share. */
+  val TinyRows: Long = 10000L
+
+  def ifNarrow(df: DataFrame): DataFrame = ifNarrow(df, 0L)
+
+  /** As [[ifNarrow]], but when `minRows > 0` a frame that WOULD be
+    * widened is first counted and left alone below the floor — tiny
+    * frames with cheap downstream maps can't use the width and the
+    * round-robin exchange is pure fixed cost. The count only runs on
+    * the already-narrow/small branch (one job over 1-2 partitions —
+    * at the call sites that pass a floor the frame is a materialized
+    * checkpoint, so the count is a block scan, not a recompute); the
+    * production-scale wide branch stays zero-cost. */
+  def ifNarrow(df: DataFrame, minRows: Long): DataFrame = {
     val np = df.sparkSession.sparkContext.defaultParallelism
-    val small =
-      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= SmallBytes
-      catch { case _: Throwable => false }
-    if (small || df.rdd.getNumPartitions < np) df.repartition(np) else df
+    val small = probeSmall(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    if (small || df.rdd.getNumPartitions < np) {
+      if (minRows > 0 && df.count() < minRows) df else df.repartition(np)
+    } else df
   }
+
+  /** The stats probe's error contract, isolated so a spec can pin it:
+    * stats are best-effort — any NON-fatal planning failure reads as
+    * "not small" and the partition-count check decides alone — but a
+    * fatal error (OutOfMemoryError, interrupt) must PROPAGATE, not be
+    * silently misread as a size verdict (r17 ADVICE). */
+  private[core] def probeSmall(sizeInBytes: => BigInt): Boolean =
+    try sizeInBytes <= SmallBytes
+    catch { case scala.util.control.NonFatal(_) => false }
 }

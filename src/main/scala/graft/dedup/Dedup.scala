@@ -361,8 +361,13 @@ object Dedup {
     // three consumers (buckets, probes, exact-band pairs) — materialize
     // the narrow signature pass once; widened when the checkpoint
     // arrives narrow so every consumer's map side runs at cluster
-    // width (graft.core.Widen, r17 stage audit)
-    val sigs = graft.core.Widen.ifNarrow(sigs0.localCheckpoint())
+    // width (graft.core.Widen, r17 stage audit). FLOORED (r18): the
+    // signatures here are already computed — the expensive upstream
+    // (decode, shingling) ran before the checkpoint — so below
+    // TinyRows the banding/8-probe maps are milliseconds and widening
+    // is pure fixed cost (the r17 mm_*_dedup +0.8-1.0 s).
+    val sigs = graft.core.Widen.ifNarrow(sigs0.localCheckpoint(),
+      graft.core.Widen.TinyRows)
     val np = sigs.sparkSession.sparkContext.defaultParallelism
     val banded = simhashBanded(sigs)
     val buckets = banded

@@ -114,30 +114,42 @@ object CharsetSniff {
     * `http-equiv=content-type` meta whose `content` attribute value
     * carries a `charset=` parameter. A `charset=` that merely occurs
     * inside some other attribute's value (a description mentioning
-    * "charset=koi8-r") is NOT a declaration. First declaration wins. */
+    * "charset=koi8-r") is NOT a declaration. First declaration wins.
+    * The prescan's comment step is honored too: a `<!--` advances to
+    * the first `>` preceded by `--` (so `<!-->` is a whole comment),
+    * meaning a commented-out `<meta charset=…>` does NOT declare; an
+    * unterminated comment runs to the end of the window. */
   def metaCharset(body: Array[Byte]): Option[String] = {
     val win = new String(body, 0, math.min(body.length, 1024),
       StandardCharsets.ISO_8859_1)
     val lower = win.toLowerCase(java.util.Locale.ROOT)
-    var i = lower.indexOf("<meta")
-    while (i >= 0) {
-      val after = i + 5
-      // a real tag: "<meta" followed by whitespace, '/' or '>'
-      if (after < lower.length && (lower.charAt(after) == ' ' ||
-        lower.charAt(after) == '\t' || lower.charAt(after) == '\n' ||
-        lower.charAt(after) == '\r' || lower.charAt(after) == '\f' ||
-        lower.charAt(after) == '/' || lower.charAt(after) == '>')) {
-        val attrs = tagAttributes(lower, after)
-        val declared = attrs.get("charset").filter(_.nonEmpty)
-          .orElse {
-            if (attrs.get("http-equiv").exists(_.trim == "content-type"))
-              attrs.get("content").flatMap(contentTypeCharset)
-                .map(_.toLowerCase(java.util.Locale.ROOT))
-            else None
-          }
-        if (declared.isDefined) return declared
-      }
-      i = lower.indexOf("<meta", i + 5)
+    var i = 0
+    while (i < lower.length) {
+      val lt = lower.indexOf('<', i)
+      if (lt < 0) return None
+      if (lower.startsWith("<!--", lt)) {
+        val close = lower.indexOf("-->", lt + 2)
+        if (close < 0) return None
+        i = close + 3
+      } else if (lower.startsWith("<meta", lt)) {
+        val after = lt + 5
+        // a real tag: "<meta" followed by whitespace, '/' or '>'
+        if (after < lower.length && (lower.charAt(after) == ' ' ||
+          lower.charAt(after) == '\t' || lower.charAt(after) == '\n' ||
+          lower.charAt(after) == '\r' || lower.charAt(after) == '\f' ||
+          lower.charAt(after) == '/' || lower.charAt(after) == '>')) {
+          val attrs = tagAttributes(lower, after)
+          val declared = attrs.get("charset").filter(_.nonEmpty)
+            .orElse {
+              if (attrs.get("http-equiv").exists(_.trim == "content-type"))
+                attrs.get("content").flatMap(contentTypeCharset)
+                  .map(_.toLowerCase(java.util.Locale.ROOT))
+              else None
+            }
+          if (declared.isDefined) return declared
+        }
+        i = after
+      } else i = lt + 1
     }
     None
   }

@@ -161,8 +161,16 @@ object Warc {
       if (e < 0) return None
       val line = ascii(b, p, e)
       val semi = line.indexOf(';')
-      val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
-      if (sizeStr.isEmpty || sizeStr.length > 7 ||
+      val rawSize = (if (semi >= 0) line.substring(0, semi) else line).trim
+      // chunk-size = 1*HEXDIG — leading zeros are valid ("0000001a"),
+      // so strip them BEFORE the overflow cap (keeping one '0' so the
+      // all-zero last-chunk line survives); the 7-digit cap then
+      // bounds the true magnitude, not the padded spelling.
+      val sizeStr = {
+        val s = rawSize.dropWhile(_ == '0')
+        if (s.isEmpty && rawSize.nonEmpty) "0" else s
+      }
+      if (rawSize.isEmpty || sizeStr.length > 7 ||
         !sizeStr.forall(c => (c >= '0' && c <= '9') ||
           (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) return None
       val size = java.lang.Integer.parseInt(sizeStr, 16)

@@ -58,6 +58,27 @@ class CharsetSniffSpec extends AnyFunSuite {
       "<metadata charset=utf-8>".getBytes) === None)
   }
 
+  test("meta prescan skips markup comments (WHATWG prescan comment step)") {
+    // a commented-out declaration is NOT a declaration (r17 ADVICE)
+    assert(CharsetSniff.metaCharset(
+      "<!-- <meta charset=utf-16be> -->".getBytes) === None)
+    // ...and must not shadow the real declaration after the comment
+    assert(CharsetSniff.metaCharset(
+      "<!-- <meta charset=utf-16be> --><meta charset=utf-8>".getBytes)
+      === Some("utf-8"))
+    // the spec's close scan accepts a '>' preceded by '--' even when
+    // the dashes overlap the opener: "<!-->" is a complete comment
+    assert(CharsetSniff.metaCharset(
+      "<!--><meta charset=utf-8>".getBytes) === Some("utf-8"))
+    // an unterminated comment swallows the rest of the window
+    assert(CharsetSniff.metaCharset(
+      "<!-- unterminated <meta charset=utf-8>".getBytes) === None)
+    // a comment INSIDE a quoted attribute value is not a comment —
+    // attribute parsing already owns the tag body
+    assert(CharsetSniff.metaCharset(
+      "<meta charset=\"utf-8\" data-x=\"<!--\">".getBytes) === Some("utf-8"))
+  }
+
   test("precedence: BOM > header > meta > windows-1252 default") {
     val utf8Bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
     // BOM wins over a lying header

@@ -111,6 +111,18 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.dechunk(
       "A\r\n0123456789\r\n0\r\n\r\n".getBytes("US-ASCII")).map(_.toSeq)
       === Some("0123456789".getBytes.toSeq))
+    // chunk-size = 1*HEXDIG: leading zeros are valid spelling (r17
+    // ADVICE) — "0000000A" is ten bytes, "0000" is the last chunk, and
+    // the 7-digit overflow cap applies to the STRIPPED magnitude
+    assert(Warc.dechunk(
+      "0000000A\r\n0123456789\r\n0000\r\n\r\n".getBytes("US-ASCII")).map(_.toSeq)
+      === Some("0123456789".getBytes.toSeq))
+    assert(Warc.dechunk(
+      "00000000000005\r\nabcde\r\n0\r\n\r\n".getBytes("US-ASCII")).map(_.toSeq)
+      === Some("abcde".getBytes.toSeq))
+    // ...but a genuinely >7-hex-digit magnitude still declines
+    assert(Warc.dechunk(
+      "012345678\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII")).isEmpty)
   }
 
   test("dechunk: strict None on truncation, bad sizes, trailing garbage") {
