@@ -106,23 +106,42 @@ object SemIndex {
     * than only the corpus `embeddings` table. */
   def probeFrom(spark: SparkSession, corpus: Dataset[Vec], path: String,
       batch: Dataset[Vec], tau: Double = 0.45): DataFrame = {
-    import spark.implicits._
-    val cents = loadCents(spark, path)
-    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cents))
-    // (cell, sim, vec, is_batch) — localCheckpoint, not cache(): both
-    // the touched-cells side and the union side read it (without it
-    // every probe would run the batch assignment twice), but a cache()
-    // entry would pin one batch copy in executor storage PER PROBE
-    // CALL for the life of the session; checkpoint blocks are
-    // reclaimed by the ContextCleaner once the plan is unreferenced
-    val batchAsg = batch.map { r =>
+    val bc = spark.sparkContext.broadcast(
+      CentroidIndex.build(loadCents(spark, path)))
+    probeAssigned(spark, assignBatch(batch, bc),
+      spark.read.parquet(s"$path/members"), corpus, tau)
+  }
+
+  /** (cell, sim, vec, is_batch) — localCheckpoint, not cache(): both
+    * the touched-cells side and the union side read it (without it
+    * every probe would run the batch assignment twice), but a cache()
+    * entry would pin one batch copy in executor storage PER PROBE
+    * CALL for the life of the session; checkpoint blocks are
+    * reclaimed by the ContextCleaner once the plan is unreferenced. */
+  private def assignBatch(batch: Dataset[Vec],
+      bc: org.apache.spark.broadcast.Broadcast[CentroidIndex])
+      : Dataset[(Int, Double, Vec, Boolean)] = {
+    import batch.sparkSession.implicits._
+    batch.map { r =>
       val (cell, sim) = SemDedup.assignCell(bc.value, r)
       (cell, sim, r, true)
     }.localCheckpoint()
+  }
+
+  /** The probe body over an ALREADY-ASSIGNED batch and an explicit
+    * member frame — shared by the per-call [[probeFrom]] (members
+    * re-read from the index path each probe) and the amortized
+    * [[ProbeSession]] (members carried forward across a batch
+    * sequence); SemStreamSpec pins the two equal through the gate's
+    * foreachBatch twin. */
+  private def probeAssigned(spark: SparkSession,
+      batchAsg: Dataset[(Int, Double, Vec, Boolean)], membersAll: DataFrame,
+      corpus: Dataset[Vec], tau: Double): DataFrame = {
+    import spark.implicits._
     // index members of touched cells only, vectors re-fetched from
     // the corpus table (broadcast the batch's cell set — tiny)
     val touched = batchAsg.map(_._1).distinct()
-    val members = spark.read.parquet(s"$path/members")
+    val members = membersAll
       .join(broadcast(touched.toDF("cell")), "cell")
     val indexAsg = members
       .join(corpus.toDF("vec_id", "v", "nrm"), "vec_id")
@@ -181,5 +200,59 @@ object SemIndex {
       spark.read.parquet(s"$path/cents"), "semidx_cents", base)
     lastBase = base
     probe(spark, sfDir, path, all.filter(v => v.vec_id % 10 == 0), tau)
+  }
+
+  /** Amortized probe-then-append loop over a built index — the
+    * sequential-micro-batch shape ([[graft.streaming.SemStream]]'s
+    * gate, a crawl loop's per-fetch dedup) re-pays three floors per
+    * batch when driven through the per-call surface: a cents parquet
+    * read + collect in the probe, ANOTHER in the append, a full
+    * re-read of the GROWING members parquet, and a re-assignment of
+    * the survivors the probe already assigned. At n batches that is
+    * O(n) index re-reads of an index only ever extended by known
+    * rows. A session loads the centroids once (they are FIXED after
+    * build — append never retrains), carries the member frame forward
+    * (checkpointed union per batch), and reuses the probe's own batch
+    * assignment for the append. The parquet index at `path` is still
+    * appended every batch — it remains the durable, authoritative
+    * copy (a new session starts from it); only the REREADS are
+    * elided. Equality with the per-call surface is pinned by
+    * SemStreamSpec's foreachBatch twin, which drives
+    * [[graft.streaming.SemStream.probeAppendBatch]] (per-call,
+    * path-based) against the session-driven gate replay. */
+  final class ProbeSession(spark: SparkSession, path: String,
+      corpus: Dataset[Vec]) {
+    import spark.implicits._
+    private val bc = spark.sparkContext.broadcast(
+      CentroidIndex.build(loadCents(spark, path)))
+    // same rows as $path/members at every point in the sequence:
+    // seeded from the built index, extended by exactly the rows each
+    // append writes
+    private var members: DataFrame =
+      spark.read.parquet(s"$path/members").localCheckpoint()
+
+    /** Probe `batch`, materialize the verdicts, then append the kept
+      * survivors to the index (parquet AND the carried frame). Same
+      * eager-before-append discipline as the per-call body: the
+      * verdicts are fixed before the member set they were judged
+      * against changes. */
+    def probeAppend(batch: Dataset[Vec], tau: Double): DataFrame = {
+      val batchAsg = assignBatch(batch, bc)
+      val out = graft.core.Materialize.frame(
+        probeAssigned(spark, batchAsg, members, corpus, tau),
+        "semstream_probe")
+      // the survivors' (vec_id, cell, cent_sim) rows are the probe's
+      // own assignment — identical values to what a re-assignment
+      // under the same fixed centroids would produce
+      val keptRows = batchAsg
+        .map { case (cell, sim, r, _) => (r.vec_id, cell, sim) }
+        .toDF("vec_id", "cell", "cent_sim")
+        .join(out.filter(col("kept")).select("vec_id"), Seq("vec_id"),
+          "left_semi")
+        .localCheckpoint()
+      keptRows.write.mode("append").parquet(s"$path/members")
+      members = members.unionByName(keptRows).localCheckpoint()
+      out
+    }
   }
 }
