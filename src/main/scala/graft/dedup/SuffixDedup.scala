@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
   *      CHUNKED window `lead`s ([[chunkedLeads]] — (doc, offset-chunk)
   *      partitions with a ≤3·depth carry overlap, so no document ever
   *      serializes a round into one task) and the re-rank is the
-  *      distributed dense-rank primitive below (one range sort of the
-  *      32-byte tuple). Depth stops at the largest reachable ≤ minSpan.
+  *      distributed dense-rank primitive below (one hash-partitioned
+  *      sort of the 32-byte tuple). Depth stops at the largest
+  *      reachable ≤ minSpan — and rounds only run at all while the
+  *      final combine would need more than [[RawCombineMax]] rank
+  *      components (small minSpan goes straight to step 3 on the
+  *      broadcast-vocabulary token ranks).
   *   3. FINAL COMBINE to depth EXACTLY minSpan: the flagging key is
   *      the multi-offset rank tuple at strides of `depth` plus
   *      (minSpan − depth), whose windows tile [0, minSpan) with
@@ -67,6 +71,19 @@ object SuffixDedup {
     * noise (<1% at minSpan=50), narrow enough that a book-sized doc
     * already splits into several tasks. */
   val LeadChunk: Int = 1 << 13
+
+  /** Largest final-combine tuple width (rank components) before a
+    * prefix-quadrupling round is worth its cost. A round is one full
+    * chunked-lead window pass plus one exchange+sort+count+emit rank
+    * pass over EVERY position; what it buys is a narrower tuple in the
+    * single final groupBy/join. 8 longs = 64 B/row is already within
+    * 2× of the quadrupled shape's own 32-byte per-round keys, so
+    * spending 3+ extra full-corpus passes to shrink below it can never
+    * pay — at any corpus size, not just gate scale. minSpan=8 (the
+    * registered span queries) therefore runs ZERO ranking rounds:
+    * positions go straight from the broadcast vocabulary rank to the
+    * 8-component final combine. */
+  val RawCombineMax: Int = 8
 
   /** Debug switch (round-6 review note): when on, [[chunkedLeads]]
     * VERIFIES its dense-0-based-`off` precondition per doc before
@@ -130,18 +147,24 @@ object SuffixDedup {
 
   final case class Span(doc_id: Long, span_start: Long, span_end: Long)
 
-  /** Order- and equality-preserving dense rank of `df` by `keys` —
-    * range-partition + local sort + per-partition distinct-key counts
-    * cumulated on the driver (numPartitions longs), then a narrow pass
-    * increments on key change from the broadcast offsets. Equal keys
-    * never split across range partitions, so ranks are globally
-    * consistent. Appends `rank`, drops nothing else. */
+  /** Equality-preserving dense rank of `df` by `keys` — HASH-partition
+    * + local sort + per-partition distinct-key counts cumulated on the
+    * driver (numPartitions longs), then a narrow pass increments on
+    * key change from the broadcast offsets. Equal keys never split
+    * across hash partitions, so ranks are globally INJECTIVE per
+    * equality class — which is all any consumer needs: the quadrupling
+    * induction and the final-combine flagging reason about tuple
+    * EQUALITY only, never about rank ORDER (r18 optimization: the
+    * former repartitionByRange ran a sampling job per round for an
+    * order guarantee nothing consumed; hash partitioning drops that
+    * pass and balances classes without skew-prone range bounds).
+    * Appends `rank`, drops nothing else. */
   private def rankByKey(df: DataFrame, keys: Seq[Column],
       partitions: Int): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructType}
     val keyed = df.withColumn("_k", struct(keys: _*))
     val parts = keyed
-      .repartitionByRange(partitions, col("_k"))
+      .repartition(partitions, col("_k"))
       .sortWithinPartitions(col("_k"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // both passes must see the same layout
@@ -455,12 +478,18 @@ object SuffixDedup {
       .localCheckpoint()
     // initial token rank: a vocabulary small enough to broadcast makes
     // round 0 a map-only pass (natural-language type counts fit ~1M
-    // comfortably); otherwise the generic distributed rank
-    val vocabSize = tokened.agg(count_distinct(col("tok"))).head().getLong(0)
+    // comfortably); otherwise the generic distributed rank. ONE job:
+    // the capped limit-collect both measures and fetches the
+    // vocabulary (the former count_distinct pre-check was a second
+    // full aggregation pass over the postings for the same decision);
+    // the driver-side sort costs nothing distributed and keeps the
+    // rank assignment deterministic.
+    val vocabCap = 1 << 20
+    val vocabRows = tokened.select(col("tok")).distinct()
+      .limit(vocabCap + 1).as[String].collect()
     var positions =
-      if (vocabSize <= (1 << 20)) {
-        val vocab = tokened.select(col("tok")).distinct()
-          .orderBy(col("tok")).as[String].collect()
+      if (vocabRows.length <= vocabCap) {
+        val vocab = vocabRows.sorted
         val bc = spark.sparkContext.broadcast(
           vocab.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap)
         tokened.as[(Long, Int, Int, String)]
@@ -470,10 +499,22 @@ object SuffixDedup {
 
     // prefix QUADRUPLING: each round re-ranks by the 4-tuple of ranks
     // at strides 0,d,2d,3d — three leads in ONE chunked lead pass,
-    // one 32-byte range sort, depth ×4 (halves the round count of
-    // classic doubling; same induction, windows still tile exactly)
+    // one 32-byte hash-partitioned sort, depth ×4 (halves the round
+    // count of classic doubling; same induction, windows still tile
+    // exactly). A round only runs while the FINAL COMBINE at the
+    // current depth would need more than [[RawCombineMax]] rank
+    // components (r18): each round costs one full window pass plus one
+    // exchange+sort+two-agg-pass rank over every position, and buys
+    // only a narrower final tuple — at minSpan=8 the raw depth-1 tuple
+    // is 8 longs (64 B/row, at or under the quadrupled shape's own
+    // 32-byte round keys), so the entire rank construction is pure
+    // overhead; at minSpan=50 the cap leaves the 1→4→16 schedule
+    // unchanged. Equality semantics are depth-independent (every
+    // consumer groups/joins on component-wise tuple equality).
     var depth = 1
-    while (depth * 4 < L) {
+    def combineWidth(d: Int): Int =
+      (((0 until (L - d) by d) :+ (L - d)).distinct: Seq[Int]).length
+    while (depth * 4 < L && combineWidth(depth) > RawCombineMax) {
       positions = rankByKey(
         chunkedLeads(positions, "rank",
           Seq(depth, 2 * depth, 3 * depth), Seq("_r2", "_r3", "_r4"), chunk)
