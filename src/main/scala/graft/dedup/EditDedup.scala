@@ -298,38 +298,52 @@ object EditDedup {
       // task time squeezed into 4 AQE-coalesced tasks.
       .repartition(np, col("doc_a"), col("doc_b"))
       .dropDuplicates(Seq("doc_a", "doc_b"))
-    val repPairs = pairIds
-      .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a"),
+    // provably-implied rejection BEFORE the DP: ed >= L1(cv)/2, so
+    // L1 > 2θ can never pass the distance filter — the O(36) integer
+    // pass kills the common-phrase candidate mass, the O(len·65) DP
+    // runs only on survivors (same two-stage shape as the oracle).
+    // Two r18 stage-audit findings shape the form below (the hot
+    // stage carried 90 of the operator's 172 task-seconds over 1.1 M
+    // candidates):
+    //  - the L1 is a FIXED 36-term integer sum, spelled as unrolled
+    //    element_at arithmetic rather than aggregate(zip_with(...)):
+    //    higher-order functions are CodegenFallback, which both
+    //    interprets the per-row lambdas (array allocation per pair)
+    //    and kicks the enclosing join out of whole-stage codegen
+    //  - the L1 phase attaches only (len, cv) — ~300 B/row; the
+    //    multi-KB normalized TEXTS are joined AFTER the filter, so
+    //    only L1 survivors (the handful the bound can't separate)
+    //    are ever copied through a join row with payloads attached
+    val l1 = (0 until 36).map(i =>
+      abs(element_at(col("cv_a"), i + 1) - element_at(col("cv_b"), i + 1)))
+      .reduce(_ + _)
+    val thetaPair = least(lit(MaxDist.toLong),
+      expr(s"(len_a + len_b) DIV $LenBucket"))
+    val l1Survivors = pairIds
+      .join(norm.select(col("doc_id").as("doc_a"),
         col("len").as("len_a"), col("cv").as("cv_a")), Seq("doc_a"))
-      .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
+      .join(norm.select(col("doc_id").as("doc_b"),
         col("len").as("len_b"), col("cv").as("cv_b")), Seq("doc_b"))
-      // provably-implied rejection BEFORE the DP: ed >= L1(cv)/2, so
-      // L1 > 2θ can never pass the distance filter — the O(36) integer
-      // pass kills the common-phrase candidate mass, the O(len·65) DP
-      // runs only on survivors (same two-stage shape as the oracle)
-      .filter(expr(
-        s"""aggregate(zip_with(cv_a, cv_b, (x, y) -> abs(x - y)),
-           |  0L, (acc, x) -> acc + x)
-           |<= 2 * least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket)""".stripMargin))
-      // (no repartition HERE: the dist<=θ filter's levenshtein is
-      // alias-substituted and predicate-pushed below any exchange at
-      // this point, so a post-L1 repartition moves nothing — the DP
-      // executes in the pair-id stage above, which is why THAT
-      // exchange carries the explicit width)
-      // the DP band is the PAIR's own acceptance threshold, not the
-      // global MaxDist ceiling: levenshtein(a, b, θ+1) returns -1 the
-      // moment the distance provably exceeds θ, and the filter never
-      // accepts above θ — identical keep-set, ~2× narrower band at
-      // typical lengths (θ ≈ len/10 vs 64). Reps are distinct texts,
-      // so no dist-0 fast path is needed here — identical texts never
-      // reach the DP at all.
+      .filter(l1 <= thetaPair * 2)
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+    // the DP band is the PAIR's own acceptance threshold θ, not the
+    // global MaxDist ceiling: levenshtein(a, b, θ) returns the true
+    // distance iff it is ≤ θ and -1 otherwise, so `dist >= 0` IS the
+    // acceptance test — one DP evaluation per candidate where the
+    // former θ+1 band plus dist<=θ filter alias-duplicated the DP
+    // into the join condition twice (r18 plan audit). Reps are
+    // distinct texts, so no dist-0 fast path is needed here —
+    // identical texts never reach the DP at all.
+    val repPairs = l1Survivors
+      .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a")),
+        Seq("doc_a"))
+      .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("nt_b")),
+        Seq("doc_b"))
       .withColumn("dist", expr(
         s"""CAST(levenshtein(nt_a, nt_b, CAST(
-           |  least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket) + 1L
+           |  least(CAST($MaxDist AS BIGINT), (len_a + len_b) DIV $LenBucket)
            |  AS INT)) AS BIGINT)""".stripMargin))
-      .filter(col("dist") >= 0 &&
-        col("dist") <= least(lit(MaxDist.toLong),
-          expr(s"(len_a + len_b) DIV $LenBucket")))
+      .filter(col("dist") >= 0)
       .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("dist"))
     // ── expansion back to document pairs ────────────────────────────
     // within-group: every two holders of one text are a dist-0 pair

@@ -142,6 +142,46 @@ object EditProbe {
           |<= 2 * least(CAST(64 AS BIGINT), (len_a + len_b) DIV 20)""".stripMargin)).count()
       println(s"[probe] cv survivors=$surv of 663471")
     }
+    // r18: would a hashed q-gram PROFILE bound (ed >= L1/(2q), Gravano
+    // et al.-style; bucket collisions only shrink the L1, so the bound
+    // survives hashing) reject more of the cv survivors before the DP?
+    timed("trigram-profile selectivity") {
+      val B = 64
+      val triProf = udf { (nt: String) =>
+        val out = new Array[Int](B)
+        var i = 0
+        while (i + 3 <= nt.length) {
+          var h = 1469598103934665603L // FNV-1a 64 over the 3 chars
+          var j = i
+          while (j < i + 3) { h ^= nt.charAt(j); h *= 1099511628211L; j += 1 }
+          out(((h % B) + B).toInt % B) += 1
+          i += 1
+        }
+        out
+      }
+      val prof = normCv.withColumn("tp", triProf(col("nt")))
+        .select(col("doc_id"), col("len"), col("cv"), col("tp"))
+        .localCheckpoint()
+      val ids = joined.select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      val withPayload = ids
+        .join(prof.select(col("doc_id").as("doc_a"), col("len").as("len_a"),
+          col("cv").as("cv_a"), col("tp").as("tp_a")), Seq("doc_a"))
+        .join(prof.select(col("doc_id").as("doc_b"), col("len").as("len_b"),
+          col("cv").as("cv_b"), col("tp").as("tp_b")), Seq("doc_b"))
+      val cvPass = expr(
+        """aggregate(zip_with(cv_a, cv_b, (x, y) -> abs(x - y)),
+          |  0L, (acc, x) -> acc + x)
+          |<= 2 * least(CAST(64 AS BIGINT), (len_a + len_b) DIV 20)""".stripMargin)
+      val triPass = expr(
+        """aggregate(zip_with(tp_a, tp_b, (x, y) -> abs(x - y)),
+          |  0, (acc, x) -> acc + x)
+          |<= 6 * least(CAST(64 AS BIGINT), (len_a + len_b) DIV 20)""".stripMargin)
+      val both = withPayload.filter(cvPass && triPass).count()
+      println(s"[probe] cv+trigram survivors=$both of 663471 (cv alone kept 262341)")
+    }
     val t0 = System.nanoTime()
     val pairs = graft.dedup.EditDedup.editPairsOf(docs)
     val n = pairs.count()
