@@ -40,7 +40,17 @@ object Dedup {
        |    i -> concat_ws(' ', slice(toks, i + 1, $n))))
        |ELSE array() END""".stripMargin
 
-  /** (doc_id, sh: array<string>) — two-step projection, see above. */
+  /** (doc_id, sh: array<string>) — two-step projection, see above.
+    * NOT widened (r18 negative result, measured): wrapping the doc
+    * scan in Widen.ifNarrow cut the 1-wide shingle stages but COST
+    * more than it bought family-wide — dedup_minhash 1.95 → 3.94 s
+    * (task_sum 2.3 → 62 s(!), uniform ~1.7 s/task non-CPU wait across
+    * every post-widen 32-task stage), dedup_clusters_dist 3.02 → 5.43,
+    * split_safe 2.06 → 2.81 — because this subplan's steady-state
+    * serial map is only ~1-2 s at gate scale while the widen multiplies
+    * per-stage fixed overhead across the family's MANY consumers of
+    * the shingle frame. At production scale the scan is already wide,
+    * so there is nothing for Widen to do there either. */
   private[dedup] def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), expr(toksExpr).as("toks"))

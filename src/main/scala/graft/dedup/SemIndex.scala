@@ -251,7 +251,13 @@ object SemIndex {
           "left_semi")
         .localCheckpoint()
       keptRows.write.mode("append").parquet(s"$path/members")
-      members = members.unionByName(keptRows).localCheckpoint()
+      // the carried member set is a UNION OF CHECKPOINTS — no
+      // re-checkpoint of the union itself (r18): that was an O(index)
+      // copy job per batch; the pieces are each materialized exactly
+      // once and the union is pure lineage concat. (Dropping the
+      // keptRows checkpoint as well was measured WORSE — the growing
+      // un-materialized lineage replans and re-executes per batch.)
+      members = members.unionByName(keptRows)
       out
     }
   }
