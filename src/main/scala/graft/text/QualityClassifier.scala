@@ -124,13 +124,19 @@ object QualityClassifier {
   def train(ex: Dataset[Example], dim: Int, iters: Int = 30,
       lr: Double = 8.0, l2: Double = 1e-6,
       momentum: Double = 0.95, fanIn: Int = 64): (Model, Array[Double]) = {
-    import ex.sparkSession.implicits._
     val spark = ex.sparkSession
     require(fanIn >= 2, "train: fanIn must be >= 2")
-    val cached = ex.cache()
+    // the loop runs on the PERSISTED RDD, not the Dataset: each
+    // iteration is then a plain scheduler job over cached partitions
+    // instead of a fresh Catalyst/AQE plan + codegen compile — the
+    // r18 stage audit showed ~40 sequential ~10 ms-task micro-stages
+    // whose wall was all planning floor. Same partitions, same
+    // per-partition row order, same sorted driver fold ⇒ the weight
+    // trajectory is bit-identical.
+    val cached = ex.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cached.count().toDouble
     require(n > 0, "train: empty example set")
-    val numParts = cached.rdd.getNumPartitions
+    val numParts = cached.getNumPartitions
     var m = Model(dim, new Array[Double](dim), 0.0)
     val losses = new Array[Double](iters)
     // heavy-ball momentum: full-batch GD on a convex loss converges
@@ -174,7 +180,7 @@ object QualityClassifier {
       }
       var bound = numParts
       while (bound > fanIn) {
-        cur = cur.groupByKey(_._1 / fanIn).mapGroups { (grp, itr) =>
+        cur = cur.groupBy(_._1 / fanIn).map { case (grp, itr) =>
           val (g, gb, l, c) = foldSorted(itr.toArray)
           (grp, g, gb, l, c)
         }
