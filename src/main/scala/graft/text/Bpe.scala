@@ -23,7 +23,10 @@ object Bpe {
 
   /** Distinct-word histogram (the one corpus-sized aggregation). */
   def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    // widen the 1-file scan: the tokenize+explode feeding the partial
+    // aggregation is the histogram's whole cost and ran 1-wide at gate
+    // scale (r18 stage audit); no-op on an already-wide scan
+    graft.core.Widen.ifNarrow(spark.read.parquet(s"$sfDir/documents.parquet"))
       .select(explode(expr(
         Tok.alphaToks)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))

@@ -40,7 +40,13 @@ object CorpusPipeline {
   def prepareIds(spark: SparkSession, sfDir: String, budget: Long = 512L,
       minTokens: Long = 5L, merges: Int = 8, partitions: Int = 32): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // widen the 1-file scan before the regex scrub: the checkpoint
+    // below pins the width, so dedup keys, the semi-join probe AND the
+    // BPE id encode all inherit full parallelism (r18 stage audit: the
+    // scrub + two encode executions ran 1-wide, ~1.8 s serial). At
+    // production scale the scan is already wide — structural no-op.
+    val docs = graft.core.Widen.ifNarrow(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
     val ms = Bpe.trainMergesWithDump(spark, sfDir, merges).map(m => (m._1, m._2))
     val toks = Cleaning.cleanText(docs)
       .select(col("doc_id"), col("clean_text"),
@@ -59,6 +65,11 @@ object CorpusPipeline {
         kept.select(col("doc_id"), col("clean_text").as("text")), ms)
       .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"))
       .as[SequencePacking.DocTokens]
+      // packByPrefixSum range-partitions its input, and the range
+      // sampling pass EXECUTES the child once more — checkpoint the
+      // two-column encode result so the per-doc BPE merge loop runs
+      // once, not twice (the checkpointed frame is doc_id+count only)
+      .localCheckpoint()
     SequencePacking.packByPrefixSum(ids, budget, partitions).toDF()
       .select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"), col("pack_id"))
   }
@@ -87,7 +98,9 @@ object CorpusPipeline {
       minTokens: Long = 5L, partitions: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Cleaning.cleanText(docs)
+    // same widening rationale as prepareIds: the regex scrub must not
+    // run 1-wide over a 1-file scan; no-op on an already-wide input
+    val toks = Cleaning.cleanText(graft.core.Widen.ifNarrow(docs))
       .select(col("doc_id"), col("clean_text"),
         expr("size(filter(split(clean_text, '\\\\s+'), x -> x != ''))")
           .cast("long").as("n_tokens"))
